@@ -1,0 +1,351 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import java.sql.Timestamp
+
+/** Relational query surface (SURVEY.md §2.C) — the capabilities the
+  * reference exposes through its ad-hoc SQL tool (`query_heap`, see
+  * /root/reference/mcp_server/server.py) and its report queries,
+  * proven on the TPC-H-ish testdata with DuckDB oracles.
+  *
+  * Money arithmetic is done in DECIMAL (exact, engine-portable) and
+  * cast to DOUBLE only at the end; doubles summed in engine-specific
+  * orders would not hash-match.
+  */
+object Relational {
+
+  private val D = DecimalType(12, 2)
+  private def dec(c: String) = col(c).cast(D)
+  private val one = lit(1).cast(D)
+
+  /** C2 — TPC-H Q1 shape: wide groupBy aggregate with decimal sums. */
+  val q1PricingSummary: GateQuery = GateQuery(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(Timestamp.valueOf("2000-06-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax"))).cast("double").as("sum_charge"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** C1 — projection + selective filter; both must reach the parquet
+    * scan (PushedFilters / 3-column ReadSchema).
+    */
+  val qFilterPushdown: GateQuery = GateQuery(
+    "q_filter_pushdown",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity >= 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("2000-01-01 00:00:00")) &&
+        col("l_quantity") >= 45)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** C6 — TPC-H Q6 shape: selective scan into a single decimal agg. */
+  val q6Revenue: GateQuery = GateQuery(
+    "q6_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"))
+  }
+
+  /** C13/B1 — summary counts: total rows, exact distinct, filtered count. */
+  val qSummary: GateQuery = GateQuery(
+    "q_summary",
+    """SELECT COUNT(*) AS total_rows,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders").agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      count(when(col("o_orderstatus") === "F", 1)).as("n_finished"))
+  }
+
+  /** C3 — TPC-H Q3 shape: 3-way join, group, top-k by revenue.
+    * Customer/orders sides are broadcast at dimension scale; the
+    * lineitem side stays partitioned (shuffle only on the join key).
+    */
+  val q3ShippingPriority: GateQuery = GateQuery(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val cust = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** C4 — semi-join (EXISTS): orders with at least one late lineitem. */
+  val qSemiJoin: GateQuery = GateQuery(
+    "q_semi_join",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val ord = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+    val li = Tables(s, dir, "lineitem")
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** C5 — TPC-H Q5 shape: star join across 6 tables, dims broadcast. */
+  val q5LocalSupplier: GateQuery = GateQuery(
+    "q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+    val ord = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** C7 — anti-join (NOT EXISTS): customers with no recent orders. */
+  val qAntiJoin: GateQuery = GateQuery(
+    "q_anti_join",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val recent = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("2000-01-01 00:00:00")))
+    Tables(s, dir, "customer")
+      .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C12 — left outer join + null-aware aggregation. */
+  val qOuterJoin: GateQuery = GateQuery(
+    "q_outer_join",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+      |FROM customer
+      |LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec("o_totalprice")), lit(0).cast(D)).cast("double").as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** C8 — window top-N per group: 3 priciest orders per customer. */
+  val qWindowTopN: GateQuery = GateQuery(
+    "q_window_topn",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** C9 — running sum + lag over a per-customer order timeline. */
+  val qWindowRunning: GateQuery = GateQuery(
+    "q_window_running",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  COALESCE(CAST(LAG(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), -1.0) AS prev_price
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .withColumn("running_total",
+        sum(dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .withColumn("prev_price", coalesce(lag(dec("o_totalprice"), 1).over(w).cast("double"), lit(-1.0)))
+      .select("o_custkey", "o_orderkey", "running_total", "prev_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** C10 — distinct projection. */
+  val qDistinct: GateQuery = GateQuery(
+    "q_distinct",
+    """SELECT DISTINCT o_orderstatus, o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** C11 — union all of two conformed projections. */
+  val qUnion: GateQuery = GateQuery(
+    "q_union",
+    """SELECT kind, key, CAST(bal AS DOUBLE) AS bal FROM (
+      |  SELECT 'cust' AS kind, c_custkey AS key, CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer
+      |  UNION ALL
+      |  SELECT 'supp' AS kind, s_suppkey AS key, CAST(s_acctbal AS DECIMAL(12,2)) AS bal FROM supplier) t
+      |ORDER BY kind, key""".stripMargin) { (s, dir) =>
+    val cust = Tables(s, dir, "customer")
+      .select(lit("cust").as("kind"), col("c_custkey").as("key"), dec("c_acctbal").as("bal"))
+    val supp = Tables(s, dir, "supplier")
+      .select(lit("supp").as("kind"), col("s_suppkey").as("key"), dec("s_acctbal").as("bal"))
+    cust.unionAll(supp)
+      .select(col("kind"), col("key"), col("bal").cast("double").as("bal"))
+      .orderBy("kind", "key")
+  }
+
+  /** C17 — rollup over nation/status with grouping id. */
+  val qRollup: GateQuery = GateQuery(
+    "q_rollup",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+  }
+
+  /** C15 — exact median (interpolated) of an exact-2-decimal column.
+    * Portable because o_totalprice values are exact at 2 decimals and
+    * both engines interpolate the same two neighbors.
+    */
+  val qPercentile: GateQuery = GateQuery(
+    "q_percentile",
+    """SELECT o_orderpriority,
+      |  CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS median_price,
+      |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+      |  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** C19 — scalar subquery: orders above the global average price. */
+  val qScalarSub: GateQuery = GateQuery(
+    "q_scalar_sub",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val ord = Tables(s, dir, "orders")
+    val avgDf = ord.agg((sum(dec("o_totalprice")).cast("double") / count(lit(1))).as("avg_price"))
+    ord.join(broadcast(avgDf))
+      .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** C14 — HLL approx distinct (sketch result; rows-only gate). */
+  val qApproxDistinct: GateQuery = GateQuery.rowsOnly("q_approx_distinct") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    q1PricingSummary, qFilterPushdown, q6Revenue, qSummary,
+    q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
+    qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qPercentile,
+    qScalarSub, qApproxDistinct)
+}
