@@ -15,12 +15,17 @@ final case class GateQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = true)
+    bench: Boolean)
 
 object GateQuery {
-  def apply(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): GateQuery =
-    GateQuery(name, fn, Some(sql))
+  def apply(name: String, sql: String)(
+      fn: (SparkSession, String) => DataFrame): GateQuery =
+    GateQuery(name, fn, Some(sql), bench = true)
+
+  def apply(name: String, sql: String, bench: Boolean)(
+      fn: (SparkSession, String) => DataFrame): GateQuery =
+    GateQuery(name, fn, Some(sql), bench)
 
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): GateQuery =
-    GateQuery(name, fn, None)
+    GateQuery(name, fn, None, bench = true)
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * §2.D1–D5). All operators are shuffle-minimal by construction:
+  * content is reduced to fixed-width hashes before any exchange, and
+  * pairwise work only ever happens inside bounded LSH buckets — never
+  * across the full corpus.
+  */
+object Dedup {
+
+  /** D1 — exact dedup: group by content hash, keep the smallest id.
+    * At 100 TB this shuffles only (hash, id, len) triples, never text.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol).cast("binary")).as("content_hash"),
+        length(col(textCol)).as("n_len"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_copies"),
+        min("n_len").as("doc_len"))
+
+  /** D4 — exact n-gram Jaccard near-dup pairs. The shingle inverted-
+    * index self-join is the candidate generator; pairs are verified by
+    * exact set intersection. Use minhashLsh below when the corpus is
+    * too large for the exact index join.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), n).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "n_inter", "jaccard")
+  }
+
+  /** D2 — MinHash + LSH near-dup pairs, the 100 TB-scale path:
+    * signatures are one zero-shuffle projection; banding multiplies
+    * rows by numBands only; the bucket self-join shuffles (band_sig,
+    * doc_id) pairs; candidates are verified with exact Jaccard.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, numBands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % numBands == 0, "bands must evenly divide hashes")
+    val rowsPerBand = numHashes / numBands
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val bands = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => md5(concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+          .cast("binary")))).as(Seq("band", "band_sig")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // verify candidates with exact jaccard on the shingle sets
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+    withSets
+      .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** D3 — SimHash fingerprints (16-bit portable variant; the 64-bit
+    * production variant is graft.functions.SimHash64).
+    */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), simhash16(col(textCol)).as("simhash"))
+
+  /** D5 — embedding-cosine near-dup pairs with sign-bit LSH prefilter:
+    * only vectors sharing a coarse bucket are compared, bounding the
+    * pairwise work; exact cosine verifies.
+    */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      bucketBits: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = emb.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bucketBits))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") > threshold)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+  }
+}

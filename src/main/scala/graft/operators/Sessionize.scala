@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization (SURVEY.md §2.E2): a new session starts when
+  * the gap to the previous event of the same user exceeds
+  * `gapSeconds`. One shuffle on user_id; everything after is
+  * window-local. The streaming variant lives in
+  * graft.streaming.StreamingSessionize.
+  */
+object Sessionize {
+
+  def sessionStarts(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    events.withColumn("is_new_session",
+      when(prev.isNull || unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L, 1)
+        .otherwise(0))
+  }
+
+  /** Per-user session and event counts. */
+  def userSessions(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame =
+    sessionStarts(events, userCol, tsCol, gapSeconds)
+      .groupBy(userCol)
+      .agg(sum("is_new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+}

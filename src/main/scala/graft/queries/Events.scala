@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics in batch form with DuckDB oracles
+  * (SURVEY.md §2.E). The genuinely-streaming variants (watermarks,
+  * flatMapGroupsWithState) are exercised in StreamingSpec — their
+  * results must equal these batch plans, which is the point.
+  *
+  * events.ts is nanosecond-precision in parquet; Spark truncates to
+  * micros on read, so every oracle works at micro-or-coarser
+  * granularity (epoch_us / date_trunc hour).
+  */
+object Events {
+
+  private val D = DecimalType(12, 2)
+
+  /** E1 — tumbling 1-hour window aggregate. */
+  val qTumblingWindow: GateQuery = GateQuery(
+    "q_tumbling_window",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS win,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win, event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("total_value"))
+      .orderBy("win", "event_type")
+  }
+
+  /** E2 — 30-minute-gap sessionization, per-user session counts. */
+  val qSessionize: GateQuery = GateQuery(
+    "q_sessionize",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, SUM(is_new_session) AS n_sessions, COUNT(*) AS n_events
+      |FROM g GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Sessionize.userSessions(Tables(s, dir, "events"), "user_id", "ts", 1800L)
+      .orderBy("user_id")
+  }
+
+  /** C16/JSON — extract a typed field from the JSON props column. */
+  val qJsonExtract: GateQuery = GateQuery(
+    "q_json_extract",
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** E2b — top user by event count per event_type (join of window
+    * results back to a dimension-like aggregate; exercises rank).
+    */
+  val qEventLeaders: GateQuery = GateQuery(
+    "q_event_leaders",
+    """SELECT event_type, user_id, n FROM (
+      |  SELECT event_type, user_id, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id) AS rk
+      |  FROM events GROUP BY event_type, user_id) t
+      |WHERE rk = 1
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(s, dir, "events")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("event_type", "user_id", "n")
+      .orderBy("event_type")
+  }
+
+  val all: Seq[GateQuery] = Seq(qTumblingWindow, qSessionize, qJsonExtract, qEventLeaders)
+}

@@ -1,0 +1,262 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
+  * oracles. The oracle SQL re-expresses the identical algorithm in
+  * portable SQL (same md5 hash family, same fold order for doubles).
+  */
+object Pipeline {
+
+  /** Shared oracle CTE: distinct n-word shingles per document. */
+  private def shingleCte(n: Int): String = {
+    val concat = (1 to n).map(k => s"ws[i+${k - 1}]").mkString(" || ' ' || ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-${n - 1}, 0))) AS i FROM w),
+       |sh AS (SELECT DISTINCT doc_id, $concat AS shingle FROM idx),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** D1 — exact dedup by content hash. */
+  val qDedupExact: GateQuery = GateQuery(
+    "q_dedup_exact",
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS survivor_id,
+      |  COUNT(*) AS n_copies, MIN(len(text)) AS doc_len
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin) { (s, dir) =>
+    Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("content_hash")
+  }
+
+  /** D4 — exact 3-gram Jaccard near-dup pairs (threshold 0.6; planted
+    * near-dups sit at ≥0.97, background below 0.3 — wide margin).
+    */
+  val qDedupJaccard: GateQuery = GateQuery(
+    "q_dedup_jaccard",
+    s"""WITH ${shingleCte(3)},
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, n_inter,
+       |  CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.6
+       |ORDER BY d1, d2""".stripMargin,
+    bench = false) { (s, dir) =>
+    Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", 3, 0.6)
+      .orderBy("d1", "d2")
+  }
+
+  /** D2 — MinHash(12)+LSH(4 bands × 3) near-dup pairs, verified. */
+  val qDedupMinhash: GateQuery = GateQuery(
+    "q_dedup_minhash",
+    s"""WITH ${shingleCte(3)},
+       |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
+       |mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+       |       FROM sh CROSS JOIN seeds GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band, md5(string_agg(h, '' ORDER BY i)) AS band_sig
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+       |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y
+       |    ON y.doc_id = c.d2 AND y.shingle = x.shingle
+       |  GROUP BY c.d1, c.d2)
+       |SELECT i.d1, i.d2,
+       |  CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS jaccard
+       |FROM inter i
+       |JOIN sizes s1 ON s1.doc_id = i.d1
+       |JOIN sizes s2 ON s2.doc_id = i.d2
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.6
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 12, numBands = 4, threshold = 0.6)
+      .orderBy("d1", "d2")
+  }
+
+  /** D3 — 16-bit SimHash fingerprint per document. */
+  val qDedupSimhash: GateQuery = {
+    val hexVal = (k: Int) => s"(strpos('0123456789abcdef', substr(md5(w), $k, 1)) - 1)"
+    val bitTerms = (0 until 16).map { b =>
+      s"(CASE WHEN SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    GateQuery(
+      "q_dedup_simhash",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id,
+         |  ${hexVal(1)} * 4096 + ${hexVal(2)} * 256 + ${hexVal(3)} * 16 + ${hexVal(4)} AS th
+         |  FROM w)
+         |SELECT doc_id, $bitTerms AS simhash
+         |FROM h GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.simhashFingerprints(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  }
+
+  private val embCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      |      FROM e)""".stripMargin
+
+  private def duckDot(a: String, b: String) =
+    s"list_aggregate(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), 'sum')"
+
+  /** D5 — embedding near-dup: sign-bucket LSH prefilter + exact cosine. */
+  val qNearDupEmbedding: GateQuery = {
+    val bucket = (v: String) => (0 until 4).map { i =>
+      s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    GateQuery(
+      "q_neardup_embedding",
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, nrm, ${bucket("v")} AS bucket FROM n)
+         |SELECT a.vec_id AS id1, b2.vec_id AS id2
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) > 0.3
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          bucketBits = 4, threshold = 0.3)
+        .orderBy("id1", "id2")
+    }
+  }
+
+  /** D6 — brute-force cosine top-3 for query vectors vec_id < 5. */
+  val qKnnBruteForce: GateQuery = GateQuery(
+    "q_knn_bruteforce",
+    s"""WITH $embCte,
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |        ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id < 5),
+       |r AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM p)
+       |SELECT qid, cid, rk FROM r WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+      .orderBy("qid", "rk")
+  }
+
+  /** D7 — bucketed (IVF-style) ANN: same queries, 4-bit sign buckets. */
+  val qKnnLsh: GateQuery = {
+    val bucket = (v: String) => (0 until 4).map { i =>
+      s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    GateQuery(
+      "q_knn_lsh",
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, nrm, ${bucket("v")} AS bucket FROM n),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+         |      FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |      WHERE q.vec_id < 5),
+         |r AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM p)
+         |SELECT qid, cid, rk FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.knnLshBucketed(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3, 4)
+        .orderBy("qid", "rk")
+    }
+  }
+
+  /** D13 — vector norms and dims (sequential-fold double parity). */
+  val qEmbeddingNorm: GateQuery = GateQuery(
+    "q_embedding_norm",
+    s"""WITH $embCte
+       |SELECT vec_id, len(v) AS dim, nrm AS l2_norm
+       |FROM n
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    import graft.functions.VectorFunctions._
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), size(col("v")).as("dim"), l2Norm(col("v")).as("l2_norm"))
+      .orderBy("vec_id")
+  }
+
+  /** D10 — token counting: whitespace + BPE-ish regex pieces. */
+  val qTokenCount: GateQuery = GateQuery(
+    "q_token_count",
+    """SELECT lang,
+      |  SUM(len(string_split(text, ' '))) AS n_ws_tokens,
+      |  SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS n_bpe_pieces,
+      |  COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        sum(size(TextFunctions.tokens(col("text")))).as("n_ws_tokens"),
+        sum(size(TextFunctions.roughBpePieces(col("text")))).as("n_bpe_pieces"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  /** D9 — quality signals (exact-integer ratios → portable doubles). */
+  val qQualityScore: GateQuery = GateQuery(
+    "q_quality_score",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS n_stop,
+      |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+      |  CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |    - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+      |    + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0 AS quality_score
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sig = TextFunctions.qualitySignals(col("text"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** D8 — marker-set language ID. */
+  val qLangId: GateQuery = GateQuery(
+    "q_lang_id",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and'))) AS en_s,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('spark','agg','hash','query','scan'))) AS code_s,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('table','row','column','value'))) AS data_s
+      |  FROM documents)
+      |SELECT doc_id, CASE
+      |  WHEN en_s >= code_s AND en_s >= data_s AND en_s > 0 THEN 'en'
+      |  WHEN code_s >= data_s AND code_s > 0 THEN 'code'
+      |  WHEN data_s > 0 THEN 'data'
+      |  ELSE 'unknown' END AS lang_pred
+      |FROM s
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** D11 — 5-gram min-hash document fingerprint. */
+  val qFingerprint: GateQuery = GateQuery(
+    "q_fingerprint",
+    s"""WITH ${shingleCte(5)}
+       |SELECT doc_id, MIN(md5(shingle)) AS fingerprint
+       |FROM sh GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text"), 5).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash,
+    qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qEmbeddingNorm,
+    qTokenCount, qQualityScore, qLangId, qFingerprint)
+}
