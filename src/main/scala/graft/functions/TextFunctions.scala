@@ -20,16 +20,21 @@ object TextFunctions {
   def roughBpePieces(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+"), lit(0))
 
-  /** Distinct n-word shingles; empty array when the doc is shorter
-    * than n words (Spark's `sequence` would otherwise descend).
+  /** Distinct n-word shingles from a pre-materialized words column;
+    * empty array when the doc is shorter than n words (Spark's
+    * `sequence` would otherwise descend).
+    *
+    * IMPORTANT: `ws` must be a plain attribute (projected in a prior
+    * select), not `split(...)` inline — lambda bodies re-evaluate
+    * their subexpressions per element, so an inline split would run
+    * once per element_at: quadratic per row. CollapseProject keeps the
+    * two-step projection because the alias is referenced n times.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  def shinglesFromWords(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       array_distinct(transform(sequence(lit(0), size(ws) - lit(n)),
         i => concat_ws(" ", (1 to n).map(k => element_at(ws, i + lit(k))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Salted md5 of a shingle — the portable minhash hash family.
     * Lexicographic min over hex strings is identical in every engine.
@@ -46,28 +51,25 @@ object TextFunctions {
       i => array_min(transform(shingleArr,
         s => md5(concat(i.cast("string"), lit(":"), s).cast("binary")))))
 
-  /** Rolling-fingerprint of a document: the minimal shingle hash
-    * (MinHash with one hash function) — stable under small edits.
+  /** Rolling-fingerprint from a words attribute: the minimal shingle
+    * hash (MinHash with one hash function) — stable under small edits.
     */
-  def fingerprint(text: Column, n: Int = 5): Column =
-    array_min(transform(shingles(text, n), s => md5(s.cast("binary"))))
+  def fingerprintFromWords(ws: Column, n: Int = 5): Column =
+    array_min(transform(shinglesFromWords(ws, n), s => md5(s.cast("binary"))))
 
-  /** 16-bit SimHash, engine-portable: per bit, majority vote of token
-    * md5 bits (+1/-1). The production-width 64-bit variant is the
-    * SimHash64 Catalyst expression; this one is SQL-expressible for
-    * the oracle.
+  /** 16-bit SimHash from a pre-materialized token-hash attribute (see
+    * `tokenHashes`): per bit, majority vote of token md5 bits (+1/-1).
+    * Engine-portable — SQL-expressible for the oracle.
     */
-  def simhash16(text: Column): Column = {
-    val ws = tokens(text)
-    // token -> int from the first 4 hex chars of its md5 (0..65535)
-    val tokHash = transform(ws,
-      w => conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("int"))
+  def tokenHashes(ws: Column): Column =
+    transform(ws, w => conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("int"))
+
+  def simhash16FromHashes(tokHash: Column): Column =
     (0 until 16).map { b =>
       when(aggregate(tokHash, lit(0),
         (acc, th) => acc + when(shiftright(th, b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)) > 0,
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-  }
 
   /** Quality signals: token count, mean word length, punctuation
     * ratio, stopword ratio — all exact-integer ratios so the composite

@@ -28,10 +28,17 @@ object Dedup {
     * exact set intersection. Use minhashLsh below when the corpus is
     * too large for the exact index join.
     */
+  /** Shared: (doc_id, distinct-shingle array) with the words array
+    * materialized first — see TextFunctions.shinglesFromWords.
+    */
+  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), shinglesFromWords(col("ws"), n).as("sh"))
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), n).as("sh"))
+    val sh = shingleTable(docs, idCol, textCol, n)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val inter = inv.as("a").join(inv.as("b"),
@@ -57,13 +64,19 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % numBands == 0, "bands must evenly divide hashes")
     val rowsPerBand = numHashes / numBands
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"))
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+    // Signature via exploded shingles + hash-aggregate: whole-stage
+    // codegen'd min() per seed, one shuffle on doc_id. ~20× faster than
+    // nested higher-order functions (interpreted, recomputed per branch).
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(saltedMd5(i, col("shingle"))).as(s"h$i"))
+    val sig = inv.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => md5(concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-          .cast("binary")))).as(Seq("band", "band_sig")))
+      posexplode(array((0 until numBands).map { b =>
+        md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i")): _*).cast("binary"))
+      }: _*)).as(Seq("band", "band_sig")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -85,7 +98,9 @@ object Dedup {
     * production variant is graft.functions.SimHash64).
     */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), simhash16(col(textCol)).as("simhash"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), tokenHashes(col("ws")).as("th"))
+      .select(col("doc_id"), simhash16FromHashes(col("th")).as("simhash"))
 
   /** D5 — embedding-cosine near-dup pairs with sign-bit LSH prefilter:
     * only vectors sharing a coarse bucket are compared, bounding the

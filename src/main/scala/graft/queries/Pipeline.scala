@@ -251,7 +251,8 @@ object Pipeline {
        |FROM sh GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.fingerprint(col("text"), 5).as("fingerprint"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), TextFunctions.fingerprintFromWords(col("ws"), 5).as("fingerprint"))
       .orderBy("doc_id")
   }
 
