@@ -1,0 +1,376 @@
+package graft.heap
+
+import HprofModel._
+import HprofParser.{Cursor, SubVisitor}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+import scala.reflect.ClassTag
+
+/** Byte-range reads through the Hadoop FileSystem API so the same
+  * code path serves file:// in tests and hdfs://;s3:// on a cluster.
+  */
+object HeapIO {
+  def withFs[T](pathStr: String)(f: (FileSystem, Path) => T): T = {
+    val p = new Path(pathStr)
+    f(p.getFileSystem(new Configuration()), p)
+  }
+
+  def fileLength(pathStr: String): Long =
+    withFs(pathStr)((fs, p) => fs.getFileStatus(p).getLen)
+
+  def readRange(pathStr: String, offset: Long, length: Int): Array[Byte] =
+    withFs(pathStr) { (fs, p) =>
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](length)
+        in.readFully(offset, buf)
+        buf
+      } finally in.close()
+    }
+}
+
+/** Driver-side metadata index built in pass 1 (SURVEY.md §2.A1-A3):
+  * strings, classes, stack frames/traces. Sized by class/method
+  * counts, not object counts, so it fits on the driver and broadcasts
+  * to executors — same shape as the reference's HprofIndex
+  * (hprof_index.rs:34) but the per-object maps are left distributed.
+  */
+final case class ClassInfo(
+    objId: Long, name: String, superId: Long, instanceSize: Int,
+    staticFields: Seq[StaticField], ownFields: Seq[FieldDesc],
+    layout: Seq[LayoutField])
+
+final class HeapIndex(
+    val utf8: Map[Long, String],
+    val classes: Map[Long, ClassInfo],
+    val stackFrames: Seq[StackFrameRec],
+    val stackTraces: Seq[StackTraceRec],
+    val classSerialToName: Map[Int, String]) extends Serializable {
+
+  def className(classObjId: Long): String =
+    classes.get(classObjId).map(_.name).getOrElse("(unresolved)")
+
+  /** Reference appends "[]" to the array class's name
+    * (dump_to_parquet.rs:317); we additionally normalize JVM
+    * descriptor-style array class names ("[Ljava.lang.String;").
+    */
+  def arrayTypeName(arrayClassObjId: Long): String =
+    classes.get(arrayClassObjId).map(c => HeapIndex.normalizeArrayName(c.name))
+      .getOrElse("(unresolved)[]")
+}
+
+object HeapIndex {
+  def normalizeArrayName(name: String): String =
+    if (name.startsWith("[L") && name.endsWith(";")) name.substring(2, name.length - 1) + "[]"
+    else if (name.endsWith("[]")) name
+    else name + "[]"
+
+  /** Full-hierarchy instance layout: own fields first, then the super
+    * chain (HPROF instance-dump value order). Shadowed names get a
+    * `Declaring@name` prefix (reference util.rs:64-86).
+    */
+  def buildLayout(classId: Long, dumps: Map[Long, ClassDumpInfo],
+      names: Map[Long, String], utf8: Map[Long, String]): Seq[LayoutField] = {
+    val out = mutable.ArrayBuffer.empty[LayoutField]
+    val counts = mutable.Map.empty[String, Int]
+    var cur = classId
+    while (cur != 0 && dumps.contains(cur)) {
+      val cd = dumps(cur)
+      val declaring = names.getOrElse(cur, "(unresolved)")
+      val shortDecl = declaring.substring(declaring.lastIndexOf('.') + 1)
+      cd.instanceFields.foreach { fd =>
+        val base = utf8.getOrElse(fd.nameId, "(missing utf8)")
+        val n = counts.getOrElse(base, 0)
+        counts(base) = n + 1
+        out += LayoutField(if (n == 0) base else s"$shortDecl@$base", fd.typeTag)
+      }
+      cur = cd.superClassObjId
+    }
+    out.toSeq
+  }
+}
+
+/** A parsed HPROF heap dump exposed as Spark DataFrames (SURVEY.md
+  * §2.A). Ingestion is two-pass: pass 1 walks record headers
+  * sequentially (9 bytes per record) and parses class/string metadata
+  * with distributed tasks; pass 2 parses heap segments fully in
+  * parallel, keyed by (offset, length) ranges — elastic to cluster
+  * size, same shape as the reference's rayon parallelism
+  * (dump_to_parquet.rs:193) but not bound to one machine.
+  *
+  * All reference columns are "robo mode": object references are bare
+  * longs; the id→type view is a join against `objectIndex` (SURVEY.md
+  * §3 — lazy join beats materializing a string per reference cell).
+  */
+final class HeapDump(spark: SparkSession, path: String) {
+  import HprofModel.Tag
+
+  val header: HprofParser.Header =
+    HprofParser.parseHeader(HeapIO.readRange(path, 0L, math.min(64L, HeapIO.fileLength(path)).toInt))
+  val idSize: Int = header.idSize
+
+  val records: Vector[RecordPtr] = HprofParser.indexRecords(
+    (off, n) => HeapIO.readRange(path, off, n), HeapIO.fileLength(path), header.bodyStart)
+
+  private val segPtrs = records.filter(r => Tag.isHeapSegment(r.tag))
+
+  private def parallelism(n: Int): Int =
+    math.max(1, math.min(n, spark.sparkContext.defaultParallelism))
+
+  /** Parse a set of records on executors; `f` runs per record body. */
+  private def recordRdd[T: ClassTag](ptrs: Seq[RecordPtr])(f: (RecordPtr, Array[Byte]) => Iterator[T]): RDD[T] = {
+    val p = path
+    spark.sparkContext.parallelize(ptrs, parallelism(ptrs.size))
+      .flatMap(r => f(r, HeapIO.readRange(p, r.bodyOffset, r.bodyLength.toInt)))
+  }
+
+  /** Pass 2 workhorse: scan every heap segment with a visitor. */
+  private def segmentRdd[T: ClassTag](mk: mutable.ArrayBuffer[T] => SubVisitor): RDD[T] = {
+    val idSz = idSize
+    recordRdd(segPtrs) { (_, body) =>
+      val buf = mutable.ArrayBuffer.empty[T]
+      HprofParser.scanSegment(body, idSz, mk(buf))
+      buf.iterator
+    }
+  }
+
+  /** Pass 1: distributed metadata parse, collected to the driver. */
+  val index: HeapIndex = {
+    val idSz = idSize
+    val utf8 = recordRdd(records.filter(_.tag == Tag.Utf8)) { (_, b) =>
+      Iterator.single(HprofParser.parseUtf8(b, idSz))
+    }.collect().toMap
+    val loads = recordRdd(records.filter(_.tag == Tag.LoadClass)) { (_, b) =>
+      Iterator.single(HprofParser.parseLoadClass(b, idSz))
+    }.collect()
+    val frames = recordRdd(records.filter(_.tag == Tag.StackFrame)) { (_, b) =>
+      Iterator.single(HprofParser.parseStackFrame(b, idSz))
+    }.collect()
+    val traces = recordRdd(records.filter(_.tag == Tag.StackTrace)) { (_, b) =>
+      Iterator.single(HprofParser.parseStackTrace(b, idSz))
+    }.collect()
+    val classDumps = segmentRdd[ClassDumpInfo] { buf =>
+      new SubVisitor { override def onClassDump(cd: ClassDumpInfo): Unit = buf += cd }
+    }.collect()
+
+    val names: Map[Long, String] = loads.map { lc =>
+      lc.classObjId -> utf8.getOrElse(lc.nameId, "(missing utf8)").replace('/', '.')
+    }.toMap
+    val dumpMap = classDumps.map(cd => cd.classObjId -> cd).toMap
+    val classes = dumpMap.map { case (cid, cd) =>
+      cid -> ClassInfo(cid, names.getOrElse(cid, "(unresolved)"), cd.superClassObjId,
+        cd.instanceSize, cd.staticFields, cd.instanceFields,
+        HeapIndex.buildLayout(cid, dumpMap, names, utf8))
+    }
+    val serialToName = loads.map(lc => lc.serial ->
+      utf8.getOrElse(lc.nameId, "(missing utf8)").replace('/', '.')).toMap
+    new HeapIndex(utf8, classes, frames.toSeq, traces.toSeq, serialToName)
+  }
+
+  private lazy val bcClassNames = spark.sparkContext.broadcast(index.classes.map { case (k, v) => k -> v.name })
+
+  import spark.implicits._
+
+  // -- A12: top-level record tally ------------------------------------
+  def countRecords: DataFrame =
+    records.groupBy(r => Tag.name(r.tag)).map { case (k, v) => (k, v.size.toLong) }
+      .toSeq.sortBy(-_._2).toDF("record_type", "count")
+
+  // -- A9: robo-style object index ------------------------------------
+  def objectIndex: DataFrame = {
+    val names = bcClassNames
+    segmentRdd[(Long, String)] { buf =>
+      new SubVisitor {
+        override def onInstance(ev: InstanceEv): Unit =
+          buf += ev.objId -> names.value.getOrElse(ev.classObjId, "(unresolved)")
+        override def onPrimArray(ev: PrimArrayEv): Unit =
+          buf += ev.objId -> s"${BasicType.javaName(ev.elemType)}[]"
+        override def onObjArray(ev: ObjArrayEv): Unit =
+          buf += ev.objId -> names.value.get(ev.arrayClassObjId)
+            .map(HeapIndex.normalizeArrayName).getOrElse("(unresolved)[]")
+        override def onClassDump(cd: ClassDumpInfo): Unit =
+          buf += cd.classObjId -> s"class ${names.value.getOrElse(cd.classObjId, "(unresolved)")}"
+      }
+    }.toDF("obj_id", "type_name")
+  }
+
+  // -- A9: class hierarchy (driver-side, tiny) ------------------------
+  def classHierarchy: DataFrame =
+    index.classes.values.toSeq.sortBy(_.objId)
+      .map { c =>
+        val sup = index.classes.get(c.superId)
+        (c.objId, c.name,
+          if (c.superId == 0) None else Some(c.superId),
+          sup.map(_.name))
+      }.toDF("class_obj_id", "class_name", "super_class_obj_id", "super_class_name")
+
+  // -- A6: object arrays ----------------------------------------------
+  def objectArrays: DataFrame = {
+    val names = bcClassNames
+    segmentRdd[(Long, String, Seq[Long])] { buf =>
+      new SubVisitor {
+        override def onObjArray(ev: ObjArrayEv): Unit =
+          buf += ((ev.objId, names.value.getOrElse(ev.arrayClassObjId, "(unresolved)"), ev.elements))
+      }
+    }.toDF("obj_id", "class_name", "elements")
+  }
+
+  // -- A5: primitive arrays -------------------------------------------
+  /** All primitive arrays in one pass (one non-null values column per
+    * row). Persist this and derive the 8 typed tables to avoid 8
+    * segment re-parses.
+    */
+  def primitiveArraysAll: DataFrame =
+    spark.createDataFrame(segmentRdd[PrimArrayEv] { buf =>
+      new SubVisitor { override def onPrimArray(ev: PrimArrayEv): Unit = buf += ev }
+    })
+
+  private val primCols = Map(
+    BasicType.Boolean -> "booleans", BasicType.Byte -> "bytes",
+    BasicType.Char -> "chars", BasicType.Short -> "shorts",
+    BasicType.Int -> "ints", BasicType.Long -> "longs",
+    BasicType.Float -> "floats", BasicType.Double -> "doubles")
+
+  def primitiveArrays(typeTag: Int, from: DataFrame = null): DataFrame = {
+    val src = if (from == null) primitiveArraysAll else from
+    src.filter(src("elemType") === typeTag)
+      .select(src("objId").as("obj_id"), src(primCols(typeTag)).as("values"))
+  }
+
+  // -- A8: GC roots ---------------------------------------------------
+  def gcRoots: DataFrame =
+    segmentRdd[GcRootEv] { buf =>
+      new SubVisitor { override def onGcRoot(ev: GcRootEv): Unit = buf += ev }
+    }.toDF("root_type", "obj_id", "thread_serial", "frame_index")
+
+  // -- A7: static fields (driver-side from class dumps) ---------------
+  def staticFields: DataFrame =
+    index.classes.values.toSeq.sortBy(_.objId).flatMap { c =>
+      c.staticFields.map { sf =>
+        (c.objId, c.name, index.utf8.getOrElse(sf.nameId, "(missing utf8)"),
+          BasicType.javaName(sf.typeTag), sf.primitive, sf.refId)
+      }
+    }.toDF("class_obj_id", "class_name", "field_name", "field_type", "primitive_value", "ref_id")
+
+  // -- A10: stack frames / traces -------------------------------------
+  def stackFrames: DataFrame =
+    index.stackFrames.map { f =>
+      (f.frameId,
+        index.classSerialToName.getOrElse(f.classSerial, "(unresolved)"),
+        index.utf8.getOrElse(f.methodNameId, "(missing utf8)"),
+        index.utf8.getOrElse(f.methodSigId, "(missing utf8)"),
+        index.utf8.getOrElse(f.sourceFileId, "(missing utf8)"),
+        f.lineNum)
+    }.toDF("frame_id", "class_name", "method_name", "method_signature", "source_file", "line_num")
+
+  def stackTraces: DataFrame =
+    index.stackTraces.map(t => (t.serial, t.threadSerial, t.frameIds))
+      .toDF("stack_trace_serial", "thread_serial", "frame_ids")
+
+  // -- A4: per-class typed instance tables ----------------------------
+  def instancesRaw: DataFrame =
+    spark.createDataFrame(segmentRdd[InstanceEv] { buf =>
+      new SubVisitor { override def onInstance(ev: InstanceEv): Unit = buf += ev }
+    })
+
+  private def sparkType(tag: Int): DataType = tag match {
+    case BasicType.Object => LongType
+    case BasicType.Boolean => BooleanType
+    case BasicType.Char => IntegerType
+    case BasicType.Float => FloatType
+    case BasicType.Double => DoubleType
+    case BasicType.Byte => ByteType
+    case BasicType.Short => ShortType
+    case BasicType.Int => IntegerType
+    case BasicType.Long => LongType
+  }
+
+  def instanceSchema(classId: Long): StructType =
+    StructType(StructField("obj_id", LongType, nullable = false) +:
+      index.classes(classId).layout.map(f => StructField(f.name, sparkType(f.typeTag), nullable = false)))
+
+  /** Typed instance table for one class id; field columns decoded on
+    * executors from the raw bytes against the broadcast layout.
+    */
+  def instances(classId: Long, from: DataFrame = null): DataFrame = {
+    val layout = index.classes(classId).layout
+    val idSz = idSize
+    val src = if (from == null) instancesRaw else from
+    val rows = src.filter(src("classObjId") === classId)
+      .select("objId", "fields").rdd.map { r =>
+        Row.fromSeq(r.getLong(0) +: HprofParser.decodeInstance(r.getAs[Array[Byte]](1), idSz, layout))
+      }
+    spark.createDataFrame(rows, instanceSchema(classId))
+  }
+
+  /** Typed instance table by class name (first matching class id when
+    * several loaders define the name — reference writes one file per
+    * (name, id) and its analysis globs them together).
+    */
+  def instancesByName(name: String, from: DataFrame = null): Option[DataFrame] =
+    index.classes.values.filter(_.name == name).map(_.objId).toSeq.sorted match {
+      case Seq() => None
+      case ids => Some(ids.map(id => instances(id, from)).reduce(_ unionByName _))
+    }
+
+  // -- A13: human-readable object rendering ---------------------------
+  def renderObjects(limit: Int): Seq[String] = {
+    val layouts = index.classes.map { case (k, v) => k -> (v.name, v.layout) }
+    val idSz = idSize
+    spark.createDataFrame(segmentRdd[InstanceEv] { buf =>
+      new SubVisitor { override def onInstance(ev: InstanceEv): Unit = buf += ev }
+    }).limit(limit).collect().toSeq.map { r =>
+      val objId = r.getAs[Long]("objId")
+      val classId = r.getAs[Long]("classObjId")
+      val bytes = r.getAs[Array[Byte]]("fields")
+      layouts.get(classId) match {
+        case Some((name, layout)) =>
+          val vals = HprofParser.decodeInstance(bytes, idSz, layout)
+          val fields = layout.zip(vals).map { case (f, v) =>
+            if (f.typeTag == BasicType.Object) f"${f.name}=0x${v.asInstanceOf[Long]}%x" else s"${f.name}=$v"
+          }.mkString(", ")
+          f"$name@0x$objId%x {$fields}"
+        case None => f"(unresolved)@0x$objId%x"
+      }
+    }
+  }
+
+  // -- A11: full parquet export ---------------------------------------
+  /** Write every table under outDir, one directory per table —
+    * the Spark-native equivalent of `dump-objects-to-parquet` in robo
+    * mode (16-way chunking falls out of partition count instead of a
+    * writer-thread pool).
+    */
+  def writeParquet(outDir: String): Unit = {
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+
+    w(objectIndex, "_object_index")
+    w(classHierarchy, "_class_hierarchy")
+    w(objectArrays, "_object_arrays")
+    w(gcRoots, "_gc_roots")
+    w(staticFields, "_static_fields")
+    w(stackFrames, "_stack_frames")
+    w(stackTraces, "_stack_traces")
+
+    val prim = primitiveArraysAll.persist()
+    try {
+      primCols.foreach { case (tag, _) =>
+        w(primitiveArrays(tag, prim), s"_primitive_arrays_${BasicType.javaName(tag)}")
+      }
+    } finally prim.unpersist()
+
+    val raw = instancesRaw.persist()
+    try {
+      val classIds = raw.select("classObjId").distinct().collect().map(_.getLong(0))
+      classIds.sorted.foreach { cid =>
+        if (index.classes.contains(cid))
+          w(instances(cid, raw), s"${index.className(cid)}_$cid")
+      }
+    } finally raw.unpersist()
+  }
+}
