@@ -1,0 +1,205 @@
+package graft.heap
+
+import graft.SparkTestSession
+import HprofModel._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 13-check waste suite against a synthetic heap with hand-
+  * computed expected waste (SURVEY.md §2.B). Constants are the
+  * 64-bit/compressed-oops layout numbers from HeapAnalysis.
+  */
+class HeapAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val analysis: HeapAnalysis = {
+    val w = new HprofWriter()
+    val objectCls = w.defineClass("java.lang.Object")
+    val stringCls = w.defineClass("java.lang.String", objectCls,
+      instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+    val integerCls = w.defineClass("java.lang.Integer", objectCls,
+      instanceFields = Seq("value" -> BasicType.Int))
+    val hashMapCls = w.defineClass("java.util.HashMap", objectCls,
+      instanceFields = Seq("size" -> BasicType.Int, "table" -> BasicType.Object))
+    val arrayListCls = w.defineClass("java.util.ArrayList", objectCls,
+      instanceFields = Seq("size" -> BasicType.Int, "elementData" -> BasicType.Object))
+    val threadCls = w.defineClass("java.lang.Thread", objectCls,
+      instanceFields = Seq("threadStatus" -> BasicType.Int))
+    val dbbCls = w.defineClass("java.nio.DirectByteBuffer", objectCls,
+      instanceFields = Seq("capacity" -> BasicType.Int, "position" -> BasicType.Int,
+        "limit" -> BasicType.Int))
+    val objArrayCls = w.defineClass("[Ljava.lang.Object;", objectCls)
+
+    // strings: 2x "hello" (dup), 1x "world"
+    val b1 = w.byteArray("hello"); val b2 = w.byteArray("hello"); val b3 = w.byteArray("world")
+    val str1 = w.instance(stringCls, Seq(BasicType.Object -> b1, BasicType.Int -> 99))
+    val str2 = w.instance(stringCls, Seq(BasicType.Object -> b2, BasicType.Int -> 99))
+    w.instance(stringCls, Seq(BasicType.Object -> b3, BasicType.Int -> 7))
+
+    // bad primitive arrays: all-zero int[4], empty long[], single float[1],
+    // all-false boolean[2]; chars are fine
+    w.primArray(BasicType.Int, Seq(0, 0, 0, 0))
+    w.primArray(BasicType.Long, Seq.empty)
+    w.primArray(BasicType.Float, Seq(1.5f))
+    w.primArray(BasicType.Boolean, Seq(false, false))
+    w.primArray(BasicType.Char, Seq('h'.toInt, 'i'.toInt))
+
+    // boxed primitives
+    (1 to 3).foreach(i => w.instance(integerCls, Seq(BasicType.Int -> i)))
+
+    // object arrays: empty, all-null(3), single, sparse(10 with 8 null),
+    // normal(3, one null), 2 identical dups, HashMap table (32 null),
+    // ArrayList backing (24 slots, 2 used)
+    w.objArray(objArrayCls, Seq.empty)
+    w.objArray(objArrayCls, Seq(0L, 0L, 0L))
+    w.objArray(objArrayCls, Seq(str1))
+    w.objArray(objArrayCls, Seq(str1, str2) ++ Seq.fill(8)(0L))
+    w.objArray(objArrayCls, Seq(str1, str2, 0L))
+    w.objArray(objArrayCls, Seq(str1, str2))
+    w.objArray(objArrayCls, Seq(str1, str2))
+    val hmTable = w.objArray(objArrayCls, Seq.fill(32)(0L))
+    val alBacking = w.objArray(objArrayCls, Seq(str1, str2) ++ Seq.fill(22)(0L))
+
+    // collections: empty + single + sparse HashMap; empty + oversized ArrayList
+    w.instance(hashMapCls, Seq(BasicType.Int -> 0, BasicType.Object -> 0L))
+    w.instance(hashMapCls, Seq(BasicType.Int -> 1, BasicType.Object -> 0L))
+    w.instance(hashMapCls, Seq(BasicType.Int -> 2, BasicType.Object -> hmTable))
+    w.instance(arrayListCls, Seq(BasicType.Int -> 0, BasicType.Object -> 0L))
+    w.instance(arrayListCls, Seq(BasicType.Int -> 2, BasicType.Object -> alBacking))
+
+    // threads: 2 alive (RUNNABLE, PARKED), 1 terminated
+    val t1 = w.instance(threadCls, Seq(BasicType.Int -> 0x0005))
+    w.instance(threadCls, Seq(BasicType.Int -> 0x0002))
+    w.instance(threadCls, Seq(BasicType.Int -> 0x0201))
+
+    // direct byte buffers: untouched 1000, empty, used 500
+    w.instance(dbbCls, Seq(BasicType.Int -> 1000, BasicType.Int -> 0, BasicType.Int -> 1000))
+    w.instance(dbbCls, Seq(BasicType.Int -> 0, BasicType.Int -> 0, BasicType.Int -> 0))
+    w.instance(dbbCls, Seq(BasicType.Int -> 500, BasicType.Int -> 10, BasicType.Int -> 500))
+
+    w.gcRoot(Sub.RootThreadObject, t1, threadSerial = 1)
+    w.gcRoot(Sub.RootStickyClass, stringCls)
+    val f1 = w.stackFrame("run", "()V", "Worker.java", "java.lang.Thread", 42)
+    w.stackTrace(1, 1, Seq(f1))
+
+    val dir = java.nio.file.Files.createTempDirectory("heapan")
+    val hprof = dir.resolve("waste.hprof").toString
+    w.writeTo(hprof, segments = 2)
+    val outDir = dir.resolve("parquet").toString
+    new HeapDump(spark, hprof).writeParquet(outDir)
+    new HeapAnalysis(new HeapTables(spark, outDir))
+  }
+
+  test("summary and top types") {
+    val s = analysis.summary.get.collect()(0)
+    // 8 prim arrays + 9 obj arrays + 17 instances + 8 classes = 42
+    assert(s.getLong(0) === 42L)
+    val top = analysis.topTypes(3).get.collect()
+    assert(top.head.getString(0) === "java.lang.Object[]")
+    assert(top.head.getLong(1) === 9L)
+  }
+
+  test("category breakdown buckets JDK vs Other") {
+    val cats = analysis.categoryBreakdown.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cats.contains("JDK"))
+    assert(cats("JDK") > cats.getOrElse("Other", 0L))
+  }
+
+  test("byte array distribution and large arrays") {
+    val dist = analysis.byteArrayDistribution.get.collect()
+    assert(dist.map(_.getLong(1)).sum === 3L) // 3 byte arrays, all 0-99
+    assert(analysis.largeByteArrays().get.count() === 0L)
+  }
+
+  test("B6 duplicate strings: 2 copies of hello -> 45B") {
+    val f = analysis.checkDuplicateStrings().get
+    assert(f.affectedCount === 2L)
+    assert(f.estimatedWasteBytes === 5L + 40L)
+    assert(f.severity === "INFO")
+  }
+
+  test("B7 bad collections: 2 empty + 1 single, 376B") {
+    val f = analysis.checkBadCollections().get
+    assert(f.affectedCount === 3L)
+    assert(f.estimatedWasteBytes === 280L + 96L)
+  }
+
+  test("B8 bad object arrays: zero/all-null/single/sparse") {
+    val f = analysis.checkBadObjectArrays().get
+    // zero(1,16) + all_null(2 arrays,35 slots,172) + single(1,12) + sparse(2,34 slots,92)
+    assert(f.affectedCount === 6L)
+    assert(f.estimatedWasteBytes === 16L + 172L + 12L + 92L)
+  }
+
+  test("B9 bad primitive arrays: all-zero/empty/single") {
+    val f = analysis.checkBadPrimitiveArrays().get
+    // boolean all_zero(2+16) + int all_zero(16+16) + long zero_len(16) + float single(12)
+    assert(f.affectedCount === 4L)
+    assert(f.estimatedWasteBytes === 18L + 32L + 16L + 12L)
+  }
+
+  test("B10 boxed primitives: 3 Integers, 48B") {
+    val f = analysis.checkBoxedNumbers().get
+    assert(f.affectedCount === 3L)
+    assert(f.estimatedWasteBytes === 48L)
+  }
+
+  test("B11 collection sizing: sparse HashMap + oversized ArrayList") {
+    val f = analysis.checkCollectionSizing().get
+    assert(f.affectedCount === 2L)
+    assert(f.estimatedWasteBytes === 32L * 4 + 22L * 4)
+    assert(f.subFindings.size === 2)
+  }
+
+  test("B12 duplicate byte arrays: 2x hello, 21B") {
+    val f = analysis.checkDuplicateByteArrays().get
+    assert(f.affectedCount === 2L)
+    assert(f.estimatedWasteBytes === 5L + 16L)
+  }
+
+  test("B13 class count: below threshold -> None") {
+    assert(analysis.checkClassCount() === None)
+  }
+
+  test("B14 gc roots breakdown") {
+    val f = analysis.checkGcRoots().get
+    assert(f.affectedCount === 2L)
+    assert(f.severity === "INFO")
+    assert(f.subFindings.exists(_.contains("ThreadObj")))
+  }
+
+  test("B15 direct byte buffers: 1.5KB cap, 1 empty, untouched 1000") {
+    val f = analysis.checkDirectByteBuffers().get
+    assert(f.affectedCount === 3L)
+    assert(f.estimatedWasteBytes === 64L + 1000L)
+    assert(f.details.contains("1.5 KB"))
+  }
+
+  test("B16 thread stacks: 2 alive of 3") {
+    val f = analysis.checkThreadStacks().get
+    assert(f.affectedCount === 2L)
+    assert(f.severity === "INFO")
+    assert(f.subFindings.exists(_.contains("alive: 2")))
+    assert(f.subFindings.exists(_.contains("java.lang.Thread")))
+  }
+
+  test("B17 duplicate object arrays: one dup pair") {
+    val f = analysis.checkDuplicateObjectArrays().get
+    assert(f.affectedCount === 2L)
+    assert(f.estimatedWasteBytes === 8L + 16L)
+  }
+
+  test("B18 estimated shallow size") {
+    val f = analysis.checkEstimatedShallowSize().get
+    assert(f.severity === "INFO")
+    assert(f.affectedCount === 42L)
+  }
+
+  test("B19 full report assembles and sorts by severity") {
+    val findings = analysis.runWasteAnalysis(maxTier = 3)
+    assert(findings.size >= 10)
+    assert(findings.map(_.severityRank) === findings.map(_.severityRank).sorted)
+    val report = analysis.renderReport(findings)
+    assert(report.contains("Duplicate Strings"))
+    assert(report.contains("Bad Collections"))
+  }
+}
