@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing for training-data pipelines
+  * (SURVEY.md §2.D12): media payloads ride as opaque `binary` columns
+  * next to a typed metadata struct; decode / feature-extraction /
+  * resize / frame-sampling run as typed `mapPartitions` batch
+  * transforms (the Scala-native equivalent of a vectorized UDF —
+  * per-partition setup cost amortizes the way a codec handle would).
+  *
+  * The codec layer is STUBBED deterministically — this container has
+  * no image/audio libraries — but everything Spark-side is real:
+  * schemas, partitioning, batch iteration, explode shapes. A real
+  * deployment replaces `StubCodec` with JNI/javacv calls per
+  * partition.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, channels: Int,
+      sampleRate: Int, nFrames: Int)
+  final case class MediaRow(doc_id: Long, modality: String,
+      data: Array[Byte], meta: MediaMeta)
+  final case class FeatureRow(doc_id: Long, modality: String,
+      features: Seq[Float], feature_norm: Double)
+  final case class FrameRow(doc_id: Long, frame_idx: Int, data: Array[Byte])
+
+  /** STUB decoder: deterministic pseudo-features from payload bytes.
+    * Stands in for "decode image/audio, run a feature extractor".
+    */
+  object StubCodec {
+    def features(data: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < data.length) { h = 31 * h + data(i); i += 1 }
+      i = 0
+      while (i < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(i) = (h % 1000) / 1000.0f
+        i += 1
+      }
+      out
+    }
+
+    def resize(data: Array[Byte], fromMeta: MediaMeta, w: Int, h: Int): Array[Byte] = {
+      // real impl: decode, scale, re-encode; stub keeps a proportional slice
+      val ratio = (w.toLong * h) / math.max(1L, fromMeta.width.toLong * fromMeta.height)
+      java.util.Arrays.copyOf(data, math.max(1, (data.length * math.min(1L, ratio)).toInt))
+    }
+
+    def frame(data: Array[Byte], idx: Int): Array[Byte] =
+      Array[Byte]((idx & 0xff).toByte, if (data.isEmpty) 0 else data(idx % data.length))
+  }
+
+  /** Build a media table from any table with an id and a payload-ish
+    * string column — testdata stand-in for real blob ingestion. Meta
+    * is typed and deterministic.
+    */
+  def mediaTable(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val mod = pmod(col(idCol), lit(3))
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      when(mod === 0, "image").when(mod === 1, "audio").otherwise("video").as("modality"),
+      col(payloadCol).cast("binary").as("data"),
+      struct(
+        (pmod(col(idCol), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col(idCol), lit(480)) + 32).cast("int").as("height"),
+        lit(3).as("channels"),
+        when(mod === 1, 16000).otherwise(0).as("sampleRate"),
+        when(mod === 2, pmod(col(idCol), lit(30)) + 1).otherwise(1).cast("int").as("nFrames")
+      ).as("meta"))
+  }
+
+  /** Decode + feature-extract in partition batches. */
+  def extractFeatures(media: DataFrame, dim: Int): Dataset[FeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition codec setup would happen here
+      rows.map { r =>
+        val f = StubCodec.features(r.data, dim)
+        var s = 0.0
+        var i = 0
+        while (i < f.length) { s += f(i).toDouble * f(i); i += 1 }
+        FeatureRow(r.doc_id, r.modality, f.toSeq, math.sqrt(s))
+      }
+    }
+  }
+
+  /** Resize every image payload; non-images pass through. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      if (r.modality != "image") r
+      else r.copy(data = StubCodec.resize(r.data, r.meta, w, h),
+        meta = r.meta.copy(width = w, height = h))
+    })
+  }
+
+  /** Sample up to `maxFrames` frames per video row (one output row per
+    * frame — the explode shape a frame-level pipeline needs).
+    */
+  def sampleFrames(media: DataFrame, maxFrames: Int): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].filter(_.modality == "video").flatMap { r =>
+      val n = math.min(maxFrames, r.meta.nFrames)
+      (0 until n).map(i => FrameRow(r.doc_id, i, StubCodec.frame(r.data, i)))
+    }
+  }
+
+  /** Per-modality rollup used by the q_multimodal_meta gate. */
+  def modalitySummary(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val media = mediaTable(docs, "doc_id", "text")
+    val feats = extractFeatures(media, 16).toDF()
+    media.join(feats.select(col("doc_id"), col("feature_norm")), "doc_id")
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("data"))).as("total_bytes"),
+        avg(col("meta.width")).as("avg_width"),
+        avg(col("feature_norm")).as("avg_feature_norm"))
+      .orderBy("modality")
+  }
+}

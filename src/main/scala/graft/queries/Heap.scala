@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.GateQuery
+import graft.heap._
+import graft.heap.HprofModel.{BasicType, Sub}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Heap-module gate queries (SURVEY.md §2.A/B surfaced to the
+  * driver): each builds a deterministic synthetic HPROF dump with the
+  * A14 generator, runs the full distributed ingestion + analysis
+  * path, and returns a DataFrame. Rows-only gates — the heap tables
+  * have no testdata-oracle equivalent; exact values are asserted in
+  * HeapDumpSpec / HeapAnalysisSpec.
+  */
+object Heap {
+
+  /** One synthetic heap + parquet export per JVM, built lazily. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def demoDir(spark: SparkSession): String =
+    cache.computeIfAbsent("demo", _ => {
+      val w = new HprofWriter()
+      val obj = w.defineClass("java.lang.Object")
+      val str = w.defineClass("java.lang.String", obj,
+        instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+      val hm = w.defineClass("java.util.HashMap", obj,
+        instanceFields = Seq("size" -> BasicType.Int, "table" -> BasicType.Object))
+      val oaCls = w.defineClass("[Ljava.lang.Object;", obj)
+      val bs = (0 until 40).map(i => w.byteArray(s"payload-${i % 10}")) // 4x duplication
+      val strs = bs.map(b => w.instance(str, Seq(BasicType.Object -> b, BasicType.Int -> b.toInt)))
+      (0 until 8).foreach(_ => w.instance(hm, Seq(BasicType.Int -> 0, BasicType.Object -> 0L)))
+      w.objArray(oaCls, Seq.empty)
+      w.objArray(oaCls, Seq.fill(5)(0L))
+      w.objArray(oaCls, strs.take(3))
+      w.primArray(BasicType.Int, Seq.fill(16)(0))
+      w.gcRoot(Sub.RootStickyClass, str)
+      w.gcRoot(Sub.RootThreadObject, strs.head, threadSerial = 1)
+      val f1 = w.stackFrame("main", "()V", "Main.java", "java.lang.String", 1)
+      w.stackTrace(1, 1, Seq(f1))
+
+      val dir = java.nio.file.Files.createTempDirectory("graft_heap_gate")
+      val hprof = dir.resolve("demo.hprof").toString
+      w.writeTo(hprof, segments = 4)
+      val out = dir.resolve("parquet").toString
+      new HeapDump(spark, hprof).writeParquet(out)
+      out
+    })
+
+  private def analysis(spark: SparkSession) =
+    new HeapAnalysis(new HeapTables(spark, demoDir(spark)))
+
+  /** A1-A11: ingestion round-trip — the robo object index. */
+  val qHeapObjectIndex: GateQuery = GateQuery.rowsOnly("q_heap_object_index") { (s, _) =>
+    s.read.parquet(s"${demoDir(s)}/_object_index")
+      .groupBy("type_name").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("type_name"))
+  }
+
+  /** B1/B2: summary + top types over the exported tables. */
+  val qHeapTopTypes: GateQuery = GateQuery.rowsOnly("q_heap_top_types") { (s, _) =>
+    analysis(s).topTypes(10).get
+  }
+
+  /** B4: byte-array size histogram. */
+  val qHeapHistogram: GateQuery = GateQuery.rowsOnly("q_heap_byte_histogram") { (s, _) =>
+    analysis(s).byteArrayDistribution.get
+  }
+
+  /** B6-B19: the waste suite as a findings DataFrame. */
+  val qHeapWaste: GateQuery = GateQuery.rowsOnly("q_heap_waste") { (s, _) =>
+    import s.implicits._
+    analysis(s).runWasteAnalysis(maxTier = 3)
+      .map(f => (f.checkName, f.tier, f.severity, f.affectedCount, f.estimatedWasteBytes))
+      .toDF("check_name", "tier", "severity", "affected_count", "estimated_waste_bytes")
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapWaste)
+    .map(_.copy(bench = false))
+}

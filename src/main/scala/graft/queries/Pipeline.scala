@@ -256,8 +256,15 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D12 — multimodal binary-column plumbing (rows-only: stubbed codec,
+    * exact values spec-tested in MultimodalSpec).
+    */
+  val qMultimodalMeta: GateQuery = GateQuery.rowsOnly("q_multimodal_meta") { (s, dir) =>
+    graft.multimodal.Multimodal.modalitySummary(s, Tables(s, dir, "documents"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qEmbeddingNorm,
-    qTokenCount, qQualityScore, qLangId, qFingerprint)
+    qTokenCount, qQualityScore, qLangId, qFingerprint, qMultimodalMeta)
 }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.E3-E4). The same
+  * declarative plans run in batch and streaming; specs assert the
+  * streaming results equal the batch gate queries — that equivalence
+  * IS the correctness contract.
+  */
+object StreamingOps {
+
+  /** E1/E3 — tumbling-window aggregate; add a watermark upstream when
+    * streaming (`withWatermark("ts", "1 hour")`). Works unchanged on
+    * batch DataFrames.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+  final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** E4 — stateful sessionizer: a new session starts when the gap to
+    * the user's previous event exceeds `gapSeconds`. Emits the running
+    * per-user totals each trigger (Update mode); the final row per
+    * user equals the batch Sessionize.userSessions result. State is
+    * one small record per user — at scale this shards by user_id
+    * across executors with RocksDB-backed state.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = st.lastTs == Long.MinValue || e.ts_us - st.lastTs > gapUs
+            st = SessionState(e.ts_us,
+              st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          SessionUpdate(userId, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** Convenience: run a streaming tumbling-count over a parquet
+    * directory source into a memory sink; returns the query name.
+    */
+  def fileStreamToMemory(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      sinkName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+    tumblingCounts(src)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete()).start()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D12: the Spark-side plumbing is real (schema, batch transform
+  * shapes, explode); the codec is a deterministic stub.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val media = Multimodal.mediaTable(
+    Tables(spark, sf, "documents"), "doc_id", "text")
+
+  test("media table has binary payload + typed meta, all modalities") {
+    val schema = media.schema
+    assert(schema("data").dataType.typeName === "binary")
+    assert(schema("meta").dataType.typeName === "struct")
+    val mods = media.select("modality").distinct().collect().map(_.getString(0)).toSet
+    assert(mods === Set("image", "audio", "video"))
+  }
+
+  test("feature extraction is deterministic with unit batch shape") {
+    val f1 = Multimodal.extractFeatures(media, 16).collect().map(r => r.doc_id -> r.features).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(7), 16).collect().map(r => r.doc_id -> r.features).toMap
+    assert(f1 === f2) // partitioning must not change results
+    assert(f1.values.forall(_.size === 16))
+  }
+
+  test("resize rewrites image meta only") {
+    val resized = Multimodal.resizeImages(media, 128, 128).toDF()
+    val img = resized.filter(col("modality") === "image").select("meta.width").distinct().collect()
+    assert(img.map(_.getInt(0)).toSeq === Seq(128))
+    val vid = resized.filter(col("modality") === "video")
+      .join(media.select(col("doc_id"), col("meta.width").as("w0")), "doc_id")
+      .filter(col("meta.width") =!= col("w0")).count()
+    assert(vid === 0) // non-images untouched
+  }
+
+  test("frame sampling explodes one row per frame, capped") {
+    val frames = Multimodal.sampleFrames(media, 5).toDF()
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+    val bad = perDoc.filter(col("n") > 5 || col("mx") >= 5).count()
+    assert(bad === 0)
+    assert(frames.count() > 0)
+    // frame count equals min(nFrames, 5) per video
+    val expected = media.filter(col("modality") === "video")
+      .select(least(col("meta.nFrames"), lit(5)).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(frames.count() === expected)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{SessionEvent, SessionUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E3/E4: Structured Streaming results must equal the batch plans —
+  * that equivalence is the correctness contract (SURVEY.md §2.E).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("E3: file-source windowed agg with watermark equals batch") {
+    import spark.implicits._
+    // stage the events table as a parquet dir (micros ts — the
+    // Tables loader's nanos conversion applied once at staging)
+    val ev = Tables(spark, sf, "events").select("ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("stream_src").toString
+    ev.write.mode("overwrite").parquet(dir)
+
+    val q = StreamingOps.fileStreamToMemory(spark, dir, ev.schema, "win_sink")
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_sink")
+      .select(col("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type").collect()
+    val batch = StreamingOps.tumblingCounts(ev)
+      .select(col("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("E4: stateful sessionizer equals batch Sessionize across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent].collect().sortBy(_.ts_us)
+
+    val input = MemoryStream[SessionEvent]
+    val q = StreamingOps.sessionize(input.toDS(), 1800L)
+      .writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // feed in three time-ordered chunks to exercise cross-trigger state
+      val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+      chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    // last update per user = final session/event counts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val streamed = spark.table("sess_sink")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("user_id", "n_sessions", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = graft.operators.Sessionize
+      .userSessions(Tables(spark, sf, "events"), "user_id", "ts", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+}
