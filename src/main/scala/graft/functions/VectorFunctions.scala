@@ -14,9 +14,15 @@ object VectorFunctions {
   /** Elementwise cast to double — float inputs are widened exactly. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product in double precision: a codegen'd
+    * Catalyst expression (DotProduct) — same fold order as
+    * `aggregate(zip_with(...))` but stays in whole-stage codegen.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 

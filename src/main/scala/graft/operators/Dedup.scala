@@ -32,15 +32,38 @@ object Dedup {
     * materialized first — see TextFunctions.shinglesFromWords.
     */
   private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      n: Int): DataFrame = {
+    // Shingling + salted hashing is CPU-bound; a small input (one
+    // parquet file = one partition) would pin it to a single core.
+    // Fan out only when the source has fewer splits than the cluster
+    // has slots — at real scale the input is already wide and this is
+    // a no-op.
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val slots = base.sparkSession.sparkContext.defaultParallelism
+    val wide = if (base.rdd.getNumPartitions < slots) base.repartition(slots) else base
+    wide.select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), shinglesFromWords(col("ws"), n).as("sh"))
+  }
+
+  /** Exploded (doc_id, shingle) inverted index. `explode_outer` + a
+    * post-generate null filter, NOT plain `explode`: for plain explode
+    * the InferFiltersFromGenerate rule synthesizes `size(sh)>0 AND
+    * isnotnull(sh)` and pushes it to the scan with aliases
+    * substituted, re-evaluating the whole shingle expression (with
+    * split() inlined per element — quadratic) once more per row. The
+    * outer variant is exempt from that rule; the null filter on the
+    * generated attribute is free and cannot be pushed below the
+    * generate. ~8x faster at sf0.1.
+    */
+  private def explodeShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inv = explodeShingles(sh)
     val inter = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -68,11 +91,12 @@ object Dedup {
     // Signature via exploded shingles + hash-aggregate: whole-stage
     // codegen'd min() per seed, one shuffle on doc_id. ~20× faster than
     // nested higher-order functions (interpreted, recomputed per branch).
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // The set size rides in the same aggregate — no second pass.
+    val inv = explodeShingles(sh)
     val minAggs = (0 until numHashes).map(i =>
-      min(saltedMd5(i, col("shingle"))).as(s"h$i"))
+      min(saltedMd5(i, col("shingle"))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
     val sig = inv.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val bands = sig.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"), col("n_sh"),
       posexplode(array((0 until numBands).map { b =>
         md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => col(s"h$i")): _*).cast("binary"))
@@ -80,16 +104,29 @@ object Dedup {
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .select(col("a.doc_id").as("d1"), col("a.n_sh").as("n1"),
+        col("b.doc_id").as("d2"), col("b.n_sh").as("n2"))
       .distinct()
-    // verify candidates with exact jaccard on the shingle sets
-    val withSets = cand
-      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-    withSets
+      // candidates are tiny by design; materialize once so the
+      // verification branch (and its semi-join) doesn't re-run the
+      // signature pass
+      .localCheckpoint()
+    // Verify candidates with exact Jaccard. Shingles are recomputed
+    // for CANDIDATE DOCS ONLY (semi-join prunes the corpus before the
+    // shingle projection) — at LSH's design point candidates are a
+    // tiny fraction, so this is far cheaper than shingling the whole
+    // corpus twice for the pair join.
+    val candIds = cand.select(col("d1").as("cid"))
+      .union(cand.select(col("d2").as("cid"))).distinct()
+    val candSh = shingleTable(
+      docs.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"),
+      idCol, textCol, shingleN)
+    cand
+      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
+        (col("n1") + col("n2") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
   }
@@ -109,12 +146,14 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
       bucketBits: Int, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions._
-    val e = emb.select(col(idCol).as("vec_id"),
-      toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", signBucket(col("v"), bucketBits))
+    // Norms computed once per vector BEFORE the pair join — inside a
+    // bucket of k vectors that saves 2·k²-k norm folds vs cosine().
+    val e = emb.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .select(col("vec_id"), col("v"), l2Norm(col("v")).as("nrm"),
+        signBucket(col("v"), bucketBits).as("bucket"))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") > threshold)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
   }

@@ -19,9 +19,11 @@ object Similarity {
   def knnBruteForce(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -37,12 +39,14 @@ object Similarity {
   def knnLshBucketed(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
       .withColumn("bucket", signBucket(col("cv"), bits))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
       .withColumn("bucket", signBucket(col("qv"), bits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
