@@ -17,6 +17,37 @@ final class HeapTables(spark: SparkSession, dir: String) {
   def system(name: String): Option[DataFrame] =
     if (entries.contains(name)) Some(spark.read.parquet(s"$dir/$name")) else None
 
+  /** All exported tables with file counts and bytes (the reference's
+    * list_parquet_files tool).
+    */
+  def list: DataFrame = {
+    import spark.implicits._
+    entries.sorted.map { e =>
+      val files = Option(new java.io.File(s"$dir/$e").listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet"))).getOrElse(Array.empty)
+      (e, files.length, files.map(_.length()).sum)
+    }.toDF("table", "n_files", "bytes")
+  }
+
+  /** Non-robo view: resolve a bare reference column to STRUCT{id,type}
+    * via a lazy join against _object_index (SURVEY.md §3 — strictly
+    * better at scale than materializing a type string per cell; the
+    * index side broadcasts when small, shuffles on obj_id otherwise).
+    */
+  def withResolvedRef(df: DataFrame, refCol: String): DataFrame =
+    system("_object_index") match {
+      case None => df
+      case Some(oi) =>
+        import org.apache.spark.sql.functions._
+        df.join(oi.withColumnRenamed("obj_id", s"__ref_$refCol"),
+            df(refCol) === col(s"__ref_$refCol"), "left")
+          .withColumn(refCol, struct(df(refCol).as("id"),
+            coalesce(
+              when(df(refCol) === 0, "null").otherwise(col("type_name")),
+              lit("(unresolved)")).as("type")))
+          .drop(s"__ref_$refCol", "type_name")
+    }
+
   def byClass(className: String): Option[DataFrame] = {
     val prefix = className + "_"
     val dirs = entries.filter(e => e.startsWith(prefix) &&

@@ -113,19 +113,43 @@ final class HeapDump(spark: SparkSession, path: String) {
     HprofParser.parseHeader(HeapIO.readRange(path, 0L, math.min(64L, HeapIO.fileLength(path)).toInt))
   val idSize: Int = header.idSize
 
-  val records: Vector[RecordPtr] = HprofParser.indexRecords(
-    (off, n) => HeapIO.readRange(path, off, n), HeapIO.fileLength(path), header.bodyStart)
+  /** Sequential header walk with ONE open handle (9 bytes + seek per
+    * record; a per-record open would cost more than the parse).
+    */
+  val records: Vector[RecordPtr] = HeapIO.withFs(path) { (fs, p) =>
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try HprofParser.indexRecords((off, n) => {
+      val buf = new Array[Byte](n)
+      in.readFully(off, buf)
+      buf
+    }, len, header.bodyStart)
+    finally in.close()
+  }
 
   private val segPtrs = records.filter(r => Tag.isHeapSegment(r.tag))
 
   private def parallelism(n: Int): Int =
     math.max(1, math.min(n, spark.sparkContext.defaultParallelism))
 
-  /** Parse a set of records on executors; `f` runs per record body. */
+  /** Parse a set of records on executors; `f` runs per record body.
+    * One file handle per partition — a per-record open/seek/close
+    * would dominate for the many small metadata records (UTF8 etc.).
+    */
   private def recordRdd[T: ClassTag](ptrs: Seq[RecordPtr])(f: (RecordPtr, Array[Byte]) => Iterator[T]): RDD[T] = {
     val p = path
     spark.sparkContext.parallelize(ptrs, parallelism(ptrs.size))
-      .flatMap(r => f(r, HeapIO.readRange(p, r.bodyOffset, r.bodyLength.toInt)))
+      .mapPartitions { it =>
+        HeapIO.withFs(p) { (fs, hp) =>
+          val in = fs.open(hp)
+          try it.flatMap { r =>
+            val buf = new Array[Byte](r.bodyLength.toInt)
+            in.readFully(r.bodyOffset, buf)
+            f(r, buf)
+          }.toVector.iterator
+          finally in.close()
+        }
+      }
   }
 
   /** Pass 2 workhorse: scan every heap segment with a visitor. */

@@ -23,6 +23,19 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         min("n_len").as("doc_len"))
 
+  /** D1 apply-step: the deduplicated corpus itself — keep the
+    * smallest id per content hash. Window-free: a self-join against
+    * the survivor set keeps the plan a hash-aggregate + semi-join,
+    * both map-side-partial and skew-tolerant at 100 TB.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val survivors = docs
+      .select(col(idCol).as("__id"), md5(col(textCol).cast("binary")).as("__h"))
+      .groupBy("__h").agg(min("__id").as("__sid"))
+      .select("__sid")
+    docs.join(survivors, docs(idCol) === col("__sid"), "left_semi")
+  }
+
   /** D4 — exact n-gram Jaccard near-dup pairs. The shingle inverted-
     * index self-join is the candidate generator; pairs are verified by
     * exact set intersection. Use minhashLsh below when the corpus is

@@ -32,6 +32,18 @@ object Pipeline {
       .orderBy("content_hash")
   }
 
+  /** D1 apply-step — the surviving corpus after exact dedup. */
+  val qDedupSurvivors: GateQuery = GateQuery(
+    "q_dedup_survivors",
+    """SELECT doc_id, lang, n_chars
+      |FROM documents d
+      |WHERE doc_id = (SELECT MIN(doc_id) FROM documents d2 WHERE md5(d2.text) = md5(d.text))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.dropExactDuplicates(Tables(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** D4 — exact 3-gram Jaccard near-dup pairs (threshold 0.6; planted
     * near-dups sit at ≥0.97, background below 0.3 — wide margin).
     */
@@ -264,7 +276,7 @@ object Pipeline {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash,
+    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qMultimodalMeta)
 }

@@ -85,5 +85,15 @@ class FunctionsSpec extends AnyFunSuite {
         |JOIN _primitive_arrays_byte b ON s.value = b.obj_id""".stripMargin)
       .collect()(0).getLong(0)
     assert(n === 4L)
+
+    val tables = new graft.heap.HeapTables(spark, out)
+    val listed = tables.list.collect().map(_.getString(0))
+    assert(listed.contains("_object_index"))
+    assert(listed.exists(_.startsWith("java.lang.String_")))
+
+    // non-robo STRUCT{id,type} view via lazy join
+    val resolved = tables.withResolvedRef(tables.byClass("java.lang.String").get, "value")
+    val row = resolved.selectExpr("value.id", "value.type").collect().head
+    assert(row.getString(1) === "byte[]")
   }
 }
