@@ -12,9 +12,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  /** Tables whose downstream per-row work is CPU-heavy (shingling,
+    * hashing, vector math). For these a narrow scan is worth widening
+    * with a shuffle; for cheap scans/aggregates the shuffle costs more
+    * than the single-task stage it parallelizes.
+    */
+  private val computeHeavy = Set("documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    if (computeHeavy(name)) fanOut(df) else df
+  }
+
+  /** The testdata files are single-row-group parquet, so every scan
+    * stage is ONE task no matter the split config — pinning all
+    * per-row work to one core. Fan out when the scan is narrower than
+    * the cluster; filters/projections still push below the exchange,
+    * so only pruned+filtered rows shuffle, and decimal/exact-agg
+    * oracle rules (SURVEY §6) make results order-independent. On a
+    * real multi-row-group/multi-file layout this is a no-op.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
 
   /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
     * reader rejects. Read nanos as raw longs and truncate to micros with
