@@ -37,15 +37,7 @@ final class HeapTables(spark: SparkSession, dir: String) {
   def withResolvedRef(df: DataFrame, refCol: String): DataFrame =
     system("_object_index") match {
       case None => df
-      case Some(oi) =>
-        import org.apache.spark.sql.functions._
-        df.join(oi.withColumnRenamed("obj_id", s"__ref_$refCol"),
-            df(refCol) === col(s"__ref_$refCol"), "left")
-          .withColumn(refCol, struct(df(refCol).as("id"),
-            coalesce(
-              when(df(refCol) === 0, "null").otherwise(col("type_name")),
-              lit("(unresolved)")).as("type")))
-          .drop(s"__ref_$refCol", "type_name")
+      case Some(oi) => HeapTables.resolveRef(df, refCol, oi)
     }
 
   def byClass(className: String): Option[DataFrame] = {
@@ -55,6 +47,23 @@ final class HeapTables(spark: SparkSession, dir: String) {
     if (dirs.isEmpty) None
     else Some(dirs.map(d => spark.read.parquet(s"$dir/$d")).reduce(_ unionByName _))
   }
+}
+
+object HeapTables {
+  import org.apache.spark.sql.functions._
+
+  /** Rewrite a bare-long reference column as STRUCT{id,type} by
+    * joining the object index (null id 0 → "null"; dangling →
+    * "(unresolved)").
+    */
+  def resolveRef(df: DataFrame, refCol: String, objectIndex: DataFrame): DataFrame =
+    df.join(objectIndex.select(col("obj_id").as(s"__ref_$refCol"), col("type_name")),
+        df(refCol) === col(s"__ref_$refCol"), "left")
+      .withColumn(refCol, struct(df(refCol).as("id"),
+        coalesce(
+          when(df(refCol) === 0, "null").otherwise(col("type_name")),
+          lit("(unresolved)")).as("type")))
+      .drop(s"__ref_$refCol", "type_name")
 }
 
 /** One waste-analysis finding (reference WasteFinding,

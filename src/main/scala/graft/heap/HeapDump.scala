@@ -365,11 +365,18 @@ final class HeapDump(spark: SparkSession, path: String) {
 
   // -- A11: full parquet export ---------------------------------------
   /** Write every table under outDir, one directory per table —
-    * the Spark-native equivalent of `dump-objects-to-parquet` in robo
-    * mode (16-way chunking falls out of partition count instead of a
+    * the Spark-native equivalent of `dump-objects-to-parquet`
+    * (16-way chunking falls out of partition count instead of a
     * writer-thread pool).
+    *
+    * `resolveRefs = true` is the reference's DEFAULT (non-robo) mode:
+    * every reference field in a per-class table is materialized as
+    * STRUCT{id,type} by joining the object index — one shuffle join
+    * per ref column. Default stays robo (bare longs + `_object_index`):
+    * at 100 TB the lazy-join view costs the join only for the columns
+    * a query actually touches.
     */
-  def writeParquet(outDir: String): Unit = {
+  def writeParquet(outDir: String, resolveRefs: Boolean = false): Unit = {
     def w(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name")
 
@@ -389,12 +396,24 @@ final class HeapDump(spark: SparkSession, path: String) {
     } finally prim.unpersist()
 
     val raw = instancesRaw.persist()
+    val oi = if (resolveRefs) Some(objectIndex.persist()) else None
     try {
       val classIds = raw.select("classObjId").distinct().collect().map(_.getLong(0))
       classIds.sorted.foreach { cid =>
-        if (index.classes.contains(cid))
-          w(instances(cid, raw), s"${index.className(cid)}_$cid")
+        if (index.classes.contains(cid)) {
+          val base = instances(cid, raw)
+          val df = oi match {
+            case Some(idx) =>
+              index.classes(cid).layout.filter(_.typeTag == BasicType.Object)
+                .foldLeft(base)((d, f) => HeapTables.resolveRef(d, f.name, idx))
+            case None => base
+          }
+          w(df, s"${index.className(cid)}_$cid")
+        }
       }
-    } finally raw.unpersist()
+    } finally {
+      raw.unpersist()
+      oi.foreach(_.unpersist())
+    }
   }
 }

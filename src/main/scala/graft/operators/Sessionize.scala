@@ -27,4 +27,21 @@ object Sessionize {
     sessionStarts(events, userCol, tsCol, gapSeconds)
       .groupBy(userCol)
       .agg(sum("is_new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+
+  /** Session-level table: one row per (user, session) with bounds and
+    * event count. Session ids are a running sum over the session-start
+    * flags — still one shuffle on the user key; everything else is
+    * window-local then a partial-aggregable groupBy.
+    */
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessionStarts(events, userCol, tsCol, gapSeconds)
+      .withColumn("session_id", sum("is_new_session").over(w))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"))
+  }
 }

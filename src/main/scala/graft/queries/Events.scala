@@ -91,5 +91,29 @@ object Events {
       .orderBy("event_type")
   }
 
-  val all: Seq[GateQuery] = Seq(qTumblingWindow, qSessionize, qJsonExtract, qEventLeaders)
+  /** E2 session-level table: ids, bounds and sizes per session. */
+  val qSessionTable: GateQuery = GateQuery(
+    "q_session_table",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    Sessionize.sessions(Tables(s, dir, "events"), "user_id", "ts", 1800L)
+      .orderBy("user_id", "session_id")
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qTumblingWindow, qSessionize, qSessionTable, qJsonExtract, qEventLeaders)
 }

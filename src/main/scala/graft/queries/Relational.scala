@@ -333,6 +333,41 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** C17b — full cube with grouping ids (beyond rollup: all 4
+    * grouping-set combinations).
+    */
+  val qCube: GateQuery = GateQuery(
+    "q_cube",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority, gid""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg((grouping(col("o_orderstatus")) + lit(2) * grouping(col("o_orderpriority"))).as("gid"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"))
+      .orderBy("status", "priority", "gid")
+  }
+
+  /** C15b — approximate percentile sketch (t-digest-family; rows-only:
+    * approximation ≠ oracle) next to the exact C15 gate.
+    */
+  val qApproxPercentile: GateQuery = GateQuery.rowsOnly("q_approx_percentile") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.95), 1000)").as("approx_q"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+      .orderBy("o_orderpriority")
+  }
+
   /** C14 — HLL approx distinct (sketch result; rows-only gate). */
   val qApproxDistinct: GateQuery = GateQuery.rowsOnly("q_approx_distinct") { (s, dir) =>
     Tables(s, dir, "lineitem")
@@ -346,6 +381,6 @@ object Relational {
   val all: Seq[GateQuery] = Seq(
     q1PricingSummary, qFilterPushdown, q6Revenue, qSummary,
     q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
-    qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qPercentile,
-    qScalarSub, qApproxDistinct)
+    qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qCube,
+    qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct)
 }

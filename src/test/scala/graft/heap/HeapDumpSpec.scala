@@ -195,6 +195,22 @@ class HeapDumpSpec extends AnyFunSuite {
     assert(lines.exists(l => l.startsWith("java.lang.String@") && l.contains("hash=99")))
   }
 
+  test("writeParquet resolveRefs materializes STRUCT{id,type} refs (non-robo mode)") {
+    val (hd, f) = fixture
+    val out = java.nio.file.Files.createTempDirectory("heap_pq_res").toString
+    hd.writeParquet(out, resolveRefs = true)
+    val strs = spark.read.parquet(s"$out/java.lang.String_${f.stringCls}")
+    val row = strs.filter(org.apache.spark.sql.functions.col("obj_id") === f.str1)
+      .selectExpr("value.id", "value.type").collect().head
+    assert(row.getLong(0) === f.helloBytes1)
+    assert(row.getString(1) === "byte[]")
+    // Employee has two ref fields incl. the shadowed one
+    val emp = spark.read.parquet(s"$out/com.acme.Employee_${f.employeeCls}")
+    val er = emp.selectExpr("name.type", "`Person@name`.type").collect().head
+    assert(er.getString(0) === "java.lang.String")
+    assert(er.getString(1) === "java.lang.String")
+  }
+
   test("writeParquet exports all tables") {
     val (hd, _) = fixture
     val out = java.nio.file.Files.createTempDirectory("heap_pq").toString
