@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Components, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -268,6 +268,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D2+ cluster step — connected components over the minhash-LSH
+    * near-dup pairs: every doc labeled with the min doc_id of its
+    * component (the dedup survivor-election step). Oracle: recursive
+    * transitive closure over the same verified pair set.
+    */
+  val qDedupClusters: GateQuery = GateQuery(
+    "q_dedup_clusters",
+    s"""WITH RECURSIVE ${shingleCte(3)},
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.6),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+       |SELECT d.doc_id,
+       |  LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin,
+    bench = false) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    // exact-jaccard pairs (same set LSH verifies at threshold 0.6)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    Components.clusterDocuments(docs, "doc_id", pairs)
+      .orderBy("doc_id")
+  }
+
   /** D12 — multimodal binary-column plumbing (rows-only: stubbed codec,
     * exact values spec-tested in MultimodalSpec).
     */
@@ -277,6 +312,7 @@ object Pipeline {
 
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
+    qDedupClusters,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qMultimodalMeta)
 }
