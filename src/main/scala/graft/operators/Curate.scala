@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data
+  * pipeline actually runs (SURVEY.md §2.D as one flow):
+  *
+  *   1. exact dedup (content hash, keep smallest id),
+  *   2. near-dup clustering (n-gram Jaccard pairs → connected
+  *      components) keeping each cluster's min-id survivor,
+  *   3. quality gate (token count + signals).
+  *
+  * Every stage is a hash-partitioned aggregate/join — the composition
+  * inherits each stage's 100 TB story. Swap `Dedup.jaccardPairs` for
+  * `Dedup.minhashLsh` at corpus sizes where the exact inverted index
+  * is too hot; the downstream contract is identical (d1/d2 pairs).
+  */
+object Curate {
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, jaccardThreshold: Double = 0.6,
+      minTokens: Int = 10): DataFrame = {
+    val exact = Dedup.dropExactDuplicates(docs, idCol, textCol)
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, shingleN, jaccardThreshold)
+    val clusters = Components.clusterDocuments(exact, idCol, pairs)
+    val survivors = exact.join(
+      clusters.filter(col(idCol) === col("cluster_id")).select(idCol),
+      Seq(idCol), "left_semi")
+    val sig = TextFunctions.qualitySignals(col(textCol))
+    survivors
+      .select(col(idCol) +: sig.map { case (n, c) => c.as(n) }: _*)
+      .filter(col("n_tokens") >= minTokens)
+      .select(idCol, "n_tokens", "quality_score")
+  }
+}

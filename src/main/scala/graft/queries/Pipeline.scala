@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Components, Dedup, Similarity}
+import graft.operators.{Components, Curate, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Shared oracle CTE: distinct n-word shingles per document. */
-  private def shingleCte(n: Int): String = {
+  private def shingleCte(n: Int, src: String = "documents"): String = {
     val concat = (1 to n).map(k => s"ws[i+${k - 1}]").mkString(" || ' ' || ")
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
        |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-${n - 1}, 0))) AS i FROM w),
        |sh AS (SELECT DISTINCT doc_id, $concat AS shingle FROM idx),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
@@ -303,6 +303,48 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D-composition — the full curation flow (exact dedup → near-dup
+    * cluster survivors → quality gate) hash-matched against the same
+    * composition in SQL.
+    */
+  val qCurate: GateQuery = GateQuery(
+    "q_curate",
+    s"""WITH RECURSIVE
+       |exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM exact)),
+       |${shingleCte(3, "d")},
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.6),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |surv AS (
+       |  SELECT d.doc_id FROM d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id
+       |  HAVING LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) = d.doc_id)
+       |SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |    - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+       |    + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0 AS quality_score
+       |FROM d
+       |WHERE doc_id IN (SELECT doc_id FROM surv)
+       |  AND len(string_split(text, ' ')) >= 10
+       |ORDER BY doc_id""".stripMargin,
+    bench = false) { (s, dir) =>
+    Curate.curate(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** D12 — multimodal binary-column plumbing (rows-only: stubbed codec,
     * exact values spec-tested in MultimodalSpec).
     */
@@ -312,7 +354,7 @@ object Pipeline {
 
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
-    qDedupClusters,
+    qDedupClusters, qCurate,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qMultimodalMeta)
 }

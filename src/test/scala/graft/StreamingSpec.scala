@@ -35,6 +35,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("E3b: append mode emits only watermark-finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = StreamingOps.tumblingCounts(df)
+      .writeStream.format("memory").queryName("append_sink")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((t("2024-01-01 10:05:00"), "click", 1.0),
+        (t("2024-01-01 10:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      // nothing final yet: watermark = 10:20 - 10m = 10:10 < 11:00
+      assert(spark.table("append_sink").count() === 0)
+      // event at 12:30 pushes watermark past the 10:00 window
+      input.addData((t("2024-01-01 12:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("append_sink")
+        .select(col("win_start").cast("string"), col("n")).collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("2024-01-01 10:00:00", 2L)))
+    } finally q.stop()
+  }
+
   test("E4: stateful sessionizer equals batch Sessionize across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
