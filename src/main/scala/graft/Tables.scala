@@ -26,6 +26,13 @@ object Tables {
     if (computeHeavy(name)) fanOut(df) else df
   }
 
+  /** Register every testdata table as a temp view so `spark.sql(...)`
+    * has the full relational surface over them (mirrors
+    * HeapSql.register for heap exports).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
   /** The testdata files are single-row-group parquet, so every scan
     * stage is ONE task no matter the split config — pinning all
     * per-row work to one core. Fan out when the scan is narrower than
