@@ -368,6 +368,18 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** C-surface `sample` — seeded Bernoulli TABLESAMPLE (rows-only:
+    * engines draw different rows; determinism within Spark is
+    * spec-tested via the fixed seed).
+    */
+  val qSample: GateQuery = GateQuery.rowsOnly("q_sample") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("l_returnflag")
+  }
+
   /** C14 — HLL approx distinct (sketch result; rows-only gate). */
   val qApproxDistinct: GateQuery = GateQuery.rowsOnly("q_approx_distinct") { (s, dir) =>
     Tables(s, dir, "lineitem")
@@ -382,5 +394,5 @@ object Relational {
     q1PricingSummary, qFilterPushdown, q6Revenue, qSummary,
     q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
     qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qCube,
-    qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct)
+    qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct, qSample)
 }
