@@ -181,6 +181,17 @@ object Pipeline {
     }
   }
 
+  /** D7+ — IVF ANN with learned (KMeans) centroids; rows-only: the
+    * quantizer is a model, not SQL. Full-probe == brute-force and
+    * partial-probe recall are asserted in SimilaritySpec.
+    */
+  val qKnnIvf: GateQuery = GateQuery.rowsOnly("q_knn_ivf") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.knnIvf(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 4)
+      .orderBy("qid", "rk")
+  }
+
   /** D13 — vector norms and dims (sequential-fold double parity). */
   val qEmbeddingNorm: GateQuery = GateQuery(
     "q_embedding_norm",
@@ -355,6 +366,6 @@ object Pipeline {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate,
-    qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qEmbeddingNorm,
+    qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qMultimodalMeta)
 }
