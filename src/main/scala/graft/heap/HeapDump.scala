@@ -342,25 +342,62 @@ final class HeapDump(spark: SparkSession, path: String) {
     }
 
   // -- A13: human-readable object rendering ---------------------------
+  /** Behavior-parallel to the reference's `dump-objects`
+    * (dump_objects.rs): classes with their statics, instances with
+    * decoded fields, object arrays with element ids, primitive arrays
+    * with a value preview. References render as hex ids (robo-style).
+    */
   def renderObjects(limit: Int): Seq[String] = {
-    val layouts = index.classes.map { case (k, v) => k -> (v.name, v.layout) }
-    val idSz = idSize
-    spark.createDataFrame(segmentRdd[InstanceEv] { buf =>
-      new SubVisitor { override def onInstance(ev: InstanceEv): Unit = buf += ev }
-    }).limit(limit).collect().toSeq.map { r =>
-      val objId = r.getAs[Long]("objId")
-      val classId = r.getAs[Long]("classObjId")
-      val bytes = r.getAs[Array[Byte]]("fields")
-      layouts.get(classId) match {
-        case Some((name, layout)) =>
-          val vals = HprofParser.decodeInstance(bytes, idSz, layout)
-          val fields = layout.zip(vals).map { case (f, v) =>
-            if (f.typeTag == BasicType.Object) f"${f.name}=0x${v.asInstanceOf[Long]}%x" else s"${f.name}=$v"
-          }.mkString(", ")
-          f"$name@0x$objId%x {$fields}"
-        case None => f"(unresolved)@0x$objId%x"
-      }
+    val classInfo = index.classes.map { case (k, v) =>
+      k -> (v.name, v.layout, v.staticFields.map(sf =>
+        (index.utf8.getOrElse(sf.nameId, "(missing utf8)"), sf.typeTag, sf.primitive, sf.refId)))
     }
+    val idSz = idSize
+    segmentRdd[String] { buf =>
+      new SubVisitor {
+        override def onInstance(ev: InstanceEv): Unit = buf += (classInfo.get(ev.classObjId) match {
+          case Some((name, layout, _)) =>
+            val vals = HprofParser.decodeInstance(ev.fields, idSz, layout)
+            val fields = layout.zip(vals).map { case (f, v) =>
+              if (f.typeTag == BasicType.Object) f"${f.name}=0x${v.asInstanceOf[Long]}%x"
+              else s"${f.name}=$v"
+            }.mkString(", ")
+            f"$name@0x${ev.objId}%x {$fields}"
+          case None => f"(unresolved)@0x${ev.objId}%x"
+        })
+        override def onClassDump(cd: ClassDumpInfo): Unit = buf += (classInfo.get(cd.classObjId) match {
+          case Some((name, _, statics)) =>
+            val sf = statics.map { case (n, t, pv, rid) =>
+              if (t == BasicType.Object) f"static $n=0x$rid%x" else s"static $n=$pv"
+            }.mkString(", ")
+            f"class $name@0x${cd.classObjId}%x {$sf}"
+          case None => f"class (unresolved)@0x${cd.classObjId}%x"
+        })
+        override def onObjArray(ev: ObjArrayEv): Unit = {
+          val els = ev.elements.take(8).map(e => f"0x$e%x").mkString(", ")
+          val more = if (ev.elements.size > 8) ", ..." else ""
+          val elemName = classInfo.get(ev.arrayClassObjId)
+            .map(c => HeapIndex.normalizeArrayName(c._1).stripSuffix("[]"))
+            .getOrElse("(unresolved)")
+          buf += f"$elemName[${ev.elements.size}]@0x${ev.objId}%x [$els$more]"
+        }
+        override def onPrimArray(ev: PrimArrayEv): Unit = {
+          val vals: Seq[Any] = ev.elemType match {
+            case BasicType.Boolean => ev.booleans
+            case BasicType.Byte => ev.bytes
+            case BasicType.Char => ev.chars
+            case BasicType.Short => ev.shorts
+            case BasicType.Int => ev.ints
+            case BasicType.Long => ev.longs
+            case BasicType.Float => ev.floats
+            case _ => ev.doubles
+          }
+          val preview = vals.take(8).mkString(", ")
+          val more = if (vals.size > 8) ", ..." else ""
+          buf += f"${BasicType.javaName(ev.elemType)}[${vals.size}]@0x${ev.objId}%x [$preview$more]"
+        }
+      }
+    }.take(limit).toSeq
   }
 
   // -- A11: full parquet export ---------------------------------------

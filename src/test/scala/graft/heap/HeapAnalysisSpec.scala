@@ -110,6 +110,11 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(analysis.largeByteArrays().get.count() === 0L)
   }
 
+  test("stringValues decodes String contents via byte[] join") {
+    val texts = analysis.stringValues.get.collect().map(_.getString(1)).sorted
+    assert(texts.toSeq === Seq("hello", "hello", "world"))
+  }
+
   test("B6 duplicate strings: 2 copies of hello -> 45B") {
     val f = analysis.checkDuplicateStrings().get
     assert(f.affectedCount === 2L)

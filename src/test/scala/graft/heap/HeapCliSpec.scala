@@ -27,7 +27,7 @@ class HeapCliSpec extends AnyFunSuite {
       "SELECT SUM(value) FROM java_lang_Integer").collect()(0).getLong(0)
     assert(n === 28L)
 
-    val rendered = new HeapDump(spark, hp).renderObjects(3)
-    assert(rendered.forall(_.startsWith("java.lang.Integer@")))
+    val rendered = new HeapDump(spark, hp).renderObjects(20)
+    assert(rendered.count(_.startsWith("java.lang.Integer@")) === 7)
   }
 }

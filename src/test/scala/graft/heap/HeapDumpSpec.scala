@@ -189,10 +189,13 @@ class HeapDumpSpec extends AnyFunSuite {
     assert(hier("java.lang.Object") === None)
   }
 
-  test("renderObjects produces readable lines") {
+  test("renderObjects covers instances, classes and arrays") {
     val (hd, _) = fixture
-    val lines = hd.renderObjects(10)
+    val lines = hd.renderObjects(100)
     assert(lines.exists(l => l.startsWith("java.lang.String@") && l.contains("hash=99")))
+    assert(lines.exists(l => l.startsWith("class com.acme.Employee@") && l.contains("static HEADCOUNT=42")))
+    assert(lines.exists(_.startsWith("byte[5]@")))
+    assert(lines.exists(_.startsWith("java.lang.Object[3]@")))
   }
 
   test("writeParquet resolveRefs materializes STRUCT{id,type} refs (non-robo mode)") {
