@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Curate, Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Command-line surface for the training-data pipeline operators:
+  *
+  *   graft.PipelineCli curate   <docs.parquet> <outDir> [minTokens]
+  *   graft.PipelineCli dedup    <docs.parquet> <outDir>
+  *   graft.PipelineCli neardup  <docs.parquet> <outDir> [threshold]
+  *   graft.PipelineCli knn      <emb.parquet> <queries.parquet> <outDir> [k]
+  *
+  * Input schemas: docs(doc_id, text), emb(vec_id, embedding).
+  */
+object PipelineCli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "curate" :: in :: out :: rest =>
+      val spark = session()
+      val minTokens = rest.headOption.map(_.toInt).getOrElse(10)
+      Curate.curate(spark.read.parquet(in), "doc_id", "text", minTokens = minTokens)
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
+    case "dedup" :: in :: out :: Nil =>
+      val spark = session()
+      Dedup.dropExactDuplicates(spark.read.parquet(in), "doc_id", "text")
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
+    case "neardup" :: in :: out :: rest =>
+      val spark = session()
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.6)
+      Dedup.minhashLsh(spark.read.parquet(in), "doc_id", "text",
+          shingleN = 3, numHashes = 12, numBands = 4, threshold = threshold)
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
+    case "knn" :: emb :: queries :: out :: rest =>
+      val spark = session()
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      Similarity.knnBruteForce(spark.read.parquet(emb), spark.read.parquet(queries),
+          "vec_id", "embedding", k)
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("commands: curate | dedup | neardup | knn")
+      sys.exit(2)
+  }
+}
