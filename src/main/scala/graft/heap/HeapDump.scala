@@ -77,8 +77,9 @@ object HeapIndex {
       names: Map[Long, String], utf8: Map[Long, String]): Seq[LayoutField] = {
     val out = mutable.ArrayBuffer.empty[LayoutField]
     val counts = mutable.Map.empty[String, Int]
+    val visited = mutable.Set.empty[Long] // corrupt dumps can cycle
     var cur = classId
-    while (cur != 0 && dumps.contains(cur)) {
+    while (cur != 0 && dumps.contains(cur) && visited.add(cur)) {
       val cd = dumps(cur)
       val declaring = names.getOrElse(cur, "(unresolved)")
       val shortDecl = declaring.substring(declaring.lastIndexOf('.') + 1)
@@ -143,6 +144,8 @@ final class HeapDump(spark: SparkSession, path: String) {
         HeapIO.withFs(p) { (fs, hp) =>
           val in = fs.open(hp)
           try it.flatMap { r =>
+            require(r.bodyLength <= Int.MaxValue,
+              s"record body ${r.bodyLength} exceeds 2 GiB buffer limit (tag ${r.tag})")
             val buf = new Array[Byte](r.bodyLength.toInt)
             in.readFully(r.bodyOffset, buf)
             f(r, buf)

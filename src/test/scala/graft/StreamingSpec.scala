@@ -61,6 +61,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E3c: parquet file sink with checkpoint survives query restart without dupes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("stream_pq")
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    def start(input: MemoryStream[(java.sql.Timestamp, String, Double)]) =
+      input.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in1 = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q1 = start(in1)
+    try {
+      in1.addData((t("2024-01-01 09:10:00"), "click", 1.0))
+      in1.addData((t("2024-01-01 11:30:00"), "view", 1.0)) // finalizes 09:00
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the checkpoint: the replacement source must replay
+    // the already-committed batches (MemoryStream offsets are batch
+    // indexes), then continue with new data
+    val in2 = MemoryStream[(java.sql.Timestamp, String, Double)]
+    in2.addData((t("2024-01-01 09:10:00"), "click", 1.0))
+    in2.addData((t("2024-01-01 11:30:00"), "view", 1.0))
+    in2.addData((t("2024-01-01 13:30:00"), "view", 1.0)) // finalizes 11:00
+    val q2 = start(in2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select(col("win_start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("2024-01-01 09:00:00", "click", 1L)))
+    // no duplicated window emissions across the restart
+    val dupes = spark.read.parquet(outDir)
+      .groupBy("win_start", "event_type").count().filter(col("count") > 1).count()
+    assert(dupes === 0)
+  }
+
   test("E4: stateful sessionizer equals batch Sessionize across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
