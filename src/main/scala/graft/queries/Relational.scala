@@ -380,6 +380,58 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** C22 — pivot: status × priority count matrix. Oracle is portable
+    * conditional aggregation (identical column names/values).
+    */
+  val qPivot: GateQuery = GateQuery(
+    "q_pivot",
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+  }
+
+  /** C23 — unpivot/melt back to long form. Oracle: stacked UNION ALL. */
+  val qUnpivot: GateQuery = GateQuery(
+    "q_unpivot",
+    """SELECT o_orderpriority, kind, CAST(v AS DOUBLE) AS v FROM (
+      |  SELECT o_orderpriority, 'total' AS kind, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v FROM orders GROUP BY 1
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'maxim' AS kind, CAST(MAX(o_totalprice) AS DOUBLE) AS v FROM orders GROUP BY 1) t
+      |ORDER BY o_orderpriority, kind""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(sum(dec("o_totalprice")).cast("double").as("total"),
+        max("o_totalprice").cast("double").as("maxim"))
+      .unpivot(Array(col("o_orderpriority")), Array(col("total"), col("maxim")), "kind", "v")
+      .orderBy("o_orderpriority", "kind")
+  }
+
+  /** C24 — statistical aggregates (rows-only: double accumulation
+    * order differs per engine; magnitudes spec-checked implicitly).
+    */
+  val qStats: GateQuery = GateQuery.rowsOnly("q_stats") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar"),
+        stddev_samp(col("l_discount")).as("sd_disc"),
+        var_samp(col("l_tax")).as("var_tax"),
+        skewness(col("l_quantity")).as("skew_qty"),
+        kurtosis(col("l_quantity")).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** C14 — HLL approx distinct (sketch result; rows-only gate). */
   val qApproxDistinct: GateQuery = GateQuery.rowsOnly("q_approx_distinct") { (s, dir) =>
     Tables(s, dir, "lineitem")
@@ -394,5 +446,6 @@ object Relational {
     q1PricingSummary, qFilterPushdown, q6Revenue, qSummary,
     q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
     qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qCube,
-    qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct, qSample)
+    qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct, qSample,
+    qPivot, qUnpivot, qStats)
 }
