@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types._
 import scala.collection.mutable
 import scala.reflect.ClassTag
@@ -424,7 +425,19 @@ final class HeapDump(spark: SparkSession, path: String) {
     w(classHierarchy, "_class_hierarchy")
     w(objectArrays, "_object_arrays")
     w(gcRoots, "_gc_roots")
-    w(staticFields, "_static_fields")
+    // non-robo mode adds a resolved ref_type column to static fields
+    // (reference build_static_fields_batch: "" for primitives, "null"
+    // for null refs, type name otherwise)
+    val sfOut = if (!resolveRefs) staticFields else {
+      val oi = objectIndex.select(col("obj_id").as("__ref"), col("type_name"))
+      staticFields.join(oi, col("ref_id") === col("__ref"), "left")
+        .withColumn("ref_type",
+          when(col("field_type") =!= "object", "")
+            .when(col("ref_id") === 0, "null")
+            .otherwise(coalesce(col("type_name"), lit("(unresolved)"))))
+        .drop("__ref", "type_name")
+    }
+    w(sfOut, "_static_fields")
     w(stackFrames, "_stack_frames")
     w(stackTraces, "_stack_traces")
 

@@ -212,6 +212,12 @@ class HeapDumpSpec extends AnyFunSuite {
     val er = emp.selectExpr("name.type", "`Person@name`.type").collect().head
     assert(er.getString(0) === "java.lang.String")
     assert(er.getString(1) === "java.lang.String")
+
+    // static fields gain a resolved ref_type column in this mode
+    val sf = spark.read.parquet(s"$out/_static_fields")
+      .collect().map(r => r.getAs[String]("field_name") -> r.getAs[String]("ref_type")).toMap
+    assert(sf("HEADCOUNT") === "")
+    assert(sf("COMPANY") === "(unresolved)") // 0x9999 points nowhere in the fixture
   }
 
   test("writeParquet exports all tables") {
