@@ -19,12 +19,21 @@ object Tables {
     */
   private val computeHeavy = Set("documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df =
-      if (name == "events") events(spark, dir)
-      else spark.read.parquet(s"$dir/$name.parquet")
-    if (computeHeavy(name)) fanOut(df) else df
-  }
+  /** Loaded-table cache: file listing + schema read + (for
+    * compute-heavy tables) the partition probe run once per
+    * (session, dir, table) instead of once per query. DataFrames are
+    * immutable plans, so reuse across queries is free.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
+      val df =
+        if (name == "events") events(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet")
+      if (computeHeavy(name)) fanOut(df) else df
+    })
 
   /** Register every testdata table as a temp view so `spark.sql(...)`
     * has the full relational surface over them (mirrors
