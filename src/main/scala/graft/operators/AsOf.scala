@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the latest right row with
+  * `right.ts <= left.ts` on the same key (inclusive), or nulls when
+  * none. Spark has no native ASOF; the composition is the
+  * scale-correct one: tag + union both sides, ONE shuffle on the key,
+  * then a running `last_value(ignoreNulls)` carries the most recent
+  * right values forward in time order. No range self-join, no
+  * per-row probe — cost is a sort within key partitions.
+  */
+object AsOf {
+
+  /** @param leftCols  left columns carried to the output
+    * @param rightCols right columns emitted as `asof_<name>` (taken
+    *                  from the latest right row at or before left.ts)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val l = left.select(
+      (col(key) +: col(ts).as("__ts") +: lit(0).as("__is_r") +:
+        leftCols.map(col)) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right.select(
+      (col(key) +: col(ts).as("__ts") +: lit(1).as("__is_r") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    // right rows sort BEFORE left rows at equal ts → inclusive match
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select((col(key) +: col("__ts") +: col("__is_r") +: leftCols.map(col)) ++
+        rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .filter(col("__is_r") === 0)
+      .drop("__is_r")
+      .withColumnRenamed("__ts", ts)
+  }
+}

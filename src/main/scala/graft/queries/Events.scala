@@ -114,6 +114,30 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** E5 — as-of join: each click matched to the user's latest error at
+    * or before it. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  val qAsOfJoin: GateQuery = GateQuery(
+    "q_asof_join",
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |  r.value AS asof_value, epoch_us(r.ts) AS asof_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    import graft.operators.AsOf
+    val ev = Tables(s, dir, "events")
+    AsOf.asOfJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "error").select("user_id", "ts", "value"),
+      "user_id", "ts",
+      leftCols = Seq("event_id"), rightCols = Seq("value", "ts"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("asof_value"), unix_micros(col("asof_ts")).as("asof_ts_us"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qTumblingWindow, qSessionize, qSessionTable, qJsonExtract, qEventLeaders)
+    qTumblingWindow, qSessionize, qSessionTable, qJsonExtract, qEventLeaders,
+    qAsOfJoin)
 }
