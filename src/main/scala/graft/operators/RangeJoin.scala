@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join. A naive `l.ts BETWEEN r.start AND
+  * r.end` equi-keyless join degenerates to a per-key cross product;
+  * the scale path buckets time: intervals replicate into each bucket
+  * they overlap (cheap — bounded by interval span / bucket width),
+  * points join on (key, bucket) — an EQUI join Spark hash-partitions —
+  * and the exact BETWEEN filter runs inside the join. Pick the bucket
+  * width near the median interval span so replication stays O(1).
+  */
+object RangeJoin {
+
+  /** @param points    (key, ptCol, …) table
+    * @param intervals (key, startCol, endCol, …) table, inclusive ends
+    * @param bucketUs  bucket width in the ts unit (e.g. micros)
+    */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      ptCol: String, startCol: String, endCol: String, bucketUs: Long): DataFrame = {
+    val b = lit(bucketUs)
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(startCol) / b), floor(col(endCol) / b))))
+    val pt = points.withColumn("__bucket", floor(col(ptCol) / b))
+    pt.join(iv, Seq(key, "__bucket"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

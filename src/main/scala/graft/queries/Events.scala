@@ -137,7 +137,50 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** E6 — range join: error events matched into each user's session
+    * intervals via bucketed equi-join; oracle is the plain BETWEEN
+    * join over the same session CTE.
+    */
+  val qRangeJoin: GateQuery = GateQuery(
+    "q_range_join",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, session_id,
+      |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      |  FROM s GROUP BY user_id, session_id)
+      |SELECT sess.user_id, sess.session_id, COUNT(e.event_id) AS n_errors
+      |FROM sess
+      |JOIN (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'error') e
+      |  ON e.user_id = sess.user_id
+      | AND e.ts_us BETWEEN sess.start_us AND sess.end_us
+      |GROUP BY sess.user_id, sess.session_id
+      |ORDER BY sess.user_id, sess.session_id""".stripMargin) { (s, dir) =>
+    import graft.operators.RangeJoin
+    val ev = Tables(s, dir, "events")
+    val sessions = Sessionize.sessions(ev, "user_id", "ts", 1800L)
+      .select("user_id", "session_id", "start_us", "end_us")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    RangeJoin.bucketedRangeJoin(errors, sessions, "user_id",
+        "ts_us", "start_us", "end_us", bucketUs = 3600L * 1000000L)
+      .groupBy("user_id", "session_id")
+      .agg(count(col("event_id")).as("n_errors"))
+      .orderBy("user_id", "session_id")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTumblingWindow, qSessionize, qSessionTable, qJsonExtract, qEventLeaders,
-    qAsOfJoin)
+    qAsOfJoin, qRangeJoin)
 }
