@@ -25,15 +25,26 @@ object Tables {
     * immutable plans, so reuse across queries is free.
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
-      val df =
-        if (name == "events") events(spark, dir)
-        else spark.read.parquet(s"$dir/$name.parquet")
-      if (computeHeavy(name)) fanOut(df) else df
-    })
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Keyed by the session OBJECT (weakly) — identityHashCode is not
+    // unique across sessions, and a weak key lets a stopped session's
+    // plans be collected instead of pinned for the JVM lifetime.
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map(); cache.put(spark, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate((dir, name), {
+        val df =
+          if (name == "events") events(spark, dir)
+          else spark.read.parquet(s"$dir/$name.parquet")
+        if (computeHeavy(name)) fanOut(df) else df
+      })
+    }
+  }
 
   /** Register every testdata table as a temp view so `spark.sql(...)`
     * has the full relational surface over them (mirrors

@@ -31,7 +31,11 @@ object HeapSql {
     val classViews = classes.groupBy(d => d.replaceAll("_\\d+$", "")).map {
       case (cls, copies) =>
         val v = viewName(cls)
-        copies.map(c => spark.read.parquet(s"$dir/$c")).reduce(_ unionByName _)
+        // Same-named classes from different loaders can have different
+        // field layouts; allowMissingColumns keeps one mismatched copy
+        // from failing registration of the whole SQL surface.
+        copies.map(c => spark.read.parquet(s"$dir/$c"))
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
           .createOrReplaceTempView(v)
         v -> copies.mkString(",")
     }

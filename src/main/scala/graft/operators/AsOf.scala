@@ -20,22 +20,27 @@ object AsOf {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    // All right columns travel as ONE struct so the window's
+    // last(ignoreNulls) picks a single right ROW atomically — per-column
+    // carry would mix values from different rows whenever the latest
+    // matching row holds a null in one column.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val l = left.select(
       (col(key) +: col(ts).as("__ts") +: lit(0).as("__is_r") +:
-        leftCols.map(col)) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.map(col)) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val r = right.select(
       (col(key) +: col(ts).as("__ts") +: lit(1).as("__is_r") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
     // right rows sort BEFORE left rows at equal ts → inclusive match
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__is_r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((col(key) +: col("__ts") +: col("__is_r") +: leftCols.map(col)) ++
-        rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__is_r") === 0)
-      .drop("__is_r")
-      .withColumnRenamed("__ts", ts)
+      .select((col(key) +: col("__ts").as(ts) +: leftCols.map(col)) ++
+        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

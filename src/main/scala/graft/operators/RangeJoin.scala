@@ -19,10 +19,17 @@ object RangeJoin {
     */
   def bucketedRangeJoin(points: DataFrame, intervals: DataFrame, key: String,
       ptCol: String, startCol: String, endCol: String, bucketUs: Long): DataFrame = {
-    val b = lit(bucketUs)
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(startCol) / b), floor(col(endCol) / b))))
-    val pt = points.withColumn("__bucket", floor(col(ptCol) / b))
+    // Exact integer floor-division for bucket assignment: `/` is double
+    // division and rounds above 2^53 in the ts unit, which would put a
+    // point and its interval in adjacent buckets and silently drop the
+    // match. (x - pmod(x, b)) is divisible by b, so `div` is exact, and
+    // pmod keeps the floor semantics for negative timestamps.
+    def bucketOf(c: String) =
+      expr(s"(`$c` - pmod(`$c`, ${bucketUs}L)) div ${bucketUs}L")
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol)) // invalid intervals match nothing
+      .withColumn("__bucket", explode(sequence(bucketOf(startCol), bucketOf(endCol))))
+    val pt = points.withColumn("__bucket", bucketOf(ptCol))
     pt.join(iv, Seq(key, "__bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")

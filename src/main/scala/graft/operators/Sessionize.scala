@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** Ordering for events within a user: ts, plus `tieCol` as a
+    * deterministic tiebreaker when the DataFrame has it.
+    */
+  private def eventOrder(events: DataFrame, tsCol: String, tieCol: String) =
+    if (events.columns.contains(tieCol)) Seq(col(tsCol), col(tieCol))
+    else Seq(col(tsCol))
+
   def sessionStarts(events: DataFrame, userCol: String, tsCol: String,
-      gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+      gapSeconds: Long, tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(eventOrder(events, tsCol, tieCol): _*)
     val prev = lag(unix_micros(col(tsCol)), 1).over(w)
     events.withColumn("is_new_session",
       when(prev.isNull || unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L, 1)
@@ -23,8 +30,8 @@ object Sessionize {
 
   /** Per-user session and event counts. */
   def userSessions(events: DataFrame, userCol: String, tsCol: String,
-      gapSeconds: Long): DataFrame =
-    sessionStarts(events, userCol, tsCol, gapSeconds)
+      gapSeconds: Long, tieCol: String = "event_id"): DataFrame =
+    sessionStarts(events, userCol, tsCol, gapSeconds, tieCol)
       .groupBy(userCol)
       .agg(sum("is_new_session").as("n_sessions"), count(lit(1)).as("n_events"))
 
@@ -34,10 +41,10 @@ object Sessionize {
     * window-local then a partial-aggregable groupBy.
     */
   def sessions(events: DataFrame, userCol: String, tsCol: String,
-      gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+      gapSeconds: Long, tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(eventOrder(events, tsCol, tieCol): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessionStarts(events, userCol, tsCol, gapSeconds)
+    sessionStarts(events, userCol, tsCol, gapSeconds, tieCol)
       .withColumn("session_id", sum("is_new_session").over(w))
       .groupBy(col(userCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"),

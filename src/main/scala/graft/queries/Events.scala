@@ -46,7 +46,7 @@ object Events {
       |         THEN 1 ELSE 0 END AS is_new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-      |SELECT user_id, SUM(is_new_session) AS n_sessions, COUNT(*) AS n_events
+      |SELECT user_id, CAST(SUM(is_new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM g GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
     Sessionize.userSessions(Tables(s, dir, "events"), "user_id", "ts", 1800L)
@@ -57,7 +57,7 @@ object Events {
   val qJsonExtract: GateQuery = GateQuery(
     "q_json_extract",
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n
       |FROM events
       |GROUP BY event_type
@@ -103,8 +103,8 @@ object Events {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id, ts,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
@@ -152,8 +152,8 @@ object Events {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id, ts,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM g),
       |sess AS (
       |  SELECT user_id, session_id,

@@ -210,8 +210,8 @@ object Pipeline {
   val qTokenCount: GateQuery = GateQuery(
     "q_token_count",
     """SELECT lang,
-      |  SUM(len(string_split(text, ' '))) AS n_ws_tokens,
-      |  SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS n_bpe_pieces,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS BIGINT) AS n_bpe_pieces,
       |  COUNT(*) AS n_docs
       |FROM documents
       |GROUP BY lang

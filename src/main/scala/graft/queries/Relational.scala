@@ -360,12 +360,17 @@ object Relational {
     * approximation ≠ oracle) next to the exact C15 gate.
     */
   val qApproxPercentile: GateQuery = GateQuery.rowsOnly("q_approx_percentile") { (s, dir) =>
+    // Scalar columns only: the driver's pandas compare chokes on array
+    // cells, so the percentile array is posexploded to one row per
+    // quantile.
     Tables(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(
-        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.95), 1000)").as("approx_q"),
+        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.95), 1000)").as("qs"),
         expr("percentile(o_totalprice, 0.5)").as("exact_median"))
-      .orderBy("o_orderpriority")
+      .select(col("o_orderpriority"), col("exact_median"),
+        posexplode(col("qs")).as(Seq("q_idx", "approx_q")))
+      .orderBy("o_orderpriority", "q_idx")
   }
 
   /** C-surface `sample` — seeded Bernoulli TABLESAMPLE (rows-only:
