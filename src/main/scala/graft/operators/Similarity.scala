@@ -1,9 +1,6 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,29 +64,40 @@ object Similarity {
     */
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int, nProbe: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, trainSample: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
     // cluster on UNIT vectors: euclidean cells over normalized points
     // are cosine cells, so probing matches the similarity metric
     val c = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-      .withColumn("features", array_to_vector(transform(col("cv"), x => x / col("cn"))))
-    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
-      .fit(c.select("features"))
-    val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
-      .select("cid", "cv", "cn", "cell")
-
-    // query → its nProbe nearest centroids (centroids are tiny: driver math)
-    val centroids = model.clusterCenters.zipWithIndex
+    // The quantizer is trained on a seeded SAMPLE on the driver: one
+    // TakeOrdered pass over (hash, unit-vector) — at 100 TB this reads
+    // the corpus once and ships only `trainSample` vectors; an
+    // iterative distributed fit would cost ~2·iters full-corpus jobs
+    // for a 16-point model. Hash-ordering makes the sample seeded and
+    // machine-independent.
+    val train = c
+      .select(transform(col("cv"), x => x / col("cn")).as("uv"),
+        xxhash64(col("cid"), lit(seed)).as("__h"))
+      .orderBy("__h")
+      .limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = localKMeans(train, nLists, seed, iters = 15)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
-    val probeCells = udf { (qv: Seq[Double], qn: Double) =>
-      bcCentroids.value.map { case (ctr: Vector, idx: Int) =>
+
+    def nearestCells(v: Seq[Double], nrm: Double, n: Int): Seq[Int] = {
+      val cs = bcCentroids.value
+      cs.indices.map { idx =>
+        val ctr = cs(idx)
         var d = 0.0
         var i = 0
-        while (i < qv.length) { val t = qv(i) / qn - ctr(i); d += t * t; i += 1 }
+        while (i < v.length) { val t = v(i) / nrm - ctr(i); d += t * t; i += 1 }
         (idx, d)
-      }.sortBy(_._2).take(nProbe).map(_._1)
+      }.sortBy(_._2).take(n).map(_._1)
     }
+    val assignCell = udf { (cv: Seq[Double], cn: Double) => nearestCells(cv, cn, 1).head }
+    val probeCells = udf { (qv: Seq[Double], qn: Double) => nearestCells(qv, qn, nProbe) }
+    val assigned = c.withColumn("cell", assignCell(col("cv"), col("cn")))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .withColumn("cell", explode(probeCells(col("qv"), col("qn"))))
@@ -101,5 +109,77 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "cid", "rk", "sim")
+  }
+
+  /** Driver-local Lloyd's k-means with seeded k-means++ init — the
+    * IVF quantizer trainer. k·dim·n per iteration on ≤ trainSample
+    * points: microseconds, deterministic under the seed, no cluster
+    * jobs.
+    */
+  private def localKMeans(points: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeans needs a non-empty training sample")
+    val rng = new scala.util.Random(seed)
+    val n = points.length
+    val kk = math.min(k, n)
+    val dim = points(0).length
+
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    // k-means++ seeding: each next center drawn ∝ distance² to the
+    // nearest already-chosen center
+    val centers = scala.collection.mutable.ArrayBuffer(points(rng.nextInt(n)).clone)
+    val d2 = Array.fill(n)(Double.MaxValue)
+    while (centers.size < kk) {
+      val last = centers.last
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        val d = sqDist(points(i), last)
+        if (d < d2(i)) d2(i) = d
+        sum += d2(i); i += 1
+      }
+      var r = rng.nextDouble() * sum
+      var idx = 0
+      while (idx < n - 1 && r > d2(idx)) { r -= d2(idx); idx += 1 }
+      centers += points(idx).clone
+    }
+    var cs = centers.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var cIdx = 0
+        while (cIdx < kk) {
+          val d = sqDist(points(i), cs(cIdx))
+          if (d < bestD) { bestD = d; best = cIdx }
+          cIdx += 1
+        }
+        val s = sums(best)
+        val p = points(i)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cs = Array.tabulate(kk) { cIdx =>
+        if (counts(cIdx) == 0) cs(cIdx) // empty cell keeps its center
+        else {
+          val s = sums(cIdx)
+          val out = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { out(j) = s(j) / counts(cIdx); j += 1 }
+          out
+        }
+      }
+    }
+    cs
   }
 }

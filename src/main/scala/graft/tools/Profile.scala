@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler: times labelled plan fragments through the
+  * noop sink (same forcing discipline as Bench). Not part of the
+  * driver contract — a development tool.
+  */
+object Profile {
+  def time(label: String)(df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup
+    spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+
+    val docs = Tables(spark, sfDir, "documents")
+    if (sys.env.contains("PROFILE_COLD")) {
+      time("COLD full minhashLsh")(
+        graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 12, 4, 0.6))
+      time("warm full minhashLsh")(
+        graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 12, 4, 0.6))
+      spark.stop(); return
+    }
+    val base = docs.select(col("doc_id"), col("text"))
+    time("scan docs")(base)
+    val ws = base.select(col("doc_id"), tokens(col("text")).as("ws"))
+    time("tokens")(ws)
+    val sh = ws.select(col("doc_id"), shinglesFromWords(col("ws"), 3).as("sh"))
+    time("shingles")(sh)
+    val inv = sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    time("explode")(inv)
+    val minAggs = (0 until 12).map(i =>
+      min(saltedMd5(i, col("shingle"))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
+    val sig = inv.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    time("signature agg (12 salted md5)")(sig)
+    val bands = sig.select(col("doc_id"), col("n_sh"),
+      posexplode(array((0 until 4).map { b =>
+        md5(concat((b * 3 until (b + 1) * 3).map(i => col(s"h$i")): _*).cast("binary"))
+      }: _*)).as(Seq("band", "band_sig")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.n_sh").as("n1"),
+        col("b.doc_id").as("d2"), col("b.n_sh").as("n2"))
+      .distinct()
+    time("bands + self-join + distinct")(cand)
+    time("full minhashLsh")(
+      graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 12, 4, 0.6))
+    time("full minhashLsh (2nd)")(
+      graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 12, 4, 0.6))
+
+    val emb = Tables(spark, sfDir, "embeddings")
+    time("knn_bruteforce")(
+      graft.operators.Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3))
+    time("knn_ivf")(
+      graft.operators.Similarity.knnIvf(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3, 16, 4))
+    time("neardup_embedding")(
+      graft.operators.Dedup.embeddingNearDup(emb, "vec_id", "embedding", 4, 0.3))
+    time("simhash")(
+      graft.operators.Dedup.simhashFingerprints(docs, "doc_id", "text"))
+    spark.stop()
+  }
+}
