@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended relational SQL surface (SURVEY.md §2.C25–C34): set
+  * operations, grouping sets, value-window functions, string/date
+  * function families, filtered aggregation, ordered string
+  * aggregation, mixed equi/theta joins, correlated EXISTS, and
+  * null-semantics operators — each hash-matched against DuckDB.
+  *
+  * Engine-parity notes: integer COUNT/SUM outputs are BIGINT on both
+  * sides (DuckDB SUM(int) would be HUGEINT → float64 in the driver's
+  * pandas compare); regexp_replace is global-by-default in Spark so
+  * the DuckDB side passes the 'g' flag; string position functions are
+  * 1-based with 0-for-absent in both engines.
+  */
+object SqlSurface {
+
+  /** C25 — INTERSECT (distinct set semantics in both engines). */
+  val qIntersect: GateQuery = GateQuery(
+    "q_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  /** C25 — EXCEPT: customers that never placed an urgent order (the
+    * set-op twin of the anti join; non-empty at every test SF).
+    */
+  val qExcept: GateQuery = GateQuery(
+    "q_except",
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "customer").select("c_custkey")
+      .except(Tables(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  /** C17+ — explicit GROUPING SETS (beyond rollup/cube): two
+    * single-column sets plus the grand total, via the SQL surface.
+    */
+  val qGroupingSets: GateQuery = GateQuery(
+    "q_grouping_sets",
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderpriority, o_orderstatus, n""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority, o_orderstatus, n""".stripMargin)
+  }
+
+  /** C9+ — value window functions: lag/lead/ntile/first_value over a
+    * per-customer time order.
+    */
+  val qWindowFuncs: GateQuery = GateQuery(
+    "q_window_funcs",
+    """SELECT o_orderkey, o_custkey,
+      |  LAG(o_orderkey) OVER w AS prev_order,
+      |  LEAD(o_orderkey) OVER w AS next_order,
+      |  NTILE(4) OVER w AS quartile,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        first("o_orderkey").over(w).as("first_order"),
+        col("o_orderdate"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .drop("o_orderdate")
+  }
+
+  /** C16+ — string function family: case, replace, substring,
+    * position, reverse, padding, regexp rewrite.
+    */
+  val qStringFuncs: GateQuery = GateQuery(
+    "q_string_funcs",
+    """SELECT p_partkey,
+      |  upper(p_name) AS uname,
+      |  replace(p_name, ' ', '_') AS underscored,
+      |  substr(p_name, 1, 5) AS prefix5,
+      |  strpos(p_name, 'a') AS first_a,
+      |  reverse(p_type) AS rtype,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+      |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred
+      |FROM part
+      |WHERE p_partkey <= 500
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("underscored"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        instr(col("p_name"), "a").as("first_a"),
+        reverse(col("p_type")).as("rtype"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        regexp_replace(col("p_name"), lit("[aeiou]"), lit("*")).as("starred"))
+      .orderBy("p_partkey")
+  }
+
+  /** C-date — temporal function family over the timestamp order date:
+    * component extraction, truncation, month end, day arithmetic.
+    */
+  val qDateFuncs: GateQuery = GateQuery(
+    "q_date_funcs",
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y,
+      |  month(o_orderdate) AS m,
+      |  day(o_orderdate) AS d,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+      |FROM orders
+      |WHERE o_orderkey <= 20000
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") <= 20000)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"))
+      .orderBy("o_orderkey")
+  }
+
+  /** C13+ — filtered aggregation (FILTER clause / count_if) alongside
+    * exact distinct counting per group.
+    */
+  val qCondAgg: GateQuery = GateQuery(
+    "q_cond_agg",
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  MAX(o_totalprice) AS max_price,
+      |  MIN(o_orderdate) AS first_date
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("first_date"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** C-listagg — ordered string aggregation: deterministic because
+    * both sides sort the aggregated values by the same key.
+    */
+  val qListAgg: GateQuery = GateQuery(
+    "q_listagg",
+    """SELECT r_regionkey, r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_regionkey, r_name
+      |ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "nation")
+      .join(Tables(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_regionkey", "r_name")
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_regionkey")
+  }
+
+  /** C-theta — mixed equi + inequality join: hash join on the equi key
+    * with the theta predicate as a residual filter (never a cross
+    * product — scale-safe).
+    */
+  val qThetaJoin: GateQuery = GateQuery(
+    "q_theta_join",
+    """SELECT p_partkey, COUNT(*) AS n_heavy
+      |FROM lineitem JOIN part
+      |  ON l_partkey = p_partkey AND l_quantity > p_size
+      |GROUP BY p_partkey
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem").select("l_partkey", "l_quantity")
+    Tables(s, dir, "part").select("p_partkey", "p_size")
+      .join(li, col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_heavy"))
+      .orderBy("p_partkey")
+  }
+
+  /** C4+ — correlated EXISTS with an extra predicate, through the
+    * spark.sql surface (same SQL text runs on both engines).
+    */
+  private val existsSql =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val qExistsCorr: GateQuery = GateQuery("q_exists_corr", existsSql) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(existsSql)
+  }
+
+  /** C-null — null-production and null-safe comparison: NULLIF,
+    * COALESCE, IS NOT DISTINCT FROM (Spark `<=>`).
+    */
+  val qNullSemantics: GateQuery = GateQuery(
+    "q_null_semantics",
+    """SELECT o_orderkey,
+      |  NULLIF(o_orderstatus, 'O') AS status_or_null,
+      |  (o_orderstatus IS NOT DISTINCT FROM 'F') AS is_f,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label
+      |FROM orders
+      |WHERE o_orderkey <= 20000
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val statusOrNull = when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus"))
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") <= 20000)
+      .select(col("o_orderkey"),
+        statusOrNull.as("status_or_null"),
+        (col("o_orderstatus") <=> "F").as("is_f"),
+        coalesce(statusOrNull, lit("open")).as("status_label"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qIntersect, qExcept, qGroupingSets, qWindowFuncs, qStringFuncs,
+    qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics)
+}

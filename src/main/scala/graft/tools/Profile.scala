@@ -29,6 +29,36 @@ object Profile {
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
+    if (sys.env.contains("PROFILE_FANOUT")) {
+      import org.apache.spark.sql.types.DecimalType
+      val D = DecimalType(12, 2)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def q1(df: DataFrame) = df
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base"),
+          sum((col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))).cast("double").as("sum_disc"),
+          sum((col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)) * (lit(1).cast(D) + col("l_tax").cast(D)))).cast("double").as("sum_charge"),
+          avg(col("l_discount").cast(D)).as("avg_disc"),
+          count(lit(1)).as("n"))
+      for (r <- 1 to 2) {
+        time(s"q1-like single-task (run $r)")(q1(li))
+        time(s"q1-like fanout32 (run $r)")(q1(li.repartition(32)))
+        time(s"q6-like single-task (run $r)")(
+          li.filter(col("l_shipdate").between("1994-01-01", "1994-12-31") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+            .agg(sum(col("l_extendedprice").cast(D) * col("l_discount").cast(D)).cast("double").as("rev")))
+        time(s"q6-like fanout32 (run $r)")(
+          li.repartition(32).filter(col("l_shipdate").between("1994-01-01", "1994-12-31") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+            .agg(sum(col("l_extendedprice").cast(D) * col("l_discount").cast(D)).cast("double").as("rev")))
+        val ev = Tables(spark, sfDir, "events")
+        time(s"window_running single-task (run $r)")(
+          graft.operators.Sessionize.sessions(ev, "user_id", "ts", 1800L))
+      }
+      spark.stop(); return
+    }
     val docs = Tables(spark, sfDir, "documents")
     if (sys.env.contains("PROFILE_COLD")) {
       time("COLD full minhashLsh")(
