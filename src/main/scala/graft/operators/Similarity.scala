@@ -85,18 +85,12 @@ object Similarity {
     val centroids = localKMeans(train, nLists, seed, iters = 15)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
-    def nearestCells(v: Seq[Double], nrm: Double, n: Int): Seq[Int] = {
-      val cs = bcCentroids.value
-      cs.indices.map { idx =>
-        val ctr = cs(idx)
-        var d = 0.0
-        var i = 0
-        while (i < v.length) { val t = v(i) / nrm - ctr(i); d += t * t; i += 1 }
-        (idx, d)
-      }.sortBy(_._2).take(n).map(_._1)
+    val assignCell = udf { (cv: Seq[Double], cn: Double) =>
+      nearestCellsTo(bcCentroids.value, cv, cn, 1).head
     }
-    val assignCell = udf { (cv: Seq[Double], cn: Double) => nearestCells(cv, cn, 1).head }
-    val probeCells = udf { (qv: Seq[Double], qn: Double) => nearestCells(qv, qn, nProbe) }
+    val probeCells = udf { (qv: Seq[Double], qn: Double) =>
+      nearestCellsTo(bcCentroids.value, qv, qn, nProbe)
+    }
     val assigned = c.withColumn("cell", assignCell(col("cv"), col("cn")))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
@@ -110,6 +104,79 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("qid", "cid", "rk", "sim")
   }
+
+  /** D7++ — persist the corpus as an on-disk IVF index: rows land in
+    * parquet partitions keyed by their cell, centroids ride along as a
+    * `_centroids` side table. At 100 TB a probe then READS only
+    * `nProbe/nLists` of the data — the cell filter is a partition
+    * filter (directory pruning at the file index, before any IO), and
+    * no corpus shuffle ever happens because the layout IS the index.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, dir: String, seed: Long = 42L, trainSample: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val train = c
+      .select(transform(col("cv"), x => x / col("cn")).as("uv"),
+        xxhash64(col("cid"), lit(seed)).as("__h"))
+      .orderBy("__h").limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = localKMeans(train, nLists, seed, iters = 15)
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val assignCell = udf { (cv: Seq[Double], cn: Double) =>
+      nearestCellsTo(bcCentroids.value, cv, cn, 1).head
+    }
+    c.withColumn("cell", assignCell(col("cv"), col("cn")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Probe a written IVF index: the query batch's probe cells become
+    * ONE `cell IN (...)` partition filter — directories outside the
+    * probed cells are never listed, read, or shuffled.
+    */
+  def knnIvfIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val probeCells = udf { (qv: Seq[Double], qn: Double) =>
+      nearestCellsTo(bcCentroids.value, qv, qn, nProbe)
+    }
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("cell", explode(probeCells(col("qv"), col("qn"))))
+    // the union of probe cells over the query BATCH, as a partition filter
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(cells.toSeq: _*))
+    val scored = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "rk", "sim")
+  }
+
+  /** Indices of the `n` nearest centroids to `v/nrm` by euclidean
+    * distance (== cosine order on unit vectors).
+    */
+  private def nearestCellsTo(cs: Array[Array[Double]], v: Seq[Double],
+      nrm: Double, n: Int): Seq[Int] =
+    cs.indices.map { idx =>
+      val ctr = cs(idx)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val t = v(i) / nrm - ctr(i); d += t * t; i += 1 }
+      (idx, d)
+    }.sortBy(_._2).take(n).map(_._1)
 
   /** Driver-local Lloyd's k-means with seeded k-means++ init — the
     * IVF quantizer trainer. k·dim·n per iteration on ≤ trainSample

@@ -49,6 +49,35 @@ object StreamingOps {
       }
   }
 
+  /** E7 — streaming exact dedup: an id re-arriving within the
+    * watermark horizon is dropped; state for an id expires once the
+    * watermark passes it (bounded state — the whole point vs a plain
+    * dropDuplicates, whose state grows forever). Pair with the RocksDB
+    * state store at scale.
+    */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+      horizon: String): DataFrame =
+    events.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** E8 — stream-stream interval join: each click paired with the same
+    * user's error events in the `lookbackMinutes` before it. The
+    * interval condition + watermarks bound both join-state buffers;
+    * without them a stream-stream join would buffer forever.
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+      lookbackMinutes: Int): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val e = errors.withWatermark("ts", "2 hours").alias("e")
+    c.join(e, expr(
+      s"""c.user_id = e.user_id AND
+         |e.ts >= c.ts - INTERVAL $lookbackMinutes MINUTES AND
+         |e.ts <= c.ts""".stripMargin))
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("e.event_id").as("error_id"),
+        col("e.ts").as("error_ts"))
+  }
+
   /** Convenience: run a streaming tumbling-count over a parquet
     * directory source into a memory sink; returns the query name.
     */

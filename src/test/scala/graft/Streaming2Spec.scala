@@ -1,0 +1,107 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.SessionEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E7/E8 + state-store backends: streaming dedup within a watermark,
+  * stream-stream interval join (vs the identical batch join), and the
+  * stateful sessionizer on the RocksDB state store.
+  */
+class Streaming2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("E7: dropDuplicatesWithinWatermark drops re-arrivals, state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("event_id", "ts")
+    val q = StreamingOps.dedupStream(df, "event_id", "ts", "30 minutes")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // same ids re-arrive within the horizon → dropped
+      input.addData((1L, t("2024-01-01 10:05:00")), (2L, t("2024-01-01 10:06:00")),
+        (3L, t("2024-01-01 10:07:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L))
+      assert(ids.distinct.length === ids.length)
+    } finally q.stop()
+  }
+
+  test("E8: stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val errors = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def toEv(ms: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      ms.toDF().toDF("event_id", "user_id", "ts")
+    val q = StreamingOps.clickErrorJoin(toEv(clicks), toEv(errors), 30)
+      .writeStream.format("memory").queryName("join_sink")
+      .outputMode(OutputMode.Append()).start()
+    val clickRows = Seq(
+      (100L, 1L, t("2024-01-01 10:00:00")),
+      (101L, 1L, t("2024-01-01 11:00:00")),
+      (102L, 2L, t("2024-01-01 10:10:00")))
+    val errorRows = Seq(
+      (200L, 1L, t("2024-01-01 09:45:00")), // within 30m of click 100
+      (201L, 1L, t("2024-01-01 10:50:00")), // within 30m of click 101
+      (202L, 2L, t("2024-01-01 09:00:00")), // too old for click 102
+      (203L, 3L, t("2024-01-01 10:00:00"))) // no clicks for user 3
+    try {
+      clicks.addData(clickRows: _*)
+      errors.addData(errorRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("join_sink")
+        .select("click_id", "error_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = StreamingOps.clickErrorJoin(
+          clickRows.toDF("event_id", "user_id", "ts"),
+          errorRows.toDF("event_id", "user_id", "ts"), 30)
+        .select("click_id", "error_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((100L, 200L), (101L, 201L)))
+    } finally q.stop()
+  }
+
+  test("RocksDB state store backs the stateful sessionizer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SessionEvent]
+      val q = StreamingOps.sessionize(input.toDS(), 1800L)
+        .writeStream.format("memory").queryName("rocks_sink")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(SessionEvent(1L, 0L), SessionEvent(1L, 60L * 1000000L))
+        q.processAllAvailable()
+        // second trigger: state for user 1 must survive in RocksDB
+        input.addData(SessionEvent(1L, 4000L * 1000000L)) // > 30 min gap
+        q.processAllAvailable()
+        val last = spark.table("rocks_sink")
+          .orderBy(col("n_events").desc).limit(1)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+        assert(last === ((1L, 2L, 3L))) // 2 sessions, 3 events
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
