@@ -1,0 +1,215 @@
+package graft.heap
+
+import HprofModel._
+import HprofParser.SubVisitor
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.collection.mutable
+
+/** DataSource V2 for HPROF heap dumps:
+  * `spark.read.format("hprof").load("/path/dump.hprof")` yields one
+  * row per heap object (instances, object arrays, primitive arrays,
+  * classes) with its resolved type name and payload size.
+  *
+  * Spark-native ingestion shape (SURVEY.md §2.A3): planning walks the
+  * 9-byte record headers once on the driver (the only sequential part
+  * of the format) and resolves class names from the metadata records;
+  * heap segments are then bin-packed into byte-balanced
+  * `InputPartition`s, so a 100 GB dump parses with genuine cluster
+  * parallelism — no driver materialization, no shuffle. Column pruning
+  * is pushed into the reader.
+  *
+  * The richer per-class tables (typed field columns etc.) remain on
+  * `HeapDump`/`HeapTables`; this source is the fast whole-heap object
+  * stream the reference exposes as its `_object_index`.
+  */
+final class HprofDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "hprof"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HprofObjectsTable.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "hprof source needs a path: spark.read.format(\"hprof\").load(path)")
+    new HprofObjectsTable(path)
+  }
+}
+
+object HprofObjectsTable {
+  val schema: StructType = StructType(Seq(
+    StructField("obj_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("type_name", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_elems", LongType, nullable = true)))
+}
+
+final class HprofObjectsTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"hprof:`$path`"
+  override def schema(): StructType = HprofObjectsTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HprofScanBuilder(path)
+}
+
+final class HprofScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = HprofObjectsTable.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new HprofScan(path, required)
+}
+
+/** One byte-balanced bundle of heap-segment records. */
+final case class HprofSegmentsPartition(
+    ptrs: Seq[RecordPtr], idSize: Int) extends InputPartition
+
+final class HprofScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"hprof objects of $path"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val header = HprofParser.parseHeader(
+      HeapIO.readRange(path, 0L, math.min(64L, HeapIO.fileLength(path)).toInt))
+    val records = HeapIO.withFs(path) { (fs, p) =>
+      val len = fs.getFileStatus(p).getLen
+      val in = fs.open(p)
+      try HprofParser.indexRecords((off, n) => {
+        val buf = new Array[Byte](n)
+        in.readFully(off, buf)
+        buf
+      }, len, header.bodyStart)
+      finally in.close()
+    }
+    val segs = records.filter(r => Tag.isHeapSegment(r.tag))
+    if (segs.isEmpty) return Array.empty
+    // byte-balanced bin packing into ~cluster-parallelism partitions
+    val slots = math.max(1, org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism)
+    val targetBytes = math.max(1L, segs.map(_.bodyLength).sum / slots)
+    val bins = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[RecordPtr])
+    var binBytes = 0L
+    segs.foreach { r =>
+      if (binBytes >= targetBytes && bins.last.nonEmpty) {
+        bins += mutable.ArrayBuffer.empty[RecordPtr]
+        binBytes = 0L
+      }
+      bins.last += r
+      binBytes += r.bodyLength
+    }
+    bins.filter(_.nonEmpty)
+      .map(b => HprofSegmentsPartition(b.toSeq, header.idSize): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // class-name resolution: metadata records are class-count sized, so
+    // the map rides to executors inside the (serialized) factory
+    val header = HprofParser.parseHeader(
+      HeapIO.readRange(path, 0L, math.min(64L, HeapIO.fileLength(path)).toInt))
+    val idSz = header.idSize
+    val (utf8, loads) = HeapIO.withFs(path) { (fs, p) =>
+      val len = fs.getFileStatus(p).getLen
+      val in = fs.open(p)
+      try {
+        val recs = HprofParser.indexRecords((off, n) => {
+          val buf = new Array[Byte](n)
+          in.readFully(off, buf)
+          buf
+        }, len, header.bodyStart)
+        def body(r: RecordPtr): Array[Byte] = {
+          val buf = new Array[Byte](r.bodyLength.toInt)
+          in.readFully(r.bodyOffset, buf)
+          buf
+        }
+        val u = recs.filter(_.tag == Tag.Utf8)
+          .map(r => HprofParser.parseUtf8(body(r), idSz)).toMap
+        val l = recs.filter(_.tag == Tag.LoadClass)
+          .map(r => HprofParser.parseLoadClass(body(r), idSz))
+        (u, l)
+      } finally in.close()
+    }
+    val classNames: Map[Long, String] = loads.map(lc =>
+      lc.classObjId -> utf8.getOrElse(lc.nameId, "(missing utf8)").replace('/', '.')).toMap
+    new HprofReaderFactory(path, classNames, required)
+  }
+}
+
+final class HprofReaderFactory(path: String, classNames: Map[Long, String],
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[HprofSegmentsPartition]
+    new HprofPartitionReader(path, p, classNames, required)
+  }
+}
+
+/** Parses its segment bundle with one open file handle, emitting one
+  * row per object sub-record, projected to the pruned schema.
+  */
+final class HprofPartitionReader(path: String, part: HprofSegmentsPartition,
+    classNames: Map[Long, String], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  // column indexes of the pruned schema within the full schema
+  private val proj: Array[Int] =
+    required.fieldNames.map(HprofObjectsTable.schema.fieldIndex)
+
+  private def className(id: Long): String = classNames.getOrElse(id, "(unresolved)")
+  private def arrayName(id: Long): String =
+    HeapIndex.normalizeArrayName(className(id))
+
+  private val rows: Iterator[InternalRow] = {
+    val idSz = part.idSize
+    part.ptrs.iterator.flatMap { r =>
+      val body = HeapIO.readRange(path, r.bodyOffset, r.bodyLength.toInt)
+      val buf = mutable.ArrayBuffer.empty[Array[Any]]
+      HprofParser.scanSegment(body, idSz, new SubVisitor {
+        override def onInstance(ev: InstanceEv): Unit =
+          buf += Array[Any](ev.objId, "instance", className(ev.classObjId),
+            ev.fields.length.toLong, null)
+        override def onObjArray(ev: ObjArrayEv): Unit =
+          buf += Array[Any](ev.objId, "object_array", arrayName(ev.arrayClassObjId),
+            ev.elements.length.toLong * idSz, ev.elements.length.toLong)
+        override def onPrimArray(ev: PrimArrayEv): Unit = {
+          val n = Seq(ev.booleans, ev.bytes, ev.chars, ev.shorts, ev.ints,
+            ev.longs, ev.floats, ev.doubles).find(_ != null).map(_.length).getOrElse(0)
+          buf += Array[Any](ev.objId,
+            "primitive_array", BasicType.javaName(ev.elemType) + "[]",
+            n.toLong * BasicType.size(ev.elemType, idSz), n.toLong)
+        }
+        override def onClassDump(ev: ClassDumpInfo): Unit =
+          buf += Array[Any](ev.classObjId, "class", className(ev.classObjId),
+            ev.instanceSize.toLong, null)
+      })
+      buf.iterator.map { full =>
+        new GenericInternalRow(proj.map { i =>
+          full(i) match {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }
+        }): InternalRow
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
