@@ -71,6 +71,32 @@ object TextFunctions {
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Repetition signals (the "duplicate n-gram fraction" family of
+    * quality filters from the large-LM data literature): total vs
+    * distinct n-gram counts and their ratio. High ratio = boilerplate
+    * or looping text.
+    */
+  def repetitionSignals(ws: Column, n: Int): Seq[(String, Column)] = {
+    val total = greatest(size(ws) - lit(n - 1), lit(0))
+    val distinctN = size(shinglesFromWords(ws, n))
+    Seq(
+      "n_ngrams" -> total,
+      "n_distinct" -> distinctN,
+      "dup_ngram_ratio" -> when(total > 0,
+        lit(1.0) - distinctN.cast("double") / total.cast("double")).otherwise(lit(0.0)))
+  }
+
+  /** PII redaction: emails then digit runs → typed placeholders.
+    * Pattern set is deliberately conservative/portable (same regex
+    * semantics in DuckDB with the 'g' flag).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val numberRe = "[0-9]+"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+      lit(numberRe), lit("<NUM>"))
+
   /** Quality signals: token count, mean word length, punctuation
     * ratio, stopword ratio — all exact-integer ratios so the composite
     * double is engine-portable.

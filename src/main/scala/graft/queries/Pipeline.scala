@@ -356,6 +356,48 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D18 — repetition scoring: duplicate 3-gram fraction per document
+    * (the boilerplate/looping-text filter from the LM-data-quality
+    * literature; docs above a threshold get dropped at curation time).
+    */
+  val qRepetition: GateQuery = GateQuery(
+    "q_repetition",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, greatest(len(ws) - 2, 0) AS n_ngrams FROM w),
+      |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i FROM w),
+      |d AS (SELECT doc_id, COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS n_distinct
+      |      FROM idx GROUP BY doc_id)
+      |SELECT t.doc_id AS doc_id, t.n_ngrams, COALESCE(d.n_distinct, 0) AS n_distinct,
+      |  CASE WHEN t.n_ngrams > 0
+      |       THEN 1.0 - CAST(COALESCE(d.n_distinct, 0) AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE)
+      |       ELSE 0.0 END AS dup_ngram_ratio
+      |FROM t LEFT JOIN d ON d.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val sig = TextFunctions.repetitionSignals(col("ws"), 3)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** D19 — PII redaction: emails and digit runs to typed placeholders,
+    * with match counts (what a redaction pass reports at scale).
+    */
+  val qPiiRedact: GateQuery = GateQuery(
+    "q_pii_redact",
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '${TextFunctions.emailRe}', '<EMAIL>', 'g'),
+       |                 '${TextFunctions.numberRe}', '<NUM>', 'g') AS redacted,
+       |  len(regexp_extract_all(text, '${TextFunctions.numberRe}')) AS n_nums
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("redacted"),
+        size(regexp_extract_all(col("text"), lit(TextFunctions.numberRe), lit(0))).as("n_nums"))
+      .orderBy("doc_id")
+  }
+
   /** D12 — multimodal binary-column plumbing (rows-only: stubbed codec,
     * exact values spec-tested in MultimodalSpec).
     */
@@ -367,5 +409,6 @@ object Pipeline {
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qEmbeddingNorm,
-    qTokenCount, qQualityScore, qLangId, qFingerprint, qMultimodalMeta)
+    qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
+    qPiiRedact, qMultimodalMeta)
 }
