@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   *   graft.PipelineCli dedup    <docs.parquet> <outDir>
   *   graft.PipelineCli neardup  <docs.parquet> <outDir> [threshold]
   *   graft.PipelineCli knn      <emb.parquet> <queries.parquet> <outDir> [k]
+  *   graft.PipelineCli ivf-build <emb.parquet> <indexDir> [nLists]
+  *   graft.PipelineCli ivf-query <indexDir> <queries.parquet> <outDir> [k] [nProbe]
+  *   graft.PipelineCli redact   <docs.parquet> <outDir>
   *
   * Input schemas: docs(doc_id, text), emb(vec_id, embedding).
   */
@@ -53,9 +56,30 @@ object PipelineCli {
           "vec_id", "embedding", k)
         .write.mode("overwrite").parquet(out)
       spark.stop()
+    case "ivf-build" :: emb :: indexDir :: rest =>
+      val spark = session()
+      val nLists = rest.headOption.map(_.toInt).getOrElse(64)
+      Similarity.writeIvfIndex(spark.read.parquet(emb), "vec_id", "embedding",
+        nLists = nLists, dir = indexDir)
+      spark.stop()
+    case "ivf-query" :: indexDir :: queries :: out :: rest =>
+      val spark = session()
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      val nProbe = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      Similarity.knnIvfIndexed(spark, indexDir, spark.read.parquet(queries),
+          "vec_id", "embedding", k = k, nProbe = nProbe)
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
+    case "redact" :: in :: out :: Nil =>
+      val spark = session()
+      spark.read.parquet(in)
+        .withColumn("text", graft.functions.TextFunctions.redactPii(col("text")))
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: curate | dedup | neardup | knn")
+      System.err.println(
+        "commands: curate | dedup | neardup | knn | ivf-build | ivf-query | redact")
       sys.exit(2)
   }
 }

@@ -114,6 +114,39 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** E2c — Spark's NATIVE session_window operator (the same operator
+    * drives streaming session aggregation) against the lag/cumsum CTE
+    * oracle. session_window merges events whose gap to the previous
+    * event is < gap (a gap of exactly 30:00 starts a NEW session), so
+    * the oracle's boundary is `>=`.
+    */
+  val qSessionWindow: GateQuery = GateQuery(
+    "q_session_window",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS last_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_us", "last_us", "n_events")
+      .orderBy("user_id", "start_us")
+  }
+
   /** E5 — as-of join: each click matched to the user's latest error at
     * or before it. Oracle: DuckDB's native ASOF LEFT JOIN.
     */
@@ -181,6 +214,6 @@ object Events {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qTumblingWindow, qSessionize, qSessionTable, qJsonExtract, qEventLeaders,
-    qAsOfJoin, qRangeJoin)
+    qTumblingWindow, qSessionize, qSessionTable, qSessionWindow, qJsonExtract,
+    qEventLeaders, qAsOfJoin, qRangeJoin)
 }
