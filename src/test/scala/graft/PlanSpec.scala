@@ -70,4 +70,37 @@ class PlanSpec extends AnyFunSuite {
       planOf("q_knn_bruteforce").contains("BroadcastHashJoin"))
     assert(planOf("q_knn_lsh").contains("BroadcastHashJoin"))
   }
+
+  test("theta join hash-joins on the equi key (never a cartesian product)") {
+    val plan = planOf("q_theta_join")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Join"), plan)
+    // the inequality rides as a residual condition on the equi join
+    assert(plan.contains("l_quantity") && plan.contains("p_size"), plan)
+  }
+
+  test("session_window aggregates with a single user-key hash exchange") {
+    val plan = planOf("q_session_window")
+    // one hash exchange for the session aggregation; the only other
+    // exchange is the presentation ORDER BY (range partitioning)
+    assert("hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert("Exchange \\(".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("set operations resolve to joins/aggregates, not cross products") {
+    assert(!planOf("q_intersect").contains("CartesianProduct"))
+    assert(!planOf("q_except").contains("CartesianProduct"))
+  }
+
+  test("correlated EXISTS plans as a semi join") {
+    assert(planOf("q_exists_corr").contains("LeftSemi"), planOf("q_exists_corr"))
+  }
+
+  test("string/date function gates read only the referenced columns") {
+    val rs = planOf("q_string_funcs").linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("p_retailprice") && !rs.contains("p_brand"), rs)
+    val rd = planOf("q_date_funcs").linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rd.contains("o_totalprice") && !rd.contains("o_custkey"), rd)
+  }
 }
