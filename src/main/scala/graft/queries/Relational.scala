@@ -437,13 +437,21 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** C14 — HLL approx distinct (sketch result; rows-only gate). */
+  /** C14 — HLL approx distinct (sketch result; rows-only gate).
+    * Two-level form: pre-distinct the (flag, partkey) pairs, then
+    * count + sketch the deduped rows. Equivalent (HLL registers are
+    * duplicate-insensitive; COUNT over distinct pairs == COUNT
+    * DISTINCT) but avoids mixing exact-distinct and sketch in one
+    * aggregate, which plans as an Expand that doubles every shuffled
+    * row — the difference between N and 2N shuffle bytes at 100 TB.
+    */
   val qApproxDistinct: GateQuery = GateQuery.rowsOnly("q_approx_distinct") { (s, dir) =>
     Tables(s, dir, "lineitem")
+      .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
   }
 
