@@ -213,7 +213,53 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** E10 — funnel analysis: per user, first view → first click after
+    * it → first purchase after that; counts at each stage plus median
+    * view→purchase latency for converters. One shuffle on user_id,
+    * conditional min-aggregates — no self-joins, scale-flat.
+    */
+  val qFunnel: GateQuery = GateQuery(
+    "q_funnel",
+    """WITH f AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t_view
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, f.t_view,
+      |    MIN(epoch_us(e.ts)) FILTER (WHERE e.event_type = 'click'
+      |      AND epoch_us(e.ts) >= f.t_view) AS t_click
+      |  FROM events e JOIN f ON f.user_id = e.user_id
+      |  GROUP BY e.user_id, f.t_view),
+      |p AS (
+      |  SELECT e.user_id, c.t_view, c.t_click,
+      |    MIN(epoch_us(e.ts)) FILTER (WHERE e.event_type = 'purchase'
+      |      AND epoch_us(e.ts) >= c.t_click) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  GROUP BY e.user_id, c.t_view, c.t_click)
+      |SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_viewed,
+      |  COUNT(*) FILTER (WHERE t_click IS NOT NULL) AS n_clicked,
+      |  COUNT(*) FILTER (WHERE t_purchase IS NOT NULL) AS n_purchased,
+      |  CAST(MEDIAN(t_purchase - t_view) AS DOUBLE) AS median_latency_us
+      |FROM p""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val funnel = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("t"))).as("t_view"))
+      .join(ev, Seq("user_id"))
+      .groupBy("user_id", "t_view")
+      .agg(min(when(col("event_type") === "click" && col("t") >= col("t_view"),
+        col("t"))).as("t_click"))
+      .join(ev, Seq("user_id"))
+      .groupBy("user_id", "t_view", "t_click")
+      .agg(min(when(col("event_type") === "purchase" && col("t") >= col("t_click"),
+        col("t"))).as("t_purchase"))
+    funnel.agg(
+      count(when(col("t_view").isNotNull, 1)).as("n_viewed"),
+      count(when(col("t_click").isNotNull, 1)).as("n_clicked"),
+      count(when(col("t_purchase").isNotNull, 1)).as("n_purchased"),
+      expr("percentile(t_purchase - t_view, 0.5)").cast("double").as("median_latency_us"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTumblingWindow, qSessionize, qSessionTable, qSessionWindow, qJsonExtract,
-    qEventLeaders, qAsOfJoin, qRangeJoin)
+    qEventLeaders, qAsOfJoin, qRangeJoin, qFunnel)
 }
