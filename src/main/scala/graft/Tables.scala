@@ -24,14 +24,18 @@ object Tables {
     * (session, dir, table) instead of once per query. DataFrames are
     * immutable plans, so reuse across queries is free.
     */
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]()
+  // Keyed by session IDENTITY (an IdentityHashMap resolves two live
+  // sessions with colliding identityHashCodes correctly, unlike a
+  // hash-of-identity key). A weak key would be a no-op here — cached
+  // DataFrames strongly reference their session, which would pin the
+  // key — so eviction is explicit instead: entries whose context has
+  // stopped are purged on every access.
+  private val cache = new java.util.IdentityHashMap[
+    SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Keyed by the session OBJECT (weakly) — identityHashCode is not
-    // unique across sessions, and a weak key lets a stopped session's
-    // plans be collected instead of pinned for the JVM lifetime.
     val perSession = cache.synchronized {
+      cache.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       var m = cache.get(spark)
       if (m == null) { m = scala.collection.mutable.Map(); cache.put(spark, m) }
       m

@@ -83,19 +83,42 @@ final class HprofScan(path: String, required: StructType) extends Scan with Batc
   override def toBatch: Batch = this
   override def description(): String = s"hprof objects of $path"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** One driver-side pass shared by partition planning AND the reader
+    * factory: the sequential header walk is the format's intrinsic
+    * bottleneck, so it must not run twice per query. Metadata records
+    * (Utf8/LoadClass) are parsed in the same open-handle pass.
+    */
+  private lazy val indexed: (HprofParser.Header, Vector[RecordPtr], Map[Long, String]) = {
     val header = HprofParser.parseHeader(
       HeapIO.readRange(path, 0L, math.min(64L, HeapIO.fileLength(path)).toInt))
-    val records = HeapIO.withFs(path) { (fs, p) =>
+    HeapIO.withFs(path) { (fs, p) =>
       val len = fs.getFileStatus(p).getLen
       val in = fs.open(p)
-      try HprofParser.indexRecords((off, n) => {
-        val buf = new Array[Byte](n)
-        in.readFully(off, buf)
-        buf
-      }, len, header.bodyStart)
-      finally in.close()
+      try {
+        val records = HprofParser.indexRecords((off, n) => {
+          val buf = new Array[Byte](n)
+          in.readFully(off, buf)
+          buf
+        }, len, header.bodyStart)
+        def body(r: RecordPtr): Array[Byte] = {
+          val buf = new Array[Byte](r.bodyLength.toInt)
+          in.readFully(r.bodyOffset, buf)
+          buf
+        }
+        val idSz = header.idSize
+        val utf8 = records.filter(_.tag == Tag.Utf8)
+          .map(r => HprofParser.parseUtf8(body(r), idSz)).toMap
+        val classNames = records.filter(_.tag == Tag.LoadClass)
+          .map(lc => HprofParser.parseLoadClass(body(lc), idSz))
+          .map(lc => lc.classObjId ->
+            utf8.getOrElse(lc.nameId, "(missing utf8)").replace('/', '.')).toMap
+        (header, records, classNames)
+      } finally in.close()
     }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (header, records, _) = indexed
     val segs = records.filter(r => Tag.isHeapSegment(r.tag))
     if (segs.isEmpty) return Array.empty
     // byte-balanced bin packing into ~cluster-parallelism partitions
@@ -120,32 +143,7 @@ final class HprofScan(path: String, required: StructType) extends Scan with Batc
   override def createReaderFactory(): PartitionReaderFactory = {
     // class-name resolution: metadata records are class-count sized, so
     // the map rides to executors inside the (serialized) factory
-    val header = HprofParser.parseHeader(
-      HeapIO.readRange(path, 0L, math.min(64L, HeapIO.fileLength(path)).toInt))
-    val idSz = header.idSize
-    val (utf8, loads) = HeapIO.withFs(path) { (fs, p) =>
-      val len = fs.getFileStatus(p).getLen
-      val in = fs.open(p)
-      try {
-        val recs = HprofParser.indexRecords((off, n) => {
-          val buf = new Array[Byte](n)
-          in.readFully(off, buf)
-          buf
-        }, len, header.bodyStart)
-        def body(r: RecordPtr): Array[Byte] = {
-          val buf = new Array[Byte](r.bodyLength.toInt)
-          in.readFully(r.bodyOffset, buf)
-          buf
-        }
-        val u = recs.filter(_.tag == Tag.Utf8)
-          .map(r => HprofParser.parseUtf8(body(r), idSz)).toMap
-        val l = recs.filter(_.tag == Tag.LoadClass)
-          .map(r => HprofParser.parseLoadClass(body(r), idSz))
-        (u, l)
-      } finally in.close()
-    }
-    val classNames: Map[Long, String] = loads.map(lc =>
-      lc.classObjId -> utf8.getOrElse(lc.nameId, "(missing utf8)").replace('/', '.')).toMap
+    val (_, _, classNames) = indexed
     new HprofReaderFactory(path, classNames, required)
   }
 }
@@ -173,10 +171,18 @@ final class HprofPartitionReader(path: String, part: HprofSegmentsPartition,
   private def arrayName(id: Long): String =
     HeapIndex.normalizeArrayName(className(id))
 
+  // ONE open handle for the whole partition — a per-segment
+  // open/seek/close would dominate on remote filesystems (same
+  // rationale as HeapDump.recordRdd)
+  private val in = HeapIO.withFs(path)((fs, p) => fs.open(p))
+
   private val rows: Iterator[InternalRow] = {
     val idSz = part.idSize
     part.ptrs.iterator.flatMap { r =>
-      val body = HeapIO.readRange(path, r.bodyOffset, r.bodyLength.toInt)
+      require(r.bodyLength <= Int.MaxValue,
+        s"record body ${r.bodyLength} exceeds 2 GiB buffer limit (tag ${r.tag})")
+      val body = new Array[Byte](r.bodyLength.toInt)
+      in.readFully(r.bodyOffset, body)
       val buf = mutable.ArrayBuffer.empty[Array[Any]]
       HprofParser.scanSegment(body, idSz, new SubVisitor {
         override def onInstance(ev: InstanceEv): Unit =
@@ -211,5 +217,5 @@ final class HprofPartitionReader(path: String, part: HprofSegmentsPartition,
   override def next(): Boolean =
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }

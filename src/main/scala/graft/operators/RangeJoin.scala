@@ -19,6 +19,8 @@ object RangeJoin {
     */
   def bucketedRangeJoin(points: DataFrame, intervals: DataFrame, key: String,
       ptCol: String, startCol: String, endCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs" +
+      " (pmod/div by 0 would null every bucket and silently match nothing)")
     // Exact integer floor-division for bucket assignment: `/` is double
     // division and rounds above 2^53 in the ts unit, which would put a
     // point and its interval in adjacent buckets and silently drop the

@@ -62,27 +62,35 @@ object Similarity {
     * sampled, iterative, distributed fit — train on a sample at real
     * scale.
     */
-  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nLists: Int, nProbe: Int,
-      seed: Long = 42L, trainSample: Int = 4096): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Shared IVF quantizer training: normalize, take a seeded
+    * hash-ordered sample to the driver (one TakeOrdered pass — at
+    * 100 TB this reads the corpus once and ships only `trainSample`
+    * unit vectors; an iterative distributed fit would cost ~2·iters
+    * full-corpus jobs for a tiny model), run local k-means. Returns
+    * the (cid, cv, cn) projection and the trained centroids.
+    * `writeIvfIndex` and `knnIvf` MUST share this so the on-disk and
+    * in-memory cell structures agree.
+    */
+  private def trainQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, seed: Long, trainSample: Int): (DataFrame, Array[Array[Double]]) = {
     // cluster on UNIT vectors: euclidean cells over normalized points
     // are cosine cells, so probing matches the similarity metric
     val c = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-    // The quantizer is trained on a seeded SAMPLE on the driver: one
-    // TakeOrdered pass over (hash, unit-vector) — at 100 TB this reads
-    // the corpus once and ships only `trainSample` vectors; an
-    // iterative distributed fit would cost ~2·iters full-corpus jobs
-    // for a 16-point model. Hash-ordering makes the sample seeded and
-    // machine-independent.
     val train = c
       .select(transform(col("cv"), x => x / col("cn")).as("uv"),
         xxhash64(col("cid"), lit(seed)).as("__h"))
       .orderBy("__h")
       .limit(trainSample)
       .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = localKMeans(train, nLists, seed, iters = 15)
+    (c, localKMeans(train, nLists, seed, iters = 15))
+  }
+
+  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int, nProbe: Int,
+      seed: Long = 42L, trainSample: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    val (c, centroids) = trainQuantizer(corpus, idCol, vecCol, nLists, seed, trainSample)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
     val assignCell = udf { (cv: Seq[Double], cn: Double) =>
@@ -115,14 +123,7 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, dir: String, seed: Long = 42L, trainSample: Int = 4096): Unit = {
     val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", l2Norm(col("cv")))
-    val train = c
-      .select(transform(col("cv"), x => x / col("cn")).as("uv"),
-        xxhash64(col("cid"), lit(seed)).as("__h"))
-      .orderBy("__h").limit(trainSample)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = localKMeans(train, nLists, seed, iters = 15)
+    val (c, centroids) = trainQuantizer(corpus, idCol, vecCol, nLists, seed, trainSample)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
     val assignCell = udf { (cv: Seq[Double], cn: Double) =>
       nearestCellsTo(bcCentroids.value, cv, cn, 1).head
@@ -149,13 +150,29 @@ object Similarity {
     val probeCells = udf { (qv: Seq[Double], qn: Double) =>
       nearestCellsTo(bcCentroids.value, qv, qn, nProbe)
     }
-    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+    // materialize the (small, broadcastable-by-contract) probe side
+    // ONCE: both the partition-filter cell set and the join input come
+    // from this collect — re-deriving them from the plan would run the
+    // query scan + probe UDF twice
+    val qRows = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .withColumn("cell", explode(probeCells(col("qv"), col("qn"))))
+      .collect()
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        queries.schema(idCol).dataType, nullable = false),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), nullable = false),
+      org.apache.spark.sql.types.StructField("qn",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema)
     // the union of probe cells over the query BATCH, as a partition filter
-    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val cells = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
     val corpus = spark.read.parquet(s"$dir/corpus")
-      .filter(col("cell").isin(cells.toSeq: _*))
+      .filter(col("cell").isin(cells: _*))
     val scored = corpus.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
