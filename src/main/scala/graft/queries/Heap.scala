@@ -9,11 +9,19 @@ import org.apache.spark.sql.functions._
 /** Heap-module gate queries (SURVEY.md §2.A/B surfaced to the
   * driver): each builds a deterministic synthetic HPROF dump with the
   * A14 generator, runs the full distributed ingestion + analysis
-  * path, and returns a DataFrame. Rows-only gates — the heap tables
-  * have no testdata-oracle equivalent; exact values are asserted in
-  * HeapDumpSpec / HeapAnalysisSpec.
+  * path, and returns a DataFrame.
+  *
+  * The export lands at a FIXED path so the simpler analysis gates can
+  * carry real DuckDB oracles: DuckDB re-runs the analysis SQL over the
+  * exported parquet (the ingestion itself is value-asserted against
+  * known synthetic heaps in HeapDumpSpec). The waste suite stays
+  * rows-only — its findings assembly isn't one SQL statement.
   */
 object Heap {
+
+  /** Fixed export location — embedded in the static oracle SQL. */
+  val exportDir: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_heap_gate_demo/parquet"
 
   /** One synthetic heap + parquet export per JVM, built lazily. */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -39,31 +47,57 @@ object Heap {
       val f1 = w.stackFrame("main", "()V", "Main.java", "java.lang.String", 1)
       w.stackTrace(1, 1, Seq(f1))
 
-      val dir = java.nio.file.Files.createTempDirectory("graft_heap_gate")
+      val dir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(exportDir).getParent)
       val hprof = dir.resolve("demo.hprof").toString
       w.writeTo(hprof, segments = 4)
-      val out = dir.resolve("parquet").toString
-      new HeapDump(spark, hprof).writeParquet(out)
-      out
+      new HeapDump(spark, hprof).writeParquet(exportDir)
+      exportDir
     })
 
   private def analysis(spark: SparkSession) =
     new HeapAnalysis(new HeapTables(spark, demoDir(spark)))
 
-  /** A1-A11: ingestion round-trip — the robo object index. */
-  val qHeapObjectIndex: GateQuery = GateQuery.rowsOnly("q_heap_object_index") { (s, _) =>
+  /** A1-A11: ingestion round-trip — the robo object index. DuckDB
+    * re-aggregates the same exported parquet.
+    */
+  val qHeapObjectIndex: GateQuery = GateQuery(
+    "q_heap_object_index",
+    s"""SELECT type_name, COUNT(*) AS n
+       |FROM read_parquet('$exportDir/_object_index/*.parquet')
+       |GROUP BY type_name
+       |ORDER BY n DESC, type_name""".stripMargin) { (s, _) =>
     s.read.parquet(s"${demoDir(s)}/_object_index")
       .groupBy("type_name").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("type_name"))
   }
 
   /** B1/B2: summary + top types over the exported tables. */
-  val qHeapTopTypes: GateQuery = GateQuery.rowsOnly("q_heap_top_types") { (s, _) =>
+  val qHeapTopTypes: GateQuery = GateQuery(
+    "q_heap_top_types",
+    s"""SELECT type_name, COUNT(*) AS obj_count
+       |FROM read_parquet('$exportDir/_object_index/*.parquet')
+       |GROUP BY type_name
+       |ORDER BY obj_count DESC, type_name
+       |LIMIT 10""".stripMargin) { (s, _) =>
+    demoDir(s)
     analysis(s).topTypes(10).get
   }
 
   /** B4: byte-array size histogram. */
-  val qHeapHistogram: GateQuery = GateQuery.rowsOnly("q_heap_byte_histogram") { (s, _) =>
+  val qHeapHistogram: GateQuery = GateQuery(
+    "q_heap_byte_histogram",
+    s"""SELECT CASE WHEN len(values) < 100 THEN '0-99'
+       |            WHEN len(values) < 1000 THEN '100-999'
+       |            WHEN len(values) < 10000 THEN '1K-10K'
+       |            WHEN len(values) < 100000 THEN '10K-100K'
+       |            ELSE '100K+' END AS bucket,
+       |  COUNT(*) AS count,
+       |  round(CAST(SUM(len(values)) AS DOUBLE) / 1048576.0, 2) AS total_mb
+       |FROM read_parquet('$exportDir/_primitive_arrays_byte/*.parquet')
+       |GROUP BY 1
+       |ORDER BY total_mb DESC""".stripMargin) { (s, _) =>
+    demoDir(s)
     analysis(s).byteArrayDistribution.get
   }
 
