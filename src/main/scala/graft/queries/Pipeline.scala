@@ -398,11 +398,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** D12 — multimodal binary-column plumbing (rows-only: stubbed codec,
-    * exact values spec-tested in MultimodalSpec).
+  /** D12 — multimodal binary-column plumbing (rows-only: the
+    * feature_norm column comes from the stubbed JVM codec; exact
+    * values spec-tested in MultimodalSpec).
     */
   val qMultimodalMeta: GateQuery = GateQuery.rowsOnly("q_multimodal_meta") { (s, dir) =>
     graft.multimodal.Multimodal.modalitySummary(s, Tables(s, dir, "documents"))
+  }
+
+  /** D12b — the media-table metadata layer alone (modality mapping,
+    * payload bytes, typed meta struct) IS SQL-expressible — hash-
+    * matched so the binary-column schema conventions stay pinned.
+    */
+  val qMediaMeta: GateQuery = GateQuery(
+    "q_media_meta",
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio'
+      |            ELSE 'video' END AS modality,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(len(text)) AS BIGINT) AS total_bytes,
+      |  AVG(doc_id % 640 + 32) AS avg_width,
+      |  CAST(MAX(CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 1 ELSE 1 END) AS INT) AS max_frames
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.multimodal.Multimodal.mediaTable(Tables(s, dir, "documents"), "doc_id", "text")
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("data"))).as("total_bytes"),
+        avg(col("meta.width")).as("avg_width"),
+        max(col("meta.nFrames")).as("max_frames"))
+      .orderBy("modality")
   }
 
   val all: Seq[GateQuery] = Seq(
@@ -410,5 +436,5 @@ object Pipeline {
     qDedupClusters, qCurate,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
-    qPiiRedact, qMultimodalMeta)
+    qPiiRedact, qMultimodalMeta, qMediaMeta)
 }
