@@ -373,6 +373,29 @@ object Relational {
       .orderBy("o_orderpriority", "q_idx")
   }
 
+  /** C21b — DETERMINISTIC sampling: salted-hash rank, top-5 per
+    * return flag. A pure function of (seed, data) — engine-portable,
+    * so unlike TABLESAMPLE this sample hash-matches the oracle.
+    */
+  val qSampleDeterministic: GateQuery = GateQuery(
+    "q_sample_det",
+    """WITH r AS (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY md5('42' || '-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)),
+      |               l_orderkey, l_linenumber) AS sample_rk
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_orderkey, l_linenumber, sample_rk
+      |FROM r WHERE sample_rk <= 5
+      |ORDER BY l_returnflag, sample_rk""".stripMargin) { (s, dir) =>
+    import graft.operators.Sampling
+    Sampling.deterministicPerGroup(
+        Tables(s, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber"),
+        groupCols = Seq("l_returnflag"), keyCols = Seq("l_orderkey", "l_linenumber"),
+        n = 5, seed = 42L)
+      .orderBy("l_returnflag", "sample_rk")
+  }
+
   /** C-surface `sample` — seeded Bernoulli TABLESAMPLE (rows-only:
     * engines draw different rows; determinism within Spark is
     * spec-tested via the fixed seed).
@@ -460,5 +483,5 @@ object Relational {
     q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
     qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qCube,
     qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct, qSample,
-    qPivot, qUnpivot, qStats)
+    qSampleDeterministic, qPivot, qUnpivot, qStats)
 }
