@@ -396,6 +396,27 @@ object Relational {
       .orderBy("l_returnflag", "sample_rk")
   }
 
+  /** C8+ — top-k per group via the k-bounded typed Aggregator (same
+    * results as window ROW_NUMBER, but partial-aggregated: only
+    * k·groups rows shuffle instead of the whole table).
+    */
+  val qTopKAgg: GateQuery = GateQuery(
+    "q_topk_agg",
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+      |FROM r WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin) { (s, dir) =>
+    import graft.operators.TopK
+    TopK.topKPerGroup(Tables(s, dir, "orders"),
+        groupCol = "o_orderpriority", scoreCol = "o_totalprice",
+        idCol = "o_orderkey", k = 3)
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** C-surface `sample` — seeded Bernoulli TABLESAMPLE (rows-only:
     * engines draw different rows; determinism within Spark is
     * spec-tested via the fixed seed).
@@ -483,5 +504,5 @@ object Relational {
     q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
     qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qCube,
     qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct, qSample,
-    qSampleDeterministic, qPivot, qUnpivot, qStats)
+    qSampleDeterministic, qTopKAgg, qPivot, qUnpivot, qStats)
 }

@@ -97,6 +97,12 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_exists_corr").contains("LeftSemi"), planOf("q_exists_corr"))
   }
 
+  test("topk aggregator partial-aggregates before the exchange") {
+    val plan = planOf("q_topk_agg")
+    val aggs = "ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final aggregate pair, plan:\n$plan")
+  }
+
   test("string/date function gates read only the referenced columns") {
     val rs = planOf("q_string_funcs").linesIterator.find(_.contains("ReadSchema")).get
     assert(!rs.contains("p_retailprice") && !rs.contains("p_brand"), rs)
