@@ -243,7 +243,56 @@ object SqlSurface {
       .orderBy("o_orderkey")
   }
 
+  /** C8++ — ranking-function family: rank, dense_rank, percent_rank,
+    * cume_dist. The window order is UNIQUE (price, then key), so the
+    * fractional ranks are exact integer ratios — engine-portable.
+    */
+  val qRankFuncs: GateQuery = GateQuery(
+    "q_rank_funcs",
+    """SELECT o_orderkey,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drk,
+      |  CAST(PERCENT_RANK() OVER w AS DOUBLE) AS prk,
+      |  CAST(CUME_DIST() OVER w AS DOUBLE) AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drk"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  /** C20+ — array-function family over tokenized text: sort, distinct,
+    * slice, element access, stringify. Binary string collation on both
+    * engines, so sorts agree.
+    */
+  val qArrayFuncs: GateQuery = GateQuery(
+    "q_array_funcs",
+    """SELECT doc_id,
+      |  len(list_distinct(string_split(text, ' '))) AS n_unique,
+      |  list_sort(list_distinct(string_split(text, ' ')))[1] AS first_sorted,
+      |  array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+      |  string_split(text, ' ')[-1] AS last_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(array_distinct(col("ws"))).as("n_unique"),
+        element_at(array_sort(array_distinct(col("ws"))), 1).as("first_sorted"),
+        concat_ws(" ", slice(col("ws"), 1, 3)).as("first3"),
+        element_at(col("ws"), -1).as("last_token"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qGroupingSets, qWindowFuncs, qStringFuncs,
-    qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics)
+    qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
+    qRankFuncs, qArrayFuncs)
 }
