@@ -565,6 +565,51 @@ final class HeapAnalysis(t: HeapTables) {
       .sortBy(f => (f.severityRank, -f.estimatedWasteBytes))
   }
 
+  /** Structured analysis result with the reference MCP tool's shape
+    * (server.py analyze_heap: summary / top_types / categories /
+    * byte_array_distribution / large_byte_arrays / waste_findings /
+    * total_estimated_waste) as a JSON string — the machine-readable
+    * counterpart of renderReport.
+    */
+  def analyzeJson(topN: Int = 30, waste: Boolean = true, maxTier: Int = 2): String = {
+    import HeapAnalysis.{jArr, jObj, jStr}
+    def dfRows(dfOpt: Option[DataFrame]): String = jArr(
+      dfOpt.toSeq.flatMap(df => df.collect().toSeq.map { r =>
+        jObj(df.columns.zipWithIndex.map { case (c, i) =>
+          c -> (r.get(i) match {
+            case null => "null"
+            case s: String => jStr(s)
+            case v: java.math.BigDecimal => v.toPlainString
+            case v => v.toString
+          })
+        }.toSeq)
+      }))
+    val base = Seq(
+      "summary" -> dfRows(summary),
+      "top_types" -> dfRows(topTypes(topN)),
+      "categories" -> dfRows(categoryBreakdown),
+      "byte_array_distribution" -> dfRows(byteArrayDistribution),
+      "large_byte_arrays" -> dfRows(largeByteArrays()))
+    val withWaste = if (!waste) base else {
+      val findings = runWasteAnalysis(maxTier)
+      val total = findings.map(_.estimatedWasteBytes).sum
+      base ++ Seq(
+        "waste_findings" -> jArr(findings.map(f => jObj(Seq(
+          "check_name" -> jStr(f.checkName),
+          "tier" -> f.tier.toString,
+          "severity" -> jStr(f.severity),
+          "affected_count" -> f.affectedCount.toString,
+          "estimated_waste_bytes" -> f.estimatedWasteBytes.toString,
+          "estimated_waste_human" -> jStr(formatBytes(f.estimatedWasteBytes)),
+          "details" -> jStr(f.details),
+          "recommendation" -> jStr(f.recommendation),
+          "sub_findings" -> jArr(f.subFindings.map(jStr)))))),
+        "total_estimated_waste" -> jStr(formatBytes(total)),
+        "total_estimated_waste_bytes" -> total.toString)
+    }
+    jObj(withWaste)
+  }
+
   def renderReport(findings: Seq[WasteFinding]): String = {
     val sb = new StringBuilder
     sb.append("=== HEAP WASTE ANALYSIS ===\n")
@@ -606,4 +651,19 @@ object HeapAnalysis {
     else if (n >= 1024 * 1024) f"${n / (1024.0 * 1024)}%.1f MB"
     else if (n >= 1024) f"${n / 1024.0}%.1f KB"
     else s"$n B"
+
+  // minimal JSON emitters (no external deps allowed in this build)
+  private[heap] def jStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  private[heap] def jArr(items: Seq[String]): String = items.mkString("[", ",", "]")
+  private[heap] def jObj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => s"${jStr(k)}:$v" }.mkString("{", ",", "}")
 }

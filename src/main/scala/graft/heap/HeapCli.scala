@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.heap.HeapCli count-records <dump.hprof>
   *   graft.heap.HeapCli dump-objects <dump.hprof> [limit]
   *   graft.heap.HeapCli analyze <parquetDir> [maxTier]
+  *   graft.heap.HeapCli analyze-json <parquetDir> [maxTier]
   *   graft.heap.HeapCli query <parquetDir> <sql>
   *
   * Run via spark-submit on a cluster or `sbt "runMain ..."` locally.
@@ -52,13 +53,18 @@ object HeapCli {
       an.topTypes().foreach(df => { println("== top types =="); df.show(30, truncate = false) })
       println(an.renderReport(an.runWasteAnalysis(maxTier)))
       spark.stop()
+    case "analyze-json" :: dir :: rest =>
+      val spark = session()
+      val maxTier = rest.headOption.map(_.toInt).getOrElse(2)
+      println(new HeapAnalysis(new HeapTables(spark, dir)).analyzeJson(maxTier = maxTier))
+      spark.stop()
     case "query" :: dir :: sql :: Nil =>
       val spark = session()
       HeapSql.query(spark, dir, sql).show(100, truncate = false)
       spark.stop()
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: convert | count-records | dump-objects | analyze | query")
+      System.err.println("commands: convert | count-records | dump-objects | analyze | analyze-json | query")
       sys.exit(2)
   }
 }

@@ -54,6 +54,18 @@ class HeapSessionsSpec extends AnyFunSuite {
     intercept[NoSuchElementException](hs.query("dump_a", "SELECT 1"))
   }
 
+  test("analyzeJson emits the reference result shape as valid JSON") {
+    import spark.implicits._
+    val dir = export("j", 4)
+    val json = new HeapAnalysis(new HeapTables(spark, dir)).analyzeJson(maxTier = 3)
+    // must round-trip through a real JSON parser
+    val parsed = spark.read.json(Seq(json).toDS)
+    val fields = parsed.schema.fieldNames.toSet
+    assert(Set("summary", "top_types", "categories", "byte_array_distribution",
+      "waste_findings", "total_estimated_waste_bytes").subsetOf(fields), fields)
+    assert(!parsed.schema.fieldNames.contains("_corrupt_record"), json.take(400))
+  }
+
   test("cleanup requires confirm and deletes the directory") {
     val hs = new HeapSessions(spark)
     val s = hs.open(export("c", 2), "dump_c")
