@@ -431,10 +431,27 @@ object Pipeline {
       .orderBy("modality")
   }
 
+  /** D12c — frame sampling: one row per sampled frame of each video
+    * payload (the explode shape). The stub codec decides frame BYTES,
+    * but frame COUNTS are pure metadata math — oracle-checkable.
+    */
+  val qFrameSample: GateQuery = GateQuery(
+    "q_frame_sample",
+    """SELECT CAST(SUM(LEAST(4, doc_id % 30 + 1)) AS BIGINT) AS n_frames,
+      |  COUNT(*) AS n_videos
+      |FROM documents
+      |WHERE doc_id % 3 = 2""".stripMargin) { (s, dir) =>
+    val media = graft.multimodal.Multimodal.mediaTable(
+      Tables(s, dir, "documents"), "doc_id", "text")
+    graft.multimodal.Multimodal.sampleFrames(media, maxFrames = 4).toDF()
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_videos"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
-    qPiiRedact, qMultimodalMeta, qMediaMeta)
+    qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample)
 }

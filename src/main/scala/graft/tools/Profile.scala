@@ -42,7 +42,19 @@ object Profile {
           sum((col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)) * (lit(1).cast(D) + col("l_tax").cast(D)))).cast("double").as("sum_charge"),
           avg(col("l_discount").cast(D)).as("avg_disc"),
           count(lit(1)).as("n"))
+      def q1cents(df: DataFrame) = {
+        def cents(c: String) = round(col(c) * 100).cast("long")
+        df.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg((sum(cents("l_quantity")) / 100.0).as("sum_qty"),
+            (sum(cents("l_extendedprice")) / 100.0).as("sum_base"),
+            (sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))) / 10000.0).as("sum_disc"),
+            (sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")) * (lit(100L) + cents("l_tax"))) / 1000000.0).as("sum_charge"),
+            (sum(cents("l_discount")).cast("double") / count(lit(1)) / 100.0).as("avg_disc"),
+            count(lit(1)).as("n"))
+      }
       for (r <- 1 to 2) {
+        time(s"q1-cents single-task (run $r)")(q1cents(li))
         time(s"q1-like single-task (run $r)")(q1(li))
         time(s"q1-like fanout32 (run $r)")(q1(li.repartition(32)))
         time(s"q6-like single-task (run $r)")(
