@@ -147,6 +147,39 @@ object Events {
       .orderBy("user_id", "start_us")
   }
 
+  /** E11 — cohort retention: users bucketed by first-seen week, then
+    * distinct active weeks per user → (cohort, week_offset, n_active)
+    * matrix. Two key-shuffles (user agg, cohort agg), no self-join
+    * explosion; both engines truncate weeks to Monday so offsets are
+    * exact multiples of 7 days.
+    */
+  val qRetention: GateQuery = GateQuery(
+    "q_retention",
+    """WITH u AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS w
+      |  FROM events e),
+      |j AS (
+      |  SELECT u.cohort_week, CAST(date_diff('week', u.cohort_week, a.w) AS BIGINT) AS week_n
+      |  FROM u JOIN a ON a.user_id = u.user_id)
+      |SELECT CAST(cohort_week AS DATE) AS cohort_week, week_n, COUNT(*) AS n_active
+      |FROM j GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    cohorts.join(active, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(w, cohort_week) div 7").cast("long").as("week_n"))
+      .groupBy(col("cohort_week").cast("date").as("cohort_week"), col("week_n"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_n")
+  }
+
   /** E5 — as-of join: each click matched to the user's latest error at
     * or before it. Oracle: DuckDB's native ASOF LEFT JOIN.
     */
@@ -261,5 +294,5 @@ object Events {
 
   val all: Seq[GateQuery] = Seq(
     qTumblingWindow, qSessionize, qSessionTable, qSessionWindow, qJsonExtract,
-    qEventLeaders, qAsOfJoin, qRangeJoin, qFunnel)
+    qEventLeaders, qAsOfJoin, qRangeJoin, qFunnel, qRetention)
 }
