@@ -572,7 +572,7 @@ final class HeapAnalysis(t: HeapTables) {
     * counterpart of renderReport.
     */
   def analyzeJson(topN: Int = 30, waste: Boolean = true, maxTier: Int = 2): String = {
-    import HeapAnalysis.{jArr, jObj, jStr}
+    import graft.Json.{arr => jArr, obj => jObj, str => jStr}
     def dfRows(dfOpt: Option[DataFrame]): String = jArr(
       dfOpt.toSeq.flatMap(df => df.collect().toSeq.map { r =>
         jObj(df.columns.zipWithIndex.map { case (c, i) =>
@@ -651,19 +651,4 @@ object HeapAnalysis {
     else if (n >= 1024 * 1024) f"${n / (1024.0 * 1024)}%.1f MB"
     else if (n >= 1024) f"${n / 1024.0}%.1f KB"
     else s"$n B"
-
-  // minimal JSON emitters (no external deps allowed in this build)
-  private[heap] def jStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-  private[heap] def jArr(items: Seq[String]): String = items.mkString("[", ",", "]")
-  private[heap] def jObj(fields: Seq[(String, String)]): String =
-    fields.map { case (k, v) => s"${jStr(k)}:$v" }.mkString("{", ",", "}")
 }

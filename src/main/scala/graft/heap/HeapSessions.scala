@@ -10,32 +10,52 @@ import scala.collection.mutable
   *
   * A session binds a session id to a heap parquet directory with its
   * tables registered as temp views under `<id>__<table>`; `query`
-  * additionally registers the bare names for the most-recently-used
-  * session so ad-hoc SQL stays terse. Closing drops the views and
-  * keeps the files; cleanup also deletes the directory (and requires
-  * `confirm = true`, mirroring the reference's destructive-op guard).
+  * additionally registers the bare names for the addressed session so
+  * ad-hoc SQL stays terse. Bare names are a shared catalog resource,
+  * so every catalog mutation AND the analysis of the SQL that reads
+  * them happens under one global lock (spark.sql analyzes eagerly, so
+  * the returned DataFrame is already bound to the right relations when
+  * the lock is released). Closing drops this session's views — bare
+  * ones too, if it owns them — and keeps the files; cleanup also
+  * deletes the directory and requires `confirm = true`, mirroring the
+  * reference's destructive-op guard.
   */
 final class HeapSessions(spark: SparkSession) {
+  import HeapSessions.catalogLock
 
   final case class Session(id: String, dir: String, tables: Seq[String])
 
   private val sessions = mutable.LinkedHashMap.empty[String, Session]
+  // which session's tables currently own the BARE view names
+  private var bareOwner: Option[Session] = None
 
-  /** Open (or reopen) a session over an exported heap directory. */
-  def open(parquetDir: String, sessionId: String = ""): Session = synchronized {
+  /** Open (or reopen) a session over an exported heap directory. The
+    * default id is the directory basename; since exports commonly end
+    * in ".../parquet", a basename already taken by a DIFFERENT
+    * directory gets a numeric suffix instead of silently replacing the
+    * earlier session.
+    */
+  def open(parquetDir: String, sessionId: String = ""): Session = catalogLock.synchronized {
     val f = new java.io.File(parquetDir)
     require(f.isDirectory, s"directory not found: $parquetDir")
-    val id = if (sessionId.nonEmpty) sessionId else f.getName
+    val id = if (sessionId.nonEmpty) sessionId else {
+      val base = f.getName
+      Iterator.from(0)
+        .map(i => if (i == 0) base else s"${base}_$i")
+        .find(c => sessions.get(c).forall(_.dir == parquetDir)).get
+    }
+    dropBareViews() // a previous owner's tables must not survive the switch
     val views = HeapSql.register(spark, parquetDir)
     views.keys.foreach { v =>
       spark.table(v).createOrReplaceTempView(s"${id}__$v")
     }
     val sess = Session(id, parquetDir, views.keys.toSeq.sorted)
     sessions(id) = sess
+    bareOwner = Some(sess)
     sess
   }
 
-  def list: Seq[Session] = synchronized(sessions.values.toSeq)
+  def list: Seq[Session] = catalogLock.synchronized(sessions.values.toSeq)
 
   /** Per-table file/row/schema listing (reference list_parquet_files). */
   def listTables(sessionId: String): DataFrame = {
@@ -43,17 +63,24 @@ final class HeapSessions(spark: SparkSession) {
     new HeapTables(spark, sess.dir).list
   }
 
-  /** SQL against one session's tables (bare table names resolve). */
-  def query(sessionId: String, sql: String): DataFrame = {
+  /** SQL against one session's tables (bare table names resolve to the
+    * addressed session). Registration + analysis are atomic under the
+    * catalog lock; the returned DataFrame stays bound to this
+    * session's relations even if another thread re-registers after.
+    */
+  def query(sessionId: String, sql: String): DataFrame = catalogLock.synchronized {
     val sess = get(sessionId)
-    HeapSql.register(spark, sess.dir) // bare names → this session
+    dropBareViews() // stale tables of the previous owner must not linger
+    HeapSql.register(spark, sess.dir)
+    bareOwner = Some(sess)
     spark.sql(sql)
   }
 
   /** Drop the session's views; parquet files stay on disk. */
-  def close(sessionId: String): Unit = synchronized {
+  def close(sessionId: String): Unit = catalogLock.synchronized {
     val sess = get(sessionId)
     sess.tables.foreach(v => spark.catalog.dropTempView(s"${sess.id}__$v"))
+    if (bareOwner.exists(_.id == sessionId)) dropBareViews()
     sessions.remove(sessionId)
   }
 
@@ -71,9 +98,22 @@ final class HeapSessions(spark: SparkSession) {
     rm(new java.io.File(dir))
   }
 
-  private def get(sessionId: String): Session = synchronized {
+  private def dropBareViews(): Unit = {
+    bareOwner.foreach(_.tables.foreach(v => spark.catalog.dropTempView(v)))
+    bareOwner = None
+  }
+
+  private def get(sessionId: String): Session = catalogLock.synchronized {
     sessions.getOrElse(sessionId,
       throw new NoSuchElementException(
         s"no session '$sessionId' (open sessions: ${sessions.keys.mkString(", ")})"))
   }
+}
+
+object HeapSessions {
+  /** Bare temp-view names are global to the SparkSession catalog, so
+    * registration races are guarded JVM-wide, across HeapSessions
+    * instances.
+    */
+  private val catalogLock = new Object
 }

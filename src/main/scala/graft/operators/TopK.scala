@@ -21,14 +21,37 @@ object TopK {
 
   private def rank(e: Entry): (Double, Long) = (-e._1, e._2)
 
-  final class TopKAgg(k: Int) extends Aggregator[(String, Double, Long), List[Entry], Seq[Entry]] {
-    override def zero: List[Entry] = Nil
-    private def trim(buf: List[Entry]): List[Entry] = buf.sortBy(rank).take(k)
-    override def reduce(buf: List[Entry], row: (String, Double, Long)): List[Entry] =
-      trim((row._2, row._3) :: buf)
-    override def merge(a: List[Entry], b: List[Entry]): List[Entry] = trim(a ++ b)
-    override def finish(buf: List[Entry]): Seq[Entry] = buf.sortBy(rank)
-    override def bufferEncoder: Encoder[List[Entry]] = Encoders.kryo[List[Entry]]
+  /** Buffer = unsorted entries + cached count + the current k-th rank
+    * once known. Rows worse than the k-th are skipped outright; others
+    * append, and the buffer is sorted+trimmed only when it reaches 2k —
+    * amortized O(log k) per kept row, O(1) per skipped row (the
+    * claimed O(n log k) total; a trim-every-row form would be
+    * O(n·k log k)).
+    */
+  final case class Buf(entries: List[Entry], n: Int, kth: Option[(Double, Long)])
+
+  final class TopKAgg(k: Int) extends Aggregator[(String, Double, Long), Buf, Seq[Entry]] {
+    override def zero: Buf = Buf(Nil, 0, None)
+    private def trim(buf: Buf): Buf =
+      if (buf.n <= k) buf
+      else {
+        val kept = buf.entries.sortBy(rank).take(k)
+        Buf(kept, k, Some(rank(kept.last)))
+      }
+    private def insert(buf: Buf, e: Entry): Buf = {
+      import scala.math.Ordering.Implicits._
+      if (buf.kth.exists(kth => rank(e) >= kth)) buf // can't enter the top k
+      else {
+        val grown = Buf(e :: buf.entries, buf.n + 1, buf.kth)
+        if (grown.n >= 2 * k) trim(grown) else grown
+      }
+    }
+    override def reduce(buf: Buf, row: (String, Double, Long)): Buf =
+      insert(buf, (row._2, row._3))
+    override def merge(a: Buf, b: Buf): Buf =
+      trim(Buf(a.entries ::: b.entries, a.n + b.n, None))
+    override def finish(buf: Buf): Seq[Entry] = buf.entries.sortBy(rank).take(k)
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     override def outputEncoder: Encoder[Seq[Entry]] = Encoders.kryo[Seq[Entry]]
   }
 

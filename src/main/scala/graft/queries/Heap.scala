@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Heap {
 
-  /** Fixed export location — embedded in the static oracle SQL. */
-  val exportDir: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_heap_gate_demo/parquet"
+  /** Export location embedded in the static oracle SQL. Scoped by pid
+    * so concurrent JVMs (a test run beside a Verify run) can't clobber
+    * each other's export mid-read; the oracle_sql.json a given Verify
+    * run emits always points at that same run's directory.
+    */
+  val exportDir: String = {
+    val pid = ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft_heap_gate_demo_$pid/parquet"
+  }
 
   /** One synthetic heap + parquet export per JVM, built lazily. */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -80,7 +86,6 @@ object Heap {
        |GROUP BY type_name
        |ORDER BY obj_count DESC, type_name
        |LIMIT 10""".stripMargin) { (s, _) =>
-    demoDir(s)
     analysis(s).topTypes(10).get
   }
 
@@ -97,7 +102,6 @@ object Heap {
        |FROM read_parquet('$exportDir/_primitive_arrays_byte/*.parquet')
        |GROUP BY 1
        |ORDER BY total_mb DESC""".stripMargin) { (s, _) =>
-    demoDir(s)
     analysis(s).byteArrayDistribution.get
   }
 

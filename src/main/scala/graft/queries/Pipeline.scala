@@ -416,7 +416,7 @@ object Pipeline {
       |            WHEN doc_id % 3 = 1 THEN 'audio'
       |            ELSE 'video' END AS modality,
       |  COUNT(*) AS n,
-      |  CAST(SUM(len(text)) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  AVG(doc_id % 640 + 32) AS avg_width,
       |  CAST(MAX(CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 1 ELSE 1 END) AS INT) AS max_frames
       |FROM documents
