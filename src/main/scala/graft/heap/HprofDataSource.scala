@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,10 +78,22 @@ final class HprofScanBuilder(path: String)
 final case class HprofSegmentsPartition(
     ptrs: Seq[RecordPtr], idSize: Int) extends InputPartition
 
-final class HprofScan(path: String, required: StructType) extends Scan with Batch {
+final class HprofScan(path: String, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"hprof objects of $path"
+
+  /** Planner-visible size estimate: total heap-segment bytes. Lets
+    * Catalyst decide broadcast vs shuffle when hprof tables join
+    * against other sources.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = indexed._2
+      .filter(r => Tag.isHeapSegment(r.tag)).map(_.bodyLength).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   /** One driver-side pass shared by partition planning AND the reader
     * factory: the sequential header walk is the format's intrinsic

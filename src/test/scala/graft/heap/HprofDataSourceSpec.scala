@@ -62,6 +62,18 @@ class HprofDataSourceSpec extends AnyFunSuite {
     assert(df.distinct().count() === 4)
   }
 
+  test("scan reports segment-byte statistics to the planner") {
+    val scan = new HprofScan(path, HprofObjectsTable.schema)
+    val stats = scan.estimateStatistics()
+    assert(stats.sizeInBytes().isPresent && stats.sizeInBytes().getAsLong > 0)
+    // small source joined to a big side should broadcast
+    val df = spark.read.format("hprof").load(path)
+    val big = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+    val joined = big.join(df, big("o_orderkey") === df("obj_id"))
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      joined.queryExecution.executedPlan.toString)
+  }
+
   test("segments spread across input partitions") {
     val df = spark.read.format("hprof").load(path)
     assert(df.rdd.getNumPartitions >= 1)
