@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Sampling, TopK}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style checks for the order-sensitive operators: results
+  * must equal a brute-force reference and be independent of physical
+  * partitioning (the property that actually matters on a cluster,
+  * where partition counts differ run to run).
+  */
+class OperatorPropSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def randomRows(seed: Long, n: Int): Seq[(String, Double, Long)] = {
+    val rng = new scala.util.Random(seed)
+    // coarse scores force plenty of ties → the id tiebreak is exercised
+    (0 until n).map(i => (s"g${rng.nextInt(5)}", rng.nextInt(20).toDouble, i.toLong))
+  }
+
+  test("topKPerGroup equals the sort-based reference on random data, any partitioning") {
+    for (seed <- Seq(1L, 7L, 99L)) {
+      val rows = randomRows(seed, 500)
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(4).zipWithIndex
+          .map { case ((_, s, id), i) => (g, id, s, i + 1) }
+      }.toSet
+      for (parts <- Seq(1, 7)) {
+        val df = rows.toDF("g", "score", "id").repartition(parts)
+        val got = TopK.topKPerGroup(df, "g", "score", "id", 4)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+        assert(got === expected, s"seed=$seed parts=$parts")
+      }
+    }
+  }
+
+  test("topKPerGroup handles groups smaller than k and k buffer overflow") {
+    val rows = (0 until 300).map(i => ("one", i.toDouble, i.toLong)) :+ (("tiny", 1.0, 999L))
+    val got = TopK.topKPerGroup(rows.toDF("g", "score", "id"), "g", "score", "id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(got.count(_._1 == "one") === 3)
+    assert(got.filter(_._1 == "one").map(_._2).sorted.toSeq === Seq(297L, 298L, 299L))
+    assert(got.filter(_._1 == "tiny") === Array(("tiny", 999L, 1)))
+  }
+
+  test("deterministic sampling is invariant to partitioning and repeatable") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_linenumber")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.deterministicPerGroup(df, Seq("l_returnflag"),
+          Seq("l_orderkey", "l_linenumber"), n = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    val c = run(docs)
+    assert(a === b, "sample must not depend on physical partitioning")
+    assert(a === c, "sample must be repeatable")
+    // a different seed draws a different sample
+    val other = Sampling.deterministicPerGroup(docs, Seq("l_returnflag"),
+        Seq("l_orderkey", "l_linenumber"), n = 7, seed = 43L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(other !== a, "seed must change the draw")
+  }
+}
