@@ -396,6 +396,29 @@ object Relational {
       .orderBy("l_returnflag", "sample_rk")
   }
 
+  /** C15+ — discrete percentiles (no interpolation: the answer is an
+    * actual data value) via WITHIN GROUP ordered-set aggregate syntax.
+    */
+  val qPercentileDisc: GateQuery = GateQuery(
+    "q_percentile_disc",
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.5) AS med_disc,
+      |  quantile_disc(l_quantity, 0.9) AS p90_disc,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_disc,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** C8+ — top-k per group via the k-bounded typed Aggregator (same
     * results as window ROW_NUMBER, but partial-aggregated: only
     * k·groups rows shuffle instead of the whole table).
@@ -504,5 +527,5 @@ object Relational {
     q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
     qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qCube,
     qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct, qSample,
-    qSampleDeterministic, qTopKAgg, qPivot, qUnpivot, qStats)
+    qSampleDeterministic, qTopKAgg, qPercentileDisc, qPivot, qUnpivot, qStats)
 }
