@@ -291,8 +291,47 @@ object SqlSurface {
       .orderBy("doc_id")
   }
 
+  /** C25b — bag-semantics set ops (EXCEPT ALL keeps multiplicity:
+    * a part ordered 5× by 'R' and 2× by 'A' survives 3×).
+    */
+  val qExceptAll: GateQuery = GateQuery(
+    "q_except_all",
+    """SELECT l_partkey, COUNT(*) AS n FROM (
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |  EXCEPT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+      |GROUP BY l_partkey
+      |ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+    li.filter(col("l_returnflag") === "R").select("l_partkey")
+      .exceptAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .orderBy("l_partkey")
+  }
+
+  /** C16b — schema-typed JSON parsing (from_json to a struct, not
+    * string extraction) aggregated per event type.
+    */
+  val qJsonStruct: GateQuery = GateQuery(
+    "q_json_struct",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+    Tables(s, dir, "events")
+      .select(col("event_type"), parsed.getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qIntersect, qExcept, qGroupingSets, qWindowFuncs, qStringFuncs,
+    qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
-    qRankFuncs, qArrayFuncs)
+    qRankFuncs, qArrayFuncs, qJsonStruct)
 }
