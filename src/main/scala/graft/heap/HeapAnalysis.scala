@@ -125,7 +125,7 @@ final class HeapAnalysis(t: HeapTables) {
     b.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("count"),
         round(sum(n) / 1048576.0, 2).as("total_mb"))
-      .orderBy(col("total_mb").desc)
+      .orderBy(col("total_mb").desc, col("bucket"))
   }
 
   def largeByteArrays(minBytes: Int = 102400, limit: Int = 20): Option[DataFrame] =
@@ -133,39 +133,66 @@ final class HeapAnalysis(t: HeapTables) {
       b.select(col("obj_id"), size(col("values")).as("size_bytes"),
           round(size(col("values")) / 1024.0, 1).as("size_kb"))
         .filter(col("size_bytes") > minBytes)
-        .orderBy(col("size_bytes").desc).limit(limit)
+        .orderBy(col("size_bytes").desc, col("obj_id")).limit(limit)
     }
 
   // -- B6: duplicate strings ------------------------------------------
 
-  /** Join String→byte[], hash content, roll up duplicate waste. At
-    * 100 TB only (hash, len) pairs shuffle — never payloads; sampling
-    * knob mirrors the reference's USING SAMPLE for >5M strings.
+  /** Shared duplicate-content aggregate: group rows by the array
+    * column itself (portable across engines, unlike an md5 of a cast),
+    * keep groups with >1 copy. At 100 TB this shuffles (array, len)
+    * once on the group key; for text-sized arrays that is the same
+    * payload the reference ships to its hash aggregate.
     */
-  def checkDuplicateStrings(samplePct: Double = 100.0): Option[WasteFinding] =
+  private def dupGrouped(df: DataFrame, elemCol: String,
+      lenFilter: Column => Column): DataFrame = {
+    val n = size(col(elemCol))
+    df.filter(lenFilter(n))
+      .select(col(elemCol).as("__v"), n.as("__len"))
+      .groupBy("__v")
+      .agg(count(lit(1)).as("dup_count"), min("__len").as("len"))
+      .filter(col("dup_count") > 1)
+  }
+
+  /** One-row rollup over dupGrouped: total duplicate rows, distinct
+    * duplicated values, worst fan-out, and wasted bytes including the
+    * per-extra-copy object/header overhead.
+    */
+  private def dupRollup(grouped: DataFrame, elemSize: Int,
+      perCopyOverhead: Long): DataFrame =
+    grouped.agg(
+      coalesce(sum("dup_count"), lit(0L)).as("total_dups"),
+      count(lit(1)).as("unique_vals"),
+      coalesce(max("dup_count"), lit(0L)).as("worst"),
+      (coalesce(sum((col("dup_count") - 1) * col("len") * elemSize), lit(0L)) +
+        (coalesce(sum("dup_count"), lit(0L)) - count(lit(1))) * perCopyOverhead)
+        .as("wasted_bytes"))
+
+  /** B6 core as a one-row DataFrame (driver-gate oracle surface). */
+  def dupStringStats(samplePct: Double = 100.0): Option[DataFrame] =
     for {
       strs0 <- t.byClass("java.lang.String")
       bytes <- t.system("_primitive_arrays_byte")
     } yield {
       val strs = if (samplePct < 100) strs0.sample(samplePct / 100.0, 42L) else strs0
-      val scale = if (samplePct < 100) 100.0 / samplePct else 1.0
       val joined = strs.select(col("value").as("byte_id"))
         .filter(col("byte_id") =!= 0)
         .join(bytes, col("byte_id") === bytes("obj_id"))
-        .select(md5(col("values").cast("string").cast("binary")).as("hash"),
-          size(col("values")).as("str_len"))
-      val dups = joined.groupBy("hash")
-        .agg(count(lit(1)).as("dup_count"), min("str_len").as("str_len"))
-        .filter(col("dup_count") > 1)
-      val r = dups.agg(
-        coalesce(sum("dup_count"), lit(0L)).as("total"),
-        coalesce(sum((col("dup_count") - 1) * col("str_len")), lit(0L)).as("wasted"),
-        count(lit(1)).as("uniq"),
-        coalesce(max("dup_count"), lit(0L)).as("worst")).collect()(0)
-      val total = (r.getAs[Long]("total") * scale).toLong
-      val uniq = (r.getAs[Long]("uniq") * scale).toLong
-      val wasted = (r.getAs[Long]("wasted") * scale).toLong +
-        (total - uniq) * StringObjOverhead
+        .select(col("values"))
+      dupRollup(dupGrouped(joined, "values", _ => lit(true)), 1, StringObjOverhead)
+    }
+
+  /** Join String→byte[], group content, roll up duplicate waste. At
+    * 100 TB only value/len pairs shuffle on the group key; sampling
+    * knob mirrors the reference's USING SAMPLE for >5M strings.
+    */
+  def checkDuplicateStrings(samplePct: Double = 100.0): Option[WasteFinding] =
+    dupStringStats(samplePct).map { df =>
+      val scale = if (samplePct < 100) 100.0 / samplePct else 1.0
+      val r = df.collect()(0)
+      val total = (r.getAs[Long]("total_dups") * scale).toLong
+      val uniq = (r.getAs[Long]("unique_vals") * scale).toLong
+      val wasted = (r.getAs[Long]("wasted_bytes") * scale).toLong
       WasteFinding("Duplicate Strings", 1, classifySeverity(wasted), total, wasted,
         s"$total duplicate strings across $uniq unique values (worst: ${(r.getAs[Long]("worst") * scale).toLong} copies)",
         "Intern frequently duplicated strings or use a string deduplication agent (-XX:+UseStringDeduplication with G1)")
@@ -194,58 +221,77 @@ final class HeapAnalysis(t: HeapTables) {
 
   // -- B7: bad collections --------------------------------------------
 
-  private def emptySingle(df: DataFrame, sizeCol: String): (Long, Long) = {
-    val r = df.agg(
-      count(when(col(sizeCol) === 0, 1)).as("empty"),
-      count(when(col(sizeCol) === 1, 1)).as("single")).collect()(0)
-    (r.getLong(0), r.getLong(1))
-  }
+  /** (display name, class, size column, per-empty waste, per-single
+    * waste). The waste formulas are linear in (empty, single), so the
+    * same constants serve the driver check and the SQL-oracle gate.
+    */
+  private val collectionSpecs: Seq[(String, String, String, Long, Long)] = Seq(
+    ("ArrayList", "java.util.ArrayList", "size",
+      ArrayListShell + ArrayHeader + 10 * RefSize,
+      ArrayListShell + ArrayHeader + 10 * RefSize - RefSize),
+    ("ConcurrentHashMap", "java.util.concurrent.ConcurrentHashMap", "baseCount",
+      ChmShell + ArrayHeader + 16 * RefSize,
+      ChmShell + ArrayHeader + 16 * RefSize + ChmNode - 2 * RefSize),
+    ("HashMap", "java.util.HashMap", "size",
+      HashMapShell + ArrayHeader + 16 * RefSize,
+      HashMapShell + ArrayHeader + 16 * RefSize + HashMapEntry - 2 * RefSize),
+    ("LinkedList", "java.util.LinkedList", "size",
+      LinkedListShell,
+      LinkedListShell + LinkedListNode - RefSize),
+    ("TreeMap", "java.util.TreeMap", "size",
+      64L,
+      64L + TreeMapEntry - 2 * RefSize))
 
-  def checkBadCollections(): Option[WasteFinding] = {
-    val perType = Seq(
-      ("HashMap", t.byClass("java.util.HashMap"), "size",
-        (e: Long, s: Long) => e * (HashMapShell + ArrayHeader + 16 * RefSize) +
-          s * (HashMapShell + ArrayHeader + 16 * RefSize + HashMapEntry - 2 * RefSize)),
-      ("ArrayList", t.byClass("java.util.ArrayList"), "size",
-        (e: Long, s: Long) => e * (ArrayListShell + ArrayHeader + 10 * RefSize) +
-          s * (ArrayListShell + ArrayHeader + 10 * RefSize - RefSize)),
-      ("LinkedList", t.byClass("java.util.LinkedList"), "size",
-        (e: Long, s: Long) => e * LinkedListShell + s * (LinkedListShell + LinkedListNode - RefSize)),
-      ("TreeMap", t.byClass("java.util.TreeMap"), "size",
-        (e: Long, s: Long) => e * 64L + s * (64L + TreeMapEntry - 2 * RefSize)),
-      ("ConcurrentHashMap", t.byClass("java.util.concurrent.ConcurrentHashMap"), "baseCount",
-        (e: Long, s: Long) => e * (ChmShell + ArrayHeader + 16 * RefSize) +
-          s * (ChmShell + ArrayHeader + 16 * RefSize + ChmNode - 2 * RefSize)))
-    val found = perType.flatMap { case (name, dfOpt, sizeCol, wasteFn) =>
-      dfOpt.filter(_.columns.contains(sizeCol)).flatMap { df =>
-        val (e, s) = emptySingle(df, sizeCol)
-        if (e + s > 0) Some((name, e, s, wasteFn(e, s))) else None
+  /** B7 core: per-collection-type empty/single counts + waste bytes. */
+  def badCollectionStats: Option[DataFrame] = {
+    val dfs = collectionSpecs.flatMap { case (name, cls, sizeCol, kEmpty, kSingle) =>
+      t.byClass(cls).filter(_.columns.contains(sizeCol)).map { df =>
+        df.agg(
+            count(when(col(sizeCol) === 0, 1)).as("empty_count"),
+            count(when(col(sizeCol) === 1, 1)).as("single_count"))
+          .select(lit(name).as("coll_type"), col("empty_count"), col("single_count"),
+            (col("empty_count") * kEmpty + col("single_count") * kSingle).as("waste_bytes"))
+          .filter(col("empty_count") + col("single_count") > 0)
       }
     }
-    if (found.isEmpty) None else {
-      val (empty, single, waste) = (found.map(_._2).sum, found.map(_._3).sum, found.map(_._4).sum)
-      Some(WasteFinding("Bad Collections (empty/single-element)", 1,
-        classifySeverity(waste), empty + single, waste,
-        s"$empty empty + $single single-element collections",
-        "Replace empty collections with Collections.emptyMap/List/Set(); single-element with Collections.singletonMap/List/Set() or direct fields",
-        found.map { case (n, e, s, w) => s"  $n: $e empty, $s single-element (${formatBytes(w)})" }))
-    }
+    if (dfs.isEmpty) None else Some(dfs.reduce(_ unionByName _).orderBy("coll_type"))
   }
+
+  def checkBadCollections(): Option[WasteFinding] =
+    badCollectionStats.flatMap { df =>
+      val found = df.collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      if (found.isEmpty) None else {
+        val (empty, single, waste) = (found.map(_._2).sum, found.map(_._3).sum, found.map(_._4).sum)
+        Some(WasteFinding("Bad Collections (empty/single-element)", 1,
+          classifySeverity(waste), empty + single, waste,
+          s"$empty empty + $single single-element collections",
+          "Replace empty collections with Collections.emptyMap/List/Set(); single-element with Collections.singletonMap/List/Set() or direct fields",
+          found.map { case (n, e, s, w) => s"  $n: $e empty, $s single-element (${formatBytes(w)})" }))
+      }
+    }
 
   // -- B8: bad object arrays ------------------------------------------
 
-  def checkBadObjectArrays(): Option[WasteFinding] = t.system("_object_arrays").flatMap { oa =>
+  /** B8 core: wasteful-object-array patterns (zero-length / all-null /
+    * single-element / >70%-sparse) with counts and slot totals.
+    */
+  def badObjectArrayPatterns: Option[DataFrame] = t.system("_object_arrays").map { oa =>
     val n = size(col("elements"))
     val nulls = size(filter(col("elements"), e => e === 0))
     val pattern = when(n === 0, "zero_length")
       .when(nulls === n, "all_null")
       .when(n === 1, "single_element")
       .when(n > 3 && nulls.cast("double") / n.cast("double") > 0.7, "sparse")
-    val rows = oa.select(pattern.as("pattern"), n.as("n"))
+    oa.select(pattern.as("pattern"), n.as("n"))
       .filter(col("pattern").isNotNull)
       .groupBy("pattern")
-      .agg(count(lit(1)).as("count"), sum("n").as("total_slots"))
-      .collect()
+      .agg(count(lit(1)).as("n_arrays"), sum("n").cast("long").as("total_slots"))
+      .orderBy("pattern")
+  }
+
+  def checkBadObjectArrays(): Option[WasteFinding] = badObjectArrayPatterns.flatMap { df =>
+    val rows = df.collect()
     if (rows.isEmpty) None else {
       var totalCount = 0L; var totalWaste = 0L
       val sub = rows.toSeq.map { r =>
@@ -269,52 +315,69 @@ final class HeapAnalysis(t: HeapTables) {
 
   // -- B9: bad primitive arrays ---------------------------------------
 
-  def checkBadPrimitiveArrays(): Option[WasteFinding] = {
+  /** B9 core: wasteful-primitive-array patterns per element type with
+    * counts, data bytes, and waste bytes (zero-length → header only;
+    * all-zero → data + header; single → header minus one element).
+    */
+  def badPrimitiveArrayPatterns: Option[DataFrame] = {
     val primTypes = Seq(("boolean", 1), ("byte", 1), ("char", 2), ("short", 2),
       ("int", 4), ("long", 8), ("float", 4), ("double", 8))
-    val perType = primTypes.flatMap { case (pt, elemSize) =>
-      t.system(s"_primitive_arrays_$pt").flatMap { df =>
+    val dfs = primTypes.flatMap { case (pt, elemSize) =>
+      t.system(s"_primitive_arrays_$pt").map { df =>
         val n = size(col("values"))
         val allZero = if (pt == "boolean") !array_contains(col("values"), true)
           else array_min(col("values")) === 0 && array_max(col("values")) === 0
         val pattern = when(n === 0, "zero_length").when(n === 1, "single")
           .when(n > 1 && allZero, "all_zero")
-        val rows = df.select(pattern.as("pattern"), (n * elemSize).as("bytes"))
+        df.select(pattern.as("pattern"), (n * elemSize).cast("long").as("bytes"))
           .filter(col("pattern").isNotNull)
-          .groupBy("pattern").agg(count(lit(1)).as("count"), sum("bytes").as("data_bytes"))
-          .collect()
-        var cnt = 0L; var waste = 0L
-        rows.foreach { r =>
-          val c = r.getLong(1); val data = r.getLong(2)
-          cnt += c
-          waste += (r.getString(0) match {
-            case "zero_length" => c * ArrayHeader
-            case "all_zero" => data + c * ArrayHeader
-            case _ => c * (ArrayHeader - elemSize)
-          })
-        }
-        if (cnt > 0) Some((pt, cnt, waste)) else None
+          .groupBy("pattern").agg(count(lit(1)).as("n_arrays"), sum("bytes").as("data_bytes"))
+          .select(lit(pt).as("prim_type"), col("pattern"), col("n_arrays"), col("data_bytes"),
+            when(col("pattern") === "zero_length", col("n_arrays") * ArrayHeader)
+              .when(col("pattern") === "all_zero", col("data_bytes") + col("n_arrays") * ArrayHeader)
+              .otherwise(col("n_arrays") * (ArrayHeader - elemSize)).as("waste_bytes"))
       }
     }
-    if (perType.isEmpty) None else {
-      val (cnt, waste) = (perType.map(_._2).sum, perType.map(_._3).sum)
-      Some(WasteFinding("Bad Primitive Arrays", 1, classifySeverity(waste), cnt, waste,
-        s"$cnt wasteful primitive arrays (zero-length, single, all-zero)",
-        "Replace zero-length with shared constants, avoid single-element arrays where a scalar field suffices, check all-zero arrays for uninitialized buffers",
-        perType.map { case (pt, c, w) => s"  $pt[]: $c wasteful (${formatBytes(w)})" }))
-    }
+    if (dfs.isEmpty) None
+    else Some(dfs.reduce(_ unionByName _).orderBy("prim_type", "pattern"))
   }
+
+  def checkBadPrimitiveArrays(): Option[WasteFinding] =
+    badPrimitiveArrayPatterns.flatMap { df =>
+      val perType = df.collect().toSeq
+        .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .map { case (pt, rows) =>
+          (pt, rows.map(_.getLong(2)).sum, rows.map(_.getLong(4)).sum)
+        }
+        .filter(_._2 > 0)
+      if (perType.isEmpty) None else {
+        val (cnt, waste) = (perType.map(_._2).sum, perType.map(_._3).sum)
+        Some(WasteFinding("Bad Primitive Arrays", 1, classifySeverity(waste), cnt, waste,
+          s"$cnt wasteful primitive arrays (zero-length, single, all-zero)",
+          "Replace zero-length with shared constants, avoid single-element arrays where a scalar field suffices, check all-zero arrays for uninitialized buffers",
+          perType.map { case (pt, c, w) => s"  $pt[]: $c wasteful (${formatBytes(w)})" }))
+      }
+    }
 
   // -- B10: boxed primitives ------------------------------------------
 
-  def checkBoxedNumbers(): Option[WasteFinding] = {
-    val wrappers = Seq("Integer", "Long", "Short", "Byte", "Float", "Double", "Boolean", "Character")
-    val perType = wrappers.flatMap { w =>
-      t.byClass(s"java.lang.$w").flatMap { df =>
-        val cnt = df.count()
-        if (cnt > 0) Some((w, cnt, cnt * ObjectHeader)) else None
+  /** B10 core: per-wrapper instance counts + header overhead. */
+  def boxedCounts: Option[DataFrame] = {
+    val wrappers = Seq("Boolean", "Byte", "Character", "Double", "Float", "Integer", "Long", "Short")
+    val dfs = wrappers.flatMap { w =>
+      t.byClass(s"java.lang.$w").map { df =>
+        df.agg(count(lit(1)).as("n_objs"))
+          .select(lit(w).as("wrapper"), col("n_objs"),
+            (col("n_objs") * ObjectHeader).as("waste_bytes"))
+          .filter(col("n_objs") > 0)
       }
     }
+    if (dfs.isEmpty) None else Some(dfs.reduce(_ unionByName _).orderBy("wrapper"))
+  }
+
+  def checkBoxedNumbers(): Option[WasteFinding] = {
+    val perType = boxedCounts.toSeq.flatMap(_.collect().toSeq)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     if (perType.isEmpty) None else {
       val (cnt, waste) = (perType.map(_._2).sum, perType.map(_._3).sum)
       Some(WasteFinding("Boxed Primitives", 1, classifySeverity(waste), cnt, waste,
@@ -326,69 +389,75 @@ final class HeapAnalysis(t: HeapTables) {
 
   // -- B11: collection sizing -----------------------------------------
 
+  /** B11 core: sparse HashMaps (<33% full, >=16 slots) and oversized
+    * ArrayList backing arrays (>2x needed, >8 spare) with counts and
+    * wasted slot bytes.
+    */
+  def collectionSizingStats: Option[DataFrame] = t.system("_object_arrays").flatMap { oa0 =>
+    val oa = oa0.select(col("obj_id").as("__aid"), size(col("elements")).as("cap"))
+    val parts = Seq(
+      t.byClass("java.util.HashMap")
+        .filter(d => d.columns.contains("size") && d.columns.contains("table"))
+        .map { hm =>
+          hm.filter(col("size") >= 2 && col("table") =!= 0)
+            .select(col("size"), col("table").as("__aid"))
+            .join(oa, "__aid")
+            .filter(col("cap") >= 16 && col("size").cast("double") / col("cap").cast("double") < 0.33)
+            .agg(count(lit(1)).as("n_colls"),
+              coalesce(sum(col("cap") * RefSize), lit(0L)).as("wasted_bytes"))
+            .select(lit("sparse_hashmap").as("kind"), col("n_colls"), col("wasted_bytes"))
+        },
+      t.byClass("java.util.ArrayList")
+        .filter(d => d.columns.contains("size") && d.columns.contains("elementData"))
+        .map { al =>
+          al.filter(col("size") >= 1 && col("elementData") =!= 0)
+            .select(col("size"), col("elementData").as("__aid"))
+            .join(oa, "__aid")
+            .filter(col("cap") > col("size") * 2 && col("cap") - col("size") > 8)
+            .agg(count(lit(1)).as("n_colls"),
+              coalesce(sum((col("cap") - col("size")) * RefSize), lit(0L)).as("wasted_bytes"))
+            .select(lit("oversized_arraylist").as("kind"), col("n_colls"), col("wasted_bytes"))
+        }).flatten
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_ unionByName _).filter(col("n_colls") > 0).orderBy("kind"))
+  }
+
   def checkCollectionSizing(): Option[WasteFinding] = {
-    val oaOpt = t.system("_object_arrays")
-    val sub = scala.collection.mutable.ArrayBuffer.empty[String]
-    var cnt = 0L; var waste = 0L
-    for (hm <- t.byClass("java.util.HashMap"); oa <- oaOpt
-         if hm.columns.contains("size") && hm.columns.contains("table")) {
-      val r = hm.filter(col("size") >= 2 && col("table") =!= 0)
-        .select(col("size"), col("table").as("table_id"))
-        .join(oa, col("table_id") === oa("obj_id"))
-        .select(col("size"), size(col("elements")).as("cap"))
-        .filter(col("cap") >= 16 && col("size").cast("double") / col("cap").cast("double") < 0.33)
-        .agg(count(lit(1)).as("count"),
-          coalesce(sum(col("cap") * RefSize), lit(0L)).as("wasted"),
-          avg(col("size").cast("double") / col("cap").cast("double")).as("avg_util"))
-        .collect()(0)
-      if (r.getLong(0) > 0) {
-        cnt += r.getLong(0); waste += r.getLong(1)
-        sub += f"  Sparse HashMaps (<33%% full, >=16 slots): ${r.getLong(0)} (avg util: ${r.getDouble(2) * 100}%.1f%%, wasted slots: ${formatBytes(r.getLong(1))})"
+    val rows = collectionSizingStats.toSeq.flatMap(_.collect().toSeq)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (rows.isEmpty) None else {
+      val (cnt, waste) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      val sub = rows.map {
+        case ("sparse_hashmap", c, w) =>
+          s"  Sparse HashMaps (<33% full, >=16 slots): $c (wasted slots: ${formatBytes(w)})"
+        case (_, c, w) =>
+          s"  Oversized ArrayList backing arrays (>2x needed, >8 spare): $c (${formatBytes(w)})"
       }
+      Some(WasteFinding("Collection Sizing Issues", 2,
+        classifySeverity(waste), cnt, waste, s"$cnt poorly-sized collections",
+        "Use initial capacity hints: new HashMap<>(expectedSize) or new ArrayList<>(expectedSize); call trimToSize() after bulk adds",
+        sub))
     }
-    for (al <- t.byClass("java.util.ArrayList"); oa <- oaOpt
-         if al.columns.contains("size") && al.columns.contains("elementData")) {
-      val r = al.filter(col("size") >= 1 && col("elementData") =!= 0)
-        .select(col("size"), col("elementData").as("arr_id"))
-        .join(oa, col("arr_id") === oa("obj_id"))
-        .select(col("size"), size(col("elements")).as("cap"))
-        .filter(col("cap") > col("size") * 2 && col("cap") - col("size") > 8)
-        .agg(count(lit(1)).as("count"),
-          coalesce(sum((col("cap") - col("size")) * RefSize), lit(0L)).as("wasted"))
-        .collect()(0)
-      if (r.getLong(0) > 0) {
-        cnt += r.getLong(0); waste += r.getLong(1)
-        sub += s"  Oversized ArrayList backing arrays (>2x needed, >8 spare): ${r.getLong(0)} (${formatBytes(r.getLong(1))})"
-      }
-    }
-    if (cnt == 0) None else Some(WasteFinding("Collection Sizing Issues", 2,
-      classifySeverity(waste), cnt, waste, s"$cnt poorly-sized collections",
-      "Use initial capacity hints: new HashMap<>(expectedSize) or new ArrayList<>(expectedSize); call trimToSize() after bulk adds",
-      sub.toSeq))
   }
 
   // -- B12: duplicate byte arrays -------------------------------------
 
-  private def duplicateArrays(df: DataFrame, lenCond: Column => Column,
-      elemCol: String, elemSize: Int): (Long, Long, Long) = {
-    val n = size(col(elemCol))
-    val r = df.filter(lenCond(n))
-      .select(md5(col(elemCol).cast("string").cast("binary")).as("hash"), n.as("len"))
-      .groupBy("hash")
-      .agg(count(lit(1)).as("dup_count"), min("len").as("len"))
-      .filter(col("dup_count") > 1)
-      .agg(coalesce(sum("dup_count"), lit(0L)).as("total"),
-        coalesce(sum((col("dup_count") - 1) * col("len") * elemSize), lit(0L)).as("wasted"),
-        count(lit(1)).as("uniq"))
-      .collect()(0)
-    (r.getLong(0), r.getLong(1), r.getLong(2))
-  }
+  /** B12 core: duplicate byte[] rollup (arrays <=10KB). */
+  def dupByteArrayStats: Option[DataFrame] =
+    t.system("_primitive_arrays_byte").map(b =>
+      dupRollup(dupGrouped(b, "values", n => n > 0 && n <= 10240), 1, ArrayHeader))
+
+  /** B17 core: duplicate object-array rollup (1-100 elements). */
+  def dupObjectArrayStats: Option[DataFrame] =
+    t.system("_object_arrays").map(oa =>
+      dupRollup(dupGrouped(oa, "elements", n => n.between(1, 100)), RefSize.toInt, ArrayHeader))
 
   def checkDuplicateByteArrays(): Option[WasteFinding] =
-    t.system("_primitive_arrays_byte").flatMap { b =>
-      val (total, wasted0, uniq) = duplicateArrays(b, n => n > 0 && n <= 10240, "values", 1)
+    dupByteArrayStats.flatMap { df =>
+      val r = df.collect()(0)
+      val (total, uniq, wasted) =
+        (r.getAs[Long]("total_dups"), r.getAs[Long]("unique_vals"), r.getAs[Long]("wasted_bytes"))
       if (total == 0) None else {
-        val wasted = wasted0 + (total - uniq) * ArrayHeader
         Some(WasteFinding("Duplicate byte[] Arrays", 2, classifySeverity(wasted), total, wasted,
           s"$total duplicate byte arrays across $uniq unique values (arrays <=10KB)",
           "Cache/intern frequently reused byte arrays; check for serialization producing identical buffers"))
@@ -397,8 +466,12 @@ final class HeapAnalysis(t: HeapTables) {
 
   // -- B13: class count -----------------------------------------------
 
-  def checkClassCount(): Option[WasteFinding] = t.system("_object_index").flatMap { oi =>
-    val cnt = oi.agg(countDistinct(col("type_name"))).collect()(0).getLong(0)
+  /** B13 core: distinct loaded-class count. */
+  def classCountStats: Option[DataFrame] = t.system("_object_index").map(
+    _.agg(countDistinct(col("type_name")).as("n_classes")))
+
+  def checkClassCount(): Option[WasteFinding] = classCountStats.flatMap { df =>
+    val cnt = df.collect()(0).getLong(0)
     if (cnt < 10000) None else {
       val severity = if (cnt > 50000) "HIGH" else if (cnt > 20000) "MEDIUM" else "INFO"
       Some(WasteFinding("Class Count / Leak Detection", 2, severity, cnt, cnt * 8192L,
@@ -409,9 +482,13 @@ final class HeapAnalysis(t: HeapTables) {
 
   // -- B14: GC roots ---------------------------------------------------
 
-  def checkGcRoots(): Option[WasteFinding] = t.system("_gc_roots").flatMap { gr =>
-    val rows = gr.groupBy("root_type").agg(count(lit(1)).as("count"))
-      .orderBy(col("count").desc).collect()
+  /** B14 core: GC-root counts per root type. */
+  def gcRootBreakdown: Option[DataFrame] = t.system("_gc_roots").map(
+    _.groupBy("root_type").agg(count(lit(1)).as("n_roots"))
+      .orderBy(col("n_roots").desc, col("root_type")))
+
+  def checkGcRoots(): Option[WasteFinding] = gcRootBreakdown.flatMap { df =>
+    val rows = df.collect()
     if (rows.isEmpty) None else {
       val total = rows.map(_.getLong(1)).sum
       val severity = if (total > 100000) "MEDIUM" else if (total > 50000) "LOW" else "INFO"
@@ -424,22 +501,30 @@ final class HeapAnalysis(t: HeapTables) {
 
   // -- B15: DirectByteBuffer ------------------------------------------
 
+  /** B15 core: DirectByteBuffer rollup (count, capacity, untouched,
+    * empty, max). Average rides as total/count so both engines fold
+    * the same exact integers.
+    */
+  def directByteBufferStats: Option[DataFrame] =
+    t.byClass("java.nio.DirectByteBuffer")
+      .filter(_.columns.contains("capacity"))
+      .map(db => db.agg(
+        count(lit(1)).as("n_buffers"),
+        coalesce(sum("capacity"), lit(0L)).as("total_cap"),
+        coalesce(sum(when(col("position") === 0 && col("limit") === col("capacity"),
+          col("capacity")).otherwise(0)), lit(0L)).as("untouched"),
+        count(when(col("capacity") === 0, 1)).as("n_empty"),
+        coalesce(max("capacity"), lit(0)).cast("long").as("max_cap")))
+
   def checkDirectByteBuffers(): Option[WasteFinding] =
-    t.byClass("java.nio.DirectByteBuffer").flatMap { db =>
-      if (!db.columns.contains("capacity")) None else {
-        val r = db.agg(
-          count(lit(1)).as("count"),
-          coalesce(sum("capacity"), lit(0L)).as("total_cap"),
-          coalesce(sum(when(col("position") === 0 && col("limit") === col("capacity"),
-            col("capacity")).otherwise(0)), lit(0L)).as("untouched"),
-          count(when(col("capacity") === 0, 1)).as("empty"),
-          coalesce(max("capacity"), lit(0)).as("max_cap"),
-          coalesce(avg("capacity"), lit(0.0)).as("avg_cap")).collect()(0)
-        val cnt = r.getAs[Long]("count")
+    directByteBufferStats.flatMap { df =>
+      {
+        val r = df.collect()(0)
+        val cnt = r.getAs[Long]("n_buffers")
         if (cnt == 0) None else {
           val totalCap = r.getAs[Long]("total_cap")
           val untouched = r.getAs[Long]("untouched")
-          val empty = r.getAs[Long]("empty")
+          val empty = r.getAs[Long]("n_empty")
           val waste = empty * 64L + untouched
           Some(WasteFinding("DirectByteBuffer Off-Heap", 2,
             if (totalCap > 10L * 1024 * 1024) classifySeverity(totalCap) else "INFO",
@@ -449,24 +534,40 @@ final class HeapAnalysis(t: HeapTables) {
             Seq(s"  Total buffers: $cnt",
               s"  Total capacity: ${formatBytes(totalCap)} (off-heap)",
               s"  Empty buffers: $empty",
-              s"  Max single buffer: ${formatBytes(r.getAs[Number]("max_cap").longValue())}",
-              s"  Avg buffer size: ${formatBytes(r.getAs[Double]("avg_cap").toLong)}")))
+              s"  Max single buffer: ${formatBytes(r.getAs[Long]("max_cap"))}",
+              s"  Avg buffer size: ${formatBytes((totalCap.toDouble / cnt).toLong)}")))
         }
       }
     }
 
   // -- B16: thread stacks ---------------------------------------------
 
+  /** B16 core: thread counts per raw threadStatus value. */
+  def threadStatusBreakdown: Option[DataFrame] =
+    t.byClass("java.lang.Thread")
+      .filter(_.columns.contains("threadStatus"))
+      .map(th => th.groupBy(col("threadStatus").cast("int").as("thread_status"))
+        .agg(count(lit(1)).as("n_threads"))
+        .orderBy(col("n_threads").desc, col("thread_status")))
+
+  /** B16 core: stack-trace depth histogram. */
+  def stackDepthDistribution: Option[DataFrame] = t.system("_stack_traces").map { traces =>
+    val depth = size(col("frame_ids"))
+    val bucket = when(depth === 0, "0 (empty)").when(depth <= 5, "1-5")
+      .when(depth <= 20, "6-20").when(depth <= 50, "21-50").otherwise("50+")
+    traces.groupBy(bucket.as("depth_bucket")).agg(count(lit(1)).as("n_traces"))
+      .orderBy(col("n_traces").desc, col("depth_bucket"))
+  }
+
   def checkThreadStacks(): Option[WasteFinding] = t.system("_stack_traces").flatMap { traces =>
     val traceCount = traces.count()
     if (traceCount == 0) None else {
       val sub = scala.collection.mutable.ArrayBuffer.empty[String]
       var alive = 0L; var totalThreads = 0L
-      t.byClass("java.lang.Thread").filter(_.columns.contains("threadStatus")).foreach { th =>
-        val statusRows = th.groupBy("threadStatus").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc).collect()
+      threadStatusBreakdown.foreach { th =>
+        val statusRows = th.collect()
         val decoded = statusRows.map { r =>
-          val s = r.getAs[Number](0).intValue(); val c = r.getLong(1)
+          val s = r.getInt(0); val c = r.getLong(1)
           totalThreads += c
           val flags = if (s == 0) Seq("NEW") else Seq(
             0x0001 -> "ALIVE", 0x0002 -> "TERMINATED", 0x0004 -> "RUNNABLE",
@@ -483,11 +584,7 @@ final class HeapAnalysis(t: HeapTables) {
       }
       if (totalThreads == 0) sub += s"HPROF stack trace records: $traceCount"
 
-      val depth = size(col("frame_ids"))
-      val bucket = when(depth === 0, "0 (empty)").when(depth <= 5, "1-5")
-        .when(depth <= 20, "6-20").when(depth <= 50, "21-50").otherwise("50+")
-      val depthRows = traces.groupBy(bucket.as("depth_bucket"))
-        .agg(count(lit(1)).as("cnt")).orderBy(col("cnt").desc).collect()
+      val depthRows = stackDepthDistribution.map(_.collect()).getOrElse(Array.empty)
       if (depthRows.nonEmpty) {
         sub += "Stack depth distribution:"
         depthRows.foreach(r => sub += f"  ${r.getString(0)}%12s: ${r.getLong(1)}")
@@ -518,10 +615,11 @@ final class HeapAnalysis(t: HeapTables) {
   // -- B17: duplicate object arrays -----------------------------------
 
   def checkDuplicateObjectArrays(): Option[WasteFinding] =
-    t.system("_object_arrays").flatMap { oa =>
-      val (total, wasted0, uniq) = duplicateArrays(oa, n => n.between(1, 100), "elements", RefSize.toInt)
+    dupObjectArrayStats.flatMap { df =>
+      val r = df.collect()(0)
+      val (total, uniq, wasted) =
+        (r.getAs[Long]("total_dups"), r.getAs[Long]("unique_vals"), r.getAs[Long]("wasted_bytes"))
       if (total == 0) None else {
-        val wasted = wasted0 + (total - uniq) * ArrayHeader
         Some(WasteFinding("Duplicate Object Arrays", 3, classifySeverity(wasted), total, wasted,
           s"$total duplicate object arrays across $uniq unique values (arrays 1-100 elements)",
           "Share immutable arrays or use flyweight pattern for identical element sequences"))
@@ -530,17 +628,24 @@ final class HeapAnalysis(t: HeapTables) {
 
   // -- B18: estimated shallow size ------------------------------------
 
-  def checkEstimatedShallowSize(): Option[WasteFinding] = t.system("_object_index").flatMap { oi =>
-    val rows = oi.groupBy("type_name").agg(count(lit(1)).as("count"))
-      .orderBy(col("count").desc).limit(50).collect()
+  /** B18 core: top-N types by instance count with the flat-estimate
+    * shallow bytes (avg ObjectHeader+32 per object).
+    */
+  def shallowSizeTop(limit: Int = 50): Option[DataFrame] = t.system("_object_index").map(
+    _.groupBy("type_name").agg(count(lit(1)).as("n_objs"))
+      .orderBy(col("n_objs").desc, col("type_name")).limit(limit)
+      .withColumn("est_bytes", col("n_objs") * (ObjectHeader + 32)))
+
+  def checkEstimatedShallowSize(): Option[WasteFinding] = shallowSizeTop(50).flatMap { df =>
+    val rows = df.collect()
     if (rows.isEmpty) None else {
       val avgObj = ObjectHeader + 32
       val total = rows.map(_.getLong(1)).sum
-      val est = rows.map(_.getLong(1) * avgObj).sum
+      val est = rows.map(_.getLong(2)).sum
       Some(WasteFinding("Estimated Shallow Size (top 50 types)", 3, "INFO", total, 0L,
         s"Top 50 types estimated at ~${formatBytes(est)} (assuming avg ${avgObj}B per object)",
         "Use -XX:+PrintClassHistogram for exact shallow sizes. This is an approximation.",
-        rows.toSeq.take(15).map(r => s"  ${r.getString(0)}: ${r.getLong(1)} (~${formatBytes(r.getLong(1) * avgObj)})")))
+        rows.toSeq.take(15).map(r => s"  ${r.getString(0)}: ${r.getLong(1)} (~${formatBytes(r.getLong(2))})")))
     }
   }
 

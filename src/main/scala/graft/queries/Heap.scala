@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * A14 generator, runs the full distributed ingestion + analysis
   * path, and returns a DataFrame.
   *
-  * The export lands at a FIXED path so the simpler analysis gates can
-  * carry real DuckDB oracles: DuckDB re-runs the analysis SQL over the
-  * exported parquet (the ingestion itself is value-asserted against
-  * known synthetic heaps in HeapDumpSpec). The waste suite stays
-  * rows-only — its findings assembly isn't one SQL statement.
+  * The export lands at a FIXED path so the analysis gates can carry
+  * real DuckDB oracles: for every waste check (the reference's
+  * analyze_heap_parquet.py:234-1120 suite) DuckDB independently
+  * re-derives the check's aggregate from the exported parquet and the
+  * driver hash-compares. The synthetic heap is seeded so every
+  * pattern each check looks for actually occurs (ingestion itself is
+  * value-asserted against known heaps in HeapDumpSpec).
   */
 object Heap {
 
@@ -29,7 +31,12 @@ object Heap {
     s"${System.getProperty("java.io.tmpdir")}/graft_heap_gate_demo_$pid/parquet"
   }
 
-  /** One synthetic heap + parquet export per JVM, built lazily. */
+  /** One synthetic heap + parquet export per JVM, built lazily. The
+    * heap is seeded with every waste pattern the B-checks detect:
+    * duplicate strings/arrays, bad collections, bad object/primitive
+    * arrays, boxed primitives, sparse/oversized backing arrays,
+    * DirectByteBuffers, thread statuses, stack traces, statics.
+    */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def demoDir(spark: SparkSession): String =
@@ -40,18 +47,99 @@ object Heap {
         instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
       val hm = w.defineClass("java.util.HashMap", obj,
         instanceFields = Seq("size" -> BasicType.Int, "table" -> BasicType.Object))
+      val al = w.defineClass("java.util.ArrayList", obj,
+        instanceFields = Seq("size" -> BasicType.Int, "elementData" -> BasicType.Object))
+      val integerCls = w.defineClass("java.lang.Integer", obj,
+        instanceFields = Seq("value" -> BasicType.Int))
+      val longCls = w.defineClass("java.lang.Long", obj,
+        instanceFields = Seq("value" -> BasicType.Long))
+      val threadCls = w.defineClass("java.lang.Thread", obj,
+        instanceFields = Seq("threadStatus" -> BasicType.Int))
+      val dbbCls = w.defineClass("java.nio.DirectByteBuffer", obj,
+        instanceFields = Seq("capacity" -> BasicType.Int, "position" -> BasicType.Int,
+          "limit" -> BasicType.Int))
       val oaCls = w.defineClass("[Ljava.lang.Object;", obj)
-      val bs = (0 until 40).map(i => w.byteArray(s"payload-${i % 10}")) // 4x duplication
+
+      // B6/B12: 4 copies each of 10 unique payloads behind Strings
+      val bs = (0 until 40).map(i => w.byteArray(s"payload-${i % 10}"))
       val strs = bs.map(b => w.instance(str, Seq(BasicType.Object -> b, BasicType.Int -> b.toInt)))
-      (0 until 8).foreach(_ => w.instance(hm, Seq(BasicType.Int -> 0, BasicType.Object -> 0L)))
-      w.objArray(oaCls, Seq.empty)
-      w.objArray(oaCls, Seq.fill(5)(0L))
+      // B4/B5: large byte arrays across the histogram buckets
+      Seq(150, 2500, 15000, 150000).foreach { n =>
+        w.primArray(BasicType.Byte, Array.tabulate(n)(i => ((i % 101) + 1).toByte).toSeq)
+      }
+
+      // B9: primitive-array patterns across all 8 element types
+      w.primArray(BasicType.Int, Seq.fill(16)(0))            // all_zero
+      w.primArray(BasicType.Int, Seq.empty)                  // zero_length
+      w.primArray(BasicType.Int, Seq(7))                     // single
+      w.primArray(BasicType.Int, Seq(1, 2, 3))
+      w.primArray(BasicType.Long, Seq.fill(4)(0L))           // all_zero
+      w.primArray(BasicType.Long, Seq(1L, 2L))
+      w.primArray(BasicType.Boolean, Seq(false, false, false)) // all_zero
+      w.primArray(BasicType.Boolean, Seq(true, false))
+      w.primArray(BasicType.Char, Seq('a'.toInt))            // single
+      w.primArray(BasicType.Char, Seq('h'.toInt, 'i'.toInt))
+      w.primArray(BasicType.Short, Seq.empty)                // zero_length
+      w.primArray(BasicType.Short, Seq(3.toShort, 4.toShort))
+      w.primArray(BasicType.Float, Seq(1.5f))                // single
+      w.primArray(BasicType.Float, Seq(0.5f, 2.5f))
+      w.primArray(BasicType.Double, Seq(0.0, 0.0))           // all_zero
+      w.primArray(BasicType.Double, Seq(1.25, 2.5))
+
+      // B8/B17: object-array patterns + one duplicate pair
+      w.objArray(oaCls, Seq.empty)                           // zero_length
+      w.objArray(oaCls, Seq.fill(5)(0L))                     // all_null
       w.objArray(oaCls, strs.take(3))
-      w.primArray(BasicType.Int, Seq.fill(16)(0))
+      w.objArray(oaCls, Seq(strs(3)))                        // single_element
+      w.objArray(oaCls, strs.take(2) ++ Seq.fill(8)(0L))     // sparse
+      w.objArray(oaCls, Seq(strs(4), strs(5)))               // dup pair a
+      w.objArray(oaCls, Seq(strs(4), strs(5)))               // dup pair b
+      val hmTable = w.objArray(oaCls, Seq(strs(6)) ++ Seq.fill(31)(0L))
+      val alBacking = w.objArray(oaCls, strs.slice(7, 10) ++ Seq.fill(17)(0L))
+
+      // B7/B11: empty/single/sparse HashMaps, empty/single/oversized ArrayLists
+      (0 until 8).foreach(_ => w.instance(hm, Seq(BasicType.Int -> 0, BasicType.Object -> 0L)))
+      w.instance(hm, Seq(BasicType.Int -> 1, BasicType.Object -> 0L))
+      w.instance(hm, Seq(BasicType.Int -> 2, BasicType.Object -> hmTable))
+      w.instance(al, Seq(BasicType.Int -> 0, BasicType.Object -> 0L))
+      w.instance(al, Seq(BasicType.Int -> 1, BasicType.Object -> 0L))
+      w.instance(al, Seq(BasicType.Int -> 3, BasicType.Object -> alBacking))
+
+      // B10: boxed primitives
+      (1 to 5).foreach(i => w.instance(integerCls, Seq(BasicType.Int -> i)))
+      (1 to 3).foreach(i => w.instance(longCls, Seq(BasicType.Long -> i.toLong)))
+
+      // B16: thread statuses (3 RUNNABLE, 2 TIMED_WAITING, 1 TERMINATED, 1 NEW)
+      Seq(0x05, 0x05, 0x05, 0x21, 0x21, 0x02, 0x00).foreach { st =>
+        w.instance(threadCls, Seq(BasicType.Int -> st))
+      }
+
+      // B15: DirectByteBuffers (2 untouched, 1 empty, 1 in use)
+      Seq((4096, 0, 4096), (8192, 0, 8192), (0, 0, 0), (1024, 100, 512)).foreach {
+        case (cap, pos, lim) => w.instance(dbbCls,
+          Seq(BasicType.Int -> cap, BasicType.Int -> pos, BasicType.Int -> lim))
+      }
+
+      // A8/B14: one root per encoding family
       w.gcRoot(Sub.RootStickyClass, str)
       w.gcRoot(Sub.RootThreadObject, strs.head, threadSerial = 1)
+      w.gcRoot(Sub.RootJniGlobal, strs(1))
+      w.gcRoot(Sub.RootJavaFrame, strs(2), threadSerial = 1, frameIdx = 0)
+      w.gcRoot(Sub.RootMonitorUsed, strs(3))
+
+      // A7: static fields (object ref, primitive, null ref)
+      w.defineClass("com.example.Registry", obj, staticFields = Seq(
+        ("CACHE", BasicType.Object, strs.head),
+        ("LIMIT", BasicType.Int, 42),
+        ("EMPTY_REF", BasicType.Object, 0L)))
+
+      // A10: stack frames + traces with depths 1 / 3 / 0
       val f1 = w.stackFrame("main", "()V", "Main.java", "java.lang.String", 1)
+      val f2 = w.stackFrame("run", "()V", "Worker.java", "java.lang.Thread", 42)
+      val f3 = w.stackFrame("poll", "()Ljava/lang/Object;", "Queue.java", "java.util.HashMap", 17)
       w.stackTrace(1, 1, Seq(f1))
+      w.stackTrace(2, 1, Seq(f2, f3, f1))
+      w.stackTrace(3, 2, Seq.empty)
 
       val dir = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(exportDir).getParent)
@@ -64,6 +152,9 @@ object Heap {
   private def analysis(spark: SparkSession) =
     new HeapAnalysis(new HeapTables(spark, demoDir(spark)))
 
+  private def table(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(s"${demoDir(spark)}/$name")
+
   /** A1-A11: ingestion round-trip — the robo object index. DuckDB
     * re-aggregates the same exported parquet.
     */
@@ -73,7 +164,7 @@ object Heap {
        |FROM read_parquet('$exportDir/_object_index/*.parquet')
        |GROUP BY type_name
        |ORDER BY n DESC, type_name""".stripMargin) { (s, _) =>
-    s.read.parquet(s"${demoDir(s)}/_object_index")
+    table(s, "_object_index")
       .groupBy("type_name").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("type_name"))
   }
@@ -92,20 +183,309 @@ object Heap {
   /** B4: byte-array size histogram. */
   val qHeapHistogram: GateQuery = GateQuery(
     "q_heap_byte_histogram",
-    s"""SELECT CASE WHEN len(values) < 100 THEN '0-99'
-       |            WHEN len(values) < 1000 THEN '100-999'
-       |            WHEN len(values) < 10000 THEN '1K-10K'
-       |            WHEN len(values) < 100000 THEN '10K-100K'
+    s"""SELECT CASE WHEN len("values") < 100 THEN '0-99'
+       |            WHEN len("values") < 1000 THEN '100-999'
+       |            WHEN len("values") < 10000 THEN '1K-10K'
+       |            WHEN len("values") < 100000 THEN '10K-100K'
        |            ELSE '100K+' END AS bucket,
        |  COUNT(*) AS count,
-       |  round(CAST(SUM(len(values)) AS DOUBLE) / 1048576.0, 2) AS total_mb
+       |  round(CAST(SUM(len("values")) AS DOUBLE) / 1048576.0, 2) AS total_mb
        |FROM read_parquet('$exportDir/_primitive_arrays_byte/*.parquet')
        |GROUP BY 1
-       |ORDER BY total_mb DESC""".stripMargin) { (s, _) =>
+       |ORDER BY total_mb DESC, bucket""".stripMargin) { (s, _) =>
     analysis(s).byteArrayDistribution.get
   }
 
-  /** B6-B19: the waste suite as a findings DataFrame. */
+  /** B5: large byte arrays (reference check `large_byte_arrays`). */
+  val qHeapLargeArrays: GateQuery = GateQuery(
+    "q_heap_large_arrays",
+    s"""SELECT obj_id, len("values") AS size_bytes,
+       |  round(len("values") / 1024.0, 1) AS size_kb
+       |FROM read_parquet('$exportDir/_primitive_arrays_byte/*.parquet')
+       |WHERE len("values") > 1000
+       |ORDER BY size_bytes DESC, obj_id
+       |LIMIT 20""".stripMargin) { (s, _) =>
+    analysis(s).largeByteArrays(minBytes = 1000, limit = 20).get
+  }
+
+  /** B6: duplicate-string rollup (analyze_heap_parquet.py:234). DuckDB
+    * re-joins String→byte[] and groups by content independently.
+    */
+  val qHeapDupStrings: GateQuery = GateQuery(
+    "q_heap_dup_strings",
+    s"""WITH j AS (
+       |  SELECT b."values" AS v, len(b."values") AS l
+       |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
+       |  JOIN read_parquet('$exportDir/_primitive_arrays_byte/*.parquet') b
+       |    ON s.value = b.obj_id
+       |  WHERE s.value <> 0),
+       |g AS (SELECT COUNT(*) AS dc, MIN(l) AS l FROM j GROUP BY v HAVING COUNT(*) > 1)
+       |SELECT COALESCE(CAST(SUM(dc) AS BIGINT), 0) AS total_dups,
+       |  COUNT(*) AS unique_vals,
+       |  COALESCE(CAST(MAX(dc) AS BIGINT), 0) AS worst,
+       |  CAST(COALESCE(SUM((dc - 1) * l), 0)
+       |    + (COALESCE(SUM(dc), 0) - COUNT(*)) * 40 AS BIGINT) AS wasted_bytes
+       |FROM g""".stripMargin) { (s, _) =>
+    analysis(s).dupStringStats().get
+  }
+
+  /** B7: empty/single-element collections per type. */
+  val qHeapBadCollections: GateQuery = GateQuery(
+    "q_heap_bad_collections",
+    s"""SELECT * FROM (
+       |  SELECT 'ArrayList' AS coll_type,
+       |    COUNT(CASE WHEN "size" = 0 THEN 1 END) AS empty_count,
+       |    COUNT(CASE WHEN "size" = 1 THEN 1 END) AS single_count,
+       |    COUNT(CASE WHEN "size" = 0 THEN 1 END) * 96
+       |      + COUNT(CASE WHEN "size" = 1 THEN 1 END) * 92 AS waste_bytes
+       |  FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet')
+       |  UNION ALL
+       |  SELECT 'HashMap',
+       |    COUNT(CASE WHEN "size" = 0 THEN 1 END),
+       |    COUNT(CASE WHEN "size" = 1 THEN 1 END),
+       |    COUNT(CASE WHEN "size" = 0 THEN 1 END) * 128
+       |      + COUNT(CASE WHEN "size" = 1 THEN 1 END) * 152
+       |  FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet'))
+       |WHERE empty_count + single_count > 0
+       |ORDER BY coll_type""".stripMargin) { (s, _) =>
+    analysis(s).badCollectionStats.get
+  }
+
+  /** B8: wasteful object-array patterns. */
+  val qHeapBadObjectArrays: GateQuery = GateQuery(
+    "q_heap_bad_object_arrays",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN len(elements) = 0 THEN 'zero_length'
+       |    WHEN len(list_filter(elements, x -> x = 0)) = len(elements) THEN 'all_null'
+       |    WHEN len(elements) = 1 THEN 'single_element'
+       |    WHEN len(elements) > 3 AND
+       |      CAST(len(list_filter(elements, x -> x = 0)) AS DOUBLE) / len(elements) > 0.7
+       |      THEN 'sparse' END AS pattern,
+       |    len(elements) AS n
+       |  FROM read_parquet('$exportDir/_object_arrays/*.parquet'))
+       |SELECT pattern, COUNT(*) AS n_arrays, CAST(SUM(n) AS BIGINT) AS total_slots
+       |FROM p WHERE pattern IS NOT NULL
+       |GROUP BY pattern ORDER BY pattern""".stripMargin) { (s, _) =>
+    analysis(s).badObjectArrayPatterns.get
+  }
+
+  /** B9: wasteful primitive-array patterns across all 8 element types. */
+  val qHeapBadPrimArrays: GateQuery = {
+    val types = Seq(("boolean", 1), ("byte", 1), ("char", 2), ("short", 2),
+      ("int", 4), ("long", 8), ("float", 4), ("double", 8))
+    val branches = types.map { case (pt, es) =>
+      val allZero =
+        if (pt == "boolean") s"""NOT list_contains("values", true)"""
+        else s"""list_min("values") = 0 AND list_max("values") = 0"""
+      s"""  SELECT '$pt' AS prim_type, $es AS es,
+         |    CASE WHEN len("values") = 0 THEN 'zero_length'
+         |      WHEN len("values") = 1 THEN 'single'
+         |      WHEN len("values") > 1 AND $allZero THEN 'all_zero' END AS pattern,
+         |    len("values") * $es AS bytes
+         |  FROM read_parquet('$exportDir/_primitive_arrays_$pt/*.parquet')""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    GateQuery(
+      "q_heap_bad_prim_arrays",
+      s"""WITH all_p AS (
+         |$branches)
+         |SELECT prim_type, pattern, COUNT(*) AS n_arrays,
+         |  CAST(SUM(bytes) AS BIGINT) AS data_bytes,
+         |  CAST(CASE WHEN pattern = 'zero_length' THEN COUNT(*) * 16
+         |    WHEN pattern = 'all_zero' THEN SUM(bytes) + COUNT(*) * 16
+         |    ELSE COUNT(*) * (16 - MIN(es)) END AS BIGINT) AS waste_bytes
+         |FROM all_p WHERE pattern IS NOT NULL
+         |GROUP BY prim_type, pattern
+         |ORDER BY prim_type, pattern""".stripMargin) { (s, _) =>
+      analysis(s).badPrimitiveArrayPatterns.get
+    }
+  }
+
+  /** B10: boxed-primitive counts (demo heap has Integer + Long). */
+  val qHeapBoxed: GateQuery = GateQuery(
+    "q_heap_boxed",
+    s"""SELECT * FROM (
+       |  SELECT 'Integer' AS wrapper, COUNT(*) AS n_objs, COUNT(*) * 16 AS waste_bytes
+       |  FROM read_parquet('$exportDir/java.lang.Integer_*/*.parquet')
+       |  UNION ALL
+       |  SELECT 'Long', COUNT(*), COUNT(*) * 16
+       |  FROM read_parquet('$exportDir/java.lang.Long_*/*.parquet'))
+       |WHERE n_objs > 0
+       |ORDER BY wrapper""".stripMargin) { (s, _) =>
+    analysis(s).boxedCounts.get
+  }
+
+  /** B11: sparse HashMaps + oversized ArrayList backing arrays. */
+  val qHeapCollectionSizing: GateQuery = GateQuery(
+    "q_heap_collection_sizing",
+    s"""WITH oa AS (
+       |  SELECT obj_id, len(elements) AS cap
+       |  FROM read_parquet('$exportDir/_object_arrays/*.parquet')),
+       |sh AS (
+       |  SELECT COUNT(*) AS n, COALESCE(CAST(SUM(cap * 4) AS BIGINT), 0) AS w
+       |  FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
+       |  JOIN oa ON h."table" = oa.obj_id
+       |  WHERE h."size" >= 2 AND h."table" <> 0 AND cap >= 16
+       |    AND CAST(h."size" AS DOUBLE) / CAST(cap AS DOUBLE) < 0.33),
+       |oal AS (
+       |  SELECT COUNT(*) AS n, COALESCE(CAST(SUM((cap - a."size") * 4) AS BIGINT), 0) AS w
+       |  FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
+       |  JOIN oa ON a.elementData = oa.obj_id
+       |  WHERE a."size" >= 1 AND a.elementData <> 0
+       |    AND cap > a."size" * 2 AND cap - a."size" > 8)
+       |SELECT * FROM (
+       |  SELECT 'oversized_arraylist' AS kind, n AS n_colls, w AS wasted_bytes FROM oal
+       |  UNION ALL
+       |  SELECT 'sparse_hashmap', n, w FROM sh)
+       |WHERE n_colls > 0
+       |ORDER BY kind""".stripMargin) { (s, _) =>
+    analysis(s).collectionSizingStats.get
+  }
+
+  /** B12: duplicate byte[] rollup (arrays <=10KB). */
+  val qHeapDupByteArrays: GateQuery = GateQuery(
+    "q_heap_dup_byte_arrays",
+    s"""WITH g AS (
+       |  SELECT COUNT(*) AS dc, MIN(len("values")) AS l
+       |  FROM read_parquet('$exportDir/_primitive_arrays_byte/*.parquet')
+       |  WHERE len("values") > 0 AND len("values") <= 10240
+       |  GROUP BY "values" HAVING COUNT(*) > 1)
+       |SELECT COALESCE(CAST(SUM(dc) AS BIGINT), 0) AS total_dups,
+       |  COUNT(*) AS unique_vals,
+       |  COALESCE(CAST(MAX(dc) AS BIGINT), 0) AS worst,
+       |  CAST(COALESCE(SUM((dc - 1) * l), 0)
+       |    + (COALESCE(SUM(dc), 0) - COUNT(*)) * 16 AS BIGINT) AS wasted_bytes
+       |FROM g""".stripMargin) { (s, _) =>
+    analysis(s).dupByteArrayStats.get
+  }
+
+  /** B17: duplicate object-array rollup (1-100 elements). */
+  val qHeapDupObjArrays: GateQuery = GateQuery(
+    "q_heap_dup_obj_arrays",
+    s"""WITH g AS (
+       |  SELECT COUNT(*) AS dc, MIN(len(elements)) AS l
+       |  FROM read_parquet('$exportDir/_object_arrays/*.parquet')
+       |  WHERE len(elements) BETWEEN 1 AND 100
+       |  GROUP BY elements HAVING COUNT(*) > 1)
+       |SELECT COALESCE(CAST(SUM(dc) AS BIGINT), 0) AS total_dups,
+       |  COUNT(*) AS unique_vals,
+       |  COALESCE(CAST(MAX(dc) AS BIGINT), 0) AS worst,
+       |  CAST(COALESCE(SUM((dc - 1) * l * 4), 0)
+       |    + (COALESCE(SUM(dc), 0) - COUNT(*)) * 16 AS BIGINT) AS wasted_bytes
+       |FROM g""".stripMargin) { (s, _) =>
+    analysis(s).dupObjectArrayStats.get
+  }
+
+  /** B13: distinct class count. */
+  val qHeapClassCount: GateQuery = GateQuery(
+    "q_heap_class_count",
+    s"""SELECT COUNT(DISTINCT type_name) AS n_classes
+       |FROM read_parquet('$exportDir/_object_index/*.parquet')""".stripMargin) { (s, _) =>
+    analysis(s).classCountStats.get
+  }
+
+  /** A8/B14: GC-root breakdown. */
+  val qHeapGcRoots: GateQuery = GateQuery(
+    "q_heap_gc_roots",
+    s"""SELECT root_type, COUNT(*) AS n_roots
+       |FROM read_parquet('$exportDir/_gc_roots/*.parquet')
+       |GROUP BY root_type
+       |ORDER BY n_roots DESC, root_type""".stripMargin) { (s, _) =>
+    analysis(s).gcRootBreakdown.get
+  }
+
+  /** B15: DirectByteBuffer rollup. */
+  val qHeapDbb: GateQuery = GateQuery(
+    "q_heap_dbb",
+    s"""SELECT COUNT(*) AS n_buffers,
+       |  COALESCE(CAST(SUM(capacity) AS BIGINT), 0) AS total_cap,
+       |  COALESCE(CAST(SUM(CASE WHEN "position" = 0 AND "limit" = capacity
+       |    THEN capacity ELSE 0 END) AS BIGINT), 0) AS untouched,
+       |  COUNT(CASE WHEN capacity = 0 THEN 1 END) AS n_empty,
+       |  COALESCE(CAST(MAX(capacity) AS BIGINT), 0) AS max_cap
+       |FROM read_parquet('$exportDir/java.nio.DirectByteBuffer_*/*.parquet')""".stripMargin) { (s, _) =>
+    analysis(s).directByteBufferStats.get
+  }
+
+  /** B16: thread-status breakdown. */
+  val qHeapThreadStatus: GateQuery = GateQuery(
+    "q_heap_thread_status",
+    s"""SELECT CAST(threadStatus AS INTEGER) AS thread_status, COUNT(*) AS n_threads
+       |FROM read_parquet('$exportDir/java.lang.Thread_*/*.parquet')
+       |GROUP BY 1
+       |ORDER BY n_threads DESC, thread_status""".stripMargin) { (s, _) =>
+    analysis(s).threadStatusBreakdown.get
+  }
+
+  /** B16: stack-depth histogram. */
+  val qHeapStackDepth: GateQuery = GateQuery(
+    "q_heap_stack_depth",
+    s"""SELECT CASE WHEN len(frame_ids) = 0 THEN '0 (empty)'
+       |  WHEN len(frame_ids) <= 5 THEN '1-5'
+       |  WHEN len(frame_ids) <= 20 THEN '6-20'
+       |  WHEN len(frame_ids) <= 50 THEN '21-50'
+       |  ELSE '50+' END AS depth_bucket,
+       |  COUNT(*) AS n_traces
+       |FROM read_parquet('$exportDir/_stack_traces/*.parquet')
+       |GROUP BY 1
+       |ORDER BY n_traces DESC, depth_bucket""".stripMargin) { (s, _) =>
+    analysis(s).stackDepthDistribution.get
+  }
+
+  /** B18: estimated shallow size of the top types. */
+  val qHeapShallowSize: GateQuery = GateQuery(
+    "q_heap_shallow_size",
+    s"""SELECT type_name, COUNT(*) AS n_objs, COUNT(*) * 48 AS est_bytes
+       |FROM read_parquet('$exportDir/_object_index/*.parquet')
+       |GROUP BY type_name
+       |ORDER BY n_objs DESC, type_name
+       |LIMIT 50""".stripMargin) { (s, _) =>
+    analysis(s).shallowSizeTop(50).get
+  }
+
+  /** A7: static-field table round-trip. */
+  val qHeapStaticFields: GateQuery = GateQuery(
+    "q_heap_static_fields",
+    s"""SELECT class_name, field_name, field_type, primitive_value, ref_id
+       |FROM read_parquet('$exportDir/_static_fields/*.parquet')
+       |ORDER BY class_name, field_name""".stripMargin) { (s, _) =>
+    table(s, "_static_fields")
+      .select("class_name", "field_name", "field_type", "primitive_value", "ref_id")
+      .orderBy("class_name", "field_name")
+  }
+
+  /** A10: trace→frame join (unnest on the oracle side). */
+  val qHeapStackFrames: GateQuery = GateQuery(
+    "q_heap_stack_frames",
+    s"""SELECT t.stack_trace_serial, f.class_name, f.method_name, f.line_num
+       |FROM (SELECT stack_trace_serial, unnest(frame_ids) AS frame_id
+       |      FROM read_parquet('$exportDir/_stack_traces/*.parquet')) t
+       |JOIN read_parquet('$exportDir/_stack_frames/*.parquet') f USING (frame_id)
+       |ORDER BY stack_trace_serial, class_name, method_name, line_num""".stripMargin) { (s, _) =>
+    table(s, "_stack_traces")
+      .select(col("stack_trace_serial"), explode_outer(col("frame_ids")).as("frame_id"))
+      .filter(col("frame_id").isNotNull)
+      .join(table(s, "_stack_frames"), "frame_id")
+      .select("stack_trace_serial", "class_name", "method_name", "line_num")
+      .orderBy("stack_trace_serial", "class_name", "method_name", "line_num")
+  }
+
+  /** A9: class hierarchy via id self-join (checks id↔name consistency). */
+  val qHeapClassHierarchy: GateQuery = GateQuery(
+    "q_heap_class_hierarchy",
+    s"""SELECT c.class_name, p.class_name AS super_name
+       |FROM read_parquet('$exportDir/_class_hierarchy/*.parquet') c
+       |JOIN read_parquet('$exportDir/_class_hierarchy/*.parquet') p
+       |  ON c.super_class_obj_id = p.class_obj_id
+       |ORDER BY c.class_name, super_name""".stripMargin) { (s, _) =>
+    val h = table(s, "_class_hierarchy")
+    h.as("c").join(h.as("p"), col("c.super_class_obj_id") === col("p.class_obj_id"))
+      .select(col("c.class_name").as("class_name"), col("p.class_name").as("super_name"))
+      .orderBy("class_name", "super_name")
+  }
+
+  /** B6-B19: the waste suite as a findings DataFrame (assembly is
+    * driver-side; individual checks are oracle-proven above).
+    */
   val qHeapWaste: GateQuery = GateQuery.rowsOnly("q_heap_waste") { (s, _) =>
     import s.implicits._
     analysis(s).runWasteAnalysis(maxTier = 3)
@@ -114,6 +494,11 @@ object Heap {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapWaste)
+    qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
+    qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
+    qHeapBadPrimArrays, qHeapBoxed, qHeapCollectionSizing,
+    qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
+    qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
+    qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste)
     .map(_.copy(bench = false))
 }
