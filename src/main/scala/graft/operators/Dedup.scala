@@ -72,20 +72,43 @@ object Dedup {
     sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
 
+  /** @param maxShingleDf posting-list cap: shingles appearing in more
+    *   than this many docs are dropped from the CANDIDATE index only.
+    *   Without it one boilerplate shingle shared by k docs creates k²
+    *   join rows (the classic inverted-index skew bomb); such shingles
+    *   carry ~zero Jaccard signal anyway. Verification below uses the
+    *   FULL shingle sets, so surviving pairs keep exact n_inter and
+    *   jaccard; a pair is lost only if ALL its shared shingles exceed
+    *   the cap. `0` disables the cap.
+    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = explodeShingles(sh)
-    val inter = inv.as("a").join(inv.as("b"),
+      n: Int, threshold: Double, maxShingleDf: Int = 1000): DataFrame = {
+    val inv = explodeShingles(shingleTable(docs, idCol, textCol, n))
+    // one added aggregate: shingle document frequency (shingle rows are
+    // distinct per doc, so count == df); shuffles (shingle) keys only
+    val capped = if (maxShingleDf <= 0) inv else {
+      val rare = inv.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxShingleDf)
+        .select("shingle")
+      inv.join(rare, "shingle")
+    }
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // exact verification over candidate docs only (semi-join prunes the
+    // corpus before re-shingling — same shape as minhashLsh below)
+    val candIds = cand.select(col("d1").as("cid"))
+      .union(cand.select(col("d2").as("cid"))).distinct()
+    val candSh = shingleTable(
+      docs.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"),
+      idCol, textCol, n)
+    cand
+      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "n_inter", "jaccard")
   }

@@ -93,13 +93,14 @@ object Similarity {
     val (c, centroids) = trainQuantizer(corpus, idCol, vecCol, nLists, seed, trainSample)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
-    val assignCell = udf { (cv: Seq[Double], cn: Double) =>
-      nearestCellsTo(bcCentroids.value, cv, cn, 1).head
-    }
+    // corpus-side cell assignment is the one full-corpus pass of this
+    // operator — a codegen'd expression, NOT a UDF (which would box
+    // every vector into Seq[Double] and dominate the job at 100 TB)
     val probeCells = udf { (qv: Seq[Double], qn: Double) =>
       nearestCellsTo(bcCentroids.value, qv, qn, nProbe)
     }
-    val assigned = c.withColumn("cell", assignCell(col("cv"), col("cn")))
+    val assigned = c.withColumn("cell",
+      graft.functions.NearestCell.nearestCell(col("cv"), col("cn"), centroids))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .withColumn("cell", explode(probeCells(col("qv"), col("qn"))))
@@ -124,11 +125,8 @@ object Similarity {
       nLists: Int, dir: String, seed: Long = 42L, trainSample: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     val (c, centroids) = trainQuantizer(corpus, idCol, vecCol, nLists, seed, trainSample)
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
-    val assignCell = udf { (cv: Seq[Double], cn: Double) =>
-      nearestCellsTo(bcCentroids.value, cv, cn, 1).head
-    }
-    c.withColumn("cell", assignCell(col("cv"), col("cn")))
+    c.withColumn("cell",
+        graft.functions.NearestCell.nearestCell(col("cv"), col("cn"), centroids))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
     import spark.implicits._
     centroids.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }

@@ -356,20 +356,48 @@ object Relational {
       .orderBy("status", "priority", "gid")
   }
 
-  /** C15b — approximate percentile sketch (t-digest-family; rows-only:
-    * approximation ≠ oracle) next to the exact C15 gate.
+  /** C15b — approximate percentile sketch, HASH-MATCHED via its error
+    * guarantee: a sketch value can't equal an oracle, but the sketch
+    * CONTRACT can. approx_percentile(accuracy=1000) guarantees rank
+    * error <= N/1000; the gate emits the exact discrete quantiles at
+    * ±2/1000 around each target (deterministic, oracle-computable)
+    * plus `within_bounds` = approx ∈ [lo, hi]. The oracle asserts
+    * TRUE — so the gate FAILS if the sketch ever violates its bound.
     */
-  val qApproxPercentile: GateQuery = GateQuery.rowsOnly("q_approx_percentile") { (s, dir) =>
-    // Scalar columns only: the driver's pandas compare chokes on array
-    // cells, so the percentile array is posexploded to one row per
-    // quantile.
-    Tables(s, dir, "orders")
+  val qApproxPercentile: GateQuery = GateQuery(
+    "q_approx_percentile",
+    """WITH b AS (
+      |  SELECT o_orderpriority,
+      |    quantile_disc(o_totalprice, 0.248) AS lo0, quantile_disc(o_totalprice, 0.252) AS hi0,
+      |    quantile_disc(o_totalprice, 0.498) AS lo1, quantile_disc(o_totalprice, 0.502) AS hi1,
+      |    quantile_disc(o_totalprice, 0.948) AS lo2, quantile_disc(o_totalprice, 0.952) AS hi2
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, 0 AS q_idx, lo0 AS lo, hi0 AS hi, TRUE AS within_bounds FROM b
+      |UNION ALL
+      |SELECT o_orderpriority, 1, lo1, hi1, TRUE FROM b
+      |UNION ALL
+      |SELECT o_orderpriority, 2, lo2, hi2, TRUE FROM b
+      |ORDER BY o_orderpriority, q_idx""".stripMargin) { (s, dir) =>
+    def disc(p: Double) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY o_totalprice)")
+    val agg = Tables(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(
         expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.95), 1000)").as("qs"),
-        expr("percentile(o_totalprice, 0.5)").as("exact_median"))
-      .select(col("o_orderpriority"), col("exact_median"),
-        posexplode(col("qs")).as(Seq("q_idx", "approx_q")))
+        disc(0.248).as("lo0"), disc(0.252).as("hi0"),
+        disc(0.498).as("lo1"), disc(0.502).as("hi1"),
+        disc(0.948).as("lo2"), disc(0.952).as("hi2"))
+    agg.select(col("o_orderpriority"), explode(array(
+        struct(lit(0).as("q_idx"), element_at(col("qs"), 1).as("approx"),
+          col("lo0").as("lo"), col("hi0").as("hi")),
+        struct(lit(1).as("q_idx"), element_at(col("qs"), 2).as("approx"),
+          col("lo1").as("lo"), col("hi1").as("hi")),
+        struct(lit(2).as("q_idx"), element_at(col("qs"), 3).as("approx"),
+          col("lo2").as("lo"), col("hi2").as("hi")))).as("r"))
+      .select(col("o_orderpriority"), col("r.q_idx").as("q_idx"),
+        col("r.lo").as("lo"), col("r.hi").as("hi"),
+        (col("r.approx") >= col("r.lo") && col("r.approx") <= col("r.hi"))
+          .as("within_bounds"))
       .orderBy("o_orderpriority", "q_idx")
   }
 
@@ -488,19 +516,83 @@ object Relational {
       .orderBy("o_orderpriority", "kind")
   }
 
-  /** C24 — statistical aggregates (rows-only: double accumulation
-    * order differs per engine; magnitudes spec-checked implicitly).
+  /** C24 — statistical aggregates, HASH-MATCHED: raw moments (Σx, Σx²,
+    * Σx³, Σx⁴, Σxy) accumulate in DECIMAL — exact, so fold order can't
+    * diverge between engines — and corr/covar/stddev/var/skew/kurt are
+    * derived from the double-cast moments with textually identical
+    * formulas on both sides (only +,-,*,/,sqrt: all IEEE
+    * correctly-rounded, unlike pow). StatsMomentSpec pins these to
+    * Spark's builtin corr/stddev/skewness within float tolerance.
     */
-  val qStats: GateQuery = GateQuery.rowsOnly("q_stats") { (s, dir) =>
-    Tables(s, dir, "lineitem")
+  val qStats: GateQuery = GateQuery(
+    "q_stats",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sxxx,
+      |    CAST(SUM((CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_quantity AS DECIMAL(6,2))) * (CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_quantity AS DECIMAL(6,2)))) AS DOUBLE) AS sxxxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sdd,
+      |    CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS st,
+      |    CAST(SUM(CAST(l_tax AS DECIMAL(4,2)) * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS stt
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr_qty_price,
+      |  round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qp,
+      |  round(sqrt((sdd - sd * sd / n) / (n - 1)), 12) AS sd_disc,
+      |  round((stt - st * st / n) / (n - 1), 12) AS var_tax,
+      |  round((sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n))
+      |    / ((sxx / n - (sx / n) * (sx / n)) * sqrt(sxx / n - (sx / n) * (sx / n))), 12) AS skew_qty,
+      |  round((sxxxx / n - 4 * (sx / n) * (sxxx / n) + 6 * (sx / n) * (sx / n) * (sxx / n)
+      |      - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+      |    / ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n))) - 3, 12) AS kurt_qty
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val qd = col("l_quantity").cast(DecimalType(6, 2))
+    val pd = col("l_extendedprice").cast(DecimalType(12, 2))
+    val dd = col("l_discount").cast(DecimalType(4, 2))
+    val td = col("l_tax").cast(DecimalType(4, 2))
+    val m = Tables(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-        covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar"),
-        stddev_samp(col("l_discount")).as("sd_disc"),
-        var_samp(col("l_tax")).as("var_tax"),
-        skewness(col("l_quantity")).as("skew_qty"),
-        kurtosis(col("l_quantity")).as("kurt_qty"))
+        count(lit(1)).cast("double").as("n"),
+        sum(qd).cast("double").as("sx"),
+        sum(qd * qd).cast("double").as("sxx"),
+        sum(qd * qd * qd).cast("double").as("sxxx"),
+        sum((qd * qd) * (qd * qd)).cast("double").as("sxxxx"),
+        sum(pd).cast("double").as("sy"),
+        sum(pd * pd).cast("double").as("syy"),
+        sum(qd * pd).cast("double").as("sxy"),
+        sum(dd).cast("double").as("sd"),
+        sum(dd * dd).cast("double").as("sdd"),
+        sum(td).cast("double").as("st"),
+        sum(td * td).cast("double").as("stt"))
+    val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+    val sxxx = col("sxxx"); val sxxxx = col("sxxxx")
+    val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+    val sd = col("sd"); val sdd = col("sdd"); val st = col("st"); val stt = col("stt")
+    val mean = sx / n
+    val m2 = sxx / n - mean * mean
+    // derived stats are rounded (12 dp; covar 6 dp): the DERIVATION is
+    // exact-decimal, but a >2^53 moment's decimal→double cast can
+    // differ by one ulp between engines; ~1e-15 relative noise is far
+    // below the rounding grain, so the hash stays stable
+    m.select(
+      col("l_returnflag"), n.cast("long").as("n"),
+      round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+        .as("corr_qty_price"),
+      round((sxy - sx * sy / n) / (n - lit(1)), 6).as("covar_qp"),
+      round(sqrt((sdd - sd * sd / n) / (n - lit(1))), 12).as("sd_disc"),
+      round((stt - st * st / n) / (n - lit(1)), 12).as("var_tax"),
+      round((sxxx / n - lit(3) * mean * (sxx / n) + lit(2) * mean * mean * mean)
+        / (m2 * sqrt(m2)), 12).as("skew_qty"),
+      round((sxxxx / n - lit(4) * mean * (sxxx / n) + lit(6) * mean * mean * (sxx / n)
+          - lit(3) * mean * mean * mean * mean)
+        / (m2 * m2) - lit(3), 12).as("kurt_qty"))
       .orderBy("l_returnflag")
   }
 

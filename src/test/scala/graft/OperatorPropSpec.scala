@@ -62,4 +62,37 @@ class OperatorPropSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
     assert(other !== a, "seed must change the draw")
   }
+
+  private def runJaccard(df: org.apache.spark.sql.DataFrame, threshold: Double, cap: Int) =
+    graft.operators.Dedup.jaccardPairs(df, "doc_id", "text", 3, threshold, maxShingleDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("jaccardPairs posting-list cap: identical pairs when near-dups share rare shingles") {
+    // 40 docs in 20 near-dup pairs; EVERY doc also carries a universal
+    // boilerplate phrase (df=40). With the cap the universal shingles
+    // leave the candidate index, but each pair still meets through its
+    // rare body shingles — results must be identical, including
+    // n_inter, because verification uses the full shingle sets.
+    val paired = (0 until 40).map { i =>
+      val p = i / 2
+      val body = (0 until 12).map(k => s"w${p}x$k").mkString(" ")
+      (i.toLong, s"common boiler phrase $body" + (if (i % 2 == 1) " tailvariant" else ""))
+    }
+    val df = paired.toDF("doc_id", "text")
+    val uncapped = runJaccard(df, 0.5, cap = 0)
+    val capped = runJaccard(df, 0.5, cap = 10)
+    assert(uncapped.size === 20)
+    assert(capped === uncapped)
+  }
+
+  test("jaccardPairs posting-list cap bounds candidates under one universal shingle") {
+    // adversarial: 50 docs share ONLY one boilerplate phrase. Without
+    // the cap all 50*49/2 pairs reach verification (the k-squared skew
+    // bomb); with it no candidate survives, so the pair join never
+    // materializes the quadratic set.
+    val adv = (0 until 50).map(i =>
+      (i.toLong, s"universal shingle here u${i}a u${i}b u${i}c u${i}d")).toDF("doc_id", "text")
+    assert(runJaccard(adv, 0.1, cap = 0).size === 50 * 49 / 2)
+    assert(runJaccard(adv, 0.1, cap = 10).isEmpty)
+  }
 }

@@ -71,6 +71,16 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_knn_lsh").contains("BroadcastHashJoin"))
   }
 
+  test("IVF corpus-side cell assignment is codegen'd, not a Scala UDF") {
+    // the corpus scan+assign is the one full-data pass of knnIvf; the
+    // only UDF allowed in the plan is the (broadcast-sized) query-side
+    // probe. nearest_cell must appear instead, on the corpus branch.
+    val plan = planOf("q_knn_ivf")
+    assert(plan.contains("nearest_cell"), plan)
+    val corpusSide = plan.linesIterator.filter(_.contains("cv#")).mkString("\n")
+    assert(!corpusSide.contains("UDF"), corpusSide)
+  }
+
   test("theta join hash-joins on the equi key (never a cartesian product)") {
     val plan = planOf("q_theta_join")
     assert(!plan.contains("CartesianProduct"), plan)
