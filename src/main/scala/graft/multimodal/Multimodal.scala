@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * transforms (the Scala-native equivalent of a vectorized UDF —
   * per-partition setup cost amortizes the way a codec handle would).
   *
-  * The codec layer is STUBBED deterministically — this container has
-  * no image/audio libraries — but everything Spark-side is real:
-  * schemas, partitioning, batch iteration, explode shapes. A real
-  * deployment replaces `StubCodec` with JNI/javacv calls per
+  * The IMAGE path is REAL — [[ImageCodec]] encodes/decodes genuine PNG
+  * bytes through the JDK's `javax.imageio` (see [[imageDecodeTable]]
+  * and [[resizeImages]]). Video/audio stay deterministically STUBBED —
+  * no in-JDK codec exists for them — but their Spark-side plumbing
+  * (schemas, partitioning, batch iteration, explode shapes) is real. A
+  * real deployment replaces `StubCodec` with JNI/javacv calls per
   * partition.
   */
 object Multimodal {
@@ -89,15 +91,57 @@ object Multimodal {
     }
   }
 
-  /** Resize every image payload; non-images pass through. */
+  /** Resize every image payload; non-images pass through. Payloads
+    * that really decode (PNG/JPEG via [[ImageCodec]]) get a REAL
+    * nearest-neighbor resize and PNG re-encode; non-decodable bytes
+    * (this table's text stand-ins) fall back to the stub so the
+    * metadata contract still holds.
+    */
   def resizeImages(media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { r =>
       if (r.modality != "image") r
-      else r.copy(data = StubCodec.resize(r.data, r.meta, w, h),
-        meta = r.meta.copy(width = w, height = h))
+      else ImageCodec.tryDecode(r.data) match {
+        case Some(img) =>
+          r.copy(data = ImageCodec.encodePng(ImageCodec.resizeNearest(img, w, h)),
+            meta = r.meta.copy(width = w, height = h, channels = img.channels))
+        case None =>
+          r.copy(data = StubCodec.resize(r.data, r.meta, w, h),
+            meta = r.meta.copy(width = w, height = h))
+      }
     })
+  }
+
+  final case class ImageDecodeRow(doc_id: Long, width: Int, height: Int,
+      channels: Int, pixel_sum: Long, resized_sum: Long)
+
+  /** REAL image decode path (no stub): every image-modality doc gets a
+    * deterministic grayscale PNG (pixel = (doc_id + 7x + 13y) mod 256,
+    * genuinely encoded by ImageIO), which is decoded BACK through
+    * ImageIO and reduced to decoded dims + pixel checksums — plus the
+    * checksum after a real nearest-neighbor resize to `rw`×`rh`.
+    * Because PNG is lossless and the resize index map is pure integer
+    * arithmetic, an oracle that never touches the bytes can recompute
+    * both sums — proving the encode→decode→resize loop is bit-exact.
+    */
+  def imageDecodeTable(docs: DataFrame, rw: Int = 8, rh: Int = 6): Dataset[ImageDecodeRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // per-partition: ImageIO reader/writer instances amortize here
+        ids.map { id =>
+          val w = (id % 24 + 8).toInt
+          val h = (id % 16 + 8).toInt
+          val png = ImageCodec.syntheticPng(id, w, h)
+          val dec = ImageCodec.decode(png)
+          val rs = ImageCodec.resizeNearest(dec, rw, rh)
+          ImageDecodeRow(id, dec.width, dec.height, dec.channels,
+            ImageCodec.pixelSum(dec), ImageCodec.pixelSum(rs))
+        }
+      }
   }
 
   /** Sample up to `maxFrames` frames per video row (one output row per

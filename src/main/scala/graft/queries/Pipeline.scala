@@ -448,10 +448,47 @@ object Pipeline {
         countDistinct(col("doc_id")).as("n_videos"))
   }
 
+  /** D12d — REAL image decode: each image doc becomes a genuine PNG
+    * (ImageIO-encoded, pixel = (doc_id + 7x + 13y) mod 256), is
+    * decoded back through `javax.imageio`, then nearest-neighbor
+    * resized to 8×6 on the decoded raster. The gate emits decoded
+    * width/height/channels and both pixel checksums; the oracle
+    * recomputes every value from the formula alone (lateral
+    * generate_series over pixel coordinates) — it can only hash-match
+    * if the codec roundtrip is lossless and the resize index map
+    * (src = dst·srcDim/dstDim, integer division) is exact.
+    */
+  val qImageDecode: GateQuery = GateQuery(
+    "q_image_decode",
+    """WITH img AS (
+      |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  -- fixed series + bound filter: DuckDB's generate_series takes
+      |  -- no correlated (lateral) arguments; w <= 31, h <= 23 by
+      |  -- construction
+      |  SELECT i.doc_id,
+      |    CAST(SUM((i.doc_id + 7 * gx.x + 13 * gy.y) % 256) AS BIGINT) AS pixel_sum
+      |  FROM img i, generate_series(0, 30) gx(x), generate_series(0, 22) gy(y)
+      |  WHERE gx.x < i.w AND gy.y < i.h
+      |  GROUP BY 1),
+      |rs AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM((i.doc_id + 7 * ((gx.x * i.w) // 8) + 13 * ((gy.y * i.h) // 6)) % 256) AS BIGINT) AS resized_sum
+      |  FROM img i, generate_series(0, 7) gx(x), generate_series(0, 5) gy(y)
+      |  GROUP BY 1)
+      |SELECT i.doc_id, CAST(i.w AS INT) AS width, CAST(i.h AS INT) AS height,
+      |  1 AS channels, px.pixel_sum, rs.resized_sum
+      |FROM img i JOIN px USING (doc_id) JOIN rs USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.multimodal.Multimodal.imageDecodeTable(Tables(s, dir, "documents")).toDF()
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
-    qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample)
+    qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode)
 }
