@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * (analyze_heap_parquet.py:92): system tables by name, class tables
   * by `<class>_<id>` prefix (all loader copies unioned).
   */
-final class HeapTables(spark: SparkSession, dir: String) {
+final class HeapTables(spark: SparkSession, val dir: String) {
   private val entries: Seq[String] = {
     val f = new java.io.File(dir)
     Option(f.listFiles()).map(_.toSeq.filter(_.isDirectory).map(_.getName)).getOrElse(Nil)
@@ -676,21 +676,34 @@ final class HeapAnalysis(t: HeapTables) {
     * total_estimated_waste) as a JSON string — the machine-readable
     * counterpart of renderReport.
     */
-  def analyzeJson(topN: Int = 30, waste: Boolean = true, maxTier: Int = 2): String = {
+  def analyzeJson(topN: Int = 30, waste: Boolean = true, maxTier: Int = 2,
+      sessionId: String = ""): String = {
     import graft.Json.{arr => jArr, obj => jObj, str => jStr}
+    // only types whose toString IS valid JSON pass through raw; any
+    // future column type (timestamp, date, array, struct) gets quoted
+    // and escaped instead of corrupting the document
+    def cell(v: Any): String = v match {
+      case null => "null"
+      case s: String => jStr(s)
+      case v: java.math.BigDecimal => v.toPlainString
+      case d: java.lang.Double => if (d.isInfinite || d.isNaN) jStr(d.toString) else d.toString
+      case f: java.lang.Float => if (f.isInfinite || f.isNaN) jStr(f.toString) else f.toString
+      case n: java.lang.Number => n.toString
+      case b: java.lang.Boolean => b.toString
+      case other => jStr(other.toString)
+    }
+    def rowObj(df: DataFrame, r: org.apache.spark.sql.Row): String =
+      jObj(df.columns.zipWithIndex.map { case (c, i) => c -> cell(r.get(i)) }.toSeq)
     def dfRows(dfOpt: Option[DataFrame]): String = jArr(
-      dfOpt.toSeq.flatMap(df => df.collect().toSeq.map { r =>
-        jObj(df.columns.zipWithIndex.map { case (c, i) =>
-          c -> (r.get(i) match {
-            case null => "null"
-            case s: String => jStr(s)
-            case v: java.math.BigDecimal => v.toPlainString
-            case v => v.toString
-          })
-        }.toSeq)
-      }))
+      dfOpt.toSeq.flatMap(df => df.collect().toSeq.map(rowObj(df, _))))
+    // reference shape (server.py analyze_heap): summary is ONE object,
+    // not a row array, next to session/dir metadata
+    def dfRow(dfOpt: Option[DataFrame]): String =
+      dfOpt.flatMap(df => df.collect().headOption.map(rowObj(df, _))).getOrElse("null")
     val base = Seq(
-      "summary" -> dfRows(summary),
+      "session_id" -> (if (sessionId.nonEmpty) jStr(sessionId) else "null"),
+      "parquet_dir" -> jStr(t.dir),
+      "summary" -> dfRow(summary),
       "top_types" -> dfRows(topTypes(topN)),
       "categories" -> dfRows(categoryBreakdown),
       "byte_array_distribution" -> dfRows(byteArrayDistribution),

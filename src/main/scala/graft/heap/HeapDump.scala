@@ -470,3 +470,37 @@ final class HeapDump(spark: SparkSession, path: String) {
     }
   }
 }
+
+object HeapDump {
+  /** Re-lay an export as FLAT chunked files — the reference robo-mode
+    * naming convention (`<table>_chunk<N>.parquet`,
+    * dump_to_parquet.rs chunked per-class files) — so glob-based
+    * readers (`read_parquet('java.lang.String_*_chunk*.parquet')`,
+    * `spark.read.parquet(".../_object_index_chunk*.parquet")`) port
+    * verbatim. Caveat: Spark itself treats `_`-prefixed basenames as
+    * hidden, so the renamed SYSTEM tables (`_object_index_chunk*`) are
+    * for external glob readers; Spark callers should query before
+    * flattening (or use the directory layout). Class tables glob fine
+    * from Spark. Pure same-filesystem renames of the Spark part-files:
+    * metadata ops only, no data movement, so it stays O(files) at any
+    * heap size. The directory layout is consumed; call it only when a
+    * downstream consumer wants the reference's file contract.
+    */
+  def flattenExport(outDir: String): Unit = {
+    val root = new java.io.File(outDir)
+    require(root.isDirectory, s"not an export directory: $outDir")
+    for (tableDir <- root.listFiles().filter(_.isDirectory)) {
+      val parts = tableDir.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dest = new java.io.File(root, s"${tableDir.getName}_chunk$i.parquet")
+        require(f.renameTo(dest), s"rename failed: $f -> $dest")
+      }
+      // drop the emptied directory and its _SUCCESS/. markers
+      tableDir.listFiles().foreach(_.delete())
+      if (!tableDir.delete())
+        throw new java.io.IOException(s"could not remove $tableDir")
+    }
+  }
+}

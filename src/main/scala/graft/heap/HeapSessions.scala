@@ -26,8 +26,6 @@ final class HeapSessions(spark: SparkSession) {
   final case class Session(id: String, dir: String, tables: Seq[String])
 
   private val sessions = mutable.LinkedHashMap.empty[String, Session]
-  // which session's tables currently own the BARE view names
-  private var bareOwner: Option[Session] = None
 
   /** Open (or reopen) a session over an exported heap directory. The
     * default id is the directory basename; since exports commonly end
@@ -51,7 +49,7 @@ final class HeapSessions(spark: SparkSession) {
     }
     val sess = Session(id, parquetDir, views.keys.toSeq.sorted)
     sessions(id) = sess
-    bareOwner = Some(sess)
+    HeapSessions.bareOwners(spark) = (id, sess.tables)
     sess
   }
 
@@ -72,15 +70,51 @@ final class HeapSessions(spark: SparkSession) {
     val sess = get(sessionId)
     dropBareViews() // stale tables of the previous owner must not linger
     HeapSql.register(spark, sess.dir)
-    bareOwner = Some(sess)
+    HeapSessions.bareOwners(spark) = (sess.id, sess.tables)
     spark.sql(sql)
+  }
+
+  /** One page of an ad-hoc query — the reference `query_heap` contract
+    * (mcp_server/server.py:479-537): the SQL is wrapped in
+    * `LIMIT limit+1 OFFSET offset`, the extra row only signals
+    * `hasMore`, and `nextOffset` is where the following call resumes.
+    * An interactive caller against a big dump can never pull an
+    * unbounded result by accident.
+    */
+  final case class QueryPage(rows: Array[org.apache.spark.sql.Row],
+      columns: Seq[String], hasMore: Boolean, nextOffset: Long)
+
+  def queryPage(sessionId: String, sql: String, limit: Int = 100,
+      offset: Long = 0L): QueryPage = {
+    require(limit > 0, s"limit must be positive, got $limit")
+    require(offset >= 0, s"offset must be non-negative, got $offset")
+    // paging without an ORDER BY is only stable because the page query
+    // re-analyzes the same single-file-list relations; callers wanting
+    // cross-page guarantees should still order explicitly (the
+    // reference has the same contract)
+    val page = query(sessionId,
+      s"SELECT * FROM ($sql) __graft_page LIMIT ${limit + 1} OFFSET $offset")
+    val fetched = page.collect()
+    val rows = fetched.take(limit)
+    QueryPage(rows, page.columns.toSeq, fetched.length > limit, offset + rows.length)
+  }
+
+  /** Reference `analyze_heap` over an open session: summary + waste
+    * checks as one JSON document, stamped with the session id and
+    * parquet dir (server.py analyze_heap result shape).
+    */
+  def analyze(sessionId: String, topN: Int = 30, waste: Boolean = true,
+      maxTier: Int = 2): String = {
+    val sess = get(sessionId)
+    new HeapAnalysis(new HeapTables(spark, sess.dir))
+      .analyzeJson(topN, waste, maxTier, sess.id)
   }
 
   /** Drop the session's views; parquet files stay on disk. */
   def close(sessionId: String): Unit = catalogLock.synchronized {
     val sess = get(sessionId)
     sess.tables.foreach(v => spark.catalog.dropTempView(s"${sess.id}__$v"))
-    if (bareOwner.exists(_.id == sessionId)) dropBareViews()
+    if (HeapSessions.bareOwners.get(spark).exists(_._1 == sessionId)) dropBareViews()
     sessions.remove(sessionId)
   }
 
@@ -98,10 +132,9 @@ final class HeapSessions(spark: SparkSession) {
     rm(new java.io.File(dir))
   }
 
-  private def dropBareViews(): Unit = {
-    bareOwner.foreach(_.tables.foreach(v => spark.catalog.dropTempView(v)))
-    bareOwner = None
-  }
+  private def dropBareViews(): Unit =
+    HeapSessions.bareOwners.remove(spark)
+      .foreach(_._2.foreach(v => spark.catalog.dropTempView(v)))
 
   private def get(sessionId: String): Session = catalogLock.synchronized {
     sessions.getOrElse(sessionId,
@@ -116,4 +149,14 @@ object HeapSessions {
     * instances.
     */
   private val catalogLock = new Object
+
+  /** Current bare-view owner (session id -> its table names), shared
+    * across ALL HeapSessions instances and keyed by SparkSession: a
+    * bare view is a catalog-global resource, so instance A's switch
+    * must also drop views instance B registered, or a stale table
+    * name would resolve against the wrong dump. Weak keys: a
+    * registry must not pin a stopped SparkSession. Guarded by
+    * [[catalogLock]].
+    */
+  private val bareOwners = mutable.WeakHashMap.empty[SparkSession, (String, Seq[String])]
 }

@@ -41,6 +41,13 @@ final class HprofDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
+    // the object-stream schema is fixed by the format: a differing
+    // user .schema(...) must fail loudly, not be silently discarded
+    require(schema == null || schema == HprofObjectsTable.schema,
+      s"hprof source has a fixed schema ${HprofObjectsTable.schema.simpleString}; " +
+        s"remove the .schema(...) call (got ${schema.simpleString})")
+    require(properties.get("paths") == null,
+      "hprof source reads exactly one dump: multi-path load(...) is unsupported")
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "hprof source needs a path: spark.read.format(\"hprof\").load(path)")

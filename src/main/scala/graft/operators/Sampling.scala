@@ -19,10 +19,20 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** md5 over the concatenated key columns with a seed salt — the
-    * portable rank (identical string in DuckDB's md5).
+    * portable rank (identical string in DuckDB's md5). Each key is
+    * LENGTH-PREFIXED (`len:value`) so adjacent keys can't alias
+    * across the separator (("a-b","c") vs ("a","b-c")), and NULL maps
+    * to the token `N` — unambiguous, since every non-null token
+    * starts with a digit — instead of being silently skipped.
     */
-  def hashRank(seed: Long, keys: Column*): Column =
-    md5(concat_ws("-", (lit(seed.toString) +: keys).map(_.cast("string")): _*).cast("binary"))
+  def hashRank(seed: Long, keys: Column*): Column = {
+    val toks = keys.map { k =>
+      val s = k.cast("string")
+      when(s.isNull, lit("N"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    md5(concat_ws("-", (lit(seed.toString) +: toks): _*).cast("binary"))
+  }
 
   /** Top-`n` rows per group by salted hash rank. Ties (hash
     * collisions) break on the key columns themselves, so the result

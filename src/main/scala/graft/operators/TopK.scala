@@ -64,7 +64,17 @@ object TopK {
       idCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("string"), col(scoreCol).cast("double"),
+    val groupType = df.schema(groupCol).dataType
+    // fail fast on NULL score/id with a message that names the fix —
+    // the tuple encoder would otherwise die with an opaque NPE, and
+    // silently ranking NULLs would diverge from the ROW_NUMBER oracle.
+    // assert_true returns NULL on success, so the filter keeps every
+    // row while forcing the check to actually evaluate (a projected-
+    // then-dropped column could be pruned away).
+    val checked = df.filter(assert_true(
+      col(scoreCol).isNotNull && col(idCol).isNotNull,
+      lit(s"topKPerGroup: NULL in '$scoreCol' or '$idCol' — filter NULLs or rank them explicitly before calling")).isNull)
+    checked.select(col(groupCol).cast("string"), col(scoreCol).cast("double"),
         col(idCol).cast("long"))
       .as[(String, Double, Long)]
       .groupByKey(_._1)
@@ -73,5 +83,8 @@ object TopK {
         items.iterator.zipWithIndex.map { case ((s, id), i) => (g, id, s, i + 1) }
       }
       .toDF(groupCol, idCol, scoreCol, "rk")
+      // the string key was an encoder convenience; hand back the
+      // caller's group column type
+      .withColumn(groupCol, col(groupCol).cast(groupType))
   }
 }

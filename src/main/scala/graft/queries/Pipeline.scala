@@ -192,6 +192,32 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** D7b — IVF at FULL probe (nProbe == nLists) must equal exact
+    * brute-force top-k: every cell is searched, so the learned
+    * quantizer can only route, never drop, a candidate. That makes the
+    * whole IVF machinery — codegen cell assignment, probe explode,
+    * bucket join, ranking — hash-checkable against the same
+    * window-over-cosine oracle as D6, even though the quantizer itself
+    * is a model no SQL engine can restate. (Partial-probe recall stays
+    * spec-asserted in SimilaritySpec; q_knn_ivf keeps the perf shape.)
+    */
+  val qKnnIvfFull: GateQuery = GateQuery(
+    "q_knn_ivf_full",
+    s"""WITH $embCte,
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |        ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id < 5),
+       |r AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM p)
+       |SELECT qid, cid, rk FROM r WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.knnIvf(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 16)
+      .select("qid", "cid", "rk")
+      .orderBy("qid", "rk")
+  }
+
   /** D13 — vector norms and dims (sequential-fold double parity). */
   val qEmbeddingNorm: GateQuery = GateQuery(
     "q_embedding_norm",
@@ -488,7 +514,7 @@ object Pipeline {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate,
-    qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qEmbeddingNorm,
+    qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode)
 }

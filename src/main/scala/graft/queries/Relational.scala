@@ -407,12 +407,20 @@ object Relational {
     */
   val qSampleDeterministic: GateQuery = GateQuery(
     "q_sample_det",
-    """WITH r AS (
+    """WITH t AS (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber,
+      |    -- mirror of Sampling.hashRank: length-prefixed tokens, NULL -> 'N'
+      |    CASE WHEN l_orderkey IS NULL THEN 'N'
+      |         ELSE CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) END AS tok1,
+      |    CASE WHEN l_linenumber IS NULL THEN 'N'
+      |         ELSE CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) END AS tok2
+      |  FROM lineitem),
+      |r AS (
       |  SELECT l_returnflag, l_orderkey, l_linenumber,
       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
-      |      ORDER BY md5('42' || '-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)),
+      |      ORDER BY md5('42' || '-' || tok1 || '-' || tok2),
       |               l_orderkey, l_linenumber) AS sample_rk
-      |  FROM lineitem)
+      |  FROM t)
       |SELECT l_returnflag, l_orderkey, l_linenumber, sample_rk
       |FROM r WHERE sample_rk <= 5
       |ORDER BY l_returnflag, sample_rk""".stripMargin) { (s, dir) =>
@@ -604,13 +612,31 @@ object Relational {
     * aggregate, which plans as an Expand that doubles every shuffled
     * row — the difference between N and 2N shuffle bytes at 100 TB.
     */
-  val qApproxDistinct: GateQuery = GateQuery.rowsOnly("q_approx_distinct") { (s, dir) =>
+  val qApproxDistinct: GateQuery = GateQuery(
+    "q_approx_distinct",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  CAST(floor(COUNT(DISTINCT l_partkey) * 0.94) AS BIGINT) AS lo,
+      |  CAST(ceil(COUNT(DISTINCT l_partkey) * 1.06) AS BIGINT) AS hi,
+      |  TRUE AS within_bounds
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // HASH-MATCHED via the sketch contract (same move as
+    // q_approx_percentile): the HLL++ estimate itself is not oracle-
+    // reproducible, but rsd=0.02 bounds it; the gate emits the exact
+    // count, the ±3·rsd corridor, and within_bounds — the oracle
+    // asserts TRUE, so a sketch drifting outside its guarantee FAILS.
     Tables(s, dir, "lineitem")
       .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        floor(col("exact_parts") * 0.94).cast("long").as("lo"),
+        ceil(col("exact_parts") * 1.06).cast("long").as("hi"),
+        (col("approx_parts") >= floor(col("exact_parts") * 0.94) &&
+          col("approx_parts") <= ceil(col("exact_parts") * 1.06)).as("within_bounds"))
       .orderBy("l_returnflag")
   }
 

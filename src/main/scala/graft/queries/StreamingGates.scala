@@ -1,0 +1,133 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{GateQuery, Tables}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.DecimalType
+
+/** REAL Structured Streaming runs under driver oracles (SURVEY.md
+  * §2.E3/E4/E7): each gate starts a streaming query over the events
+  * parquet as a file SOURCE, drains it into a memory sink, and returns
+  * the sink's contents — which must hash-match the same DuckDB SQL
+  * that proves the batch twin. That closes the loop the StreamingSpec
+  * asserts in-process: stream == batch == independent engine.
+  *
+  * Gates are excluded from the bench (`bench = false`): a streaming
+  * query's fixed startup cost would measure the harness, not the
+  * operator.
+  */
+object StreamingGates {
+
+  private val D = DecimalType(12, 2)
+  private val sinkSeq = new AtomicInteger()
+
+  /** events.ts is TIMESTAMP(NANOS); same nanos→micros truncation as
+    * the batch loader (Tables.events), applied on the stream. The
+    * file SOURCE requires a directory, and testdata ships events as a
+    * single parquet file — so the file is staged (symlinked) into a
+    * per-source-dir temp directory once. In production the source is
+    * already a directory; this is test-layout shimming, not operator
+    * logic.
+    */
+  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val file = java.nio.file.Paths.get(dir, "events.parquet")
+    val srcDir =
+      if (java.nio.file.Files.isDirectory(file)) file.toString
+      else stagedDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), file)
+        d.toString
+      })
+    val raw = s.read.parquet(srcDir).schema // ts arrives as raw nanos long
+    s.readStream.schema(raw).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Start → drain → stop; the memory sink's rows survive the stop. */
+  private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_sink_${sinkSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** E3 — streaming tumbling-window aggregate (watermark + window +
+    * Complete mode) against the SAME oracle as the batch
+    * q_tumbling_window. `value` is cast to DECIMAL before the
+    * aggregation so the streamed partial sums are fold-order-exact.
+    */
+  val qStreamTumbling: GateQuery = GateQuery(
+    "q_stream_tumbling",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS win,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win, event_type""".stripMargin) { (s, dir) =>
+    val src = eventsStream(s, dir)
+      .withColumn("value", col("value").cast(D))
+      .withWatermark("ts", "1 hour")
+    runToMemory(StreamingOps.tumblingCounts(src), OutputMode.Complete())
+      .select(
+        date_format(col("win_start"), "yyyy-MM-dd HH:00").as("win"),
+        col("event_type"), col("n"), col("total_value").cast("double"))
+      .orderBy("win", "event_type")
+  }
+
+  /** E7 — streaming exact dedup (`dropDuplicatesWithinWatermark`):
+    * every event_id survives exactly once, so the survivor count and
+    * the survivors' own distinct count both equal the batch
+    * COUNT(DISTINCT event_id).
+    */
+  val qStreamDedup: GateQuery = GateQuery(
+    "q_stream_dedup",
+    """SELECT COUNT(DISTINCT event_id) AS n_survivors,
+      |  COUNT(DISTINCT event_id) AS n_unique
+      |FROM events""".stripMargin) { (s, dir) =>
+    val deduped = StreamingOps.dedupStream(eventsStream(s, dir), "event_id", "ts", "1 hour")
+    runToMemory(deduped, OutputMode.Append())
+      .agg(count(lit(1)).as("n_survivors"),
+        countDistinct(col("event_id")).as("n_unique"))
+  }
+
+  /** E4 — the stateful mapGroupsWithState sessionizer on a real
+    * stream, against the SAME lag/cumsum oracle as the batch
+    * q_sessionize. Update mode emits a running row per user per
+    * trigger; counts are monotone, so max() collapses reruns to the
+    * final state.
+    */
+  val qStreamSessionize: GateQuery = GateQuery(
+    "q_stream_sessionize",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(SUM(is_new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM g GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[StreamingOps.SessionEvent]
+    runToMemory(StreamingOps.sessionize(evs, gapSeconds = 1800L).toDF(),
+        OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize)
+    .map(_.copy(bench = false))
+}

@@ -54,16 +54,60 @@ class HeapSessionsSpec extends AnyFunSuite {
     intercept[NoSuchElementException](hs.query("dump_a", "SELECT 1"))
   }
 
+  test("queryPage walks a result three pages with has_more/next_offset") {
+    val hs = new HeapSessions(spark)
+    hs.open(export("p", 7), "dump_p")
+    val sql = "SELECT value FROM java_lang_Integer ORDER BY value"
+    val p1 = hs.queryPage("dump_p", sql, limit = 3)
+    assert(p1.rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(p1.hasMore && p1.nextOffset === 3L)
+    assert(p1.columns === Seq("value"))
+    val p2 = hs.queryPage("dump_p", sql, limit = 3, offset = p1.nextOffset)
+    assert(p2.rows.map(_.getInt(0)).toSeq === Seq(4, 5, 6))
+    assert(p2.hasMore && p2.nextOffset === 6L)
+    val p3 = hs.queryPage("dump_p", sql, limit = 3, offset = p2.nextOffset)
+    assert(p3.rows.map(_.getInt(0)).toSeq === Seq(7))
+    assert(!p3.hasMore && p3.nextOffset === 7L)
+    intercept[IllegalArgumentException](hs.queryPage("dump_p", sql, limit = 0))
+    hs.close("dump_p")
+  }
+
+  test("bare-view ownership is shared across registry instances") {
+    // instance A's bare views must not survive instance B's switch:
+    // ownership lives in the companion, keyed by SparkSession
+    val hsA = new HeapSessions(spark)
+    val hsB = new HeapSessions(spark)
+    hsA.open(export("xa", 2), "dump_xa")
+    assert(hsA.query("dump_xa", "SELECT COUNT(*) FROM java_lang_Integer")
+      .collect()(0).getLong(0) === 2L)
+    hsB.open(export("xb", 4), "dump_xb")
+    // the bare name now belongs to dump_xb, even though A registered it
+    assert(spark.sql("SELECT COUNT(*) FROM java_lang_Integer")
+      .collect()(0).getLong(0) === 4L)
+    hsB.close("dump_xb")
+    // B's close dropped the bare views entirely; no stale resolution
+    intercept[Exception](spark.sql("SELECT COUNT(*) FROM java_lang_Integer"))
+    hsA.close("dump_xa")
+  }
+
   test("analyzeJson emits the reference result shape as valid JSON") {
     import spark.implicits._
     val dir = export("j", 4)
-    val json = new HeapAnalysis(new HeapTables(spark, dir)).analyzeJson(maxTier = 3)
+    val json = new HeapAnalysis(new HeapTables(spark, dir))
+      .analyzeJson(maxTier = 3, sessionId = "dump_j")
     // must round-trip through a real JSON parser
     val parsed = spark.read.json(Seq(json).toDS)
     val fields = parsed.schema.fieldNames.toSet
-    assert(Set("summary", "top_types", "categories", "byte_array_distribution",
-      "waste_findings", "total_estimated_waste_bytes").subsetOf(fields), fields)
+    assert(Set("session_id", "parquet_dir", "summary", "top_types", "categories",
+      "byte_array_distribution", "waste_findings",
+      "total_estimated_waste_bytes").subsetOf(fields), fields)
     assert(!parsed.schema.fieldNames.contains("_corrupt_record"), json.take(400))
+    // reference shape: summary is ONE object (not a row array) with
+    // session/dir metadata alongside
+    assert(parsed.schema("summary").dataType.typeName === "struct")
+    val head = parsed.select("session_id", "parquet_dir").collect()(0)
+    assert(head.getString(0) === "dump_j")
+    assert(head.getString(1) === dir)
   }
 
   test("cleanup requires confirm and deletes the directory") {

@@ -54,6 +54,24 @@ class HprofDataSourceSpec extends AnyFunSuite {
     assert(df.count() === viaHeapDump)
   }
 
+  test("user-specified schema and multi-path loads fail loudly") {
+    import org.apache.spark.sql.types._
+    // Spark guards fixed-schema v2 sources itself (no
+    // SupportsExternalMetadata => any .schema(...) is rejected before
+    // getTable); the require in getTable is defense-in-depth
+    val wrong = intercept[Exception] {
+      spark.read.format("hprof")
+        .schema(StructType(Seq(StructField("nope", StringType)))).load(path).count()
+    }
+    assert(wrong.getMessage.contains("user-specified schema") ||
+      wrong.getMessage.contains("fixed schema"), wrong.getMessage)
+    val multi = intercept[Exception] {
+      spark.read.format("hprof").load(path, path).count()
+    }
+    assert(multi.getMessage.contains("one dump") ||
+      multi.getMessage.contains("needs a path"), multi.getMessage)
+  }
+
   test("column pruning reaches the hprof reader") {
     val df = spark.read.format("hprof").load(path).select("kind")
     val scan = df.queryExecution.executedPlan.collectLeaves().head
