@@ -49,16 +49,20 @@ case class NearestCell(left: Expression, right: Expression,
   override def nullSafeEval(v: Any, nrm: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val n = x.numElements()
+    // fail LOUDLY on ragged input: silently prefix-bucketing a
+    // wrong-dimension vector would be an invisible wrong answer, and
+    // the query-side probe (nearestCellsTo) throws on the same input
+    if (n != dim) throw new IllegalArgumentException(
+      s"nearest_cell: vector dim $n != centroid dim $dim")
     val nr = nrm.asInstanceOf[Double]
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
     while (c * dim < flat.length) {
       val base = c * dim
-      val m = math.min(n, dim)
       var d = 0.0
       var j = 0
-      while (j < m) {
+      while (j < dim) {
         // divide (not multiply by 1/nrm): bit-identical to the
         // interpreted quantizer trainer's argmin
         val t = x.getDouble(j) / nr - flat(base + j)
@@ -80,16 +84,18 @@ case class NearestCell(left: Expression, right: Expression,
       val c = ctx.freshName("ncC")
       val d = ctx.freshName("ncD")
       val j = ctx.freshName("ncJ")
-      val m = ctx.freshName("ncM")
       val t = ctx.freshName("ncT")
       s"""
          |int $n = $v.numElements();
+         |if ($n != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_cell: vector dim " + $n + " != centroid dim " + $dim);
+         |}
          |int $best = 0;
          |double $bestD = Double.MAX_VALUE;
-         |int $m = java.lang.Math.min($n, $dim);
          |for (int $c = 0; $c * $dim < $cents.length; $c++) {
          |  double $d = 0.0;
-         |  for (int $j = 0; $j < $m; $j++) {
+         |  for (int $j = 0; $j < $dim; $j++) {
          |    double $t = $v.getDouble($j) / $nrm - $cents[$c * $dim + $j];
          |    $d += $t * $t;
          |  }

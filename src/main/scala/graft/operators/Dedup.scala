@@ -92,10 +92,15 @@ object Dedup {
         .select("shingle")
       inv.join(rare, "shingle")
     }
+    // localCheckpoint: cand feeds both the final join and (via the
+    // semi-join) candSh's lineage — without it the df-aggregate +
+    // self-join + distinct, the dominant cost, re-runs per consumer
+    // (same move as minhashLsh below)
     val cand = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+      .localCheckpoint()
     // exact verification over candidate docs only (semi-join prunes the
     // corpus before re-shingling — same shape as minhashLsh below)
     val candIds = cand.select(col("d1").as("cid"))

@@ -84,7 +84,18 @@ object TopK {
       }
       .toDF(groupCol, idCol, scoreCol, "rk")
       // the string key was an encoder convenience; hand back the
-      // caller's group column type
-      .withColumn(groupCol, col(groupCol).cast(groupType))
+      // caller's group column type — but only where the value
+      // round-trips through string (binary would re-encode mangled
+      // bytes; array/struct casts are invalid outright)
+      .transform { out =>
+        import org.apache.spark.sql.types._
+        groupType match {
+          case StringType | BooleanType | DateType | TimestampType |
+               ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType | _: DecimalType =>
+            out.withColumn(groupCol, col(groupCol).cast(groupType))
+          case _ => out // binary/array/struct/map don't round-trip a string
+        }
+      }
   }
 }

@@ -20,6 +20,26 @@ object Pipeline {
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
   }
 
+  /** Mirror of jaccardPairs' exact semantics INCLUDING the posting-
+    * list cap: candidates come from the df-capped inverted index
+    * (shingles in more than `cap` docs carry no Jaccard signal and
+    * would make the self-join quadratic), but n_inter/jaccard are
+    * computed over the FULL shingle sets of surviving candidates — so
+    * oracle and operator agree on any corpus, boilerplate-heavy ones
+    * included.
+    */
+  private def jaccardInterCte(cap: Int = 1000): String =
+    s"""rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $cap),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |         WHERE a.shingle IN (SELECT shingle FROM rare)),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** D1 — exact dedup by content hash. */
   val qDedupExact: GateQuery = GateQuery(
     "q_dedup_exact",
@@ -50,10 +70,7 @@ object Pipeline {
   val qDedupJaccard: GateQuery = GateQuery(
     "q_dedup_jaccard",
     s"""WITH ${shingleCte(3)},
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |${jaccardInterCte()}
        |SELECT d1, d2, n_inter,
        |  CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS jaccard
        |FROM inter
@@ -313,10 +330,7 @@ object Pipeline {
   val qDedupClusters: GateQuery = GateQuery(
     "q_dedup_clusters",
     s"""WITH RECURSIVE ${shingleCte(3)},
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |${jaccardInterCte()},
        |pairs AS (
        |  SELECT d1, d2 FROM inter
        |  JOIN sizes s1 ON s1.doc_id = d1
@@ -350,10 +364,7 @@ object Pipeline {
        |exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |d AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM exact)),
        |${shingleCte(3, "d")},
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |${jaccardInterCte()},
        |pairs AS (
        |  SELECT d1, d2 FROM inter
        |  JOIN sizes s1 ON s1.doc_id = d1

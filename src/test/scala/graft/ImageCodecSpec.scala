@@ -26,6 +26,11 @@ class ImageCodecSpec extends AnyFunSuite {
   test("garbage bytes are not a decodable image") {
     assert(ImageCodec.tryDecode("not a png at all".getBytes).isEmpty)
     assert(ImageCodec.tryDecode(Array.emptyByteArray).isEmpty)
+    // recognized signature but corrupt body: ImageIO THROWS here
+    // (IIOException), and that must map to None too — one bad blob
+    // must not kill a whole partition
+    val truncated = ImageCodec.syntheticPng(5L, 16, 16).take(40)
+    assert(ImageCodec.tryDecode(truncated).isEmpty)
   }
 
   test("nearest-neighbor resize uses src = dst*srcDim/dstDim integer map") {
