@@ -128,6 +128,31 @@ object StreamingGates {
       .orderBy("user_id")
   }
 
-  val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize)
+  /** E12 — stream-static enrichment: the event STREAM left-joins the
+    * static customer dimension (broadcast, re-planned per batch), then
+    * aggregates per market segment — against the plain batch-join
+    * oracle. events.user_id ⊂ customer.c_custkey in testdata, so the
+    * left join is total here; the oracle's LEFT JOIN mirrors the
+    * operator regardless.
+    */
+  val qStreamEnrich: GateQuery = GateQuery(
+    "q_stream_enrich",
+    """SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin) { (s, dir) =>
+    val dim = Tables(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val enriched = StreamingOps.enrichStream(
+      eventsStream(s, dir).withColumn("value", col("value").cast(D)),
+      dim, "user_id", "c_custkey")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total_value"))
+    runToMemory(enriched, OutputMode.Complete())
+      .orderBy("segment")
+  }
+
+  val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
+      qStreamEnrich)
     .map(_.copy(bench = false))
 }

@@ -78,6 +78,17 @@ object StreamingOps {
         col("e.ts").as("error_ts"))
   }
 
+  /** E12 — stream-static enrichment join: each streaming row picks up
+    * dimension columns from a BATCH table. Spark re-plans the static
+    * side per micro-batch (so a dim refresh is picked up) and needs no
+    * state or watermark for it; with a broadcastable dim the join adds
+    * zero shuffle to the stream — the canonical shape for attaching
+    * user/account attributes to an event stream at scale.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Convenience: run a streaming tumbling-count over a parquet
     * directory source into a memory sink; returns the query name.
     */

@@ -4,15 +4,16 @@ import graft.operators.Bucketing
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bucketed co-located join: both sides pre-bucketed on the key →
-  * the join plan contains NO shuffle exchange, and results match the
-  * plain join.
+/** The bucketed-join contract is a PLAN property: same results as the
+  * plain join, but no Exchange on either side (the bucket-local Sort
+  * Spark 3+ inserts is expected — scans don't advertise sort order by
+  * default — and costs no network).
   */
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("same-bucketed tables join without any Exchange") {
+  test("bucketed fact-fact join plans without Exchange") {
     val orders = Tables(spark, sf, "orders")
     val lineitem = Tables(spark, sf, "lineitem")
       .withColumnRenamed("l_orderkey", "o_orderkey")
@@ -20,22 +21,40 @@ class BucketingSpec extends AnyFunSuite {
     Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 8)
 
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
-        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
-      val joinPart = plan.linesIterator.dropWhile(!_.contains("SortMergeJoin")).mkString("\n")
-      assert(joinPart.nonEmpty, plan)
-      assert(!joinPart.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), plan) // scan really is bucketed
 
-      // values equal the plain join
-      val expected = Tables(spark, sf, "orders")
-        .join(Tables(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(got === expected)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // identical results to the unbucketed join
+      val expected = orders.join(lineitem, "o_orderkey").count()
+      assert(joined.count() === expected)
+
+      // and an aggregate on the bucket key also skips the exchange
+      val agg = spark.table("b_lineitem").groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucketed groupBy must not shuffle:\n$aggPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("mismatched bucket counts still answer correctly (with shuffle)") {
+    val orders = Tables(spark, sf, "orders").limit(100)
+    Bucketing.writeBucketed(orders, "b_o8", "o_orderkey", 8)
+    Bucketing.writeBucketed(orders.select("o_orderkey", "o_totalprice"), "b_o4", "o_orderkey", 4)
+    try {
+      val j = Bucketing.bucketedJoin(spark, "b_o8", "b_o4", "o_orderkey")
+      assert(j.count() === 100)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_o8")
+      spark.sql("DROP TABLE IF EXISTS b_o4")
+    }
   }
 }
