@@ -483,14 +483,197 @@ object Heap {
       .orderBy("class_name", "super_name")
   }
 
-  /** B6-B19: the waste suite as a findings DataFrame (assembly is
-    * driver-side; individual checks are oracle-proven above).
+  /** B6-B19: the FULL waste suite — every finding's (name, tier,
+    * severity, affected, waste) re-derived by DuckDB from the same
+    * export: per-check aggregates, the severity tiering, the
+    * emit-only-if-found guards, everything the driver-side assembly
+    * does. Branches only reference class tables that exist in the
+    * demo export (read_parquet on a missing glob errors), exactly like
+    * the per-check gates above.
     */
-  val qHeapWaste: GateQuery = GateQuery.rowsOnly("q_heap_waste") { (s, _) =>
-    import s.implicits._
-    analysis(s).runWasteAnalysis(maxTier = 3)
-      .map(f => (f.checkName, f.tier, f.severity, f.affectedCount, f.estimatedWasteBytes))
-      .toDF("check_name", "tier", "severity", "affected_count", "estimated_waste_bytes")
+  val qHeapWaste: GateQuery = {
+    // classifySeverity thresholds (HeapAnalysis.classifySeverity)
+    def sev(e: String) =
+      s"""CASE WHEN $e > 104857600 THEN 'CRITICAL' WHEN $e > 10485760 THEN 'HIGH'
+         |WHEN $e > 1048576 THEN 'MEDIUM' WHEN $e > 102400 THEN 'LOW'
+         |ELSE 'INFO' END""".stripMargin.replace("\n", " ")
+    def dupRollup(src: String, overhead: Int, elemSize: Int) =
+      s"""SELECT COALESCE(CAST(SUM(dc) AS BIGINT), 0) AS total,
+         |  CAST(COALESCE(SUM((dc - 1) * l * $elemSize), 0)
+         |    + (COALESCE(SUM(dc), 0) - COUNT(*)) * $overhead AS BIGINT) AS waste
+         |FROM ($src)""".stripMargin
+    val oracle =
+      s"""WITH ds AS (
+         |  ${dupRollup(
+        s"""SELECT COUNT(*) AS dc, MIN(l) AS l FROM (
+           |    SELECT b."values" AS v, len(b."values") AS l
+           |    FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
+           |    JOIN read_parquet('$exportDir/_primitive_arrays_byte/*.parquet') b
+           |      ON s.value = b.obj_id
+           |    WHERE s.value <> 0) GROUP BY v HAVING COUNT(*) > 1""".stripMargin, 40, 1)}),
+         |bc AS (
+         |  SELECT COALESCE(CAST(SUM(e + si) AS BIGINT), 0) AS aff,
+         |    COALESCE(CAST(SUM(w) AS BIGINT), 0) AS waste FROM (
+         |    SELECT COUNT(CASE WHEN "size" = 0 THEN 1 END) AS e,
+         |      COUNT(CASE WHEN "size" = 1 THEN 1 END) AS si,
+         |      COUNT(CASE WHEN "size" = 0 THEN 1 END) * 96
+         |        + COUNT(CASE WHEN "size" = 1 THEN 1 END) * 92 AS w
+         |    FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet')
+         |    UNION ALL
+         |    SELECT COUNT(CASE WHEN "size" = 0 THEN 1 END),
+         |      COUNT(CASE WHEN "size" = 1 THEN 1 END),
+         |      COUNT(CASE WHEN "size" = 0 THEN 1 END) * 128
+         |        + COUNT(CASE WHEN "size" = 1 THEN 1 END) * 152
+         |    FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet'))),
+         |boa AS (
+         |  SELECT COALESCE(CAST(SUM(n_arrays) AS BIGINT), 0) AS aff,
+         |    COALESCE(CAST(SUM(w) AS BIGINT), 0) AS waste FROM (
+         |    SELECT pattern, COUNT(*) AS n_arrays,
+         |      CASE pattern WHEN 'zero_length' THEN COUNT(*) * 16
+         |        WHEN 'all_null' THEN COUNT(*) * 16 + CAST(SUM(n) AS BIGINT) * 4
+         |        WHEN 'single_element' THEN COUNT(*) * 12
+         |        ELSE CAST(FLOOR(SUM(n) * 0.7) AS BIGINT) * 4 END AS w
+         |    FROM (
+         |      SELECT CASE WHEN len(elements) = 0 THEN 'zero_length'
+         |        WHEN len(list_filter(elements, x -> x = 0)) = len(elements) THEN 'all_null'
+         |        WHEN len(elements) = 1 THEN 'single_element'
+         |        WHEN len(elements) > 3 AND
+         |          CAST(len(list_filter(elements, x -> x = 0)) AS DOUBLE) / len(elements) > 0.7
+         |          THEN 'sparse' END AS pattern,
+         |        len(elements) AS n
+         |      FROM read_parquet('$exportDir/_object_arrays/*.parquet'))
+         |    WHERE pattern IS NOT NULL GROUP BY pattern)),
+         |bpa AS (
+         |  SELECT COALESCE(CAST(SUM(n_arrays) AS BIGINT), 0) AS aff,
+         |    COALESCE(CAST(SUM(w) AS BIGINT), 0) AS waste FROM (
+         |    SELECT COUNT(*) AS n_arrays,
+         |      CASE WHEN pattern = 'zero_length' THEN COUNT(*) * 16
+         |        WHEN pattern = 'all_zero' THEN SUM(bytes) + COUNT(*) * 16
+         |        ELSE COUNT(*) * (16 - MIN(es)) END AS w
+         |    FROM (${Seq(("boolean", 1), ("byte", 1), ("char", 2), ("short", 2),
+        ("int", 4), ("long", 8), ("float", 4), ("double", 8)).map { case (pt, es) =>
+        val allZero =
+          if (pt == "boolean") s"""NOT list_contains("values", true)"""
+          else s"""list_min("values") = 0 AND list_max("values") = 0"""
+        s"""SELECT '$pt' AS prim_type, $es AS es,
+           |      CASE WHEN len("values") = 0 THEN 'zero_length'
+           |        WHEN len("values") = 1 THEN 'single'
+           |        WHEN len("values") > 1 AND $allZero THEN 'all_zero' END AS pattern,
+           |      len("values") * $es AS bytes
+           |      FROM read_parquet('$exportDir/_primitive_arrays_$pt/*.parquet')""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")})
+         |    WHERE pattern IS NOT NULL GROUP BY prim_type, pattern)),
+         |bx AS (
+         |  SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS aff,
+         |    COALESCE(CAST(SUM(n) * 16 AS BIGINT), 0) AS waste FROM (
+         |    SELECT COUNT(*) AS n FROM read_parquet('$exportDir/java.lang.Integer_*/*.parquet')
+         |    UNION ALL
+         |    SELECT COUNT(*) FROM read_parquet('$exportDir/java.lang.Long_*/*.parquet'))),
+         |oa_cap AS (
+         |  SELECT obj_id, len(elements) AS cap
+         |  FROM read_parquet('$exportDir/_object_arrays/*.parquet')),
+         |cs AS (
+         |  SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS aff,
+         |    COALESCE(CAST(SUM(w) AS BIGINT), 0) AS waste FROM (
+         |    SELECT COUNT(*) AS n, COALESCE(CAST(SUM(cap * 4) AS BIGINT), 0) AS w
+         |    FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
+         |    JOIN oa_cap ON h."table" = oa_cap.obj_id
+         |    WHERE h."size" >= 2 AND h."table" <> 0 AND cap >= 16
+         |      AND CAST(h."size" AS DOUBLE) / CAST(cap AS DOUBLE) < 0.33
+         |    UNION ALL
+         |    SELECT COUNT(*), COALESCE(CAST(SUM((cap - a."size") * 4) AS BIGINT), 0)
+         |    FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
+         |    JOIN oa_cap ON a.elementData = oa_cap.obj_id
+         |    WHERE a."size" >= 1 AND a.elementData <> 0
+         |      AND cap > a."size" * 2 AND cap - a."size" > 8)),
+         |db AS (
+         |  ${dupRollup(
+        s"""SELECT COUNT(*) AS dc, MIN(len("values")) AS l
+           |    FROM read_parquet('$exportDir/_primitive_arrays_byte/*.parquet')
+           |    WHERE len("values") > 0 AND len("values") <= 10240
+           |    GROUP BY "values" HAVING COUNT(*) > 1""".stripMargin, 16, 1)}),
+         |cc AS (
+         |  SELECT COUNT(DISTINCT type_name) AS n
+         |  FROM read_parquet('$exportDir/_object_index/*.parquet')),
+         |gcr AS (
+         |  SELECT COUNT(*) AS total
+         |  FROM read_parquet('$exportDir/_gc_roots/*.parquet')),
+         |dbb AS (
+         |  SELECT COUNT(*) AS cnt,
+         |    COALESCE(CAST(SUM(capacity) AS BIGINT), 0) AS cap,
+         |    COALESCE(CAST(SUM(CASE WHEN "position" = 0 AND "limit" = capacity
+         |      THEN capacity ELSE 0 END) AS BIGINT), 0) AS untouched,
+         |    COUNT(CASE WHEN capacity = 0 THEN 1 END) AS n_empty
+         |  FROM read_parquet('$exportDir/java.nio.DirectByteBuffer_*/*.parquet')),
+         |th AS (
+         |  SELECT COALESCE(CAST(SUM(CASE WHEN threadStatus <> 0
+         |      AND (threadStatus & 1) = 1 AND (threadStatus & 2) = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS alive
+         |  FROM read_parquet('$exportDir/java.lang.Thread_*/*.parquet')),
+         |tc AS (
+         |  SELECT COUNT(*) AS n
+         |  FROM read_parquet('$exportDir/_stack_traces/*.parquet')),
+         |doa AS (
+         |  ${dupRollup(
+        s"""SELECT COUNT(*) AS dc, MIN(len(elements)) AS l
+           |    FROM read_parquet('$exportDir/_object_arrays/*.parquet')
+           |    WHERE len(elements) BETWEEN 1 AND 100
+           |    GROUP BY elements HAVING COUNT(*) > 1""".stripMargin, 16, 4)}),
+         |ss AS (
+         |  SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS aff FROM (
+         |    SELECT COUNT(*) AS n
+         |    FROM read_parquet('$exportDir/_object_index/*.parquet')
+         |    GROUP BY type_name ORDER BY n DESC LIMIT 50))
+         |SELECT * FROM (
+         |  SELECT 'Duplicate Strings' AS check_name, 1 AS tier,
+         |    ${sev("waste")} AS severity, total AS affected_count,
+         |    waste AS estimated_waste_bytes FROM ds
+         |  UNION ALL
+         |  SELECT 'Bad Collections (empty/single-element)', 1, ${sev("waste")}, aff, waste
+         |  FROM bc WHERE aff > 0
+         |  UNION ALL
+         |  SELECT 'Bad Object Arrays', 1, ${sev("waste")}, aff, waste FROM boa WHERE aff > 0
+         |  UNION ALL
+         |  SELECT 'Bad Primitive Arrays', 1, ${sev("waste")}, aff, waste FROM bpa WHERE aff > 0
+         |  UNION ALL
+         |  SELECT 'Boxed Primitives', 1, ${sev("waste")}, aff, waste FROM bx WHERE aff > 0
+         |  UNION ALL
+         |  SELECT 'Collection Sizing Issues', 2, ${sev("waste")}, aff, waste FROM cs WHERE aff > 0
+         |  UNION ALL
+         |  SELECT 'Duplicate byte[] Arrays', 2, ${sev("waste")}, total, waste FROM db WHERE total > 0
+         |  UNION ALL
+         |  SELECT 'Class Count / Leak Detection', 2,
+         |    CASE WHEN n > 50000 THEN 'HIGH' WHEN n > 20000 THEN 'MEDIUM' ELSE 'INFO' END,
+         |    CAST(n AS BIGINT), CAST(n AS BIGINT) * 8192 FROM cc WHERE n >= 10000
+         |  UNION ALL
+         |  SELECT 'GC Roots Breakdown', 2,
+         |    CASE WHEN total > 100000 THEN 'MEDIUM' WHEN total > 50000 THEN 'LOW' ELSE 'INFO' END,
+         |    CAST(total AS BIGINT), CAST(0 AS BIGINT) FROM gcr WHERE total > 0
+         |  UNION ALL
+         |  SELECT 'DirectByteBuffer Off-Heap', 2,
+         |    CASE WHEN cap > 10485760 THEN ${sev("cap")} ELSE 'INFO' END,
+         |    CAST(cnt AS BIGINT), n_empty * 64 + untouched FROM dbb WHERE cnt > 0
+         |  UNION ALL
+         |  SELECT 'Thread Stacks', 2,
+         |    CASE WHEN eff > 5000 THEN 'CRITICAL' WHEN eff > 2000 THEN 'HIGH'
+         |      WHEN eff > 1000 THEN 'MEDIUM' ELSE 'INFO' END,
+         |    eff, eff * 524288 FROM (
+         |    SELECT CASE WHEN th.alive > 0 THEN th.alive ELSE CAST(tc.n AS BIGINT) END AS eff,
+         |      tc.n AS tn FROM th, tc) WHERE tn > 0
+         |  UNION ALL
+         |  SELECT 'Duplicate Object Arrays', 3, ${sev("waste")}, total, waste
+         |  FROM doa WHERE total > 0
+         |  UNION ALL
+         |  SELECT 'Estimated Shallow Size (top 50 types)', 3, 'INFO', aff, CAST(0 AS BIGINT)
+         |  FROM ss WHERE aff > 0)
+         |ORDER BY check_name""".stripMargin
+    GateQuery("q_heap_waste", oracle) { (s, _) =>
+      import s.implicits._
+      analysis(s).runWasteAnalysis(maxTier = 3)
+        .map(f => (f.checkName, f.tier, f.severity, f.affectedCount, f.estimatedWasteBytes))
+        .toDF("check_name", "tier", "severity", "affected_count", "estimated_waste_bytes")
+        .orderBy("check_name")
+    }
   }
 
   val all: Seq[GateQuery] = Seq(
