@@ -63,6 +63,21 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(other !== a, "seed must change the draw")
   }
 
+  test("topKPerGroup restores round-trippable group types and rejects NULLs loudly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 10.0, 100L), (1, 20.0, 101L), (2, 5.0, 102L))
+      .toDF("g", "score", "id")
+    val out = graft.operators.TopK.topKPerGroup(df, "g", "score", "id", 1)
+    assert(out.schema("g").dataType.typeName === "integer") // not string
+    assert(out.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ===
+      Set((1, 101L), (2, 102L)))
+    val withNull = Seq((1, Some(1.0), 1L), (1, None, 2L)).toDF("g", "score", "id")
+    val err = intercept[Exception] {
+      graft.operators.TopK.topKPerGroup(withNull, "g", "score", "id", 1).collect()
+    }
+    assert(err.getMessage.contains("NULL") || err.getCause != null, err.getMessage)
+  }
+
   private def runJaccard(df: org.apache.spark.sql.DataFrame, threshold: Double, cap: Int) =
     graft.operators.Dedup.jaccardPairs(df, "doc_id", "text", 3, threshold, maxShingleDf = cap)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
