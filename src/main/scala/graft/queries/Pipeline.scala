@@ -198,15 +198,34 @@ object Pipeline {
     }
   }
 
-  /** D7+ — IVF ANN with learned (KMeans) centroids; rows-only: the
-    * quantizer is a model, not SQL. Full-probe == brute-force and
-    * partial-probe recall are asserted in SimilaritySpec.
+  /** D7 partial probe — HASH-MATCHED via the ANN recall contract (the
+    * sketch-gate move): an 8/16-probe search is approximate by design,
+    * so the gate measures its recall against the exact brute-force
+    * top-k computed in the same plan and asserts the floor the
+    * operator promises (≥0.55 aggregate recall@3, the SimilaritySpec
+    * bound; measured 0.87–0.93 at 8/16 across sf0.001–sf0.1). The
+    * quantizer draw is seed-deterministic, so the oracle's TRUE is
+    * stable — and a quantizer regression that tanks recall FAILS the
+    * driver gate, not just a spec.
     */
-  val qKnnIvf: GateQuery = GateQuery.rowsOnly("q_knn_ivf") { (s, dir) =>
+  val qKnnIvf: GateQuery = GateQuery(
+    "q_knn_ivf",
+    """SELECT COUNT(DISTINCT vec_id) AS n_queries, 3 AS k, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
-    Similarity.knnIvf(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 3, nLists = 16, nProbe = 4)
-      .orderBy("qid", "rk")
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.knnIvf(emb, q, "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 8)
+      .select("qid", "cid")
+    val exact = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 3)
+      .select("qid", "cid")
+    val hits = exact.join(ivf, Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    q.agg(countDistinct(col("vec_id")).as("n_queries"))
+      .crossJoin(hits)
+      .select(col("n_queries"), lit(3).as("k"),
+        (col("n_hits").cast("double") / (col("n_queries") * 3).cast("double") >= 0.55)
+          .as("recall_ok"))
   }
 
   /** D7b — IVF at FULL probe (nProbe == nLists) must equal exact

@@ -476,15 +476,40 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
-  /** C-surface `sample` — seeded Bernoulli TABLESAMPLE (rows-only:
-    * engines draw different rows; determinism within Spark is
-    * spec-tested via the fixed seed).
+  /** C-surface `sample` — seeded Bernoulli TABLESAMPLE, HASH-MATCHED
+    * via its statistical contract (the same move as the sketch gates):
+    * engines draw different rows, but any correct Bernoulli(p) sampler
+    * must land each group's count inside a ±6σ binomial corridor
+    * around n·p, which the oracle computes exactly from the FULL
+    * table. The draw is seed-deterministic, so within_bounds is stable
+    * — and a broken sampler (wrong p, correlated draws) FAILS the
+    * gate. (In-Spark determinism is additionally spec-tested.)
     */
-  val qSample: GateQuery = GateQuery.rowsOnly("q_sample") { (s, dir) =>
-    Tables(s, dir, "lineitem")
+  val qSample: GateQuery = GateQuery(
+    "q_sample",
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_total,
+      |  CAST(floor(COUNT(*) * 0.1 - 6 * sqrt(COUNT(*) * 0.1 * 0.9)) AS BIGINT) AS lo,
+      |  CAST(ceil(COUNT(*) * 0.1 + 6 * sqrt(COUNT(*) * 0.1 * 0.9)) AS BIGINT) AS hi,
+      |  TRUE AS within_bounds
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val sampled = Tables(s, dir, "lineitem")
       .sample(withReplacement = false, fraction = 0.1, seed = 42L)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_sampled"))
+    val totals = Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_total"))
+    val sigma = sqrt(col("n_total") * 0.1 * 0.9)
+    totals.join(sampled, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n_total"),
+        floor(col("n_total") * 0.1 - lit(6) * sigma).cast("long").as("lo"),
+        ceil(col("n_total") * 0.1 + lit(6) * sigma).cast("long").as("hi"),
+        (coalesce(col("n_sampled"), lit(0L)) >=
+            floor(col("n_total") * 0.1 - lit(6) * sigma) &&
+          coalesce(col("n_sampled"), lit(0L)) <=
+            ceil(col("n_total") * 0.1 + lit(6) * sigma)).as("within_bounds"))
       .orderBy("l_returnflag")
   }
 
