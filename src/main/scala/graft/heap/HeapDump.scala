@@ -448,27 +448,90 @@ final class HeapDump(spark: SparkSession, path: String) {
       }
     } finally prim.unpersist()
 
-    val raw = instancesRaw.persist()
-    val oi = if (resolveRefs) Some(objectIndex.persist()) else None
+    if (!resolveRefs) writeClassTablesSinglePass(outDir)
+    else writeClassTablesResolved(outDir)
+  }
+
+  /** Robo-mode per-class tables in ONE job: segment parse →
+    * hash-cluster by (class, salt) → class-sorted partitions →
+    * executor-side parquet writers (ClassTableWriter). Read volume is
+    * O(heap) regardless of class count — the former job-per-class
+    * loop rescanned the instance set once per class. The salt splits
+    * huge classes (java.lang.String) across up to `saltBuckets`
+    * writer tasks instead of serializing them on one.
+    */
+  private def writeClassTablesSinglePass(outDir: String): Unit = {
+    import org.apache.spark.sql.functions.{hash, pmod}
+    dropExistingClassTables(outDir)
+    val tables: Map[Long, (String, Seq[LayoutField])] =
+      index.classes.map { case (cid, ci) => cid -> (s"${ci.name}_$cid", ci.layout) }
+    val bcTables = spark.sparkContext.broadcast(tables)
+    val idSz = idSize
+    val saltBuckets = 16
+    val numParts = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32))
+    instancesRaw
+      .repartition(numParts, col("classObjId"), pmod(hash(col("objId")), lit(saltBuckets)))
+      .sortWithinPartitions("classObjId")
+      .select("classObjId", "objId", "fields")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        ClassTableWriter.writePartition(rows,
+          org.apache.spark.TaskContext.getPartitionId(), outDir, bcTables.value, idSz)
+      }
+  }
+
+  /** Resolved-mode (the reference's non-robo default): every ref field
+    * becomes STRUCT{id,type} via joins against the object index, which
+    * forces per-class DataFrame plans. Scale shape: the raw instances
+    * are staged ONCE as class-partitioned parquet, so each class job
+    * reads only its own partition directory (pruned scan, not a full
+    * rescan), the index side comes from the already-written
+    * `_object_index` parquet, and class jobs run concurrently.
+    */
+  private def writeClassTablesResolved(outDir: String): Unit = {
+    dropExistingClassTables(outDir)
+    val stage = s"$outDir/.instances_staged"
+    instancesRaw.write.mode("overwrite").partitionBy("classObjId").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val oi = spark.read.parquet(s"$outDir/_object_index")
+    val classIds = HeapIO.withFs(stage) { (fs, p) =>
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("classObjId=")).map(_.stripPrefix("classObjId=").toLong)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, classIds.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      val classIds = raw.select("classObjId").distinct().collect().map(_.getLong(0))
-      classIds.sorted.foreach { cid =>
-        if (index.classes.contains(cid)) {
-          val base = instances(cid, raw)
-          val df = oi match {
-            case Some(idx) =>
-              index.classes(cid).layout.filter(_.typeTag == BasicType.Object)
-                .foldLeft(base)((d, f) => HeapTables.resolveRef(d, f.name, idx))
-            case None => base
-          }
-          w(df, s"${index.className(cid)}_$cid")
+      val jobs = classIds.sorted.filter(index.classes.contains).map { cid =>
+        scala.concurrent.Future {
+          val base = instances(cid, staged)
+          val df = index.classes(cid).layout.filter(_.typeTag == BasicType.Object)
+            .foldLeft(base)((d, f) => HeapTables.resolveRef(d, f.name, oi))
+          df.write.mode("overwrite").parquet(s"$outDir/${index.className(cid)}_$cid")
         }
       }
+      import scala.concurrent.duration.Duration
+      jobs.foreach(scala.concurrent.Await.result(_, Duration.Inf))
     } finally {
-      raw.unpersist()
-      oi.foreach(_.unpersist())
+      pool.shutdown()
+      HeapIO.withFs(stage)((fs, p) => fs.delete(p, true))
     }
   }
+
+  /** Metadata-only cleanup so a re-export to the same directory can't
+    * leave stale part files from a previous layout behind.
+    */
+  private def dropExistingClassTables(outDir: String): Unit =
+    HeapIO.withFs(outDir) { (fs, p) =>
+      if (fs.exists(p)) {
+        val classDirs = index.classes.map { case (cid, ci) => s"${ci.name}_$cid" }.toSet
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory && classDirs.contains(st.getPath.getName))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
 }
 
 object HeapDump {

@@ -62,4 +62,52 @@ class HeapScaleSpec extends AnyFunSuite {
     val dup = new HeapAnalysis(new HeapTables(spark, out)).checkDuplicateStrings().get
     assert(dup.affectedCount > 15000) // 40k draws over 50k payload keys → ~22k in dup groups
   }
+
+  /** The robo export must be single-pass: the per-class tables come
+    * out of ONE clustered write job, so total job count is a constant,
+    * NOT a function of how many classes the heap has (the former
+    * implementation launched one full-rescan job per class —
+    * O(classes × heap) read volume at a real dump's 10k classes).
+    */
+  test("writeParquet job count is O(1) in the number of classes") {
+    def export(nClasses: Int): Int = {
+      val w = new HprofWriter()
+      val obj = w.defineClass("java.lang.Object")
+      (0 until nClasses).foreach { i =>
+        val c = w.defineClass(s"com.example.Gen$i", obj,
+          instanceFields = Seq("x" -> BasicType.Int, "ref" -> BasicType.Object))
+        (0 until 20).foreach(j => w.instance(c, Seq(BasicType.Int -> j, BasicType.Object -> 0L)))
+      }
+      val path = java.nio.file.Files.createTempDirectory(s"heap_jobs_$nClasses")
+        .resolve("d.hprof").toString
+      w.writeTo(path, segments = 4)
+      val hd = new HeapDump(spark, path)
+      val out = java.nio.file.Files.createTempDirectory(s"heap_jobs_pq_$nClasses").toString
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        hd.writeParquet(out)
+        // the listener bus is async; wait until the count is stable
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val now = jobs.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // spot-check the export is real: one table per generated class
+      val tables = new java.io.File(out).listFiles().map(_.getName)
+      assert((0 until nClasses).forall(i => tables.exists(_.startsWith(s"com.example.Gen${i}_"))))
+      jobs.get()
+    }
+    val jobs8 = export(8)
+    val jobs64 = export(64)
+    info(s"export jobs: 8 classes → $jobs8, 64 classes → $jobs64")
+    assert(jobs64 === jobs8) // constant, independent of class count
+  }
 }
