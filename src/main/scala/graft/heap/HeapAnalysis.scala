@@ -212,16 +212,12 @@ final class HeapAnalysis(t: HeapTables) {
       strs <- t.byClass("java.lang.String")
       bytes <- t.system("_primitive_arrays_byte")
     } yield {
-      val decode = udf { (vals: Seq[Byte], coder: Int) =>
-        val arr = vals.toArray
-        if (coder == 1) new String(arr, java.nio.charset.StandardCharsets.UTF_16LE)
-        else new String(arr, java.nio.charset.StandardCharsets.ISO_8859_1)
-      }
       val coder = if (strs.columns.contains("coder")) col("coder").cast("int") else lit(0)
       strs.select(col("obj_id"), col("value").as("byte_id"), coder.as("__coder"))
         .filter(col("byte_id") =!= 0)
         .join(bytes.select(col("obj_id").as("byte_id"), col("values")), "byte_id")
-        .select(col("obj_id"), decode(col("values"), col("__coder")).as("text"))
+        .select(col("obj_id"),
+          graft.functions.DecodeJavaString(col("values"), col("__coder")).as("text"))
     }
 
   // -- B7: bad collections --------------------------------------------

@@ -113,6 +113,21 @@ class HeapAnalysisSpec extends AnyFunSuite {
   test("stringValues decodes String contents via byte[] join") {
     val texts = analysis.stringValues.get.collect().map(_.getString(1)).sorted
     assert(texts.toSeq === Seq("hello", "hello", "world"))
+    // the decode is a codegen expression, NOT a Scala UDF: this pass
+    // visits every string in the heap, so boxing per row is a scale bug
+    val plan = analysis.stringValues.get.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("DecodeJavaString honors the compact-strings coder field") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val utf16 = "héllo→".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    val latin1 = "héllo".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val df = Seq((utf16.toSeq, 1), (latin1.toSeq, 0)).toDF("values", "coder")
+    val out = df.select(graft.functions.DecodeJavaString(col("values"),
+      col("coder")).as("text")).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("héllo→", "héllo"))
   }
 
   test("B6 duplicate strings: 2 copies of hello -> 45B") {
