@@ -52,6 +52,19 @@ final class HeapTables(spark: SparkSession, val dir: String) {
 object HeapTables {
   import org.apache.spark.sql.functions._
 
+  /** Reference-parity ref-field dispatch (analyze_heap_parquet.py's
+    * ref_field, :129-133): a reference column is a bare long in a
+    * robo-mode export but STRUCT{id,type} in a resolved-mode one —
+    * every analysis access goes through this so the SAME waste suite
+    * runs unchanged against either export layout.
+    */
+  def refField(df: DataFrame, name: String): Column =
+    df.schema.fields.find(_.name == name) match {
+      case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        col(name).getField("id")
+      case _ => col(name)
+    }
+
   /** Rewrite a bare-long reference column as STRUCT{id,type} by
     * joining the object index (null id 0 → "null"; dangling →
     * "(unresolved)").
@@ -180,7 +193,7 @@ final class HeapAnalysis(t: HeapTables) {
       bytes <- t.system("_primitive_arrays_byte")
     } yield {
       val strs = if (samplePct < 100) strs0.sample(samplePct / 100.0, 42L) else strs0
-      val joined = strs.select(col("value").as("byte_id"))
+      val joined = strs.select(HeapTables.refField(strs, "value").as("byte_id"))
         .filter(col("byte_id") =!= 0)
         .join(bytes, col("byte_id") === bytes("obj_id"))
         .select(col("values"))
@@ -213,7 +226,7 @@ final class HeapAnalysis(t: HeapTables) {
       bytes <- t.system("_primitive_arrays_byte")
     } yield {
       val coder = if (strs.columns.contains("coder")) col("coder").cast("int") else lit(0)
-      strs.select(col("obj_id"), col("value").as("byte_id"), coder.as("__coder"))
+      strs.select(col("obj_id"), HeapTables.refField(strs, "value").as("byte_id"), coder.as("__coder"))
         .filter(col("byte_id") =!= 0)
         .join(bytes.select(col("obj_id").as("byte_id"), col("values")), "byte_id")
         .select(col("obj_id"),
@@ -400,8 +413,8 @@ final class HeapAnalysis(t: HeapTables) {
       t.byClass("java.util.HashMap")
         .filter(d => d.columns.contains("size") && d.columns.contains("table"))
         .map { hm =>
-          hm.filter(col("size") >= 2 && col("table") =!= 0)
-            .select(col("size"), col("table").as("__aid"))
+          hm.filter(col("size") >= 2 && HeapTables.refField(hm, "table") =!= 0)
+            .select(col("size"), HeapTables.refField(hm, "table").as("__aid"))
             .join(oa, "__aid")
             .filter(col("cap") >= 16 && col("size").cast("double") / col("cap").cast("double") < 0.33)
             .agg(count(lit(1)).as("n_colls"),
@@ -411,8 +424,8 @@ final class HeapAnalysis(t: HeapTables) {
       t.byClass("java.util.ArrayList")
         .filter(d => d.columns.contains("size") && d.columns.contains("elementData"))
         .map { al =>
-          al.filter(col("size") >= 1 && col("elementData") =!= 0)
-            .select(col("size"), col("elementData").as("__aid"))
+          al.filter(col("size") >= 1 && HeapTables.refField(al, "elementData") =!= 0)
+            .select(col("size"), HeapTables.refField(al, "elementData").as("__aid"))
             .join(oa, "__aid")
             .filter(col("cap") > col("size") * 2 && col("cap") - col("size") > 8)
             .agg(count(lit(1)).as("n_colls"),

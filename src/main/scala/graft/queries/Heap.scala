@@ -31,6 +31,13 @@ object Heap {
     s"${System.getProperty("java.io.tmpdir")}/graft_heap_gate_demo_$pid/parquet"
   }
 
+  /** The same dump exported in the reference's non-robo DEFAULT mode:
+    * ref fields materialized as STRUCT{id,type}. Gates over this
+    * directory prove ref_field-dispatch parity (the analysis suite
+    * reads `.id` from struct refs) AND the resolved export itself.
+    */
+  val exportDirResolved: String = s"${new java.io.File(exportDir).getParent}/parquet_resolved"
+
   /** One synthetic heap + parquet export per JVM, built lazily. The
     * heap is seeded with every waste pattern the B-checks detect:
     * duplicate strings/arrays, bad collections, bad object/primitive
@@ -145,12 +152,19 @@ object Heap {
         java.nio.file.Paths.get(exportDir).getParent)
       val hprof = dir.resolve("demo.hprof").toString
       w.writeTo(hprof, segments = 4)
-      new HeapDump(spark, hprof).writeParquet(exportDir)
+      val hd = new HeapDump(spark, hprof)
+      hd.writeParquet(exportDir)
+      hd.writeParquet(exportDirResolved, resolveRefs = true)
       exportDir
     })
 
   private def analysis(spark: SparkSession) =
     new HeapAnalysis(new HeapTables(spark, demoDir(spark)))
+
+  private def resolvedAnalysis(spark: SparkSession) = {
+    demoDir(spark)
+    new HeapAnalysis(new HeapTables(spark, exportDirResolved))
+  }
 
   private def table(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(s"${demoDir(spark)}/$name")
@@ -676,12 +690,66 @@ object Heap {
     }
   }
 
+  /** A11/ref_field parity gate #1: the duplicate-strings rollup over
+    * the RESOLVED export — String.value is STRUCT{id,type}, so both
+    * engines must reach through `.id` (reference ref_field,
+    * analyze_heap_parquet.py:129-133). Numbers must equal the robo
+    * gate's by construction.
+    */
+  val qHeapResolvedStrings: GateQuery = GateQuery(
+    "q_heap_resolved_strings",
+    s"""WITH j AS (
+       |  SELECT b."values" AS v, len(b."values") AS l
+       |  FROM read_parquet('$exportDirResolved/java.lang.String_*/*.parquet') s
+       |  JOIN read_parquet('$exportDirResolved/_primitive_arrays_byte/*.parquet') b
+       |    ON struct_extract(s."value", 'id') = b.obj_id
+       |  WHERE struct_extract(s."value", 'id') <> 0),
+       |g AS (SELECT COUNT(*) AS dc, MIN(l) AS l FROM j GROUP BY v HAVING COUNT(*) > 1)
+       |SELECT COALESCE(CAST(SUM(dc) AS BIGINT), 0) AS total_dups,
+       |  COUNT(*) AS unique_vals,
+       |  COALESCE(CAST(MAX(dc) AS BIGINT), 0) AS worst,
+       |  CAST(COALESCE(SUM((dc - 1) * l), 0)
+       |    + (COALESCE(SUM(dc), 0) - COUNT(*)) * 40 AS BIGINT) AS wasted_bytes
+       |FROM g""".stripMargin) { (s, _) =>
+    resolvedAnalysis(s).dupStringStats().get
+  }
+
+  /** A11/ref_field parity gate #2: collection sizing over the resolved
+    * export — HashMap.table and ArrayList.elementData are struct refs.
+    */
+  val qHeapResolvedSizing: GateQuery = GateQuery(
+    "q_heap_resolved_sizing",
+    s"""WITH oa AS (
+       |  SELECT obj_id, len(elements) AS cap
+       |  FROM read_parquet('$exportDirResolved/_object_arrays/*.parquet')),
+       |sh AS (
+       |  SELECT COUNT(*) AS n, COALESCE(CAST(SUM(cap * 4) AS BIGINT), 0) AS w
+       |  FROM read_parquet('$exportDirResolved/java.util.HashMap_*/*.parquet') h
+       |  JOIN oa ON struct_extract(h."table", 'id') = oa.obj_id
+       |  WHERE h."size" >= 2 AND struct_extract(h."table", 'id') <> 0 AND cap >= 16
+       |    AND CAST(h."size" AS DOUBLE) / CAST(cap AS DOUBLE) < 0.33),
+       |oal AS (
+       |  SELECT COUNT(*) AS n, COALESCE(CAST(SUM((cap - a."size") * 4) AS BIGINT), 0) AS w
+       |  FROM read_parquet('$exportDirResolved/java.util.ArrayList_*/*.parquet') a
+       |  JOIN oa ON struct_extract(a.elementData, 'id') = oa.obj_id
+       |  WHERE a."size" >= 1 AND struct_extract(a.elementData, 'id') <> 0
+       |    AND cap > a."size" * 2 AND cap - a."size" > 8)
+       |SELECT * FROM (
+       |  SELECT 'oversized_arraylist' AS kind, n AS n_colls, w AS wasted_bytes FROM oal
+       |  UNION ALL
+       |  SELECT 'sparse_hashmap', n, w FROM sh)
+       |WHERE n_colls > 0
+       |ORDER BY kind""".stripMargin) { (s, _) =>
+    resolvedAnalysis(s).collectionSizingStats.get
+  }
+
   val all: Seq[GateQuery] = Seq(
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
     qHeapBadPrimArrays, qHeapBoxed, qHeapCollectionSizing,
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
-    qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste)
+    qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
+    qHeapResolvedStrings, qHeapResolvedSizing)
     .map(_.copy(bench = false))
 }

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class HeapAnalysisSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private lazy val analysis: HeapAnalysis = {
+  private lazy val fixtures: (HeapAnalysis, HeapAnalysis, String) = {
     val w = new HprofWriter()
     val objectCls = w.defineClass("java.lang.Object")
     val stringCls = w.defineClass("java.lang.String", objectCls,
@@ -85,9 +85,18 @@ class HeapAnalysisSpec extends AnyFunSuite {
     val hprof = dir.resolve("waste.hprof").toString
     w.writeTo(hprof, segments = 2)
     val outDir = dir.resolve("parquet").toString
-    new HeapDump(spark, hprof).writeParquet(outDir)
-    new HeapAnalysis(new HeapTables(spark, outDir))
+    val hd = new HeapDump(spark, hprof)
+    hd.writeParquet(outDir)
+    val resolvedDir = dir.resolve("parquet_resolved").toString
+    hd.writeParquet(resolvedDir, resolveRefs = true)
+    (new HeapAnalysis(new HeapTables(spark, outDir)),
+      new HeapAnalysis(new HeapTables(spark, resolvedDir)),
+      resolvedDir)
   }
+
+  private lazy val analysis: HeapAnalysis = fixtures._1
+  private lazy val resolvedAnalysis: HeapAnalysis = fixtures._2
+  private lazy val resolvedDir: String = fixtures._3
 
   test("summary and top types") {
     val s = analysis.summary.get.collect()(0)
@@ -221,5 +230,17 @@ class HeapAnalysisSpec extends AnyFunSuite {
     val report = analysis.renderReport(findings)
     assert(report.contains("Duplicate Strings"))
     assert(report.contains("Bad Collections"))
+  }
+
+  test("resolved-mode export: ref columns are STRUCT{id,type} and the full waste suite matches robo") {
+    // the export really is the reference's non-robo layout
+    val strTable = new HeapTables(spark, resolvedDir).byClass("java.lang.String").get
+    val valueType = strTable.schema.fields.find(_.name == "value").get.dataType
+    assert(valueType.isInstanceOf[org.apache.spark.sql.types.StructType], valueType)
+    // ref_field dispatch: every check re-derives the SAME numbers from
+    // struct refs that it derives from bare longs
+    val robo = analysis.runWasteAnalysis(maxTier = 3)
+    val resolved = resolvedAnalysis.runWasteAnalysis(maxTier = 3)
+    assert(resolved === robo)
   }
 }
