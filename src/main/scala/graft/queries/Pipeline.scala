@@ -454,11 +454,27 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** D12 — multimodal binary-column plumbing (rows-only: the
-    * feature_norm column comes from the stubbed JVM codec; exact
-    * values spec-tested in MultimodalSpec).
+  /** D12 — multimodal binary-column plumbing. Metadata aggregates are
+    * exact; the feature-extraction pass is pinned by the sketch-
+    * contract move (q_approx_distinct): the oracle asserts the
+    * Dataset round-trip preserved row count and dim and that every
+    * norm obeys its [0, sqrt(dim)) bound — TRUE only if the
+    * mapPartitions feature pass really covered every payload.
     */
-  val qMultimodalMeta: GateQuery = GateQuery.rowsOnly("q_multimodal_meta") { (s, dir) =>
+  val qMultimodalMeta: GateQuery = GateQuery(
+    "q_multimodal_meta",
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio'
+      |            ELSE 'video' END AS modality,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  AVG(doc_id % 640 + 32) AS avg_width,
+      |  CAST(16 AS INT) AS min_dim,
+      |  CAST(16 AS INT) AS max_dim,
+      |  TRUE AS norms_valid
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
     graft.multimodal.Multimodal.modalitySummary(s, Tables(s, dir, "documents"))
   }
 
