@@ -690,6 +690,31 @@ object Heap {
     }
   }
 
+  /** A12 — `count-records`: the sequential header walk's per-tag
+    * record tally, cross-checked against what actually LANDED in the
+    * export — DuckDB independently re-counts classes, stack frames,
+    * and stack traces from the parquet tables, so a parse that drops
+    * or double-reads a record can't hash-match.
+    */
+  val qHeapCountRecords: GateQuery = GateQuery(
+    "q_heap_count_records",
+    s"""SELECT * FROM (
+       |  SELECT 'LoadClass' AS record_type, COUNT(*) AS count
+       |  FROM read_parquet('$exportDir/_class_hierarchy/*.parquet')
+       |  UNION ALL
+       |  SELECT 'StackFrame', COUNT(*)
+       |  FROM read_parquet('$exportDir/_stack_frames/*.parquet')
+       |  UNION ALL
+       |  SELECT 'StackTrace', COUNT(*)
+       |  FROM read_parquet('$exportDir/_stack_traces/*.parquet'))
+       |ORDER BY record_type""".stripMargin) { (s, _) =>
+    demoDir(s)
+    val hprof = s"${new java.io.File(exportDir).getParent}/demo.hprof"
+    new HeapDump(s, hprof).countRecords
+      .filter(col("record_type").isin("LoadClass", "StackFrame", "StackTrace"))
+      .orderBy("record_type")
+  }
+
   /** A11/ref_field parity gate #1: the duplicate-strings rollup over
     * the RESOLVED export — String.value is STRUCT{id,type}, so both
     * engines must reach through `.id` (reference ref_field,
@@ -750,6 +775,6 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
-    qHeapResolvedStrings, qHeapResolvedSizing)
+    qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords)
     .map(_.copy(bench = false))
 }

@@ -254,6 +254,43 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** One on-disk IVF index per (JVM, sf-dir), built lazily — gates
+    * re-running in the same process probe the already-written layout.
+    */
+  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Similarity.writeIvfIndex(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        nLists = 16, dir = out)
+      out
+    })
+
+  /** D7++ — the PERSISTED IVF index probed at full width must also
+    * equal brute force: cell routing moves to a parquet partition
+    * filter (directory pruning, zero corpus shuffle — IvfIndexSpec
+    * asserts the 4/16-partition read), and with nProbe == nLists the
+    * result is exact, so the same window-over-cosine oracle applies.
+    * This upgrades the on-disk index from spec-only to driver-proven.
+    */
+  val qKnnIvfIndexed: GateQuery = GateQuery(
+    "q_knn_ivf_indexed",
+    s"""WITH $embCte,
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |        ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id < 5),
+       |r AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM p)
+       |SELECT qid, cid, rk FROM r WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.knnIvfIndexed(s, ivfIndexDir(s, dir),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nProbe = 16)
+      .select("qid", "cid", "rk")
+      .orderBy("qid", "rk")
+  }
+
   /** D13 — vector norms and dims (sequential-fold double parity). */
   val qEmbeddingNorm: GateQuery = GateQuery(
     "q_embedding_norm",
@@ -560,7 +597,8 @@ object Pipeline {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate,
-    qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull, qEmbeddingNorm,
+    qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
+    qKnnIvfIndexed, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode)
 }

@@ -665,10 +665,49 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** One bucketed copy of orders⨝lineitem per (JVM, sf-dir): the
+    * write-side shuffle is paid once; every probe of the pair after
+    * that is Exchange-free (BucketingSpec asserts the plan shape).
+    */
+  private val bucketedCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedTables(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+    bucketedCache.computeIfAbsent(dir, _ => {
+      val tag = s"${ProcessHandle.current().pid()}_${new java.io.File(dir).getName.replace('.', '_')}"
+      val (ot, lt) = (s"g_bkt_orders_$tag", s"g_bkt_lineitem_$tag")
+      graft.operators.Bucketing.writeBucketed(
+        Tables(s, dir, "orders").select("o_orderkey", "o_orderstatus"), ot, "o_orderkey", 8)
+      graft.operators.Bucketing.writeBucketed(
+        Tables(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        lt, "o_orderkey", 8)
+      (ot, lt)
+    })
+
+  /** E13 — co-located bucketed fact-fact join: both sides pre-bucketed
+    * on the join key, joined with zero Exchange, and the RESULT is
+    * what DuckDB must reproduce from the raw tables — proving the
+    * bucketed layout changes the plan, never the answer.
+    */
+  val qBucketedJoin: GateQuery = GateQuery(
+    "q_bucketed_join",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val (ot, lt) = bucketedTables(s, dir)
+    graft.operators.Bucketing.bucketedJoin(s, ot, lt, "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[GateQuery] = Seq(
     q1PricingSummary, qFilterPushdown, q6Revenue, qSummary,
     q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
     qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qCube,
     qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct, qSample,
-    qSampleDeterministic, qTopKAgg, qPercentileDisc, qPivot, qUnpivot, qStats)
+    qSampleDeterministic, qTopKAgg, qPercentileDisc, qPivot, qUnpivot, qStats,
+    qBucketedJoin)
 }
