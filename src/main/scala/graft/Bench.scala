@@ -49,9 +49,47 @@ object Bench {
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Heap ingest+export throughput (A1-A11): the q_heap_* gates run
+    // on a tiny demo dump and are bench=false, which left ingestion
+    // invisible to round-over-round comparison. This generates a
+    // FIXED-SIZE seeded synthetic dump (untimed) and times the full
+    // distributed path: header walk -> pass-1 index -> all system
+    // tables -> single-pass per-class export.
+    val heapIngest = {
+      import graft.heap.{HeapDump, HprofWriter}
+      import graft.heap.HprofModel.BasicType
+      val w = new HprofWriter()
+      val obj = w.defineClass("java.lang.Object")
+      val str = w.defineClass("java.lang.String", obj,
+        instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+      val box = w.defineClass("java.lang.Integer", obj,
+        instanceFields = Seq("value" -> BasicType.Int))
+      val classes = (0 until 200).map(i => w.defineClass(s"com.bench.Gen$i", obj,
+        instanceFields = Seq("a" -> BasicType.Long, "b" -> BasicType.Int, "ref" -> BasicType.Object)))
+      val rnd = new scala.util.Random(7L)
+      val byteIds = (0 until 120000).map(i => w.byteArray(s"payload-${i % 5000}-${rnd.nextInt(100)}"))
+      byteIds.zipWithIndex.foreach { case (b, i) =>
+        w.instance(str, Seq(BasicType.Object -> b, BasicType.Int -> i))
+      }
+      (0 until 60000).foreach(i => w.instance(box, Seq(BasicType.Int -> i % 1024)))
+      (0 until 120000).foreach { i =>
+        w.instance(classes(i % classes.length),
+          Seq(BasicType.Long -> i.toLong, BasicType.Int -> i, BasicType.Object -> byteIds(i % byteIds.length)))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_heap")
+      val hprof = dir.resolve("bench.hprof").toString
+      w.writeTo(hprof, segments = 64)
+      val mb = new java.io.File(hprof).length() / 1e6
+      val out = dir.resolve("pq").toString
+      val t0 = System.nanoTime()
+      new HeapDump(spark, hprof).writeParquet(out)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] heap ingest+export: $mb%.1f MB, 300k objects in $sec%.2f s (${mb / sec}%.1f MB/s)")
+      "q_heap_ingest_export" -> sec
+    }
+    val qs = (results :+ heapIngest).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).sum + heapIngest._2
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
