@@ -703,11 +703,33 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** D17 — salted skew join: the fact side spreads every key across 8
+    * salt buckets (dim replicated 8x), and the aggregate over the
+    * salted join must equal DuckDB's plain join — salting may only
+    * move rows between tasks, never change the result.
+    */
+  val qSkewJoin: GateQuery = GateQuery(
+    "q_skew_join",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val fact = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_linenumber"))
+    val dim = Tables(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    graft.operators.Skew.saltedJoin(fact, dim, "o_orderkey",
+        saltBuckets = 8, factSaltSource = col("l_linenumber"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(dec("l_extendedprice")).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[GateQuery] = Seq(
     q1PricingSummary, qFilterPushdown, q6Revenue, qSummary,
     q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
     qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qCube,
     qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct, qSample,
     qSampleDeterministic, qTopKAgg, qPercentileDisc, qPivot, qUnpivot, qStats,
-    qBucketedJoin)
+    qBucketedJoin, qSkewJoin)
 }

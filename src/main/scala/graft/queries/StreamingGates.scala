@@ -152,7 +152,32 @@ object StreamingGates {
       .orderBy("segment")
   }
 
+  /** E8 — REAL stream-stream interval join: clicks and errors arrive
+    * as two file-source streams, each click pairs with the same user's
+    * errors in the 30 minutes before it, and the drained sink must
+    * hash-match DuckDB's batch interval join. Both watermarks only
+    * bound state here — the single-file source delivers everything in
+    * one micro-batch, so no row can be late relative to the watermark
+    * and stream == batch holds exactly.
+    */
+  val qStreamJoin: GateQuery = GateQuery(
+    "q_stream_join",
+    """SELECT c.event_id AS click_id, e.event_id AS error_id
+      |FROM events c JOIN events e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts - INTERVAL 30 MINUTE AND e.ts <= c.ts
+      |WHERE c.event_type = 'click' AND e.event_type = 'error'
+      |ORDER BY click_id, error_id""".stripMargin) { (s, dir) =>
+    def side(tpe: String) = eventsStream(s, dir)
+      .filter(col("event_type") === tpe)
+      .select("event_id", "user_id", "ts")
+    runToMemory(StreamingOps.clickErrorJoin(side("click"), side("error"), 30),
+        OutputMode.Append())
+      .select("click_id", "error_id")
+      .orderBy("click_id", "error_id")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
-      qStreamEnrich)
+      qStreamEnrich, qStreamJoin)
     .map(_.copy(bench = false))
 }
