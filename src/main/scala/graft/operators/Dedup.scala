@@ -44,7 +44,7 @@ object Dedup {
   /** Shared: (doc_id, distinct-shingle array) with the words array
     * materialized first — see TextFunctions.shinglesFromWords.
     */
-  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+  private[operators] def shingleTable(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     // Shingling + salted hashing is CPU-bound; a small input (one
     // parquet file = one partition) would pin it to a single core.
@@ -68,7 +68,7 @@ object Dedup {
     * generated attribute is free and cannot be pushed below the
     * generate. ~8x faster at sf0.1.
     */
-  private def explodeShingles(sh: DataFrame): DataFrame =
+  private[operators] def explodeShingles(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
 

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: assign documents to fixed-size
+  * context windows ("concat-and-chunk" — documents are laid out in a
+  * deterministic order, token offsets accumulate, and every `ctxLen`
+  * tokens starts a new bin; the layout used by most large-LM data
+  * loaders).
+  *
+  * Scale shape: a single GLOBAL order would serialize the cumulative
+  * sum, so the corpus is first split into `shards` deterministic
+  * shards (`doc_id % shards`); packing order and offsets are defined
+  * WITHIN a shard. One shuffle on the shard key, then a window-local
+  * running sum — at 1000 executors you run 1000+ shards and every
+  * partition packs independently. The layout is a pure function of
+  * (data, ctxLen, shards): reproducible across engines and cluster
+  * sizes, which is what makes training-data order auditable.
+  */
+object Packing {
+
+  /** Per-document packing assignment: shard, token count, start/end
+    * token offsets within the shard, and the bin (context window
+    * index) where the document STARTS. Token counting is whitespace
+    * words — swap `tokensOf` for a real tokenizer's count column at
+    * integration time; the layout math is tokenizer-agnostic.
+    */
+  def packDocs(docs: DataFrame, idCol: String, textCol: String,
+      ctxLen: Int, shards: Int): DataFrame = {
+    require(ctxLen > 0 && shards > 0)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs.select(col(idCol).as("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col(textCol))).as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .withColumn("end_off", sum("n_tokens").over(w))
+      .withColumn("start_off", (col("end_off") - col("n_tokens")).cast("long"))
+      .withColumn("bin", floor(col("start_off") / lit(ctxLen)).cast("long"))
+  }
+
+  /** Bin-level summary: documents and tokens per context window. The
+    * fill diagnostic a packing pipeline watches (bins with tokens <<
+    * ctxLen mean padding waste; docs spanning bins mean truncation).
+    */
+  def packBins(docs: DataFrame, idCol: String, textCol: String,
+      ctxLen: Int, shards: Int): DataFrame =
+    packDocs(docs, idCol, textCol, ctxLen, shards)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+}

@@ -45,4 +45,63 @@ object Sampling {
     df.withColumn("sample_rk", row_number().over(w))
       .filter(col("sample_rk") <= n)
   }
+
+  /** Proportional stratified sample: keep `pct` percent of every
+    * stratum (floor semantics), deterministically. The keep test is
+    * pure INTEGER arithmetic (`rank * 100 <= stratum_count * pct`) —
+    * no float fraction whose rounding could differ across engines.
+    * One shuffle on the strata key; rank and count share the window
+    * partition so the exchange is reused.
+    */
+  def stratified(df: DataFrame, strataCols: Seq[String], keyCols: Seq[String],
+      pct: Int, seed: Long = 42L): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    val part = Window.partitionBy(strataCols.map(col): _*)
+    val w = part.orderBy(hashRank(seed, keyCols.map(col): _*) +: keyCols.map(col): _*)
+    df.withColumn("sample_rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      .filter(col("sample_rk") * 100 <= col("__n") * pct)
+      .drop("__n")
+  }
+
+  /** Domain-mixture resampling: per-row copy count from a per-domain
+    * epoch target (the up/down-sampling step that reweights corpus
+    * sources toward a target training mixture — e.g. 2.0 = every doc
+    * twice, 0.5 = a deterministic half, 1.25 = every doc once and a
+    * hash-selected quarter twice).
+    *
+    * Epochs are restricted to quarter-steps so the fractional keep
+    * threshold is EXACT in binary — `frac * 2^24` is an integer and
+    * the hash-uniform comparison is integer-vs-integer on every
+    * engine. The hash uniform comes from the first 6 hex digits of
+    * the seeded key hash: deterministic, portable, and independent of
+    * partitioning. Zero shuffle — this is a pure projection.
+    */
+  def domainMix(df: DataFrame, domainCol: String, keyCols: Seq[String],
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    (epochs.values.toSeq :+ defaultEpochs).foreach { e =>
+      require(e >= 0 && (e * 4) == math.floor(e * 4),
+        s"epochs must be quarter-steps (n/4), got $e")
+    }
+    val eCol = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (k, v)) =>
+      when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    val u24 = conv(substring(hashRank(seed, keyCols.map(col): _*), 1, 6), 16, 10)
+      .cast("long")
+    val whole = floor(eCol).cast("long")
+    val fracThresh = ((eCol - floor(eCol)) * (1 << 24)).cast("long")
+    df.withColumn("n_copies",
+      (whole + when(u24 < fracThresh, 1L).otherwise(0L)).cast("int"))
+  }
+
+  /** Apply step for domainMix: one output row per copy. `sequence(1,
+    * 0)` would DESCEND in Spark, so zero-copy rows are guarded to an
+    * empty array (plain explode then drops them — the downsampled-out
+    * rows).
+    */
+  def explodeCopies(df: DataFrame, nCopiesCol: String = "n_copies"): DataFrame =
+    df.withColumn("copy_idx",
+      explode(when(col(nCopiesCol) > 0, sequence(lit(1), col(nCopiesCol)))
+        .otherwise(array().cast("array<int>"))))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Components, Curate, Dedup, Similarity}
+import graft.operators.{Components, Curate, Decontaminate, Dedup, Packing, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -594,11 +594,120 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D20 — benchmark decontamination: training docs sharing any
+    * distinct 3-gram with the benchmark split (doc_id % 97 == 0 plays
+    * the eval set). The benchmark shingle set is broadcast — zero
+    * corpus shuffle.
+    */
+  val qDecontaminate: GateQuery = GateQuery(
+    "q_decontaminate",
+    s"""WITH ${shingleCte(3)},
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+       |SELECT s.doc_id, COUNT(*) AS n_overlap
+       |FROM sh s JOIN bench b ON s.shingle = b.shingle
+       |WHERE s.doc_id % 97 <> 0
+       |GROUP BY s.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    Decontaminate.overlap(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3)
+      .orderBy("doc_id")
+  }
+
+  /** D21 — deterministic proportional stratified sample: 20% of every
+    * source, floor semantics, pure-integer keep test (no float
+    * fraction to diverge between engines).
+    */
+  val qStratifiedSample: GateQuery = GateQuery(
+    "q_stratified_sample",
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    -- mirror of Sampling.hashRank: length-prefixed tokens, NULL -> 'N'
+      |    CASE WHEN doc_id IS NULL THEN 'N'
+      |         ELSE CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) END AS tok
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('42' || '-' || tok), doc_id) AS sample_rk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM t)
+      |SELECT source, doc_id, sample_rk
+      |FROM r WHERE sample_rk * 100 <= n * 20
+      |ORDER BY source, sample_rk""".stripMargin) { (s, dir) =>
+    Sampling.stratified(
+        Tables(s, dir, "documents").select("source", "doc_id"),
+        strataCols = Seq("source"), keyCols = Seq("doc_id"), pct = 20, seed = 42L)
+      .orderBy("source", "sample_rk")
+  }
+
+  /** D22 — domain-mixture resampling toward a target epoch count per
+    * language (zh 2.0×, es 1.5×, fr 2.25×, de 1.0×, rest 0.5×).
+    * Fractional epochs select docs by a 24-bit hash uniform compared
+    * against an EXACT integer threshold (quarter-step epochs only).
+    */
+  val qDomainMix: GateQuery = GateQuery(
+    "q_domain_mix",
+    s"""WITH hx AS (
+       |  SELECT doc_id, lang,
+       |    md5('42' || '-' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, lang,
+       |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+       |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+       |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+       |    (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+       |    (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+       |    (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) AS u24
+       |  FROM hx)
+       |SELECT doc_id, lang,
+       |  CAST(CASE WHEN lang = 'zh' THEN 2
+       |       WHEN lang = 'es' THEN 1 + (CASE WHEN u24 < 8388608 THEN 1 ELSE 0 END)
+       |       WHEN lang = 'fr' THEN 2 + (CASE WHEN u24 < 4194304 THEN 1 ELSE 0 END)
+       |       WHEN lang = 'de' THEN 1
+       |       ELSE (CASE WHEN u24 < 8388608 THEN 1 ELSE 0 END) END AS INT) AS n_copies
+       |FROM u
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.domainMix(
+        Tables(s, dir, "documents").select("doc_id", "lang"),
+        domainCol = "lang", keyCols = Seq("doc_id"),
+        epochs = Map("zh" -> 2.0, "es" -> 1.5, "fr" -> 2.25, "de" -> 1.0),
+        defaultEpochs = 0.5, seed = 42L)
+      .orderBy("doc_id")
+  }
+
+  /** D23 — sequence packing (concat-and-chunk into 512-token context
+    * windows, 8 deterministic shards): bin-level fill report.
+    */
+  val qPackBins: GateQuery = GateQuery(
+    "q_pack_bins",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT shard, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      |  FROM t),
+      |b AS (SELECT shard, doc_id, n_tokens, (end_off - n_tokens) // 512 AS bin FROM o)
+      |SELECT shard, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM b GROUP BY shard, bin
+      |ORDER BY shard, bin""".stripMargin) { (s, dir) =>
+    Packing.packBins(Tables(s, dir, "documents"), "doc_id", "text",
+        ctxLen = 512, shards = 8)
+      .orderBy("shard", "bin")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
-    qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode)
+    qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
+    qDecontaminate, qStratifiedSample, qDomainMix, qPackBins)
 }

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{Decontaminate, Packing, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the corpus-curation operators (SURVEY.md §2.D20–D23):
+  * decontamination, stratified sampling, domain-mixture resampling,
+  * and sequence packing. Each check includes the partitioning-
+  * independence property — results must be a pure function of the
+  * data, not of how it happens to be split.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) = {
+    val rng = new scala.util.Random(11L)
+    val vocab = (0 until 50).map(i => s"w$i")
+    (0 until n).map { i =>
+      val words = (0 until 10 + rng.nextInt(20)).map(_ => vocab(rng.nextInt(vocab.length)))
+      (i.toLong, words.mkString(" "), if (i % 3 == 0) "en" else "de", s"src${i % 4}")
+    }.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("decontaminate: a doc fully overlaps itself; dropContaminated removes exactly the flagged docs") {
+    val docs = corpus(60)
+    val bench = docs.filter($"doc_id" < 5)
+    val self = Decontaminate.overlap(bench, bench, "doc_id", "text", 3)
+    // every benchmark doc shares all of its own shingles
+    assert(self.count() === 5)
+    val flagged = Decontaminate.overlap(docs, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 5L).forall(flagged.contains), "bench docs flag against themselves")
+    val kept = Decontaminate.dropContaminated(docs, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(flagged).isEmpty)
+    assert(kept.size === 60 - flagged.size)
+  }
+
+  test("decontaminate: zero overlap when vocabularies are disjoint") {
+    val train = Seq((1L, "a b c d e"), (2L, "c d e f g")).toDF("doc_id", "text")
+    val bench = Seq((9L, "x y z x y z")).toDF("doc_id", "text")
+    assert(Decontaminate.overlap(train, bench, "doc_id", "text", 3).count() === 0)
+  }
+
+  test("stratified: per-stratum counts are floor(pct*n/100), any partitioning") {
+    val docs = corpus(101) // strata of 26/25/25/25
+    for (parts <- Seq(1, 7)) {
+      val got = Sampling.stratified(docs.repartition(parts),
+        Seq("source"), Seq("doc_id"), pct = 20)
+      val bySrc = got.groupBy("source").count().as[(String, Long)].collect().toMap
+      assert(bySrc("src0") === 5) // floor(26*20/100)
+      assert(bySrc("src1") === 5)
+    }
+    // determinism: same rows regardless of partitioning
+    val a = Sampling.stratified(docs.repartition(3), Seq("source"), Seq("doc_id"), 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratified(docs.coalesce(1), Seq("source"), Seq("doc_id"), 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("stratified: pct=100 keeps everything, pct=0 keeps nothing") {
+    val docs = corpus(40)
+    assert(Sampling.stratified(docs, Seq("source"), Seq("doc_id"), 100).count() === 40)
+    assert(Sampling.stratified(docs, Seq("source"), Seq("doc_id"), 0).count() === 0)
+  }
+
+  test("domainMix: whole epochs are exact, fractional epochs bounded, explode matches") {
+    val docs = corpus(200)
+    val mixed = Sampling.domainMix(docs, "lang", Seq("doc_id"),
+      epochs = Map("en" -> 2.0), defaultEpochs = 0.5)
+    val en = mixed.filter($"lang" === "en")
+    assert(en.filter($"n_copies" =!= 2).count() === 0, "whole epochs: exactly 2 copies")
+    val de = mixed.filter($"lang" =!= "en")
+    assert(de.filter($"n_copies" > 1).count() === 0, "0.5 epochs: 0 or 1 copies")
+    val deKept = de.filter($"n_copies" === 1).count().toDouble / de.count()
+    assert(deKept > 0.3 && deKept < 0.7, s"~half kept at 0.5 epochs, got $deKept")
+    // explodeCopies emits exactly sum(n_copies) rows and drops zeros
+    val total = mixed.agg(sum("n_copies")).as[Long].head()
+    assert(Sampling.explodeCopies(mixed).count() === total)
+  }
+
+  test("domainMix: deterministic across partitionings; rejects non-quarter epochs") {
+    val docs = corpus(80)
+    val a = Sampling.domainMix(docs.repartition(5), "lang", Seq("doc_id"), Map("en" -> 1.25))
+      .select("doc_id", "n_copies").as[(Long, Int)].collect().sorted.toSeq
+    val b = Sampling.domainMix(docs.coalesce(1), "lang", Seq("doc_id"), Map("en" -> 1.25))
+      .select("doc_id", "n_copies").as[(Long, Int)].collect().sorted.toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Sampling.domainMix(docs, "lang", Seq("doc_id"), Map("en" -> 1.1))
+    }
+  }
+
+  test("packing: offsets are contiguous per shard, bins cover all tokens, any partitioning") {
+    val docs = corpus(120)
+    for (parts <- Seq(1, 6)) {
+      val packed = Packing.packDocs(docs.repartition(parts), "doc_id", "text",
+        ctxLen = 64, shards = 4)
+      val rows = packed.select("shard", "doc_id", "n_tokens", "start_off", "end_off")
+        .as[(Int, Long, Int, Long, Long)].collect()
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._2)
+        var expect = 0L
+        sorted.foreach { case (_, id, n, start, end) =>
+          assert(start === expect, s"doc $id starts at $start, expected $expect")
+          assert(end === start + n)
+          expect = end
+        }
+      }
+    }
+    val bins = Packing.packBins(docs, "doc_id", "text", 64, 4)
+    val totalFromBins = bins.agg(sum("bin_tokens")).as[Long].head()
+    val totalTokens = docs.select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(totalFromBins === totalTokens, "no tokens lost or double-counted")
+    // bin ids are the start-offset chunks: within a shard they are non-decreasing
+    // and bounded by total/ctx
+    val maxBin = bins.agg(max("bin")).as[Long].head()
+    assert(maxBin <= totalTokens / 64 + 1)
+  }
+}
