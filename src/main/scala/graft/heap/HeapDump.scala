@@ -257,7 +257,7 @@ final class HeapDump(spark: SparkSession, path: String) {
       new SubVisitor { override def onPrimArray(ev: PrimArrayEv): Unit = buf += ev }
     })
 
-  private val primCols = Map(
+  private[heap] val primCols = Map(
     BasicType.Boolean -> "booleans", BasicType.Byte -> "bytes",
     BasicType.Char -> "chars", BasicType.Short -> "shorts",
     BasicType.Int -> "ints", BasicType.Long -> "longs",
@@ -300,10 +300,12 @@ final class HeapDump(spark: SparkSession, path: String) {
       .toDF("stack_trace_serial", "thread_serial", "frame_ids")
 
   // -- A4: per-class typed instance tables ----------------------------
-  def instancesRaw: DataFrame =
-    spark.createDataFrame(segmentRdd[InstanceEv] { buf =>
+  private[heap] def instancesEvents: RDD[InstanceEv] =
+    segmentRdd[InstanceEv] { buf =>
       new SubVisitor { override def onInstance(ev: InstanceEv): Unit = buf += ev }
-    })
+    }
+
+  def instancesRaw: DataFrame = spark.createDataFrame(instancesEvents)
 
   private def sparkType(tag: Int): DataType = tag match {
     case BasicType.Object => LongType
@@ -421,57 +423,136 @@ final class HeapDump(spark: SparkSession, path: String) {
     def w(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name")
 
-    w(objectIndex, "_object_index")
+    // driver-side tables come from the pass-1 index: no heap re-scan
     w(classHierarchy, "_class_hierarchy")
-    w(objectArrays, "_object_arrays")
-    w(gcRoots, "_gc_roots")
-    // non-robo mode adds a resolved ref_type column to static fields
-    // (reference build_static_fields_batch: "" for primitives, "null"
-    // for null refs, type name otherwise)
-    val sfOut = if (!resolveRefs) staticFields else {
+    w(stackFrames, "_stack_frames")
+    w(stackTraces, "_stack_traces")
+
+    if (!resolveRefs) {
+      w(staticFields, "_static_fields")
+      // ONE pass-2 job writes everything else: the system tables
+      // multiplexed from the segment scan itself, the per-class
+      // tables from the clustered shuffle fed by the same scan
+      writeRoboTablesSinglePass(outDir)
+    } else {
+      // resolved mode (the reference's non-robo default) keeps the
+      // DataFrame writes: it re-reads _object_index for the ref
+      // struct joins, so the tables must exist as plans anyway
+      w(objectIndex, "_object_index")
+      w(objectArrays, "_object_arrays")
+      w(gcRoots, "_gc_roots")
+      // resolved mode adds a ref_type column to static fields
+      // (reference build_static_fields_batch: "" for primitives,
+      // "null" for null refs, type name otherwise)
       val oi = objectIndex.select(col("obj_id").as("__ref"), col("type_name"))
-      staticFields.join(oi, col("ref_id") === col("__ref"), "left")
+      val sfOut = staticFields.join(oi, col("ref_id") === col("__ref"), "left")
         .withColumn("ref_type",
           when(col("field_type") =!= "object", "")
             .when(col("ref_id") === 0, "null")
             .otherwise(coalesce(col("type_name"), lit("(unresolved)"))))
         .drop("__ref", "type_name")
+      w(sfOut, "_static_fields")
+      val prim = primitiveArraysAll.persist()
+      try {
+        primCols.foreach { case (tag, _) =>
+          w(primitiveArrays(tag, prim), s"_primitive_arrays_${BasicType.javaName(tag)}")
+        }
+      } finally prim.unpersist()
+      writeClassTablesResolved(outDir)
     }
-    w(sfOut, "_static_fields")
-    w(stackFrames, "_stack_frames")
-    w(stackTraces, "_stack_traces")
+  }
 
-    val prim = primitiveArraysAll.persist()
-    try {
-      primCols.foreach { case (tag, _) =>
-        w(primitiveArrays(tag, prim), s"_primitive_arrays_${BasicType.javaName(tag)}")
+  /** Robo-mode pass 2 as ONE job over ONE parse: each segment task
+    * writes its slice of the system tables directly (SystemTableWriter
+    * side files, deterministic names — retry-safe) while streaming
+    * instance events into the (class, salt) exchange that feeds the
+    * clustered per-class writers. Total dump reads: pass-1 metadata +
+    * this — the same two-pass budget as the reference's rayon
+    * pipeline, where the previous layout re-parsed the full dump once
+    * per system-table family (~5× read amplification at 100 TB).
+    */
+  private[heap] def writeRoboTablesSinglePass(outDir: String): Unit = {
+    HeapIO.withFs(outDir) { (fs, p) =>
+      SystemTableWriter.tableNames.foreach { t =>
+        val tp = new Path(p, t)
+        if (fs.exists(tp)) fs.delete(tp, true)
       }
-    } finally prim.unpersist()
-
-    if (!resolveRefs) writeClassTablesSinglePass(outDir)
-    else writeClassTablesResolved(outDir)
+    }
+    val names = bcClassNames
+    val idSz = idSize
+    val p = path
+    val od = outDir
+    val evRdd: RDD[InstanceEv] = spark.sparkContext
+      .parallelize(segPtrs, parallelism(segPtrs.size))
+      .mapPartitionsWithIndex { (pid, it) =>
+        val out = mutable.ArrayBuffer.empty[InstanceEv]
+        val writers = new SystemTableWriter(od, pid, names.value)
+        try {
+          HeapIO.withFs(p) { (fs, hp) =>
+            val in = fs.open(hp)
+            try it.foreach { r =>
+              require(r.bodyLength <= Int.MaxValue,
+                s"record body ${r.bodyLength} exceeds 2 GiB buffer limit (tag ${r.tag})")
+              val buf = new Array[Byte](r.bodyLength.toInt)
+              in.readFully(r.bodyOffset, buf)
+              HprofParser.scanSegment(buf, idSz, new SubVisitor {
+                override def onInstance(ev: InstanceEv): Unit = { writers.onInstance(ev); out += ev }
+                override def onPrimArray(ev: PrimArrayEv): Unit = writers.onPrimArray(ev)
+                override def onObjArray(ev: ObjArrayEv): Unit = writers.onObjArray(ev)
+                override def onGcRoot(ev: GcRootEv): Unit = writers.onGcRoot(ev)
+                override def onClassDump(cd: ClassDumpInfo): Unit = writers.onClassDump(cd)
+              })
+            } finally in.close()
+          }
+        } finally writers.close()
+        out.iterator
+      }
+    writeClassTablesSinglePass(outDir, evRdd)
   }
 
   /** Robo-mode per-class tables in ONE job: segment parse →
     * hash-cluster by (class, salt) → class-sorted partitions →
     * executor-side parquet writers (ClassTableWriter). Read volume is
     * O(heap) regardless of class count — the former job-per-class
-    * loop rescanned the instance set once per class. The salt splits
-    * huge classes (java.lang.String) across up to `saltBuckets`
-    * writer tasks instead of serializing them on one.
+    * loop rescanned the instance set once per class.
+    *
+    * The salt is SIZE-ADAPTIVE, assigned map-side from a per-task
+    * running count: a class contributes one salt bucket per
+    * `rowsPerBucket` rows it has IN THAT TASK (capped at
+    * `saltBuckets`). Small classes — the overwhelming majority of a
+    * real dump's ~10k classes — land in a single bucket and produce
+    * one file; only classes that are actually big (java.lang.String)
+    * spread across up to `saltBuckets` writer tasks. A uniform salt
+    * costs classes × salt parquet footers (measured 6× slower on the
+    * 200-class bench dump); per-class pre-counts would cost an extra
+    * full parse. Zero extra passes, adaptive, deterministic table
+    * CONTENT (file boundaries vary with partitioning, row data does
+    * not).
     */
-  private def writeClassTablesSinglePass(outDir: String): Unit = {
-    import org.apache.spark.sql.functions.{hash, pmod}
+  private[heap] def writeClassTablesSinglePass(outDir: String,
+      src: RDD[InstanceEv] = null): Unit = {
     dropExistingClassTables(outDir)
     val tables: Map[Long, (String, Seq[LayoutField])] =
       index.classes.map { case (cid, ci) => cid -> (s"${ci.name}_$cid", ci.layout) }
     val bcTables = spark.sparkContext.broadcast(tables)
     val idSz = idSize
-    val saltBuckets = 16
+    val saltBuckets = spark.conf.getOption("spark.graft.heap.saltBuckets")
+      .map(_.toInt).getOrElse(16)
+    val rowsPerBucket = spark.conf.getOption("spark.graft.heap.rowsPerBucket")
+      .map(_.toInt).getOrElse(1 << 16)
     val numParts = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32))
-    instancesRaw
-      .repartition(numParts, col("classObjId"), pmod(hash(col("objId")), lit(saltBuckets)))
+    val salted = (if (src == null) instancesEvents else src).mapPartitions { it =>
+      val seen = mutable.HashMap.empty[Long, Long]
+      it.map { ev =>
+        val c = seen.getOrElse(ev.classObjId, 0L)
+        seen(ev.classObjId) = c + 1
+        (ev.classObjId, ((c / rowsPerBucket) % saltBuckets).toInt, ev.objId, ev.fields)
+      }
+    }
+    spark.createDataFrame(salted)
+      .toDF("classObjId", "salt", "objId", "fields")
+      .repartition(numParts, col("classObjId"), col("salt"))
       .sortWithinPartitions("classObjId")
       .select("classObjId", "objId", "fields")
       .foreachPartition { (rows: Iterator[Row]) =>

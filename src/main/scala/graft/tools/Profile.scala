@@ -29,6 +29,10 @@ object Profile {
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
+    if (sys.env.contains("PROFILE_HEAP")) {
+      graft.heap.HeapProfile.run(spark)
+      spark.stop(); return
+    }
     if (sys.env.contains("PROFILE_FANOUT")) {
       import org.apache.spark.sql.types.DecimalType
       val D = DecimalType(12, 2)
