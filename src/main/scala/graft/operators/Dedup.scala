@@ -127,20 +127,34 @@ object Dedup {
       shingleN: Int, numHashes: Int, numBands: Int,
       threshold: Double): DataFrame = {
     require(numHashes % numBands == 0, "bands must evenly divide hashes")
+    require(numHashes <= 1024, "h1 + i*h2 must stay below 2^63: numHashes <= 1024")
     val rowsPerBand = numHashes / numBands
     val sh = shingleTable(docs, idCol, textCol, shingleN)
     // Signature via exploded shingles + hash-aggregate: whole-stage
     // codegen'd min() per seed, one shuffle on doc_id. ~20× faster than
     // nested higher-order functions (interpreted, recomputed per branch).
+    // The hash family is Kirsch-Mitzenmacher over ONE md5 per shingle:
+    // h_i = (h1 + i*h2) mod 2^48 with h1/h2 the two 48-bit md5 halves
+    // — 1 digest + numHashes integer ops per row instead of numHashes
+    // digests (the digest was the signature pass's cost center), and
+    // 64-bit mins beat 32-char string mins in the aggregate. Exactly
+    // mirrorable in SQL: ('0x' || substr(md5(s),...))::BIGINT.
     // The set size rides in the same aggregate — no second pass.
     val inv = explodeShingles(sh)
+    val modulus = 1L << 48
+    val withHalves = inv.select(col("doc_id"),
+      conv(substring(md5(col("shingle").cast("binary")), 1, 12), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(col("shingle").cast("binary")), 17, 12), 16, 10)
+        .cast("long").as("h2"))
     val minAggs = (0 until numHashes).map(i =>
-      min(saltedMd5(i, col("shingle"))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
-    val sig = inv.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      min((col("h1") + lit(i.toLong) * col("h2")) % lit(modulus)).as(s"h$i")) :+
+      count(lit(1)).as("n_sh")
+    val sig = withHalves.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bands = sig.select(col("doc_id"), col("n_sh"),
       posexplode(array((0 until numBands).map { b =>
-        md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"h$i")): _*).cast("binary"))
+        md5(concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i").cast("string")): _*).cast("binary"))
       }: _*)).as(Seq("band", "band_sig")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&

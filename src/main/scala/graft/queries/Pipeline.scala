@@ -88,9 +88,16 @@ object Pipeline {
     "q_dedup_minhash",
     s"""WITH ${shingleCte(3)},
        |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
-       |mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
-       |       FROM sh CROSS JOIN seeds GROUP BY doc_id, i),
-       |bands AS (SELECT doc_id, i // 3 AS band, md5(string_agg(h, '' ORDER BY i)) AS band_sig
+       |-- Kirsch-Mitzenmacher: h_i = (h1 + i*h2) mod 2^48 from the two
+       |-- 48-bit halves of ONE md5 per shingle (mirrors Dedup.minhashLsh)
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+       |         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS h
+       |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band,
+       |            md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_sig
        |          FROM mh GROUP BY doc_id, i // 3),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM bands a JOIN bands b

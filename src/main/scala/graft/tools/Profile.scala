@@ -92,13 +92,20 @@ object Profile {
     val inv = sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
     time("explode")(inv)
+    val withHalves = inv.select(col("doc_id"),
+      conv(substring(md5(col("shingle").cast("binary")), 1, 12), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(col("shingle").cast("binary")), 17, 12), 16, 10)
+        .cast("long").as("h2"))
     val minAggs = (0 until 12).map(i =>
-      min(saltedMd5(i, col("shingle"))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
-    val sig = inv.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    time("signature agg (12 salted md5)")(sig)
+      min((col("h1") + lit(i.toLong) * col("h2")) % lit(1L << 48)).as(s"h$i")) :+
+      count(lit(1)).as("n_sh")
+    val sig = withHalves.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    time("signature agg (KM 1-md5)")(sig)
     val bands = sig.select(col("doc_id"), col("n_sh"),
       posexplode(array((0 until 4).map { b =>
-        md5(concat((b * 3 until (b + 1) * 3).map(i => col(s"h$i")): _*).cast("binary"))
+        md5(concat_ws(",", (b * 3 until (b + 1) * 3)
+          .map(i => col(s"h$i").cast("string")): _*).cast("binary"))
       }: _*)).as(Seq("band", "band_sig")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
