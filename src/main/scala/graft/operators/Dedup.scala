@@ -36,6 +36,33 @@ object Dedup {
     docs.join(survivors, docs(idCol) === col("__sid"), "left_semi")
   }
 
+  /** The hash index a continuously-updated corpus keeps alongside its
+    * data: one fixed-width row per distinct content hash. At 100 TB
+    * of text this is the ONLY corpus-side state incremental dedup
+    * ever touches — new batches never rescan corpus content.
+    */
+  def corpusHashIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(md5(col(textCol).cast("binary")).as("content_hash")).distinct()
+
+  /** D24 — incremental dedup: curate a NEW batch against an existing
+    * corpus. Drops batch rows whose content hash is already in the
+    * corpus index (anti-join on fixed-width hashes — shuffles only
+    * the batch, broadcastable when the batch is small relative to the
+    * index), then keep-first deduplicates WITHIN the batch. Output:
+    * the rows to append to the corpus.
+    */
+  def incremental(batch: DataFrame, corpusHashes: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val hashed = batch.withColumn("content_hash", md5(col(textCol).cast("binary")))
+    val fresh = hashed.join(
+      corpusHashes.select(col("content_hash").as("__known")).distinct(),
+      col("content_hash") === col("__known"), "left_anti")
+    val survivors = fresh
+      .groupBy("content_hash").agg(min(col(idCol)).as("__sid"))
+      .select("__sid")
+    fresh.join(survivors, fresh(idCol) === col("__sid"), "left_semi")
+  }
+
   /** D4 — exact n-gram Jaccard near-dup pairs. The shingle inverted-
     * index self-join is the candidate generator; pairs are verified by
     * exact set intersection. Use minhashLsh below when the corpus is

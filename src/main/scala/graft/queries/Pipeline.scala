@@ -621,6 +621,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D24 — incremental dedup: the odd-id half of the corpus arrives
+    * as a new batch and is curated against the even-id half's hash
+    * index — corpus-known content dropped, then keep-first within the
+    * batch. The anti-join touches only fixed-width hashes.
+    */
+  val qDedupIncremental: GateQuery = GateQuery(
+    "q_dedup_incremental",
+    """WITH cor AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+      |b AS (SELECT doc_id, lang, md5(text) AS content_hash
+      |      FROM documents WHERE doc_id % 2 = 1),
+      |s AS (SELECT doc_id, lang, content_hash FROM b
+      |      WHERE content_hash NOT IN (SELECT h FROM cor)
+      |        AND doc_id = (SELECT MIN(b2.doc_id) FROM b b2
+      |                      WHERE b2.content_hash = b.content_hash))
+      |SELECT doc_id, lang, content_hash FROM s
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    Dedup.incremental(
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "text"),
+        Dedup.corpusHashIndex(docs.filter(col("doc_id") % 2 === 0), "text"),
+        "doc_id", "text")
+      .select("doc_id", "lang", "content_hash")
+      .orderBy("doc_id")
+  }
+
   /** D21 — deterministic proportional stratified sample: 20% of every
     * source, floor semantics, pure-integer keep test (no float
     * fraction to diverge between engines).
@@ -716,5 +741,5 @@ object Pipeline {
     qKnnIvfIndexed, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
-    qDecontaminate, qStratifiedSample, qDomainMix, qPackBins)
+    qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental)
 }

@@ -101,4 +101,73 @@ object StreamingOps {
       .writeStream.format("memory").queryName(sinkName)
       .outputMode(OutputMode.Complete()).start()
   }
+
+  /** Continuous corpus curation: every micro-batch is incrementally
+    * exact-deduped against the PERSISTED corpus (batch content whose
+    * hash the corpus already holds is dropped, then keep-first within
+    * the batch) and the survivors appended — the streaming shape of a
+    * training corpus that grows by daily crawls.
+    *
+    * State is the on-disk hash index `corpusDir/hashes` (fixed-width
+    * rows, the only corpus-side data the batch ever joins), written
+    * with the batch id so a replayed micro-batch after a restart is
+    * filtered out rather than double-appended (foreachBatch is
+    * at-least-once; the batch-id guard restores effective
+    * exactly-once for this sink, same discipline as the reference's
+    * idempotent chunk files).
+    */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+      corpusDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    // stream identity: batch ids are only unique WITHIN a checkpoint,
+    // so commit markers and docs partitions are stamped with a digest
+    // of the checkpoint dir — a restarted query (same checkpoint)
+    // replays idempotently, while a NEW query over the same corpus
+    // gets its own id space instead of colliding with batch 0
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hashesDir = s"$corpusDir/hashes"
+        import spark.implicits._
+        val known: DataFrame =
+          try {
+            val h = spark.read.parquet(hashesDir)
+            // replay guard: the hashes append is the COMMIT MARKER —
+            // it lands last, so its presence means the whole batch
+            // (docs included) committed before the restart
+            if (h.filter(col("batch_id") === batchId &&
+                col("stream_id") === streamId).limit(1).count() > 0) null
+            else h.select("content_hash")
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => // first batch
+              Seq.empty[String].toDF("content_hash")
+          }
+        if (known != null) {
+          // localCheckpoint: `fresh` feeds two writes and must not
+          // re-read the hash index mid-append
+          val fresh = graft.operators.Dedup
+            .incremental(batch, known, idCol, textCol)
+            .localCheckpoint()
+          // batch-stamped dynamic partition overwrite: a replayed
+          // batch REPLACES its own docs partition instead of
+          // double-appending (crash between the two writes is the
+          // dangerous window; this makes the docs write idempotent)
+          fresh.drop("content_hash")
+            .withColumn("stream_id", lit(streamId))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("stream_id", "batch_id")
+            .parquet(s"$corpusDir/docs")
+          fresh.select(col("content_hash"), lit(streamId).as("stream_id"),
+              lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(hashesDir)
+        }
+      }
+      .start()
+  }
 }
