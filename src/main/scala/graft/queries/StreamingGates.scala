@@ -177,7 +177,60 @@ object StreamingGates {
       .orderBy("click_id", "error_id")
   }
 
+  /** E15 — continuous corpus curation as a REAL streaming run: the
+    * documents table arrives as two ordered micro-batches (even ids,
+    * then odd ids; file mtimes force the source order), each
+    * incrementally deduped against the persisted corpus hash index by
+    * `StreamingOps.curateStream`. The final on-disk corpus must match
+    * DuckDB's two-phase derivation: keep-first within batch 1, then
+    * batch 2 minus batch-1 content, keep-first within batch 2.
+    */
+  val qStreamCurate: GateQuery = GateQuery(
+    "q_stream_curate",
+    """WITH b1 AS (SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+      |b2 AS (SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+      |s1 AS (SELECT doc_id, lang FROM b1
+      |       WHERE doc_id = (SELECT MIN(x.doc_id) FROM b1 x WHERE x.h = b1.h)),
+      |s2 AS (SELECT doc_id, lang FROM b2
+      |       WHERE h NOT IN (SELECT h FROM b1)
+      |         AND doc_id = (SELECT MIN(x.doc_id) FROM b2 x WHERE x.h = b2.h))
+      |SELECT doc_id, lang FROM s1
+      |UNION ALL
+      |SELECT doc_id, lang FROM s2
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_curate")
+    val srcDir = work.resolve("src").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$srcDir/b1")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$srcDir/b2")
+    // one data file per batch, staged with strictly increasing mtimes
+    // so the file source's batch ORDER (and therefore first-wins
+    // survivorship) is deterministic
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val corpusDir = work.resolve("corpus").toString
+    val q = StreamingOps.curateStream(stream, "doc_id", "text",
+      corpusDir, work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$corpusDir/docs")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
-      qStreamEnrich, qStreamJoin)
+      qStreamEnrich, qStreamJoin, qStreamCurate)
     .map(_.copy(bench = false))
 }
