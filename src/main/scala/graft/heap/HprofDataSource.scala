@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,22 +74,44 @@ final class HprofObjectsTable(path: String) extends Table with SupportsRead {
 }
 
 final class HprofScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = HprofObjectsTable.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new HprofScan(path, required)
+
+  /** `kind`/`type_name` equality and IN land IN THE READER, which
+    * then skips row construction (and its string materialization) for
+    * excluded sub-record kinds — for a `kind = 'instance'` query over
+    * a dump that is mostly primitive arrays, most of the row-build
+    * work disappears. Everything else stays a post-scan Filter.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(a, _: String) =>
+        a == "kind" || a == "type_name"
+      case In(a, vs) =>
+        (a == "kind" || a == "type_name") && vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new HprofScan(path, required, pushed)
 }
 
 /** One byte-balanced bundle of heap-segment records. */
 final case class HprofSegmentsPartition(
     ptrs: Seq[RecordPtr], idSize: Int) extends InputPartition
 
-final class HprofScan(path: String, required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+final class HprofScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"hprof objects of $path"
+  override def description(): String =
+    s"hprof objects of $path, PushedFilters: [${pushed.mkString(", ")}]"
 
   /** Planner-visible size estimate: total heap-segment bytes. Lets
     * Catalyst decide broadcast vs shuffle when hprof tables join
@@ -163,15 +185,15 @@ final class HprofScan(path: String, required: StructType)
     // class-name resolution: metadata records are class-count sized, so
     // the map rides to executors inside the (serialized) factory
     val (_, _, classNames) = indexed
-    new HprofReaderFactory(path, classNames, required)
+    new HprofReaderFactory(path, classNames, required, pushed)
   }
 }
 
 final class HprofReaderFactory(path: String, classNames: Map[Long, String],
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HprofSegmentsPartition]
-    new HprofPartitionReader(path, p, classNames, required)
+    new HprofPartitionReader(path, p, classNames, required, pushed)
   }
 }
 
@@ -179,8 +201,28 @@ final class HprofReaderFactory(path: String, classNames: Map[Long, String],
   * row per object sub-record, projected to the pruned schema.
   */
 final class HprofPartitionReader(path: String, part: HprofSegmentsPartition,
-    classNames: Map[Long, String], required: StructType)
+    classNames: Map[Long, String], required: StructType,
+    pushed: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
+
+  // conjunction of the pushed kind / type_name constraints, evaluated
+  // BEFORE a row (or its strings) is built; None = unconstrained
+  private val kindAllow: Option[Set[String]] = {
+    val sets = pushed.collect {
+      case EqualTo("kind", v: String) => Set(v)
+      case In("kind", vs) => vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+  private val typeAllow: Option[Set[String]] = {
+    val sets = pushed.collect {
+      case EqualTo("type_name", v: String) => Set(v)
+      case In("type_name", vs) => vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+  private def keep(kind: String, typeName: => String): Boolean =
+    kindAllow.forall(_.contains(kind)) && typeAllow.forall(_.contains(typeName))
 
   // column indexes of the pruned schema within the full schema
   private val proj: Array[Int] =
@@ -205,21 +247,25 @@ final class HprofPartitionReader(path: String, part: HprofSegmentsPartition,
       val buf = mutable.ArrayBuffer.empty[Array[Any]]
       HprofParser.scanSegment(body, idSz, new SubVisitor {
         override def onInstance(ev: InstanceEv): Unit =
-          buf += Array[Any](ev.objId, "instance", className(ev.classObjId),
-            ev.fields.length.toLong, null)
+          if (keep("instance", className(ev.classObjId)))
+            buf += Array[Any](ev.objId, "instance", className(ev.classObjId),
+              ev.fields.length.toLong, null)
         override def onObjArray(ev: ObjArrayEv): Unit =
-          buf += Array[Any](ev.objId, "object_array", arrayName(ev.arrayClassObjId),
-            ev.elements.length.toLong * idSz, ev.elements.length.toLong)
-        override def onPrimArray(ev: PrimArrayEv): Unit = {
-          val n = Seq(ev.booleans, ev.bytes, ev.chars, ev.shorts, ev.ints,
-            ev.longs, ev.floats, ev.doubles).find(_ != null).map(_.length).getOrElse(0)
-          buf += Array[Any](ev.objId,
-            "primitive_array", BasicType.javaName(ev.elemType) + "[]",
-            n.toLong * BasicType.size(ev.elemType, idSz), n.toLong)
-        }
+          if (keep("object_array", arrayName(ev.arrayClassObjId)))
+            buf += Array[Any](ev.objId, "object_array", arrayName(ev.arrayClassObjId),
+              ev.elements.length.toLong * idSz, ev.elements.length.toLong)
+        override def onPrimArray(ev: PrimArrayEv): Unit =
+          if (keep("primitive_array", BasicType.javaName(ev.elemType) + "[]")) {
+            val n = Seq(ev.booleans, ev.bytes, ev.chars, ev.shorts, ev.ints,
+              ev.longs, ev.floats, ev.doubles).find(_ != null).map(_.length).getOrElse(0)
+            buf += Array[Any](ev.objId,
+              "primitive_array", BasicType.javaName(ev.elemType) + "[]",
+              n.toLong * BasicType.size(ev.elemType, idSz), n.toLong)
+          }
         override def onClassDump(ev: ClassDumpInfo): Unit =
-          buf += Array[Any](ev.classObjId, "class", className(ev.classObjId),
-            ev.instanceSize.toLong, null)
+          if (keep("class", className(ev.classObjId)))
+            buf += Array[Any](ev.classObjId, "class", className(ev.classObjId),
+              ev.instanceSize.toLong, null)
       })
       buf.iterator.map { full =>
         new GenericInternalRow(proj.map { i =>

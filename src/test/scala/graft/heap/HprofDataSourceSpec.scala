@@ -80,8 +80,31 @@ class HprofDataSourceSpec extends AnyFunSuite {
     assert(df.distinct().count() === 4)
   }
 
+  test("kind/type_name filters push into the reader; others stay post-scan") {
+    val df = spark.read.format("hprof").load(path)
+    // pushed: kind equality — reader skips non-matching sub-records
+    val inst = df.filter(col("kind") === "instance")
+    val scanDesc = inst.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PushedFilters: [EqualTo(kind,instance)]"), scanDesc)
+    assert(inst.count() === 2)
+    assert(inst.select("type_name").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("java.lang.String"))
+    // pushed: IN over type_name
+    val arrs = df.filter(col("type_name").isin("byte[]", "int[]"))
+    assert(arrs.count() === 3)
+    assert(arrs.queryExecution.executedPlan.toString.contains("In(type_name"),
+      arrs.queryExecution.executedPlan.toString)
+    // NOT pushed: numeric comparison — still correct via post-scan filter
+    val big = df.filter(col("n_bytes") > 5)
+    assert(!big.queryExecution.executedPlan.toString.contains("GreaterThan(n_bytes"))
+    assert(big.count() === df.collect().count(_.getAs[Long]("n_bytes") > 5))
+    // conjunction of pushed + unpushed
+    val both = df.filter(col("kind") === "primitive_array" && col("n_elems") === 3)
+    assert(both.count() === 1)
+  }
+
   test("scan reports segment-byte statistics to the planner") {
-    val scan = new HprofScan(path, HprofObjectsTable.schema)
+    val scan = new HprofScan(path, HprofObjectsTable.schema, Array.empty)
     val stats = scan.estimateStatistics()
     assert(stats.sizeInBytes().isPresent && stats.sizeInBytes().getAsLong > 0)
     // small source joined to a big side should broadcast
