@@ -330,8 +330,60 @@ object SqlSurface {
       .orderBy("event_type")
   }
 
+  /** C38 — RANGE window frame over a TIME interval: per customer, the
+    * rolling 30-day order total ending at each order's date. RANGE
+    * (peer-inclusive, value-based) is a genuinely different frame
+    * semantics from ROWS — ties on the order date aggregate together
+    * regardless of row order, so no tiebreak column is needed for
+    * determinism. DECIMAL sum, cast to DOUBLE at the edge.
+    */
+  val qWindowRange: GateQuery = GateQuery(
+    "q_window_range",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS rolling_30d
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("""CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                |  PARTITION BY o_custkey ORDER BY o_orderdate
+                |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)""".stripMargin)
+          .as("rolling_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** C39 — IGNORE NULLS window semantics as last-observation-carried-
+    * forward: sparse readings (value < 20 nulled) gap-filled with the
+    * latest non-null per user. The window orders by the SAME
+    * micro-truncated instant both engines see (epoch_us mirror of the
+    * Spark loader's nanos→micros division).
+    */
+  val qIgnoreNulls: GateQuery = GateQuery(
+    "q_ignore_nulls",
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN value < 20 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id, v,
+      |  LAST_VALUE(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
+      |FROM e
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("v", when(col("value") < 20, lit(null)).otherwise(col("value")))
+      .select(col("event_id"), col("user_id"), col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("last_seen"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
-    qRankFuncs, qArrayFuncs, qJsonStruct)
+    qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls)
 }
