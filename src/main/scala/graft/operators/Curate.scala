@@ -34,4 +34,33 @@ object Curate {
       .filter(col("n_tokens") >= minTokens)
       .select(idCol, "n_tokens", "quality_score")
   }
+
+  /** The FULL curation DAG a training run executes, as one
+    * composition: exact dedup → benchmark decontamination → quality
+    * gate → domain-mixture resampling → sequence packing of the
+    * resulting copies. Returns the per-copy packing assignment
+    * (doc_id, copy_idx, shard, offsets, bin) — the corpus in training
+    * order. Every stage keeps the individual operator's scale shape
+    * (hash-aggregates, broadcast anti-joins, projections, per-shard
+    * windows); nothing here adds a new exchange beyond the stages'
+    * own.
+    */
+  def fullPipeline(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, domainCol: String, epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0, minTokens: Int = 10, shingleN: Int = 3,
+      ctxLen: Int = 512, shards: Int = 8): DataFrame = {
+    val deduped = Dedup.dropExactDuplicates(train, idCol, textCol)
+    val clean = Decontaminate.dropContaminated(
+      deduped, bench, idCol, textCol, shingleN)
+    val quality = clean
+      .withColumn("n_tokens", size(TextFunctions.tokens(col(textCol))))
+      .filter(col("n_tokens") >= minTokens)
+    val mixed = Sampling.domainMix(quality, domainCol, Seq(idCol),
+      epochs, defaultEpochs)
+    val copies = Sampling.explodeCopies(mixed)
+      .select(col(idCol).as("doc_id"), col(domainCol), col("n_tokens"),
+        col("copy_idx"))
+    Packing.packRows(copies, nTokensCol = "n_tokens", shardOn = "doc_id",
+      orderCols = Seq("doc_id", "copy_idx"), ctxLen = ctxLen, shards = shards)
+  }
 }

@@ -28,14 +28,26 @@ object Packing {
     * integration time; the layout math is tokenizer-agnostic.
     */
   def packDocs(docs: DataFrame, idCol: String, textCol: String,
-      ctxLen: Int, shards: Int): DataFrame = {
+      ctxLen: Int, shards: Int): DataFrame =
+    packRows(
+      docs.select(col(idCol).as("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col(textCol))).as("n_tokens")),
+      nTokensCol = "n_tokens", shardOn = "doc_id", orderCols = Seq("doc_id"),
+      ctxLen = ctxLen, shards = shards)
+
+  /** Core layout math over ANY pre-tokenized row stream (documents,
+    * exploded mixture copies, pre-chunked spans): shard on a numeric
+    * column, accumulate offsets in `orderCols` order within the
+    * shard, bin by start offset.
+    */
+  def packRows(rows: DataFrame, nTokensCol: String, shardOn: String,
+      orderCols: Seq[String], ctxLen: Int, shards: Int): DataFrame = {
     require(ctxLen > 0 && shards > 0)
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-    docs.select(col(idCol).as("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col(textCol))).as("n_tokens"))
-      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
-      .withColumn("end_off", sum("n_tokens").over(w))
-      .withColumn("start_off", (col("end_off") - col("n_tokens")).cast("long"))
+    val w = Window.partitionBy("shard").orderBy(orderCols.map(col): _*)
+    rows
+      .withColumn("shard", pmod(col(shardOn), lit(shards)).cast("int"))
+      .withColumn("end_off", sum(nTokensCol).over(w))
+      .withColumn("start_off", (col("end_off") - col(nTokensCol)).cast("long"))
       .withColumn("bin", floor(col("start_off") / lit(ctxLen)).cast("long"))
   }
 

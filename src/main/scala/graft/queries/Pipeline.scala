@@ -734,9 +734,74 @@ object Pipeline {
       .orderBy("shard", "bin")
   }
 
+  /** D16+ — the FULL curation DAG as one gate: exact dedup →
+    * decontamination (bench = doc_id % 97 == 0) → quality gate →
+    * domain mixture → sequence packing of the copies. The oracle
+    * chains the already-proven per-stage derivations into one CTE
+    * pipeline; output is the bin-level fill report of the corpus in
+    * training order.
+    */
+  val qCurateFull: GateQuery = GateQuery(
+    "q_curate_full",
+    s"""WITH ${shingleCte(3)},
+       |tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+       |surv AS (SELECT MIN(doc_id) AS doc_id FROM tr GROUP BY md5(text)),
+       |d AS (SELECT * FROM tr WHERE doc_id IN (SELECT doc_id FROM surv)),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       |contam AS (SELECT DISTINCT s.doc_id FROM sh s
+       |           JOIN bench b ON s.shingle = b.shingle
+       |           WHERE s.doc_id IN (SELECT doc_id FROM d)),
+       |q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+       |      FROM d
+       |      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+       |        AND len(string_split(text, ' ')) >= 10),
+       |hx AS (SELECT doc_id,
+       |         md5('42' || '-' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+       |       FROM q),
+       |u AS (SELECT doc_id,
+       |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 +
+       |        (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 +
+       |        (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 +
+       |        (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 +
+       |        (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+       |        (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) AS u24
+       |      FROM hx),
+       |mixed AS (SELECT q.doc_id, q.lang, q.n_tokens,
+       |            CASE WHEN q.lang = 'zh' THEN 2
+       |                 WHEN q.lang = 'es' THEN 1 + (CASE WHEN u.u24 < 8388608 THEN 1 ELSE 0 END)
+       |                 WHEN q.lang = 'fr' THEN 2 + (CASE WHEN u.u24 < 4194304 THEN 1 ELSE 0 END)
+       |                 WHEN q.lang = 'de' THEN 1
+       |                 ELSE (CASE WHEN u.u24 < 8388608 THEN 1 ELSE 0 END) END AS n_copies
+       |          FROM q JOIN u ON u.doc_id = q.doc_id),
+       |copies AS (SELECT m.doc_id, m.n_tokens, s.i AS copy_idx
+       |           FROM mixed m
+       |           JOIN (SELECT unnest(generate_series(1, 3)) AS i) s ON s.i <= m.n_copies),
+       |o AS (SELECT doc_id, n_tokens, copy_idx, doc_id % 8 AS shard,
+       |        SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, copy_idx
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+       |      FROM copies)
+       |SELECT shard, (end_off - n_tokens) // 512 AS bin,
+       |  COUNT(*) AS n_items, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM o GROUP BY shard, (end_off - n_tokens) // 512
+       |ORDER BY shard, bin""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    Curate.fullPipeline(
+        train = docs.filter(col("doc_id") % 97 =!= 0),
+        bench = docs.filter(col("doc_id") % 97 === 0),
+        idCol = "doc_id", textCol = "text", domainCol = "lang",
+        epochs = Map("zh" -> 2.0, "es" -> 1.5, "fr" -> 2.25, "de" -> 1.0),
+        defaultEpochs = 0.5, minTokens = 10, shingleN = 3,
+        ctxLen = 512, shards = 8)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_items"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
-    qDedupClusters, qCurate,
+    qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
