@@ -621,6 +621,25 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D26 — corpus-rarity profile: document frequencies from one
+    * corpus pass, joined back per document. Integer outputs only
+    * (sum/min of dfs, distinct counts) — exact on every engine.
+    */
+  val qRarity: GateQuery = GateQuery(
+    "q_rarity",
+    """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |           FROM documents),
+      |df AS (SELECT w, COUNT(*) AS df FROM w GROUP BY w)
+      |SELECT doc_id, COUNT(*) AS n_distinct_words,
+      |  CAST(SUM(df) AS BIGINT) AS sum_df, MIN(df) AS min_df
+      |FROM w JOIN df USING (w)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.CorpusStats
+      .rarityScores(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** D24 — incremental dedup: the odd-id half of the corpus arrives
     * as a new batch and is curated against the even-id half's hash
     * index — corpus-known content dropped, then keep-first within the
@@ -806,5 +825,6 @@ object Pipeline {
     qKnnIvfIndexed, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
-    qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental)
+    qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
+    qRarity)
 }

@@ -94,6 +94,21 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rarity: df bounds hold; unique words give min_df = 1") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "common common unique1"), (2L, "common x"), (3L, "common x y"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.rarityScores(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1: words {common(df3), unique1(df1)} -> n=2, sum=4, min=1
+    assert(r(1L) === ((2L, 4L, 1L)))
+    // doc 2: {common(3), x(2)} -> n=2, sum=5, min=2
+    assert(r(2L) === ((2L, 5L, 2L)))
+    // doc 3: {common(3), x(2), y(1)} -> n=3, sum=6, min=1
+    assert(r(3L) === ((3L, 6L, 1L)))
+  }
+
   test("packing: offsets are contiguous per shard, bins cover all tokens, any partitioning") {
     val docs = corpus(120)
     for (parts <- Seq(1, 6)) {
