@@ -59,6 +59,44 @@ object ClassTableWriter extends Serializable {
       .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
       .build()
 
+  /** Parquet writer that stages at an ATTEMPT-unique hidden temp name
+    * and renames into the deterministic final name on commit.
+    * Deterministic names + OVERWRITE alone are safe for sequential
+    * task retries but not for CONCURRENT duplicate attempts
+    * (speculative execution, or a zombie attempt still running after
+    * a stage retry): two attempts opening the same part file would
+    * interleave writes into a corrupt file. Staging per-attempt makes
+    * the final file always ONE attempt's complete output — whichever
+    * commit lands last wins whole-file. The dot-prefixed temp name is
+    * invisible to Spark/parquet directory readers even if an aborted
+    * attempt leaks it.
+    */
+  final class AtomicGroupWriter(finalPath: Path, schema: MessageType, conf: Configuration) {
+    private val attemptId: Long =
+      Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+    private val tmpPath =
+      new Path(finalPath.getParent, s".${finalPath.getName}.attempt-$attemptId.tmp")
+    private val writer = openWriter(tmpPath, schema, conf)
+    def write(g: Group): Unit = writer.write(g)
+    /** Close the temp file and move it into place. */
+    def commit(): Unit = {
+      writer.close()
+      val fs = finalPath.getFileSystem(conf)
+      fs.delete(finalPath, false)
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")
+    }
+    /** Close and drop the temp file, leaving any committed final file
+      * from another attempt untouched.
+      */
+    def abort(): Unit = {
+      try writer.close() catch { case _: Throwable => () }
+      try {
+        finalPath.getFileSystem(conf).delete(tmpPath, false); ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
   /** Append one decoded instance row; value runtime types are exactly
     * HprofParser.decodeInstance's boxing.
     */
@@ -95,22 +133,22 @@ object ClassTableWriter extends Serializable {
       idSize: Int): Unit = {
     val conf = new Configuration()
     var curCid = Long.MinValue
-    var writer: ParquetWriter[Group] = null
+    var writer: AtomicGroupWriter = null
     var factory: SimpleGroupFactory = null
     var layout: Seq[LayoutField] = null
-    def closeWriter(): Unit = if (writer != null) { writer.close(); writer = null }
+    def commitWriter(): Unit = if (writer != null) { writer.commit(); writer = null }
     try {
       rows.foreach { r =>
         val cid = r.getLong(0)
         if (cid != curCid) {
-          closeWriter()
+          commitWriter()
           curCid = cid
           tables.get(cid) match {
             case Some((table, lay)) =>
               layout = lay
               val schema = parquetSchema(lay)
               factory = new SimpleGroupFactory(schema)
-              writer = openWriter(
+              writer = new AtomicGroupWriter(
                 new Path(f"$outDir/$table/part-$partitionId%05d.parquet"), schema, conf)
             case None => // unresolved class: no layout, no table
           }
@@ -122,6 +160,11 @@ object ClassTableWriter extends Serializable {
           writer.write(g)
         }
       }
-    } finally closeWriter()
+      commitWriter()
+    } catch {
+      case e: Throwable =>
+        if (writer != null) { writer.abort(); writer = null }
+        throw e
+    }
   }
 }

@@ -504,7 +504,10 @@ final class HeapDump(spark: SparkSession, path: String) {
               })
             } finally in.close()
           }
-        } finally writers.close()
+          writers.close()
+        } catch {
+          case e: Throwable => writers.abort(); throw e
+        }
         out.iterator
       }
     writeClassTablesSinglePass(outDir, evRdd)

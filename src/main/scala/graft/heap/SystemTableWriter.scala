@@ -5,7 +5,6 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.ParquetWriter
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
@@ -24,9 +23,12 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   * reader — Spark, DuckDB oracles, external glob readers — sees
   * identical types.
   *
-  * Task-retry safety: file names are deterministic per partition and
-  * opened in OVERWRITE mode, so a re-executed task rewrites the same
-  * files rather than duplicating rows.
+  * Task-retry safety: file names are deterministic per partition but
+  * each attempt stages at an attempt-unique temp name and renames
+  * into place on commit (ClassTableWriter.AtomicGroupWriter), so a
+  * re-executed task rewrites the same files rather than duplicating
+  * rows AND a concurrent duplicate attempt (speculation, zombie after
+  * stage retry) can never interleave bytes into a committed file.
   */
 final class SystemTableWriter(
     outDir: String,
@@ -37,15 +39,15 @@ final class SystemTableWriter(
 
   private val conf = new Configuration()
 
-  private def open(table: String, schema: MessageType): (ParquetWriter[Group], SimpleGroupFactory) =
-    (ClassTableWriter.openWriter(
+  private def open(table: String, schema: MessageType): (ClassTableWriter.AtomicGroupWriter, SimpleGroupFactory) =
+    (new ClassTableWriter.AtomicGroupWriter(
       new Path(f"$outDir/$table/part-$partitionId%05d.parquet"), schema, conf),
       new SimpleGroupFactory(schema))
 
   private val objIndex = open("_object_index", objectIndexSchema)
   private val objArrays = open("_object_arrays", objectArraysSchema)
   private val gcRoots = open("_gc_roots", gcRootsSchema)
-  private val primByTag: Map[Int, (ParquetWriter[Group], SimpleGroupFactory)] =
+  private val primByTag: Map[Int, (ClassTableWriter.AtomicGroupWriter, SimpleGroupFactory)] =
     primitiveTags.map { tag =>
       tag -> open(s"_primitive_arrays_${BasicType.javaName(tag)}", primArraySchema(tag))
     }.toMap
@@ -103,12 +105,14 @@ final class SystemTableWriter(
     gcRoots._1.write(g)
   }
 
-  def close(): Unit = {
-    objIndex._1.close()
-    objArrays._1.close()
-    gcRoots._1.close()
-    primByTag.values.foreach(_._1.close())
-  }
+  private def allWriters: Seq[ClassTableWriter.AtomicGroupWriter] =
+    Seq(objIndex._1, objArrays._1, gcRoots._1) ++ primByTag.values.map(_._1)
+
+  /** Commit every table file into its deterministic final name. */
+  def close(): Unit = allWriters.foreach(_.commit())
+
+  /** Drop this attempt's temp files without touching committed ones. */
+  def abort(): Unit = allWriters.foreach(_.abort())
 }
 
 object SystemTableWriter {

@@ -41,8 +41,18 @@ object Dedup {
     * of text this is the ONLY corpus-side state incremental dedup
     * ever touches — new batches never rescan corpus content.
     */
+  /** Content hash with NULL text coalesced to the empty string: a
+    * NULL hash would never match in joins (NULL != NULL), so null-text
+    * rows would silently pass every anti-join and accumulate across
+    * incremental batches — and DuckDB's NOT IN treats NULL hashes
+    * differently still. Coalescing makes null-text rows behave as
+    * empty documents identically on every engine.
+    */
+  private def contentHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(coalesce(text, lit("")).cast("binary"))
+
   def corpusHashIndex(corpus: DataFrame, textCol: String): DataFrame =
-    corpus.select(md5(col(textCol).cast("binary")).as("content_hash")).distinct()
+    corpus.select(contentHash(col(textCol)).as("content_hash")).distinct()
 
   /** D24 — incremental dedup: curate a NEW batch against an existing
     * corpus. Drops batch rows whose content hash is already in the
@@ -53,7 +63,7 @@ object Dedup {
     */
   def incremental(batch: DataFrame, corpusHashes: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val hashed = batch.withColumn("content_hash", md5(col(textCol).cast("binary")))
+    val hashed = batch.withColumn("content_hash", contentHash(col(textCol)))
     val fresh = hashed.join(
       corpusHashes.select(col("content_hash").as("__known")).distinct(),
       col("content_hash") === col("__known"), "left_anti")

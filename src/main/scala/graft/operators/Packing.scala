@@ -43,6 +43,12 @@ object Packing {
   def packRows(rows: DataFrame, nTokensCol: String, shardOn: String,
       orderCols: Seq[String], ctxLen: Int, shards: Int): DataFrame = {
     require(ctxLen > 0 && shards > 0)
+    // A non-numeric shard key would implicitly cast to NULL inside
+    // pmod, silently collapsing the whole corpus into one serialized
+    // shard — fail loudly instead.
+    require(rows.schema(shardOn).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"shardOn column '$shardOn' must be numeric, got ${rows.schema(shardOn).dataType.sql}; " +
+        "hash non-numeric keys (e.g. xxhash64) before packing")
     val w = Window.partitionBy("shard").orderBy(orderCols.map(col): _*)
     rows
       .withColumn("shard", pmod(col(shardOn), lit(shards)).cast("int"))

@@ -60,7 +60,7 @@ object Sampling {
     val w = part.orderBy(hashRank(seed, keyCols.map(col): _*) +: keyCols.map(col): _*)
     df.withColumn("sample_rk", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(part))
-      .filter(col("sample_rk") * 100 <= col("__n") * pct)
+      .filter(col("sample_rk").cast("long") * 100 <= col("__n") * pct)
       .drop("__n")
   }
 

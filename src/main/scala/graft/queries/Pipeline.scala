@@ -734,7 +734,7 @@ object Pipeline {
   val qPackBins: GateQuery = GateQuery(
     "q_pack_bins",
     """WITH t AS (
-      |  SELECT doc_id, doc_id % 8 AS shard,
+      |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
       |    len(string_split(text, ' ')) AS n_tokens
       |  FROM documents),
       |o AS (
@@ -742,7 +742,8 @@ object Pipeline {
       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
       |  FROM t),
-      |b AS (SELECT shard, doc_id, n_tokens, (end_off - n_tokens) // 512 AS bin FROM o)
+      |b AS (SELECT shard, doc_id, n_tokens,
+      |        CAST((end_off - n_tokens) // 512 AS BIGINT) AS bin FROM o)
       |SELECT shard, bin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
@@ -795,14 +796,14 @@ object Pipeline {
        |copies AS (SELECT m.doc_id, m.n_tokens, s.i AS copy_idx
        |           FROM mixed m
        |           JOIN (SELECT unnest(generate_series(1, 3)) AS i) s ON s.i <= m.n_copies),
-       |o AS (SELECT doc_id, n_tokens, copy_idx, doc_id % 8 AS shard,
+       |o AS (SELECT doc_id, n_tokens, copy_idx, CAST(doc_id % 8 AS INT) AS shard,
        |        SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, copy_idx
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
        |      FROM copies)
-       |SELECT shard, (end_off - n_tokens) // 512 AS bin,
+       |SELECT shard, CAST((end_off - n_tokens) // 512 AS BIGINT) AS bin,
        |  COUNT(*) AS n_items, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-       |FROM o GROUP BY shard, (end_off - n_tokens) // 512
+       |FROM o GROUP BY shard, bin
        |ORDER BY shard, bin""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     Curate.fullPipeline(

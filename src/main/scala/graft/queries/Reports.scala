@@ -111,8 +111,8 @@ object Reports {
       |dups AS (
       |  SELECT hash, COUNT(*) AS dup_count, MIN(str_len) AS str_len
       |  FROM joined GROUP BY hash HAVING COUNT(*) > 1)
-      |SELECT SUM(dup_count) AS total_dup_strings,
-      |  SUM((dup_count - 1) * str_len) AS wasted_bytes,
+      |SELECT CAST(SUM(dup_count) AS BIGINT) AS total_dup_strings,
+      |  CAST(SUM((dup_count - 1) * str_len) AS BIGINT) AS wasted_bytes,
       |  COUNT(*) AS unique_dup_values,
       |  MAX(dup_count) AS max_dups_single_value
       |FROM dups""".stripMargin) { (s, dir) =>

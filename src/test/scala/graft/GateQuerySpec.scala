@@ -40,4 +40,29 @@ class GateQuerySpec extends AnyFunSuite {
       assert(q.fn(spark, sf).count() > 0, s"${q.name} returned 0 rows")
     }
   }
+
+  // --- SURVEY §6 dtype-portability regression guard -------------------
+  // The driver's value hash is dtype-sensitive to DuckDB's HUGEINT
+  // widening (int32-vs-int64 differences hash fine — 37 green gates
+  // prove it — but HUGEINT does not), and two rounds in a row the
+  // NEWEST gates red-lit on it (r4 q_pack_bins/q_curate_full). HUGEINT
+  // reaches an oracle's output through integer division `//` over a
+  // windowed SUM(BIGINT); the statically checkable convention is that
+  // every `//` carries a CAST on the same line. The dynamic half of
+  // the guard is tools/check.py, which now fails any oracle result
+  // column whose DuckDB type is HUGEINT/DECIMAL against a non-decimal
+  // Spark column.
+  // Known-safe `//` uses: a plain-integer division whose result is only
+  // a bounded intermediate (group key over generate_series ints), never
+  // an output column — `//` over un-widened BIGINT stays BIGINT.
+  private val uncastDivExempt = Set("q_dedup_minhash")
+
+  for (q <- SparkEntry.gateQueries; sql <- q.oracle; if !uncastDivExempt(q.name)) {
+    test(s"${q.name} oracle: every // line is CAST-wrapped") {
+      val bad = sql.linesIterator.filter(l => l.contains("//") && !l.contains("CAST("))
+      assert(bad.isEmpty,
+        s"${q.name}: DuckDB // yields HUGEINT (windowed SUM widens first); " +
+          s"CAST the result on the same line: ${bad.mkString(" | ")}")
+    }
+  }
 }

@@ -69,6 +69,21 @@ def main(sf_dir, out_dir):
             n_bad += 1
             print(f"FAIL COLS      {name}: spark={gc} duck={ec}")
             continue
+        # Dtype guard: the driver's hash is dtype-sensitive where value
+        # compare isn't. HUGEINT (DuckDB's widening of SUM/`//` over
+        # BIGINT) has no Spark counterpart and always hash-mismatches;
+        # a one-sided DECIMAL does too. int32-vs-int64 is fine.
+        gtypes = dict(zip(gcols, map(str, con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").types)))
+        etypes = dict(zip(ecols, map(str, con.sql(oracle[name]).types)))
+        bad_t = [(c, gtypes.get(c, "?"), etypes[c]) for c in ecols
+                 if "HUGEINT" in etypes[c]
+                 or etypes[c].startswith("DECIMAL") != gtypes.get(c, "").startswith("DECIMAL")]
+        if bad_t:
+            n_bad += 1
+            print(f"FAIL DTYPE     {name}: " + ", ".join(
+                f"{c} spark={g} duck={e}" for c, g, e in bad_t))
+            continue
         if gr != er:
             n_bad += 1
             print(f"FAIL ROWS      {name}: spark={len(gr)} duck={len(er)} rows")
