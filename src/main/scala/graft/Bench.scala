@@ -85,12 +85,17 @@ object Bench {
       new HeapDump(spark, hprof).writeParquet(out)
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] heap ingest+export: $mb%.1f MB, 300k objects in $sec%.2f s (${mb / sec}%.1f MB/s)")
-      "q_heap_ingest_export" -> sec
+      (sec, mb)
     }
-    val qs = (results :+ heapIngest).map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = (results :+ ("q_heap_ingest_export" -> heapIngest._1))
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + heapIngest._2
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + heapIngest._1
+    // heap_ingest_mb / _mb_s make ingest THROUGHPUT machine-comparable
+    // round-over-round, not just its wall-time share of the total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""heap_ingest_mb":${heapIngest._2}%.1f,"heap_ingest_mb_s":${heapIngest._2 / heapIngest._1}%.1f,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

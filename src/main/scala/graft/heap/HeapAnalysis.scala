@@ -186,27 +186,52 @@ final class HeapAnalysis(t: HeapTables) {
         (coalesce(sum("dup_count"), lit(0L)) - count(lit(1))) * perCopyOverhead)
         .as("wasted_bytes"))
 
-  /** B6 core as a one-row DataFrame (driver-gate oracle surface). */
-  def dupStringStats(samplePct: Double = 100.0): Option[DataFrame] =
+  /** Auto-cap for the duplicate-strings scan, mirroring the
+    * reference (scripts/analyze_heap_parquet.py:268-271): above the
+    * threshold (default 5M strings,
+    * `spark.graft.heap.dupStringsSampleThreshold` for tests) the scan
+    * is capped at 20% so a huge dump never pays the full join a naive
+    * caller didn't know to sample. The count is a parquet
+    * footer-metadata job — O(files), not O(rows).
+    */
+  private def effectiveDupSamplePct(strs: DataFrame, samplePct: Double): Double = {
+    val threshold = strs.sparkSession.conf
+      .getOption("spark.graft.heap.dupStringsSampleThreshold")
+      .map(_.toLong).getOrElse(5000000L)
+    if (strs.count() > threshold) math.min(samplePct, 20.0) else samplePct
+  }
+
+  /** B6 core with the sampling percent ACTUALLY applied (post
+    * auto-cap), so callers scale their estimates by the real rate.
+    */
+  private def dupStringStatsSampled(samplePct: Double): Option[(DataFrame, Double)] =
     for {
       strs0 <- t.byClass("java.lang.String")
       bytes <- t.system("_primitive_arrays_byte")
     } yield {
-      val strs = if (samplePct < 100) strs0.sample(samplePct / 100.0, 42L) else strs0
+      val pct = effectiveDupSamplePct(strs0, samplePct)
+      val strs = if (pct < 100) strs0.sample(pct / 100.0, 42L) else strs0
       val joined = strs.select(HeapTables.refField(strs, "value").as("byte_id"))
         .filter(col("byte_id") =!= 0)
         .join(bytes, col("byte_id") === bytes("obj_id"))
         .select(col("values"))
-      dupRollup(dupGrouped(joined, "values", _ => lit(true)), 1, StringObjOverhead)
+      (dupRollup(dupGrouped(joined, "values", _ => lit(true)), 1, StringObjOverhead),
+        pct)
     }
 
+  /** B6 core as a one-row DataFrame (driver-gate oracle surface). */
+  def dupStringStats(samplePct: Double = 100.0): Option[DataFrame] =
+    dupStringStatsSampled(samplePct).map(_._1)
+
   /** Join String→byte[], group content, roll up duplicate waste. At
-    * 100 TB only value/len pairs shuffle on the group key; sampling
-    * knob mirrors the reference's USING SAMPLE for >5M strings.
+    * 100 TB only value/len pairs shuffle on the group key; the
+    * sampling knob mirrors the reference's USING SAMPLE and
+    * AUTO-ENGAGES at 20% past 5M strings, scaling the estimates by
+    * the applied rate.
     */
   def checkDuplicateStrings(samplePct: Double = 100.0): Option[WasteFinding] =
-    dupStringStats(samplePct).map { df =>
-      val scale = if (samplePct < 100) 100.0 / samplePct else 1.0
+    dupStringStatsSampled(samplePct).map { case (df, pct) =>
+      val scale = if (pct < 100) 100.0 / pct else 1.0
       val r = df.collect()(0)
       val total = (r.getAs[Long]("total_dups") * scale).toLong
       val uniq = (r.getAs[Long]("unique_vals") * scale).toLong

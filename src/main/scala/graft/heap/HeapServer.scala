@@ -180,7 +180,7 @@ object HeapServer {
     * through raw, everything else is quoted and escaped (same rule as
     * HeapAnalysis.analyzeJson).
     */
-  private def cell(v: Any): String = v match {
+  private[heap] def cell(v: Any): String = v match {
     case null => "null"
     case s: String => Json.str(s)
     case d: java.math.BigDecimal => d.toPlainString
@@ -191,7 +191,7 @@ object HeapServer {
     case other => Json.str(other.toString)
   }
 
-  private def rowsJson(columns: Seq[String], rows: Seq[org.apache.spark.sql.Row]): String =
+  private[heap] def rowsJson(columns: Seq[String], rows: Seq[org.apache.spark.sql.Row]): String =
     Json.arr(rows.map(r =>
       Json.obj(columns.zipWithIndex.map { case (c, i) => c -> cell(r.get(i)) })))
 

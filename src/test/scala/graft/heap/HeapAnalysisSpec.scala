@@ -146,6 +146,27 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(f.severity === "INFO")
   }
 
+  test("B6 auto-engages the 20% sampling cap past the string-count threshold") {
+    // Lower the threshold below the fixture's string count so the cap
+    // triggers: an unparameterized call must now behave exactly like an
+    // explicit 20% sample (same seed) WITH the estimates scaled by 5x.
+    val key = "spark.graft.heap.dupStringsSampleThreshold"
+    spark.conf.set(key, "1")
+    try {
+      val capped = analysis.checkDuplicateStrings()
+      spark.conf.unset(key)
+      val explicit = analysis.checkDuplicateStrings(20.0)
+      assert(capped.map(f => (f.affectedCount, f.estimatedWasteBytes)) ===
+        explicit.map(f => (f.affectedCount, f.estimatedWasteBytes)),
+        "auto-capped run must equal an explicit 20% sampled run, scaled")
+      // The cap must actually drop rows vs the full scan (the fixture's
+      // 2-copy duplicate has ~0 chance of fully surviving a 20% sample
+      // AND scaling back to exactly the unsampled numbers).
+      val full = analysis.checkDuplicateStrings().get
+      assert(full.affectedCount === 2L, "threshold unset -> full scan again")
+    } finally spark.conf.unset(key)
+  }
+
   test("B7 bad collections: 2 empty + 1 single, 376B") {
     val f = analysis.checkBadCollections().get
     assert(f.affectedCount === 3L)
