@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * transforms (the Scala-native equivalent of a vectorized UDF —
   * per-partition setup cost amortizes the way a codec handle would).
   *
-  * The IMAGE path is REAL — [[ImageCodec]] encodes/decodes genuine PNG
-  * bytes through the JDK's `javax.imageio` (see [[imageDecodeTable]]
-  * and [[resizeImages]]). Video/audio stay deterministically STUBBED —
-  * no in-JDK codec exists for them — but their Spark-side plumbing
-  * (schemas, partitioning, batch iteration, explode shapes) is real. A
-  * real deployment replaces `StubCodec` with JNI/javacv calls per
-  * partition.
+  * The IMAGE and AUDIO paths are REAL — [[ImageCodec]] encodes/decodes
+  * genuine PNG bytes through the JDK's `javax.imageio` (see
+  * [[imageDecodeTable]] and [[resizeImages]]) and [[AudioCodec]]
+  * encodes/decodes genuine RIFF/WAV PCM through `javax.sound.sampled`
+  * (see [[audioDecodeTable]] and [[resampleAudio]]). Video stays
+  * deterministically STUBBED — no in-JDK codec exists for it — but its
+  * Spark-side plumbing (schemas, partitioning, batch iteration,
+  * explode shapes) is real. A real deployment replaces `StubCodec`
+  * with JNI/javacv calls per partition.
   */
 object Multimodal {
 
@@ -142,6 +144,62 @@ object Multimodal {
             ImageCodec.pixelSum(dec), ImageCodec.pixelSum(rs))
         }
       }
+  }
+
+  final case class AudioDecodeRow(doc_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Int, sample_sum: Long, resampled_sum: Long)
+
+  /** REAL audio decode path (no stub): every audio-modality doc gets a
+    * deterministic mono 16-bit WAV clip (sample = ((doc_id + 37i) mod
+    * 65536) − 32768, genuinely encoded through `javax.sound.sampled`),
+    * which is decoded BACK through AudioSystem and reduced to format
+    * fields + sample checksums — plus the checksum after a real
+    * nearest-neighbor resample to `rn` samples. WAV/PCM is lossless
+    * and the resample index map is pure integer arithmetic, so an
+    * oracle that never touches the bytes can recompute both sums —
+    * proving the encode→decode→resample loop is bit-exact (the audio
+    * counterpart of [[imageDecodeTable]]).
+    */
+  def audioDecodeTable(docs: DataFrame, rn: Int = 40): Dataset[AudioDecodeRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // per-partition: AudioSystem reader setup amortizes here
+        ids.map { id =>
+          val n = (id % 200 + 50).toInt
+          val wav = AudioCodec.syntheticWav(id, 16000, n)
+          val dec = AudioCodec.decode(wav)
+          val rs = AudioCodec.resampleNearest(dec, rn)
+          AudioDecodeRow(id, dec.sampleRate, dec.channels, dec.samples.length,
+            AudioCodec.sampleSum(dec), AudioCodec.sampleSum(rs))
+        }
+      }
+  }
+
+  /** Resample every audio payload to `n` samples; non-audio passes
+    * through. Payloads that really decode (WAV via [[AudioCodec]]) get
+    * a REAL nearest-neighbor resample and WAV re-encode; non-decodable
+    * bytes (this table's text stand-ins) fall back to the stub so the
+    * metadata contract still holds — the audio mirror of
+    * [[resizeImages]].
+    */
+  def resampleAudio(media: DataFrame, n: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      if (r.modality != "audio") r
+      else AudioCodec.tryDecode(r.data) match {
+        case Some(clip) =>
+          val rs = AudioCodec.resampleNearest(clip, n)
+          r.copy(data = AudioCodec.encodeWav(rs),
+            meta = r.meta.copy(sampleRate = clip.sampleRate, nFrames = n))
+        case None =>
+          r.copy(data = StubCodec.resize(r.data, r.meta, n, 1),
+            meta = r.meta.copy(nFrames = n))
+      }
+    })
   }
 
   /** Sample up to `maxFrames` frames per video row (one output row per

@@ -601,6 +601,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D12e — REAL audio decode: each audio doc becomes a genuine WAV
+    * clip (encoded through `javax.sound.sampled`, sample =
+    * ((doc_id + 37i) mod 65536) − 32768, n = doc_id % 200 + 50), is
+    * decoded back through AudioSystem, then nearest-neighbor resampled
+    * to 40 samples on the decoded PCM. The gate emits the decoded
+    * format fields and both sample checksums; the oracle recomputes
+    * every value from the formula alone — it can only hash-match if
+    * the WAV roundtrip is lossless and the resample index map
+    * (src = dst·n/40, integer division) is exact.
+    */
+  val qAudioDecode: GateQuery = GateQuery(
+    "q_audio_decode",
+    """WITH aud AS (
+      |  SELECT doc_id, doc_id % 200 + 50 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s1 AS (
+      |  -- fixed series + bound filter (n <= 249 by construction)
+      |  SELECT a.doc_id,
+      |    CAST(SUM((a.doc_id + 37 * g.i) % 65536 - 32768) AS BIGINT) AS sample_sum
+      |  FROM aud a, generate_series(0, 248) g(i)
+      |  WHERE g.i < a.n
+      |  GROUP BY 1),
+      |s2 AS (
+      |  SELECT a.doc_id,
+      |    CAST(SUM((a.doc_id + 37 * ((g.i * a.n) // 40)) % 65536 - 32768) AS BIGINT) AS resampled_sum
+      |  FROM aud a, generate_series(0, 39) g(i)
+      |  GROUP BY 1)
+      |SELECT a.doc_id, 16000 AS sample_rate, 1 AS channels,
+      |  CAST(a.n AS INT) AS n_samples, s1.sample_sum, s2.resampled_sum
+      |FROM aud a JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.multimodal.Multimodal.audioDecodeTable(Tables(s, dir, "documents")).toDF()
+      .orderBy("doc_id")
+  }
+
   /** D20 — benchmark decontamination: training docs sharing any
     * distinct 3-gram with the benchmark split (doc_id % 97 == 0 plays
     * the eval set). The benchmark shingle set is broadcast — zero
@@ -826,6 +861,7 @@ object Pipeline {
     qKnnIvfIndexed, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
+    qAudioDecode,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity)
 }
