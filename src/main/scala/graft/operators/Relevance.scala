@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring over a document corpus — the retrieval-side
+  * primitive a training-data pipeline uses for query-targeted corpus
+  * selection (pull the documents most relevant to a benchmark task or
+  * seed set) and for dedup-aware search evaluation.
+  *
+  * Scale shape: the query term set is tiny by construction, so the
+  * (doc, term) stream is filtered BEFORE its aggregation — only
+  * matching pairs ever shuffle. Document length is a projection
+  * (`size(split)`), not an aggregate; corpus-level scalars (total
+  * tokens, doc count, per-term document frequency) reduce to one
+  * broadcast-sized row each. One real shuffle: the per-(doc, term)
+  * term-frequency aggregate, partial-aggregated map-side. At 100 TB
+  * nothing but matched-term pairs and one scalar row moves.
+  */
+object Relevance {
+
+  /** Real BM25 (k1, b in their standard parameterization):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Returns one row per
+    * document that matches ≥1 query term: (doc_id, n_matched, score).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol, terms)
+    val stats = corpusStats(docs, idCol, textCol)
+    val dfPerTerm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfPerTerm), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("avgdl", col("t_total").cast("double") / col("n_docs"))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum("score_t").as("score"))
+  }
+
+  /** The oracle-exact gate surface: the BM25 term-saturation sum in
+    * PURE INTEGER arithmetic. With k1 = 6/5 and b = 3/4 the per-term
+    * factor tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)) is rational;
+    * multiplying through by 10·T (T = corpus tokens, avgdl = T/N)
+    * gives 22·tf·T / (10·T·tf + 3·T + 9·len·N) — so
+    * floor(scale · numerator / denominator) is bit-identical on every
+    * engine (the idf weight, the only transcendental, is verified
+    * separately: df is integer-exact and spec-pinned through bm25).
+    * Longs bound the exactness: scale·22·tf·T must stay under 2^63 —
+    * holds to ~10^12 corpus tokens at the default scale.
+    */
+  def bm25SaturationExact(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], scale: Long = 1000000L): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol, terms)
+    val stats = corpusStats(docs, idCol, textCol)
+    tf.crossJoin(broadcast(stats))
+      .withColumn("sat", expr(
+        s"($scale * 22 * tf * t_total) DIV (10 * t_total * tf + 3 * t_total + 9 * len * n_docs)"))
+      .groupBy("doc_id", "len")
+      .agg(count(lit(1)).as("n_matched"), sum("sat").as("sat_score"))
+      .select(col("doc_id"), col("len").as("n_tokens"),
+        col("n_matched"), col("sat_score"))
+  }
+
+  /** (doc_id, len, w, tf) for query-matching terms only — the filter
+    * runs before the aggregate, so only matched pairs shuffle.
+    */
+  private def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("ws"))
+      .withColumn("len", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "len", "w")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** One broadcast-sized row: (t_total, n_docs). */
+  private def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(size(TextFunctions.tokens(col(textCol))).cast("long").as("l"))
+      .agg(sum("l").as("t_total"), count(lit(1)).as("n_docs"))
+}

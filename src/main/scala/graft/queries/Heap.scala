@@ -768,6 +768,39 @@ object Heap {
     resolvedAnalysis(s).collectionSizingStats.get
   }
 
+  /** A15: the DataSource V2 binary scan vs the export — TWO fully
+    * independent code paths over the same dump (the DSv2 partition
+    * reader streaming `format("hprof")` rows, and the SystemTableWriter
+    * export that `_object_index` came from) must agree object-for-
+    * object. The oracle reconstructs the DSv2 (kind, type_name) view
+    * from the index's naming convention (classes carry a `class `
+    * prefix there; the 8 primitive `<t>[]` names are the primitive
+    * arrays; other `[]` names are object arrays).
+    */
+  val qHeapDsv2: GateQuery = GateQuery(
+    "q_heap_dsv2",
+    s"""WITH oi AS (
+       |  SELECT type_name FROM read_parquet('$exportDir/_object_index/*.parquet'))
+       |SELECT
+       |  CASE WHEN type_name LIKE 'class %' THEN 'class'
+       |       WHEN type_name IN ('boolean[]','byte[]','char[]','short[]',
+       |                          'int[]','long[]','float[]','double[]')
+       |         THEN 'primitive_array'
+       |       WHEN type_name LIKE '%[]' THEN 'object_array'
+       |       ELSE 'instance' END AS kind,
+       |  CASE WHEN type_name LIKE 'class %' THEN substr(type_name, 7)
+       |       ELSE type_name END AS type_name,
+       |  COUNT(*) AS n
+       |FROM oi
+       |GROUP BY 1, 2
+       |ORDER BY kind, type_name""".stripMargin) { (s, _) =>
+    demoDir(s)
+    val hprof = s"${new java.io.File(exportDir).getParent}/demo.hprof"
+    s.read.format("hprof").load(hprof)
+      .groupBy("kind", "type_name").agg(count(lit(1)).as("n"))
+      .orderBy("kind", "type_name")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
@@ -775,6 +808,6 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
-    qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords)
+    qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Components, Curate, Decontaminate, Dedup, Packing, Sampling, Similarity}
+import graft.operators.{Clustering, Components, Curate, Decontaminate, Dedup, Packing, Relevance, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -656,6 +656,88 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D27 — BM25 relevance (query-targeted corpus selection): the
+    * term-saturation component in PURE INTEGER arithmetic — with
+    * k1 = 6/5, b = 3/4 the factor is rational, and multiplying
+    * through by 10·T makes floor(1e6·22·tf·T / (10·T·tf + 3·T +
+    * 9·len·N)) bit-identical on every engine. The transcendental idf
+    * weight is spec-pinned via Relevance.bm25 (df itself is integer
+    * and q_rarity-style exact).
+    */
+  val qBm25: GateQuery = GateQuery(
+    "q_bm25",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+      |st AS (SELECT (SELECT COUNT(*) FROM toks) AS t_total,
+      |              (SELECT COUNT(*) FROM documents) AS n_docs),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      |       WHERE w IN ('join', 'scan', 'window') GROUP BY doc_id, w)
+      |SELECT tf.doc_id, CAST(dl.len AS BIGINT) AS n_tokens, COUNT(*) AS n_matched,
+      |  CAST(SUM((1000000 * 22 * tf.tf * st.t_total) // (10 * st.t_total * tf.tf + 3 * st.t_total + 9 * dl.len * st.n_docs)) AS BIGINT) AS sat_score
+      |FROM tf JOIN dl USING (doc_id), st
+      |GROUP BY tf.doc_id, dl.len
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Relevance.bm25SaturationExact(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "scan", "window"))
+      .orderBy("doc_id")
+  }
+
+  /** D28 — corpus k-means clustering (k=4, 2 Lloyd iterations) over
+    * integer-quantized embeddings (floor(x·256) — exact on every
+    * engine). Init = the 4 smallest vec_ids; assignment ties break to
+    * the lowest cluster; centroid update is truncating BIGINT
+    * division. The oracle replays both iterations verbatim as
+    * unrolled CTEs — hash-green only if assignments, per-dimension
+    * centroid sums, AND the division semantics agree bit-for-bit.
+    */
+  val qKmeans: GateQuery = GateQuery(
+    "q_kmeans",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cl, q AS c
+      |       FROM q ORDER BY vec_id LIMIT 4),
+      |d1 AS (SELECT v.vec_id, c.cl,
+      |         list_aggregate(list_transform(generate_series(1, 64),
+      |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
+      |       FROM q v CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d1) WHERE rk = 1),
+      |s1 AS (SELECT a1.cl, g.i, CAST(SUM(v.q[g.i]) AS BIGINT) AS s, COUNT(*) AS n
+      |       FROM a1 JOIN q v USING (vec_id), generate_series(1, 64) g(i)
+      |       GROUP BY a1.cl, g.i),
+      |c1 AS (SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY i) AS c FROM s1 GROUP BY cl),
+      |d2 AS (SELECT v.vec_id, c.cl,
+      |         list_aggregate(list_transform(generate_series(1, 64),
+      |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
+      |       FROM q v CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d2) WHERE rk = 1),
+      |s2 AS (SELECT a2.cl, g.i, CAST(SUM(v.q[g.i]) AS BIGINT) AS s, COUNT(*) AS n
+      |       FROM a2 JOIN q v USING (vec_id), generate_series(1, 64) g(i)
+      |       GROUP BY a2.cl, g.i),
+      |c2 AS (SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY i) AS c FROM s2 GROUP BY cl),
+      |d3 AS (SELECT v.vec_id, c.cl,
+      |         list_aggregate(list_transform(generate_series(1, 64),
+      |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
+      |       FROM q v CROSS JOIN c2 c),
+      |a3 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d3) WHERE rk = 1)
+      |SELECT vec_id, CAST(cl AS INT) AS cluster
+      |FROM a3
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Clustering.kmeansQuantized(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2, dim = 64)
+      .orderBy("vec_id")
+  }
+
   /** D26 — corpus-rarity profile: document frequencies from one
     * corpus pass, joined back per document. Integer outputs only
     * (sum/min of dfs, distinct counts) — exact on every engine.
@@ -863,5 +945,5 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qRarity)
+    qRarity, qBm25, qKmeans)
 }

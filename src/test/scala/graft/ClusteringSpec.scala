@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Clustering
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D28 quantized k-means: hand-checkable geometry, the empty-cluster
+  * rule, and determinism under repartitioning (the property the
+  * integer quantization exists to provide).
+  */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("separable geometry converges to the obvious clusters") {
+    // two tight groups far apart, k=2, init = vecs of ids 0 and 1 (one
+    // from each group by construction)
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(0.02f, 0.01f)), (3L, Array(0.98f, 1.01f)),
+      (4L, Array(0.01f, 0.03f)), (5L, Array(1.02f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kmeansQuantized(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, dim = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(Set(0L, 2L, 4L).map(out) === Set(0))
+    assert(Set(1L, 3L, 5L).map(out) === Set(1))
+  }
+
+  test("an emptied cluster keeps its centroid instead of crashing") {
+    // ids 0 and 1 are IDENTICAL: init c0 == c1 and ties break to the
+    // lowest cluster, so cluster 1 gets no members in the first
+    // assignment. With iters=0 that IS the output; with iters=2 the
+    // run must survive the empty re-estimation (cluster 1 keeps the
+    // stale centroid — and may legally re-acquire points once cluster
+    // 0's centroid moves off it).
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f)),
+      (2L, Array(5.0f, 5.0f)), (3L, Array(0.1f, 0.1f)), (4L, Array(5.1f, 4.9f)))
+      .toDF("vec_id", "embedding")
+    val out0 = Clustering.kmeansQuantized(vecs, "vec_id", "embedding",
+      k = 3, iters = 0, dim = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(!out0.values.toSet.contains(1), "ties break away from cluster 1")
+    assert(out0(0L) === 0 && out0(2L) === 2)
+    val out2 = Clustering.kmeansQuantized(vecs, "vec_id", "embedding",
+      k = 3, iters = 2, dim = 2).collect()
+    assert(out2.length === 5, "empty re-estimation must not crash or drop rows")
+  }
+
+  test("assignments are deterministic and partition-invariant") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = Clustering.kmeansQuantized(emb, "vec_id", "embedding", 4, 2, 64)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val b = Clustering.kmeansQuantized(emb.repartition(7), "vec_id", "embedding", 4, 2, 64)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(a === b)
+    assert(a.values.toSet.size > 1, "multiple clusters in use")
+  }
+
+  test("centroid update divides per-dimension sums with truncation") {
+    // one cluster after quantization: members q = (25,-52) and (76,25)
+    // (floor of x*256); k=1 centroid after one iter = ((25+76)/2, (-52+25)/2)
+    // = (50, -13): TRUNCATING division (-27/2 == -13), matching DuckDB's
+    // BIGINT // BIGINT — floor semantics would give -14
+    val vecs = Seq((0L, Array(0.1f, -0.2f)), (1L, Array(0.3f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val c = Clustering.centroidsOf(vecs, "vec_id", "embedding", k = 1, iters = 1, dim = 2)
+    assert(c(0).toSeq === Seq((25L + 76L) / 2, (-52L + 25L) / 2))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Relevance
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D27 BM25: the double-path score against the textbook formula on a
+  * hand-computed corpus, and the integer saturation surface against
+  * its closed form.
+  */
+class RelevanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // corpus: T = 10 tokens, N = 3 docs, avgdl = 10/3
+  private lazy val docs = Seq(
+    (1L, "join scan join"),        // len 3: tf(join)=2, tf(scan)=1
+    (2L, "sort merge sort merge"), // len 4: no query terms
+    (3L, "join x y"))              // len 3: tf(join)=1
+    .toDF("doc_id", "text")
+
+  test("bm25 matches the textbook formula (k1=1.2, b=0.75)") {
+    val out = Relevance.bm25(docs, "doc_id", "text", Seq("join", "scan"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matched"), r.getAs[Double]("score")))).toMap
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L)._1 === 2L)
+    assert(out(3L)._1 === 1L)
+
+    val n = 3.0
+    val avgdl = 10.0 / 3.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def sat(tf: Double, len: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+    val d1 = idf(2) * sat(2, 3) + idf(1) * sat(1, 3) // join df=2, scan df=1
+    val d3 = idf(2) * sat(1, 3)
+    assert(math.abs(out(1L)._2 - d1) < 1e-12, s"${out(1L)._2} vs $d1")
+    assert(math.abs(out(3L)._2 - d3) < 1e-12)
+    assert(out(1L)._2 > out(3L)._2, "two matched terms must outrank one")
+  }
+
+  test("bm25SaturationExact matches its closed integer form") {
+    val out = Relevance.bm25SaturationExact(docs, "doc_id", "text",
+      Seq("join", "scan")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_matched"),
+          r.getAs[Long]("sat_score")))).toMap
+    // floor(1e6 * 22*tf*T / (10*T*tf + 3*T + 9*len*N)), T=10, N=3
+    def sat(tf: Long, len: Long) =
+      (1000000L * 22 * tf * 10) / (10L * 10 * tf + 3 * 10 + 9 * len * 3)
+    assert(out(1L) === ((3L, 2L, sat(2, 3) + sat(1, 3))))
+    assert(out(3L) === ((3L, 1L, sat(1, 3))))
+  }
+
+  test("unmatched documents are absent, empty query rejected") {
+    val out = Relevance.bm25(docs, "doc_id", "text", Seq("nosuchterm")).collect()
+    assert(out.isEmpty)
+    intercept[IllegalArgumentException] {
+      Relevance.bm25(docs, "doc_id", "text", Nil)
+    }
+  }
+}
