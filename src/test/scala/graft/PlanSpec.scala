@@ -121,4 +121,34 @@ class PlanSpec extends AnyFunSuite {
     val rd = planOf("q_date_funcs").linesIterator.find(_.contains("ReadSchema")).get
     assert(!rd.contains("o_totalprice") && !rd.contains("o_custkey"), rd)
   }
+
+  test("bm25: corpus scalars and df broadcast; only matched terms aggregate") {
+    val plan = planOf("q_bm25")
+    // the corpus-stats cross join must be a broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // term filter runs BEFORE the tf aggregate (generate → filter → agg)
+    assert(plan.contains("Generate"), plan)
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 4, s"expected partial+final aggregate pairs, plan:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("kmeans: assignment is a UDF-free projection over centroid literals") {
+    val plan = planOf("q_kmeans")
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // final assignment: quantize+distance projection, one sort for the
+    // gate's ORDER BY — no join anywhere (centroids ride as literals)
+    assert(!plan.contains("Join"), plan)
+    val rs = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("label"), s"must not read unused columns: $rs")
+  }
+
+  test("audio/image decode tables read only the id column") {
+    for (q <- Seq("q_audio_decode", "q_image_decode")) {
+      val rs = planOf(q).linesIterator.find(_.contains("ReadSchema")).get
+      assert(!rs.contains("text") && !rs.contains("n_chars"), s"$q: $rs")
+    }
+  }
 }
