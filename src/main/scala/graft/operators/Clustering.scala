@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus clustering over embedding columns — the semantic-grouping
@@ -95,17 +95,14 @@ object Clustering {
       transform(col(vecCol),
         x => floor(x.cast("double") * quantScale).cast("long")).as("q"))
 
-  /** Nearest-centroid assignment as a projection: integer squared
-    * distance against each centroid literal, argmin via first
-    * position of the minimum (ties → lowest cluster index).
+  /** Nearest-centroid assignment as a projection: ONE codegen'd argmin
+    * over the plan-shipped centroid table (ties → lowest cluster
+    * index). A single loop — not k composed `aggregate(zip_with(...))`
+    * distance trees — so the projection stays inside whole-stage
+    * codegen at k=256+, where a duplicated expression tree would blow
+    * the generated-method size limit and fall back to interpreted eval.
     */
-  private def assign(q: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
-    val dists: Seq[Column] = centroids.toSeq.map { c =>
-      aggregate(
-        zip_with(col("q"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    }
+  private def assign(q: DataFrame, centroids: Array[Array[Long]]): DataFrame =
     q.withColumn("cluster",
-      (array_position(array(dists: _*), array_min(array(dists: _*))) - 1).cast("int"))
-  }
+      graft.functions.NearestCentroid.nearestCentroid(col("q"), centroids))
 }

@@ -689,6 +689,11 @@ object Pipeline {
     * division. The oracle replays both iterations verbatim as
     * unrolled CTEs — hash-green only if assignments, per-dimension
     * centroid sums, AND the division semantics agree bit-for-bit.
+    * A cluster left empty keeps its previous centroid on BOTH sides:
+    * the c1/c2 CTEs LEFT JOIN the fresh means onto the previous
+    * centroid set and COALESCE, mirroring Clustering.kmeansQuantized's
+    * carry-forward rule (which ClusteringSpec pins) instead of
+    * silently dropping the cluster from the next assignment round.
     */
   val qKmeans: GateQuery = GateQuery(
     "q_kmeans",
@@ -709,7 +714,9 @@ object Pipeline {
       |s1 AS (SELECT a1.cl, g.i, CAST(SUM(v.q[g.i]) AS BIGINT) AS s, COUNT(*) AS n
       |       FROM a1 JOIN q v USING (vec_id), generate_series(1, 64) g(i)
       |       GROUP BY a1.cl, g.i),
-      |c1 AS (SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY i) AS c FROM s1 GROUP BY cl),
+      |n1 AS (SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY i) AS c FROM s1 GROUP BY cl),
+      |c1 AS (SELECT c0.cl AS cl, COALESCE(n1.c, c0.c) AS c
+      |       FROM c0 LEFT JOIN n1 ON n1.cl = c0.cl),
       |d2 AS (SELECT v.vec_id, c.cl,
       |         list_aggregate(list_transform(generate_series(1, 64),
       |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
@@ -721,7 +728,9 @@ object Pipeline {
       |s2 AS (SELECT a2.cl, g.i, CAST(SUM(v.q[g.i]) AS BIGINT) AS s, COUNT(*) AS n
       |       FROM a2 JOIN q v USING (vec_id), generate_series(1, 64) g(i)
       |       GROUP BY a2.cl, g.i),
-      |c2 AS (SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY i) AS c FROM s2 GROUP BY cl),
+      |n2 AS (SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY i) AS c FROM s2 GROUP BY cl),
+      |c2 AS (SELECT c1.cl AS cl, COALESCE(n2.c, c1.c) AS c
+      |       FROM c1 LEFT JOIN n2 ON n2.cl = c1.cl),
       |d3 AS (SELECT v.vec_id, c.cl,
       |         list_aggregate(list_transform(generate_series(1, 64),
       |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist

@@ -57,6 +57,27 @@ class ClusteringSpec extends AnyFunSuite {
     assert(a.values.toSet.size > 1, "multiple clusters in use")
   }
 
+  test("nearest_centroid: ties -> lowest index, codegen == interpreted, ragged throws") {
+    import graft.functions.NearestCentroid
+    import org.apache.spark.sql.functions.{col, transform => atransform, floor => afloor}
+    val cents = Array(Array(0L, 0L), Array(10L, 0L), Array(0L, 0L)) // c2 duplicates c0
+    val df = Seq((0L, Seq(1L, 1L)), (1L, Seq(9L, 1L)), (2L, Seq(5L, 0L)))
+      .toDF("vec_id", "q")
+    val got = df.withColumn("cl", NearestCentroid.nearestCentroid(col("q"), cents))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cl")).toMap
+    // (1,1): d0=2 d1=82 d2=2 -> tie c0/c2 -> 0; (9,1): d1=2 -> 1;
+    // (5,0): d0=25 d1=25 d2=25 -> all tie -> 0
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 0))
+    // interpreted eval agrees with the codegen'd result
+    val expr = NearestCentroid(org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(9L, 1L), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)), cents)
+    assert(expr.eval(null) === 1)
+    val ragged = Seq((0L, Seq(1L, 2L, 3L))).toDF("vec_id", "q")
+      .withColumn("cl", NearestCentroid.nearestCentroid(col("q"), cents))
+    val ex = intercept[Exception](ragged.collect())
+    assert(ex.getMessage != null)
+  }
+
   test("centroid update divides per-dimension sums with truncation") {
     // one cluster after quantization: members q = (25,-52) and (76,25)
     // (floor of x*256); k=1 centroid after one iter = ((25+76)/2, (-52+25)/2)

@@ -134,13 +134,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
-  test("kmeans: assignment is a UDF-free projection over centroid literals") {
+  test("kmeans: assignment is ONE codegen'd argmin, no duplicated distance tree") {
     val plan = planOf("q_kmeans")
     assert(!plan.contains("ScalaUDF"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    // final assignment: quantize+distance projection, one sort for the
-    // gate's ORDER BY — no join anywhere (centroids ride as literals)
+    // final assignment: quantize+argmin projection, one sort for the
+    // gate's ORDER BY — no join anywhere (centroids ride in the expr)
     assert(!plan.contains("Join"), plan)
+    // the whole argmin is a single nearest_centroid loop; the old
+    // array_position(array(d...), array_min(array(d...))) shape built
+    // the k·dim distance tree twice and would drop out of codegen at
+    // large k — its markers must not reappear
+    assert(plan.contains("nearest_centroid"), plan)
+    assert(!plan.contains("array_position"), plan)
+    assert(!plan.contains("zip_with"), plan)
     val rs = plan.linesIterator.find(_.contains("ReadSchema")).get
     assert(!rs.contains("label"), s"must not read unused columns: $rs")
   }
