@@ -82,9 +82,18 @@ object ClassTableWriter extends Serializable {
     def commit(): Unit = {
       writer.close()
       val fs = finalPath.getFileSystem(conf)
+      // delete+rename is not atomic: a concurrent duplicate attempt's
+      // delete can land between OUR delete and rename, making the
+      // rename fail on filesystems where rename-to-existing returns
+      // false. One retry closes that window — both attempts hold a
+      // complete file, so whichever rename lands last wins whole-file
+      // and neither should fail the task.
       fs.delete(finalPath, false)
-      if (!fs.rename(tmpPath, finalPath))
-        throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")
+      if (!fs.rename(tmpPath, finalPath)) {
+        fs.delete(finalPath, false)
+        if (!fs.rename(tmpPath, finalPath))
+          throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed twice")
+      }
     }
     /** Close and drop the temp file, leaving any committed final file
       * from another attempt untouched.

@@ -82,8 +82,12 @@ final class HeapMcp(spark: SparkSession) {
   }
 
   private def initializeResult(params: Map[String, Any]): String = {
+    // MCP handshake: echo the requested version only if this server
+    // actually supports it; otherwise answer with our own latest —
+    // echoing an unknown future revision verbatim would claim support
+    // the server cannot honor.
     val requested = params.get("protocolVersion") match {
-      case Some(v: String) if v.nonEmpty => v
+      case Some(v: String) if SupportedVersions(v) => v
       case _ => ProtocolVersion
     }
     Json.obj(Seq(
@@ -142,10 +146,23 @@ final class HeapMcp(spark: SparkSession) {
       case None => default
     }
 
-  private def optInt(p: Map[String, Any], key: String, default: Int): Int =
+  private def optInt(p: Map[String, Any], key: String, default: Int): Int = {
+    val v = optLong(p, key, default.toLong)
+    // explicit range check: Long.toInt silently wraps (offset 2^33 -> 0
+    // would re-serve page one instead of erroring)
+    if (v < Int.MinValue || v > Int.MaxValue)
+      throw new IllegalArgumentException(s"'$key' out of int range: $v")
+    v.toInt
+  }
+
+  private def optLong(p: Map[String, Any], key: String, default: Long): Long =
     p.get(key) match {
-      case Some(n: Long) => n.toInt
-      case Some(n: Double) => n.toInt
+      case Some(n: Long) => n
+      case Some(n: Double) =>
+        // a fractional offset/limit is a caller bug, not a page address
+        if (n != Math.rint(n) || n < Long.MinValue.toDouble || n > Long.MaxValue.toDouble)
+          throw new IllegalArgumentException(s"'$key' must be an integer, got $n")
+        n.toLong
       case Some(other) => throw new IllegalArgumentException(s"'$key' must be a number, got $other")
       case None => default
     }
@@ -240,9 +257,16 @@ final class HeapMcp(spark: SparkSession) {
         ("offset", "integer", "Rows to skip (default 0)")),
       Seq("sql"),
       { p =>
-        val sid = resolveSid(p)
+        // validate the pure params before touching session state so a
+        // bad page address errors the same way with 0 or many sessions
         val limit = optInt(p, "limit", 1000)
-        val offset = optInt(p, "offset", 0).toLong
+        val offset = optLong(p, "offset", 0L) // no silent Long->Int wrap
+        // Spark's OFFSET literal must be int-typed — past Int.MaxValue
+        // the page is unservable, which must be a loud error, not a
+        // wrapped address quietly re-serving page one
+        if (offset < 0 || offset > Int.MaxValue)
+          throw new IllegalArgumentException(s"'offset' out of pageable range: $offset")
+        val sid = resolveSid(p)
         val page = sessions.queryPage(sid, reqStr(p, "sql"), limit = limit, offset = offset)
         Json.obj(Seq(
           "session_id" -> Json.str(sid),
@@ -311,11 +335,17 @@ object HeapMcp {
         "required" -> Json.arr(required.map(Json.str))))))
   }
 
-  /** Latest protocol revision this server knows; initialize echoes the
-    * client's requested version (we support the stable surface of all
-    * published revisions: tools + resources over stdio).
+  /** Latest protocol revision this server knows — the initialize
+    * fallback when the client requests anything outside
+    * [[SupportedVersions]].
     */
   val ProtocolVersion = "2025-03-26"
+
+  /** Revisions whose stable surface (tools + resources over stdio)
+    * this server implements; a requested version outside this set gets
+    * ProtocolVersion back instead of a verbatim echo.
+    */
+  val SupportedVersions: Set[String] = Set("2024-11-05", "2025-03-26")
 
   val ParseError = -32700
   val InvalidRequest = -32600

@@ -88,6 +88,10 @@ final class HeapSessions(spark: SparkSession) {
       offset: Long = 0L): QueryPage = {
     require(limit > 0, s"limit must be positive, got $limit")
     require(offset >= 0, s"offset must be non-negative, got $offset")
+    // Spark rejects a BIGINT-typed OFFSET literal, so past Int.MaxValue
+    // the page is unservable — surface that as a parameter error here
+    // (shared by the HTTP and MCP fronts) rather than a planner error
+    require(offset <= Int.MaxValue, s"offset out of pageable range: $offset")
     // paging without an ORDER BY is only stable because the page query
     // re-analyzes the same single-file-list relations; callers wanting
     // cross-page guarantees should still order explicitly (the

@@ -88,7 +88,10 @@ object AudioCodec {
             out(f) = s / channels
             f += 1
           }
-          Some(Decoded(fmt.getSampleRate.toInt, channels, out))
+          // channels describes the DECODED samples, which are mono
+          // after mixdown — keeping the container's count would make a
+          // re-encode of these samples claim channels the bytes lack
+          Some(Decoded(fmt.getSampleRate.toInt, 1, out))
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -193,8 +193,11 @@ object Multimodal {
       else AudioCodec.tryDecode(r.data) match {
         case Some(clip) =>
           val rs = AudioCodec.resampleNearest(clip, n)
+          // decoded clip is mono (tryDecode mixes down) — meta must
+          // agree with the re-encoded bytes, not the original container
           r.copy(data = AudioCodec.encodeWav(rs),
-            meta = r.meta.copy(sampleRate = clip.sampleRate, nFrames = n))
+            meta = r.meta.copy(sampleRate = clip.sampleRate, nFrames = n,
+              channels = clip.channels))
         case None =>
           r.copy(data = StubCodec.resize(r.data, r.meta, n, 1),
             meta = r.meta.copy(nFrames = n))

@@ -30,6 +30,32 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.sampleValue(5L, 3) === ((5 + 37 * 3) % 65536) - 32768)
   }
 
+  test("stereo payloads mix down to mono AND report channels=1") {
+    // hand-build a 2-channel WAV; decoded samples are the per-frame
+    // integer mean, and Decoded.channels must describe the DECODED
+    // (mono) samples — so a re-encode + re-decode is a fixed point
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val frames = Seq((100, 200), (-50, 70), (32767, -32768))
+    val pcm = new Array[Byte](frames.length * 4)
+    frames.zipWithIndex.foreach { case ((l, r), f) =>
+      for ((v, c) <- Seq(l -> 0, r -> 1)) {
+        pcm(f * 4 + 2 * c) = (v & 0xff).toByte
+        pcm(f * 4 + 2 * c + 1) = ((v >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      frames.length.toLong), AudioFileFormat.Type.WAVE, bos)
+    val dec = AudioCodec.decode(bos.toByteArray)
+    assert(dec.channels === 1, "metadata must match the mixed-down samples")
+    assert(dec.samples.toSeq === frames.map { case (l, r) => (l + r) / 2 })
+    val again = AudioCodec.decode(AudioCodec.encodeWav(dec))
+    assert(again.channels === 1)
+    assert(again.samples.toSeq === dec.samples.toSeq)
+  }
+
   test("garbage bytes are not decodable audio") {
     assert(AudioCodec.tryDecode("not a wav at all".getBytes).isEmpty)
     assert(AudioCodec.tryDecode(Array.emptyByteArray).isEmpty)

@@ -57,6 +57,36 @@ class HeapMcpSpec extends AnyFunSuite {
     assert(caps.contains("tools") && caps.contains("resources"))
   }
 
+  test("initialize answers an UNKNOWN protocol version with the server's latest") {
+    val r = result("""{"jsonrpc":"2.0","id":1,"method":"initialize",""" +
+      """"params":{"protocolVersion":"2099-01-01","capabilities":{},""" +
+      """"clientInfo":{"name":"spec","version":"0"}}}""")
+    // echoing "2099-01-01" back would claim support the server cannot
+    // guarantee — the handshake contract is: requested-if-supported,
+    // else the server's own latest
+    assert(r("protocolVersion") === HeapMcp.ProtocolVersion)
+  }
+
+  test("out-of-range and fractional paging numbers error instead of truncating") {
+    // offset 2^33 would wrap to 0 under Long.toInt and silently
+    // re-serve page one; it must surface as a tool error instead
+    val (huge, hugeErr) = toolCall("query_heap",
+      """{"sql":"SELECT 1 AS x","limit":8589934592}""")
+    assert(hugeErr, huge)
+    assert(huge.contains("out of int range"))
+    val (frac, fracErr) = toolCall("query_heap",
+      """{"sql":"SELECT 1 AS x","offset":1.5}""")
+    assert(fracErr, frac)
+    assert(frac.contains("must be an integer"))
+    // a Long offset fits the wire type but Spark can only serve
+    // int-range OFFSETs — 2^33 must be a clear range error (the old
+    // Long.toInt wrap made it 0 and re-served page one)
+    val (big, bigErr) = toolCall("query_heap",
+      """{"sql":"SELECT 1 AS x","offset":8589934592}""")
+    assert(bigErr, big)
+    assert(big.contains("out of pageable range"))
+  }
+
   test("notifications get no response; ping gets an empty result") {
     assert(mcp.handle("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
     assert(result("""{"jsonrpc":"2.0","id":2,"method":"ping"}""") === Map.empty)
