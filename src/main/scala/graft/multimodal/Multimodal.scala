@@ -206,15 +206,62 @@ object Multimodal {
   }
 
   /** Sample up to `maxFrames` frames per video row (one output row per
-    * frame — the explode shape a frame-level pipeline needs).
+    * frame — the explode shape a frame-level pipeline needs). Payloads
+    * that really demux (GVID containers via [[VideoCodec]]) get a REAL
+    * uniform frame sample — each emitted row carries the frame's
+    * actual encoded PNG bytes; non-container payloads (this table's
+    * text stand-ins) fall back to the stub so the row-count contract
+    * (min(maxFrames, meta.nFrames) rows per video) still holds.
     */
   def sampleFrames(media: DataFrame, maxFrames: Int): Dataset[FrameRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].filter(_.modality == "video").flatMap { r =>
-      val n = math.min(maxFrames, r.meta.nFrames)
-      (0 until n).map(i => FrameRow(r.doc_id, i, StubCodec.frame(r.data, i)))
+      VideoCodec.tryDemux(r.data) match {
+        case Some(clip) =>
+          VideoCodec.sampleIndices(clip.frames.length, maxFrames).zipWithIndex.map {
+            case (src, i) => FrameRow(r.doc_id, i, clip.frames(src))
+          }
+        case None =>
+          val n = math.min(maxFrames, r.meta.nFrames)
+          (0 until n).map(i => FrameRow(r.doc_id, i, StubCodec.frame(r.data, i)))
+      }
     }
+  }
+
+  final case class VideoFrameRow(doc_id: Long, frame_idx: Int, src_frame: Int,
+      width: Int, height: Int, pixel_sum: Long)
+
+  /** REAL video decode path (no stub): every video-modality doc gets a
+    * deterministic GVID clip (nFrames = doc_id mod 30 + 1 — the same
+    * count mediaTable puts in meta — of REAL PNG frames, pixel =
+    * (doc_id + 101·frame + 7x + 13y) mod 256), which is genuinely
+    * DEMUXED, uniform-sampled to ≤ `maxFrames` frames
+    * (src = i·n/k integer map), and each sampled frame decoded back
+    * through ImageIO to its pixel checksum. PNG is lossless and every
+    * index map is integer arithmetic, so an oracle that never touches
+    * the bytes can recompute which frames were decoded and their exact
+    * sums — the video counterpart of [[imageDecodeTable]] /
+    * [[audioDecodeTable]], closing D12's last stubbed modality.
+    */
+  def videoFrameTable(docs: DataFrame, maxFrames: Int = 4): Dataset[VideoFrameRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // per-partition: ImageIO reader instances amortize here
+        ids.flatMap { id =>
+          val w = (id % 16 + 8).toInt
+          val h = (id % 12 + 8).toInt
+          val nf = (id % 30 + 1).toInt
+          val clip = VideoCodec.syntheticVideo(id, w, h, nf)
+          VideoCodec.frameSample(clip, maxFrames).zipWithIndex.map {
+            case ((src, dec), i) =>
+              VideoFrameRow(id, i, src, dec.width, dec.height, ImageCodec.pixelSum(dec))
+          }
+        }
+      }
   }
 
   /** Per-modality rollup used by the q_multimodal_meta gate. The
