@@ -363,6 +363,18 @@ object HeapMcp {
     case other => other.toString // Long | Double per Json.parse
   }
 
+  /** The stdio loop itself, factored out so a spec can drive it with a
+    * verbatim client byte stream: one JSON-RPC message per input line,
+    * one response frame per output line, notifications answered with
+    * silence, blank lines skipped.
+    */
+  def serve(mcp: HeapMcp, in: java.io.BufferedReader, out: java.io.PrintStream): Unit =
+    Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.trim.nonEmpty)
+      .foreach { line =>
+        mcp.handle(line).foreach { resp => out.println(resp); out.flush() }
+      }
+
   /** Stdio entry point: `runMain graft.heap.HeapMcp`. One JSON-RPC
     * message per stdin line, one response per stdout line — stdout
     * carries ONLY protocol frames (Spark logs go to stderr/log4j).
@@ -376,13 +388,8 @@ object HeapMcp {
       else b.master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val mcp = new HeapMcp(spark)
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
-    Iterator.continually(in.readLine()).takeWhile(_ != null)
-      .filter(_.trim.nonEmpty)
-      .foreach { line =>
-        mcp.handle(line).foreach { resp => println(resp); System.out.flush() }
-      }
+    serve(new HeapMcp(spark),
+      new java.io.BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
     spark.stop()
   }
 }

@@ -104,8 +104,7 @@ object StreamingGates {
     * trigger; counts are monotone, so max() collapses reruns to the
     * final state.
     */
-  val qStreamSessionize: GateQuery = GateQuery(
-    "q_stream_sessionize",
+  private val sessionizeOracle: String =
     """WITH g AS (
       |  SELECT user_id,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
@@ -115,7 +114,9 @@ object StreamingGates {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT user_id, CAST(SUM(is_new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM g GROUP BY user_id
-      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      |ORDER BY user_id""".stripMargin
+
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val evs = eventsStream(s, dir)
       .select(col("user_id").cast("long").as("user_id"),
@@ -126,6 +127,35 @@ object StreamingGates {
       .groupBy("user_id")
       .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
       .orderBy("user_id")
+  }
+
+  val qStreamSessionize: GateQuery = GateQuery(
+    "q_stream_sessionize", sessionizeOracle) { (s, dir) =>
+    streamSessionize(s, dir)
+  }
+
+  /** E9 — the SAME sessionizer pipeline and oracle, but with state
+    * explicitly on the RocksDB state store provider: state for every
+    * user must round-trip RocksDB between triggers for the counts to
+    * come out identical, which upgrades the RocksDB backend from
+    * spec-only to driver-oracle-proven. The streaming run itself is
+    * eager (runToMemory drains inside the gate fn), so restoring the
+    * provider conf afterwards is safe — only the batch read of the
+    * already-materialized memory sink remains lazy.
+    */
+  val qStreamSessionizeRocksdb: GateQuery = GateQuery(
+    "q_stream_sessionize_rocksdb", sessionizeOracle) { (s, dir) =>
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try streamSessionize(s, dir)
+    finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
   }
 
   /** E12 — stream-static enrichment: the event STREAM left-joins the
@@ -231,6 +261,6 @@ object StreamingGates {
   }
 
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
-      qStreamEnrich, qStreamJoin, qStreamCurate)
+      qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamCurate)
     .map(_.copy(bench = false))
 }

@@ -87,6 +87,38 @@ class HeapMcpSpec extends AnyFunSuite {
     assert(big.contains("out of pageable range"))
   }
 
+  test("stdio loop replays a stock client's verbatim byte stream") {
+    // the exact line-delimited frames a standard MCP client emits on
+    // connect (initialize -> initialized notification -> tools/list ->
+    // ping), driven through the REAL serve loop — blank line and
+    // trailing newline included, so framing (one frame per line, no
+    // response to notifications, flush per frame) is locked against
+    // drift, not just handle()'s per-message behavior
+    val clientBytes =
+      ("""{"jsonrpc":"2.0","id":0,"method":"initialize","params":{"protocolVersion":"2025-03-26","capabilities":{"roots":{"listChanged":true}},"clientInfo":{"name":"stock-client","version":"1.2.0"}}}""" + "\n" +
+        """{"jsonrpc":"2.0","method":"notifications/initialized"}""" + "\n" +
+        "\n" +
+        """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""" + "\n" +
+        """{"jsonrpc":"2.0","id":2,"method":"ping"}""" + "\n").getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    HeapMcp.serve(mcp,
+      new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.io.ByteArrayInputStream(clientBytes), "UTF-8")),
+      new java.io.PrintStream(out, true, "UTF-8"))
+    val frames = out.toString("UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    assert(frames.length === 3, s"3 requests -> 3 frames, notification silent: $frames")
+    val init = Json.parse(frames(0)).asInstanceOf[Map[String, Any]]
+    assert(init("id") === 0L && init("jsonrpc") === "2.0")
+    val initRes = init("result").asInstanceOf[Map[String, Any]]
+    assert(initRes("protocolVersion") === "2025-03-26")
+    val tools = Json.parse(frames(1)).asInstanceOf[Map[String, Any]]
+    assert(tools("id") === 1L)
+    assert(tools("result").asInstanceOf[Map[String, Any]]("tools")
+      .asInstanceOf[Vector[Any]].size === 8)
+    val ping = Json.parse(frames(2)).asInstanceOf[Map[String, Any]]
+    assert(ping("id") === 2L && ping("result") === Map.empty)
+  }
+
   test("notifications get no response; ping gets an empty result") {
     assert(mcp.handle("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
     assert(result("""{"jsonrpc":"2.0","id":2,"method":"ping"}""") === Map.empty)
