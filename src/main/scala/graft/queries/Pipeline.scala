@@ -340,6 +340,53 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** D7 partial probe, HASH-GREEN (upgrades q_knn_ivf's recall-floor
+    * contract): an 8-of-16-probe search result is a pure function of
+    * (query set, written index), and the index is ON DISK — so the
+    * oracle reads the engine-written corpus layout and centroid side
+    * table via read_parquet (the heap-gate move) and REPLAYS the
+    * whole probe in SQL: per-query centroid distances on unit vectors
+    * (same sequential fold, ties to the lowest cell), top-8 cells,
+    * then exact cosine top-3 over the probed cells' members using the
+    * index's own stored norms. Hash-green only if cell routing, probe
+    * selection, AND the scoring arithmetic agree bit-for-bit with the
+    * distributed run.
+    */
+  val qKnnIvfPartial: GateQuery = {
+    // pid-scoped fixed dir (see ivfIndexDir); '*' spans the one sf
+    // this JVM verifies
+    val idxGlob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${ProcessHandle.current().pid()}/*"
+    GateQuery(
+      "q_knn_ivf_partial",
+      s"""WITH $embCte,
+         |cents AS (SELECT cell, centroid FROM read_parquet('$idxGlob/centroids/*.parquet')),
+         |corpus AS (SELECT cid, cv, cn, cell
+         |           FROM read_parquet('$idxGlob/corpus/*/*.parquet', hive_partitioning=1)),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |qc AS (SELECT q.qid, c.cell,
+         |         list_aggregate(list_transform(generate_series(1, 64),
+         |           i -> (q.qv[i] / q.qn - c.centroid[i]) * (q.qv[i] / q.qn - c.centroid[i])), 'sum') AS d
+         |       FROM q, cents c),
+         |probe AS (SELECT qid, cell FROM (
+         |    SELECT qid, cell, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cell) AS prk FROM qc)
+         |  WHERE prk <= 8),
+         |p AS (SELECT q.qid, c.cid,
+         |        ${duckDot("q.qv", "c.cv")} / (q.qn * c.cn) AS sim
+         |      FROM probe pr JOIN q ON q.qid = pr.qid
+         |        JOIN corpus c ON c.cell = pr.cell
+         |      WHERE c.cid <> q.qid),
+         |r AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM p)
+         |SELECT qid, cid, rk FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.knnIvfIndexed(s, ivfIndexDir(s, dir),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nProbe = 8)
+        .select("qid", "cid", "rk")
+        .orderBy("qid", "rk")
+    }
+  }
+
   /** D13 — vector norms and dims (sequential-fold double parity). */
   val qEmbeddingNorm: GateQuery = GateQuery(
     "q_embedding_norm",
@@ -1028,7 +1075,7 @@ object Pipeline {
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
-    qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qEmbeddingNorm,
+    qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
