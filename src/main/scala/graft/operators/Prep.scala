@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-preparation operators a training pipeline runs after
+  * curation: deterministic corpus shuffling, hash-based split
+  * assignment, and context-window chunking. All three are pure
+  * functions of (data, seed/params) built on the portable md5 hash, so
+  * an SQL oracle replays them row-exactly.
+  */
+object Prep {
+
+  /** Seeded portable shuffle key: md5("seed:id"). Hex-string ordering
+    * IS the shuffle order — both engines sort '0'..'9' < 'a'..'f'.
+    */
+  def shuffleKey(idCol: Column, seed: Long): Column =
+    md5(concat_ws(":", lit(seed), idCol.cast("string")).cast("binary"))
+
+  /** Deterministic global shuffle with MATERIALIZED positions, in the
+    * shape that survives 100 TB: a global `row_number() OVER (ORDER BY
+    * key)` would funnel every row through ONE window partition, so the
+    * position is computed in two phases instead — rank within the
+    * key's leading-byte bucket (256-way parallel window), plus the
+    * exclusive running total of bucket sizes (a 256-row driver-sized
+    * window). Bucket prefix order aligns with full-key order, so
+    * offset + rank − 1 equals the global row_number an oracle states
+    * directly.
+    */
+  def shuffleDeterministic(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val keyed = df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("__bucket", substring(col("shuffle_key"), 1, 2))
+    val inBucket = Window.partitionBy("__bucket")
+      .orderBy("shuffle_key", idCol) // id tiebreak: md5 collisions are
+                                     // cryptographically absent, but the
+                                     // plan should not RELY on that
+    val ranked = keyed.withColumn("__rk", row_number().over(inBucket))
+    val offsets = keyed.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum("__n").over(
+          Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__bucket", "__off")
+    ranked.join(broadcast(offsets), "__bucket")
+      .withColumn("pos", (col("__off") + col("__rk")).cast("long"))
+      .drop("__bucket", "__rk", "__off")
+  }
+
+  /** Hash-based train/val/test assignment: the split is a pure
+    * projection on the md5 hex prefix (no shuffle, no state), so the
+    * same doc lands in the same split on every engine, every run, at
+    * every scale — the property that keeps eval sets uncontaminated
+    * when the corpus is rebuilt. Thresholds are hex-string prefixes
+    * ('00'..'ff' sort lexicographically), e.g. ("e6", "f3") ≈
+    * 90/5/5.
+    */
+  def splitAssign(df: DataFrame, idCol: String, seed: Long,
+      valFrom: String = "e6", testFrom: String = "f3"): DataFrame = {
+    require(valFrom < testFrom, s"split thresholds out of order: $valFrom >= $testFrom")
+    val b = substring(shuffleKey(col(idCol), seed), 1, 2)
+    df.withColumn("split",
+      when(b < valFrom, "train").when(b < testFrom, "val").otherwise("test"))
+  }
+
+  /** Context-window chunking with overlap: token i of a chunk stream
+    * covering [c·stride, c·stride + window) for every start below the
+    * token count — the long-document → training-window explode. A pure
+    * projection + explode (no shuffle); emitted first/last tokens pin
+    * content alignment, not just arithmetic.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"invalid chunking ${window}/${stride}")
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), ((col("__n") - 1) / stride).cast("int"))))
+      .select(
+        col(idCol),
+        col("pos").as("chunk_idx"),
+        (col("pos") * stride).as("start_tok"),
+        least(lit(window), col("__n") - col("pos") * stride).as("n_tok"),
+        element_at(col("__toks"), col("pos") * stride + 1).as("first_tok"),
+        element_at(col("__toks"),
+          col("pos") * stride +
+            least(lit(window), col("__n") - col("pos") * stride)).as("last_tok"))
+  }
+}

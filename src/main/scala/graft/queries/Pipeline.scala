@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, Components, Curate, Decontaminate, Dedup, Packing, Relevance, Sampling, Similarity}
+import graft.operators.{Clustering, Components, Curate, Decontaminate, Dedup, Packing, Prep, Relevance, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -873,6 +873,77 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** D29a — deterministic corpus shuffle with MATERIALIZED positions:
+    * the training-order permutation as a pure function of (seed,
+    * doc_id) via the portable md5 key. The operator computes the
+    * global position WITHOUT a single-partition window (256-way
+    * bucket-parallel rank + tiny bucket-offset cumsum); the oracle
+    * states the same permutation as one ROW_NUMBER — hash-green iff
+    * the two-phase distributed position arithmetic is exactly the
+    * global one.
+    */
+  val qShuffleDet: GateQuery = GateQuery(
+    "q_shuffle_det",
+    """WITH k AS (
+      |  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |  FROM documents)
+      |SELECT doc_id, shuffle_key,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+      |FROM k
+      |ORDER BY pos""".stripMargin) { (s, dir) =>
+    Prep.shuffleDeterministic(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id", seed = 7L)
+      .select("doc_id", "shuffle_key", "pos")
+      .orderBy("pos")
+  }
+
+  /** D29b — hash-based train/val/test assignment: a pure projection on
+    * the md5 hex prefix (~90/5/5 at 'e6'/'f3'), so membership is
+    * engine- and scale-invariant — the property that keeps eval splits
+    * stable when the corpus is rebuilt. Verified per-row, not just as
+    * counts.
+    */
+  val qSplitAssign: GateQuery = GateQuery(
+    "q_split_assign",
+    """SELECT doc_id,
+      |  CASE WHEN substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+      |       WHEN substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Prep.splitAssign(Tables(s, dir, "documents").select("doc_id"), "doc_id", seed = 7L)
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  }
+
+  /** D30 — context-window chunking (window 32, stride 24): the
+    * long-document → training-window explode, a pure projection (no
+    * shuffle). first/last tokens pin CONTENT alignment — the oracle
+    * re-derives them by list indexing, so an off-by-one in either
+    * engine's start/length arithmetic breaks the hash.
+    */
+  val qChunkDocs: GateQuery = GateQuery(
+    "q_chunk_docs",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, g.i AS chunk_idx, g.i * 24 AS start_tok,
+      |         LEAST(32, n - g.i * 24) AS n_tok, toks
+      |  FROM t, generate_series(0, 15) g(i)
+      |  WHERE g.i <= CAST((n - 1) // 24 AS BIGINT))
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(start_tok AS INT) AS start_tok, CAST(n_tok AS INT) AS n_tok,
+      |  toks[CAST(start_tok + 1 AS INT)] AS first_tok,
+      |  toks[CAST(start_tok + n_tok AS INT)] AS last_tok
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    Prep.chunkDocs(Tables(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** D26 — corpus-rarity profile: document frequencies from one
     * corpus pass, joined back per document. Integer outputs only
     * (sum/min of dfs, distinct counts) — exact on every engine.
@@ -1080,5 +1151,5 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qRarity, qBm25, qKmeans)
+    qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs)
 }

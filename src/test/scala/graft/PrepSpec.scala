@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Prep
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D29/D30 dataset-prep operators: the two-phase shuffle position must
+  * equal a plain global row_number, splits must be a stable pure
+  * projection, and chunk windows must align with token content.
+  */
+class PrepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("two-phase shuffle positions equal the global row_number") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val got = Prep.shuffleDeterministic(docs, "doc_id", seed = 7L)
+      .select("doc_id", "shuffle_key", "pos").collect()
+    // reference: plain sort by (key, id), 1-based index
+    val expect = got.map(r => (r.getString(1), r.getLong(0)))
+      .sorted.zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    got.foreach(r => assert(r.getLong(2) === expect(r.getLong(0)), s"doc ${r.getLong(0)}"))
+    // positions are a permutation of 1..n
+    assert(got.map(_.getLong(2)).sorted.toSeq === (1L to 500L))
+    // deterministic under repartitioning
+    val again = Prep.shuffleDeterministic(docs.repartition(7), "doc_id", 7L)
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(again(r.getLong(0)) === r.getLong(2)))
+    // a different seed really is a different permutation
+    val other = Prep.shuffleDeterministic(docs, "doc_id", 8L)
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists(r => other(r.getLong(0)) != r.getLong(2)))
+  }
+
+  test("split assignment is a stable projection with sane proportions") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    val splits = Prep.splitAssign(docs, "doc_id", seed = 7L)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet === Set("train", "val", "test"))
+    // 'e6'/'f3' prefixes ≈ 90/5/5; allow generous binomial slack
+    assert(splits("train") > 1700 && splits("train") < 1890, splits)
+    assert(splits("val") > 40 && splits("val") < 180, splits)
+    assert(splits("test") > 40 && splits("test") < 180, splits)
+    // membership never depends on the rest of the corpus
+    val sub = Prep.splitAssign(docs.filter($"doc_id" < 100), "doc_id", 7L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = Prep.splitAssign(docs, "doc_id", 7L)
+      .filter($"doc_id" < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub === full)
+  }
+
+  test("chunk windows align with token content, including the ragged tail") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Prep.chunkDocs(docs, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    // n=10, stride 3: starts 0,3,6,9 -> lengths 4,4,4,1
+    assert(chunks.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)))
+    assert(chunks.map(r => (r.getString(4), r.getString(5))).toSeq ===
+      Seq(("t1", "t4"), ("t4", "t7"), ("t7", "t10"), ("t10", "t10")))
+    // single-token and empty docs chunk to exactly one window
+    val tiny = Seq((1L, "only"), (2L, "")).toDF("doc_id", "text")
+    val t = Prep.chunkDocs(tiny, "doc_id", "text", 4, 3).collect()
+    assert(t.length === 2)
+    assert(t.forall(r => r.getInt(1) === 0 && r.getInt(3) === 1))
+  }
+
+  test("shuffle plan: bucket-parallel window + broadcast offsets, no corpus-wide single partition") {
+    val docs = (0L until 100L).toDF("doc_id")
+    val plan = Prep.shuffleDeterministic(docs, "doc_id", 7L).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the big window partitions by the key bucket, offsets ride a broadcast
+    assert(plan.contains("__bucket"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}
