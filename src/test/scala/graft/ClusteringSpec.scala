@@ -78,6 +78,21 @@ class ClusteringSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("large-k assignment stays a single projection (the k=256 scale path)") {
+    // the old duplicated-distance-tree shape would blow the codegen
+    // method-size limit around here; the single-loop NearestCentroid
+    // must keep a big-k assignment correct and deterministic
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 64
+    val a = Clustering.kmeansQuantized(emb, "vec_id", "embedding", k, 1, 64)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val b = Clustering.kmeansQuantized(emb.repartition(5), "vec_id", "embedding", k, 1, 64)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(a === b)
+    assert(a.values.forall(c => c >= 0 && c < k))
+    assert(a.values.toSet.size > k / 4, "most clusters in use at k=64")
+  }
+
   test("centroid update divides per-dimension sums with truncation") {
     // one cluster after quantization: members q = (25,-52) and (76,25)
     // (floor of x*256); k=1 centroid after one iter = ((25+76)/2, (-52+25)/2)
