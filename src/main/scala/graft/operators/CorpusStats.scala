@@ -40,4 +40,45 @@ object CorpusStats {
         sum("df").as("sum_df"),
         min("df").as("min_df"))
   }
+
+  /** Count-Min frequency sketch over the token stream, queried for a
+    * marker set — the heavy-hitter primitive that replaces an exact
+    * token groupBy when the vocabulary itself is too big to
+    * materialize. Scale shape: Spark's `count_min_sketch` aggregate
+    * merges partial sketches ASSOCIATIVELY across partitions, so one
+    * pass ships only width·depth counters per partition regardless of
+    * corpus size; the driver-side estimate queries touch the merged
+    * (kilobyte-sized) sketch only.
+    *
+    * Per-marker output: the EXACT count (from a cheap filtered
+    * aggregate in the same plan — verifiable by any engine) and
+    * `estimate_ok`: the CMS guarantee `exact ≤ est ≤ exact + eps·N`
+    * holds. The estimate itself is seed-deterministic, so the
+    * contract column is stable for a fixed (data, eps, confidence,
+    * seed) — the same move as the q_approx_distinct / q_knn_ivf
+    * contract gates.
+    */
+  def heavyHitterCheck(docs: DataFrame, textCol: String, markers: Seq[String],
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    toks.persist() // sketch pass + exact pass + total read the same explode
+    try {
+      val sketchBytes = toks
+        .agg(count_min_sketch(col("w"), lit(eps), lit(confidence), lit(seed)))
+        .head().getAs[Array[Byte]](0)
+      val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      val total = toks.count()
+      val exact = toks.filter(col("w").isin(markers: _*))
+        .groupBy("w").agg(count(lit(1)).as("true_count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      markers.sorted.map { m =>
+        val t = exact.getOrElse(m, 0L)
+        val est = sketch.estimateCount(m)
+        (m, t, est >= t && est <= t + (eps * total).toLong)
+      }.toDF("token", "true_count", "estimate_ok")
+    } finally { toks.unpersist(blocking = false); () }
+  }
 }

@@ -944,6 +944,29 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** D31 — Count-Min heavy-hitter estimation: the mergeable frequency
+    * sketch that replaces an exact token groupBy when the vocabulary
+    * won't materialize. Partial sketches merge associatively across
+    * partitions (one pass, width·depth counters each). Per marker the
+    * gate emits the EXACT count (hash-verified) plus the CMS bound
+    * contract `exact ≤ est ≤ exact + eps·N` — seed-deterministic, so
+    * the contract column is stable (the q_approx_distinct move).
+    */
+  val qHeavyHitters: GateQuery = GateQuery(
+    "q_heavy_hitters",
+    """WITH m(token) AS (SELECT unnest(['join', 'scan', 'the'])),
+      |toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |t AS (SELECT w, COUNT(*) AS c FROM toks
+      |      WHERE w IN ('join', 'scan', 'the') GROUP BY w)
+      |SELECT m.token, CAST(COALESCE(t.c, 0) AS BIGINT) AS true_count,
+      |  TRUE AS estimate_ok
+      |FROM m LEFT JOIN t ON t.w = m.token
+      |ORDER BY token""".stripMargin) { (s, dir) =>
+    graft.operators.CorpusStats.heavyHitterCheck(
+        Tables(s, dir, "documents"), "text", Seq("join", "scan", "the"))
+      .orderBy("token")
+  }
+
   /** D26 — corpus-rarity profile: document frequencies from one
     * corpus pass, joined back per document. Integer outputs only
     * (sum/min of dfs, distinct counts) — exact on every engine.
@@ -1151,5 +1174,5 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs)
+    qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters)
 }
