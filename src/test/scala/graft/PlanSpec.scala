@@ -152,6 +152,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!rs.contains("label"), s"must not read unused columns: $rs")
   }
 
+  test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
+    // the 100 TB lever the local thresholds hide: a selective filter on
+    // the small join side injects a bloom_filter_agg subquery whose
+    // BloomFilterMightContain prunes fact rows BEFORE the join shuffle.
+    // Defaults only engage past multi-GB scans, so pin the behavior by
+    // lowering the application-side threshold, then restore.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val dir = sf
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+      val j = fact.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg"), opt)
+      assert(opt.contains("might_contain"), opt)
+      // sanity: the filtered join still computes the right total
+      val got = j.collect().head.getDouble(1)
+      val expect = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(sum("l_quantity")).collect().head.getDouble(0)
+      assert(got === expect)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("audio/image decode tables read only the id column") {
     for (q <- Seq("q_audio_decode", "q_image_decode")) {
       val rs = planOf(q).linesIterator.find(_.contains("ReadSchema")).get
