@@ -152,6 +152,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!rs.contains("label"), s"must not read unused columns: $rs")
   }
 
+  test("prep gates: projection-only shapes with pruned reads") {
+    // split assignment: pure projection on doc_id — no join, no UDF,
+    // nothing but the id column read
+    val ps = planOf("q_split_assign")
+    assert(!ps.contains("Join") && !ps.contains("ScalaUDF"), ps)
+    val rs = ps.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("text") && !rs.contains("lang") && !rs.contains("source"), rs)
+    // chunking: explode-only — no join, no aggregate, reads id + text
+    val pc = planOf("q_chunk_docs")
+    assert(!pc.contains("Join") && !pc.contains("ScalaUDF"), pc)
+    assert(pc.contains("Generate"), pc)
+    val rc = pc.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rc.contains("lang") && !rc.contains("source") && !rc.contains("n_chars"), rc)
+    // deterministic shuffle: the ranking window partitions by the key
+    // bucket (256-way parallel), never a corpus-wide single partition,
+    // and the offsets side rides a broadcast
+    val pw = planOf("q_shuffle_det")
+    assert(pw.contains("__bucket"), pw)
+    assert(pw.contains("BroadcastHashJoin"), pw)
+    assert(!pw.contains("ScalaUDF"), pw)
+  }
+
   test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
     // the 100 TB lever the local thresholds hide: a selective filter on
     // the small join side injects a bloom_filter_agg subquery whose
