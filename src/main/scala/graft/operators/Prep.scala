@@ -63,6 +63,27 @@ object Prep {
       when(b < valFrom, "train").when(b < testFrom, "val").otherwise("test"))
   }
 
+  /** Int8 embedding quantization for storage: per-vector max-abs
+    * scale, component q = floor(x·127/scale) ∈ [-128, 127] — a 4×
+    * footprint cut for ANN corpora whose recall tolerates ~1/254
+    * relative rounding (dequant error ≤ scale/127 per component,
+    * spec-pinned). Pure projection, no shuffle; every arithmetic step
+    * (float→double widening, IEEE multiply/divide, floor) is
+    * bit-identical across engines, so quantized values are
+    * oracle-replayable. Zero vectors quantize to zeros with scale 0.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    emb.select(col(idCol), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q",
+        when(col("scale") === 0d,
+          transform(col("v"), _ => lit(0L)))
+        .otherwise(
+          transform(col("v"), x => floor(x * 127d / col("scale")).cast("long"))))
+      .select(col(idCol), col("scale"), col("q"))
+  }
+
   /** Context-window chunking with overlap: token i of a chunk stream
     * covering [c·stride, c·stride + window) for every start below the
     * token count — the long-document → training-window explode. A pure

@@ -944,6 +944,39 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** D32 — int8 embedding quantization (4× ANN-corpus storage cut):
+    * per-vector max-abs scale, q = floor(x·127/scale). Every step is
+    * IEEE-identical across engines, so the oracle recomputes the
+    * quantized stream and the gate hash-matches its integer digests
+    * (sum/min/max per vector) plus the double scale.
+    */
+  val qEmbedQuant: GateQuery = GateQuery(
+    "q_embed_quant",
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+       |      FROM e),
+       |q AS (SELECT vec_id, scale,
+       |        CASE WHEN scale = 0
+       |             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |             ELSE list_transform(v, x -> CAST(floor(x * 127 / scale) AS BIGINT))
+       |        END AS qv
+       |      FROM s)
+       |SELECT vec_id, scale,
+       |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+       |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+       |FROM q
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Prep.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
   /** D31 — Count-Min heavy-hitter estimation: the mergeable frequency
     * sketch that replaces an exact token groupBy when the vocabulary
     * won't materialize. Partial sketches merge associatively across
@@ -1174,5 +1207,6 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters)
+    qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
+    qEmbedQuant)
 }

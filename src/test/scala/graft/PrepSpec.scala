@@ -67,6 +67,31 @@ class PrepSpec extends AnyFunSuite {
     assert(t.forall(r => r.getInt(1) === 0 && r.getInt(3) === 1))
   }
 
+  test("int8 quantization: range, dequant error bound, zero vectors") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 1.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Prep.quantizeInt8(vecs, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Long](2)))).toMap
+    // scale = max |x|; q = floor(x*127/scale)
+    assert(rows(1L)._1 === 1.0)
+    assert(rows(1L)._2 === Seq(63L, -127L, 31L))
+    assert(rows(2L)._1 === 0.0 && rows(2L)._2 === Seq(0L, 0L, 0L))
+    assert(rows(3L)._2 === Seq(127L, 63L, -127L))
+    // every component within int8, and dequant error <= scale/127 + one
+    // floor step
+    for ((id, (scale, q)) <- rows; (qi, i) <- q.zipWithIndex) {
+      assert(qi >= -128 && qi <= 127, s"vec $id comp $i")
+      if (scale > 0) {
+        val x = Map(1L -> Array(0.5, -1.0, 0.25), 3L -> Array(2.0, 1.0, -2.0))(id)(i)
+        assert(math.abs(qi * scale / 127.0 - x) <= scale / 127.0 + 1e-12, s"vec $id comp $i")
+      }
+    }
+  }
+
   test("shuffle plan: bucket-parallel window + broadcast offsets, no corpus-wide single partition") {
     val docs = (0L until 100L).toDF("doc_id")
     val plan = Prep.shuffleDeterministic(docs, "doc_id", 7L).queryExecution
