@@ -249,4 +249,47 @@ object Dedup {
       .filter(col("sim") > threshold)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
   }
+
+  /** D34 — cross-document duplicated n-gram spans (the substring-dedup
+    * measurement of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", at n-gram granularity): per document, how
+    * many n-gram starts also appear verbatim in ANOTHER document, and
+    * how many tokens those spans cover. Shuffle discipline at 100 TB:
+    * n-grams reduce to md5 hashes inside the projection, so the
+    * duplicate-set aggregate and the semi-join back both exchange
+    * fixed-width (hash, doc_id, start) rows — never text. Coverage
+    * explodes each duplicated start to at most n token indices (n-fold,
+    * bounded) and distinct-counts per doc.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"invalid n-gram size $n")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__toks"),
+      size(toks).as("n_tok"))
+    val grams = base.filter(col("n_tok") >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_tok") - n),
+          i => md5(concat_ws(" ",
+            (1 to n).map(k => element_at(col("__toks"), i + lit(k))): _*)
+            .cast("binary")))))
+      .select(col("doc_id"), col("pos").as("start"), col("col").as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= 2).select("gh")
+    val dupStarts = grams.join(dup, Seq("gh"), "left_semi")
+    val spanAgg = dupStarts.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_ngrams"), min("start").as("first_dup"))
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("tok_idx"))
+      .groupBy("doc_id").agg(countDistinct("tok_idx").as("covered_tok"))
+    base.select(col("doc_id"), col("n_tok"))
+      .join(spanAgg, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        coalesce(col("covered_tok"), lit(0L)).as("covered_tok"),
+        coalesce(col("first_dup"), lit(-1)).as("first_dup"))
+  }
 }

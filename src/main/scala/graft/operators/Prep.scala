@@ -84,6 +84,43 @@ object Prep {
       .select(col(idCol), col("scale"), col("q"))
   }
 
+  /** Deterministic ±1 sign matrix for signed random projection:
+    * sign(j, i) = +1 iff the first hex digit of md5("seed:j:i") is
+    * below '8' (top bit of the digest clear). Derived from the same
+    * md5 both engines expose, so an SQL oracle RE-DERIVES the matrix
+    * from the spec instead of trusting shipped literals.
+    */
+  def srpSigns(seed: Long, outDim: Int, dim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val d = md.digest(s"$seed:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 0x80) == 0) 1L else -1L
+    }
+  }
+
+  /** Signed random projection (Charikar hyperplane LSH, integer-exact):
+    * project the int8-quantized embedding onto `outDim` ±1 hyperplanes,
+    * p_j = Σ_i sign(j,i)·q_i — a 64-float → 16-long reduction whose
+    * dot products still track cosine angle, cheap enough to prefilter
+    * ANN candidates before touching full vectors. Quantizing FIRST
+    * makes every sum exact integer arithmetic, so the result is
+    * bit-identical on every engine at every scale. Pure projection:
+    * zero shuffle, the sign matrix ships in the plan (outDim·dim
+    * literals, driver-sized).
+    */
+  def projectSigned(emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int, seed: Long): DataFrame = {
+    require(outDim > 0 && dim > 0, s"invalid projection ${outDim}x${dim}")
+    val signs = srpSigns(seed, outDim, dim)
+    val projCols = (0 until outDim).map { j =>
+      aggregate(
+        zip_with(col("q"), typedLit(signs(j).toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    quantizeInt8(emb, idCol, vecCol)
+      .select(col(idCol), array(projCols: _*).as("proj"))
+  }
+
   /** Context-window chunking with overlap: token i of a chunk stream
     * covering [c·stride, c·stride + window) for every start below the
     * token count — the long-document → training-window explode. A pure

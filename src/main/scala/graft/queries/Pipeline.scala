@@ -1198,6 +1198,74 @@ object Pipeline {
       .orderBy("shard", "bin")
   }
 
+  /** D33 — signed random projection (hyperplane LSH, Charikar 2002)
+    * over int8-quantized embeddings: 64 floats → 16 exact-integer
+    * sums p_j = Σ sign(j,i)·q_i. Both engines RE-DERIVE the ±1 matrix
+    * from md5("5:j:i") (first hex digit < '8' ⇒ +1), so the hash
+    * match proves sign derivation, quantization, and the projection
+    * sums all agree bit-for-bit. Long (vec_id, dim_idx, p) output —
+    * every projected component verified, not a digest.
+    */
+  val qSrpProject: GateQuery = GateQuery(
+    "q_srp_project",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+      |      FROM e),
+      |q AS (SELECT vec_id,
+      |        CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |             ELSE list_transform(v, x -> CAST(floor(x * 127 / scale) AS BIGINT))
+      |        END AS qv
+      |      FROM s),
+      |sg AS (SELECT j, list_transform(generate_series(0, 63), i ->
+      |         CASE WHEN substring(md5('5:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
+      |              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS sv
+      |       FROM generate_series(0, 15) t(j))
+      |SELECT q.vec_id, CAST(sg.j AS INT) AS dim_idx,
+      |  CAST(list_aggregate(list_transform(generate_series(1, 64), i -> qv[i] * sv[i]), 'sum') AS BIGINT) AS p
+      |FROM q CROSS JOIN sg
+      |ORDER BY vec_id, dim_idx""".stripMargin) { (s, dir) =>
+    Prep.projectSigned(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        outDim = 16, dim = 64, seed = 5L)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("int").as("dim_idx"),
+        col("col").as("p"))
+      .orderBy("vec_id", "dim_idx")
+  }
+
+  /** D34 — cross-document duplicated n-gram spans (Lee et al. 2022
+    * substring dedup at 5-gram granularity): per doc, the number of
+    * 5-gram starts whose gram appears verbatim in ANOTHER document,
+    * the tokens those spans cover, and the earliest duplicated start.
+    * The oracle re-derives grams by list slicing — an off-by-one in
+    * either engine's start arithmetic breaks first_dup/covered_tok.
+    */
+  val qDupSpans: GateQuery = GateQuery(
+    "q_dup_spans",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(s.i AS INT) AS start,
+      |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+5 AS INT)], ' ')) AS gh
+      |      FROM t, generate_series(0, 255) s(i) WHERE s.i <= n - 5),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+      |ds AS (SELECT doc_id, start FROM g WHERE gh IN (SELECT gh FROM dup)),
+      |agg AS (SELECT doc_id, COUNT(*) AS dup_ngrams, MIN(start) AS first_dup
+      |        FROM ds GROUP BY doc_id),
+      |cov AS (SELECT ds.doc_id, COUNT(DISTINCT ds.start + c.d) AS covered_tok
+      |        FROM ds, generate_series(0, 4) c(d)
+      |        GROUP BY ds.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(agg.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+      |  CAST(COALESCE(cov.covered_tok, 0) AS BIGINT) AS covered_tok,
+      |  CAST(COALESCE(agg.first_dup, -1) AS INT) AS first_dup
+      |FROM t LEFT JOIN agg USING(doc_id) LEFT JOIN cov USING(doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.duplicatedSpans(Tables(s, dir, "documents"), "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate, qCurateFull,
@@ -1208,5 +1276,5 @@ object Pipeline {
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
-    qEmbedQuant)
+    qEmbedQuant, qSrpProject, qDupSpans)
 }

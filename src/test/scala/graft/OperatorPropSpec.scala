@@ -110,4 +110,29 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(runJaccard(adv, 0.1, cap = 0).size === 50 * 49 / 2)
     assert(runJaccard(adv, 0.1, cap = 10).isEmpty)
   }
+
+  test("duplicatedSpans: hand-verified counts, cross-document only, partition-invariant") {
+    val docs = Seq(
+      (0L, "a b c d e f"),        // all 4 trigram starts shared with d1/d4
+      (1L, "x a b c d y"),        // starts 1,2 duplicated (a b c / b c d)
+      (2L, "z z z"),              // unique gram, no dups
+      (3L, "q r"),                // too short for a trigram
+      (4L, "a b c d e f"),        // exact copy of d0
+      (5L, "m n o p m n o p")     // WITHIN-doc repeat only: not cross-doc
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.duplicatedSpans(df, "doc_id", "text", n = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    val got = run(docs)
+    assert(got(0L) === ((6, 4L, 6L, 0)))  // starts 0..3 dup, tokens 0..5 covered
+    assert(got(1L) === ((6, 2L, 4L, 1)))  // starts 1,2 -> tokens {1,2,3,4}
+    assert(got(2L) === ((3, 0L, 0L, -1)))
+    assert(got(3L) === ((2, 0L, 0L, -1))) // short doc still reported
+    assert(got(4L) === ((6, 4L, 6L, 0)))
+    // "m n o" repeats twice inside d5 but in NO other doc: cross-document
+    // criterion (count distinct doc_id >= 2) must not flag it
+    assert(got(5L) === ((8, 0L, 0L, -1)))
+    assert(run(docs.repartition(5)) === got)
+  }
 }

@@ -210,6 +210,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("srp projection: join-free UDF-free projection, scan pruned to id+vector") {
+    val p = planOf("q_srp_project")
+    assert(!p.contains("Join") && !p.contains("ScalaUDF"), p)
+    // the operator is aggregation-free: p_j sums are array folds inside
+    // the projection, never a shuffling aggregate
+    assert(!p.contains("HashAggregate"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs.contains("vec_id") && rs.contains("embedding"), rs)
+  }
+
+  test("dup-spans: grams reduce to md5 before exchanges, dup join stays semi") {
+    val p = planOf("q_dup_spans")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both aggregates (dup-set and per-doc) partial-aggregate map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("audio/image decode tables read only the id column") {
     for (q <- Seq("q_audio_decode", "q_image_decode")) {
       val rs = planOf(q).linesIterator.find(_.contains("ReadSchema")).get

@@ -92,6 +92,38 @@ class PrepSpec extends AnyFunSuite {
     }
   }
 
+  test("signed random projection equals brute force, zero vectors to zeros, partition-invariant") {
+    val rng = new scala.util.Random(3L)
+    val emb = (0L until 40L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val signs = Prep.srpSigns(5L, 4, 8)
+    val flat = signs.flatMap(_.toSeq).toSeq
+    // ±1 only, and the matrix is not degenerate (both signs occur)
+    assert(flat.forall(s => s == 1L || s == -1L))
+    assert(flat.distinct.length === 2)
+    // a different seed gives a different matrix
+    assert(flat !== Prep.srpSigns(6L, 4, 8).flatMap(_.toSeq).toSeq)
+    val got = Prep.projectSigned(emb, "vec_id", "embedding", outDim = 4, dim = 8, seed = 5L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    emb.collect().foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val scale = v.map(math.abs).max
+      val q = if (scale == 0) v.map(_ => 0L)
+              else v.map(x => math.floor(x * 127d / scale).toLong)
+      val expect = (0 until 4).map(j => (0 until 8).map(i => signs(j)(i) * q(i)).sum)
+      assert(got(r.getLong(0)) === expect, s"vec ${r.getLong(0)}")
+      expect.foreach(p => assert(math.abs(p) <= 127L * 8))
+    }
+    // zero vector projects to zeros (scale-0 branch)
+    val z = Prep.projectSigned(Seq((9L, Array.fill(8)(0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 4, 8, 5L).collect()(0).getSeq[Long](1)
+    assert(z.forall(_ == 0L))
+    // pure function of the data: invariant under repartitioning
+    val again = Prep.projectSigned(emb.repartition(7), "vec_id", "embedding", 4, 8, 5L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again === got)
+  }
+
   test("shuffle plan: bucket-parallel window + broadcast offsets, no corpus-wide single partition") {
     val docs = (0L until 100L).toDF("doc_id")
     val plan = Prep.shuffleDeterministic(docs, "doc_id", 7L).queryExecution
