@@ -260,7 +260,56 @@ object StreamingGates {
       .orderBy("doc_id")
   }
 
+  /** E14 — exactly-once checkpointed file sink, driven through a REAL
+    * restart: events arrive as two single-file micro-batches; the query
+    * drains batch 1 to a parquet sink and stops, batch 2 lands, and a
+    * NEW query over the SAME checkpoint drains the rest. The final
+    * directory must hash-match the one-pass batch oracle — a replayed
+    * batch would duplicate rows (hash+count mismatch), a lost one
+    * would drop them, so the hash match IS the exactly-once proof.
+    * The transform doubles `value` in DECIMAL so the projected column
+    * is fold-order-exact and portable.
+    */
+  val qStreamSink: GateQuery = GateQuery(
+    "q_stream_sink",
+    """SELECT event_id, user_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 2 AS DOUBLE) AS value2
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val evs = Tables(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+    val srcDir = work.resolve("src").toString
+    evs.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    evs.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    def stage(b: String, i: Int): Unit = {
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val out = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val q = StreamingOps.sinkExactlyOnce(
+        s.readStream.schema(evs.schema).parquet(staged.toString)
+          .withColumn("value2", (col("value").cast(D) * 2).cast("double"))
+          .drop("value"),
+        out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage("b1", 0); runOnce()
+    stage("b2", 1); runOnce() // restart: resumes AFTER committed batch 1
+    s.read.parquet(out)
+      .select("event_id", "user_id", "event_type", "value2")
+      .orderBy("event_id")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
-      qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamCurate)
+      qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamCurate,
+      qStreamSink)
     .map(_.copy(bench = false))
 }

@@ -102,6 +102,23 @@ object StreamingOps {
       .outputMode(OutputMode.Complete()).start()
   }
 
+  /** E14 — checkpointed parquet file sink: Append-mode rows land in
+    * `outDir` exactly once across query restarts. The file sink's
+    * manifest (`_spark_metadata`) plus the checkpoint's committed
+    * offsets are what make a restarted query resume AFTER its last
+    * committed batch instead of reprocessing it — the property the
+    * `q_stream_sink` gate proves end-to-end by restarting the query
+    * between micro-batches and hash-matching the final directory
+    * against a batch oracle.
+    */
+  def sinkExactlyOnce(stream: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Continuous corpus curation: every micro-batch is incrementally
     * exact-deduped against the PERSISTED corpus (batch content whose
     * hash the corpus already holds is dropped, then keep-first within
