@@ -56,7 +56,12 @@ object Bench {
       f()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.gateQueries.filter(_.bench).map { q =>
+    // optional comma-separated gate filter for local iteration (the
+    // driver never sets it); heap ingest is skipped when filtering
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.gateQueries.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       val times = (1 to reps).map { _ =>
         try timed(() => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         catch { case e: Throwable =>
@@ -75,7 +80,7 @@ object Bench {
     // objects so parse/export throughput dominates the ~200 per-table
     // commit fixed costs — at 15 MB the MB/s number measured commit
     // overhead, not the parse path that matters at 100×.
-    val heapIngest = {
+    val heapIngest = if (only.isDefined) (0.0, 0.0) else {
       import graft.heap.{HeapDump, HprofWriter}
       import graft.heap.HprofModel.BasicType
       val w = new HprofWriter()
@@ -108,15 +113,21 @@ object Bench {
       System.err.println(f"[bench] heap ingest+export: $mb%.1f MB, 3M objects in $sec%.2f s (${mb / sec}%.1f MB/s, min of $reps)")
       (sec, mb)
     }
-    val qs = (results :+ ("q_heap_ingest_export" -> heapIngest._1))
+    val withIngest =
+      if (only.isDefined) results
+      else results :+ ("q_heap_ingest_export" -> heapIngest._1)
+    val qs = withIngest
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + heapIngest._1
+    val total = withIngest.map(_._2).sum
     val wall = (System.nanoTime() - wall0) / 1e9
     // heap_ingest_mb / _mb_s make ingest THROUGHPUT machine-comparable
     // round-over-round, not just its wall-time share of the total.
+    val ingestKeys =
+      if (only.isDefined) ""
+      else f""""heap_ingest_mb":${heapIngest._2}%.1f,"heap_ingest_mb_s":${heapIngest._2 / heapIngest._1}%.1f,"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      f""""heap_ingest_mb":${heapIngest._2}%.1f,"heap_ingest_mb_s":${heapIngest._2 / heapIngest._1}%.1f,""" +
+      ingestKeys +
       f""""reps":$reps,"wall_sec":$wall%.1f,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -111,14 +111,14 @@ object Prep {
   def projectSigned(emb: DataFrame, idCol: String, vecCol: String,
       outDim: Int, dim: Int, seed: Long): DataFrame = {
     require(outDim > 0 && dim > 0, s"invalid projection ${outDim}x${dim}")
-    val signs = srpSigns(seed, outDim, dim)
-    val projCols = (0 until outDim).map { j =>
-      aggregate(
-        zip_with(col("q"), typedLit(signs(j).toSeq), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
-    }
+    // ONE codegen'd fused loop for all outDim sums — the declarative
+    // per-dim aggregate(zip_with(...)) spelling is an interpreted
+    // LambdaFunction fold per dim (non-codegen) and measured ~30×
+    // slower on the whole-corpus pass; see functions.SignedProject
     quantizeInt8(emb, idCol, vecCol)
-      .select(col(idCol), array(projCols: _*).as("proj"))
+      .select(col(idCol),
+        graft.functions.SignedProject
+          .signedProject(col("q"), srpSigns(seed, outDim, dim)).as("proj"))
   }
 
   /** Context-window chunking with overlap: token i of a chunk stream

@@ -216,6 +216,11 @@ class PlanSpec extends AnyFunSuite {
     // the operator is aggregation-free: p_j sums are array folds inside
     // the projection, never a shuffling aggregate
     assert(!p.contains("HashAggregate"), p)
+    // all outDim sums come from the ONE codegen'd fused-loop expression
+    // — per-dim aggregate(zip_with(...)) lambdas are interpreted and
+    // were measured ~30× slower on the corpus pass
+    assert(p.contains("signed_project"), p)
+    assert(!p.contains("zip_with") && !p.contains("aggregate("), p)
     val rs = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(rs.contains("vec_id") && rs.contains("embedding"), rs)
   }
