@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, Components, Curate, Decontaminate, Dedup, Packing, Prep, Relevance, Sampling, Similarity}
+import graft.operators.{Clustering, Components, Curate, Decontaminate, Dedup, Packing, Prep, Relevance, Sampling, Similarity, Tokenize}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -1266,6 +1266,50 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
+    * the documents corpus. The oracle replays every round: vocab in
+    * the double-space symbol representation, adjacent-pair counts,
+    * argmax with the (cnt DESC, lhs, rhs) tiebreak, and the SAME plain
+    * leftmost `replace` merge application — DuckDB's replace and the
+    * JVM's scan identically, which the representation was chosen for
+    * (a single-space form would consume the shared delimiter between
+    * adjacent merge sites in BOTH engines and silently undercount).
+    * A wrong pair count, tiebreak, or merge application in any round
+    * derails every later round, so the 5-row hash match pins the whole
+    * training loop.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val head =
+      """WITH v0 AS (
+        |  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s,
+        |    COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT sym[g.i] AS lhs, sym[g.i + 1] AS rhs,
+         |    CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(s), '  ') AS sym, n FROM v${r - 1}),
+         |    generate_series(1, 255) g(i)
+         |  WHERE g.i <= len(sym) - 1
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, cnt FROM p$r
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$r AS (SELECT replace(v.s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+         |    ' ' || b.lhs || b.rhs || ' ') AS s, v.n
+         |  FROM v${r - 1} v CROSS JOIN b$r b)""".stripMargin
+    }
+    val tail = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INT) AS round, lhs, rhs, cnt FROM b$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    (head +: stages).mkString(",\n") + "\n" + tail
+  }
+
+  val qBpeMerges: GateQuery = GateQuery(
+    "q_bpe_merges", bpeOracle(5)) { (s, dir) =>
+    Tokenize.bpeMerges(Tables(s, dir, "documents"), "text", rounds = 5)
+      .orderBy("round")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate, qCurateFull,
@@ -1276,5 +1320,5 @@ object Pipeline {
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
-    qEmbedQuant, qSrpProject, qDupSpans)
+    qEmbedQuant, qSrpProject, qDupSpans, qBpeMerges)
 }
