@@ -54,6 +54,30 @@ object Tokenize {
       .agg(sum(col("n")).as("cnt"))
   }
 
+  /** D36 — BPE encoding (the apply side): tokenize every document
+    * with an already-learned merge sequence and report per-doc
+    * compression (words in, tokens out). This is the production hot
+    * path at corpus scale — the merge list is a handful of driver
+    * strings, each merge is ONE plain codegen'd `replace` on the
+    * symbol string (same greedy-left semantics as training, same
+    * double-space representation), and the whole encode is a pure
+    * projection: the only exchange is the final per-doc sum.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val sym = concat(lit(" "),
+      rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" "))
+    val enc = merges.foldLeft(sym) { case (c, (l, r)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    words.select(col(idCol), size(split(trim(enc), "  ")).as("n_tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+  }
+
   /** The first `rounds` BPE merges: (round, lhs, rhs, cnt), most
     * frequent pair per round, ties broken by (lhs, rhs) ascending so
     * the merge sequence is engine-exact.

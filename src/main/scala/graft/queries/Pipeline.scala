@@ -1310,6 +1310,61 @@ object Pipeline {
       .orderBy("round")
   }
 
+  /** D36 — BPE encoding: every document tokenized with the 5 learned
+    * merges, per-doc (n_words, n_tokens). The oracle re-derives the
+    * merge sequence (same CTEs as q_bpe_merges) and applies the same
+    * nested replace chain in round order — so the hash match pins
+    * training AND application end-to-end: a wrong merge, a wrong
+    * application order, or a boundary-crossing merge all shift some
+    * document's token count.
+    */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val head =
+      """WITH v0 AS (
+        |  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s,
+        |    COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT sym[g.i] AS lhs, sym[g.i + 1] AS rhs,
+         |    CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(s), '  ') AS sym, n FROM v${r - 1}),
+         |    generate_series(1, 255) g(i)
+         |  WHERE g.i <= len(sym) - 1
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, cnt FROM p$r
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$r AS (SELECT replace(v.s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+         |    ' ' || b.lhs || b.rhs || ' ') AS s, v.n
+         |  FROM v${r - 1} v CROSS JOIN b$r b)""".stripMargin
+    }
+    val chain = (1 to rounds).foldLeft("dw.s") { (acc, r) =>
+      s"replace($acc, ' ' || b$r.lhs || '  ' || b$r.rhs || ' ', ' ' || b$r.lhs || b$r.rhs || ' ')"
+    }
+    val joins = (1 to rounds).map(r => s"CROSS JOIN b$r").mkString(" ")
+    val tail =
+      s"""dw AS (
+         |  SELECT doc_id, ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |enc AS (SELECT dw.doc_id, $chain AS e FROM dw $joins)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(len(string_split(trim(e), '  '))) AS BIGINT) AS n_tokens
+         |FROM enc GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    (head +: stages).mkString(",\n") + ",\n" + tail
+  }
+
+  val qBpeEncode: GateQuery = GateQuery(
+    "q_bpe_encode", bpeEncodeOracle(5)) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val merges = Tokenize.bpeMerges(docs, "text", rounds = 5)
+      .orderBy("round").collect() // k driver rows — the learned tokenizer
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Tokenize.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate, qCurateFull,
@@ -1320,5 +1375,5 @@ object Pipeline {
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
-    qEmbedQuant, qSrpProject, qDupSpans, qBpeMerges)
+    qEmbedQuant, qSrpProject, qDupSpans, qBpeMerges, qBpeEncode)
 }

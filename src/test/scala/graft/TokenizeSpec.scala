@@ -40,6 +40,32 @@ class TokenizeSpec extends AnyFunSuite {
     assert(got === Seq((1, "x", "y", 1L)))
   }
 
+  test("bpeEncode: hand-verified token counts, merge order matters, boundaries hold") {
+    val docs = Seq((0L, "abab ab"), (1L, "b a"), (2L, "aabb")).toDF("doc_id", "text")
+    // merges learned elsewhere: (a,b) then (ab,ab)
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val got = Tokenize.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // abab -> ab ab -> abab (1 tok); ab -> ab (1 tok)
+    assert(got(0L) === ((2L, 2L)))
+    // "b a" stays 2 single-char words: merges never cross a word boundary
+    assert(got(1L) === ((2L, 2L)))
+    // aabb -> a ab b (merge 1 hits the middle pair only) = 3 tokens
+    assert(got(2L) === ((1L, 3L)))
+    // applying merge 2 before merge 1 could never fire: order is the contract
+    val swapped = Tokenize.bpeEncode(docs, "doc_id", "text", merges.reverse)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(swapped(0L) === 3L) // ab ab never forms, abab stays a+b merged only
+  }
+
+  test("bpeEncode plan: pure projection until the per-doc sum, UDF-free") {
+    val docs = Seq((0L, "some words")).toDF("doc_id", "text")
+    val plan = Tokenize.bpeEncode(docs, "doc_id", "text", Seq(("a", "b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan) // partial + final
+  }
+
   test("bpe plans: vocab is the only corpus exchange; pair counting stays UDF-free") {
     val docs = Seq((0L, "some words here")).toDF("doc_id", "text")
     val vocabPlan = Tokenize.bpeVocab(docs, "text")
