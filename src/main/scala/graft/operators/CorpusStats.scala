@@ -81,4 +81,45 @@ object CorpusStats {
       }.toDF("token", "true_count", "estimate_ok")
     } finally { toks.unpersist(blocking = false); () }
   }
+
+  /** D37 — bigram language-model likelihood scoring: the
+    * perplexity-filter shape of CCNet/RefinedWeb-style curation (score
+    * each document under an n-gram LM trained on the corpus, filter
+    * the tails), made engine-exact. The model is the MLE conditional
+    * P(w2|w1) = cb/cu over corpus bigrams; each document scores the
+    * integer-scaled sum Σ floor(cb·scale/cu) over its adjacent word
+    * pairs — integer `div`, never a float log, so the score is
+    * bit-identical on every engine (log-perplexity ranks documents the
+    * same way this sum's per-pair monotone transform does for
+    * filtering purposes; exactness is what makes it gateable).
+    *
+    * Scale shape at 100 TB: the (doc, w1, w2) pair stream reduces to
+    * the bigram/context count tables BEFORE any join (model rows ≤
+    * distinct bigrams, orders below corpus size); the score join is
+    * hash-partitioned on the bigram key with map-side partial
+    * aggregation of the per-doc sum. cb·scale stays far inside Long:
+    * even 10^12 occurrences of one bigram at scale=10^6 is 10^18.
+    */
+  def bigramLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"invalid scale $scale")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), toks.as("t"), size(toks).as("m"))
+      .filter(col("m") >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), col("m") - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // context counts roll up from the already-reduced bigram table —
+    // NOT a third corpus pass (cu(w1) = Σ cb over w2 by construction)
+    val uni = big.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val model = big.join(uni, "w1")
+      .select(col("w1"), col("w2"),
+        expr(s"cb * $scale div cu").as("lp"))
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("score"))
+  }
 }

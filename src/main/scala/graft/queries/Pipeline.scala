@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, Components, Curate, Decontaminate, Dedup, Packing, Prep, Relevance, Sampling, Similarity, Tokenize}
+import graft.operators.{Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Packing, Prep, Relevance, Sampling, Similarity, Tokenize}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -1355,6 +1355,32 @@ object Pipeline {
     (head +: stages).mkString(",\n") + ",\n" + tail
   }
 
+  /** D37 — bigram LM likelihood scoring (the CCNet/RefinedWeb
+    * perplexity-filter shape): each doc's integer-scaled
+    * Σ floor(cb·10^6/cu) over its adjacent word pairs, model = MLE
+    * bigram counts over the corpus itself. Integer `div` end to end —
+    * a float log would not hash-match; the monotone per-pair transform
+    * preserves exactly the ranking a filter needs.
+    */
+  val qBigramLm: GateQuery = GateQuery(
+    "q_bigram_lm",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |             len(string_split(text, ' ')) AS m
+      |           FROM documents),
+      |p AS (SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+      |      FROM t, generate_series(1, 255) g(i) WHERE g.i <= m - 1),
+      |b AS (SELECT w1, w2, COUNT(*) AS cb FROM p GROUP BY 1, 2),
+      |u AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM b GROUP BY 1),
+      |mdl AS (SELECT b.w1, b.w2, CAST((b.cb * 1000000) // u.cu AS BIGINT) AS lp
+      |        FROM b JOIN u USING (w1))
+      |SELECT p.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(m.lp) AS BIGINT) AS score
+      |FROM p JOIN mdl m ON p.w1 = m.w1 AND p.w2 = m.w2
+      |GROUP BY p.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusStats.bigramLikelihood(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val qBpeEncode: GateQuery = GateQuery(
     "q_bpe_encode", bpeEncodeOracle(5)) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
@@ -1375,5 +1401,5 @@ object Pipeline {
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
-    qEmbedQuant, qSrpProject, qDupSpans, qBpeMerges, qBpeEncode)
+    qEmbedQuant, qSrpProject, qDupSpans, qBpeMerges, qBpeEncode, qBigramLm)
 }

@@ -109,6 +109,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r(3L) === ((3L, 6L, 1L)))
   }
 
+  test("bigram LM: hand-verified integer scores, short docs excluded, partition-invariant") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (0L, "a b a b"), (1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    // pairs: d0 (a,b),(b,a),(a,b); d1 (a,b),(b,c)
+    // cb: (a,b)=3 (b,a)=1 (b,c)=1; cu: a=3, b=2
+    // lp: (a,b)=1000000, (b,a)=500000, (b,c)=500000
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.bigramLikelihood(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = run(docs)
+    assert(got(0L) === ((3L, 2500000L)))
+    assert(got(1L) === ((2L, 1500000L)))
+    assert(!got.contains(2L)) // one-word doc has no bigrams
+    assert(run(docs.repartition(5)) === got)
+    // plan: UDF-free, partial aggregation on every reduce, no cartesian
+    val plan = CorpusStats.bigramLikelihood(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("CartesianProduct"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("packing: offsets are contiguous per shard, bins cover all tokens, any partitioning") {
     val docs = corpus(120)
     for (parts <- Seq(1, 6)) {
