@@ -134,6 +134,29 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** D7++ (append phase) — add a new vector batch to an EXISTING index
+    * without retraining or rewriting: the stored centroid side table
+    * IS the quantizer, the batch is assigned with the same codegen'd
+    * NearestCell expression, and the cell-partitioned append touches
+    * only the new rows' partition directories. This is the daily index
+    * maintenance path at 100 TB — ingest cost scales with the batch,
+    * not the corpus, and a rebuild is only ever needed when the
+    * quantizer itself should drift. Probing the appended index at any
+    * width is exact over old+new rows because cell routing depends
+    * only on the (unchanged) centroids.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    newVecs.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .withColumn("cell",
+        graft.functions.NearestCell.nearestCell(col("cv"), col("cn"), centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
   /** Probe a written IVF index: the query batch's probe cells become
     * ONE `cell IN (...)` partition filter — directories outside the
     * probed cells are never listed, read, or shuffled.

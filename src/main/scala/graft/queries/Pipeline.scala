@@ -307,6 +307,28 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** D7++ (append phase) — incremental index maintenance: the index is
+    * built from HALF the corpus, the other half is APPENDED against the
+    * stored centroids (no retrain, no rewrite), and the full-width
+    * probe must still equal brute force over the whole corpus — rows
+    * lost, duplicated, or routed inconsistently by the append all break
+    * the hash. bench=false: write+append+probe in one wall-clock would
+    * muddle the attributable split gates.
+    */
+  val qKnnIvfAppend: GateQuery = GateQuery(
+    "q_knn_ivf_append", ivfFullProbeOracle, bench = false) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nLists = 16, dir = out)
+    Similarity.appendIvfIndex(s, out, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding")
+    Similarity.knnIvfIndexed(s, out, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nProbe = 16)
+      .select("qid", "cid", "rk")
+      .orderBy("qid", "rk")
+  }
+
   /** D7++ (write phase) — TIMED index build to a fresh directory every
     * call: train the quantizer, lay the corpus out partitioned by
     * cell, write the centroid side table. The gate result re-reads the
@@ -1395,7 +1417,7 @@ object Pipeline {
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
-    qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qEmbeddingNorm,
+    qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,

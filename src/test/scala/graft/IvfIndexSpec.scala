@@ -59,4 +59,34 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === exact)
   }
+
+  test("append: no retrain, no loss, pruning intact, probe exact over old+new") {
+    val emb = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_app").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nLists = 8, dir = dir)
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    Similarity.appendIvfIndex(spark, dir, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding")
+    // the quantizer is untouched — append must never retrain
+    val centsAfter = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(centsAfter === centsBefore)
+    // every row of both halves is in the index exactly once
+    val idx = spark.read.parquet(s"$dir/corpus")
+    assert(idx.count() === emb.count())
+    assert(idx.select(countDistinct(col("cid"))).head().getLong(0) === emb.count())
+    // cell layout still bounded by nLists: partition pruning semantics hold
+    val cells = idx.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.forall(c => c >= 0 && c < 8), cells.toString)
+    // full-width probe over the appended index is still exact
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = Similarity.knnIvfIndexed(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnBruteForce(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+  }
 }
