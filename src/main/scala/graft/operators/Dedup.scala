@@ -250,6 +250,34 @@ object Dedup {
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
   }
 
+  /** D38 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): k-means
+    * clusters bound the pairwise search space, then near-duplicate
+    * embeddings WITHIN each cluster are dropped keep-lowest-id. The
+    * clustering is the integer-exact Lloyd loop (Clustering.scala), so
+    * the cluster assignment — and therefore which pairs are ever
+    * compared — is engine-replayable; the cosine filter reuses the
+    * norms-before-join discipline of [[embeddingNearDup]]. At 100 TB
+    * the pairwise work is O(Σ cluster²) instead of O(n²) — k scales
+    * with the corpus so clusters stay bounded, exactly the paper's
+    * point.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val clusters = Clustering.kmeansQuantized(emb, idCol, vecCol, k, iters, dim)
+    val e = emb.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .select(col("vec_id"), col("v"), l2Norm(col("v")).as("nrm"))
+      .join(clusters, "vec_id") // kmeansQuantized emits (vec_id, cluster)
+    val dropped = e.as("a").join(e.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") > threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** D34 — cross-document duplicated n-gram spans (the substring-dedup
     * measurement of Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better", at n-gram granularity): per document, how

@@ -895,6 +895,73 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** D38 — SemDeDup: the oracle replays the ENTIRE composition — the 2
+    * unrolled integer-exact Lloyd iterations (same CTEs as q_kmeans),
+    * the within-cluster pairwise cosine at threshold 0.3, and the
+    * keep-lowest-id survivor rule. A divergence in clustering silently
+    * changes which pairs are compared, so the survivor hash only
+    * matches if assignment AND similarity agree end to end.
+    */
+  val qSemanticDedup: GateQuery = GateQuery(
+    "q_semantic_dedup",
+    s"""WITH $embCte,
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cl, q AS c
+      |       FROM q ORDER BY vec_id LIMIT 4),
+      |d1 AS (SELECT v.vec_id, c.cl,
+      |         list_aggregate(list_transform(generate_series(1, 64),
+      |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
+      |       FROM q v CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d1) WHERE rk = 1),
+      |s1 AS (SELECT a1.cl, g.i, CAST(SUM(v.q[g.i]) AS BIGINT) AS s, COUNT(*) AS n
+      |       FROM a1 JOIN q v USING (vec_id), generate_series(1, 64) g(i)
+      |       GROUP BY a1.cl, g.i),
+      |n1 AS (SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY i) AS c FROM s1 GROUP BY cl),
+      |c1 AS (SELECT c0.cl AS cl, COALESCE(n1.c, c0.c) AS c
+      |       FROM c0 LEFT JOIN n1 ON n1.cl = c0.cl),
+      |d2 AS (SELECT v.vec_id, c.cl,
+      |         list_aggregate(list_transform(generate_series(1, 64),
+      |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
+      |       FROM q v CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d2) WHERE rk = 1),
+      |s2 AS (SELECT a2.cl, g.i, CAST(SUM(v.q[g.i]) AS BIGINT) AS s, COUNT(*) AS n
+      |       FROM a2 JOIN q v USING (vec_id), generate_series(1, 64) g(i)
+      |       GROUP BY a2.cl, g.i),
+      |n2 AS (SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY i) AS c FROM s2 GROUP BY cl),
+      |c2 AS (SELECT c1.cl AS cl, COALESCE(n2.c, c1.c) AS c
+      |       FROM c1 LEFT JOIN n2 ON n2.cl = c1.cl),
+      |d3 AS (SELECT v.vec_id, c.cl,
+      |         list_aggregate(list_transform(generate_series(1, 64),
+      |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
+      |       FROM q v CROSS JOIN c2 c),
+      |a3 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d3) WHERE rk = 1),
+      |dropped AS (
+      |  SELECT DISTINCT y.vec_id
+      |  FROM a3 x JOIN a3 y ON x.cl = y.cl AND x.vec_id < y.vec_id
+      |  JOIN n nx ON nx.vec_id = x.vec_id
+      |  JOIN n ny ON ny.vec_id = y.vec_id
+      |  WHERE ${duckDot("nx.v", "ny.v")} / (nx.nrm * ny.nrm) > 0.3)
+      |SELECT a3.vec_id, CAST(a3.cl AS INT) AS cluster
+      |FROM a3
+      |WHERE a3.vec_id NOT IN (SELECT vec_id FROM dropped)
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Dedup.semanticDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2, dim = 64, threshold = 0.3)
+      .orderBy("vec_id")
+  }
+
   /** D29a — deterministic corpus shuffle with MATERIALIZED positions:
     * the training-order permutation as a pure function of (seed,
     * doc_id) via the portable md5 key. The operator computes the
@@ -1423,5 +1490,5 @@ object Pipeline {
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
-    qEmbedQuant, qSrpProject, qDupSpans, qBpeMerges, qBpeEncode, qBigramLm)
+    qEmbedQuant, qSrpProject, qDupSpans, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
 }

@@ -26,6 +26,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(Set(1L, 3L, 5L).map(out) === Set(1))
   }
 
+  test("semanticDedup: within-cluster near-dups drop keep-lowest-id; across clusters survive") {
+    import graft.operators.Dedup
+    // group A near (1,0): 0 and 2 nearly parallel (near-dup), group B
+    // near (0,1): 1 and 3 nearly parallel; A vs B orthogonal (sim ~0)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.99f, 0.01f)), (3L, Array(0.01f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 2, iters = 2, dim = 2, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id")).toSet
+    // 2 drops against 0, 3 drops against 1; the lowest ids survive
+    assert(out === Set(0L, 1L))
+    // a threshold above every within-cluster sim keeps everything
+    val all = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 2, iters = 2, dim = 2, threshold = 0.99999)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(all === Set(0L, 1L, 2L, 3L))
+    // partition invariance: assignment and pair set are pure functions
+    val again = Dedup.semanticDedup(vecs.repartition(3), "vec_id", "embedding",
+        k = 2, iters = 2, dim = 2, threshold = 0.9)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(again === out)
+  }
+
   test("an emptied cluster keeps its centroid instead of crashing") {
     // ids 0 and 1 are IDENTICAL: init c0 == c1 and ties break to the
     // lowest cluster, so cluster 1 gets no members in the first
