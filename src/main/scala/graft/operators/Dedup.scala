@@ -320,4 +320,57 @@ object Dedup {
         coalesce(col("covered_tok"), lit(0L)).as("covered_tok"),
         coalesce(col("first_dup"), lit(-1)).as("first_dup"))
   }
+
+  /** D39 — duplicated-span REMOVAL, the apply side of Lee et al. 2022
+    * exact-substring dedup that [[duplicatedSpans]] only measures: for
+    * every cross-document duplicated n-gram, exactly one occurrence is
+    * kept (the canonical one — lowest doc_id, then lowest start) and
+    * the tokens under every other occurrence are cut from their
+    * documents, which are then reassembled. Shuffle discipline at
+    * 100 TB: grams reduce to md5 in-projection, the duplicate set and
+    * canonical-occurrence aggregates exchange only fixed-width
+    * (hash, doc_id, start) rows, and cut token-index sets are bounded
+    * by dup density (n indices per non-canonical occurrence). The one
+    * corpus-sized exchange is the final doc_id join that carries the
+    * cut-sets back onto the text — inherent to rewriting documents;
+    * the reconstruction itself is a pure array filter + join
+    * projection, no per-token explode of the corpus.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"invalid n-gram size $n")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__toks"),
+      size(toks).as("n_tok"))
+    val grams = base.filter(col("n_tok") >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_tok") - n),
+          i => md5(concat_ws(" ",
+            (1 to n).map(k => element_at(col("__toks"), i + lit(k))): _*)
+            .cast("binary")))))
+      .select(col("doc_id"), col("pos").as("start"), col("col").as("gh"))
+    // ONE aggregate fuses the duplicate test with the canonical choice
+    // (struct min orders by (doc_id, start) lexicographically — the
+    // occurrence that survives), so the gram subtree is derived twice
+    // total (agg + join probe), never once per downstream branch.
+    val canon = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("__nd"),
+        min(struct(col("doc_id"), col("start"))).as("__c"))
+      .filter(col("__nd") >= 2)
+      .select(col("gh"), col("__c.doc_id").as("__cdoc"),
+        col("__c.start").as("__cstart"))
+    val cut = grams.join(canon, "gh")
+      .filter(!(col("doc_id") === col("__cdoc") &&
+        col("start") === col("__cstart")))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("tok_idx"))
+      .groupBy("doc_id").agg(collect_set("tok_idx").as("__cut"))
+    base.join(cut, Seq("doc_id"), "left")
+      .withColumn("__cutArr", coalesce(col("__cut"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(col("__toks"), (t, i) => !array_contains(col("__cutArr"), i)))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - size(col("__kept"))).cast("long").as("removed_tok"),
+        array_join(col("__kept"), " ").as("text_kept"))
+  }
 }

@@ -1355,6 +1355,50 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D39 — duplicated-span removal (the apply side of Lee et al. 2022
+    * exact-substring dedup): every cross-doc duplicated 5-gram keeps
+    * exactly its canonical occurrence (lowest doc_id, then start);
+    * tokens under every other occurrence are cut and the documents
+    * reassembled. The gate emits the RECONSTRUCTED text, so the hash
+    * pins the full pipeline — gram derivation, canonical choice,
+    * token-index coverage, and order-preserving reassembly; a single
+    * off-by-one or a wrong canonical silently shifts some doc's text.
+    */
+  val qDedupSpansRemove: GateQuery = GateQuery(
+    "q_dedup_spans_remove",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(s.i AS INT) AS start,
+      |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+5 AS INT)], ' ')) AS gh
+      |      FROM t, generate_series(0, 255) s(i) WHERE s.i <= n - 5),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+      |occ AS (SELECT doc_id, start, gh FROM g WHERE gh IN (SELECT gh FROM dup)),
+      |c1 AS (SELECT gh, MIN(doc_id) AS cdoc FROM occ GROUP BY gh),
+      |canon AS (SELECT o.gh, c1.cdoc, MIN(o.start) AS cstart
+      |          FROM occ o JOIN c1 ON o.gh = c1.gh AND o.doc_id = c1.cdoc
+      |          GROUP BY o.gh, c1.cdoc),
+      |cut AS (SELECT DISTINCT o.doc_id, o.start + d.d AS tok_idx
+      |        FROM occ o JOIN canon c ON o.gh = c.gh, generate_series(0, 4) d(d)
+      |        WHERE NOT (o.doc_id = c.cdoc AND o.start = c.cstart)),
+      |kept AS (SELECT t.doc_id, s.i AS idx, toks[CAST(s.i + 1 AS INT)] AS tok
+      |         FROM t, generate_series(0, 255) s(i)
+      |         WHERE s.i < n AND NOT EXISTS (
+      |           SELECT 1 FROM cut
+      |           WHERE cut.doc_id = t.doc_id AND cut.tok_idx = s.i)),
+      |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |        string_agg(tok, ' ' ORDER BY idx) AS text_kept
+      |      FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT) AS removed_tok,
+      |  COALESCE(r.text_kept, '') AS text_kept
+      |FROM t LEFT JOIN r USING(doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.removeDuplicatedSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 5)
+      .orderBy("doc_id")
+  }
+
   /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
     * the documents corpus. The oracle replays every round: vocab in
     * the double-space symbol representation, adjacent-pair counts,
@@ -1490,5 +1534,6 @@ object Pipeline {
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
-    qEmbedQuant, qSrpProject, qDupSpans, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
+    qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qBpeMerges,
+    qBpeEncode, qBigramLm, qSemanticDedup)
 }

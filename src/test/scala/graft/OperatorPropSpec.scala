@@ -135,4 +135,31 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(got(5L) === ((8, 0L, 0L, -1)))
     assert(run(docs.repartition(5)) === got)
   }
+
+  test("removeDuplicatedSpans: canonical keeps one copy, others cut, partition-invariant") {
+    val docs = Seq(
+      (0L, "a b c d e f"),       // canonical holder of the a..f trigrams
+      (1L, "x a b c d y"),       // loses tokens under "a b c"/"b c d"
+      (2L, "z z z"),             // unique gram, untouched
+      (3L, "q r"),               // too short for a trigram, untouched
+      (4L, "a b c d e f"),       // exact copy of d0: fully cut
+      (5L, "m n o p m n o p")    // within-doc repeat only: untouched
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.removeDuplicatedSpans(df, "doc_id", "text", n = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run(docs)
+    // d0 is canonical for all its grams (lowest doc_id): nothing removed
+    assert(got(0L) === ((6, 0L, "a b c d e f")))
+    // d1's starts 1,2 ("a b c", "b c d") are non-canonical: tokens 1..4 cut
+    assert(got(1L) === ((6, 4L, "x y")))
+    assert(got(2L) === ((3, 0L, "z z z")))
+    assert(got(3L) === ((2, 0L, "q r")))
+    // d4 duplicates every d0 gram: all 6 tokens under starts 0..3 cut
+    assert(got(4L) === ((6, 6L, "")))
+    // cross-document criterion: within-doc repeats never removed
+    assert(got(5L) === ((8, 0L, "m n o p m n o p")))
+    assert(run(docs.repartition(5)) === got)
+  }
 }

@@ -234,6 +234,21 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("span removal: md5-reduced exchanges, fused canon aggregate, no cartesian/UDF") {
+    val p = planOf("q_dedup_spans_remove")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the dup test and canonical struct-min are ONE fused aggregate;
+    // with the cut-set aggregate that is >= 2 map-side partials
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // reconstruction is an array filter projection, not a corpus
+    // per-token explode: Generate nodes are the two gram derivations
+    // (agg + join probe) and the bounded cut-index explode. The
+    // formatted plan prints each node twice (tree + details), so count
+    // the numbered detail lines only.
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size <= 3, p)
+  }
+
   test("audio/image decode tables read only the id column") {
     for (q <- Seq("q_audio_decode", "q_image_decode")) {
       val rs = planOf(q).linesIterator.find(_.contains("ReadSchema")).get
