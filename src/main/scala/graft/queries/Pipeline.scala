@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Packing, Prep, Relevance, Sampling, Similarity, Tokenize}
+import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Packing, Prep, Relevance, Sampling, Similarity, Tokenize}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -1399,6 +1399,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D40 — seed-vs-corpus quality classification (the CCNet/fastText
+    * filter shape): a balanced-prior token-posterior model trained on
+    * the weak seed label lang='en', scored over every document as the
+    * summed fixed-point posterior of its token occurrences, with the
+    * mean-posterior>1/2 decision as an integer compare. The oracle
+    * retrains the model AND rescores — a wrong count, smoothing term,
+    * or floor shifts some document's score.
+    */
+  val qSeedClassify: GateQuery = GateQuery(
+    "q_seed_classify",
+    """WITH o AS (
+      |  SELECT doc_id, lang = 'en' AS pos,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |occ AS (SELECT * FROM o WHERE w <> ''),
+      |v AS (SELECT w,
+      |        SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+      |        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+      |      FROM occ GROUP BY w),
+      |m AS (SELECT w,
+      |        CAST((cpos + 1) * 1000000 // (cpos + cneg + 2) AS BIGINT) AS s
+      |      FROM v),
+      |d AS (SELECT occ.doc_id, COUNT(*) AS n_tok, SUM(m.s) AS score
+      |      FROM occ JOIN m USING(w) GROUP BY occ.doc_id)
+      |SELECT doc.doc_id,
+      |  CAST(COALESCE(d.n_tok, 0) AS BIGINT) AS n_tok,
+      |  CAST(COALESCE(d.score, 0) AS BIGINT) AS score,
+      |  (2 * COALESCE(d.score, 0) > 1000000 * COALESCE(d.n_tok, 0)) AS pred
+      |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+      |ORDER BY doc.doc_id""".stripMargin) { (s, dir) =>
+    Classify.seedPosteriorScore(Tables(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
   /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
     * the documents corpus. The oracle replays every round: vocab in
     * the double-space symbol representation, adjacent-pair counts,
@@ -1534,6 +1569,6 @@ object Pipeline {
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
-    qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qBpeMerges,
-    qBpeEncode, qBigramLm, qSemanticDedup)
+    qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
+    qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
 }

@@ -162,4 +162,28 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(got(5L) === ((8, 0L, "m n o p m n o p")))
     assert(run(docs.repartition(5)) === got)
   }
+
+  test("seedPosteriorScore: hand-computed posteriors, threshold, partition-invariant") {
+    val docs = Seq(
+      (0L, "a a b", true),   // seed
+      (1L, "a c", true),     // seed
+      (2L, "b c c", false),
+      (3L, "", false)        // empty text: zero tokens, pred false
+    ).toDF("doc_id", "text", "seed")
+    // counts: a -> cpos=3 cneg=0; b -> cpos=1 cneg=1; c -> cpos=1 cneg=2
+    // s(a) = floor(4e6/5)   = 800000
+    // s(b) = floor(2e6/4)   = 500000
+    // s(c) = floor(2e6/5)   = 400000
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Classify.seedPosteriorScore(df, "doc_id", "text",
+          org.apache.spark.sql.functions.col("seed"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val got = run(docs)
+    assert(got(0L) === ((3L, 2100000L, true)))   // 800000*2 + 500000
+    assert(got(1L) === ((2L, 1200000L, true)))   // 800000 + 400000
+    assert(got(2L) === ((3L, 1300000L, false)))  // 500000 + 400000*2 < 1.5e6
+    assert(got(3L) === ((0L, 0L, false)))
+    assert(run(docs.repartition(5)) === got)
+  }
 }

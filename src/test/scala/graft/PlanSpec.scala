@@ -249,6 +249,20 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Generate".r.findAllIn(p).size <= 3, p)
   }
 
+  test("seed classifier: one vocab aggregate, partial-agg score join, no UDF") {
+    val p = planOf("q_seed_classify")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // vocab reduce + per-doc score both partial-aggregate map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the token explode feeds the model aggregate and the join probe —
+    // exactly two Generate nodes, no third corpus pass
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size <= 2, p)
+    // only the three referenced columns are read
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("n_chars") && !rs.contains("source"), rs)
+  }
+
   test("audio/image decode tables read only the id column") {
     for (q <- Seq("q_audio_decode", "q_image_decode")) {
       val rs = planOf(q).linesIterator.find(_.contains("ReadSchema")).get
