@@ -122,4 +122,45 @@ object CorpusStats {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("score"))
   }
+
+  /** D41 — inter-source overlap audit: for every pair of sources, how
+    * many distinct n-gram shingles they share, plus the fixed-point
+    * containment `floor(scale·n_shared / min(n_a, n_b))` — the "how
+    * much of corpus A is already inside corpus B" number a pipeline
+    * checks BEFORE mixing datasets (the cross-dataset analogue of the
+    * per-document dedup in D2/D4; reference: dedup family semantics,
+    * dedup.rs / analyze-side overlap reports).
+    *
+    * Scale shape at 100 TB: the token stream reduces to DISTINCT
+    * (source, shingle) in one exchange of fixed-width rows, then to
+    * per-shingle source SETS in a second — after which ALL pairwise
+    * work is bounded by |sources|² per shingle (sources are dozens,
+    * not millions; no doc-level self-join ever happens). Per-source
+    * shingle totals reuse the same distinct table. Integer-exact:
+    * n_shared·scale stays inside Long until ~9·10^12 shared shingles.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+      n: Int, scale: Long = 1000000L): DataFrame = {
+    require(n >= 1, s"invalid shingle size $n")
+    require(scale > 0, s"invalid scale $scale")
+    val sh = docs
+      .select(col(srcCol).as("source"),
+        TextFunctions.shinglesFromWords(TextFunctions.tokens(col(textCol)), n).as("shs"))
+      .select(col("source"), explode(col("shs")).as("shingle"))
+      .distinct()
+    val perSrc = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+    val pairs = shared
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(perSrc.select(col("source").as("src_a"), col("n_sh").as("n_a")), "src_a")
+      .join(perSrc.select(col("source").as("src_b"), col("n_sh").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        expr(s"n_shared * $scale div least(n_a, n_b)").as("containment_ppm"))
+  }
 }

@@ -1434,6 +1434,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D41 — inter-source overlap audit: distinct shared shingles and
+    * fixed-point containment per source pair — the cross-dataset
+    * overlap check run before mixing corpora. The oracle rebuilds the
+    * distinct (source, shingle) table and the pair matrix itself, so
+    * a wrong shingle, a lost DISTINCT, or a flipped pair order all
+    * shift the hash.
+    */
+  val qSourceOverlap: GateQuery = GateQuery(
+    "q_source_overlap",
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       |idx AS (SELECT source, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i FROM w),
+       |sh AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM idx),
+       |per AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+       |          GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       |  CAST(pa.n_sh AS BIGINT) AS n_a, CAST(pb.n_sh AS BIGINT) AS n_b,
+       |  CAST(p.n_shared * 1000000 // least(pa.n_sh, pb.n_sh) AS BIGINT) AS containment_ppm
+       |FROM pairs p
+       |JOIN per pa ON pa.source = p.src_a
+       |JOIN per pb ON pb.source = p.src_b
+       |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    CorpusStats.sourceOverlap(Tables(s, dir, "documents"), "text", "source", 3)
+      .orderBy("src_a", "src_b")
+  }
+
   /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
     * the documents corpus. The oracle replays every round: vocab in
     * the double-space symbol representation, adjacent-pair counts,
@@ -1570,5 +1597,5 @@ object Pipeline {
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
-    qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
+    qSourceOverlap, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
 }

@@ -163,6 +163,25 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) === got)
   }
 
+  test("sourceOverlap: hand-computed pair matrix, containment, partition-invariant") {
+    // 2-gram shingles: A0 {a b, b c}; A1 {b c, c d}; B0 {b c, c d};
+    // C0 {x y}. Distinct per source: A {a b, b c, c d} (3), B {b c,
+    // c d} (2), C {x y} (1). Shared: A∩B = {b c, c d} -> 2; C shares
+    // nothing -> no row. containment(A,B) = floor(1e6*2/min(3,2)).
+    val docs = Seq(
+      (0L, "a b c", "A"), (1L, "b c d", "A"),
+      (2L, "b c d", "B"), (3L, "x y", "C")
+    ).toDF("doc_id", "text", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.CorpusStats.sourceOverlap(df, "text", "source", 2)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val got = run(docs)
+    assert(got.size === 1)
+    assert(got(("A", "B")) === ((2L, 3L, 2L, 1000000L)))
+    assert(run(docs.repartition(5)) === got)
+  }
+
   test("seedPosteriorScore: hand-computed posteriors, threshold, partition-invariant") {
     val docs = Seq(
       (0L, "a a b", true),   // seed

@@ -263,6 +263,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!rs.contains("n_chars") && !rs.contains("source"), rs)
   }
 
+  test("source overlap: fixed-width reduces before pairing, no UDF, pruned read") {
+    val p = planOf("q_source_overlap")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // distinct (source,shingle) + per-source totals + per-shingle sets
+    // + pair counts all partial-aggregate map-side
+    assert("HashAggregate".r.findAllIn(p).size + "ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
+    // only text+source are read from the corpus
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("n_chars") && !rs.contains("lang"), rs)
+  }
+
   test("audio/image decode tables read only the id column") {
     for (q <- Seq("q_audio_decode", "q_image_decode")) {
       val rs = planOf(q).linesIterator.find(_.contains("ReadSchema")).get
