@@ -146,6 +146,62 @@ object Multimodal {
       }
   }
 
+  final case class ImagePhashRow(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** D43 — perceptual average-hash (aHash) over REALLY decoded images:
+    * decode the PNG, nearest-resize to 8×8, threshold each pixel
+    * against the floor-mean of the 64 samples (strictly greater), and
+    * pack the 64 bits row-major into four 16-bit band values — which
+    * are simultaneously the LSH banding key for near-dup candidate
+    * search (two images are candidates iff they agree on at least one
+    * band, the same band-join shape as MinHash D2). Every step is
+    * integer arithmetic over losslessly-decoded samples, so a SQL
+    * oracle that never sees the bytes replays hash AND banding.
+    */
+  def imagePhashTable(docs: DataFrame): Dataset[ImagePhashRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 24 + 8).toInt
+          val h = (id % 16 + 8).toInt
+          val rs = ImageCodec.resizeNearest(
+            ImageCodec.decode(ImageCodec.syntheticPng(id, w, h)), 8, 8)
+          val mean = rs.pixels.map(_.toLong).sum / 64
+          val bands = new Array[Int](4)
+          var i = 0
+          while (i < 64) {
+            if (rs.pixels(i) > mean) bands(i / 16) |= 1 << (i % 16)
+            i += 1
+          }
+          ImagePhashRow(id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+  }
+
+  /** Per-image hash bands plus the LSH candidate degree: how many
+    * OTHER images share at least one band. The codec runs once per
+    * image; banding multiplies rows by 4 only; the candidate join
+    * shuffles (band, value, doc_id) fixed-width rows — the D2 scale
+    * shape applied to the image modality.
+    */
+  def imagePhashCandidates(docs: DataFrame): DataFrame = {
+    val ph = imagePhashTable(docs).toDF().localCheckpoint()
+    val bands = ph.select(col("doc_id"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "v")))
+    val deg = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cand"))
+    ph.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+  }
+
   final case class AudioDecodeRow(doc_id: Long, sample_rate: Int, channels: Int,
       n_samples: Int, sample_sum: Long, resampled_sum: Long)
 

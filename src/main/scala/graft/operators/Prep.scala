@@ -127,6 +127,47 @@ object Prep {
     * projection + explode (no shuffle); emitted first/last tokens pin
     * content alignment, not just arithmetic.
     */
+  /** D42 — Z-order (Morton) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Pure integer shift/mask arithmetic — fully
+    * codegen'd in Spark and replayable term-for-term in SQL.
+    * `bits <= 31` keeps the key inside a signed Long.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _).cast("long")
+  }
+
+  /** D42 — Z-order layout audit: assign every row a Morton key over
+    * (aCol, bCol) and a fixed-width bin `z >> binShift`, and return
+    * per-bin min/max bounds of BOTH source columns — exactly the
+    * zone-map a file-skipping reader consults after `OPTIMIZE ZORDER
+    * BY`. Locality is the point: with interleaved bits, a range
+    * predicate on EITHER column prunes to a bounded set of bins,
+    * where a single-column sort gives pruning on one column only.
+    *
+    * Scale shape at 100 TB: the key is a zero-shuffle projection; the
+    * audit is one hash-aggregate on the bin (fixed-width rows, bin
+    * cardinality = 2^(2·bits−binShift), sized by the caller to the
+    * target file count). The write path is
+    * `repartitionByRange(col("zbin"))` + `sortWithinPartitions(zv)` —
+    * one range exchange, the same cost as any global sort, after
+    * which BOTH dimensions prune at read time.
+    */
+  def zorderLayout(df: DataFrame, aCol: String, bCol: String,
+      bits: Int, binShift: Int): DataFrame = {
+    require(binShift >= 0 && binShift < 2 * bits, s"invalid binShift $binShift")
+    df.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(col("a"), col("b"), zorderKey(col("a"), col("b"), bits).as("zv"))
+      .groupBy(shiftright(col("zv"), binShift).as("zbin"))
+      .agg(count(lit(1)).as("n"),
+        min("a").as("min_a"), max("a").as("max_a"),
+        min("b").as("min_b"), max("b").as("max_b"))
+  }
+
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,

@@ -1461,6 +1461,74 @@ object Pipeline {
       .orderBy("src_a", "src_b")
   }
 
+  /** D42 — Z-order layout audit over (l_partkey, l_suppkey): Morton
+    * key + fixed-width bins + per-bin zone-map bounds. The oracle
+    * replays the bit interleave term-for-term, so a wrong bit
+    * position, shift, or bin width shifts the hash.
+    */
+  val qZorder: GateQuery = {
+    val terms = (0 until 16).map(i =>
+      s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+        s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    GateQuery(
+      "q_zorder",
+      s"""WITH z AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b,
+         |         CAST($terms AS BIGINT) AS zv
+         |  FROM lineitem)
+         |SELECT CAST(zv >> 24 AS BIGINT) AS zbin, COUNT(*) AS n,
+         |  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+         |FROM z GROUP BY 1
+         |ORDER BY zbin""".stripMargin) { (s, dir) =>
+      Prep.zorderLayout(Tables(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          bits = 16, binShift = 24)
+        .orderBy("zbin")
+    }
+  }
+
+  /** D43 — image perceptual hash (aHash) near-dup over REALLY decoded
+    * PNGs: 8×8 nearest-resize, strict-greater-than-floor-mean bits,
+    * four 16-bit bands, LSH band-match candidate degree. The oracle
+    * never sees the bytes: it replays decoded pixels by formula
+    * (lossless PNG + integer resize map), the mean, every bit, the
+    * band packing, AND the band join.
+    */
+  val qImagePhash: GateQuery = GateQuery(
+    "q_image_phash",
+    """WITH img AS (
+      |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |rp AS (
+      |  SELECT i.doc_id, gy.y * 8 + gx.x AS idx,
+      |    CAST((i.doc_id + 7 * ((gx.x * i.w) // 8) + 13 * ((gy.y * i.h) // 8)) % 256 AS BIGINT) AS p
+      |  FROM img i, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+      |m AS (SELECT doc_id, CAST(SUM(p) // 64 AS BIGINT) AS mean FROM rp GROUP BY 1),
+      |bands AS (
+      |  SELECT rp.doc_id, CAST(rp.idx // 16 AS BIGINT) AS band,
+      |    CAST(SUM(CASE WHEN rp.p > m.mean THEN 1 << (rp.idx % 16) ELSE 0 END) AS BIGINT) AS v
+      |  FROM rp JOIN m USING (doc_id) GROUP BY 1, 2),
+      |deg AS (
+      |  SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_cand
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.v = b.v AND a.doc_id <> b.doc_id
+      |  GROUP BY 1),
+      |pb AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+      |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+      |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+      |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+      |  FROM bands GROUP BY 1)
+      |SELECT pb.doc_id, CAST(pb.b0 AS INT) AS b0, CAST(pb.b1 AS INT) AS b1,
+      |  CAST(pb.b2 AS INT) AS b2, CAST(pb.b3 AS INT) AS b3,
+      |  CAST(COALESCE(deg.n_cand, 0) AS BIGINT) AS n_cand
+      |FROM pb LEFT JOIN deg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.multimodal.Multimodal.imagePhashCandidates(Tables(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
   /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
     * the documents corpus. The oracle replays every round: vocab in
     * the double-space symbol representation, adjacent-pair counts,
@@ -1597,5 +1665,6 @@ object Pipeline {
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
-    qSourceOverlap, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
+    qSourceOverlap, qZorder, qImagePhash, qBpeMerges, qBpeEncode, qBigramLm,
+    qSemanticDedup)
 }

@@ -51,4 +51,24 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(frames.count() === expected)
   }
+
+  test("image phash: identical images collide on every band, degree counts partners") {
+    import spark.implicits._
+    // ids 0 and 768 render the SAME image (w period 24, h period 16,
+    // pixel offset period 256 => lcm 768, and 768 % 3 == 0 keeps both
+    // in the image modality); id 3 differs.
+    val docs = Seq(0L, 3L, 768L).toDF("doc_id")
+    val ph = Multimodal.imagePhashCandidates(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(ph(0L).take(4) === ph(768L).take(4))
+    assert(ph(0L).last.asInstanceOf[Long] >= 1L)
+    assert(ph(768L).last.asInstanceOf[Long] >= 1L)
+    // determinism across partitioning
+    val again = Multimodal.imagePhashCandidates(docs.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(again === ph)
+    // bands are 16-bit values
+    for ((_, v) <- ph; b <- v.take(4))
+      assert(b.asInstanceOf[Int] >= 0 && b.asInstanceOf[Int] < 65536)
+  }
 }

@@ -182,6 +182,29 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) === got)
   }
 
+  test("zorder: hand-computed Morton key, zone-map locality on BOTH columns") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a=5 (101b), b=3 (011b), bits=3: positions a->0,2,4 b->1,3,5
+    // z = 1 (a0) + 2 (b0) + 0 (a1) + 8 (b1) + 16 (a2) + 0 (b2) = 27
+    val one = Seq((5L, 3L)).toDF("a", "b")
+      .select(graft.operators.Prep.zorderKey(col("a"), col("b"), 3).as("z"))
+    assert(one.head.getLong(0) === 27L)
+    // layout audit: bin fixes the top 4 bits of BOTH columns, so every
+    // bin's zone-map range is < 2^12 in a AND in b — the two-sided
+    // pruning a single-column sort cannot give
+    val rows = Seq.tabulate(4000)(i => (i.toLong * 13 % 60000, i.toLong * 7 % 60000))
+      .toDF("a", "b")
+    val audit = graft.operators.Prep.zorderLayout(rows, "a", "b", 16, 24).collect()
+    assert(audit.nonEmpty)
+    for (r <- audit) {
+      assert(r.getLong(3) - r.getLong(2) < 4096, r) // max_a - min_a
+      assert(r.getLong(5) - r.getLong(4) < 4096, r) // max_b - min_b
+    }
+    val again = graft.operators.Prep.zorderLayout(rows.repartition(7), "a", "b", 16, 24)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(audit.map(r => r.getLong(0) -> r.toSeq).toMap === again)
+  }
+
   test("seedPosteriorScore: hand-computed posteriors, threshold, partition-invariant") {
     val docs = Seq(
       (0L, "a a b", true),   // seed

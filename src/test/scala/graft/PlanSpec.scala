@@ -275,10 +275,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!rs.contains("n_chars") && !rs.contains("lang"), rs)
   }
 
+  test("zorder audit: zero-shuffle key projection, one aggregate, pruned read") {
+    val p = planOf("q_zorder")
+    assert(!p.contains("ScalaUDF"), p)
+    // the Morton key is a projection; the only exchanges are the bin
+    // aggregate's and the gate's final ORDER BY
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("HashAggregate"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs.contains("l_partkey") && rs.contains("l_suppkey") &&
+      !rs.contains("l_orderkey") && !rs.contains("l_quantity"), rs)
+  }
+
   test("audio/image decode tables read only the id column") {
     for (q <- Seq("q_audio_decode", "q_image_decode")) {
       val rs = planOf(q).linesIterator.find(_.contains("ReadSchema")).get
       assert(!rs.contains("text") && !rs.contains("n_chars"), s"$q: $rs")
     }
+    // the phash gate localCheckpoints the codec pass (3 consumers), so
+    // assert pruning on the pre-checkpoint decode table itself
+    val ph = graft.multimodal.Multimodal
+      .imagePhashTable(Tables(spark, sf, "documents")).toDF()
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val prs = ph.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!prs.contains("text") && !prs.contains("n_chars"), s"q_image_phash: $prs")
   }
 }
