@@ -123,6 +123,54 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("score"))
   }
 
+  /** D44 — DSIR-shaped importance weighting (Xie et al. 2023): score
+    * every document under TWO smoothed bigram models — the target
+    * model trained on the seed subset (`seedLabel`) and the raw model
+    * trained on the whole corpus — and weight it by the fixed-point
+    * log-ratio surrogate `Σ (lp_t − lp_r)` over its bigram
+    * occurrences, where `lp = floor(scale·(cb+1)/(cu+V))` is the
+    * add-one-smoothed conditional with V = distinct second-word
+    * vocabulary. High weight = looks like the seed distribution —
+    * the importance-resampling signal for targeted data selection.
+    *
+    * Scale shape at 100 TB: ONE corpus aggregate builds BOTH models
+    * (the seed membership rides as a conditional sum — no second
+    * corpus pass, no split-and-union); context totals roll up from
+    * the bigram table; V is one broadcast scalar; the score join is
+    * hash-partitioned on the bigram key with map-side partials.
+    * Integer-exact: (cb+1)·scale stays inside Long to ~9·10^12
+    * occurrences of a single bigram.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      seedLabel: org.apache.spark.sql.Column, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"invalid scale $scale")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), seedLabel.cast("boolean").as("__seed"),
+        toks.as("t"), size(toks).as("m"))
+      .filter(col("m") >= 2)
+      .select(col("doc_id"), col("__seed"),
+        explode(transform(sequence(lit(1), col("m") - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("__seed"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cb_r"),
+        sum(when(col("__seed"), 1L).otherwise(0L)).as("cb_t"))
+    val uni = big.groupBy("w1")
+      .agg(sum(col("cb_r")).as("cu_r"), sum(col("cb_t")).as("cu_t"))
+    val vocab = big.agg(countDistinct(col("w2")).as("v"))
+    val model = big.join(uni, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        expr(s"(cb_t + 1) * $scale div (cu_t + v)").as("lp_t"),
+        expr(s"(cb_r + 1) * $scale div (cu_r + v)").as("lp_r"))
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_t")).as("score_t"), sum(col("lp_r")).as("score_r"))
+      .withColumn("weight", col("score_t") - col("score_r"))
+  }
+
   /** D41 — inter-source overlap audit: for every pair of sources, how
     * many distinct n-gram shingles they share, plus the fixed-point
     * containment `floor(scale·n_shared / min(n_a, n_b))` — the "how

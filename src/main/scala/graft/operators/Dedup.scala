@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY.md
@@ -22,6 +22,28 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"),
         count(lit(1)).as("n_copies"),
         min("n_len").as("doc_len"))
+
+  /** D45 — canonical-form dedup: documents that differ only in case,
+    * punctuation, or whitespace are the same document (the web-corpus
+    * normalization step that exact hashing misses). The canonical
+    * form is `lower → strip non-[a-z0-9 ] → collapse spaces → trim`,
+    * stated in portable regexes both engines evaluate identically;
+    * grouping/survivor semantics then match D1. Same 100 TB shape:
+    * normalization is a zero-shuffle projection, only (hash, id, len)
+    * triples move.
+    */
+  def canonicalKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  def canonicalDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        md5(canonicalKey(col(textCol)).cast("binary")).as("canon_hash"),
+        length(canonicalKey(col(textCol))).as("n_len"))
+      .groupBy("canon_hash")
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_copies"),
+        min("n_len").as("canon_len"))
 
   /** D1 apply-step: the deduplicated corpus itself — keep the
     * smallest id per content hash. Window-free: a self-join against

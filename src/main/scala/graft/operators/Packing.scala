@@ -69,4 +69,22 @@ object Packing {
         sum("n_tokens").as("bin_tokens"),
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
+
+  /** D46 — padding-efficiency audit: bucket documents by token length
+    * (fixed `bucketWidth`) and report, per bucket, the padding waste
+    * of batching each bucket to its longest member — the number a
+    * data loader consults when choosing length-bucketed batching over
+    * plain concat-and-chunk. Pure integer arithmetic: `pad_waste =
+    * n_docs·max_tok − sum_tok`. One hash-aggregate over fixed-width
+    * rows; the length projection never shuffles text.
+    */
+  def paddingAudit(docs: DataFrame, textCol: String, bucketWidth: Int): DataFrame = {
+    require(bucketWidth >= 1, s"invalid bucketWidth $bucketWidth")
+    docs.select(size(split(col(textCol), " ")).as("n_tok"))
+      .groupBy(expr(s"n_tok div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .withColumn("pad_waste", col("n_docs") * col("max_tok") - col("sum_tok"))
+  }
 }

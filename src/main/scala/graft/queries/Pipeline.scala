@@ -1529,6 +1529,76 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D44 — DSIR-style importance weighting: smoothed target (seed =
+    * lang='en') vs raw bigram models, fixed-point score difference.
+    * The oracle retrains BOTH models and rescores — a wrong count,
+    * smoothing term, vocabulary size, or floor shifts some weight.
+    */
+  val qImportanceWeight: GateQuery = GateQuery(
+    "q_importance_weight",
+    """WITH t AS (SELECT doc_id, lang = 'en' AS seed,
+      |             string_split(text, ' ') AS t,
+      |             len(string_split(text, ' ')) AS m
+      |           FROM documents),
+      |p AS (SELECT doc_id, seed, t[g.i] AS w1, t[g.i + 1] AS w2
+      |      FROM t, generate_series(1, 255) g(i) WHERE g.i <= m - 1),
+      |b AS (SELECT w1, w2, COUNT(*) AS cb_r,
+      |        SUM(CASE WHEN seed THEN 1 ELSE 0 END) AS cb_t
+      |      FROM p GROUP BY 1, 2),
+      |u AS (SELECT w1, CAST(SUM(cb_r) AS BIGINT) AS cu_r,
+      |        CAST(SUM(cb_t) AS BIGINT) AS cu_t
+      |      FROM b GROUP BY 1),
+      |vb AS (SELECT COUNT(DISTINCT w2) AS v FROM b),
+      |mdl AS (SELECT b.w1, b.w2,
+      |          CAST(((b.cb_t + 1) * 1000000) // (u.cu_t + vb.v) AS BIGINT) AS lp_t,
+      |          CAST(((b.cb_r + 1) * 1000000) // (u.cu_r + vb.v) AS BIGINT) AS lp_r
+      |        FROM b JOIN u USING (w1), vb)
+      |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(m.lp_t) AS BIGINT) AS score_t,
+      |  CAST(SUM(m.lp_r) AS BIGINT) AS score_r,
+      |  CAST(SUM(m.lp_t) - SUM(m.lp_r) AS BIGINT) AS weight
+      |FROM p JOIN mdl m ON p.w1 = m.w1 AND p.w2 = m.w2
+      |GROUP BY p.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusStats.importanceWeights(Tables(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
+  /** D45 — canonical-form dedup: case/punctuation/whitespace-blind
+    * duplicate groups. The oracle restates the normalization chain in
+    * the same portable regexes, so a wrong strip set, collapse rule,
+    * or trim shifts the hash.
+    */
+  val qDedupCanonical: GateQuery = GateQuery(
+    "q_dedup_canonical",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+      |  FROM documents)
+      |SELECT md5(canon) AS canon_hash, MIN(doc_id) AS survivor_id,
+      |  COUNT(*) AS n_copies, CAST(MIN(len(canon)) AS INT) AS canon_len
+      |FROM c GROUP BY 1
+      |ORDER BY canon_hash""".stripMargin) { (s, dir) =>
+    Dedup.canonicalDedup(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("canon_hash")
+  }
+
+  /** D46 — padding-efficiency audit: token-length buckets with the
+    * batch-to-max padding waste per bucket. Pure integer replay.
+    */
+  val qPadAudit: GateQuery = GateQuery(
+    "q_pad_audit",
+    """WITH t AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
+      |SELECT CAST(n_tok // 16 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok, CAST(MAX(n_tok) AS INT) AS max_tok,
+      |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste
+      |FROM t GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Packing.paddingAudit(Tables(s, dir, "documents"), "text", 16)
+      .orderBy("bucket")
+  }
+
   /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
     * the documents corpus. The oracle replays every round: vocab in
     * the double-space symbol representation, adjacent-pair counts,
@@ -1665,6 +1735,6 @@ object Pipeline {
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
-    qSourceOverlap, qZorder, qImagePhash, qBpeMerges, qBpeEncode, qBigramLm,
-    qSemanticDedup)
+    qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
+    qPadAudit, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
 }

@@ -131,6 +131,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
+  test("importance weights: hand-verified two-model scores, partition-invariant") {
+    import graft.operators.CorpusStats
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "a b a b", true), (1L, "a b c", false), (2L, "solo", false))
+      .toDF("doc_id", "text", "seed")
+    // big: (a,b) cb_r=3 cb_t=2; (b,a) 1/1; (b,c) 1/0
+    // uni: a cu_r=3 cu_t=2; b cu_r=2 cu_t=1;  V = |{b,a,c}| = 3
+    // lp_t: (a,b)=floor(3e6/5)=600000 (b,a)=floor(2e6/4)=500000 (b,c)=floor(1e6/4)=250000
+    // lp_r: (a,b)=floor(4e6/6)=666666 (b,a)=floor(2e6/5)=400000 (b,c)=400000
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.importanceWeights(df, "doc_id", "text", col("seed"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = run(docs)
+    assert(got(0L) === ((3L, 1700000L, 1733332L, -33332L)))
+    assert(got(1L) === ((2L, 850000L, 1066666L, -216666L)))
+    assert(!got.contains(2L))
+    assert(run(docs.repartition(5)) === got)
+    val plan = CorpusStats.importanceWeights(docs, "doc_id", "text", col("seed"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("CartesianProduct"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("packing: offsets are contiguous per shard, bins cover all tokens, any partitioning") {
     val docs = corpus(120)
     for (parts <- Seq(1, 6)) {

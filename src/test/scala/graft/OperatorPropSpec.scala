@@ -182,6 +182,33 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) === got)
   }
 
+  test("canonicalDedup: case/punct/space-blind groups, survivor = min id") {
+    val docs = Seq(
+      (10L, "Hello,  World!"), (3L, "hello world"), (7L, "hello world."),
+      (1L, "different text")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.canonicalDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getInt(3)))).toMap
+    // "hello world" group: survivor 3, copies 3, canon length 11
+    assert(got(3L) === ((3L, 11)))
+    assert(got(1L) === ((1L, 14)))
+    assert(got.size === 2)
+  }
+
+  test("paddingAudit: hand-computed buckets and waste, partition-invariant") {
+    // n_tok: 3, 5, 17, 20 with width 16 -> bucket 0 {3,5}, bucket 1 {17,20}
+    val docs = Seq("a b c", "a b c d e", ("x " * 16).trim + " y",
+      ("x " * 20).trim).toDF("text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Packing.paddingAudit(df, "text", 16)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    val got = run(docs)
+    assert(got(0L) === ((2L, 8L, 5, 2L)))   // 2*5 - 8
+    assert(got(1L) === ((2L, 37L, 20, 3L))) // 2*20 - 37
+    assert(run(docs.repartition(4)) === got)
+  }
+
   test("zorder: hand-computed Morton key, zone-map locality on BOTH columns") {
     import org.apache.spark.sql.functions.{col, lit}
     // a=5 (101b), b=3 (011b), bits=3: positions a->0,2,4 b->1,3,5
