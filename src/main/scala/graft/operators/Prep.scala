@@ -127,6 +127,83 @@ object Prep {
     * projection + explode (no shuffle); emitted first/last tokens pin
     * content alignment, not just arithmetic.
     */
+  /** D47 — curriculum interleave ordering: rank the corpus by a
+    * quality score, cut it into `nTiers` equal rank-tiers, and emit
+    * the round-robin `curriculum_key = pos_in_tier·nTiers + tier` —
+    * sorted by it, training batches alternate across quality tiers
+    * (every batch sees the full quality spectrum) instead of
+    * front-loading one tail. All positions derive from the global
+    * rank by integer formulas, so an oracle window replays them.
+    *
+    * Scale shape at 100 TB: the global rank uses the same two-phase
+    * decomposition as [[shuffleDeterministic]], but bucketed by the
+    * SCORE's value range (`score div bucketWidth` — bucket order
+    * aligns with score order, which hash buckets cannot), so the
+    * window never funnels the corpus through one partition: rank
+    * within bucket (parallel) + exclusive prefix of bucket counts (a
+    * driver-sized window). A skewed score distribution skews bucket
+    * sizes, not correctness — tune `bucketWidth` to the score range.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+      nTiers: Int = 10, bucketWidth: Long = 32): DataFrame = {
+    require(nTiers >= 1, s"invalid nTiers $nTiers")
+    require(bucketWidth >= 1, s"invalid bucketWidth $bucketWidth")
+    val keyed = df.select(col(idCol).as("doc_id"),
+        col(scoreCol).cast("long").as("score"))
+      .withColumn("__sb", expr(s"score div $bucketWidth"))
+    val inBucket = Window.partitionBy("__sb").orderBy("score", "doc_id")
+    val ranked = keyed.withColumn("__rk", row_number().over(inBucket))
+    val bucketCounts = keyed.groupBy("__sb").agg(count(lit(1)).as("__n"))
+    val offsets = bucketCounts
+      .withColumn("__off",
+        coalesce(sum("__n").over(
+          Window.orderBy("__sb").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__sb", "__off")
+    val total = bucketCounts.agg(sum("__n").as("__total"))
+    ranked.join(broadcast(offsets), "__sb")
+      .crossJoin(broadcast(total))
+      .withColumn("rank", (col("__off") + col("__rk")).cast("long"))
+      .withColumn("tier", expr(s"((rank - 1) * $nTiers) div __total"))
+      // tier d spans ranks (ceil(d·N/T), ceil((d+1)·N/T)]; position
+      // inside the tier is rank-1 minus the tier's start offset
+      .withColumn("pos_in_tier",
+        expr(s"rank - 1 - (tier * __total + ${nTiers - 1}) div $nTiers"))
+      .withColumn("curriculum_key",
+        (col("pos_in_tier") * nTiers + col("tier")).cast("long"))
+      .select("doc_id", "score", "rank", "tier", "pos_in_tier", "curriculum_key")
+  }
+
+  /** D48 — deterministic weighted Bernoulli downsampling, the APPLY
+    * side of importance weighting (D44 scores; this thins): keep each
+    * row with probability `weight / max(weight)`, decided by the
+    * seeded md5 uniform `u = first-48-bits(md5("seed:id")) mod
+    * granularity` against the integer threshold `weight·granularity
+    * div maxWeight` — the same hash family as [[shuffleKey]], so the
+    * decision is a pure projection any engine replays (and a doc's
+    * fate never changes when the corpus around it does, except
+    * through maxWeight).
+    *
+    * Scale shape at 100 TB: one tiny max-aggregate broadcast back;
+    * the keep decision is zero-shuffle. weight·granularity stays
+    * inside Long for weights up to ~8.8·10^12 at the default 2^20
+    * granularity. Weights must be non-negative.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      seed: Long, granularity: Long = 1L << 20): DataFrame = {
+    require(granularity > 0, s"invalid granularity $granularity")
+    val w = df.select(col(idCol).as("doc_id"),
+      col(weightCol).cast("long").as("weight"))
+    val maxW = w.agg(max(col("weight")).as("__maxw"))
+    w.crossJoin(broadcast(maxW))
+      .withColumn("__u",
+        conv(substring(shuffleKey(col("doc_id"), seed), 1, 12), 16, 10)
+          .cast("long") % granularity)
+      .withColumn("threshold", expr(s"(weight * $granularity) div __maxw"))
+      .withColumn("kept", col("__u") < col("threshold"))
+      .select("doc_id", "weight", "threshold", "kept")
+  }
+
   /** D42 — Z-order (Morton) interleave of the low `bits` bits of two
     * non-negative integer columns: bit i of `a` lands at position 2i,
     * bit i of `b` at 2i+1. Pure integer shift/mask arithmetic — fully

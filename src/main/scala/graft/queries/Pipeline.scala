@@ -1599,6 +1599,52 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** D47 — curriculum interleave ordering over quality (n_chars):
+    * global rank, equal rank-tiers, round-robin curriculum key. The
+    * oracle derives every position from one window row_number with
+    * the same integer formulas — a wrong rank, tier cut, or interleave
+    * stride shifts the hash.
+    */
+  val qCurriculum: GateQuery = GateQuery(
+    "q_curriculum",
+    """WITH r AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents),
+      |t AS (SELECT doc_id, score, rank, n,
+      |        CAST(((rank - 1) * 10) // n AS BIGINT) AS tier
+      |      FROM r),
+      |p AS (SELECT doc_id, score, rank, tier,
+      |        CAST(rank - 1 - (tier * n + 9) // 10 AS BIGINT) AS pos_in_tier
+      |      FROM t)
+      |SELECT doc_id, score, rank, tier, pos_in_tier,
+      |  CAST(pos_in_tier * 10 + tier AS BIGINT) AS curriculum_key
+      |FROM p
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Prep.curriculumOrder(Tables(s, dir, "documents"), "doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** D48 — deterministic weighted Bernoulli downsampling (keep
+    * probability ∝ weight): seeded md5 uniform vs integer threshold.
+    * The oracle recomputes max weight, threshold, the 48-bit uniform,
+    * and the keep decision for every row.
+    */
+  val qWeightedSample: GateQuery = GateQuery(
+    "q_weighted_sample",
+    """WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight FROM documents),
+      |mx AS (SELECT MAX(weight) AS maxw FROM w)
+      |SELECT w.doc_id, w.weight,
+      |  CAST((w.weight * 1048576) // mx.maxw AS BIGINT) AS threshold,
+      |  (('0x' || substr(md5('11:' || CAST(w.doc_id AS VARCHAR)), 1, 12))::BIGINT % 1048576)
+      |    < CAST((w.weight * 1048576) // mx.maxw AS BIGINT) AS kept
+      |FROM w, mx
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Prep.weightedSample(Tables(s, dir, "documents"), "doc_id", "n_chars", seed = 11)
+      .orderBy("doc_id")
+  }
+
   /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
     * the documents corpus. The oracle replays every round: vocab in
     * the double-space symbol representation, adjacent-pair counts,
@@ -1736,5 +1782,6 @@ object Pipeline {
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
-    qPadAudit, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
+    qPadAudit, qCurriculum, qWeightedSample, qBpeMerges, qBpeEncode, qBigramLm,
+    qSemanticDedup)
 }

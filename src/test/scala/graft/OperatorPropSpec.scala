@@ -182,6 +182,45 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) === got)
   }
 
+  test("curriculumOrder: hand-worked interleave, ranks bijective, partition-invariant") {
+    // scores 10,20,30,40,50 -> ranks 1..5; T=2: tier0 = ranks 1-3,
+    // tier1 = ranks 4-5 (ceil(1*5/2)=3); keys: r1->0 r2->2 r3->4
+    // r4->1 r5->3; sorted by key the tiers alternate 0,1,0,1,0
+    val docs = Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L), (4L, 50L))
+      .toDF("doc_id", "q")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Prep.curriculumOrder(df, "doc_id", "q", nTiers = 2,
+          bucketWidth = 16)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val got = run(docs)
+    assert(got(0L) === ((1L, 0L, 0L, 0L)))
+    assert(got(1L) === ((2L, 0L, 1L, 2L)))
+    assert(got(2L) === ((3L, 0L, 2L, 4L)))
+    assert(got(3L) === ((4L, 1L, 0L, 1L)))
+    assert(got(4L) === ((5L, 1L, 1L, 3L)))
+    // keys are a bijection onto a valid ordering and partitioning-stable
+    assert(got.values.map(_._4).toSeq.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(run(docs.repartition(4)) === got)
+  }
+
+  test("weightedSample: max weight always kept, zero never, thresholds exact, partition-invariant") {
+    val g = 1L << 20
+    val docs = Seq((0L, 0L), (1L, 50L), (2L, 100L), (3L, 25L))
+      .toDF("doc_id", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Prep.weightedSample(df, "doc_id", "w", seed = 5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val got = run(docs)
+    assert(got(0L) === ((0L, 0L, false)))          // zero weight: never kept
+    assert(got(2L)._2 === g)                       // max weight: threshold = g
+    assert(got(2L)._3 === true)                    // ... so always kept
+    assert(got(1L)._2 === g / 2)                   // 50*g div 100
+    assert(got(3L)._2 === g / 4)
+    assert(run(docs.repartition(3)) === got)
+  }
+
   test("canonicalDedup: case/punct/space-blind groups, survivor = min id") {
     val docs = Seq(
       (10L, "Hello,  World!"), (3L, "hello world"), (7L, "hello world."),

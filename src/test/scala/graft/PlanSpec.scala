@@ -174,6 +174,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!pw.contains("ScalaUDF"), pw)
   }
 
+  test("curriculum order: two-phase rank, corpus never in a single-partition window") {
+    val p = planOf("q_curriculum")
+    assert(!p.contains("ScalaUDF"), p)
+    // the corpus-side window partitions by the score bucket; the only
+    // single-partition window is the driver-sized bucket-count prefix
+    assert(p.contains("__sb"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
     // the 100 TB lever the local thresholds hide: a selective filter on
     // the small join side injects a bloom_filter_agg subquery whose
