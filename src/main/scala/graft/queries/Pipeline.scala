@@ -1645,6 +1645,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D49 — integer-exact Gram matrix over int8-quantized embeddings
+    * (upper triangle). The oracle replays quantization AND every
+    * pairwise product sum — a wrong scale, floor, or index shifts
+    * some cell.
+    */
+  val qGramMatrix: GateQuery = GateQuery(
+    "q_gram_matrix",
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+       |      FROM e),
+       |q AS (SELECT vec_id,
+       |        CASE WHEN scale = 0
+       |             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |             ELSE list_transform(v, x -> CAST(floor(x * 127 / scale) AS BIGINT))
+       |        END AS qv
+       |      FROM sc)
+       |SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
+       |  CAST(SUM(qv[gi.i] * qv[gj.j]) AS BIGINT) AS s
+       |FROM q, generate_series(1, 64) gi(i), generate_series(1, 64) gj(j)
+       |WHERE gj.j >= gi.i
+       |GROUP BY 1, 2
+       |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    graft.operators.Linalg.gramInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("i", "j")
+  }
+
   /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
     * the documents corpus. The oracle replays every round: vocab in
     * the double-space symbol representation, adjacent-pair counts,
@@ -1782,6 +1810,6 @@ object Pipeline {
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
-    qPadAudit, qCurriculum, qWeightedSample, qBpeMerges, qBpeEncode, qBigramLm,
-    qSemanticDedup)
+    qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qBpeMerges,
+    qBpeEncode, qBigramLm, qSemanticDedup)
 }

@@ -221,6 +221,19 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(run(docs.repartition(3)) === got)
   }
 
+  test("gramInt8: hand-computed triangle, partition-invariant with empty partitions") {
+    // quantized: [2,0]->[127,0]; [0,2]->[0,127]; [1,1]->[127,127]
+    // G(0,0) = 127^2*2 = 32258; G(0,1) = 16129; G(1,1) = 32258
+    val emb = Seq((1L, Seq(2f, 0f)), (2L, Seq(0f, 2f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Linalg.gramInt8(df, "vec_id", "embedding")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = run(emb)
+    assert(got === Map((0, 0) -> 32258L, (0, 1) -> 16129L, (1, 1) -> 32258L))
+    assert(run(emb.repartition(8)) === got)
+  }
+
   test("canonicalDedup: case/punct/space-blind groups, survivor = min id") {
     val docs = Seq(
       (10L, "Hello,  World!"), (3L, "hello world"), (7L, "hello world."),
