@@ -202,6 +202,69 @@ object Multimodal {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"))
   }
 
+  final case class VideoPhashRow(doc_id: Long, frame_idx: Int, src_frame: Int,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** D50 — video perceptual hashing: demux the REAL container, decode
+    * a uniform frame sample through the REAL image path, and aHash
+    * each sampled frame exactly as [[imagePhashTable]] does (8×8
+    * nearest-resize, strict>floor-mean bits, four 16-bit bands). A
+    * video's fingerprint is its per-position frame hashes; two videos
+    * are near-dup candidates when any (frame position, band) value
+    * collides — the keying that catches re-encoded/trimmed-tail
+    * copies without ever comparing pixels across the corpus.
+    */
+  def videoPhashTable(docs: DataFrame, maxFrames: Int = 4): Dataset[VideoPhashRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (id % 16 + 8).toInt
+          val h = (id % 12 + 8).toInt
+          val nf = (id % 30 + 1).toInt
+          val clip = VideoCodec.syntheticVideo(id, w, h, nf)
+          VideoCodec.frameSample(clip, maxFrames).zipWithIndex.map {
+            case ((src, dec), idx) =>
+              val rs = ImageCodec.resizeNearest(dec, 8, 8)
+              val mean = rs.pixels.map(_.toLong).sum / 64
+              val bands = new Array[Int](4)
+              var i = 0
+              while (i < 64) {
+                if (rs.pixels(i) > mean) bands(i / 16) |= 1 << (i % 16)
+                i += 1
+              }
+              VideoPhashRow(id, idx, src, bands(0), bands(1), bands(2), bands(3))
+          }
+        }
+      }
+  }
+
+  /** Per-frame hash bands plus the candidate degree: how many OTHER
+    * videos collide on this (frame position, band) key. Same LSH
+    * economics as D2/D43 — the codec touches each payload once,
+    * banding multiplies rows by 4, and the join moves fixed-width
+    * (frame_idx, band, v, doc_id) rows only.
+    */
+  def videoPhashCandidates(docs: DataFrame, maxFrames: Int = 4): DataFrame = {
+    val ph = videoPhashTable(docs, maxFrames).toDF().localCheckpoint()
+    val bands = ph.select(col("doc_id"), col("frame_idx"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "v")))
+    val deg = bands.as("a").join(bands.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("a.frame_idx").as("frame_idx"),
+        col("b.doc_id").as("partner"))
+      .distinct()
+      .groupBy("doc_id", "frame_idx").agg(count(lit(1)).as("n_cand"))
+    ph.join(deg, Seq("doc_id", "frame_idx"), "left")
+      .select(col("doc_id"), col("frame_idx"), col("src_frame"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+  }
+
   final case class AudioDecodeRow(doc_id: Long, sample_rate: Int, channels: Int,
       n_samples: Int, sample_sum: Long, resampled_sum: Long)
 

@@ -1673,6 +1673,57 @@ object Pipeline {
       .orderBy("i", "j")
   }
 
+  /** D50 — video perceptual hashing: real demux, real per-frame
+    * decode, per-sampled-frame aHash bands, (frame position, band)
+    * candidate degree. The oracle replays frame selection, resized
+    * pixels, mean, bit packing, AND the collision join — without
+    * ever seeing the container bytes.
+    */
+  val qVideoPhash: GateQuery = GateQuery(
+    "q_video_phash",
+    """WITH vid AS (
+      |  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 12 + 8 AS h,
+      |         doc_id % 30 + 1 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (
+      |  SELECT v.doc_id, v.w, v.h, g.i AS frame_idx,
+      |    CAST((g.i * v.nf) // LEAST(4, v.nf) AS INT) AS src_frame
+      |  FROM vid v, generate_series(0, 3) g(i)
+      |  WHERE g.i < LEAST(4, v.nf)),
+      |rp AS (
+      |  SELECT f.doc_id, f.frame_idx, f.src_frame, gy.y * 8 + gx.x AS idx,
+      |    CAST((f.doc_id + 101 * f.src_frame + 7 * ((gx.x * f.w) // 8) + 13 * ((gy.y * f.h) // 8)) % 256 AS BIGINT) AS p
+      |  FROM fr f, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+      |m AS (SELECT doc_id, frame_idx, CAST(SUM(p) // 64 AS BIGINT) AS mean
+      |      FROM rp GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT rp.doc_id, rp.frame_idx, rp.src_frame, CAST(rp.idx // 16 AS BIGINT) AS band,
+      |    CAST(SUM(CASE WHEN rp.p > m.mean THEN 1 << (rp.idx % 16) ELSE 0 END) AS BIGINT) AS v
+      |  FROM rp JOIN m USING (doc_id, frame_idx) GROUP BY 1, 2, 3, 4),
+      |deg AS (
+      |  SELECT a.doc_id, a.frame_idx, COUNT(DISTINCT b.doc_id) AS n_cand
+      |  FROM bands a JOIN bands b
+      |    ON a.frame_idx = b.frame_idx AND a.band = b.band AND a.v = b.v
+      |   AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2),
+      |pb AS (
+      |  SELECT doc_id, frame_idx, MIN(src_frame) AS src_frame,
+      |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+      |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+      |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+      |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+      |  FROM bands GROUP BY 1, 2)
+      |SELECT pb.doc_id, CAST(pb.frame_idx AS INT) AS frame_idx,
+      |  CAST(pb.src_frame AS INT) AS src_frame,
+      |  CAST(pb.b0 AS INT) AS b0, CAST(pb.b1 AS INT) AS b1,
+      |  CAST(pb.b2 AS INT) AS b2, CAST(pb.b3 AS INT) AS b3,
+      |  CAST(COALESCE(deg.n_cand, 0) AS BIGINT) AS n_cand
+      |FROM pb LEFT JOIN deg USING (doc_id, frame_idx)
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    graft.multimodal.Multimodal.videoPhashCandidates(Tables(s, dir, "documents"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
     * the documents corpus. The oracle replays every round: vocab in
     * the double-space symbol representation, adjacent-pair counts,
@@ -1810,6 +1861,6 @@ object Pipeline {
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
-    qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qBpeMerges,
-    qBpeEncode, qBigramLm, qSemanticDedup)
+    qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
+    qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
 }

@@ -50,6 +50,37 @@ object StreamingGates {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Staged events dir PLUS a far-future sentinel pair (one click,
+    * one error, sentinel user ids < 0): an OUTER stream-stream join
+    * only emits its null-padded rows once BOTH side watermarks pass
+    * the row's interval, and a bounded file source ends with the
+    * watermark still behind its last real events — the sentinels push
+    * both watermarks past ALL real data so every outer row flushes in
+    * the closing no-data micro-batch. Production streams advance
+    * watermarks continuously; this is bounded-source shimming, not
+    * operator logic.
+    */
+  private val stagedOuterDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsStreamWithSentinels(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = stagedOuterDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_events_outer")
+      java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"),
+        java.nio.file.Paths.get(dir, "events.parquet"))
+      val nanos = 1709251200L * 1000000000L // 2024-03-01T00:00Z, after all testdata
+      import s.implicits._
+      Seq((-1L, nanos, -1L, "click", 0.0, "{}"),
+          (-2L, nanos, -2L, "error", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(d.toString)
+      d.toString
+    })
+    val raw = s.read.parquet(srcDir).schema // ts arrives as raw nanos long
+    s.readStream.schema(raw).parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Start → drain → stop; the memory sink's rows survive the stop. */
   private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
@@ -308,8 +339,32 @@ object StreamingGates {
       .orderBy("event_id")
   }
 
+  /** E17 — stream-stream LEFT OUTER interval join, really run: clicks
+    * with no preceding error emit null-padded once both watermarks
+    * pass (sentinel-flushed, see eventsStreamWithSentinels). Oracle =
+    * the plain batch LEFT JOIN.
+    */
+  val qStreamOuterJoin: GateQuery = GateQuery(
+    "q_stream_outer_join",
+    """SELECT c.event_id AS click_id, e.event_id AS error_id
+      |FROM events c LEFT JOIN events e
+      |  ON c.user_id = e.user_id AND e.event_type = 'error'
+      | AND e.ts >= c.ts - INTERVAL 30 MINUTE AND e.ts <= c.ts
+      |WHERE c.event_type = 'click'
+      |ORDER BY click_id, error_id""".stripMargin) { (s, dir) =>
+    def side(tpe: String) = eventsStreamWithSentinels(s, dir)
+      .filter(col("event_type") === tpe)
+      .select("event_id", "user_id", "ts")
+    runToMemory(
+        StreamingOps.clickErrorLeftJoin(side("click"), side("error"), 30),
+        OutputMode.Append())
+      .filter(col("click_id") >= 0) // drop the watermark sentinel
+      .select("click_id", "error_id")
+      .orderBy("click_id", "error_id")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
-      qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamCurate,
-      qStreamSink)
+      qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
+      qStreamCurate, qStreamSink)
     .map(_.copy(bench = false))
 }

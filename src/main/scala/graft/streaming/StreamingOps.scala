@@ -78,6 +78,28 @@ object StreamingOps {
         col("e.ts").as("error_ts"))
   }
 
+  /** E17 — stream-stream LEFT OUTER interval join: like [[clickErrorJoin]]
+    * but clicks with NO error in the lookback window still emit (with
+    * null error columns) once BOTH watermarks pass the click's
+    * interval — the semantics a funnel/attribution pipeline needs to
+    * distinguish "no preceding error" from "error not arrived yet".
+    * State stays bounded exactly as in the inner variant; the outer
+    * rows are emitted by the no-data micro-batch after the watermark
+    * advances past them.
+    */
+  def clickErrorLeftJoin(clicks: DataFrame, errors: DataFrame,
+      lookbackMinutes: Int): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val e = errors.withWatermark("ts", "2 hours").alias("e")
+    c.join(e, expr(
+      s"""c.user_id = e.user_id AND
+         |e.ts >= c.ts - INTERVAL $lookbackMinutes MINUTES AND
+         |e.ts <= c.ts""".stripMargin), "left_outer")
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("e.event_id").as("error_id"),
+        col("e.ts").as("error_ts"))
+  }
+
   /** E12 — stream-static enrichment join: each streaming row picks up
     * dimension columns from a BATCH table. Spark re-plans the static
     * side per micro-batch (so a dim refresh is picked up) and needs no

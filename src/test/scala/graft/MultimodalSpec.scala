@@ -71,4 +71,23 @@ class MultimodalSpec extends AnyFunSuite {
     for ((_, v) <- ph; b <- v.take(4))
       assert(b.asInstanceOf[Int] >= 0 && b.asInstanceOf[Int] < 65536)
   }
+
+  test("video phash: identical videos collide per frame position, degree counts partners") {
+    import spark.implicits._
+    // ids 2 and 3842 render the SAME video (w period 16, h period 12,
+    // nf period 30, pixel offset period 256 => lcm 3840; 3840 % 3 == 0
+    // keeps both in the video modality); id 5 differs.
+    val docs = Seq(2L, 5L, 3842L).toDF("doc_id")
+    val ph = Multimodal.videoPhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+    val frames2 = ph.keys.filter(_._1 == 2L).map(_._2).toSeq.sorted
+    assert(frames2.nonEmpty)
+    for (f <- frames2) {
+      assert(ph((2L, f)) === ph((3842L, f)))
+      assert(ph((2L, f)).last.asInstanceOf[Long] >= 1L)
+    }
+    val again = Multimodal.videoPhashCandidates(docs.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+    assert(again === ph)
+  }
 }
