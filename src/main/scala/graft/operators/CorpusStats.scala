@@ -123,6 +123,28 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("score"))
   }
 
+  /** D51 — per-source dataset card: the one-row-per-source corpus
+    * report a pipeline consults before mixing (volume, token budget,
+    * exact-dup rate, length profile). Everything is an integer
+    * aggregate over one projection — md5 for the dup key, token and
+    * char counts — so the card is engine-exact and costs ONE
+    * hash-aggregate exchange of fixed-width rows at any corpus size.
+    */
+  def sourceReport(docs: DataFrame, textCol: String, srcCol: String): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        md5(col(textCol).cast("binary")).as("__h"),
+        size(split(col(textCol), " ")).as("__tok"),
+        length(col(textCol)).as("__chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("n_unique"),
+        sum(col("__tok")).as("total_tokens"),
+        min(col("__tok")).as("min_tokens"),
+        max(col("__tok")).as("max_tokens"),
+        sum(col("__chars")).as("total_chars"))
+      .withColumn("dup_ppm",
+        expr("(n_docs - n_unique) * 1000000 div n_docs"))
+
   /** D44 — DSIR-shaped importance weighting (Xie et al. 2023): score
     * every document under TWO smoothed bigram models — the target
     * model trained on the seed subset (`seedLabel`) and the raw model
@@ -169,6 +191,63 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("lp_t")).as("score_t"), sum(col("lp_r")).as("score_r"))
       .withColumn("weight", col("score_t") - col("score_r"))
+  }
+
+  /** D52 — stupid-backoff trigram scoring (Brants et al. 2007, the
+    * LM-scoring scheme built FOR distributed corpora): a trigram
+    * model trained on the seed subset scores every document; a
+    * trigram unseen in the model backs off to 0.4× its bigram score,
+    * and a bigram miss scores 0. Fixed-point integer form: seen
+    * trigram → floor(scale·c3/c2ctx); backoff → (2·floor(scale·cb/cu))
+    * div 5; miss → 0 — every branch exact on every engine.
+    *
+    * Scale shape at 100 TB: both models reduce from ONE exploded
+    * occurrence stream (seed membership as a conditional-sum filter),
+    * context counts roll up from the already-reduced n-gram tables,
+    * and scoring is two LEFT hash-joins on fixed-width n-gram keys
+    * with map-side partial aggregation of the per-doc sum. Unlike
+    * interpolated Kneser-Ney, stupid backoff needs no normalization
+    * pass — that is exactly why it was invented for this setting.
+    */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+      seedLabel: org.apache.spark.sql.Column, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"invalid scale $scale")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val base = docs.select(col(idCol).as("doc_id"),
+      seedLabel.cast("boolean").as("__seed"), toks.as("t"), size(toks).as("m"))
+    val tri = base.filter(col("m") >= 3)
+      .select(col("doc_id"), col("__seed"),
+        explode(transform(sequence(lit(1), col("m") - 2),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2"),
+            element_at(col("t"), i + 2).as("w3")))).as("p"))
+      .select(col("doc_id"), col("__seed"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+    // seed-trained trigram model; context rolls up from the reduced table
+    val c3 = tri.filter(col("__seed")).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+    val c2ctx = c3.groupBy("w1", "w2").agg(sum(col("c3")).as("c2"))
+    val triModel = c3.join(c2ctx, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        expr(s"c3 * $scale div c2").as("lp3"))
+    // seed-trained bigram model over the SAME occurrence stream's
+    // (w2, w3) adjacency — the backoff target P(w3|w2)
+    val cb = tri.filter(col("__seed")).groupBy("w2", "w3")
+      .agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("w2").agg(sum(col("cb")).as("cu"))
+    val biModel = cb.join(cu, "w2")
+      .select(col("w2"), col("w3"), expr(s"(2 * (cb * $scale div cu)) div 5").as("lp2"))
+    tri.join(triModel, Seq("w1", "w2", "w3"), "left")
+      .join(biModel, Seq("w2", "w3"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lp3"), col("lp2"), lit(0L)).as("lp"),
+        when(col("lp3").isNotNull, 0L).otherwise(
+          when(col("lp2").isNotNull, 1L).otherwise(2L)).as("kind"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("kind") === 1L, 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("kind") === 2L, 1L).otherwise(0L)).as("n_miss"),
+        sum(col("lp")).as("score"))
   }
 
   /** D41 — inter-source overlap audit: for every pair of sources, how

@@ -1724,6 +1724,26 @@ object Pipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** D51 — per-source dataset card: volume, token budget, exact-dup
+    * rate, length profile. One aggregate, fully replayed by the
+    * oracle.
+    */
+  val qSourceReport: GateQuery = GateQuery(
+    "q_source_report",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_unique,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(MIN(len(string_split(text, ' '))) AS INT) AS min_tokens,
+      |  CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens,
+      |  CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+      |  CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    CorpusStats.sourceReport(Tables(s, dir, "documents"), "text", "source")
+      .orderBy("source")
+  }
+
   /** D35 — the first 5 BPE merge rounds (Sennrich et al. 2016) over
     * the documents corpus. The oracle replays every round: vocab in
     * the double-space symbol representation, adjacent-pair counts,
@@ -1862,5 +1882,5 @@ object Pipeline {
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
-    qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
+    qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup)
 }

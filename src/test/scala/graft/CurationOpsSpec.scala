@@ -156,6 +156,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
+  test("source report: hand-computed card, dup rate, partition-invariant") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (0L, "a b c", "A"), (1L, "a b c", "A"), (2L, "d e", "A"),
+      (3L, "x", "B")).toDF("doc_id", "text", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.sourceReport(df, "text", "source")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5),
+            r.getLong(6), r.getLong(7)))).toMap
+    val got = run(docs)
+    // A: 3 docs, 2 unique, 8 tokens, min 2 max 3, 13 chars, dup 1/3
+    assert(got("A") === ((3L, 2L, 8L, 2, 3, 13L, 333333L)))
+    assert(got("B") === ((1L, 1L, 1L, 1, 1, 1L, 0L)))
+    assert(run(docs.repartition(5)) === got)
+  }
+
   test("packing: offsets are contiguous per shard, bins cover all tokens, any partitioning") {
     val docs = corpus(120)
     for (parts <- Seq(1, 6)) {
