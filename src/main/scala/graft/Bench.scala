@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every bench-flagged gate query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. Results are forced
+  * SPARK_GRAFT_SF_DIR and prints one compact JSON line (totals, ingest
+  * throughput, 25 slowest gates), writing every gate at full precision
+  * to BENCH_DETAIL.json — the printed line must fit the driver's
+  * ~2000-char tail capture or it records parsed:null. Results are forced
   * through the noop sink so every output column is actually computed —
   * `.count()` would let the optimizer prune the expensive projections
   * and flatter the numbers.
@@ -116,9 +119,6 @@ object Bench {
     val withIngest =
       if (only.isDefined) results
       else results :+ ("q_heap_ingest_export" -> heapIngest._1)
-    val qs = withIngest
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = withIngest.map(_._2).sum
     val wall = (System.nanoTime() - wall0) / 1e9
     // heap_ingest_mb / _mb_s make ingest THROUGHPUT machine-comparable
@@ -126,10 +126,27 @@ object Bench {
     val ingestKeys =
       if (only.isDefined) ""
       else f""""heap_ingest_mb":${heapIngest._2}%.1f,"heap_ingest_mb_s":${heapIngest._2 / heapIngest._1}%.1f,"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    def qJson(kvs: Seq[(String, Double)], dp: Int): String = kvs
+      .map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN) "null" else s"%.${dp}f".format(v)) }
+      .mkString("{", ",", "}")
+    // Full per-gate detail goes to a FILE: the stdout line grew past the
+    // driver's ~2000-char tail-capture buffer (BENCH_r01..r06 all record
+    // parsed:null with the line's head cut mid-key), so the printed line
+    // must stay small enough to survive the tail. It carries the totals,
+    // ingest throughput, and the 25 slowest gates; BENCH_DETAIL.json in
+    // the repo root carries every gate at full precision.
+    val detailJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(withIngest, 3)},""" +
+      ingestKeys + f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, detailJson.getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-gate detail -> ${p.toAbsolutePath}")
+    } catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val top = withIngest.sortBy { case (_, v) => if (v.isNaN) Double.MaxValue else -v }.take(25)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_gates":${withIngest.size},""" +
       ingestKeys +
-      f""""reps":$reps,"wall_sec":$wall%.1f,""" +
-      s""""sf":"$sfDir"}""")
+      f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir",""" +
+      s""""detail":"BENCH_DETAIL.json","queries":${qJson(top, 2)}}""")
     spark.stop()
   }
 }

@@ -20,6 +20,14 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // from a memory stream round-trips a temp file. All graft payloads
+  // are in-memory byte arrays, so the cache is pure overhead — on the
+  // sf0.1 bench it roughly doubles per-frame decode cost across the
+  // image AND video gates (every VideoCodec frame decodes through
+  // here). One JVM-global switch, set when the codec class loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded grayscale image: one 0..255 sample per pixel, row-major. */
   final case class Decoded(width: Int, height: Int, channels: Int, pixels: Array[Int])
 
