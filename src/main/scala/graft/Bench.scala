@@ -119,7 +119,12 @@ object Bench {
     val withIngest =
       if (only.isDefined) results
       else results :+ ("q_heap_ingest_export" -> heapIngest._1)
-    val total = withIngest.map(_._2).sum
+    // A failing gate records NaN per-gate (rendered as null) but must
+    // not poison the total — "value":NaN is not valid JSON and breaks
+    // the driver's parse. Sum the gates that ran; surface failures via
+    // an explicit count instead.
+    val failed = withIngest.count(_._2.isNaN)
+    val total = withIngest.collect { case (_, v) if !v.isNaN => v }.sum
     val wall = (System.nanoTime() - wall0) / 1e9
     // heap_ingest_mb / _mb_s make ingest THROUGHPUT machine-comparable
     // round-over-round, not just its wall-time share of the total.
@@ -135,7 +140,7 @@ object Bench {
     // must stay small enough to survive the tail. It carries the totals,
     // ingest throughput, and the 25 slowest gates; BENCH_DETAIL.json in
     // the repo root carries every gate at full precision.
-    val detailJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(withIngest, 3)},""" +
+    val detailJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":${qJson(withIngest, 3)},""" +
       ingestKeys + f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
@@ -143,7 +148,7 @@ object Bench {
       System.err.println(s"[bench] full per-gate detail -> ${p.toAbsolutePath}")
     } catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val top = withIngest.sortBy { case (_, v) => if (v.isNaN) Double.MaxValue else -v }.take(25)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_gates":${withIngest.size},""" +
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_gates":${withIngest.size},"failed":$failed,""" +
       ingestKeys +
       f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir",""" +
       s""""detail":"BENCH_DETAIL.json","queries":${qJson(top, 2)}}""")

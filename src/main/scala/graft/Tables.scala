@@ -70,15 +70,28 @@ object Tables {
     if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
   }
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. Read nanos as raw longs and truncate to micros with
-    * integral division (`div`, not `/` — double division would lose
-    * precision above 2^53 ns ≈ 1970+104 days). DuckDB truncates nanos
-    * to micros the same way, so oracles agree at micro granularity.
+  /** events.ts has shipped as TWO physical types across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as raw longs and truncate to micros with
+    * integral `div`, not `/`: double division loses precision above
+    * 2^53 ns ≈ 1970+104 days) and plain timestamp[us] (which Spark
+    * reads as TIMESTAMP_NTZ). Normalize BY SCHEMA so either vintage
+    * loads as session-zoned TIMESTAMP with identical micro values:
+    * DuckDB reads both as naive micros, and with the session zone
+    * pinned to UTC (Verify/Bench builders) the NTZ→TIMESTAMP cast is
+    * wall-clock-preserving, so oracles agree either way.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 }

@@ -25,9 +25,9 @@ object StreamingGates {
   private val D = DecimalType(12, 2)
   private val sinkSeq = new AtomicInteger()
 
-  /** events.ts is TIMESTAMP(NANOS); same nanos→micros truncation as
-    * the batch loader (Tables.events), applied on the stream. The
-    * file SOURCE requires a directory, and testdata ships events as a
+  /** events.ts normalization (nanos-long OR timestamp[us] vintage —
+    * see Tables.normalizeEventTs) applied on the stream. The file
+    * SOURCE requires a directory, and testdata ships events as a
     * single parquet file — so the file is staged (symlinked) into a
     * per-source-dir temp directory once. In production the source is
     * already a directory; this is test-layout shimming, not operator
@@ -45,9 +45,8 @@ object StreamingGates {
         java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), file)
         d.toString
       })
-    val raw = s.read.parquet(srcDir).schema // ts arrives as raw nanos long
-    s.readStream.schema(raw).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(srcDir).schema // ts: raw nanos long or NTZ micros
+    Tables.normalizeEventTs(s.readStream.schema(raw).parquet(srcDir))
   }
 
   /** Staged events dir PLUS a far-future sentinel pair (one click,
@@ -68,17 +67,34 @@ object StreamingGates {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_events_outer")
       java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"),
         java.nio.file.Paths.get(dir, "events.parquet"))
-      val nanos = 1709251200L * 1000000000L // 2024-03-01T00:00Z, after all testdata
+      // Sentinel ts = 2024-03-01T00:00Z, after all testdata. The
+      // sentinel file must carry the SAME physical ts type as the real
+      // file (the file source unifies the directory's schema), so the
+      // literal's Scala type follows the vintage.
+      val epochSec = 1709251200L
       import s.implicits._
-      Seq((-1L, nanos, -1L, "click", 0.0, "{}"),
-          (-2L, nanos, -2L, "error", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(d.toString)
+      val sentinels =
+        s.read.parquet(d.resolve("events.parquet").toString).schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            Seq((-1L, epochSec * 1000000000L, -1L, "click", 0.0, "{}"),
+                (-2L, epochSec * 1000000000L, -2L, "error", 0.0, "{}")).toDF(
+              "event_id", "ts", "user_id", "event_type", "value", "props")
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            val ldt = java.time.LocalDateTime.ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
+            Seq((-1L, ldt, -1L, "click", 0.0, "{}"),
+                (-2L, ldt, -2L, "error", 0.0, "{}")).toDF(
+              "event_id", "ts", "user_id", "event_type", "value", "props")
+          case _ =>
+            val inst = java.time.Instant.ofEpochSecond(epochSec)
+            Seq((-1L, inst, -1L, "click", 0.0, "{}"),
+                (-2L, inst, -2L, "error", 0.0, "{}")).toDF(
+              "event_id", "ts", "user_id", "event_type", "value", "props")
+        }
+      sentinels.coalesce(1).write.mode("append").parquet(d.toString)
       d.toString
     })
-    val raw = s.read.parquet(srcDir).schema // ts arrives as raw nanos long
-    s.readStream.schema(raw).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(srcDir).schema // ts: raw nanos long or NTZ micros
+    Tables.normalizeEventTs(s.readStream.schema(raw).parquet(srcDir))
   }
 
   /** Start → drain → stop; the memory sink's rows survive the stop. */
