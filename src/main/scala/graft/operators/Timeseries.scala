@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log shaping operators (SURVEY.md §2.E18–E20): gap-filled
+  * time series, SCD2 validity intervals, and Markov transition
+  * matrices. All three follow the same 100 TB discipline as the rest
+  * of the E-section: the only corpus-sized exchange is one hash
+  * partition on the natural key (hour bucket or entity id); every
+  * derived table after that is dimension-sized (hours × types,
+  * segments, |types|²) and broadcast where joined.
+  */
+object Timeseries {
+
+  /** E18 — gap-filled hourly series: every (group, hour) cell between
+    * the corpus' min and max hour, zero-filled where no events landed.
+    * Dashboards and window-over-time models need the dense grid — a
+    * groupBy alone silently drops empty buckets.
+    *
+    * Scale shape: the corpus collapses to the hourly aggregate in ONE
+    * map-side-partial exchange; the (mn, mx) bounds are a single-row
+    * aggregate; the dense grid is |groups| × |hours| — dimension-sized
+    * by construction (a year is 8,760 hours) — so the grid build and
+    * the fill join are broadcast, never a corpus shuffle.
+    */
+  def gapFillHourly(events: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(groupCol), date_trunc("hour", col(tsCol)).as("hh"))
+      .agg(count(lit(1)).as("n"))
+    val hours = hourly.agg(min("hh").as("mn"), max("hh").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hh"))
+    val grid = events.select(groupCol).distinct().crossJoin(broadcast(hours))
+    grid.join(broadcast(hourly), Seq(groupCol, "hh"), "left")
+      .select(col(groupCol), unix_micros(col("hh")).as("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** E19 — SCD2 compression of an event log: consecutive events with
+    * the same status collapse into one versioned validity interval
+    * [valid_from_us, valid_to_us) per entity; the current segment's
+    * valid_to_us is -1 (open). This is the change-data-capture shape
+    * that turns an append-only log into a slowly-changing dimension.
+    *
+    * Scale shape: one hash exchange on the entity id feeds both
+    * windows and the segment aggregate (same-key windows reuse the
+    * partitioning — no second exchange); per-entity history is the
+    * window frame, which is the inherent unit of SCD2 work.
+    */
+  def scd2(events: DataFrame, idCol: String, tsCol: String,
+      statusCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("t_us"), col(tieCol))
+    val o = events.select(col(idCol), col(statusCol).as("status"),
+        unix_micros(col(tsCol)).as("t_us"), col(tieCol))
+      .withColumn("chg",
+        when(lag("status", 1).over(w).isNull ||
+          lag("status", 1).over(w) =!= col("status"), 1).otherwise(0))
+      .withColumn("grp", sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val seg = o.groupBy(col(idCol), col("grp").cast("long").as("version"), col("status"))
+      .agg(min("t_us").as("valid_from_us"), count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(idCol).orderBy("version")
+    seg.withColumn("valid_to_us",
+        coalesce(lead("valid_from_us", 1).over(wv), lit(-1L)))
+      .select(col(idCol), col("version"), col("status"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+  }
+
+  /** E20 — first-order Markov transition matrix over per-entity event
+    * sequences: counts and fixed-point ppm probabilities for every
+    * observed (from, to) event-type pair. Session-path analysis and
+    * next-event models consume exactly this table.
+    *
+    * Scale shape: the lag window is the one corpus exchange (hash on
+    * the entity id); the pair table then collapses to at most
+    * |types|² rows, so the per-from totals join is a broadcast of a
+    * dimension-sized table. prob_ppm is integer `div` — engine-exact,
+    * no float division to disagree over.
+    */
+  def transitionMatrix(events: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(idCol), col(tsCol), col(tieCol), col(typeCol).as("to_type"))
+      .withColumn("from_type", lag("to_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("__tot"))
+    counts.join(broadcast(totals), "from_type")
+      .withColumn("prob_ppm", expr("n * 1000000 div __tot"))
+      .select(col("from_type"), col("to_type"), col("n"), col("prob_ppm"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import graft.operators.Timeseries
+import org.apache.spark.sql.functions._
+
+/** Event-log shaping gates (SURVEY.md §2.E18–E20) over the events
+  * table: gap-filled hourly series, SCD2 validity intervals, and the
+  * Markov transition matrix. Oracles replay the full derivation in
+  * DuckDB — the hour grid via a recursive CTE (generate_series only
+  * takes constants there), segments and transitions via the same
+  * lag/cumsum windows both engines order identically on
+  * (epoch micros, event_id).
+  */
+object Events2 {
+
+  /** E18 — dense hourly series per event_type, zero-filled gaps. */
+  val qGapfill: GateQuery = GateQuery(
+    "q_gapfill",
+    """WITH RECURSIVE h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(hh) AS mn, MAX(hh) AS mx FROM h),
+      |hours AS (
+      |  SELECT mn AS hh, mx FROM b
+      |  UNION ALL
+      |  SELECT hh + INTERVAL 1 HOUR, mx FROM hours WHERE hh < mx),
+      |grid AS (
+      |  SELECT t.event_type, hours.hh
+      |  FROM (SELECT DISTINCT event_type FROM events) t, hours)
+      |SELECT g.event_type, epoch_us(g.hh) AS hour_us, COALESCE(h.n, 0) AS n
+      |FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hh = g.hh
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Timeseries.gapFillHourly(Tables(s, dir, "events"), "event_type", "ts")
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** E19 — SCD2 intervals: per user, consecutive same-type runs
+    * collapse to versioned [valid_from_us, valid_to_us) segments; the
+    * open (current) segment carries valid_to_us = -1.
+    */
+  val qScd2: GateQuery = GateQuery(
+    "q_scd2",
+    """WITH o AS (
+      |  SELECT user_id, event_type AS status, epoch_us(ts) AS t_us, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |seg AS (
+      |  SELECT user_id, status, t_us,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, CAST(grp AS BIGINT) AS version, status,
+      |    MIN(t_us) AS valid_from_us, COUNT(*) AS n_events
+      |  FROM seg GROUP BY 1, 2, 3)
+      |SELECT user_id, version, status, valid_from_us,
+      |  COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version),
+      |           -1) AS valid_to_us,
+      |  n_events
+      |FROM g
+      |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    Timeseries.scd2(Tables(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "version")
+  }
+
+  /** E20 — Markov transition matrix with integer-exact ppm
+    * probabilities (`div` / `//` keep both engines in integer space).
+    */
+  val qTransitions: GateQuery = GateQuery(
+    "q_transitions",
+    """WITH p AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+      |      WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 1000000) // (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)
+      |    AS prob_ppm
+      |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+    Timeseries.transitionMatrix(Tables(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+  }
+
+  val all: Seq[GateQuery] = Seq(qGapfill, qScd2, qTransitions)
+}

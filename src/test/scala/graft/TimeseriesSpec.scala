@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Timeseries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-worked fixtures for the E18–E20 event-log shaping operators:
+  * a tiny log whose dense grid, SCD2 segments, and transition matrix
+  * are computable on paper, plus partition invariance (the property
+  * that matters when partition counts differ run to run).
+  */
+class TimeseriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (event_id, t_us, user_id, type); hours are whole for readability
+  private val H = 3600L * 1000000L
+  private val rows = Seq(
+    (1L, 0 * H, 10L, "view"),
+    (2L, 0 * H + 1L, 10L, "view"),
+    (3L, 2 * H, 10L, "click"),     // hour 1 is a gap
+    (4L, 3 * H, 10L, "view"),
+    (5L, 0 * H, 20L, "click"),
+    (6L, 3 * H, 20L, "click"))
+
+  private def ev(parts: Int) = rows
+    .toDF("event_id", "t_us", "user_id", "event_type")
+    .withColumn("ts", timestamp_micros(col("t_us")))
+    .repartition(parts)
+
+  test("gapFillHourly emits the dense grid with zero-filled gaps") {
+    for (parts <- Seq(1, 5)) {
+      val got = Timeseries.gapFillHourly(ev(parts), "event_type", "ts")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // 2 types × hours 0..3 = 8 cells
+      val expected = Set(
+        ("view", 0 * H, 2L), ("view", 1 * H, 0L), ("view", 2 * H, 0L), ("view", 3 * H, 1L),
+        ("click", 0 * H, 1L), ("click", 1 * H, 0L), ("click", 2 * H, 1L), ("click", 3 * H, 1L))
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("scd2 collapses consecutive same-status runs into versioned intervals") {
+    for (parts <- Seq(1, 5)) {
+      val got = Timeseries.scd2(ev(parts), "user_id", "ts", "event_type", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val expected = Set(
+        // user 10: view,view | click | view — three segments
+        (10L, 1L, "view", 0 * H, 2 * H, 2L),
+        (10L, 2L, "click", 2 * H, 3 * H, 1L),
+        (10L, 3L, "view", 3 * H, -1L, 1L),
+        // user 20: click,click — one open segment
+        (20L, 1L, "click", 0 * H, -1L, 2L))
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("transitionMatrix counts per-user adjacent pairs with exact ppm") {
+    for (parts <- Seq(1, 5)) {
+      val got = Timeseries
+        .transitionMatrix(ev(parts), "user_id", "ts", "event_type", "event_id")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      // user 10: view→view, view→click, click→view; user 20: click→click
+      val expected = Set(
+        ("view", "view", 1L, 500000L),
+        ("view", "click", 1L, 500000L),
+        ("click", "view", 1L, 500000L),
+        ("click", "click", 1L, 500000L))
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("transitionMatrix ppm is floor division, rows sum to <= 1e6 per from") {
+    val df = Seq(
+      (1L, 1L, 1L, "a"), (2L, 2L, 1L, "b"), (3L, 3L, 1L, "a"),
+      (4L, 4L, 1L, "b"), (5L, 5L, 1L, "c"), (6L, 6L, 1L, "a"),
+      (7L, 7L, 1L, "a"))
+      .toDF("event_id", "t_us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    val got = Timeseries.transitionMatrix(df, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(3))).groupBy(_._1)
+    // from 'a': a→b, a→b? sequence a b a b c a a → pairs: ab, ba, ab, bc, ca, aa
+    // from a: {b:2, a:1} tot 3 → floor(2e6/3)=666666, floor(1e6/3)=333333
+    val fromA = got("a").map(_._2).sorted
+    assert(fromA === Seq(333333L, 666666L))
+    got.foreach { case (f, ps) => assert(ps.map(_._2).sum <= 1000000L, f) }
+  }
+}
