@@ -95,6 +95,75 @@ object Dedup {
     fresh.join(survivors, fresh(idCol) === col("__sid"), "left_semi")
   }
 
+  /** Serialized Bloom filter over the corpus hash index (probed via
+    * [[mightContainBloom]]). Built with Spark's own
+    * BloomFilterAggregate — the aggregate behind runtime row-level
+    * filtering — so partial filters merge associatively up the
+    * executor tree and ONE binary blob reaches the driver (sized by
+    * numBits, not by corpus rows; ~9 bits/key at 1% fpp). Keys enter
+    * as xxhash64(content_hash): deterministic, so the filter bytes are
+    * reproducible for a given index. Returns None for an empty index.
+    *
+    * At 10^9+ keys raise the sketch size confs
+    * (spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits)
+    * — a too-small filter only raises the false-positive rate, which
+    * costs prefilter efficiency, never correctness (exact verification
+    * always follows).
+    */
+  def corpusBloom(corpusHashes: DataFrame, expectedItems: Long): Option[Array[Byte]] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val h = corpusHashes.select(xxhash64(col("content_hash")).as("__h"))
+    val agg = new BloomFilterAggregate(
+      GraftColumnBridge.expression(col("__h")), Literal(expectedItems))
+      .toAggregateExpression()
+    Option(h.select(GraftColumnBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0))
+  }
+
+  /** Probe column: true iff `hash` MIGHT be in the corpus bloom —
+    * false means DEFINITELY absent (no false negatives). Codegen'd;
+    * the filter bytes ride the plan as a literal, deserialized once.
+    */
+  def mightContainBloom(bloom: Array[Byte], hash: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom), GraftColumnBridge.expression(xxhash64(hash))))
+  }
+
+  /** D51 — Bloom-prefiltered incremental dedup: same contract and
+    * EXACT same result as [[incremental]], different economics. The
+    * plain anti-join shuffles the whole batch against the whole
+    * corpus index every epoch. Here bloom-negative batch rows — in
+    * steady state the vast majority, since most new content is fresh
+    * — are accepted as definitely-new in a zero-shuffle projection;
+    * only bloom-positive suspects (true duplicates + the fpp sliver)
+    * enter the anti-join, so the per-epoch exchange is sized by the
+    * duplicate rate, not the batch. False positives are removed by
+    * that exact verification; false negatives cannot occur, so the
+    * union below reconstructs [[incremental]]'s output bit-for-bit.
+    */
+  def bloomIncremental(batch: DataFrame, corpusHashes: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long = 1000000L): DataFrame =
+    corpusBloom(corpusHashes, expectedItems) match {
+      case None => incremental(batch, corpusHashes, idCol, textCol) // empty corpus
+      case Some(bloom) =>
+        val hashed = batch.withColumn("content_hash", contentHash(col(textCol)))
+        val suspect = mightContainBloom(bloom, col("content_hash"))
+        val definitelyFresh = hashed.filter(!suspect)
+        val verifiedFresh = hashed.filter(suspect).join(
+          corpusHashes.select(col("content_hash").as("__known")).distinct(),
+          col("content_hash") === col("__known"), "left_anti")
+          .drop("__known")
+        val fresh = definitelyFresh.unionByName(verifiedFresh)
+        val survivors = fresh
+          .groupBy("content_hash").agg(min(col(idCol)).as("__sid"))
+          .select("__sid")
+        fresh.join(survivors, fresh(idCol) === col("__sid"), "left_semi")
+    }
+
   /** D4 — exact n-gram Jaccard near-dup pairs. The shingle inverted-
     * index self-join is the candidate generator; pairs are verified by
     * exact set intersection. Use minhashLsh below when the corpus is

@@ -1133,6 +1133,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D51 — Bloom-prefiltered incremental dedup: same semantics as
+    * q_dedup_incremental on a different corpus/batch split (thirds,
+    * so both gates stay independently diagnostic). The oracle replays
+    * the EXACT contract — the bloom is an internal prefilter whose
+    * false positives are removed by exact verification and whose
+    * false negatives cannot occur, so it must never show in the
+    * result.
+    */
+  val qDedupBloom: GateQuery = GateQuery(
+    "q_dedup_bloom",
+    """WITH cor AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+      |b AS (SELECT doc_id, lang, md5(text) AS content_hash
+      |      FROM documents WHERE doc_id % 3 <> 0),
+      |s AS (SELECT doc_id, lang, content_hash FROM b
+      |      WHERE content_hash NOT IN (SELECT h FROM cor)
+      |        AND doc_id = (SELECT MIN(b2.doc_id) FROM b b2
+      |                      WHERE b2.content_hash = b.content_hash))
+      |SELECT doc_id, lang, content_hash FROM s
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    Dedup.bloomIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "lang", "text"),
+        Dedup.corpusHashIndex(docs.filter(col("doc_id") % 3 === 0), "text"),
+        "doc_id", "text")
+      .select("doc_id", "lang", "content_hash")
+      .orderBy("doc_id")
+  }
+
   /** D21 — deterministic proportional stratified sample: 20% of every
     * source, floor semantics, pure-integer keep test (no float
     * fraction to diverge between engines).
@@ -1878,6 +1906,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
+    qDedupBloom,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
