@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Packing, Prep, Relevance, Sampling, Similarity, Tokenize}
+import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, MergeUpsert, Packing, Prep, Relevance, Sampling, Similarity, Tokenize}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -1161,6 +1161,45 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D52 — keyed MERGE (upsert) into a shard-partitioned parquet
+    * table: updates (uppercased text for every doc_id % 3 == 0) and
+    * inserts (doc_id + 10M clones of every doc_id % 5 == 2) land via
+    * MergeUpsert.upsertPartitioned, then the gate reads the COMMITTED
+    * table back — so the hash pins replace-by-key, insert, survivor
+    * base rows, AND the dynamic-overwrite commit itself. The oracle
+    * replays the merge relationally (batch ∪ base-not-in-batch).
+    */
+  val qMergeUpsert: GateQuery = GateQuery(
+    "q_merge_upsert",
+    """WITH base AS (SELECT doc_id, doc_id % 8 AS shard, text FROM documents),
+      |batch AS (
+      |  SELECT doc_id, doc_id % 8 AS shard, upper(text) AS text
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, (doc_id + 10000000) % 8, text
+      |  FROM documents WHERE doc_id % 5 = 2),
+      |m AS (
+      |  SELECT * FROM batch
+      |  UNION ALL
+      |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM batch))
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard, md5(text) AS content_hash
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    docs.write.mode("overwrite").partitionBy("shard").parquet(path)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("text", upper(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          ((col("doc_id") + 10000000L) % 8).as("shard"), col("text")))
+    MergeUpsert.upsertPartitioned(s, path, batch, "doc_id", "shard")
+    s.read.parquet(path)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        md5(col("text").cast("binary")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
   /** D21 — deterministic proportional stratified sample: 20% of every
     * source, floor semantics, pure-integer keep test (no float
     * fraction to diverge between engines).
@@ -1906,7 +1945,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qDedupBloom,
+    qDedupBloom, qMergeUpsert,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,

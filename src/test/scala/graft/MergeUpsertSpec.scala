@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.MergeUpsert
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D52 — the upsert must (1) implement replace-by-key ∪ insert
+  * semantics, (2) leave partitions the batch doesn't touch
+  * byte-for-byte alone (the partition-pruned rewrite that makes
+  * per-epoch cost scale with the batch), and (3) read the base
+  * through a PARTITION filter, not a data filter.
+  */
+class MergeUpsertSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val path = java.nio.file.Files.createTempDirectory("graft_merge_spec").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"),
+      (7L, "g"), (8L, "h"))
+      .toDF("id", "v").withColumn("shard", col("id") % 4)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    path
+  }
+
+  private def snapshot(path: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+  }
+
+  test("replace-by-key plus insert, read back from the committed table") {
+    val path = freshTable()
+    // update id=5 (shard 1), insert id=9 (shard 1): one affected shard
+    val batch = Seq((5L, "E"), (9L, "i")).toDF("id", "v")
+      .withColumn("shard", col("id") % 4)
+    MergeUpsert.upsertPartitioned(spark, path, batch, "id", "shard")
+    val got = spark.read.parquet(path).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d",
+      5L -> "E", 6L -> "f", 7L -> "g", 8L -> "h", 9L -> "i"))
+  }
+
+  test("partitions the batch does not touch keep their files byte-for-byte") {
+    val path = freshTable()
+    val before = snapshot(path)
+    val batch = Seq((5L, "E")).toDF("id", "v").withColumn("shard", col("id") % 4)
+    MergeUpsert.upsertPartitioned(spark, path, batch, "id", "shard")
+    val after = snapshot(path)
+    val untouched = (f: String) => !f.contains("shard=1")
+    assert(before.keySet.filter(untouched) === after.keySet.filter(untouched),
+      "untouched shards must keep their exact file set")
+    before.filter(kv => untouched(kv._1)).foreach { case (f, meta) =>
+      assert(after(f) === meta, s"untouched file rewritten: $f")
+    }
+    // and the affected shard WAS rewritten
+    assert(before.keySet.filter(_.contains("shard=1")) !=
+      after.keySet.filter(_.contains("shard=1")))
+  }
+
+  test("the base read prunes at the partition level") {
+    val path = freshTable()
+    val pruned = spark.read.parquet(path).filter(col("shard").isin(1))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).length
+    assert(selected === 1, s"expected 1 of 4 partitions read, got $selected")
+  }
+
+  test("a batch keying every partition still merges correctly") {
+    val path = freshTable()
+    val batch = Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"), (10L, "j"))
+      .toDF("id", "v").withColumn("shard", col("id") % 4)
+    MergeUpsert.upsertPartitioned(spark, path, batch, "id", "shard")
+    val got = spark.read.parquet(path).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set(1L -> "A", 2L -> "B", 3L -> "C", 4L -> "D",
+      5L -> "e", 6L -> "f", 7L -> "g", 8L -> "h", 10L -> "j"))
+  }
+}
