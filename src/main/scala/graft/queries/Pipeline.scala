@@ -1200,6 +1200,29 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D53 — small-file compaction: the gate writes the corpus
+    * deliberately fragmented (~25 files per shard), compacts, and
+    * reads the COMMITTED table back — the hash pins content
+    * invariance through the rewrite, and CompactSpec pins the layout
+    * effects (1 file per shard, untouched shards byte-for-byte).
+    * The oracle is the corpus itself: compaction must be invisible.
+    */
+  val qCompact: GateQuery = GateQuery(
+    "q_compact",
+    """SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+      |  md5(text) AS content_hash
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 4).as("shard"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    docs.repartition(25).write.mode("overwrite").partitionBy("shard").parquet(path)
+    graft.operators.Compact.compactPartitions(s, path, "shard")
+    s.read.parquet(path)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        md5(col("text").cast("binary")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
   /** D21 — deterministic proportional stratified sample: 20% of every
     * source, floor semantics, pure-integer keep test (no float
     * fraction to diverge between engines).
@@ -1945,7 +1968,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qDedupBloom, qMergeUpsert,
+    qDedupBloom, qMergeUpsert, qCompact,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,

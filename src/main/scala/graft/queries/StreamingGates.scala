@@ -379,8 +379,64 @@ object StreamingGates {
       .orderBy("click_id", "error_id")
   }
 
+  /** E21 — streaming CDC apply, driven through a REAL two-micro-batch
+    * run: batch 1 uppercases every doc_id % 3 == 0, batch 2 appends
+    * '!' to every doc_id % 4 == 1 (keys in both — e.g. 9, 21 — pin
+    * last-write-wins ordering). The final COMMITTED table must match
+    * the oracle replaying both merges in stream order.
+    */
+  val qStreamUpsert: GateQuery = GateQuery(
+    "q_stream_upsert",
+    """WITH base AS (SELECT doc_id, doc_id % 4 AS shard, text FROM documents),
+      |b1 AS (SELECT doc_id, doc_id % 4 AS shard, upper(text) AS text
+      |       FROM documents WHERE doc_id % 3 = 0),
+      |b2 AS (SELECT doc_id, doc_id % 4 AS shard, text || '!' AS text
+      |       FROM documents WHERE doc_id % 4 = 1),
+      |m1 AS (SELECT * FROM b1 UNION ALL
+      |       SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM b1)),
+      |m2 AS (SELECT * FROM b2 UNION ALL
+      |       SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM b2))
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard, md5(text) AS content_hash
+      |FROM m2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 4).as("shard"), col("text"))
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+    val table = work.resolve("table").toString
+    docs.write.mode("overwrite").partitionBy("shard").parquet(table)
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("text", upper(col("text")))
+    val b2 = docs.filter(col("doc_id") % 4 === 1)
+      .withColumn("text", concat(col("text"), lit("!")))
+    val srcDir = work.resolve("src").toString
+    b1.coalesce(1).write.parquet(s"$srcDir/b1")
+    b2.coalesce(1).write.parquet(s"$srcDir/b2")
+    // one change file per micro-batch, mtime-ordered so the file
+    // source applies them in stream order (same staging as
+    // qStreamCurate above)
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(b1.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val q = StreamingOps.upsertStream(stream, table, "doc_id", "shard",
+      work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(table)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        md5(col("text").cast("binary")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
-      qStreamCurate, qStreamSink)
+      qStreamCurate, qStreamSink, qStreamUpsert)
     .map(_.copy(bench = false))
 }

@@ -209,4 +209,27 @@ object StreamingOps {
       }
       .start()
   }
+
+  /** E21 — streaming CDC apply: each micro-batch of change rows
+    * MERGEs into the shard-partitioned corpus table
+    * (MergeUpsert.upsertPartitioned — replace-by-key ∪ insert,
+    * partition-pruned rewrite). Exactly-once needs no commit marker
+    * here, unlike the append-mode curateStream above: replaying a
+    * batch re-upserts the same rows into the same keys, so the
+    * post-state is identical — the merge is idempotent by
+    * construction. Batches apply sequentially (micro-batch
+    * semantics), so last-write-wins ordering across batches is the
+    * stream order.
+    */
+  def upsertStream(changes: DataFrame, tablePath: String, keyCol: String,
+      partCol: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.MergeUpsert.upsertPartitioned(
+            batch.sparkSession, tablePath, batch, keyCol, partCol)
+      }
+      .start()
 }

@@ -74,6 +74,19 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(selected === 1, s"expected 1 of 4 partitions read, got $selected")
   }
 
+  test("re-applying the same batch is idempotent (the streaming replay guarantee)") {
+    val path = freshTable()
+    val batch = Seq((5L, "E"), (9L, "i")).toDF("id", "v")
+      .withColumn("shard", col("id") % 4)
+    MergeUpsert.upsertPartitioned(spark, path, batch, "id", "shard")
+    val once = spark.read.parquet(path).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    MergeUpsert.upsertPartitioned(spark, path, batch, "id", "shard")
+    val twice = spark.read.parquet(path).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(twice === once)
+  }
+
   test("a batch keying every partition still merges correctly") {
     val path = freshTable()
     val batch = Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"), (10L, "j"))
