@@ -1223,6 +1223,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D54 — snapshot versioning / time travel: three committed epochs
+    * (append evens, append odds, delete-rewrite dropping doc_id % 7
+    * == 0) and the gate reads ALL THREE versions back through their
+    * manifests — the hash pins per-version membership exactly, so a
+    * commit that leaked files across versions, a replace that failed
+    * to isolate history, or a reader that fell back to directory
+    * listing all break it.
+    */
+  val qTimeTravel: GateQuery = GateQuery(
+    "q_time_travel",
+    """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |v2 AS (SELECT doc_id, text FROM documents),
+      |v3 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT 1 AS version, doc_id, md5(text) AS content_hash FROM v1
+      |UNION ALL SELECT 2, doc_id, md5(text) FROM v2
+      |UNION ALL SELECT 3, doc_id, md5(text) FROM v3
+      |ORDER BY version, doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Snapshots
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val table = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    Snapshots.commitAppend(s, table, docs.filter(col("doc_id") % 2 === 0))
+    Snapshots.commitAppend(s, table, docs.filter(col("doc_id") % 2 === 1))
+    Snapshots.commitReplace(s, table,
+      Snapshots.read(s, table).filter(col("doc_id") % 7 =!= 0))
+    Seq(1, 2, 3).map { v =>
+      Snapshots.read(s, table, Some(v))
+        .select(lit(v).as("version"), col("doc_id"),
+          md5(col("text").cast("binary")).as("content_hash"))
+    }.reduce(_ unionByName _).orderBy("version", "doc_id")
+  }
+
   /** D21 — deterministic proportional stratified sample: 20% of every
     * source, floor semantics, pure-integer keep test (no float
     * fraction to diverge between engines).
@@ -1968,7 +1999,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qDedupBloom, qMergeUpsert, qCompact,
+    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
