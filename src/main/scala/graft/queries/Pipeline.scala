@@ -1153,10 +1153,13 @@ object Pipeline {
       |SELECT doc_id, lang, content_hash FROM s
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
+    // expectedItems sized to the corpus: the filter bytes ride the
+    // probe plan as a literal, so a defaulted 1M-item filter (~900 KB)
+    // would tax codegen for a 500-hash index
     Dedup.bloomIncremental(
         docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "lang", "text"),
         Dedup.corpusHashIndex(docs.filter(col("doc_id") % 3 === 0), "text"),
-        "doc_id", "text")
+        "doc_id", "text", expectedItems = 10000L)
       .select("doc_id", "lang", "content_hash")
       .orderBy("doc_id")
   }
@@ -1187,7 +1190,10 @@ object Pipeline {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("text"))
     val path = java.nio.file.Files.createTempDirectory("graft_merge").toString
-    docs.write.mode("overwrite").partitionBy("shard").parquet(path)
+    // base laid out compact (one file per shard) — the gate measures
+    // the upsert, not a pathologically fragmented setup write
+    docs.repartition(8, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
     val batch = docs.filter(col("doc_id") % 3 === 0)
       .withColumn("text", upper(col("text")))
       .unionByName(docs.filter(col("doc_id") % 5 === 2)
