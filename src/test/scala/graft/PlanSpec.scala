@@ -296,6 +296,57 @@ class PlanSpec extends AnyFunSuite {
       !rs.contains("l_orderkey") && !rs.contains("l_quantity"), rs)
   }
 
+  test("gapfill: grid joins broadcast, no UDF, pruned read") {
+    val p = planOf("q_gapfill")
+    assert(!p.contains("ScalaUDF"), p)
+    // the hour grid and the fill join are dimension-sized broadcasts —
+    // the corpus must never shuffle for them
+    assert("Broadcast".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("props") && !rs.contains("value"), rs)
+  }
+
+  test("scd2: one entity-key exchange feeds windows and aggregate") {
+    val p = planOf("q_scd2")
+    assert(!p.contains("ScalaUDF"), p)
+    // hash exchange on user_id (windows + segment agg reuse it), the
+    // version window's, plus the gate's final ORDER BY range exchange
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("props") && !rs.contains("value"), rs)
+  }
+
+  test("transitions: totals broadcast, integer div, no cartesian") {
+    val p = planOf("q_transitions")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("bloom dedup: codegen probe, no UDF, hash-only exchanges") {
+    val p = planOf("q_dedup_bloom")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("might_contain"), p)
+    // text never shuffles: the read schema carries it (hash is
+    // computed in-projection) but every exchange moves hashed rows
+    assert(p.contains("LeftAnti") || p.contains("LeftSemi"), p)
+  }
+
+  test("merge upsert: the base read carries a partition filter") {
+    // the operator's read shape, on a committed table
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_plan_merge").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").withColumn("shard", col("id") % 2)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val pruned = spark.read.parquet(path).filter(col("shard").isin(0))
+    val p = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("shard"), p)
+  }
+
   test("audio/image decode tables read only the id column") {
     for (q <- Seq("q_audio_decode", "q_image_decode")) {
       val rs = planOf(q).linesIterator.find(_.contains("ReadSchema")).get
