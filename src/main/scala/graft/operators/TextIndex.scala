@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** D55 — persisted inverted text index with partition-pruned search:
+  * the text-retrieval analogue of the on-disk IVF index (D7+). The
+  * corpus is tokenized ONCE at build time into a postings table
+  * partitioned by term bucket; a query then opens only the buckets
+  * its terms hash to — a directory-pruning partition filter, zero
+  * corpus rescan, zero corpus shuffle. Without the index, every BM25
+  * query re-reads and re-tokenizes the whole corpus (Relevance.bm25's
+  * one-shot shape); with it, per-query cost scales with the matched
+  * postings.
+  *
+  * Scale shape: the build is one (doc, term) aggregate — the same
+  * single real shuffle as one-shot BM25 — plus a bucket-keyed write;
+  * buckets spread terms uniformly (xxhash64), so partition skew is
+  * bounded by the hottest single term's postings. Corpus scalars
+  * (t_total, n_docs) and the bucket modulus persist beside the
+  * postings: readers MUST hash with the same modulus, so it travels
+  * with the index, not the caller.
+  */
+object TextIndex {
+
+  /** Tokenize once, aggregate (doc, term) frequencies, write postings
+    * partitioned by `bucket = pmod(xxhash64(w), nBuckets)` plus the
+    * one-row stats table the scorer needs.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 64): Unit = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("ws"))
+      .withColumn("len", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "len", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
+    tf.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    docs.select(size(TextFunctions.tokens(col(textCol))).cast("long").as("l"))
+      .agg(sum("l").as("t_total"), count(lit(1)).as("n_docs"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Query through the persisted index. Integer-exact BM25 saturation
+    * (the same formula as Relevance.bm25SaturationExact, so an
+    * indexed search must equal the from-scratch score bit-for-bit —
+    * which is exactly what the gate pins). Only the buckets the query
+    * terms hash to are read; the term buckets are resolved by the
+    * engine's own xxhash64 in one single-row job, so build and probe
+    * can never disagree on routing.
+    */
+  def searchSaturationExact(spark: SparkSession, dir: String,
+      terms: Seq[String], scale: Long = 1000000L): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val nBuckets = stats.select("n_buckets").head().getInt(0)
+    val bucketRow = spark.range(1).select(
+      terms.zipWithIndex.map { case (t, i) =>
+        pmod(xxhash64(lit(t)), lit(nBuckets)).cast("int").as(s"b$i") }: _*)
+      .head()
+    val buckets = terms.indices.map(bucketRow.getInt).distinct
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
+      .crossJoin(broadcast(stats.select("t_total", "n_docs")))
+      .withColumn("sat", expr(
+        s"($scale * 22 * tf * t_total) DIV (10 * t_total * tf + 3 * t_total + 9 * len * n_docs)"))
+      .groupBy("doc_id", "len")
+      .agg(count(lit(1)).as("n_matched"), sum("sat").as("sat_score"))
+      .select(col("doc_id"), col("len").as("n_tokens"),
+        col("n_matched"), col("sat_score"))
+  }
+}
