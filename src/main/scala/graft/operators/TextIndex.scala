@@ -44,6 +44,46 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Incremental maintenance: index a NEW batch against the stored
+    * bucket modulus and append its postings into the same partition
+    * layout — no rebuild, no rewrite of existing postings; cost
+    * scales with the batch, not the corpus (the IVF-append contract,
+    * D7+). The stats row is replaced with the summed scalars
+    * (atomically: written to a temp dir first, moved last), because
+    * BM25's idf/avgdl must describe the WHOLE corpus after append.
+    */
+  def appendIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select("t_total", "n_docs", "n_buckets").head()
+    val nBuckets = stats.getInt(2)
+    val tf = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("ws"))
+      .withColumn("len", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "len", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("w")), lit(nBuckets)).cast("int"))
+    tf.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    val batchStats = docs
+      .select(size(TextFunctions.tokens(col(textCol))).cast("long").as("l"))
+      .agg(sum("l").as("bt"), count(lit(1)).as("bn")).head()
+    val tmp = s"$dir/stats_next"
+    spark.range(1).select(
+        lit(stats.getLong(0) + batchStats.getLong(0)).as("t_total"),
+        lit(stats.getLong(1) + batchStats.getLong(1)).as("n_docs"),
+        lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val target = java.nio.file.Paths.get(dir, "stats")
+    val old = java.nio.file.Paths.get(dir, "stats_old")
+    java.nio.file.Files.move(target, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
   /** Query through the persisted index. Integer-exact BM25 saturation
     * (the same formula as Relevance.bm25SaturationExact, so an
     * indexed search must equal the from-scratch score bit-for-bit —

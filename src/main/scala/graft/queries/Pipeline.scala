@@ -857,6 +857,35 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D55+ (append phase) — the index is built from HALF the corpus,
+    * the other half is APPENDED against the stored bucket modulus and
+    * stats (no rebuild), and the search must still equal from-scratch
+    * BM25 over the WHOLE corpus — postings lost, double-counted, or
+    * mis-bucketed by the append, or a stale stats row, all break the
+    * hash. Same oracle as q_bm25/q_text_search.
+    */
+  val qTextSearchAppend: GateQuery = GateQuery(
+    "q_text_search_append",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+      |st AS (SELECT (SELECT COUNT(*) FROM toks) AS t_total,
+      |              (SELECT COUNT(*) FROM documents) AS n_docs),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      |       WHERE w IN ('join', 'scan', 'window') GROUP BY doc_id, w)
+      |SELECT tf.doc_id, CAST(dl.len AS BIGINT) AS n_tokens, COUNT(*) AS n_matched,
+      |  CAST(SUM((1000000 * 22 * tf.tf * st.t_total) // (10 * st.t_total * tf.tf + 3 * st.t_total + 9 * dl.len * st.n_docs)) AS BIGINT) AS sat_score
+      |FROM tf JOIN dl USING (doc_id), st
+      |GROUP BY tf.doc_id, dl.len
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.TextIndex
+    val docs = Tables(s, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_textidx_app").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    TextIndex.appendIndex(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+    TextIndex.searchSaturationExact(s, idx, Seq("join", "scan", "window"))
+      .orderBy("doc_id")
+  }
+
   /** D28 — corpus k-means clustering (k=4, 2 Lloyd iterations) over
     * integer-quantized embeddings (floor(x·256) — exact on every
     * engine). Init = the 4 smallest vec_ids; assignment ties break to
@@ -2032,7 +2061,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch,
+    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,

@@ -53,6 +53,23 @@ class TextIndexSpec extends AnyFunSuite {
     assert(selected < 64)
   }
 
+  test("append indexes only the batch, search covers the union") {
+    val docs = Tables(spark, sf, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ti_spec_app").toString
+    TextIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    val beforeFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/postings"))
+      .iterator()
+    import scala.jdk.CollectionConverters._
+    val before = beforeFiles.asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    TextIndex.appendIndex(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/postings"))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSet
+    assert(before.subsetOf(after), "append must not rewrite existing postings")
+    val scratch = rows(Relevance.bm25SaturationExact(docs, "doc_id", "text", terms))
+    assert(rows(TextIndex.searchSaturationExact(spark, idx, terms)) === scratch)
+  }
+
   test("index content is partition-invariant") {
     val docs = Tables(spark, sf, "documents")
     val a = java.nio.file.Files.createTempDirectory("graft_ti_spec3a").toString
