@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level word statistics — the two-pass shape (corpus
@@ -302,5 +302,35 @@ object CorpusStats {
       .join(perSrc.select(col("source").as("src_b"), col("n_sh").as("n_b")), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
         expr(s"n_shared * $scale div least(n_a, n_b)").as("containment_ppm"))
+  }
+
+  /** D56 — token-distribution drift between two corpus slices (new
+    * epoch vs old, one source vs the mixture): per-token occurrence
+    * rates in ppm on each side and their L1 gap. The mixture-drift
+    * monitor a continuously-ingested corpus needs — a domain shift,
+    * a scraper regression, or boilerplate flood shows up as a fat
+    * drift tail long before it shows in loss curves.
+    *
+    * Scale shape: ONE corpus aggregate to the vocab-sized
+    * (w, cnt_a, cnt_b) table — the side label rides as conditional
+    * sums (the D40 trick: no split-and-union, no second pass); side
+    * totals are one broadcast row; rates and drift are a pure
+    * projection in integer ppm (`div`), so Long holds to ~9·10^12
+    * tokens per side and both engines agree bit-for-bit.
+    */
+  def tokenDrift(docs: DataFrame, textCol: String, sideA: Column,
+      minCount: Long = 1L, scale: Long = 1000000L): DataFrame = {
+    val tok = docs.select(sideA.as("side"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val counts = tok.groupBy("w").agg(
+      sum(when(col("side"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(col("side"), 0L).otherwise(1L)).as("cnt_b"))
+    val totals = counts.agg(sum("cnt_a").as("ta"), sum("cnt_b").as("tb"))
+    counts.filter(col("cnt_a") + col("cnt_b") >= minCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("rate_a_ppm", expr(s"cnt_a * $scale div ta"))
+      .withColumn("rate_b_ppm", expr(s"cnt_b * $scale div tb"))
+      .withColumn("drift_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
+      .select("w", "cnt_a", "cnt_b", "rate_a_ppm", "rate_b_ppm", "drift_ppm")
   }
 }

@@ -886,6 +886,36 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D56 — token-distribution drift between the even- and odd-id
+    * halves of the corpus: per-token ppm rates on each side and the
+    * L1 gap, tokens with ≥5 total occurrences. The oracle retallies
+    * both sides and replays the integer `div` rates.
+    */
+  val qTokenDrift: GateQuery = GateQuery(
+    "q_token_drift",
+    """WITH tok AS (
+      |  SELECT doc_id % 2 = 0 AS side, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT w,
+      |    CAST(SUM(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+      |    CAST(SUM(CASE WHEN side THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      |  FROM tok GROUP BY w),
+      |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+      |             CAST(SUM(cnt_b) AS BIGINT) AS tb FROM c)
+      |SELECT w, cnt_a, cnt_b,
+      |  CAST((cnt_a * 1000000) // ta AS BIGINT) AS rate_a_ppm,
+      |  CAST((cnt_b * 1000000) // tb AS BIGINT) AS rate_b_ppm,
+      |  CAST(abs((cnt_a * 1000000) // ta - (cnt_b * 1000000) // tb) AS BIGINT)
+      |    AS drift_ppm
+      |FROM c, t WHERE cnt_a + cnt_b >= 5
+      |ORDER BY w""".stripMargin) { (s, dir) =>
+    graft.operators.CorpusStats.tokenDrift(
+        Tables(s, dir, "documents"), "text", col("doc_id") % 2 === 0,
+        minCount = 5L)
+      .orderBy("w")
+  }
+
   /** D28 — corpus k-means clustering (k=4, 2 Lloyd iterations) over
     * integer-quantized embeddings (floor(x·256) — exact on every
     * engine). Init = the 4 smallest vec_ids; assignment ties break to
@@ -2061,7 +2091,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend,
+    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,

@@ -199,4 +199,27 @@ class CurationOpsSpec extends AnyFunSuite {
     val maxBin = bins.agg(max("bin")).as[Long].head()
     assert(maxBin <= totalTokens / 64 + 1)
   }
+
+  test("token drift: hand-verified ppm rates and L1 gap, partition-invariant") {
+    // side A (doc 0): "a a b" -> TA=3; side B (doc 1): "a c" -> TB=2
+    val rows = Seq((0L, "a a b"), (1L, "a c"))
+    val expected = Set(
+      ("a", 2L, 1L, 666666L, 500000L, 166666L),
+      ("b", 1L, 0L, 333333L, 0L, 333333L),
+      ("c", 0L, 1L, 0L, 500000L, 500000L))
+    for (parts <- Seq(1, 4)) {
+      val got = graft.operators.CorpusStats.tokenDrift(
+          rows.toDF("doc_id", "text").repartition(parts),
+          "text", col("doc_id") % 2 === 0)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got === expected, s"parts=$parts")
+    }
+    // minCount prunes the report, not the totals the rates divide by
+    val pruned = graft.operators.CorpusStats.tokenDrift(
+        rows.toDF("doc_id", "text"), "text", col("doc_id") % 2 === 0,
+        minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(pruned === Set("a" -> 666666L))
+  }
 }
