@@ -1175,6 +1175,23 @@ object Pipeline {
       .orderBy("token")
   }
 
+  /** D57 — persisted mergeable HLL sketches: built per shard, merged
+    * from the sketch TABLE at query time. The oracle replays the
+    * exact distinct; the sketch estimate rides as a contract boolean
+    * (the q_heavy_hitters pattern — drift flips it, hash breaks).
+    */
+  val qHllDistinct: GateQuery = GateQuery(
+    "q_hll_distinct",
+    """SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+      |  TRUE AS estimate_ok
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select((col("doc_id") % 8).as("shard"),
+        md5(col("text").cast("binary")).as("h"))
+    val out = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    graft.operators.Sketches.cardinalityCheck(docs, "h", "shard", s"$out/sk")
+  }
+
   /** D26 — corpus-rarity profile: document frequencies from one
     * corpus pass, joined back per document. Integer outputs only
     * (sum/min of dfs, distinct counts) — exact on every engine.
@@ -2091,7 +2108,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
-    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift,
+    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,

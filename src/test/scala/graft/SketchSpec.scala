@@ -27,6 +27,55 @@ class SketchSpec extends AnyFunSuite {
     assert(order === Seq("a", "b"))
   }
 
+  test("hll: merged per-shard sketches estimate inside the bound") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select((col("doc_id") % 8).as("shard"),
+        md5(col("text").cast("binary")).as("h"))
+    // NOTE: the union path may land in a different DataSketches mode
+    // (sparse vs dense) than a one-shot sketch, so merged estimates
+    // are compared to the EXACT count, not to the one-shot estimate
+    val exact = docs.agg(countDistinct(col("h"))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_spec").toString
+    Sketches.writeCardinalitySketches(docs, "h", "shard", s"$dir/sk")
+    val merged = Sketches.estimateDistinct(spark, s"$dir/sk")
+    assert(math.abs(merged - exact) * 100 <= exact * 5,
+      s"union estimate $merged vs exact $exact")
+    // sketch BYTES are insertion-order-sensitive (DataSketches sparse
+    // internals), so across partitionings the guarantee is the error
+    // bound, not byte equality
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hll_spec2").toString
+    Sketches.writeCardinalitySketches(docs.repartition(13), "h", "shard", s"$dir2/sk")
+    val merged2 = Sketches.estimateDistinct(spark, s"$dir2/sk")
+    assert(math.abs(merged2 - exact) * 100 <= exact * 5,
+      s"union estimate $merged2 vs exact $exact (repartitioned build)")
+  }
+
+  test("hll: shard append composes; subset estimates read the subset") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select((col("doc_id") % 8).as("shard"),
+        md5(col("text").cast("binary")).as("h"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_spec3").toString
+    Sketches.writeCardinalitySketches(
+      docs.filter(col("shard") < 4), "h", "shard", s"$dir/sk")
+    Sketches.writeCardinalitySketches(
+      docs.filter(col("shard") >= 4), "h", "shard", s"$dir/sk")
+    // append-built and single-pass-built tables both estimate inside
+    // the bound (sketch bytes differ with insertion order, estimates
+    // stay bounded)
+    val exact = docs.agg(countDistinct(col("h"))).head().getLong(0)
+    val appended = Sketches.estimateDistinct(spark, s"$dir/sk")
+    assert(math.abs(appended - exact) * 100 <= exact * 5,
+      s"append-built union estimate $appended vs exact $exact")
+    val subsetExact = docs.filter(col("shard") === 2)
+      .agg(countDistinct(col("h"))).head().getLong(0)
+    val subsetEst = Sketches.estimateDistinct(spark, s"$dir/sk", Seq(2L))
+    assert(math.abs(subsetEst - subsetExact) * 100 <= subsetExact * 5)
+  }
+
   test("the gate contract holds at every local SF") {
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val docs = Tables(spark, s"/root/testdata/sf$sf", "documents")
