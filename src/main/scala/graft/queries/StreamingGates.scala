@@ -379,6 +379,81 @@ object StreamingGates {
       .orderBy("click_id", "error_id")
   }
 
+  /** E22 — watermark LATE-DATA semantics, pinned exactly: every
+    * event_id % 10 == 0 row is withheld and re-delivered two batches
+    * later. Two batches, not one, because since SPARK-24634 the
+    * late-event filter uses the PREVIOUS batch's watermark (eviction
+    * uses the current one) — so batch 1's max only governs dropping
+    * from batch 3 onward; batch 2 is an on-time middle batch that
+    * lets it take effect (measured here: a late batch delivered one
+    * batch early is NOT filtered). Spark then drops a late row iff
+    * its window END ≤ (max event time of batch 1, floored to ms) −
+    * 30 min, re-expanded to µs — the oracle replays that exact
+    * integer arithmetic, so an off-by-one in the boundary, a row
+    * dropped that shouldn't be, or a kept row lost all break the
+    * hash. A far-future sentinel (batch 4) advances the watermark
+    * past every real window so Append mode flushes them; the
+    * sentinel's own window can never finalize and is therefore
+    * self-excluding.
+    */
+  val qStreamLate: GateQuery = GateQuery(
+    "q_stream_late",
+    """WITH b1 AS (SELECT * FROM events WHERE event_id % 10 NOT IN (0, 1)),
+      |bmid AS (SELECT * FROM events WHERE event_id % 10 = 1),
+      |late AS (SELECT * FROM events WHERE event_id % 10 = 0),
+      |wm AS (SELECT (MAX(epoch_us(ts)) // 1000 - 1800000) * 1000 AS w1_us FROM b1),
+      |kept AS (
+      |  SELECT ts, event_type FROM b1
+      |  UNION ALL
+      |  SELECT ts, event_type FROM bmid
+      |  UNION ALL
+      |  SELECT e.ts, e.event_type FROM late e, wm
+      |  WHERE epoch_us(date_trunc('hour', e.ts)) + 3600000000 > wm.w1_us)
+      |SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+      |  COUNT(*) AS n
+      |FROM kept GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_late")
+    val raw = s.read.parquet(s"$dir/events.parquet") // raw vintage preserved
+    val srcDir = work.resolve("src").toString
+    raw.filter(!(col("event_id") % 10).isin(0, 1)).coalesce(1)
+      .write.parquet(s"$srcDir/b1")
+    raw.filter(col("event_id") % 10 === 1).coalesce(1)
+      .write.parquet(s"$srcDir/b1m")
+    raw.filter(col("event_id") % 10 === 0).coalesce(1).write.parquet(s"$srcDir/b2")
+    // sentinel ts = max + 30 days, typed to the file's ts vintage
+    // (30 days stays inside Long even on the nanos-long vintage)
+    val sentinelTs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (col("ts") + lit(30L * 86400L * 1000000000L)).as("ts")
+      case _ => expr("ts + INTERVAL 30 DAYS").as("ts")
+    }
+    raw.orderBy(col("ts").desc).limit(1)
+      .select(lit(-1L).as("event_id"), sentinelTs, lit(-1L).as("user_id"),
+        lit("click").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$srcDir/b3")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b1m", "b2", "b3").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = Tables.normalizeEventTs(
+      s.readStream.schema(s.read.parquet(staged.toString).schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString))
+      .withWatermark("ts", "30 minutes")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, OutputMode.Append())
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n"))
+      .orderBy("win_us", "event_type")
+  }
+
   /** E21 — streaming CDC apply, driven through a REAL two-micro-batch
     * run: batch 1 uppercases every doc_id % 3 == 0, batch 2 appends
     * '!' to every doc_id % 4 == 1 (keys in both — e.g. 9, 21 — pin
@@ -437,6 +512,6 @@ object StreamingGates {
 
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
-      qStreamCurate, qStreamSink, qStreamUpsert)
+      qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate)
     .map(_.copy(bench = false))
 }
