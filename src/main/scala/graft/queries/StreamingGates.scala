@@ -401,7 +401,7 @@ object StreamingGates {
     """WITH b1 AS (SELECT * FROM events WHERE event_id % 10 NOT IN (0, 1)),
       |bmid AS (SELECT * FROM events WHERE event_id % 10 = 1),
       |late AS (SELECT * FROM events WHERE event_id % 10 = 0),
-      |wm AS (SELECT (MAX(epoch_us(ts)) // 1000 - 1800000) * 1000 AS w1_us FROM b1),
+      |wm AS (SELECT CAST((MAX(epoch_us(ts)) // 1000 - 1800000) * 1000 AS BIGINT) AS w1_us FROM b1),
       |kept AS (
       |  SELECT ts, event_type FROM b1
       |  UNION ALL
