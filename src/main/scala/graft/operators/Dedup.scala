@@ -251,24 +251,25 @@ object Dedup {
     * rows by numBands only; the bucket self-join shuffles (band_sig,
     * doc_id) pairs; candidates are verified with exact Jaccard.
     */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, numBands: Int,
-      threshold: Double): DataFrame = {
+  /** (doc_id, n_sh, band, band_sig) — the signature/banding pipeline
+    * shared by one-shot LSH and the persisted signature index.
+    * Signature via exploded shingles + hash-aggregate: whole-stage
+    * codegen'd min() per seed, one shuffle on doc_id. ~20× faster than
+    * nested higher-order functions (interpreted, recomputed per branch).
+    * The hash family is Kirsch-Mitzenmacher over ONE md5 per shingle:
+    * h_i = (h1 + i*h2) mod 2^48 with h1/h2 the two 48-bit md5 halves
+    * — 1 digest + numHashes integer ops per row instead of numHashes
+    * digests (the digest was the signature pass's cost center), and
+    * 64-bit mins beat 32-char string mins in the aggregate. Exactly
+    * mirrorable in SQL: ('0x' || substr(md5(s),...))::BIGINT.
+    * The set size rides in the same aggregate — no second pass.
+    */
+  private[operators] def bandSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0, "bands must evenly divide hashes")
     require(numHashes <= 1024, "h1 + i*h2 must stay below 2^63: numHashes <= 1024")
     val rowsPerBand = numHashes / numBands
-    val sh = shingleTable(docs, idCol, textCol, shingleN)
-    // Signature via exploded shingles + hash-aggregate: whole-stage
-    // codegen'd min() per seed, one shuffle on doc_id. ~20× faster than
-    // nested higher-order functions (interpreted, recomputed per branch).
-    // The hash family is Kirsch-Mitzenmacher over ONE md5 per shingle:
-    // h_i = (h1 + i*h2) mod 2^48 with h1/h2 the two 48-bit md5 halves
-    // — 1 digest + numHashes integer ops per row instead of numHashes
-    // digests (the digest was the signature pass's cost center), and
-    // 64-bit mins beat 32-char string mins in the aggregate. Exactly
-    // mirrorable in SQL: ('0x' || substr(md5(s),...))::BIGINT.
-    // The set size rides in the same aggregate — no second pass.
-    val inv = explodeShingles(sh)
+    val inv = explodeShingles(shingleTable(docs, idCol, textCol, shingleN))
     val modulus = 1L << 48
     val withHalves = inv.select(col("doc_id"),
       conv(substring(md5(col("shingle").cast("binary")), 1, 12), 16, 10)
@@ -279,11 +280,17 @@ object Dedup {
       min((col("h1") + lit(i.toLong) * col("h2")) % lit(modulus)).as(s"h$i")) :+
       count(lit(1)).as("n_sh")
     val sig = withHalves.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val bands = sig.select(col("doc_id"), col("n_sh"),
+    sig.select(col("doc_id"), col("n_sh"),
       posexplode(array((0 until numBands).map { b =>
         md5(concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => col(s"h$i").cast("string")): _*).cast("binary"))
       }: _*)).as(Seq("band", "band_sig")))
+  }
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, numBands: Int,
+      threshold: Double): DataFrame = {
+    val bands = bandSignatures(docs, idCol, textCol, shingleN, numHashes, numBands)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -312,6 +319,45 @@ object Dedup {
         (col("n1") + col("n2") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
+  }
+
+  /** D58 — persisted MinHash signature index: the corpus keeps
+    * (doc_id, band, band_sig) rows beside its data — fixed-width, a
+    * few rows per document — so incremental NEAR-dup curation of a
+    * new batch never rescans or re-shingles corpus text (the LSH
+    * analogue of D24's exact hash index). Band parameters persist
+    * with the index so build and probe cannot disagree; `append`
+    * mode extends the index with an accepted batch's signatures at
+    * batch-sized cost.
+    */
+  def writeSignatureIndex(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String, shingleN: Int, numHashes: Int, numBands: Int): Unit = {
+    bandSignatures(corpus, idCol, textCol, shingleN, numHashes, numBands)
+      .write.mode("append").parquet(s"$dir/bands")
+    corpus.sparkSession.range(1)
+      .select(lit(shingleN).as("shingle_n"), lit(numHashes).as("num_hashes"),
+        lit(numBands).as("num_bands"))
+      .coalesce(1).write.mode("ignore").parquet(s"$dir/params")
+  }
+
+  /** Probe a NEW batch against the stored signature index: one join
+    * on fixed-width (band, band_sig) keys yields every
+    * (new doc, corpus doc) LSH-candidate pair. The decision is
+    * banding-only by design — at this stage the corpus text is not
+    * available (that is the point), so the collision probability is
+    * tuned through (numHashes, numBands) exactly as in the one-shot
+    * [[minhashLsh]], whose verified threshold calibrates them.
+    */
+  def incrementalNearDup(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    val idx = spark.read.parquet(s"$dir/bands")
+      .select(col("doc_id").as("d_corpus"), col("band"), col("band_sig"))
+    bandSignatures(batch, idCol, textCol,
+        p.getInt(0), p.getInt(1), p.getInt(2))
+      .select(col("doc_id").as("d_new"), col("band"), col("band_sig"))
+      .join(idx, Seq("band", "band_sig"))
+      .select("d_new", "d_corpus").distinct()
   }
 
   /** D3 — SimHash fingerprints (16-bit portable variant; the 64-bit

@@ -119,6 +119,39 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
+  /** D58 — incremental near-dup against the PERSISTED signature
+    * index: evens are indexed, odds probe, and every (new, corpus)
+    * band collision must match the oracle replaying the full KM
+    * signature pipeline for both sides — a signature mis-stored,
+    * mis-read, or recomputed with different params all break it.
+    */
+  val qNearDupIncremental: GateQuery = GateQuery(
+    "q_neardup_incremental",
+    s"""WITH ${shingleCte(3)},
+       |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+       |         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS h
+       |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(i // 3 AS BIGINT) AS band,
+       |            md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_sig
+       |          FROM mh GROUP BY doc_id, band)
+       |SELECT DISTINCT b.doc_id AS d_new, a.doc_id AS d_corpus
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig
+       |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |ORDER BY d_new, d_corpus""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    Dedup.writeSignatureIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, shingleN = 3, numHashes = 12, numBands = 4)
+    Dedup.incrementalNearDup(s, idx, docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy("d_new", "d_corpus")
+  }
+
   /** D3 — 16-bit SimHash fingerprint per document. */
   val qDedupSimhash: GateQuery = {
     val hexVal = (k: Int) => s"(strpos('0123456789abcdef', substr(md5(w), $k, 1)) - 1)"
@@ -2101,6 +2134,7 @@ object Pipeline {
 
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
+    qNearDupIncremental,
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend, qEmbeddingNorm,
