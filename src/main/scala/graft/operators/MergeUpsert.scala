@@ -35,6 +35,7 @@ object MergeUpsert {
   def upsertPartitioned(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String, partCol: String): Unit = {
     val affected = batch.select(partCol).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return // empty batch: zero partitions to touch
     val base = spark.read.parquet(path)
       .filter(col(partCol).isin(affected: _*))
     val kept = base.join(batch.select(keyCol), Seq(keyCol), "left_anti")

@@ -87,6 +87,15 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(twice === once)
   }
 
+  test("an empty batch leaves the table byte-for-byte untouched") {
+    val path = freshTable()
+    val before = snapshot(path)
+    val batch = Seq.empty[(Long, String)].toDF("id", "v")
+      .withColumn("shard", col("id") % 4)
+    MergeUpsert.upsertPartitioned(spark, path, batch, "id", "shard")
+    assert(snapshot(path) === before)
+  }
+
   test("a batch keying every partition still merges correctly") {
     val path = freshTable()
     val batch = Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"), (10L, "j"))
