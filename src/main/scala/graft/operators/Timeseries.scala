@@ -66,6 +66,34 @@ object Timeseries {
         col("valid_from_us"), col("valid_to_us"), col("n_events"))
   }
 
+  /** E23 — interval coalescing (gaps-and-islands union): overlapping
+    * or touching [start, end) intervals per entity merge into maximal
+    * disjoint islands. The activity-coverage primitive sessionize
+    * does not give: sessions split on GAPS between points, islands
+    * union SPANS — e.g. per-event validity windows, lease ranges,
+    * incident windows.
+    *
+    * Scale shape: one hash exchange on the entity id; the island
+    * boundary is `start > max(end) over all preceding intervals`
+    * (running max — NOT lag(end): an earlier long interval can
+    * swallow several later ones), then the island aggregate reuses
+    * the same partitioning. Pure integer µs compares — engine-exact.
+    */
+  def coalesceIntervals(intervals: DataFrame, idCol: String,
+      startCol: String, endCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col(startCol), col(tieCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = intervals
+      .withColumn("__new", when(prevMaxEnd.isNull ||
+        col(startCol) > prevMaxEnd, 1).otherwise(0))
+      .withColumn("island",
+        sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    flagged.groupBy(col(idCol), col("island"))
+      .agg(min(startCol).as("start_us"), max(endCol).as("end_us"),
+        count(lit(1)).as("n_merged"))
+  }
+
   /** E20 — first-order Markov transition matrix over per-entity event
     * sequences: counts and fixed-point ppm probabilities for every
     * observed (from, to) event-type pair. Session-path analysis and

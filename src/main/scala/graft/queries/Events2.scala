@@ -88,5 +88,41 @@ object Events2 {
       .orderBy("from_type", "to_type")
   }
 
-  val all: Seq[GateQuery] = Seq(qGapfill, qScd2, qTransitions)
+  /** E23 — interval coalescing: every event opens a 30-minute
+    * validity window; overlapping windows union into maximal
+    * disjoint activity islands per user. Running-max boundary (an
+    * early long interval can swallow several later ones — lag(end)
+    * would split them wrongly), pure integer µs.
+    */
+  val qIntervalCoalesce: GateQuery = GateQuery(
+    "q_interval_coalesce",
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 1800000000 AS e, event_id
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_island, event_id
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, s, e,
+      |    CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      |  FROM o)
+      |SELECT user_id, island, MIN(s) AS start_us, MAX(e) AS end_us,
+      |  COUNT(*) AS n_merged
+      |FROM g GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin) { (s, dir) =>
+    val iv = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 1800000000L).as("e"), col("event_id"))
+    Timeseries.coalesceIntervals(iv, "user_id", "s", "e", "event_id")
+      .orderBy("user_id", "island")
+  }
+
+  val all: Seq[GateQuery] = Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce)
 }

@@ -73,6 +73,29 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("coalesceIntervals: swallowing interval, touching boundary, islands") {
+    // user 1: [0,10) swallows [2,4) and [8,12) extends it -> [0,12);
+    //         [12,15) touches 12? start 12 > maxEnd 12 is FALSE -> merges
+    //         [20,25) is a new island
+    // user 2: single interval
+    val iv = Seq(
+      (1L, 0L, 10L, 101L), (1L, 2L, 4L, 102L), (1L, 8L, 12L, 103L),
+      (1L, 12L, 15L, 104L), (1L, 20L, 25L, 105L),
+      (2L, 5L, 6L, 201L))
+      .toDF("user_id", "s", "e", "event_id")
+    for (parts <- Seq(1, 4)) {
+      val got = graft.operators.Timeseries
+        .coalesceIntervals(iv.repartition(parts), "user_id", "s", "e", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val expected = Set(
+        (1L, 1L, 0L, 15L, 4L),
+        (1L, 2L, 20L, 25L, 1L),
+        (2L, 1L, 5L, 6L, 1L))
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("transitionMatrix ppm is floor division, rows sum to <= 1e6 per from") {
     val df = Seq(
       (1L, 1L, 1L, "a"), (2L, 2L, 1L, "b"), (3L, 3L, 1L, "a"),
