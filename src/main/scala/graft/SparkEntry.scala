@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Events2, Heap, Pipeline, Relational, Reports, SqlSurface, StreamingGates}
+import graft.queries.{Events, Events2, Graphs, Heap, Pipeline, Relational, Reports, SqlSurface, StreamingGates}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are defined in graft.queries.* and registered here.
@@ -11,7 +11,7 @@ object SparkEntry {
   /** Every gate query, in SURVEY.md §2 order. */
   def gateQueries: Seq[GateQuery] = Seq(
     Relational.all, SqlSurface.all, Reports.all, Pipeline.all, Events.all,
-    Events2.all, StreamingGates.all, Heap.all).flatten
+    Events2.all, Graphs.all, StreamingGates.all, Heap.all).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

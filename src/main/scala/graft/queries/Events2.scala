@@ -124,5 +124,36 @@ object Events2 {
       .orderBy("user_id", "island")
   }
 
-  val all: Seq[GateQuery] = Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce)
+  /** E24 — hopping (sliding) window aggregate: 1-hour windows sliding
+    * every 30 minutes, so each event lands in exactly two windows.
+    * Spark's `window(ts, len, slide)` aligns starts to slide
+    * multiples since epoch; the oracle replays that as a UNION of the
+    * two 30-minute-floor-aligned starts per event — pure integer µs.
+    */
+  val qSlidingWindow: GateQuery = GateQuery(
+    "q_sliding_window",
+    """WITH t AS (
+      |  SELECT epoch_us(ts) AS t_us, event_type,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT CAST((t_us // 1800000000) * 1800000000 AS BIGINT) AS win_us,
+      |    event_type, v FROM t
+      |  UNION ALL
+      |  SELECT CAST((t_us // 1800000000) * 1800000000 - 1800000000 AS BIGINT)
+      |    AS win_us, event_type, v FROM t)
+      |SELECT win_us, event_type, COUNT(*) AS n,
+      |  CAST(SUM(v) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2
+      |ORDER BY win_us, event_type""".stripMargin) { (s, dir) =>
+    val src = Tables(s, dir, "events")
+      .withColumn("value", col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+    graft.streaming.StreamingOps.hoppingCounts(src)
+      .select(unix_micros(col("win_start")).as("win_us"), col("event_type"),
+        col("n"), col("total_value").cast("double").as("total_value"))
+      .orderBy("win_us", "event_type")
+  }
+
+  val all: Seq[GateQuery] =
+    Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow)
 }

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{GateQuery, Tables}
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality gate (SURVEY.md §2.D): PageRank over the
+  * customer↔supplier trade graph derived from orders⋈lineitem —
+  * node ids are disjoint (custkey·2 vs suppkey·2+1), edges run both
+  * directions so every node has out-degree ≥ 1 (no dangling-mass
+  * term to model). The oracle replays THREE full iterations as
+  * unrolled CTEs in the same scaled-integer arithmetic — the k-means
+  * (D28) replay pattern applied to link analysis.
+  */
+object Graphs {
+
+  private val iters = 3
+
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val pairs = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  val qPagerank: GateQuery = GateQuery(
+    "q_pagerank",
+    """WITH pairs AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |e AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION
+      |  SELECT s AS src, c AS dst FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS v FROM e),
+      |n AS (SELECT COUNT(*) AS cnt FROM nodes),
+      |b AS (SELECT CAST(1000000000000 // cnt AS BIGINT) AS init FROM n),
+      |bb AS (SELECT CAST((init * 15) // 100 AS BIGINT) AS base FROM b),
+      |r0 AS (SELECT v, (SELECT init FROM b) AS r FROM nodes),
+      |c1 AS (SELECT e.dst AS v, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS s
+      |       FROM e JOIN r0 ON r0.v = e.src JOIN deg ON deg.src = e.src
+      |       GROUP BY 1),
+      |r1 AS (SELECT nodes.v, (SELECT base FROM bb)
+      |      + CAST((85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c1 ON c1.v = nodes.v),
+      |c2 AS (SELECT e.dst AS v, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS s
+      |       FROM e JOIN r1 ON r1.v = e.src JOIN deg ON deg.src = e.src
+      |       GROUP BY 1),
+      |r2 AS (SELECT nodes.v, (SELECT base FROM bb)
+      |      + CAST((85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c2 ON c2.v = nodes.v),
+      |c3 AS (SELECT e.dst AS v, CAST(SUM(r2.r // deg.outdeg) AS BIGINT) AS s
+      |       FROM e JOIN r2 ON r2.v = e.src JOIN deg ON deg.src = e.src
+      |       GROUP BY 1),
+      |r3 AS (SELECT nodes.v, (SELECT base FROM bb)
+      |      + CAST((85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c3 ON c3.v = nodes.v)
+      |SELECT v AS node, CAST(r AS BIGINT) AS rank_ppt FROM r3
+      |ORDER BY node""".stripMargin) { (s, dir) =>
+    Graph.pageRank(tradeEdges(s, dir), iters).orderBy("node")
+  }
+
+  val all: Seq[GateQuery] = Seq(qPagerank)
+}

@@ -725,11 +725,54 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** C40 — runtime-bloom-filtered join: a selective dim-side filter
+    * injects a `bloom_filter_agg` subquery whose `might_contain`
+    * prunes fact rows BEFORE the join shuffle — at 100 TB the
+    * difference between shuffling 2% of lineitem and all of it. The
+    * local thresholds hide the feature (defaults engage past multi-GB
+    * scans), so the gate pins injection explicitly: it plans under a
+    * lowered application-side threshold and FAILS if the optimizer
+    * stops injecting the filter. The oracle is the plain join — a
+    * bloom has no false negatives, so the runtime filter must be
+    * semantically invisible.
+    */
+  val qBloomJoin: GateQuery = GateQuery(
+    "q_bloom_join",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val j = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast("double").as("total_qty"))
+        .orderBy("o_orderpriority")
+      val opt = j.queryExecution.optimizedPlan.toString
+      require(opt.contains("bloom_filter_agg") && opt.contains("might_contain"),
+        "runtime bloom filter was not injected:\n" + opt)
+      j
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     q1PricingSummary, qFilterPushdown, q6Revenue, qSummary,
     q3ShippingPriority, qSemiJoin, q5LocalSupplier, qAntiJoin, qOuterJoin,
     qWindowTopN, qWindowRunning, qDistinct, qUnion, qRollup, qCube,
     qPercentile, qApproxPercentile, qScalarSub, qApproxDistinct, qSample,
     qSampleDeterministic, qTopKAgg, qPercentileDisc, qPivot, qUnpivot, qStats,
-    qBucketedJoin, qSkewJoin)
+    qBucketedJoin, qSkewJoin, qBloomJoin)
 }

@@ -510,8 +510,39 @@ object StreamingGates {
       .orderBy("doc_id")
   }
 
+  /** E24 — the hopping-window aggregate on a real stream, against the
+    * SAME oracle as the batch q_sliding_window: 1-hour windows every
+    * 30 minutes, each event in exactly two. Complete mode re-emits
+    * the full window table each trigger; the memory sink holds the
+    * final state.
+    */
+  val qStreamSliding: GateQuery = GateQuery(
+    "q_stream_sliding",
+    """WITH t AS (
+      |  SELECT epoch_us(ts) AS t_us, event_type,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT CAST((t_us // 1800000000) * 1800000000 AS BIGINT) AS win_us,
+      |    event_type, v FROM t
+      |  UNION ALL
+      |  SELECT CAST((t_us // 1800000000) * 1800000000 - 1800000000 AS BIGINT)
+      |    AS win_us, event_type, v FROM t)
+      |SELECT win_us, event_type, COUNT(*) AS n,
+      |  CAST(SUM(v) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2
+      |ORDER BY win_us, event_type""".stripMargin) { (s, dir) =>
+    val src = eventsStream(s, dir)
+      .withColumn("value", col("value").cast(D))
+      .withWatermark("ts", "1 hour")
+    runToMemory(StreamingOps.hoppingCounts(src), OutputMode.Complete())
+      .select(unix_micros(col("win_start")).as("win_us"), col("event_type"),
+        col("n"), col("total_value").cast("double").as("total_value"))
+      .orderBy("win_us", "event_type")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
-      qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate)
+      qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding)
     .map(_.copy(bench = false))
 }

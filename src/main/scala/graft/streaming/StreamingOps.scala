@@ -20,6 +20,19 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** E24 — hopping (sliding) window aggregate: each event lands in
+    * windowLen/slide overlapping windows. Same plan shape batch and
+    * streaming; the row multiplication is the fixed windowLen/slide
+    * factor (2 here), applied BEFORE the shuffle as a generated
+    * window list — at 100 TB the exchange carries (win, type) keyed
+    * partial aggregates, not the replicated rows.
+    */
+  def hoppingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
   final case class SessionEvent(user_id: Long, ts_us: Long)
   final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-worked PageRank fixtures: a 3-node symmetric path whose two
+  * iterations are computable on paper, invariance properties (mass
+  * conservation up to floor loss, partition invariance), and the
+  * hub-vs-leaf ordering PageRank exists to produce.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val S = 1000000000000L // scale
+
+  /** path a—b—c (symmetric): b is the hub. */
+  private def pathEdges(parts: Int) =
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst").repartition(parts)
+
+  test("pageRank on a—b—c: hand-computed two iterations, hub on top") {
+    for (parts <- Seq(1, 4)) {
+      val got = Graph.pageRank(pathEdges(parts), iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // init = S/3; base = init*15/100
+      val init = S / 3
+      val base = init * 15 / 100
+      // iter 1: a gets b's half, b gets a+c whole, c gets b's half
+      val r1a = base + 85L * (init / 2) / 100
+      val r1b = base + 85L * (init + init) / 100
+      val r1 = Map(1L -> r1a, 2L -> r1b, 3L -> r1a)
+      // iter 2 from r1
+      val r2a = base + 85L * (r1b / 2) / 100
+      val r2b = base + 85L * (r1a + r1a) / 100
+      assert(got === Map(1L -> r2a, 2L -> r2b, 3L -> r2a), s"parts=$parts")
+      assert(got(2L) > got(1L), "hub must outrank leaves")
+    }
+  }
+
+  test("rank mass is conserved up to bounded floor loss") {
+    // star: center 0 — leaves 1..6, symmetric
+    val edges = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L)))
+      .toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 3).collect().map(_.getLong(1))
+    val total = ranks.sum
+    // every floor division loses < 1 unit per node per term; with
+    // n=7 nodes, 3 iters, ≤3 floors per node per iter the loss bound
+    // is tiny relative to S
+    assert(total <= S && total > S - 7L * 3 * 3 * 100, s"total=$total")
+    assert(ranks.max === Graph.pageRank(edges, iters = 3)
+      .filter("node = 0").collect().head.getLong(1), "center dominates")
+  }
+
+  test("duplicate input edges do not change the result") {
+    val once = Graph.pageRank(pathEdges(1), iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dup = Graph.pageRank(pathEdges(1).union(pathEdges(1)), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once === dup)
+  }
+}

@@ -361,4 +361,49 @@ class PlanSpec extends AnyFunSuite {
     val prs = ph.linesIterator.find(_.contains("ReadSchema")).get
     assert(!prs.contains("text") && !prs.contains("n_chars"), s"q_image_phash: $prs")
   }
+
+  test("pagerank iteration: partial-agg contribution sum, no cartesian, no UDF") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src")
+    val nodes = e.select(col("src").as("v")).distinct()
+    val r0 = nodes.select(col("v"), lit(1000L).as("r"))
+    val p = graft.operators.Graph.iterate(nodes, withDeg, r0, base = 50L, d100 = 85L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+    // contribution sum must partial-aggregate before its exchange —
+    // at 100 TB the exchange carries (dst, partial sum), not edges
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("sliding window: one corpus exchange with map-side partial agg") {
+    val p = planOf("q_sliding_window")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // window explode (×2 rows) happens BEFORE the aggregate, but the
+    // exchange itself carries partial aggregates keyed by (win, type)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("props") && !rs.contains("user_id"), rs)
+  }
+
+  test("shard export: assignment is projection-only; manifest adds one exchange") {
+    // raw read (Tables fans documents out with a repartition exchange
+    // by design — here the operator's own shape is under test)
+    val assigned = graft.operators.ShardExport.shardAssign(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      seed = 17, nShards = 8)
+    val pa = assigned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!pa.contains("Exchange") && !pa.contains("ScalaUDF"), pa)
+    val rs = pa.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("lang") && !rs.contains("source"), rs)
+    val pm = graft.operators.ShardExport.manifest(assigned)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(pm).size <= 2, pm)
+    assert(!pm.contains("ScalaUDF"), pm)
+  }
 }
