@@ -210,7 +210,38 @@ object Dedup {
     *   the cap. `0` disables the cap.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Int = 1000): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Int = 1000): DataFrame =
+    verifiedCandidatePairs(docs, idCol, textCol, n, maxShingleDf)
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "n_inter", "jaccard")
+
+  /** D61 — asymmetric CONTAINMENT near-dup: |A∩B| / min(|A|,|B|).
+    * Jaccard misses doc-inside-doc duplication (a page quoted whole
+    * inside a larger page scores low on union but 100% on the smaller
+    * set); containment is the curation metric for quote/boilerplate
+    * inclusion. Integer-exact: the threshold test is
+    * `100·n_inter ≥ pct·min(|A|,|B|)` and the reported score is
+    * floor(100·n_inter / min) — no float division to disagree over.
+    * Same candidate economics as jaccardPairs (shared machinery).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, thresholdPct: Int, maxShingleDf: Int = 1000): DataFrame =
+    verifiedCandidatePairs(docs, idCol, textCol, n, maxShingleDf)
+      .withColumn("n_small", least(size(col("sh1")), size(col("sh2"))).cast("long"))
+      .filter(col("n_small") > 0 &&
+        col("n_inter") * 100L >= col("n_small") * thresholdPct.toLong)
+      .withColumn("cont_pct", expr("n_inter * 100 div n_small"))
+      .select("d1", "d2", "n_inter", "n_small", "cont_pct")
+
+  /** Shared candidate generator + exact verification: df-capped
+    * inverted-index self-join proposes pairs; full shingle sets of
+    * semi-join-pruned candidate docs verify them. Returns
+    * (d1, d2, sh1, sh2, n_inter) for a metric-specific filter.
+    */
+  private def verifiedCandidatePairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxShingleDf: Int): DataFrame = {
     val inv = explodeShingles(shingleTable(docs, idCol, textCol, n))
     // one added aggregate: shingle document frequency (shingle rows are
     // distinct per doc, so count == df); shuffles (shingle) keys only
@@ -240,10 +271,6 @@ object Dedup {
       .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("d1", "d2", "n_inter", "jaccard")
   }
 
   /** D2 — MinHash + LSH near-dup pairs, the 100 TB-scale path:

@@ -105,6 +105,43 @@ object Timeseries {
     * dimension-sized table. prob_ppm is integer `div` — engine-exact,
     * no float division to disagree over.
     */
+  /** E25 — rolling z-score anomaly detection, integer-exact: a value
+    * is anomalous when it sits more than k standard deviations from
+    * the mean of the `lookback` PRECEDING values in its group. The
+    * float-free trick: with n/S/Q the preceding count/sum/sum-of-
+    * squares over integer-scaled x (value in exact cents),
+    *
+    *   z² > k²  ⟺  (n·x − S)² > k²·(n·Q − S²)
+    *
+    * — both sides pure Long arithmetic, so the flag replays exactly
+    * in any engine (no sqrt, no float σ). `minN` suppresses flags
+    * until the window has enough history.
+    *
+    * Scale shape: ONE hash exchange on the group key feeds the three
+    * same-frame window aggregates (one Window physical op); the
+    * filter is a zero-shuffle projection. Long-safe while
+    * lookback·x² stays under ~9·10^18 — x up to ~2·10^7 cents at the
+    * default 20-row frame.
+    */
+  def rollingAnomalies(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, tieCol: String, lookback: Int = 20, minN: Int = 10,
+      k: Int = 3): DataFrame = {
+    val win = Window.partitionBy(groupCol)
+      .orderBy(col("t_us"), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    events
+      .select(col(tieCol), col(groupCol), unix_micros(col(tsCol)).as("t_us"),
+        (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("x"))
+      .withColumn("n", count(col("x")).over(win))
+      .withColumn("s", coalesce(sum("x").over(win), lit(0L)))
+      .withColumn("q", coalesce(sum(col("x") * col("x")).over(win), lit(0L)))
+      .filter(col("n") >= minN &&
+        (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+          lit(k.toLong * k) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col(tieCol), col(groupCol), col("x"), col("n").as("n_window"))
+  }
+
   def transitionMatrix(events: DataFrame, idCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))

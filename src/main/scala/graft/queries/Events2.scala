@@ -154,6 +154,35 @@ object Events2 {
       .orderBy("win_us", "event_type")
   }
 
+  /** E25 — rolling z-score anomalies: x more than 3σ from the mean of
+    * the 20 preceding same-type values (≥10 of history required).
+    * Float-free: z² > 9 ⟺ (n·x−S)² > 9·(n·Q−S²) in exact cents —
+    * the oracle replays the inequality term-for-term.
+    */
+  val qAnomaly: GateQuery = GateQuery(
+    "q_anomaly",
+    """WITH o AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS t_us,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, event_type, x,
+      |    COUNT(x) OVER win AS n,
+      |    CAST(COALESCE(SUM(x) OVER win, 0) AS BIGINT) AS s,
+      |    CAST(COALESCE(SUM(x * x) OVER win, 0) AS BIGINT) AS q
+      |  FROM o
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY t_us, event_id
+      |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, event_type, x, CAST(n AS BIGINT) AS n_window
+      |FROM w
+      |WHERE n >= 10 AND (n*x - s)*(n*x - s) > 9 * (n*q - s*s)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Timeseries.rollingAnomalies(Tables(s, dir, "events"),
+        "event_type", "ts", "value", "event_id")
+      .orderBy("event_id")
+  }
+
   val all: Seq[GateQuery] =
-    Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow)
+    Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow,
+      qAnomaly)
 }

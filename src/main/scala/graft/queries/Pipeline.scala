@@ -83,6 +83,30 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
+  /** D61 — asymmetric containment near-dup (doc-inside-doc): same
+    * candidate machinery as D4, metric |A∩B|/min(|A|,|B|) with an
+    * integer threshold test and floor-percent score — quote/
+    * boilerplate inclusion that Jaccard's union denominator dilutes.
+    */
+  val qDedupContainment: GateQuery = GateQuery(
+    "q_dedup_containment",
+    s"""WITH ${shingleCte(3)},
+       |${jaccardInterCte()}
+       |SELECT d1, d2, CAST(n_inter AS BIGINT) AS n_inter,
+       |  CAST(least(s1.n_sh, s2.n_sh) AS BIGINT) AS n_small,
+       |  CAST((n_inter * 100) // least(s1.n_sh, s2.n_sh) AS BIGINT) AS cont_pct
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE n_inter * 100 >= least(s1.n_sh, s2.n_sh) * 60
+       |ORDER BY d1, d2""".stripMargin,
+    bench = false) { (s, dir) =>
+    Dedup.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, thresholdPct = 60)
+      .withColumn("n_inter", col("n_inter").cast("long"))
+      .orderBy("d1", "d2")
+  }
+
   /** D2 — MinHash(12)+LSH(4 bands × 3) near-dup pairs, verified. */
   val qDedupMinhash: GateQuery = GateQuery(
     "q_dedup_minhash",
@@ -2185,5 +2209,5 @@ object Pipeline {
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
-    qShardExport)
+    qShardExport, qDedupContainment)
 }

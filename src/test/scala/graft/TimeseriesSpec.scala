@@ -111,4 +111,45 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(fromA === Seq(333333L, 666666L))
     got.foreach { case (f, ps) => assert(ps.map(_._2).sum <= 1000000L, f) }
   }
+
+  test("rollingAnomalies flags exactly the >kσ point, needs minN history") {
+    // 12 steady values of 10.00 then a spike of 50.00 then steady:
+    // the spike is >3σ above the flat history (σ=0 → any deviation
+    // flags); the steady values never flag; rows before minN=10 of
+    // history never flag even though early deviations exist
+    val vals = Seq.fill(12)(10.0) ++ Seq(50.0) ++ Seq.fill(5)(10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong * 1000000L, v) }
+      .toDF("event_id", "t_us", "value")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+      .withColumn("event_type", lit("t"))
+    for (parts <- Seq(1, 4)) {
+      val got = Timeseries.rollingAnomalies(df.repartition(parts),
+          "event_type", "ts", "value", "event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(12L), s"parts=$parts")
+    }
+    // steady-but-noisy history: a matching value does not flag
+    val noisy = (Seq(9.0, 11.0, 10.0, 9.5, 10.5, 9.0, 11.0, 10.0, 9.5, 10.5, 10.0, 10.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, i.toLong * 1000000L, v) }
+      .toDF("event_id", "t_us", "value")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+      .withColumn("event_type", lit("t"))
+    assert(Timeseries.rollingAnomalies(noisy, "event_type", "ts", "value", "event_id")
+      .count() === 0L)
+  }
+
+  test("containmentPairs catches doc-inside-doc that Jaccard misses") {
+    import graft.operators.Dedup
+    // B = A verbatim plus a long unrelated tail: containment(A,B)=100%
+    // on A's shingle set, Jaccard ≈ |A|/|B| ≈ 0.33 — below a 0.6 bar
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val tail = (1 to 24).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, s"$a $tail"), (3L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, thresholdPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(cont.toSeq === Seq((1L, 2L, 100L)))
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
+    assert(jac.count() === 0L, "Jaccard must miss the contained doc at 0.6")
+  }
 }
