@@ -235,12 +235,39 @@ object Dedup {
       .withColumn("cont_pct", expr("n_inter * 100 div n_small"))
       .select("d1", "d2", "n_inter", "n_small", "cont_pct")
 
-  /** Shared candidate generator + exact verification: df-capped
-    * inverted-index self-join proposes pairs; full shingle sets of
-    * semi-join-pruned candidate docs verify them. Returns
-    * (d1, d2, sh1, sh2, n_inter) for a metric-specific filter.
+  /** D62 — edit-distance near-dup: Levenshtein distance ≤ pct% of the
+    * longer document, over shingle-blocked candidates. Character-level
+    * edit distance catches near-dups that shingle metrics blur (small
+    * in-place edits shift every overlapping shingle) and is the
+    * standard last-mile verifier for short fields (titles, captions).
+    * O(len²) per comparison — affordable ONLY because the df-capped
+    * shingle index has already reduced the corpus-sized pair space to
+    * the candidate list; the distance never runs corpus×corpus. The
+    * threshold test is integer (100·dist ≤ pct·max_len), no float.
+    * 100 TB shape: candidate generation shuffles (shingle, doc_id)
+    * pairs; only candidate docs' TEXTS are joined back (two id-keyed
+    * joins), so full text moves for the candidate set alone.
     */
-  private def verifiedCandidatePairs(docs: DataFrame, idCol: String,
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDistPct: Int, maxShingleDf: Int = 1000): DataFrame = {
+    val cand = blockedCandidatePairs(docs, idCol, textCol, n, maxShingleDf)
+    val t = docs.select(col(idCol), col(textCol))
+    cand
+      .join(t.select(col(idCol).as("d1"), col(textCol).as("t1")), "d1")
+      .join(t.select(col(idCol).as("d2"), col(textCol).as("t2")), "d2")
+      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      .filter(col("dist") * 100L <= col("max_len") * maxDistPct.toLong)
+      .select("d1", "d2", "dist", "max_len")
+  }
+
+  /** Blocking step shared by every verified near-dup metric (Jaccard,
+    * containment, edit distance): df-capped inverted-index self-join
+    * proposes (d1, d2) candidate pairs. Shuffles (shingle, doc_id)
+    * pairs only; the cap bounds the self-join fan-out per shingle.
+    */
+  private def blockedCandidatePairs(docs: DataFrame, idCol: String,
       textCol: String, n: Int, maxShingleDf: Int): DataFrame = {
     val inv = explodeShingles(shingleTable(docs, idCol, textCol, n))
     // one added aggregate: shingle document frequency (shingle rows are
@@ -252,14 +279,24 @@ object Dedup {
       inv.join(rare, "shingle")
     }
     // localCheckpoint: cand feeds both the final join and (via the
-    // semi-join) candSh's lineage — without it the df-aggregate +
-    // self-join + distinct, the dominant cost, re-runs per consumer
+    // semi-join) the verification lineage — without it the df-aggregate
+    // + self-join + distinct, the dominant cost, re-runs per consumer
     // (same move as minhashLsh below)
-    val cand = capped.as("a").join(capped.as("b"),
+    capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
       .localCheckpoint()
+  }
+
+  /** Shared candidate generator + exact verification: blocked pairs
+    * from the df-capped inverted index; full shingle sets of
+    * semi-join-pruned candidate docs verify them. Returns
+    * (d1, d2, sh1, sh2, n_inter) for a metric-specific filter.
+    */
+  private def verifiedCandidatePairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxShingleDf: Int): DataFrame = {
+    val cand = blockedCandidatePairs(docs, idCol, textCol, n, maxShingleDf)
     // exact verification over candidate docs only (semi-join prunes the
     // corpus before re-shingling — same shape as minhashLsh below)
     val candIds = cand.select(col("d1").as("cid"))

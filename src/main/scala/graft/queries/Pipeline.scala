@@ -107,6 +107,33 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
+  /** D62 — edit-distance near-dup: Levenshtein ≤ 20% of the longer
+    * doc over the SAME df-capped shingle-blocked candidates as D4 —
+    * the character-level last-mile verifier (shingle metrics blur
+    * small in-place edits; the candidate block keeps the O(len²)
+    * distance off the corpus×corpus pair space). Integer threshold.
+    */
+  val qDedupEditdist: GateQuery = GateQuery(
+    "q_dedup_editdist",
+    s"""WITH ${shingleCte(3)},
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |         WHERE a.shingle IN (SELECT shingle FROM rare))
+       |SELECT c.d1, c.d2,
+       |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+       |  CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS max_len
+       |FROM cand c
+       |JOIN documents ta ON ta.doc_id = c.d1
+       |JOIN documents tb ON tb.doc_id = c.d2
+       |WHERE levenshtein(ta.text, tb.text) * 100 <= greatest(len(ta.text), len(tb.text)) * 20
+       |ORDER BY d1, d2""".stripMargin,
+    bench = false) { (s, dir) =>
+    Dedup.editDistancePairs(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxDistPct = 20)
+      .orderBy("d1", "d2")
+  }
+
   /** D2 — MinHash(12)+LSH(4 bands × 3) near-dup pairs, verified. */
   val qDedupMinhash: GateQuery = GateQuery(
     "q_dedup_minhash",
@@ -2209,5 +2236,5 @@ object Pipeline {
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
-    qShardExport, qDedupContainment)
+    qShardExport, qDedupContainment, qDedupEditdist)
 }

@@ -152,4 +152,29 @@ class TimeseriesSpec extends AnyFunSuite {
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
     assert(jac.count() === 0L, "Jaccard must miss the contained doc at 0.6")
   }
+
+  test("editDistancePairs: small in-place edit passes, rewrite fails, non-candidates never compared") {
+    import graft.operators.Dedup
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("w10", "wX")),             // one-token edit: tiny distance
+      // shares the w1-w5 prefix shingles (candidate) but the rest is
+      // rewritten: distance far above 20% of the longer doc
+      (3L, ((1 to 5).map(i => s"w$i") ++ (1 to 15).map(i => s"zz$i")).mkString(" ")),
+      (4L, "completely different text here now")   // shares no shingle: never a candidate
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text", n = 3, maxDistPct = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    val (_, _, dist) = pairs.head
+    assert(dist >= 1L && dist * 100L <= base.length.toLong * 20L)
+    // threshold respected: at 0% only exact matches survive
+    assert(Dedup.editDistancePairs(docs, "doc_id", "text", n = 3, maxDistPct = 0)
+      .count() === 0L)
+    // partition-independence
+    val p4 = Dedup.editDistancePairs(docs.repartition(4), "doc_id", "text", n = 3, maxDistPct = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p4 === Set((1L, 2L)))
+  }
 }
