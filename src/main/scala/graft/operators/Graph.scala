@@ -50,6 +50,69 @@ object Graph {
     r.select(col("v").as("node"), col("r").as("rank_ppt"))
   }
 
+  /** Triangle counting via degree-ordered edge orientation (the
+    * classic MapReduce-scalable shape, Suri & Vassilvitskii WWW'11 /
+    * Cohen 2009): orient every undirected edge from its lower-degree
+    * endpoint to its higher-degree endpoint (ties by id), then a
+    * triangle u–v–w is found EXACTLY once as wedge u→v, u→w (u the
+    * lowest-ordered corner) closed by edge v→w. Orientation bounds
+    * every node's out-degree by O(√m) regardless of skew — a celebrity
+    * node with 10⁸ followers contributes no wedges from its own
+    * adjacency because its edges all point INTO it; without this, the
+    * wedge join is quadratic in the max degree.
+    *
+    * Scale shape: two joins keyed on node ids over fixed-width edge
+    * rows (never text/payload); wedge volume is Σ outdeg² ≤ O(m^1.5)
+    * — the theoretical floor for exact listing.
+    *
+    * @param edges undirected edge list in columns `src`, `dst`
+    *              (direction/duplication/self-loops cleaned here)
+    * @return per-node triangle participation counts (node, triangles)
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val tri = triangles(edges)
+    tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Each triangle exactly once as (x, y, z) = orientation-ordered
+    * corners (x lowest (deg, id), z highest).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds deg AND both orientation joins once
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val aFirst = // true ⇢ a precedes b in (deg, id) order
+      col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge u→w with u preceding w in (deg, id); dw = deg(w)
+    // rides along so wedge legs can be ordered by the SAME total order
+    // — then the closing edge y→z is oriented too, and the closure is
+    // one equi-join (an OR-of-directions join would lose the hash-join
+    // keys and go nested-loop).
+    val oriented = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+      .localCheckpoint() // reused three times below
+    val legBefore = col("e1.dw") < col("e2.dw") ||
+      (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") && legBefore)
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+    wedges.join(oriented.as("e3"),
+        col("y") === col("e3.u") && col("z") === col("e3.w"), "left_semi")
+      .select("x", "y", "z")
+  }
+
   /** One rank iteration (uncheckpointed — PlanSpec asserts its shape:
     * partial-agg contribution sum, no cartesian, no UDF).
     */

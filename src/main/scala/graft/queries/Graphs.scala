@@ -64,5 +64,57 @@ object Graphs {
     Graph.pageRank(tradeEdges(s, dir), iters).orderBy("node")
   }
 
-  val all: Seq[GateQuery] = Seq(qPagerank)
+  /** Triangle counting over the co-supplier graph (suppliers filling
+    * the same order, ≥2 distinct orders to drop incidental pairs) —
+    * the graph-cohesion signal (clustering coefficient numerator)
+    * link-spam / community detection pipelines compute. The oracle
+    * replays the EXACT degree-ordered orientation: oriented wedge
+    * join + closing-edge EXISTS, so corner identities match
+    * bit-for-bit, not just the total.
+    */
+  val qTriangles: GateQuery = GateQuery(
+    "q_triangles",
+    """WITH pairs AS (
+      |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, l1.l_orderkey AS ok
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+      |e AS (SELECT a, b FROM (
+      |        SELECT a, b, COUNT(DISTINCT ok) AS n FROM pairs GROUP BY 1, 2)
+      |      WHERE n >= 2),
+      |deg AS (SELECT v, COUNT(*) AS deg FROM (
+      |          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      |        GROUP BY 1),
+      |o AS (SELECT
+      |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+      |             THEN a ELSE b END AS u,
+      |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+      |             THEN b ELSE a END AS w,
+      |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+      |             THEN d2.deg ELSE d1.deg END AS dw
+      |      FROM e JOIN deg d1 ON d1.v = e.a JOIN deg d2 ON d2.v = e.b),
+      |wedge AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
+      |          FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |           AND (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))),
+      |tri AS (SELECT x, y, z FROM wedge
+      |        WHERE EXISTS (SELECT 1 FROM o
+      |                      WHERE o.u = wedge.y AND o.w = wedge.z))
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+      |  SELECT x AS node FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |GROUP BY node
+      |ORDER BY node""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_suppkey") < col("l2.l_suppkey"))
+      .select(col("l1.l_suppkey").as("src"), col("l2.l_suppkey").as("dst"),
+        col("l1.l_orderkey").as("ok"))
+    val edges = pairs.groupBy("src", "dst")
+      .agg(countDistinct("ok").as("n")).filter(col("n") >= 2)
+      .select("src", "dst")
+    Graph.triangleCounts(edges).orderBy("node")
+  }
+
+  val all: Seq[GateQuery] = Seq(qPagerank, qTriangles)
 }

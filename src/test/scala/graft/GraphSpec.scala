@@ -52,6 +52,36 @@ class GraphSpec extends AnyFunSuite {
       .filter("node = 0").collect().head.getLong(1), "center dominates")
   }
 
+  test("triangles: K4 has exactly 4, each corner in 3; path has none") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in C(3,2)=3
+    val k4 = (for {a <- 1L to 4L; b <- 1L to 4L if a < b} yield (a, b))
+      .toDF("src", "dst")
+    for (parts <- Seq(1, 3)) {
+      val tri = Graph.triangles(k4.repartition(parts)).collect()
+        .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(tri.length === 4, "each triangle exactly once")
+      assert(tri.toSet === Set(Set(1L, 2L, 3L), Set(1L, 2L, 4L),
+        Set(1L, 3L, 4L), Set(2L, 3L, 4L)))
+      val counts = Graph.triangleCounts(k4.repartition(parts)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts === (1L to 4L).map(_ -> 3L).toMap)
+    }
+    assert(Graph.triangles(pathEdges(1)).count() === 0L)
+  }
+
+  test("triangles: direction, duplicates, and self-loops are cleaned; skewed hub stays bounded") {
+    // triangle given with mixed directions + dup edge + self loop
+    val messy = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val tri = Graph.triangles(messy).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.toSeq === Seq(Set(1L, 2L, 3L)))
+    // star hub (no triangles): orientation points every edge INTO the
+    // hub, so the hub's adjacency yields zero wedges
+    val star = (1L to 50L).map(l => (0L, l)).toDF("src", "dst")
+    assert(Graph.triangles(star).count() === 0L)
+  }
+
   test("duplicate input edges do not change the result") {
     val once = Graph.pageRank(pathEdges(1), iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
