@@ -123,6 +123,48 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("score"))
   }
 
+  /** D64 — PMI collocation extraction: adjacent word pairs that
+    * co-occur far above chance (pointwise mutual information — the
+    * phrase-mining signal tokenizer-vocab and stop-phrase curation
+    * steps use). Engine-exact without logs: PMI ≥ log(k/100) iff
+    * lift = P(ab)/(P(a)·P(b)) = c(ab)·N / (c_l(a)·c_r(b)) ≥ k/100,
+    * tested as the INTEGER product comparison
+    * `100·c(ab)·N ≥ k·c_l(a)·c_r(b)`. All probabilities live on the
+    * bigram-position space (c_l = left-slot count, c_r = right-slot
+    * count, N = bigram positions), so every factor rolls up from the
+    * ONE bigram count table — no second corpus pass (the
+    * bigramLikelihood context-roll-up trick).
+    *
+    * Scale shape at 100 TB: one corpus-wide (w1, w2) aggregate, two
+    * vocab-sized roll-ups joined back on word keys, N broadcast. The
+    * product comparison is done in DECIMAL(38,0) — c(ab)·N exceeds
+    * Long past ~10⁹ tokens, and a silent wrap would flip the filter;
+    * output columns stay BIGINT counts (the float PMI is a trivial
+    * client-side log of reported integers).
+    */
+  def collocations(docs: DataFrame, textCol: String,
+      minPair: Long = 3L, liftC100: Long = 300L): DataFrame = {
+    require(minPair >= 1 && liftC100 >= 1, "thresholds must be positive")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val pairs = docs
+      .select(toks.as("t"), size(toks).as("m"))
+      .filter(col("m") >= 2)
+      .select(explode(transform(sequence(lit(1), col("m") - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val left = big.groupBy("w1").agg(sum("n_pair").as("n_left"))
+    val right = big.groupBy("w2").agg(sum("n_pair").as("n_right"))
+    val nb = big.agg(sum("n_pair").as("n_bigrams"))
+    big.join(left, "w1").join(right, "w2").crossJoin(broadcast(nb))
+      .filter(col("n_pair") >= minPair)
+      .filter(
+        expr("CAST(n_pair * 100 AS DECIMAL(19,0)) * CAST(n_bigrams AS DECIMAL(19,0))") >=
+        expr(s"CAST(n_left * $liftC100 AS DECIMAL(19,0)) * CAST(n_right AS DECIMAL(19,0))"))
+      .select("w1", "w2", "n_pair", "n_left", "n_right", "n_bigrams")
+  }
+
   /** D51 — per-source dataset card: the one-row-per-source corpus
     * report a pipeline consults before mixing (volume, token budget,
     * exact-dup rate, length profile). Everything is an integer

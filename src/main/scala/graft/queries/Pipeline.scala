@@ -2182,6 +2182,35 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D64 — PMI collocation extraction: adjacent pairs whose lift
+    * P(ab)/(P(a)·P(b)) on the bigram-position space beats k/100,
+    * tested as the exact product comparison 100·c(ab)·N ≥ k·c_l·c_r
+    * (DECIMAL on the Spark side, HUGEINT in DuckDB — same integers).
+    * Output is raw counts; the float PMI is a client-side log.
+    */
+  val qCollocations: GateQuery = GateQuery(
+    "q_collocations",
+    """WITH t AS (SELECT string_split(text, ' ') AS t,
+      |             len(string_split(text, ' ')) AS m
+      |           FROM documents),
+      |p AS (SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+      |      FROM t, generate_series(1, 255) g(i) WHERE g.i <= m - 1),
+      |big AS (SELECT w1, w2, COUNT(*) AS n_pair FROM p GROUP BY 1, 2),
+      |l AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_left FROM big GROUP BY 1),
+      |r AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_right FROM big GROUP BY 1),
+      |nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bigrams FROM big)
+      |SELECT big.w1, big.w2, CAST(n_pair AS BIGINT) AS n_pair,
+      |  n_left, n_right, n_bigrams
+      |FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN nb
+      |WHERE n_pair >= 3
+      |  AND CAST(n_pair * 100 AS HUGEINT) * n_bigrams
+      |      >= CAST(n_left AS HUGEINT) * 150 * n_right
+      |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+    CorpusStats.collocations(Tables(s, dir, "documents"), "text",
+        minPair = 3L, liftC100 = 150L)
+      .orderBy("w1", "w2")
+  }
+
   val qBpeEncode: GateQuery = GateQuery(
     "q_bpe_encode", bpeEncodeOracle(5)) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
@@ -2236,5 +2265,5 @@ object Pipeline {
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
-    qShardExport, qDedupContainment, qDedupEditdist)
+    qShardExport, qDedupContainment, qDedupEditdist, qCollocations)
 }

@@ -131,6 +131,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
+  test("collocations: hand-verified lift boundary, thresholds, partition-invariant") {
+    import graft.operators.CorpusStats
+    val docs = Seq((0L, "x y x y"), (1L, "x y z"), (2L, "p q"))
+      .toDF("doc_id", "text")
+    // big: (x,y)=3 (y,x)=1 (y,z)=1 (p,q)=1, N=6
+    // lift·100: (x,y)=200, (y,x)=300, (y,z)=300, (p,q)=600
+    def run(df: org.apache.spark.sql.DataFrame, minPair: Long, lift: Long) =
+      CorpusStats.collocations(df, "text", minPair, lift)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // >= is inclusive: the two exactly-at-300 pairs survive
+    assert(run(docs, 1L, 300L) === Set(("y", "x", 1L), ("y", "z", 1L), ("p", "q", 1L)))
+    assert(run(docs, 1L, 301L) === Set(("p", "q", 1L)))
+    assert(run(docs, 2L, 300L) === Set.empty)
+    assert(run(docs.repartition(4), 1L, 300L) === run(docs, 1L, 300L))
+    val plan = CorpusStats.collocations(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("importance weights: hand-verified two-model scores, partition-invariant") {
     import graft.operators.CorpusStats
     import org.apache.spark.sql.functions.col
