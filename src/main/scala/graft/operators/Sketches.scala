@@ -45,6 +45,56 @@ object Sketches {
       .head().getLong(0)
   }
 
+  /** D65 — persisted mergeable HISTOGRAM sketch for quantile
+    * dashboards: one (shard, bin, cnt) row set per shard with
+    * fixed-width integer bins, written once beside the corpus. Any
+    * later quantile question (p50/p95/p99 doc length — overall or
+    * for a shard subset) answers from the sketch table: merge is
+    * per-bin SUM (associative, order-independent, append-only — the
+    * HLL union algebra with exact integers), so new shards append
+    * without touching old rows and NOTHING corpus-sized is ever
+    * rescanned. The answer is exact at bin resolution: the bin
+    * containing the ceiling-rank element, with [lo, hi) bounds —
+    * fully engine-replayable, unlike interpolated float quantiles.
+    *
+    * 100 TB shape: build = one map-side-partial aggregate to
+    * |shards|·|bins| fixed-width rows; query = scan of that tiny
+    * table, one window cumsum over |bins| rows, never the corpus.
+    */
+  def writeHistogramSketch(docs: DataFrame, valueCol: String,
+      shardCol: String, dir: String, binWidth: Long): Unit = {
+    require(binWidth > 0, s"invalid binWidth $binWidth")
+    docs.select(col(shardCol).as("shard"),
+        expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("bin"))
+      .groupBy("shard", "bin").agg(count(lit(1)).as("cnt"))
+      .write.mode("append").parquet(dir)
+  }
+
+  /** Quantile bins from the persisted sketch (all shards or a
+    * subset): for each pct, the bin holding the ceiling-rank element
+    * — rank = ⌈pct·total/100⌉, smallest bin with running cum ≥ rank.
+    */
+  def quantilesFromSketch(spark: SparkSession, dir: String, binWidth: Long,
+      percentiles: Seq[Int], shards: Seq[Long] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val t = spark.read.parquet(dir)
+    val sel = if (shards.isEmpty) t else t.filter(col("shard").isin(shards: _*))
+    val merged = sel.groupBy("bin").agg(sum("cnt").as("cnt"))
+    val cum = merged.withColumn("cum",
+      sum("cnt").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = merged.agg(sum("cnt").as("total"))
+    val pcts = percentiles.map(_.toLong).toDF("pct")
+    pcts.crossJoin(broadcast(total))
+      .join(cum, col("cum") >= expr("(pct * total + 99) div 100"))
+      .groupBy("pct", "total").agg(min("bin").as("bin"))
+      .select(col("pct"), col("bin"),
+        (col("bin") * binWidth).as("lo"),
+        ((col("bin") + 1) * binWidth).as("hi"),
+        col("total"))
+  }
+
   /** The gate surface: exact distinct (oracle-replayable) plus the
     * sketch-path estimate folded to a contract boolean — a drifting
     * estimate flips the boolean and breaks the row hash, without

@@ -1276,6 +1276,39 @@ object Pipeline {
     graft.operators.Sketches.cardinalityCheck(docs, "h", "shard", s"$out/sk")
   }
 
+  /** D65 — persisted mergeable histogram sketch for quantiles: per-
+    * shard (shard, bin, cnt) rows written to disk (two separate
+    * appends prove merge-associativity on the COMMITTED table), then
+    * p50/p90/p99 of n_chars answered from the sketch alone. Exact at
+    * bin resolution — the oracle replays bins + ceiling-rank cumsum
+    * over the raw table, which equals the sketch answer by algebra.
+    */
+  val qQuantileSketch: GateQuery = GateQuery(
+    "q_quantile_sketch",
+    """WITH b AS (SELECT CAST(n_chars // 64 AS BIGINT) AS bin, COUNT(*) AS cnt
+      |           FROM documents GROUP BY 1),
+      |c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM b),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM b),
+      |p AS (SELECT unnest([50, 90, 99]) AS pct)
+      |SELECT CAST(pct AS BIGINT) AS pct, CAST(MIN(bin) AS BIGINT) AS bin,
+      |  CAST(MIN(bin) * 64 AS BIGINT) AS lo,
+      |  CAST((MIN(bin) + 1) * 64 AS BIGINT) AS hi, total
+      |FROM p CROSS JOIN t
+      |JOIN c ON c.cum >= CAST((pct * total + 99) // 100 AS BIGINT)
+      |GROUP BY pct, total
+      |ORDER BY pct""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select((col("doc_id") % 8).as("shard"), col("n_chars"))
+    val out = java.nio.file.Files.createTempDirectory("graft_histsk").toString
+    // two appends = two independent shard batches on disk
+    graft.operators.Sketches.writeHistogramSketch(
+      docs.filter(col("shard") < 4), "n_chars", "shard", s"$out/sk", 64L)
+    graft.operators.Sketches.writeHistogramSketch(
+      docs.filter(col("shard") >= 4), "n_chars", "shard", s"$out/sk", 64L)
+    graft.operators.Sketches.quantilesFromSketch(s, s"$out/sk", 64L, Seq(50, 90, 99))
+      .orderBy("pct")
+  }
+
   /** D26 — corpus-rarity profile: document frequencies from one
     * corpus pass, joined back per document. Integer outputs only
     * (sum/min of dfs, distinct counts) — exact on every engine.
@@ -2265,5 +2298,6 @@ object Pipeline {
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
-    qShardExport, qDedupContainment, qDedupEditdist, qCollocations)
+    qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
+    qQuantileSketch)
 }

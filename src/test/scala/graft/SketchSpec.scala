@@ -76,6 +76,34 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(subsetEst - subsetExact) * 100 <= subsetExact * 5)
   }
 
+  test("histogram sketch: hand-verified quantile bins, append merge, shard subset") {
+    import graft.operators.Sketches
+    // values 1..100, shard by parity; binWidth 10 → bin b holds
+    // values [10b, 10b+9]; rank(p50)=50 → value 50 → bin 5 (cum at
+    // bin 4 = 49 values 1..49; bin 5 spans 50..59 cum 59 ≥ 50)
+    val docs = (1L to 100L).map(v => (v % 2, v)).toDF("shard", "v")
+    val dir = java.nio.file.Files.createTempDirectory("histsk").toString
+    Sketches.writeHistogramSketch(docs.filter($"shard" === 0L), "v", "shard", s"$dir/sk", 10L)
+    Sketches.writeHistogramSketch(docs.filter($"shard" === 1L), "v", "shard", s"$dir/sk", 10L)
+    val q = Sketches.quantilesFromSketch(spark, s"$dir/sk", 10L, Seq(50, 90, 99, 100))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(q(50L) === ((5L, 50L, 60L, 100L)))
+    assert(q(90L) === ((9L, 90L, 100L, 100L)))  // rank 90 → value 90 → bin 9
+    assert(q(99L) === ((9L, 90L, 100L, 100L)))
+    assert(q(100L) === ((10L, 100L, 110L, 100L))) // max value 100 → bin 10
+    // one-shot write must agree with the two-append write (merge algebra)
+    val dir2 = java.nio.file.Files.createTempDirectory("histsk1").toString
+    Sketches.writeHistogramSketch(docs, "v", "shard", s"$dir2/sk", 10L)
+    val q1 = Sketches.quantilesFromSketch(spark, s"$dir2/sk", 10L, Seq(50, 90, 99, 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q1 === q.map { case (k, v) => k -> v._1 })
+    // shard subset: odd values only (1,3,...,99): rank(p50)=25 → 25th
+    // odd = 49 → bin 4
+    val sub = Sketches.quantilesFromSketch(spark, s"$dir/sk", 10L, Seq(50), Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(sub.toSeq === Seq((50L, 4L, 50L)))
+  }
+
   test("the gate contract holds at every local SF") {
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val docs = Tables(spark, s"/root/testdata/sf$sf", "documents")
