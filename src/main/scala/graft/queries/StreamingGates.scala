@@ -541,8 +541,26 @@ object StreamingGates {
       .orderBy("win_us", "event_type")
   }
 
+  /** E26 — the E25 rolling z-score anomaly flag on a REAL stream
+    * (flatMapGroupsWithState ring state, Append mode), against the
+    * IDENTICAL oracle as the batch q_anomaly — stream == batch ==
+    * independent engine, the sessionizer's equivalence contract.
+    */
+  val qStreamAnomaly: GateQuery = GateQuery(
+    "q_stream_anomaly", Events2.qAnomaly.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .select(col("event_id").cast("long").as("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        (col("value").cast(D) * 100).cast("long").as("x"))
+      .as[StreamingOps.AnomEvent]
+    runToMemory(StreamingOps.anomalyStream(evs).toDF(), OutputMode.Append())
+      .orderBy("event_id")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
-      qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding)
+      qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding,
+      qStreamAnomaly)
     .map(_.copy(bench = false))
 }

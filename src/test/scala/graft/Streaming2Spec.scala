@@ -74,6 +74,30 @@ class Streaming2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E26: streaming anomaly ring state crosses micro-batches; judged before push") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.AnomEvent]
+    val q = StreamingOps.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anom_sink")
+      .outputMode(OutputMode.Append()).start()
+    def ev(i: Long, x: Long) = StreamingOps.AnomEvent(i, "t", i * 1000000L, x)
+    try {
+      // batch 1: 12 steady values — no flags (d = n·x − S = 0)
+      input.addData((1L to 12L).map(i => ev(i, 1000L)): _*)
+      q.processAllAvailable()
+      // batch 2: the ring must carry over; spike at 16 flags against
+      // σ=0 history (n=15), the post-spike steady values must NOT flag
+      // (the spike inflates the window variance)
+      input.addData(Seq(ev(13L, 1000L), ev(14L, 1000L), ev(15L, 1000L),
+        ev(16L, 5000L), ev(17L, 1000L), ev(18L, 1000L)): _*)
+      q.processAllAvailable()
+      val hits = spark.table("anom_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(hits === Seq((16L, 15L)))
+    } finally q.stop()
+  }
+
   test("RocksDB state store backs the stateful sessionizer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
