@@ -175,7 +175,61 @@ object Reports {
       .orderBy(col("wasted").desc, col("hash"))
   }
 
+  /** D66 — declarative data-quality constraint suite (the Deequ
+    * shape): 4 row-level rules in ONE conditional-sum scan, a key-
+    * uniqueness rule (one grouped aggregate), and a referential-
+    * integrity rule (one anti-join vs distinct o_orderkey). The
+    * (l_orderkey, l_linenumber) key is genuinely non-unique in
+    * testdata and quantity>30 genuinely occurs — the gate exercises
+    * BOTH the pass and fail branches with real violation counts.
+    */
+  val qConstraints: GateQuery = GateQuery(
+    "q_constraints",
+    """WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+      |rows AS (
+      |  SELECT 'not_null_l_shipdate' AS constraint_name,
+      |    COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS violations FROM lineitem
+      |  UNION ALL
+      |  SELECT 'range_l_quantity',
+      |    COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+      |      AND (l_quantity < 1 OR l_quantity > 30)) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'range_l_discount',
+      |    COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+      |      AND (l_discount < 0 OR l_discount > 0.1)) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'set_l_returnflag',
+      |    COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+      |      AND l_returnflag NOT IN ('A', 'N', 'R')) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'unique_line_key',
+      |    CAST(COALESCE((SELECT SUM(c) FROM (
+      |      SELECT COUNT(*) AS c FROM lineitem
+      |      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)), 0) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'fk_orders',
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+      |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
+      |SELECT constraint_name, n_rows, CAST(violations AS BIGINT) AS violations,
+      |  violations = 0 AS passed
+      |FROM rows CROSS JOIN n
+      |ORDER BY constraint_name""".stripMargin) { (s, dir) =>
+    import graft.operators.Quality
+    val li = Tables(s, dir, "lineitem")
+    Quality.check(li,
+      rules = Seq(
+        Quality.notNull("l_shipdate"),
+        Quality.inRange("l_quantity", lit(1), lit(30)),
+        Quality.inRange("l_discount", lit(0), lit(0.1)),
+        Quality.inSet("l_returnflag", Seq("A", "N", "R"))),
+      uniqueKeys = Seq(("unique_line_key", Seq("l_orderkey", "l_linenumber"))),
+      foreignKeys = Seq(("fk_orders", "l_orderkey",
+        Tables(s, dir, "orders"), "o_orderkey")))
+      .orderBy("constraint_name")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTopGroups, qCaseBuckets, qHistogram, qLargeTopN,
-    qDupStrings, qJoinRatio, qDupGroupWaste)
+    qDupStrings, qJoinRatio, qDupGroupWaste, qConstraints)
 }
