@@ -382,8 +382,73 @@ object SqlSurface {
       .orderBy("event_id")
   }
 
+  /** C40/C41 — non-parquet source interop: the documents slice is
+    * written by SPARK as CSV (header, quoted) / JSONL (newline-
+    * delimited), read back with an explicit schema, and aggregated;
+    * the oracle makes DUCKDB parse the SAME files — so the gate pins
+    * cross-engine wire-format compatibility (quoting, headers, JSON
+    * types), not just both engines' parquet paths. Files are written
+    * once per (format, sfdir) per JVM; bench repeats therefore time
+    * the steady-state read+aggregate.
+    */
+  private val fmtDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def writeOnce(s: org.apache.spark.sql.SparkSession, dir: String,
+      fmt: String): String =
+    fmtDirs.getOrElseUpdate(s"$fmt:$dir", {
+      val out = fmtPath(fmt, dir)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val w = docs.write.mode("overwrite")
+      if (fmt == "csv") w.option("header", "true").csv(out) else w.json(out)
+      out
+    })
+
+  private def fmtPath(fmt: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+
+  private val roundtripSchema = "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING"
+
+  private def roundtripAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), sum(length(col("text"))).as("sum_len"))
+      .orderBy("lang")
+
+  private def roundtripOracle(src: String): String =
+    s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS min_id, CAST(SUM(len(text)) AS BIGINT) AS sum_len
+       |FROM $src
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  val qCsvRoundtrip: GateQuery = {
+    // pid-scoped dir (the ivfIndexDir move); '*' spans the one sf this
+    // JVM verifies
+    val glob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_csv_${ProcessHandle.current().pid()}/*/*.csv"
+    GateQuery("q_csv_roundtrip", roundtripOracle(
+      s"""read_csv('$glob', header=true,
+         |  columns={'doc_id':'BIGINT','lang':'VARCHAR','n_chars':'BIGINT','text':'VARCHAR'})""".stripMargin)) { (s, dir) =>
+      val out = writeOnce(s, dir, "csv")
+      roundtripAgg(s.read.schema(roundtripSchema).option("header", "true").csv(out))
+    }
+  }
+
+  val qJsonlRoundtrip: GateQuery = {
+    val glob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${ProcessHandle.current().pid()}/*/*.json"
+    GateQuery("q_jsonl_roundtrip", roundtripOracle(
+      s"""read_json('$glob', format='newline_delimited',
+         |  columns={'doc_id':'BIGINT','lang':'VARCHAR','n_chars':'BIGINT','text':'VARCHAR'})""".stripMargin)) { (s, dir) =>
+      val out = writeOnce(s, dir, "jsonl")
+      roundtripAgg(s.read.schema(roundtripSchema).json(out))
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
-    qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls)
+    qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
+    qCsvRoundtrip, qJsonlRoundtrip)
 }
