@@ -113,6 +113,52 @@ object Graph {
       .select("x", "y", "z")
   }
 
+  /** k-core decomposition by iterative degree peeling: repeatedly
+    * delete nodes of degree < k (with their edges) until the fixpoint
+    * — what survives is the maximal subgraph where EVERY node keeps ≥k
+    * neighbors, the standard graph-cohesion filter (spam-farm cores,
+    * community nuclei) link-curation pipelines run after PageRank.
+    *
+    * Scale shape: each round is one map-side-partial degree aggregate
+    * over fixed-width (a, b) rows plus two node-keyed semi-joins;
+    * `localCheckpoint` per round keeps lineage flat (the Components/
+    * PageRank discipline). Round count is bounded by the peeling
+    * depth of the degeneracy ordering — typically tens on real
+    * graphs; each round's cost SHRINKS as edges peel away.
+    *
+    * @return (node, core_deg) — surviving nodes with their degree
+    *         inside the k-core
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 100): DataFrame = {
+    require(k >= 1, s"invalid k $k")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var m = e.count()
+    var done = m == 0L
+    var iters = 0
+    while (!done && iters < maxIters) {
+      val keep = coreDegrees(e).filter(col("deg") >= k)
+        .select("v").localCheckpoint()
+      val ne = e
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val nm = ne.count()
+      done = nm == m
+      e = ne; m = nm; iters += 1
+    }
+    coreDegrees(e).select(col("v").as("node"), col("deg").as("core_deg"))
+  }
+
+  private def coreDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
   /** One rank iteration (uncheckpointed — PlanSpec asserts its shape:
     * partial-agg contribution sum, no cartesian, no UDF).
     */

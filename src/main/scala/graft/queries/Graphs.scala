@@ -116,5 +116,53 @@ object Graphs {
     Graph.triangleCounts(edges).orderBy("node")
   }
 
-  val all: Seq[GateQuery] = Seq(qPagerank, qTriangles)
+  /** k-core gate on the part co-purchase graph (parts in the same
+    * order ≥2 distinct times — at sf0.01 this peels over ~11 rounds
+    * before the 3-core stabilizes, so the fixpoint loop is genuinely
+    * exercised). The oracle unrolls `oracleRounds` peel rounds as
+    * generated CTEs; once the peel stabilizes further rounds are
+    * no-ops, so any unroll ≥ the actual round count replays exactly.
+    * bench=false: the gate's cost is the iterative harness (count per
+    * round), not a single plan.
+    */
+  private def kcoreOracle(k: Int, oracleRounds: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, l1.l_orderkey AS ok
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |e0 AS MATERIALIZED (SELECT a, b FROM (
+        |         SELECT a, b, COUNT(DISTINCT ok) AS n FROM pairs GROUP BY 1, 2)
+        |       WHERE n >= 2)""".stripMargin
+    val rounds = (1 to oracleRounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT v FROM (
+         |  SELECT v, COUNT(*) AS deg FROM (
+         |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+         |  GROUP BY v) WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))""".stripMargin
+    }
+    val tail =
+      s"""SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT a AS v FROM e$oracleRounds UNION ALL SELECT b FROM e$oracleRounds)
+         |GROUP BY v
+         |ORDER BY node""".stripMargin
+    (head +: rounds).mkString(",\n") + "\n" + tail
+  }
+
+  val qKcore: GateQuery = GateQuery(
+    "q_kcore", kcoreOracle(k = 3, oracleRounds = 16), bench = false) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"),
+        col("l1.l_orderkey").as("ok"))
+    val edges = pairs.groupBy("src", "dst")
+      .agg(countDistinct("ok").as("n")).filter(col("n") >= 2)
+      .select("src", "dst")
+    Graph.kCore(edges, k = 3).orderBy("node")
+  }
+
+  val all: Seq[GateQuery] = Seq(qPagerank, qTriangles, qKcore)
 }

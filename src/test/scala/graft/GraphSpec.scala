@@ -82,6 +82,31 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangles(star).count() === 0L)
   }
 
+  test("kCore: multi-round pendant-path peel, empty core, full-graph core") {
+    // triangle {1,2,3} + pendant path 3-4-5-6: the 2-core must peel
+    // the path one node per round (6, then 5, then 4) — exercises the
+    // fixpoint loop, not just one pass
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    for (parts <- Seq(1, 3)) {
+      val core2 = Graph.kCore(g.repartition(parts), k = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"parts=$parts")
+    }
+    // no node has degree 3 → 3-core is empty
+    assert(Graph.kCore(g, k = 3).count() === 0L)
+    // K4: already its own 3-core (zero peels — immediate fixpoint)
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val core3 = Graph.kCore(k4, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 === (1L to 4L).map(_ -> 3L).toMap)
+    // direction/duplicate cleaning: same graph given messy
+    val messy = g.union(Seq((2L, 1L), (1L, 2L)).toDF("src", "dst"))
+    assert(Graph.kCore(messy, k = 2).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+  }
+
   test("duplicate input edges do not change the result") {
     val once = Graph.pageRank(pathEdges(1), iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
