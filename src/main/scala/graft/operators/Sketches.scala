@@ -81,14 +81,19 @@ object Sketches {
     val t = spark.read.parquet(dir)
     val sel = if (shards.isEmpty) t else t.filter(col("shard").isin(shards: _*))
     val merged = sel.groupBy("bin").agg(sum("cnt").as("cnt"))
-    val cum = merged.withColumn("cum",
-      sum("cnt").over(Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val total = merged.agg(sum("cnt").as("total"))
+    // running cum AND the grand total from the SAME window sort — the
+    // sketch table is scanned exactly once (a separate total aggregate
+    // would re-scan it per consumer)
+    val w = Window.orderBy("bin")
+    val cum = merged.select(col("bin"),
+      sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"),
+      sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .as("total"))
     val pcts = percentiles.map(_.toLong).toDF("pct")
-    pcts.crossJoin(broadcast(total))
+    broadcast(pcts)
       .join(cum, col("cum") >= expr("(pct * total + 99) div 100"))
-      .groupBy("pct", "total").agg(min("bin").as("bin"))
+      .groupBy("pct").agg(min("bin").as("bin"), min("total").as("total"))
       .select(col("pct"), col("bin"),
         (col("bin") * binWidth).as("lo"),
         ((col("bin") + 1) * binWidth).as("hi"),

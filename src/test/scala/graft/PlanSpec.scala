@@ -406,4 +406,51 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(pm).size <= 2, pm)
     assert(!pm.contains("ScalaUDF"), pm)
   }
+
+  test("triangles: equi-keys extracted (no nested-loop), semi-join closure, no UDF") {
+    import spark.implicits._
+    val edges = (for { a <- 1L to 30L; b <- 1L to 30L if a < b && (a + b) % 3 != 0 }
+      yield (a, b)).toDF("src", "dst")
+    val plan = graft.operators.Graph.triangles(edges)
+      .queryExecution.executedPlan.toString
+    // the wedge and closure joins must extract hash keys — an OR-of-
+    // directions closure would degrade to nested-loop
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("edit-distance dedup: native levenshtein (no UDF), id-keyed text joins only") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"w$i " * 5 + "shared tail words here"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Dedup
+      .editDistancePairs(docs, "doc_id", "text", n = 3, maxDistPct = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("levenshtein"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_constraints: one-scan row rules, anti-join FK, no UDF") {
+    val plan = planOf("q_constraints")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("quantile sketch query: reads the sketch table only, never the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("histsk_plan").toString
+    graft.operators.Sketches.writeHistogramSketch(
+      (1L to 50L).map(v => (v % 2, v)).toDF("shard", "v"), "v", "shard", s"$dir/sk", 10L)
+    val plan = graft.operators.Sketches
+      .quantilesFromSketch(spark, s"$dir/sk", 10L, Seq(50, 95))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // one parquet source: the sketch rows; the percentile side is a
+    // broadcast of a literal list
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains(s"$dir/sk".substring(0, 10)) || plan.contains("sk"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
