@@ -295,8 +295,16 @@ object Dedup {
     * (d1, d2, sh1, sh2, n_inter) for a metric-specific filter.
     */
   private def verifiedCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, maxShingleDf: Int): DataFrame = {
-    val cand = blockedCandidatePairs(docs, idCol, textCol, n, maxShingleDf)
+      textCol: String, n: Int, maxShingleDf: Int): DataFrame =
+    verifyCandidates(docs, idCol, textCol, n,
+      blockedCandidatePairs(docs, idCol, textCol, n, maxShingleDf))
+
+  /** Exact verification of a (d1, d2) candidate table: full shingle
+    * sets of semi-join-pruned candidate docs, exact intersection size.
+    * Returns (d1, d2, sh1, sh2, n_inter) for a metric-specific filter.
+    */
+  private def verifyCandidates(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, cand: DataFrame): DataFrame = {
     // exact verification over candidate docs only (semi-join prunes the
     // corpus before re-shingling — same shape as minhashLsh below)
     val candIds = cand.select(col("d1").as("cid"))
@@ -308,6 +316,58 @@ object Dedup {
       .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
+  }
+
+  /** D4b — LOSSLESS prefix-filtered all-pairs Jaccard self-join
+    * (SSJoin/PPJoin family — Chaudhuri et al., ICDE'06; Xiao et al.,
+    * WWW'08). The df-capped inverted index above trades recall for
+    * bounded fan-out (a pair sharing only hot shingles is lost); the
+    * prefix filter is exact at the SAME candidate economics: order
+    * each doc's shingles rarest-first (ascending global df, shingle
+    * as the deterministic tie-break), keep only the first
+    * |S| - ceil(t·|S|) + 1 as join keys. Any pair with Jaccard ≥ t
+    * provably shares a key inside both prefixes, so verification
+    * sees every true pair — boilerplate shingles land in suffixes and
+    * never join, killing the k² skew bomb WITHOUT the lossy cap.
+    *
+    * 100 TB: df is one (shingle)-keyed partial agg; ranking shuffles
+    * (doc_id)-keyed rows once for the window; the self-join fans out
+    * only on rare-by-construction prefix keys (a shingle in k docs
+    * contributes at most the pairs among the few docs whose PREFIX it
+    * reaches, not k²); verification re-shingles only semi-join-pruned
+    * candidates. Threshold is the exact rational tNum/tDen — prefix
+    * length and the final test are integer arithmetic, so Spark and
+    * the SQL oracle agree row-for-row.
+    */
+  def prefixFilteredPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val ex = explodeShingles(shingleTable(docs, idCol, textCol, n))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val ranked = ex.join(dfreq, "shingle").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+    // prefix length |S| - ceil(t·|S|) + 1, ceil via integer div
+    val pref = ranked.filter(col("rn") <=
+      col("n_sh") - expr(s"(n_sh * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select("doc_id", "shingle", "n_sh")
+      .localCheckpoint() // feeds both sides of the self-join + verification lineage
+    // size filter: J ≥ t forces t ≤ |S1|/|S2| ≤ 1/t — integer-exact
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n_sh"), col("b.n_sh")) * tDen >=
+            greatest(col("a.n_sh"), col("b.n_sh")) * tNum)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyCandidates(docs, idCol, textCol, n, cand)
+      // J ≥ t ⟺ tDen·o ≥ tNum·(|S1|+|S2|−o): cross-multiplied, no floats
+      .filter(col("n_inter") * tDen >=
+        (size(col("sh1")) + size(col("sh2")) - col("n_inter")) * tNum)
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
+      .select("d1", "d2", "n_inter", "jaccard")
   }
 
   /** D2 — MinHash + LSH near-dup pairs, the 100 TB-scale path:

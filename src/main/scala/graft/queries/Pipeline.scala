@@ -83,6 +83,47 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
+  /** D4b — LOSSLESS prefix-filtered all-pairs Jaccard (SSJoin/PPJoin
+    * family): rarest-first shingle order, prefix length
+    * |S| − ceil(0.6·|S|) + 1, integer size filter 5·min ≥ 3·max, exact
+    * verification. Same output contract as q_dedup_jaccard but with
+    * recall guaranteed — a pair sharing ONLY boilerplate shingles
+    * survives here and is lost to the df-cap there. Both CTEs use
+    * pure integer arithmetic for prefix length and the threshold
+    * test, so the engines agree exactly.
+    */
+  val qDedupPrefix: GateQuery = GateQuery(
+    "q_dedup_prefix",
+    s"""WITH ${shingleCte(3)},
+       |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+       |ranked AS (
+       |  SELECT s.doc_id, s.shingle, z.n_sh,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rn
+       |  FROM sh s
+       |  JOIN dfreq d ON d.shingle = s.shingle
+       |  JOIN sizes z ON z.doc_id = s.doc_id),
+       |pref AS (SELECT doc_id, shingle, n_sh FROM ranked
+       |  WHERE rn <= n_sh - CAST((n_sh * 3 + 4) // 5 AS BIGINT) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE least(a.n_sh, b.n_sh) * 5 >= greatest(a.n_sh, b.n_sh) * 3),
+       |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, n_inter,
+       |  CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE n_inter * 5 >= (s1.n_sh + s2.n_sh - n_inter) * 3
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.prefixFilteredPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, tNum = 3, tDen = 5)
+      .orderBy("d1", "d2")
+  }
+
   /** D61 — asymmetric containment near-dup (doc-inside-doc): same
     * candidate machinery as D4, metric |A∩B|/min(|A|,|B|) with an
     * integer threshold test and floor-percent score — quote/
@@ -2299,5 +2340,5 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch)
+    qQuantileSketch, qDedupPrefix)
 }

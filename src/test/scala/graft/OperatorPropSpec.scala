@@ -111,6 +111,52 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(runJaccard(adv, 0.1, cap = 10).isEmpty)
   }
 
+  private def runPrefix(df: org.apache.spark.sql.DataFrame, tNum: Int, tDen: Int) =
+    graft.operators.Dedup.prefixFilteredPairs(df, "doc_id", "text", 3, tNum, tDen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("prefixFilteredPairs equals uncapped jaccardPairs (lossless), any partitioning") {
+    val rng = new scala.util.Random(23L)
+    val vocab = (0 until 40).map(i => s"v$i")
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 15).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    // planted near-dups: copy with one word appended
+    val dups = (0 until 10).map(i => (100L + i, base(i)._2 + " extraword"))
+    for (parts <- Seq(1, 7)) {
+      val df = (base ++ dups).toDF("doc_id", "text").repartition(parts)
+      val expected = runJaccard(df, 0.6, cap = 0)
+      assert(runPrefix(df, 3, 5) === expected)
+      assert(expected.size >= 10)
+    }
+  }
+
+  test("prefixFilteredPairs keeps pairs whose ONLY shared shingles are boilerplate-hot") {
+    // the recall case the df-cap loses: 2 identical docs made entirely
+    // of a phrase that also appears in 48 other docs — every shared
+    // shingle has df=50, so cap=10 drops the pair but the prefix
+    // filter must keep it (prefixes still contain the hot shingles;
+    // they are just ordered last among each doc's own keys).
+    val hot = "alpha beta gamma delta epsilon"
+    val clones = Seq((0L, hot), (1L, hot))
+    val others = (2 until 50).map(i => (i.toLong, s"$hot unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e unique${i}f"))
+    val df = (clones ++ others).toDF("doc_id", "text")
+    assert(runJaccard(df, 0.99, cap = 10).isEmpty) // df-cap loses it
+    val got = runPrefix(df, 99, 100)
+    assert(got.contains((0L, 1L, 3)), s"prefix filter must recover the clone pair, got $got")
+  }
+
+  test("prefixFilteredPairs candidate economics: one universal shingle joins only via prefixes") {
+    // 50 docs sharing one hot phrase + unique bodies at threshold 0.6:
+    // no true pairs, and the hot shingles sit past every prefix (rank
+    // by ascending df puts df=50 keys last), so the verified output is
+    // empty WITHOUT the quadratic candidate set the uncapped inverted
+    // index would build.
+    val adv = (0 until 50).map(i =>
+      (i.toLong, s"universal shingle here u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")).toDF("doc_id", "text")
+    assert(runPrefix(adv, 3, 5).isEmpty)
+  }
+
   test("duplicatedSpans: hand-verified counts, cross-document only, partition-invariant") {
     val docs = Seq(
       (0L, "a b c d e f"),        // all 4 trigram starts shared with d1/d4

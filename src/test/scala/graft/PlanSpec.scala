@@ -453,4 +453,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains(s"$dir/sk".substring(0, 10)) || plan.contains("sk"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("prefix-filtered similarity join: hash-only exchanges, no cartesian, no UDF, pruned read") {
+    val plan = planOf("q_dedup_prefix")
+    // candidates come from an equi-join on the prefix shingle key —
+    // never a nested-loop over doc pairs
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // the documents scan reads only (doc_id, text)
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      !r.contains("lang") && !r.contains("n_chars")), reads.mkString("\n"))
+  }
 }
