@@ -155,6 +155,162 @@ object Graph {
     coreDegrees(e).select(col("v").as("node"), col("deg").as("core_deg"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007, the near-linear-time community baseline): every node
+    * starts labeled with its own id; each round it adopts the label
+    * most frequent among its neighbors, ties broken by SMALLEST label
+    * — that tie rule plus synchronous (all-nodes-at-once) updates
+    * makes every round a pure function of the previous labeling, so an
+    * independent engine replays it bit-for-bit (the k-means/PageRank
+    * replay discipline; asynchronous LPA's visit-order dependence
+    * would be unreplayable). Fixed iteration count, not
+    * convergence-tested: synchronous LPA can 2-cycle on bipartite
+    * structure, so a fixpoint test could spin — callers pick the
+    * round budget, and label plurality after r rounds reflects
+    * r-hop community structure either way.
+    *
+    * Scale shape: per round, one shuffle for the (node, label) vote
+    * count (map-side partial first) and one node-keyed argmax agg over
+    * fixed-width rows; the adjacency partitions once and is reused
+    * every round (`localCheckpoint` per round keeps lineage flat —
+    * the Components/PageRank discipline). Nothing corpus-sized ever
+    * re-shuffles. Argmax is `max(struct(cnt, -label))` — one agg, no
+    * window sort.
+    *
+    * @param edges undirected edge list in columns `src`, `dst`
+    *              (direction/duplication/self-loops cleaned here);
+    *              labels are node ids, so ids must be > Long.MinValue
+    * @return (node, community) — community = surviving label
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint()
+    var l = adj.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) l = lpaRound(adj, l).localCheckpoint()
+    l.select(col("v").as("node"), col("label").as("community"))
+  }
+
+  /** One synchronous vote round (uncheckpointed — PlanSpec asserts its
+    * shape: partial-agg vote count, single-agg argmax, no window, no
+    * UDF, no cartesian).
+    */
+  private[graft] def lpaRound(adj: DataFrame, l: DataFrame): DataFrame = {
+    val votes = adj
+      .join(l.withColumnRenamed("v", "u"), "u")
+      .groupBy("v", "label").agg(count(lit(1)).as("cnt"))
+    votes.groupBy("v")
+      .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+      .select(col("v"), (-col("m.nl")).as("label"))
+  }
+
+  /** Multi-source BFS hop distance: the unweighted single/multi-source
+    * shortest-path primitive (influence radius from a seed set, crawl
+    * frontier depth, "within k links of a trusted source" quality
+    * signals). Frontier-style level-synchronous BFS — each round
+    * expands the CURRENT frontier only, so round r touches the round-r
+    * frontier's adjacency, not the whole graph, and total work across
+    * all rounds is O(m) edge visits.
+    *
+    * Scale shape: per round, one node-keyed join of adjacency against
+    * the (shrinking) frontier + one anti-join against the settled
+    * distance table — all fixed-width (node, long) rows;
+    * `localCheckpoint` per round keeps lineage flat (the Components/
+    * PageRank discipline). Early-exits when the frontier empties, so
+    * a small connected seed region never pays diameter-many rounds.
+    *
+    * @param edges   undirected edge list in `src`, `dst` (cleaned here)
+    * @param sources seed nodes in column `v` (dist 0); seeds not
+    *                present in the graph still report dist 0
+    * @return (node, hops) for every node reachable within maxHops
+    */
+  def hopDistances(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 100): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint()
+    var dist = sources.select(col("v")).distinct()
+      .select(col("v"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist.select("v")
+    var hop = 0L
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && hop < maxHops) {
+      hop += 1
+      val reached = adj
+        .join(frontier.withColumnRenamed("v", "u"), "u")
+        .select("v").distinct()
+      val fresh = reached.join(dist, Seq("v"), "left_anti")
+        .select(col("v"), lit(hop).as("dist"))
+        .localCheckpoint()
+      frontierSize = fresh.count()
+      if (frontierSize > 0) {
+        dist = dist.union(fresh).localCheckpoint()
+        frontier = fresh.select("v")
+      }
+    }
+    dist.select(col("v").as("node"), col("dist").as("hops"))
+  }
+
+  /** Link-prediction scoring for non-adjacent node pairs at distance
+    * 2 (Liben-Nowell & Kleinberg CIKM'03): common-neighbor count —
+    * the strongest of the simple structural predictors — plus
+    * preferential attachment deg(a)·deg(b), both integer-exact.
+    * Curation pipelines use this to propose source/entity merges that
+    * near-dup content hashes miss (two mirrors never sharing bytes
+    * but sharing most link neighbors).
+    *
+    * Wedge generation enumerates each CENTER's neighbor pairs — Σ
+    * deg² work — so centers above `maxCenterDeg` are excluded (the
+    * D4 df-cap discipline): a hub every node touches contributes
+    * boilerplate-grade evidence while costing quadratic fan-out; the
+    * cap bounds per-center work at cap² and is replayed exactly by
+    * the oracle. Degrees (and the pa score) still count ALL edges —
+    * only wedge centering is capped.
+    *
+    * Scale shape: one self-join of the capped adjacency on the center
+    * key (fan-out ≤ cap per center), map-side-partial pair count, one
+    * anti-join vs the edge list, two node-keyed degree joins — every
+    * exchanged row fixed-width.
+    *
+    * @return (a, b, cn, pa) for non-adjacent pairs a<b with ≥1 common
+    *         (capped) neighbor
+    */
+  def linkPredict(edges: DataFrame, maxCenterDeg: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds adjacency, degrees, and the anti-join
+    val adj = und.select(col("a").as("w"), col("b").as("u"))
+      .union(und.select(col("b").as("w"), col("a").as("u")))
+    val deg = adj.groupBy(col("w").as("v")).agg(count(lit(1)).as("deg"))
+    val centers = deg.filter(col("deg") <= maxCenterDeg).select("v")
+    val capped = adj.join(centers.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
+      .localCheckpoint() // reused by both wedge legs
+    val cn = capped.as("e1")
+      .join(capped.as("e2"),
+        col("e1.w") === col("e2.w") && col("e1.u") < col("e2.u"))
+      .select(col("e1.u").as("a"), col("e2.u").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    cn.join(und, Seq("a", "b"), "left_anti")
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(col("a"), col("b"), col("cn"), (col("da") * col("db")).as("pa"))
+  }
+
   private def coreDegrees(e: DataFrame): DataFrame =
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

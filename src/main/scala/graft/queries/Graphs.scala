@@ -164,5 +164,147 @@ object Graphs {
     Graph.kCore(edges, k = 3).orderBy("node")
   }
 
-  val all: Seq[GateQuery] = Seq(qPagerank, qTriangles, qKcore)
+  /** Label-propagation communities on the co-supplier graph (same
+    * edges as q_triangles): synchronous rounds with the
+    * smallest-label tie rule make each round a pure function of the
+    * last, so the oracle replays `lpaRounds` full rounds as generated
+    * CTEs — vote count then ROW_NUMBER argmax (cnt DESC, label ASC),
+    * the same total order as the engine's max(struct(cnt, -label)).
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, l1.l_orderkey AS ok
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+        |e AS (SELECT a, b FROM (
+        |        SELECT a, b, COUNT(DISTINCT ok) AS n FROM pairs GROUP BY 1, 2)
+        |      WHERE n >= 2),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+        |l0 AS (SELECT DISTINCT v, v AS label FROM adj)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT adj.v, l.label, COUNT(*) AS cnt
+         |  FROM adj JOIN l${r - 1} l ON l.v = adj.u GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT v, label FROM (
+         |  SELECT v, label, ROW_NUMBER() OVER (
+         |    PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn FROM c$r)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val tail =
+      s"""SELECT v AS node, label AS community FROM l$rounds
+         |ORDER BY node""".stripMargin
+    (head +: rs).mkString(",\n") + "\n" + tail
+  }
+
+  val qLabelProp: GateQuery = GateQuery(
+    "q_label_prop", lpaOracle(rounds = 3)) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_suppkey") < col("l2.l_suppkey"))
+      .select(col("l1.l_suppkey").as("src"), col("l2.l_suppkey").as("dst"),
+        col("l1.l_orderkey").as("ok"))
+    val edges = pairs.groupBy("src", "dst")
+      .agg(countDistinct("ok").as("n")).filter(col("n") >= 2)
+      .select("src", "dst")
+    Graph.labelPropagation(edges, iters = 3).orderBy("node")
+  }
+
+  /** Multi-source BFS hop distance over the part co-purchase graph
+    * (sparse at sf0.01: ~1900 nodes / ~3400 edges, many components),
+    * seeded at size-1 parts — the "within k links of a trusted seed
+    * set" signal. The oracle unrolls the SAME round budget as the
+    * engine's maxHops as generated CTEs: empty-frontier rounds are
+    * no-ops and both sides truncate at the same depth, so agreement
+    * holds for any graph eccentricity (the k-core unroll discipline).
+    * bench=false: the gate's cost is the iterative harness, not one
+    * plan.
+    */
+  private def bfsOracle(rounds: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, l1.l_orderkey AS ok
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |e AS (SELECT a, b FROM (
+        |        SELECT a, b, COUNT(DISTINCT ok) AS n FROM pairs GROUP BY 1, 2)
+        |      WHERE n >= 2),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+        |d0 AS (SELECT DISTINCT p_partkey AS v, CAST(0 AS BIGINT) AS dist
+        |       FROM part WHERE p_size = 1),
+        |f0 AS (SELECT v FROM d0)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (
+         |  SELECT DISTINCT adj.v, CAST($r AS BIGINT) AS dist
+         |  FROM adj JOIN f${r - 1} f ON f.v = adj.u
+         |  WHERE adj.v NOT IN (SELECT v FROM d${r - 1})),
+         |d$r AS MATERIALIZED (
+         |  SELECT v, dist FROM d${r - 1} UNION ALL SELECT v, dist FROM n$r),
+         |f$r AS (SELECT v FROM n$r)""".stripMargin
+    }
+    val tail =
+      s"""SELECT v AS node, dist AS hops FROM d$rounds
+         |ORDER BY node""".stripMargin
+    (head +: rs).mkString(",\n") + "\n" + tail
+  }
+
+  private def partEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"),
+        col("l1.l_orderkey").as("ok"))
+    pairs.groupBy("src", "dst")
+      .agg(countDistinct("ok").as("n")).filter(col("n") >= 2)
+      .select("src", "dst")
+  }
+
+  val qBfs: GateQuery = GateQuery(
+    "q_bfs_hops", bfsOracle(rounds = 8), bench = false) { (s, dir) =>
+    val seeds = Tables(s, dir, "part")
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey").as("v"))
+    Graph.hopDistances(partEdges(s, dir), seeds, maxHops = 8).orderBy("node")
+  }
+
+  /** Link-prediction scores on the part co-purchase graph:
+    * common-neighbor count + preferential attachment for non-adjacent
+    * pairs at distance 2, wedge centers capped at degree 12 — the cap
+    * genuinely bites at BOTH test scales (sf0.001 is dense, median
+    * deg 23; sf0.01 sparse, max deg 13) and is replayed exactly by
+    * the oracle; degrees/pa still count all edges.
+    */
+  val qLinkPredict: GateQuery = GateQuery(
+    "q_link_predict",
+    """WITH pairs AS (
+      |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, l1.l_orderkey AS ok
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      |e AS (SELECT a, b FROM (
+      |        SELECT a, b, COUNT(DISTINCT ok) AS n FROM pairs GROUP BY 1, 2)
+      |      WHERE n >= 2),
+      |adj AS (SELECT a AS w, b AS u FROM e UNION ALL SELECT b AS w, a AS u FROM e),
+      |deg AS (SELECT w AS v, COUNT(*) AS deg FROM adj GROUP BY 1),
+      |capped AS (SELECT w, u FROM adj
+      |           WHERE w IN (SELECT v FROM deg WHERE deg <= 12)),
+      |cn AS (SELECT e1.u AS a, e2.u AS b, COUNT(*) AS cn
+      |       FROM capped e1 JOIN capped e2 ON e1.w = e2.w AND e1.u < e2.u
+      |       GROUP BY 1, 2),
+      |nonadj AS (SELECT cn.a, cn.b, cn.cn FROM cn
+      |           WHERE NOT EXISTS (
+      |             SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b))
+      |SELECT n.a, n.b, CAST(n.cn AS BIGINT) AS cn,
+      |       CAST(d1.deg * d2.deg AS BIGINT) AS pa
+      |FROM nonadj n
+      |JOIN deg d1 ON d1.v = n.a
+      |JOIN deg d2 ON d2.v = n.b
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Graph.linkPredict(partEdges(s, dir), maxCenterDeg = 12).orderBy("a", "b")
+  }
+
+  val all: Seq[GateQuery] =
+    Seq(qPagerank, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict)
 }

@@ -107,6 +107,101 @@ class GraphSpec extends AnyFunSuite {
       === Set(1L, 2L, 3L))
   }
 
+  test("labelPropagation: two cliques with a bridge settle into two communities") {
+    // K3 {1,2,3} and K3 {4,5,6} joined by bridge 3—4. After enough
+    // synchronous rounds with the min-label tie rule, the left clique
+    // carries label 1 and the right label 4 (4's two clique neighbors
+    // outvote the single bridge neighbor).
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    for (parts <- Seq(1, 3)) {
+      val got = Graph.labelPropagation(g.repartition(parts), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet === (1L to 6L).toSet, s"parts=$parts")
+      assert(Set(got(1L), got(2L), got(3L)).size === 1, "left clique agrees")
+      assert(Set(got(4L), got(5L), got(6L)).size === 1, "right clique agrees")
+      assert(got(1L) !== got(5L), "bridge does not merge the cliques")
+    }
+  }
+
+  test("labelPropagation: one hand-worked synchronous round on a path") {
+    // path 1—2—3, l0 = id. Round 1 votes: node 1 sees {2}, node 2
+    // sees {1,3} (tie → min = 1), node 3 sees {2}.
+    val got = Graph.labelPropagation(pathEdges(1), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    // round 2 from (2,1,2): node 1 sees {1}, node 2 sees {2,2}, node 3
+    // sees {1} — synchronous 2-cycle on bipartite structure, by design
+    val got2 = Graph.labelPropagation(pathEdges(1), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("labelPropagation: messy input (direction, dups, self-loops) is cleaned") {
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val a = Graph.labelPropagation(clean, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(messy, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), "triangle converges to min id")
+  }
+
+  test("hopDistances: hand-worked levels, early exit, multi-source min, isolated seed") {
+    // path 1—2—3—4—5 seeded at {1}: dist = position
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    for (parts <- Seq(1, 3)) {
+      val d = Graph.hopDistances(path.repartition(parts), Seq(1L).toDF("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L),
+        s"parts=$parts")
+    }
+    // maxHops truncation
+    val t = Graph.hopDistances(path, Seq(1L).toDF("v"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // multi-source: seeds {1, 5} — node 3 reached at min distance 2
+    val m = Graph.hopDistances(path, Seq(1L, 5L).toDF("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // disconnected component {8,9} is never reached; isolated seed 7
+    // (absent from the edge list) still reports dist 0
+    val g2 = path.union(Seq((8L, 9L)).toDF("src", "dst"))
+    val d2 = Graph.hopDistances(g2, Seq(1L, 7L).toDF("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2(7L) === 0L && !d2.contains(8L) && !d2.contains(9L))
+  }
+
+  test("linkPredict: hand-worked scores on a square, adjacency excluded, cap bites") {
+    // square 1—2—3—4—1: diagonals (1,3) and (2,4) each share BOTH
+    // neighbors (cn=2); every node has deg 2 so pa=4; adjacent pairs
+    // never appear.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    for (parts <- Seq(1, 3)) {
+      val got = Graph.linkPredict(sq.repartition(parts), maxCenterDeg = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got === Map((1L, 3L) -> (2L, 4L), (2L, 4L) -> (2L, 4L)),
+        s"parts=$parts")
+    }
+    // star 0—{1..5} plus edge 1—2: leaves pair through the hub (cn=1,
+    // pa=deg product). Cap the hub (deg 5 > cap 4): every leaf pair
+    // loses its only wedge EXCEPT (1,2)... which is adjacent — so
+    // output is empty, while degrees still counted the hub edges.
+    val star = ((1L to 5L).map(l => (0L, l)) :+ (1L, 2L)).toDF("src", "dst")
+    val uncapped = Graph.linkPredict(star, maxCenterDeg = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // leaves 3,4,5 have deg 1; 1,2 have deg 2; hub pairs all leaves
+    assert(uncapped((3L, 4L)) === (1L, 1L))
+    assert(uncapped((1L, 3L)) === (1L, 2L), "pa uses full degrees")
+    assert(!uncapped.contains((1L, 2L)), "adjacent pair excluded")
+    assert(Graph.linkPredict(star, maxCenterDeg = 4).count() === 0L,
+      "capping the hub removes all hub-centered wedges")
+  }
+
   test("duplicate input edges do not change the result") {
     val once = Graph.pageRank(pathEdges(1), iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

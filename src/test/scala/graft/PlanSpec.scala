@@ -379,6 +379,23 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("lpa round: partial-agg vote count, single-agg argmax, no window, no UDF") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val adj = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("v", "u")
+    val l0 = adj.select(col("v")).distinct().select(col("v"), col("v").as("label"))
+    val p = graft.operators.Graph.lpaRound(adj, l0)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+    // argmax is max(struct(cnt, -label)) — one agg, NOT a row_number
+    // window (a window would sort every node's full vote list)
+    assert(!p.contains("Window"), p)
+    // vote count partial-aggregates before its exchange: at 100 TB the
+    // exchange carries (v, label, partial cnt), not raw adjacency
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("sliding window: one corpus exchange with map-side partial agg") {
     val p = planOf("q_sliding_window")
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
