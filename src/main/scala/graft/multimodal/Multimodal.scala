@@ -297,6 +297,69 @@ object Multimodal {
       }
   }
 
+  final case class AudioFprintRow(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** D72 — audio near-dup fingerprinting over REALLY decoded PCM: the
+    * audio analogue of the image aHash (D43) / video phash (D50).
+    * Decode the WAV through AudioSystem, nearest-resample to a fixed
+    * 256 samples, sum |sample| over 64 windows of 4 (the integer
+    * stand-in for per-window energy), threshold each window against
+    * the floor-mean of the 64 energies (strictly greater), and pack
+    * the 64 bits window-major into four 16-bit bands — simultaneously
+    * the LSH banding key for candidate search (two clips are
+    * candidates iff they agree on at least one band, the D2/D43 band
+    * join). Time-normalizing via the resample makes the signature
+    * length-invariant, the energy profile makes it amplitude-shape
+    * sensitive; every step is integer arithmetic over losslessly
+    * decoded samples, so a SQL oracle that never sees the bytes
+    * replays hash AND banding.
+    */
+  def audioFingerprintTable(docs: DataFrame): Dataset[AudioFprintRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (id % 200 + 50).toInt
+          val rs = AudioCodec.resampleNearest(
+            AudioCodec.decode(AudioCodec.syntheticWav(id, 16000, n)), 256)
+          val energy = new Array[Long](64)
+          var i = 0
+          while (i < 256) { energy(i / 4) += math.abs(rs.samples(i)); i += 1 }
+          val mean = energy.sum / 64
+          val bands = new Array[Int](4)
+          var w = 0
+          while (w < 64) {
+            if (energy(w) > mean) bands(w / 16) |= 1 << (w % 16)
+            w += 1
+          }
+          AudioFprintRow(id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+  }
+
+  /** Per-clip fingerprint bands plus the LSH candidate degree: how
+    * many OTHER clips share at least one band. The codec touches each
+    * payload once; banding multiplies rows by 4 only; the candidate
+    * join moves fixed-width (band, v, doc_id) rows — the D2/D43 scale
+    * shape applied to the audio modality.
+    */
+  def audioFingerprintCandidates(docs: DataFrame): DataFrame = {
+    val ph = audioFingerprintTable(docs).toDF().localCheckpoint()
+    val bands = ph.select(col("doc_id"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "v")))
+    val deg = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cand"))
+    ph.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+  }
+
   /** Resample every audio payload to `n` samples; non-audio passes
     * through. Payloads that really decode (WAV via [[AudioCodec]]) get
     * a REAL nearest-neighbor resample and WAV re-encode; non-decodable

@@ -872,6 +872,52 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D72 — audio near-dup fingerprint over REALLY decoded PCM: decode
+    * the WAV, nearest-resample to 256 samples, 64 windows × 4 samples
+    * of |sample| energy, strict>floor-mean bits packed into four
+    * 16-bit LSH bands, plus the band-collision candidate degree. The
+    * oracle recomputes resample map, energies, threshold, bit packing,
+    * AND the band join from the formula alone — the D43 aHash oracle
+    * shape applied to audio.
+    */
+  val qAudioFprint: GateQuery = GateQuery(
+    "q_audio_fprint",
+    """WITH aud AS (
+      |  SELECT doc_id, doc_id % 200 + 50 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |rs AS (
+      |  SELECT a.doc_id, g.i AS idx,
+      |    abs(CAST((a.doc_id + 37 * ((g.i * a.n) // 256)) % 65536 - 32768 AS BIGINT)) AS e
+      |  FROM aud a, generate_series(0, 255) g(i)),
+      |win AS (SELECT doc_id, CAST(idx // 4 AS BIGINT) AS w, SUM(e) AS energy
+      |        FROM rs GROUP BY 1, 2),
+      |m AS (SELECT doc_id, CAST(SUM(energy) // 64 AS BIGINT) AS mean
+      |      FROM win GROUP BY 1),
+      |bands AS (
+      |  SELECT win.doc_id, CAST(win.w // 16 AS BIGINT) AS band,
+      |    CAST(SUM(CASE WHEN win.energy > m.mean THEN 1 << (win.w % 16) ELSE 0 END) AS BIGINT) AS v
+      |  FROM win JOIN m USING (doc_id) GROUP BY 1, 2),
+      |deg AS (
+      |  SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_cand
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.v = b.v AND a.doc_id <> b.doc_id
+      |  GROUP BY 1),
+      |pb AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+      |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+      |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+      |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+      |  FROM bands GROUP BY 1)
+      |SELECT pb.doc_id, CAST(pb.b0 AS INT) AS b0, CAST(pb.b1 AS INT) AS b1,
+      |  CAST(pb.b2 AS INT) AS b2, CAST(pb.b3 AS INT) AS b3,
+      |  CAST(COALESCE(deg.n_cand, 0) AS BIGINT) AS n_cand
+      |FROM pb LEFT JOIN deg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.multimodal.Multimodal.audioFingerprintCandidates(Tables(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
   /** D12f — REAL video decode: each video doc becomes a genuine GVID
     * container (length-prefixed REAL PNG frames, frame-f pixel =
     * (doc_id + 101f + 7x + 13y) mod 256), is genuinely demuxed,
@@ -2331,7 +2377,7 @@ object Pipeline {
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
-    qAudioDecode, qVideoFrames,
+    qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,

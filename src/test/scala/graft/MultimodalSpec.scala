@@ -72,6 +72,39 @@ class MultimodalSpec extends AnyFunSuite {
       assert(b.asInstanceOf[Int] >= 0 && b.asInstanceOf[Int] < 65536)
   }
 
+  test("audio fingerprint: formula replay, identical clips collide, partition invariance") {
+    import spark.implicits._
+    // ids 1 and 4915201 produce the SAME clip (n has period 200, the
+    // sample formula period 65536; lcm·3 = 4915200 keeps id % 3 == 1),
+    // id 4 differs.
+    val docs = Seq(1L, 4L, 4915201L).toDF("doc_id")
+    val fp = Multimodal.audioFingerprintCandidates(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fp(1L).take(4) === fp(4915201L).take(4))
+    assert(fp(1L).last.asInstanceOf[Long] >= 1L)
+    // independent pure-formula replay for id=1 (never touches the
+    // codec): resample map src=i·n/256, |sample| energies over 64
+    // windows of 4, strict>floor-mean bits into four 16-bit bands
+    val id = 1L
+    val n = (id % 200 + 50).toInt
+    val energy = new Array[Long](64)
+    for (i <- 0 until 256) {
+      val src = (i.toLong * n / 256).toInt
+      val s = (((id + 37L * src) % 65536L) - 32768L).toInt
+      energy(i / 4) += math.abs(s)
+    }
+    val mean = energy.sum / 64
+    val want = new Array[Int](4)
+    for (w <- 0 until 64) if (energy(w) > mean) want(w / 16) |= 1 << (w % 16)
+    assert(fp(1L).take(4) === want.toSeq)
+    // determinism across partitioning; bands are 16-bit values
+    val again = Multimodal.audioFingerprintCandidates(docs.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(again === fp)
+    for ((_, v) <- fp; b <- v.take(4))
+      assert(b.asInstanceOf[Int] >= 0 && b.asInstanceOf[Int] < 65536)
+  }
+
   test("video phash: identical videos collide per frame position, degree counts partners") {
     import spark.implicits._
     // ids 2 and 3842 render the SAME video (w period 16, h period 12,
