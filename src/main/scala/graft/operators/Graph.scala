@@ -311,6 +311,68 @@ object Graph {
       .select(col("a"), col("b"), col("cn"), (col("da") * col("db")).as("pa"))
   }
 
+  /** Weighted single/multi-source shortest paths by synchronous
+    * Bellman-Ford relaxation rounds — the Pregel SSSP shape (Malewicz
+    * et al. SIGMOD'10): after round r, dist(v) is EXACTLY the minimum
+    * weight over paths of ≤ r edges, a pure function of the round
+    * budget that an independent engine replays bit-for-bit with
+    * integer weights.
+    *
+    * Frontier-optimized: only nodes whose distance IMPROVED last
+    * round re-send (a settled node's value was already propagated
+    * when it last changed, and min-relaxation is monotone — the
+    * classic Pregel argument), so steady-state rounds touch the
+    * changing region only, not the whole graph. Relaxations are
+    * pre-combined map-side (`groupBy(v).min` before the merge), the
+    * distance merge is one union+min aggregate over fixed-width
+    * (node, long) rows, and `localCheckpoint` per round keeps lineage
+    * flat. Early-exits when no distance improves.
+    *
+    * @param edges   undirected weighted edges `src`, `dst`, `w`
+    *                (integer weights ≥ 0; duplicate pairs keep the
+    *                MINIMUM weight; self-loops dropped)
+    * @param sources seed nodes in column `v` (dist 0)
+    * @return (node, dist) for every node reachable within maxRounds
+    *         hops
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+    val adj = und.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint()
+    var dist = sources.select(col("v")).distinct()
+      .select(col("v"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var round = 0
+    var active = frontier.count()
+    while (active > 0 && round < maxRounds) {
+      round += 1
+      val prop = adj
+        .join(frontier.withColumnRenamed("v", "fu").withColumnRenamed("dist", "fd"),
+          col("u") === col("fu"))
+        .select(col("v"), (col("fd") + col("w")).as("nd"))
+        .groupBy("v").agg(min("nd").as("nd"))
+      val improved = prop
+        .join(dist.withColumnRenamed("dist", "old"), Seq("v"), "left")
+        .filter(col("old").isNull || col("nd") < col("old"))
+        .select(col("v"), col("nd").as("dist"))
+        .localCheckpoint()
+      active = improved.count()
+      if (active > 0) {
+        dist = dist.union(improved)
+          .groupBy("v").agg(min("dist").as("dist"))
+          .localCheckpoint()
+        frontier = improved
+      }
+    }
+    dist.select(col("v").as("node"), col("dist").as("dist"))
+  }
+
   private def coreDegrees(e: DataFrame): DataFrame =
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

@@ -305,6 +305,63 @@ object Graphs {
     Graph.linkPredict(partEdges(s, dir), maxCenterDeg = 12).orderBy("a", "b")
   }
 
+  /** Weighted SSSP over the part co-purchase graph: edge weight
+    * 100//n (more shared orders → closer), seeds = size-1 parts. The
+    * oracle unrolls the SAME round budget as the engine's maxRounds
+    * as naive full re-relaxation CTEs — the frontier-optimized engine
+    * computes the identical min-over-≤k-hop-paths per round (the
+    * Pregel monotone-relaxation argument), and both sides truncate at
+    * the same depth. bench=false (iterative harness).
+    */
+  private def ssspOracle(rounds: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, l1.l_orderkey AS ok
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |e AS (SELECT a, b, CAST(100 // n AS BIGINT) AS w FROM (
+        |        SELECT a, b, COUNT(DISTINCT ok) AS n FROM pairs GROUP BY 1, 2)
+        |      WHERE n >= 2),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b AS u, a AS v, w FROM e),
+        |r0 AS (SELECT DISTINCT p_partkey AS v, CAST(0 AS BIGINT) AS dist
+        |       FROM part WHERE p_size = 1)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""r$r AS MATERIALIZED (
+         |  SELECT v, MIN(nd) AS dist FROM (
+         |    SELECT v, dist AS nd FROM r${r - 1}
+         |    UNION ALL
+         |    SELECT adj.v, p.dist + adj.w AS nd
+         |    FROM adj JOIN r${r - 1} p ON p.v = adj.u)
+         |  GROUP BY v)""".stripMargin
+    }
+    val tail =
+      s"""SELECT v AS node, dist FROM r$rounds
+         |ORDER BY node""".stripMargin
+    (head +: rs).mkString(",\n") + "\n" + tail
+  }
+
+  val qSssp: GateQuery = GateQuery(
+    "q_sssp", ssspOracle(rounds = 12), bench = false) { (s, dir) =>
+    val weighted = partEdgesWeighted(s, dir)
+    val seeds = Tables(s, dir, "part")
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey").as("v"))
+    Graph.shortestPaths(weighted, seeds, maxRounds = 12).orderBy("node")
+  }
+
+  private def partEdgesWeighted(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"),
+        col("l1.l_orderkey").as("ok"))
+    pairs.groupBy("src", "dst")
+      .agg(countDistinct("ok").as("n")).filter(col("n") >= 2)
+      .select(col("src"), col("dst"), expr("CAST(100 AS BIGINT) div n").as("w"))
+  }
+
   val all: Seq[GateQuery] =
-    Seq(qPagerank, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict)
+    Seq(qPagerank, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict, qSssp)
 }

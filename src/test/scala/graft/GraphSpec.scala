@@ -202,6 +202,37 @@ class GraphSpec extends AnyFunSuite {
       "capping the hub removes all hub-centered wedges")
   }
 
+  test("shortestPaths: longer-hop-but-lighter path wins, round budget truncates correctly") {
+    // 1—2 (w=10) vs 1—3—4—2 (w=1+1+1): the 3-hop path is shorter.
+    val g = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    for (parts <- Seq(1, 3)) {
+      val d = Graph.shortestPaths(g.repartition(parts), Seq(1L).toDF("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d === Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L), s"parts=$parts")
+    }
+    // with only 1 relaxation round, node 2 still holds the direct 10
+    // (dist after round r = min over paths of <= r edges, exactly)
+    val r1 = Graph.shortestPaths(g, Seq(1L).toDF("v"), maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    val r2 = Graph.shortestPaths(g, Seq(1L).toDF("v"), maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(2L) === 10L && r2(4L) === 2L)
+  }
+
+  test("shortestPaths: duplicate pairs keep min weight; multi-source min; zero weights") {
+    val g = Seq((1L, 2L, 5L), (2L, 1L, 3L), (2L, 3L, 0L)).toDF("src", "dst", "w")
+    val d = Graph.shortestPaths(g, Seq(1L).toDF("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 3L, 3L -> 3L), "min-weight dedup + zero weight")
+    // two seeds: every node takes the nearer one
+    val path = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L)).toDF("src", "dst", "w")
+    val m = Graph.shortestPaths(path, Seq(1L, 4L).toDF("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 0L))
+  }
+
   test("duplicate input edges do not change the result") {
     val once = Graph.pageRank(pathEdges(1), iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
