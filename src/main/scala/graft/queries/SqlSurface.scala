@@ -446,9 +446,39 @@ object SqlSurface {
     }
   }
 
+  /** C41 — RECURSIVE CTE (Spark 4.x WITH RECURSIVE): hierarchical
+    * ancestor rollup over the implicit binary tree on customer keys
+    * (parent = key div 2) — every customer's chain climbs ~14 levels
+    * to the root, and each tree node aggregates the customers whose
+    * chain passes through it. Strictly-decreasing keys make the
+    * recursion provably terminating in both engines; the only dialect
+    * difference is integer division spelling (`div` vs `//`).
+    */
+  val qRecursiveCte: GateQuery = GateQuery(
+    "q_recursive_cte",
+    """WITH RECURSIVE anc AS (
+      |  SELECT c_custkey AS node, c_nationkey FROM customer
+      |  UNION ALL
+      |  SELECT node // 2 AS node, c_nationkey FROM anc WHERE node > 1)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_desc,
+      |  CAST(SUM(c_nationkey) AS BIGINT) AS nat_sum
+      |FROM anc GROUP BY node
+      |ORDER BY node""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS node, c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT node div 2 AS node, c_nationkey FROM anc WHERE node > 1)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_desc,
+        |  CAST(SUM(c_nationkey) AS BIGINT) AS nat_sum
+        |FROM anc GROUP BY node
+        |ORDER BY node""".stripMargin)
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
-    qCsvRoundtrip, qJsonlRoundtrip)
+    qCsvRoundtrip, qJsonlRoundtrip, qRecursiveCte)
 }
