@@ -373,6 +373,59 @@ object Graph {
     dist.select(col("v").as("node"), col("dist").as("dist"))
   }
 
+  /** Deterministic pseudo-random walks — the DeepWalk/node2vec corpus
+    * generator (Perozzi et al. KDD'14): one `steps`-step walk from
+    * every start node, where the "random" neighbor choice at (walk,
+    * node, step) is md5-derived — the shuffleKey/shardAssign
+    * determinism discipline applied to graph traversal, so the walk
+    * corpus is reproducible on any engine, any partitioning, any
+    * cluster size (a re-run must emit byte-identical training
+    * sequences or downstream embeddings silently drift).
+    *
+    * Choice rule: neighbors ranked by id ascending (row_number per
+    * node); step t from node v in walk w takes rank
+    * (hex12(md5("seed:w:v:t")) mod deg(v)) + 1. Walks from isolated
+    * start nodes end at step 0.
+    *
+    * Scale shape: the whole walk is ONE declarative plan — `steps`
+    * self-joins of the ranked adjacency (localCheckpoint'd once,
+    * reused per step), each moving fixed-width (walk, node) rows;
+    * the per-node neighbor ranking is a degree-bounded window, paid
+    * once. No driver loop, no iterative checkpointing.
+    *
+    * @return (walk_id, step, node) — step 0 is the start node
+    */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+      seed: Long): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val ranked = adj
+      .join(adj.groupBy("u").agg(count(lit(1)).as("deg")), "u")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy("v")))
+      .localCheckpoint() // reused by every step's join
+    var cur = starts.select(col("v")).distinct()
+      .select(col("v").as("walk_id"), col("v").as("node"))
+    val frames = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("walk_id"), lit(0).cast("int").as("step"), col("node")))
+    for (t <- 1 to steps) {
+      val pick = conv(substring(md5(concat_ws(":",
+          lit(seed).cast("string"), col("walk_id").cast("string"),
+          col("node").cast("string"), lit(t).cast("string")).cast("binary")),
+        1, 12), 16, 10).cast("long")
+      cur = cur.join(ranked, col("node") === col("u"))
+        .filter(col("rnk") === pmod(pick, col("deg")) + 1)
+        .select(col("walk_id"), col("v").as("node"))
+      frames += cur.select(col("walk_id"), lit(t).cast("int").as("step"), col("node"))
+    }
+    frames.reduce(_ union _)
+  }
+
   private def coreDegrees(e: DataFrame): DataFrame =
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

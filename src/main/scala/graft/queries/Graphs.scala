@@ -362,6 +362,53 @@ object Graphs {
       .select(col("src"), col("dst"), expr("CAST(100 AS BIGINT) div n").as("w"))
   }
 
+  /** Deterministic DeepWalk corpus over the part co-purchase graph:
+    * one 5-step walk per node, neighbor choice = hex12(md5) mod
+    * degree over id-ranked adjacency. The oracle replays ranking,
+    * hash, and every step as unrolled CTEs — a different ranking
+    * order, hash slice, or mod convention diverges immediately.
+    */
+  private def walkOracle(steps: Int, seed: Long): String = {
+    val head =
+      s"""WITH pairs AS (
+         |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, l1.l_orderkey AS ok
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |e AS (SELECT a, b FROM (
+         |        SELECT a, b, COUNT(DISTINCT ok) AS n FROM pairs GROUP BY 1, 2)
+         |      WHERE n >= 2),
+         |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+         |rk AS MATERIALIZED (
+         |  SELECT u, v, COUNT(*) OVER (PARTITION BY u) AS deg,
+         |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rnk
+         |  FROM adj),
+         |w0 AS (SELECT DISTINCT u AS walk_id, CAST(0 AS INT) AS step, u AS node
+         |       FROM adj)""".stripMargin
+    val rs = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.walk_id, CAST($t AS INT) AS step, r.v AS node
+         |  FROM w${t - 1} w JOIN rk r ON r.u = w.node
+         |   AND r.rnk = ('0x' || substr(md5('$seed:' || CAST(w.walk_id AS VARCHAR)
+         |     || ':' || CAST(w.node AS VARCHAR) || ':$t'), 1, 12))::BIGINT
+         |     % r.deg + 1)""".stripMargin
+    }
+    val tail =
+      s"""SELECT walk_id, step, node FROM (
+         |  ${(0 to steps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")})
+         |ORDER BY walk_id, step""".stripMargin
+    (head +: rs).mkString(",\n") + "\n" + tail
+  }
+
+  val qRandomWalk: GateQuery = GateQuery(
+    "q_random_walk", walkOracle(steps = 5, seed = 11L)) { (s, dir) =>
+    val edges = partEdges(s, dir)
+    val starts = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+    Graph.randomWalks(edges, starts, steps = 5, seed = 11L)
+      .orderBy("walk_id", "step")
+  }
+
   val all: Seq[GateQuery] =
-    Seq(qPagerank, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict, qSssp)
+    Seq(qPagerank, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict, qSssp,
+      qRandomWalk)
 }

@@ -233,6 +233,56 @@ class GraphSpec extends AnyFunSuite {
     assert(m === Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 0L))
   }
 
+  test("randomWalks: hand-replayed choices, valid-edge invariant, partition/seed behavior") {
+    import java.security.MessageDigest
+    // triangle {1,2,3} + pendant 3—4
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    def hex12(s: String): Long = {
+      val h = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 12), 16)
+    }
+    // independent replay: adjacency ranked by id ascending
+    val nbrs = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L, 4L),
+      4L -> Seq(3L))
+    def replay(seed: Long, start: Long, steps: Int): Seq[(Int, Long)] = {
+      var node = start
+      (0 to steps).map { t =>
+        if (t > 0) {
+          val ns = nbrs(node)
+          node = ns((hex12(s"$seed:$start:$node:$t") % ns.length).toInt)
+        }
+        t -> node
+      }
+    }
+    for (parts <- Seq(1, 3)) {
+      val got = Graph.randomWalks(g.repartition(parts),
+          Seq(1L, 2L, 3L, 4L).toDF("v"), steps = 4, seed = 11L)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (w, rows) =>
+          w -> rows.sortBy(_.getInt(1)).map(r => r.getInt(1) -> r.getLong(2)).toSeq
+        }
+      for (start <- 1L to 4L)
+        assert(got(start) === replay(11L, start, 4), s"start=$start parts=$parts")
+      // every consecutive pair is a real edge
+      val edgeSet = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+        .flatMap { case (a, b) => Set((a, b), (b, a)) }
+      for ((_, path) <- got; Seq((_, x), (_, y)) <- path.sliding(2))
+        assert(edgeSet.contains((x, y)), s"non-edge $x->$y")
+    }
+    // a different seed changes at least one walk on this graph
+    val a = Graph.randomWalks(g, Seq(3L).toDF("v"), 4, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Graph.randomWalks(g, Seq(3L).toDF("v"), 4, seed = 12L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a !== b)
+    // isolated start: walk is just step 0
+    val iso = Graph.randomWalks(g, Seq(9L).toDF("v"), 4, seed = 11L).collect()
+    assert(iso.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      === Seq((9L, 0, 9L)))
+  }
+
   test("duplicate input edges do not change the result") {
     val once = Graph.pageRank(pathEdges(1), iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
