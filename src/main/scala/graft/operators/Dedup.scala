@@ -196,6 +196,14 @@ object Dedup {
     * generated attribute is free and cannot be pushed below the
     * generate. ~8x faster at sf0.1.
     */
+  /** Uncheckpointed exploded-index plan — prefixFilteredPairs
+    * materializes it; PlanSpec asserts its scan pruning (the
+    * checkpoint hides the parquet scan from the downstream plan).
+    */
+  private[graft] def shingleIndexPlan(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    explodeShingles(shingleTable(docs, idCol, textCol, n))
+
   private[operators] def explodeShingles(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
@@ -343,7 +351,11 @@ object Dedup {
       n: Int, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val ex = explodeShingles(shingleTable(docs, idCol, textCol, n))
+    // materialize the exploded index ONCE: df count, size count, the
+    // ranked join, and verification all consume it, and recomputing
+    // the CPU-bound tokenize→shingle→explode chain per consumer costs
+    // far more than persisting (doc_id, shingle) fixed-width rows
+    val ex = shingleIndexPlan(docs, idCol, textCol, n).localCheckpoint()
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val ranked = ex.join(dfreq, "shingle").join(sizes, "doc_id")
@@ -361,12 +373,29 @@ object Dedup {
             greatest(col("a.n_sh"), col("b.n_sh")) * tNum)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyCandidates(docs, idCol, textCol, n, cand)
+    // exact verification on the EXPLODED index, not array re-joins:
+    // n_inter = count of shared (distinct) shingles via two id-keyed
+    // equi-joins over fixed-width rows. The array alternative
+    // (verifyCandidates) ships each candidate's full shingle array
+    // through two joins — at a low threshold/short shingle the
+    // candidate set is large (~193k pairs at n=3, sf0.1) and those
+    // array shuffles plus a corpus re-shingle dominated the gate
+    // (~2× the whole remaining pipeline). ex is already checkpointed;
+    // every exchanged row here is (id, id, shingle) or smaller.
+    val inter = cand
+      .join(ex.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(ex.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).cast("int").as("n_inter")) // int: the family's
+        // (jaccardPairs/verifyCandidates) n_inter contract
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("s1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("s2")), "d2")
       // J ≥ t ⟺ tDen·o ≥ tNum·(|S1|+|S2|−o): cross-multiplied, no floats
       .filter(col("n_inter") * tDen >=
-        (size(col("sh1")) + size(col("sh2")) - col("n_inter")) * tNum)
+        (col("s1") + col("s2") - col("n_inter")) * tNum)
       .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
+        (col("s1") + col("s2") - col("n_inter")).cast("double"))
       .select("d1", "d2", "n_inter", "jaccard")
   }
 

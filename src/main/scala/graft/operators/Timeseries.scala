@@ -142,6 +142,73 @@ object Timeseries {
       .select(col(tieCol), col(groupCol), col("x"), col("n").as("n_window"))
   }
 
+  /** E27 — OHLC downsampling bars: per (group, hour bucket) the
+    * open/close values (first/last by the unique (t_us, tie) key —
+    * deterministic, never "any value"), high/low, event count, and
+    * integer-micro volume. The resample primitive that turns a raw
+    * tick/event stream into the fixed-grid bars dashboards and
+    * sequence models consume. Open/close/high/low are SINGLE picked
+    * doubles — no float accumulation, so they are bit-exact on any
+    * engine; the only SUM runs over floor-scaled integer micros.
+    *
+    * Scale shape: ONE map-side-partial exchange keyed (group, bar);
+    * open/close are `min_by`/`max_by` over the (t_us, tie) struct —
+    * pure aggregates, no per-bar sort, no window.
+    */
+  def ohlcBars(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val b = events.select(col(groupCol),
+      date_trunc("hour", col(tsCol)).as("bar"),
+      unix_micros(col(tsCol)).as("t_us"), col(tieCol).as("tie"),
+      col(valueCol).as("v"),
+      floor(col(valueCol) * 1000000).cast("long").as("v_micro"))
+    b.groupBy(col(groupCol), col("bar"))
+      .agg(
+        min_by(col("v"), struct(col("t_us"), col("tie"))).as("open_v"),
+        max("v").as("high_v"),
+        min("v").as("low_v"),
+        max_by(col("v"), struct(col("t_us"), col("tie"))).as("close_v"),
+        count(lit(1)).as("n"),
+        sum("v_micro").as("vol_micro"))
+  }
+
+  /** E28 — EWMA smoothing, integer-exact: over micro-scaled values in
+    * (t_us, tie) order per key,
+    *
+    *   y_1 = x_1;   y_t = (α·x_t + (100−α)·y_{t−1}) div 100
+    *
+    * with α an integer percent — every step is floor arithmetic, so
+    * any engine replays the whole series bit-for-bit (a float EWMA
+    * never survives an engine swap). The recursion is inherently
+    * sequential per key, so it runs as ONE ordered higher-order
+    * `aggregate` fold over `sort_array(collect_list(...))` — no
+    * driver loop, no self-join per step.
+    *
+    * Scale shape: one exchange keyed by the entity; the per-key
+    * history must fit one task (the listagg/SCD2 assumption — keys
+    * are entities, not the corpus). The fold emits the running y at
+    * every row, then explodes back to rows.
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, alphaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99, s"invalid alphaPct $alphaPct")
+    val rows = events.select(col(keyCol),
+      struct(unix_micros(col(tsCol)).as("t_us"), col(tieCol).as("tie"),
+        floor(col(valueCol) * 1000000).cast("long").as("x")).as("r"))
+    val packed = rows.groupBy(keyCol).agg(sort_array(collect_list("r")).as("xs"))
+    val folded = packed.withColumn("ys", expr(
+      s"""aggregate(xs,
+         |  CAST(array() AS ARRAY<STRUCT<t_us: BIGINT, tie: BIGINT, x: BIGINT, y: BIGINT>>),
+         |  (acc, e) -> array_append(acc, named_struct(
+         |    't_us', e.t_us, 'tie', e.tie, 'x', e.x,
+         |    'y', CASE WHEN size(acc) = 0 THEN e.x
+         |         ELSE ($alphaPct * e.x + ${100 - alphaPct} * element_at(acc, -1).y) div 100
+         |         END)))""".stripMargin))
+    folded.select(col(keyCol), explode(col("ys")).as("e"))
+      .select(col(keyCol), col("e.t_us").as("t_us"), col("e.tie").as("tie"),
+        col("e.x").as("x_micro"), col("e.y").as("ewma_micro"))
+  }
+
   def transitionMatrix(events: DataFrame, idCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))

@@ -182,7 +182,75 @@ object Events2 {
       .orderBy("event_id")
   }
 
+  /** E27 — OHLC bars per (event_type, hour): open/close picked by the
+    * unique (t_us, event_id) key via min_by/max_by on the Spark side
+    * and ROW_NUMBER on the oracle side — same total order, so the
+    * picked doubles agree bit-for-bit; the only SUM runs over
+    * floor-scaled integer micros (DuckDB's BIGINT sum is HUGEINT —
+    * CAST back).
+    */
+  val qOhlcBars: GateQuery = GateQuery(
+    "q_ohlc_bars",
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bar,
+      |    epoch_us(ts) AS t_us, event_id, value AS v,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, bar, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bar
+      |                       ORDER BY t_us, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bar
+      |                       ORDER BY t_us DESC, event_id DESC) AS rn_d
+      |  FROM b),
+      |agg AS (
+      |  SELECT event_type, bar, MAX(v) AS high_v, MIN(v) AS low_v,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v_micro) AS BIGINT) AS vol_micro
+      |  FROM b GROUP BY 1, 2),
+      |o AS (SELECT event_type, bar, v AS open_v FROM r WHERE rn_a = 1),
+      |c AS (SELECT event_type, bar, v AS close_v FROM r WHERE rn_d = 1)
+      |SELECT a.event_type, epoch_us(a.bar) AS bar_us, o.open_v, a.high_v,
+      |  a.low_v, c.close_v, a.n, a.vol_micro
+      |FROM agg a
+      |JOIN o USING (event_type, bar) JOIN c USING (event_type, bar)
+      |ORDER BY event_type, bar_us""".stripMargin) { (s, dir) =>
+    Timeseries.ohlcBars(Tables(s, dir, "events"),
+        "event_type", "ts", "value", "event_id")
+      .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"),
+        col("n"), col("vol_micro"))
+      .orderBy("event_type", "bar_us")
+  }
+
+  /** E28 — integer-exact EWMA (α = 30%): the oracle replays the
+    * sequential fold as a recursive CTE over row-numbered events —
+    * every floor step must agree or the series diverges from that
+    * point on.
+    */
+  val qEwma: GateQuery = GateQuery(
+    "q_ewma",
+    """WITH RECURSIVE x AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_id AS tie,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, t_us, tie, x, rn, x AS y FROM x WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.user_id, x.t_us, x.tie, x.x, x.rn,
+      |    CAST((30 * x.x + 70 * r.y) // 100 AS BIGINT) AS y
+      |  FROM x JOIN r ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+      |SELECT user_id, t_us, tie, x AS x_micro, CAST(y AS BIGINT) AS ewma_micro
+      |FROM r
+      |ORDER BY user_id, t_us, tie""".stripMargin) { (s, dir) =>
+    Timeseries.ewma(Tables(s, dir, "events"),
+        "user_id", "ts", "value", "event_id", alphaPct = 30)
+      .orderBy("user_id", "t_us", "tie")
+  }
+
   val all: Seq[GateQuery] =
     Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow,
-      qAnomaly)
+      qAnomaly, qOhlcBars, qEwma)
 }

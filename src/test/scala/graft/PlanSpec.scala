@@ -477,8 +477,14 @@ class PlanSpec extends AnyFunSuite {
     // never a nested-loop over doc pairs
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
+    // the gate checkpoints the exploded index (it feeds 4 consumers),
+    // so assert scan pruning on the pre-checkpoint index plan itself:
     // the documents scan reads only (doc_id, text)
-    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val ix = graft.operators.Dedup
+      .shingleIndexPlan(Tables(spark, sf, "documents"), "doc_id", "text", 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val reads = ix.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(reads.nonEmpty && reads.forall(r =>
       !r.contains("lang") && !r.contains("n_chars")), reads.mkString("\n"))
   }

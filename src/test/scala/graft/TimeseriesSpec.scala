@@ -138,6 +138,51 @@ class TimeseriesSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("ohlcBars: hand-worked bars, deterministic open/close ties, integer volume") {
+    // one bar with 3 events (incl. two at the same µs → event_id
+    // breaks the tie), one single-event bar
+    val e = Seq(
+      (1L, 0 * H + 5L, 10L, "view", 3.5),
+      (2L, 0 * H + 1L, 10L, "view", 1.25),
+      (3L, 0 * H + 1L, 10L, "view", 9.0),  // same ts as id 2: id orders
+      (4L, 2 * H, 10L, "view", 7.0))
+      .toDF("event_id", "t_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    for (parts <- Seq(1, 3)) {
+      val got = Timeseries.ohlcBars(e.repartition(parts),
+          "event_type", "ts", "value", "event_id")
+        .collect().map(r => (r.getTimestamp(1).getTime * 1000) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6), r.getLong(7))).toMap
+      // bar 0: open = value at (ts 1, id 2) = 1.25; close = (ts 5, id 1) = 3.5
+      assert(got(0L) === ((1.25, 9.0, 1.25, 3.5, 3L, 13750000L)), s"parts=$parts")
+      assert(got(2 * H) === ((7.0, 7.0, 7.0, 7.0, 1L, 7000000L)))
+    }
+  }
+
+  test("ewma: hand-worked floor recursion, per-key isolation, order by (ts, tie)") {
+    val e = Seq(
+      (1L, 100L, 10L, "view", 1.0),      // x = 1000000
+      (2L, 200L, 10L, "view", 2.0),      // y = (30*2e6 + 70*1e6) div 100 = 1300000
+      (3L, 300L, 10L, "view", 0.111111), // x = 111111 (floor)
+      (4L, 100L, 20L, "view", 5.0))      // other key: series restarts
+      .toDF("event_id", "t_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    for (parts <- Seq(1, 3)) {
+      val got = Timeseries.ewma(e.repartition(parts),
+          "user_id", "ts", "value", "event_id", alphaPct = 30)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      val y2 = (30L * 2000000L + 70L * 1000000L) / 100L
+      val y3 = (30L * 111111L + 70L * y2) / 100L
+      assert(got((10L, 1L)) === ((1000000L, 1000000L)), s"parts=$parts")
+      assert(got((10L, 2L)) === ((2000000L, y2)))
+      assert(got((10L, 3L)) === ((111111L, y3)))
+      assert(got((20L, 4L)) === ((5000000L, 5000000L)), "independent key")
+    }
+  }
+
   test("containmentPairs catches doc-inside-doc that Jaccard misses") {
     import graft.operators.Dedup
     // B = A verbatim plus a long unrelated tail: containment(A,B)=100%
