@@ -476,9 +476,62 @@ object SqlSurface {
         |ORDER BY node""".stripMargin)
   }
 
+  /** C43 — VARIANT semi-structured type (Spark 4.x): `parse_json`
+    * ONCE into the binary-encoded variant, then typed `variant_get`
+    * access — the scale-right semi-structured path (per-field
+    * re-parsing of the JSON string, get_json_object style, re-lexes
+    * the payload for every extraction; variant parses once and every
+    * access is a typed offset read). The oracle states the same
+    * semantics over DuckDB's JSON functions.
+    */
+  val qVariant: GateQuery = GateQuery(
+    "q_variant",
+    """SELECT event_type,
+      |  CAST(COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS BIGINT) AS n_hi,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH v AS (SELECT event_type, parse_json(props) AS pv FROM events)
+        |SELECT event_type,
+        |  COUNT(*) FILTER (WHERE variant_get(pv, '$.k', 'long') > 50) AS n_hi,
+        |  SUM(variant_get(pv, '$.k', 'long')) AS sum_k,
+        |  MAX(variant_get(pv, '$.k', 'long')) AS max_k
+        |FROM v
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  /** C44 — SQL pipe syntax (Spark 4.x `|>`): the linear FROM-first
+    * dataflow dialect. Same relational semantics, so the oracle is
+    * ordinary SQL — the gate pins that the pipe surface parses, plans,
+    * and aggregates identically (incl. the post-aggregation WHERE,
+    * pipe's HAVING).
+    */
+  val qPipeSql: GateQuery = GateQuery(
+    "q_pipe_sql",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_quantity > 30
+      |GROUP BY l_returnflag, l_linestatus
+      |HAVING COUNT(*) > 10
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """FROM lineitem
+        ||> WHERE l_quantity > 30
+        ||> AGGREGATE COUNT(*) AS n GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n > 10
+        ||> SELECT l_returnflag, l_linestatus, n
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
-    qCsvRoundtrip, qJsonlRoundtrip, qRecursiveCte)
+    qCsvRoundtrip, qJsonlRoundtrip, qRecursiveCte, qVariant, qPipeSql)
 }

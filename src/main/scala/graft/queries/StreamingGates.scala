@@ -205,6 +205,43 @@ object StreamingGates {
     }
   }
 
+  /** E29 — transformWithState (the Spark 4 StatefulProcessor API):
+    * per-user running (count, micro-sum) held in typed ValueState on
+    * the RocksDB provider (the API's backing store), emitted once per
+    * key per micro-batch in Update mode. The memory sink keeps every
+    * emission; max() per user picks the final totals, which must
+    * equal the batch groupBy — integer micro sums make that exact
+    * whatever the per-batch fold order.
+    */
+  val qStreamTws: GateQuery = GateQuery(
+    "q_stream_tws",
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = eventsStream(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          floor(col("value") * 1000000).cast("long").as("v_micro"))
+        .as[StreamingOps.CounterEvent]
+      runToMemory(StreamingOps.runningCounts(evs).toDF(), OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n"), max(col("sum_micro")).as("sum_micro"))
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   /** E12 — stream-static enrichment: the event STREAM left-joins the
     * static customer dimension (broadcast, re-planned per batch), then
     * aggregates per market segment — against the plain batch-join
@@ -561,6 +598,6 @@ object StreamingGates {
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding,
-      qStreamAnomaly)
+      qStreamAnomaly, qStreamTws)
     .map(_.copy(bench = false))
 }

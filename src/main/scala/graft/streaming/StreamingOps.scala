@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.E3-E4). The same
   * declarative plans run in batch and streaming; specs assert the
@@ -286,4 +287,44 @@ object StreamingOps {
             batch.sparkSession, tablePath, batch, keyCol, partCol)
       }
       .start()
+
+  final case class CounterEvent(user_id: Long, v_micro: Long)
+  final case class CounterTotals(n: Long, sum_micro: Long)
+  final case class CounterUpdate(user_id: Long, n: Long, sum_micro: Long)
+
+  /** E29 — arbitrary stateful processing v2 (`transformWithState`,
+    * the Spark 4 StatefulProcessor API that replaces
+    * mapGroupsWithState for new work): a per-user running (count,
+    * integer-micro sum) held in typed `ValueState`, emitting the
+    * updated totals once per key per micro-batch. Integer sums are
+    * fold-order-exact, so the emitted totals are deterministic
+    * whatever the per-batch row order — after the final batch the
+    * last row per user equals the batch groupBy, which is the gate's
+    * oracle contract. Requires the RocksDB state store provider
+    * (transformWithState's backing store); state is one fixed-width
+    * record per user, sharded by key across executors.
+    */
+  final class RunningCounter
+      extends StatefulProcessor[Long, CounterEvent, CounterUpdate] {
+    @transient private var totals: ValueState[CounterTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[CounterTotals](
+        "totals", Encoders.product[CounterTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CounterEvent],
+        timerValues: TimerValues): Iterator[CounterUpdate] = {
+      var st = if (totals.exists()) totals.get() else CounterTotals(0L, 0L)
+      rows.foreach(e => st = CounterTotals(st.n + 1, st.sum_micro + e.v_micro))
+      totals.update(st)
+      Iterator.single(CounterUpdate(key, st.n, st.sum_micro))
+    }
+  }
+
+  /** Keyed wiring for [[RunningCounter]]; expects (user_id, v_micro). */
+  def runningCounts(events: Dataset[CounterEvent]): Dataset[CounterUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCounter, TimeMode.None(), OutputMode.Update())
+  }
 }
