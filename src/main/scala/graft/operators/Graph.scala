@@ -426,6 +426,53 @@ object Graph {
     frames.reduce(_ union _)
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM'99) — PageRank's
+    * companion for DIRECTED endorsement graphs: authorities collect
+    * incoming weight, hubs collect the authority of what they point
+    * at. On a bipartite buyer→seller graph this separates "big
+    * buyers" (hubs) from "widely-bought sellers" (authorities), the
+    * two-sided quality signal one PageRank score conflates.
+    *
+    * Integer-exact variant: scores live at `scale` (1e6) and each
+    * half-iteration renormalizes by the CURRENT MAX via integral
+    * division (`x·scale // max`) instead of the classical L2 norm —
+    * no sqrt, no floats, every round a pure function an independent
+    * engine replays. Overflow headroom: a node's raw sum is ≤
+    * indegree·scale, and renormalization multiplies by scale — keep
+    * indegree·scale² < 2⁶³ (≈9·10⁶ max degree at the default scale).
+    *
+    * Scale shape: per half-iteration ONE map-side-partial sum keyed
+    * by the receiving node plus a broadcast single-row max join;
+    * scores/edges are fixed-width rows; `localCheckpoint` per round
+    * (the PageRank discipline).
+    *
+    * @param edges directed edges `src`, `dst` (deduped here)
+    * @return (node, hub, auth) at `scale`
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    def renorm(df: DataFrame, c: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(max(col(c)).as("__mx"))))
+        .select(col("v"), expr(s"$c * $scale div __mx").as(c))
+    var h = nodes.select(col("v"), lit(scale).as("h"))
+    var a = nodes.select(col("v"), lit(scale).as("a"))
+    for (_ <- 1 to iters) {
+      val rawA = e.join(h.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v")).agg(sum("h").as("s"))
+      a = renorm(nodes.join(rawA, Seq("v"), "left")
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("a")), "a")
+        .localCheckpoint()
+      val rawH = e.join(a.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v")).agg(sum("a").as("s"))
+      h = renorm(nodes.join(rawH, Seq("v"), "left")
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("h")), "h")
+        .localCheckpoint()
+    }
+    h.join(a, "v").select(col("v").as("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   private def coreDegrees(e: DataFrame): DataFrame =
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

@@ -404,7 +404,53 @@ object Graphs {
       .orderBy("walk_id", "step")
   }
 
+  /** HITS on the DIRECTED customer→supplier trade graph: hubs = big
+    * buyers, authorities = widely-bought sellers — the two-sided
+    * signal PageRank's single score conflates (the gate's pagerank
+    * runs on the symmetrized graph; this one keeps direction). The
+    * oracle unrolls every half-iteration: sum keyed by receiver, max
+    * subquery, integral renormalization.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs),
+        |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS h FROM nodes)""".stripMargin
+    val rs = (1 to iters).map { i =>
+      s"""a${i}r AS (SELECT e.dst AS v, CAST(SUM(h${i - 1}.h) AS BIGINT) AS s
+         |  FROM e JOIN h${i - 1} ON h${i - 1}.v = e.src GROUP BY 1),
+         |a${i}u AS (SELECT n.v, CAST(COALESCE(a${i}r.s, 0) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN a${i}r ON a${i}r.v = n.v),
+         |a$i AS (SELECT v, CAST(a * 1000000 // (SELECT MAX(a) FROM a${i}u) AS BIGINT) AS a
+         |  FROM a${i}u),
+         |h${i}r AS (SELECT e.src AS v, CAST(SUM(a$i.a) AS BIGINT) AS s
+         |  FROM e JOIN a$i ON a$i.v = e.dst GROUP BY 1),
+         |h${i}u AS (SELECT n.v, CAST(COALESCE(h${i}r.s, 0) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN h${i}r ON h${i}r.v = n.v),
+         |h$i AS (SELECT v, CAST(h * 1000000 // (SELECT MAX(h) FROM h${i}u) AS BIGINT) AS h
+         |  FROM h${i}u)""".stripMargin
+    }
+    val tail =
+      s"""SELECT h$iters.v AS node, h$iters.h AS hub, a$iters.a AS auth
+         |FROM h$iters JOIN a$iters ON a$iters.v = h$iters.v
+         |ORDER BY node""".stripMargin
+    (head +: rs).mkString(",\n") + "\n" + tail
+  }
+
+  val qHits: GateQuery = GateQuery(
+    "q_hits", hitsOracle(iters = 2)) { (s, dir) =>
+    val pairs = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    Graph.hits(pairs, iters = 2).orderBy("node")
+  }
+
   val all: Seq[GateQuery] =
     Seq(qPagerank, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict, qSssp,
-      qRandomWalk)
+      qRandomWalk, qHits)
 }

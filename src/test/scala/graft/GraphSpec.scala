@@ -283,6 +283,31 @@ class GraphSpec extends AnyFunSuite {
       === Seq((9L, 0, 9L)))
   }
 
+  test("hits: hand-worked bipartite iteration, hub/authority separation, partition invariance") {
+    val S = 1000000L
+    // buyers 1,2 → sellers 10,11: 1→10, 1→11, 2→10. Seller 10 has two
+    // buyers (top authority); buyer 1 points at both sellers (top hub).
+    val g = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    // iter 1 by hand: rawA(10)=2S, rawA(11)=S, buyers 0 → a = (10:S, 11:S/2, rest 0)
+    // rawH(1)=a10+a11=1.5S, rawH(2)=a10=S → h = (1:S, 2:2S/3, rest 0)
+    val a11 = S * S / (2 * S)           // 500000
+    val h2 = (S * S) / (S + a11)        // 666666
+    for (parts <- Seq(1, 3)) {
+      val got = Graph.hits(g.repartition(parts), iters = 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got(1L) === ((S, 0L)), s"parts=$parts")
+      assert(got(2L) === ((h2, 0L)))
+      assert(got(10L) === ((0L, S)))
+      assert(got(11L) === ((0L, a11)))
+    }
+    // a second iteration keeps the same ordering on this graph and
+    // duplicate edges change nothing
+    val two = Graph.hits(g.union(g), iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(two(1L)._1 === S && two(10L)._2 === S)
+    assert(two(2L)._1 < S && two(11L)._2 < S)
+  }
+
   test("duplicate input edges do not change the result") {
     val once = Graph.pageRank(pathEdges(1), iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
