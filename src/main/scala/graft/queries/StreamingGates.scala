@@ -242,6 +242,57 @@ object StreamingGates {
     }
   }
 
+  /** E30 — transformWithState with EVENT-TIME TIMERS: the session
+    * closer emits in-batch closes as later events pass the gap, and
+    * closes each user's FINAL session via registerTimer /
+    * handleExpiredTimer when the watermark passes lastEvent+gap — the
+    * far-future sentinel rows push the watermark there, so the timer
+    * path is genuinely exercised for every user (the sentinels' own
+    * still-open sessions are filtered by user_id ≥ 0). Output must
+    * equal the batch lag/cumsum sessionization row-for-row, ordinals
+    * included.
+    */
+  val qStreamTimerSessions: GateQuery = GateQuery(
+    "q_stream_timer_sessions",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = eventsStreamWithSentinels(s, dir)
+        .withWatermark("ts", "1 second")
+        .select(col("user_id").cast("long").as("user_id"), col("ts"))
+        .as[StreamingOps.TimedEvent]
+      runToMemory(StreamingOps.timerSessions(evs, gapSeconds = 1800L).toDF(),
+          OutputMode.Append())
+        .filter(col("user_id") >= 0)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "session_id")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   /** E12 — stream-static enrichment: the event STREAM left-joins the
     * static customer dimension (broadcast, re-planned per batch), then
     * aggregates per market segment — against the plain batch-join
@@ -598,6 +649,6 @@ object StreamingGates {
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding,
-      qStreamAnomaly, qStreamTws)
+      qStreamAnomaly, qStreamTws, qStreamTimerSessions)
     .map(_.copy(bench = false))
 }

@@ -327,4 +327,83 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningCounter, TimeMode.None(), OutputMode.Update())
   }
+
+  final case class TimedEvent(user_id: Long, ts: java.time.Instant)
+  final case class SessionAcc(sessionId: Long, startUs: Long, lastUs: Long,
+      n: Long, timerMs: Long)
+  final case class ClosedSession(user_id: Long, session_id: Long,
+      n_events: Long, start_us: Long, end_us: Long)
+
+  /** E30 — transformWithState with EVENT-TIME TIMERS: sessions close
+    * either in-batch (a later event arrives past the gap) or — the
+    * part mapGroupsWithState timeouts did crudely and timers do
+    * precisely — when the WATERMARK passes lastEvent+gap, via
+    * `registerTimer`/`handleExpiredTimer`. Exactly one timer lives
+    * per key (the previous one is deleted on every update, its expiry
+    * tracked in state), and a stale-timer guard re-checks the session
+    * is really idle before closing, so a timer racing a same-batch
+    * extension can never truncate a live session. Emitted sessions
+    * carry ordinals, so the complete output equals the batch
+    * lag/cumsum sessionization row-for-row.
+    */
+  final class SessionCloser(gapUs: Long)
+      extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
+    @transient private var acc: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SessionAcc](
+        "acc", Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    private def us(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      // sort within the batch: arrival order inside a micro-batch is
+      // partition-dependent, event-time order is the contract
+      val sorted = rows.map(e => us(e.ts)).toSeq.sorted
+      var st = if (acc.exists()) acc.get() else null
+      sorted.foreach { t =>
+        if (st == null) st = SessionAcc(1L, t, t, 1L, 0L)
+        else if (t - st.lastUs > gapUs) {
+          out += ClosedSession(key, st.sessionId, st.n, st.startUs, st.lastUs)
+          st = SessionAcc(st.sessionId + 1, t, t, 1L, st.timerMs)
+        } else st = SessionAcc(st.sessionId, st.startUs, t, st.n + 1, st.timerMs)
+      }
+      if (st != null) {
+        if (st.timerMs > 0) getHandle.deleteTimer(st.timerMs)
+        val expiry = st.lastUs / 1000L + gapUs / 1000L + 1L
+        getHandle.registerTimer(expiry)
+        acc.update(SessionAcc(st.sessionId, st.startUs, st.lastUs, st.n, expiry))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[ClosedSession] = {
+      if (!acc.exists()) Iterator.empty
+      else {
+        val st = acc.get()
+        // stale-timer guard: only close if the session is idle past
+        // the gap at this expiry
+        if (expiredTimerInfo.getExpiryTimeInMs >= st.lastUs / 1000L + gapUs / 1000L) {
+          acc.clear()
+          Iterator.single(ClosedSession(key, st.sessionId, st.n, st.startUs, st.lastUs))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Keyed wiring for [[SessionCloser]]: the input must carry a
+    * WATERMARK on `ts` (event-time timers fire against it).
+    */
+  def timerSessions(events: Dataset[TimedEvent], gapSeconds: Long):
+      Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionCloser(gapSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
