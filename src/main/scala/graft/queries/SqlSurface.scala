@@ -529,9 +529,34 @@ object SqlSurface {
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** C45 — LATERAL correlated subquery join (top-N-per-group stated
+    * as a join, the TVF shape): for each nation, its top-2 customers
+    * by balance via a correlated ORDER BY ... LIMIT — deterministic
+    * through the custkey tiebreak. Both engines support the same
+    * LATERAL syntax; picked values are single rows, no accumulation.
+    */
+  val qLateral: GateQuery = GateQuery(
+    "q_lateral",
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_name, t.c_custkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
-    qCsvRoundtrip, qJsonlRoundtrip, qRecursiveCte, qVariant, qPipeSql)
+    qCsvRoundtrip, qJsonlRoundtrip, qRecursiveCte, qVariant, qPipeSql,
+    qLateral)
 }

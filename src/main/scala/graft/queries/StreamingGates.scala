@@ -293,6 +293,38 @@ object StreamingGates {
     }
   }
 
+  /** E31 — MapState in transformWithState: per-user counts per event
+    * type, one RocksDB map entry per (user, type) so updating one
+    * type never rewrites the others. Update-mode emissions; max per
+    * (user, type) = final count = batch groupBy oracle.
+    */
+  val qStreamMapState: GateQuery = GateQuery(
+    "q_stream_mapstate",
+    """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = eventsStream(s, dir)
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"))
+        .as[StreamingOps.TypedEvent]
+      runToMemory(StreamingOps.typeCounts(evs).toDF(), OutputMode.Update())
+        .groupBy("user_id", "event_type")
+        .agg(max(col("n")).as("n"))
+        .orderBy("user_id", "event_type")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   /** E12 — stream-static enrichment: the event STREAM left-joins the
     * static customer dimension (broadcast, re-planned per batch), then
     * aggregates per market segment — against the plain batch-join
@@ -649,6 +681,6 @@ object StreamingGates {
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding,
-      qStreamAnomaly, qStreamTws, qStreamTimerSessions)
+      qStreamAnomaly, qStreamTws, qStreamTimerSessions, qStreamMapState)
     .map(_.copy(bench = false))
 }

@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.E3-E4). The same
   * declarative plans run in batch and streaming; specs assert the
@@ -326,6 +326,44 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningCounter, TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class TypedEvent(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** E31 — `MapState` in transformWithState: a per-key MAP of
+    * sub-keys to values (here: per-user counts per event type), the
+    * state primitive that avoids the read-modify-write of a whole
+    * serialized map per update — RocksDB stores each (key, mapKey)
+    * entry separately, so touching one event type never rewrites the
+    * user's other counters. Emits the updated (type, n) entries each
+    * batch; integer counts make emissions deterministic under any
+    * per-batch row order.
+    */
+  final class TypeCounter extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Keyed wiring for [[TypeCounter]]. */
+  def typeCounts(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCounter, TimeMode.None(), OutputMode.Update())
   }
 
   final case class TimedEvent(user_id: Long, ts: java.time.Instant)
