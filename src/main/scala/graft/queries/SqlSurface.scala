@@ -459,7 +459,8 @@ object SqlSurface {
     """WITH RECURSIVE anc AS (
       |  SELECT c_custkey AS node, c_nationkey FROM customer
       |  UNION ALL
-      |  SELECT node // 2 AS node, c_nationkey FROM anc WHERE node > 1)
+      |  SELECT CAST(node // 2 AS BIGINT) AS node, c_nationkey FROM anc
+      |  WHERE node > 1)
       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_desc,
       |  CAST(SUM(c_nationkey) AS BIGINT) AS nat_sum
       |FROM anc GROUP BY node
@@ -469,7 +470,8 @@ object SqlSurface {
       """WITH RECURSIVE anc AS (
         |  SELECT c_custkey AS node, c_nationkey FROM customer
         |  UNION ALL
-        |  SELECT node div 2 AS node, c_nationkey FROM anc WHERE node > 1)
+        |  SELECT CAST(node div 2 AS BIGINT) AS node, c_nationkey FROM anc
+        |  WHERE node > 1)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_desc,
         |  CAST(SUM(c_nationkey) AS BIGINT) AS nat_sum
         |FROM anc GROUP BY node

@@ -325,6 +325,50 @@ object StreamingGates {
     }
   }
 
+  /** E32 — warm-started state: the snapshot side (even event_ids)
+    * loads as a BATCH table into initial state via
+    * handleInitialState; only odd event_ids actually stream. Final
+    * totals per user must equal the batch groupBy over ALL events —
+    * which only holds if the bootstrap really seeded every key before
+    * its first input row.
+    */
+  val qStreamWarmStart: GateQuery = GateQuery(
+    "q_stream_warmstart",
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val snapshot = Tables(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000000).cast("long")).as("sum_micro"))
+        .as[StreamingOps.CounterSnapshot]
+      val evs = eventsStream(s, dir)
+        .filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("user_id").cast("long").as("user_id"),
+          floor(col("value") * 1000000).cast("long").as("v_micro"))
+        .as[StreamingOps.CounterEvent]
+      runToMemory(StreamingOps.warmStartCounts(evs, snapshot).toDF(),
+          OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n"), max(col("sum_micro")).as("sum_micro"))
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   /** E12 — stream-static enrichment: the event STREAM left-joins the
     * static customer dimension (broadcast, re-planned per batch), then
     * aggregates per market segment — against the plain batch-join
@@ -681,6 +725,7 @@ object StreamingGates {
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding,
-      qStreamAnomaly, qStreamTws, qStreamTimerSessions, qStreamMapState)
+      qStreamAnomaly, qStreamTws, qStreamTimerSessions, qStreamMapState,
+      qStreamWarmStart)
     .map(_.copy(bench = false))
 }

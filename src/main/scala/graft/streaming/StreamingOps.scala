@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.E3-E4). The same
   * declarative plans run in batch and streaming; specs assert the
@@ -326,6 +327,52 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningCounter, TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class CounterSnapshot(user_id: Long, n: Long, sum_micro: Long)
+
+  /** E32 — warm-started stateful processing
+    * (`StatefulProcessorWithInitialState`): state bootstraps from a
+    * BATCH snapshot table before the first micro-batch — the
+    * migration/recovery shape that lets a new streaming job pick up
+    * exactly where a batch backfill (or a decommissioned job's
+    * exported state) left off, instead of replaying history.
+    * `handleInitialState` seeds each key's ValueState; subsequent
+    * batches fold on top, so final totals must equal
+    * snapshot ⊕ streamed — the gate's oracle states that over the
+    * union.
+    */
+  final class WarmStartCounter
+      extends StatefulProcessorWithInitialState[
+        Long, CounterEvent, CounterUpdate, CounterSnapshot] {
+    @transient private var totals: ValueState[CounterTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[CounterTotals](
+        "totals", Encoders.product[CounterTotals], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initialState: CounterSnapshot,
+        timerValues: TimerValues): Unit =
+      totals.update(CounterTotals(initialState.n, initialState.sum_micro))
+
+    override def handleInputRows(key: Long, rows: Iterator[CounterEvent],
+        timerValues: TimerValues): Iterator[CounterUpdate] = {
+      var st = if (totals.exists()) totals.get() else CounterTotals(0L, 0L)
+      rows.foreach(e => st = CounterTotals(st.n + 1, st.sum_micro + e.v_micro))
+      totals.update(st)
+      Iterator.single(CounterUpdate(key, st.n, st.sum_micro))
+    }
+  }
+
+  /** Keyed wiring for [[WarmStartCounter]]: `snapshot` is the batch
+    * state table the stream resumes from.
+    */
+  def warmStartCounts(events: Dataset[CounterEvent],
+      snapshot: Dataset[CounterSnapshot]): Dataset[CounterUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new WarmStartCounter, TimeMode.None(),
+        OutputMode.Update(), snapshot.groupByKey(_.user_id))
   }
 
   final case class TypedEvent(user_id: Long, event_type: String)
