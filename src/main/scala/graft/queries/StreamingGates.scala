@@ -369,6 +369,50 @@ object StreamingGates {
     }
   }
 
+  /** E33 — ListState in transformWithState: per-user buffer of the 5
+    * most recent events by (ts, event_id). last_ts_us is monotonic,
+    * so the arg-max emission per user is the final buffer; the oracle
+    * is the batch top-5-per-user window.
+    */
+  val qStreamListState: GateQuery = GateQuery(
+    "q_stream_liststate",
+    """WITH r AS (
+      |  SELECT user_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_recent,
+      |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS recent_sum_micro
+      |FROM r WHERE rn <= 5
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = eventsStream(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id").cast("long").as("event_id"),
+          floor(col("value") * 1000000).cast("long").as("v_micro"))
+        .as[StreamingOps.RecentInput]
+      runToMemory(StreamingOps.recentBuffers(evs, k = 5).toDF(),
+          OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max(struct(col("last_ts_us"), col("n_recent"),
+          col("recent_sum_micro"))).as("m"))
+        .select(col("user_id"), col("m.n_recent").as("n_recent"),
+          col("m.recent_sum_micro").as("recent_sum_micro"))
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   /** E12 — stream-static enrichment: the event STREAM left-joins the
     * static customer dimension (broadcast, re-planned per batch), then
     * aggregates per market segment — against the plain batch-join
@@ -726,6 +770,6 @@ object StreamingGates {
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamTws, qStreamTimerSessions, qStreamMapState,
-      qStreamWarmStart)
+      qStreamWarmStart, qStreamListState)
     .map(_.copy(bench = false))
 }

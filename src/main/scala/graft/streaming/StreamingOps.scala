@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.E3-E4). The same
   * declarative plans run in batch and streaming; specs assert the
@@ -411,6 +411,47 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new TypeCounter, TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class RecentInput(user_id: Long, ts_us: Long, event_id: Long,
+      v_micro: Long)
+  final case class RecentEvent(ts_us: Long, event_id: Long, v_micro: Long)
+  final case class RecentBuffer(user_id: Long, last_ts_us: Long,
+      n_recent: Long, recent_sum_micro: Long)
+
+  /** E33 — `ListState` in transformWithState: a per-key ORDERED
+    * buffer (here: each user's K most recent events by (ts, id)),
+    * the sliding-context primitive feature stores and recent-history
+    * models need. Entries append/rewrite as a list, not a serialized
+    * blob inside one value. Emits the buffer summary each batch;
+    * `last_ts_us` is monotonic across batches, so the final buffer is
+    * the arg-max emission whatever the batch split.
+    */
+  final class RecentKeeper(k: Int)
+      extends StatefulProcessor[Long, RecentInput, RecentBuffer] {
+    @transient private var buf: ListState[RecentEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[RecentEvent](
+        "recent", Encoders.product[RecentEvent], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RecentInput],
+        timerValues: TimerValues): Iterator[RecentBuffer] = {
+      val merged = (buf.get().toSeq ++
+          rows.map(e => RecentEvent(e.ts_us, e.event_id, e.v_micro)))
+        .sortBy(e => (-e.ts_us, -e.event_id))
+        .take(k)
+      buf.put(merged.toArray)
+      Iterator.single(RecentBuffer(key, merged.head.ts_us,
+        merged.length.toLong, merged.map(_.v_micro).sum))
+    }
+  }
+
+  /** Keyed wiring for [[RecentKeeper]]. */
+  def recentBuffers(events: Dataset[RecentInput], k: Int): Dataset[RecentBuffer] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentKeeper(k), TimeMode.None(), OutputMode.Update())
   }
 
   final case class TimedEvent(user_id: Long, ts: java.time.Instant)
