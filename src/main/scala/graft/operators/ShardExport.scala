@@ -24,6 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object ShardExport {
 
+  /** D76 — rendezvous (highest-random-weight) consistent shard
+    * assignment (Thaler & Ravishankar 1996): each doc goes to the
+    * shard with the HIGHEST md5("seed:shard:id"). The property mod-N
+    * (shardAssign) lacks: growing N→N+1 moves only the ~1/(N+1) of
+    * keys whose NEW shard's hash beats their previous winner — mod-N
+    * reshuffles (N−1)/N of the entire corpus, which at 100 TB is the
+    * difference between topping up one shard and rewriting the
+    * export. Argmax is `array_max` over (hash, shard) structs — a
+    * zero-shuffle projection, no window, N md5s per row.
+    */
+  def rendezvousAssign(docs: DataFrame, idCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"invalid nShards $nShards")
+    val hashes = array((0 until nShards).map { sh =>
+      struct(
+        md5(concat_ws(":", lit(seed), lit(sh), col(idCol).cast("string"))
+          .cast("binary")).as("h"),
+        lit(sh).as("s"))
+    }: _*)
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("shard", array_max(hashes).getField("s"))
+  }
+
   /** Shard assignment + per-doc audit columns (no IO). */
   def shardAssign(docs: DataFrame, idCol: String, textCol: String,
       seed: Long, nShards: Int): DataFrame = {

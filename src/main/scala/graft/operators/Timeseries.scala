@@ -209,6 +209,44 @@ object Timeseries {
         col("e.x").as("x_micro"), col("e.y").as("ewma_micro"))
   }
 
+  /** E34 — per-group linear trend, integer-exact least squares: slope
+    * of value-vs-time from the classical sum formulation
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * with x = whole hours since the GROUP's first event (per-group
+    * origin keeps x small) and y = exact cents (the rollingAnomalies
+    * scaling) — every term a Long, the final slope an integral `div`
+    * at centi-cent-per-hour resolution, so the drift estimate replays
+    * exactly in any engine (a float regression never does). Groups
+    * whose events all land in one hour have zero denominator → NULL
+    * slope. Overflow bound: |n·Σxy| ≤ n²·xmax·ymax must stay under
+    * 2⁶³ — at cents and hour-granularity that is ~10⁸ rows per group
+    * per year of span.
+    *
+    * Scale shape: one map-side-partial aggregate for the per-group
+    * origin, broadcast back, then ONE map-side-partial aggregate for
+    * the five sums — the corpus never shuffles raw rows twice.
+    */
+  def linearTrend(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = events.select(col(groupCol),
+      unix_micros(col(tsCol)).as("t_us"),
+      (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast("long").as("y"))
+    val origins = base.groupBy(groupCol).agg(min("t_us").as("t0"))
+    val xy = base.join(broadcast(origins), groupCol)
+      .withColumn("x", expr("(t_us - t0) div 3600000000"))
+    xy.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col(groupCol), col("n"),
+        expr("sy div n").as("mean_y_cents"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+               |ELSE (100 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)
+               |END""".stripMargin).as("slope_centi_per_hr"))
+  }
+
   def transitionMatrix(events: DataFrame, idCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))

@@ -250,7 +250,38 @@ object Events2 {
       .orderBy("user_id", "t_us", "tie")
   }
 
+  /** E34 — per-type linear value trend; the oracle replays origin,
+    * hour index, all five sums, the zero-denominator guard, and the
+    * integral slope. DuckDB SUMs widen to HUGEINT — every sum and the
+    * `//` lines are CAST back.
+    */
+  val qLinearTrend: GateQuery = GateQuery(
+    "q_linear_trend",
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) AS t_us,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM events),
+      |o AS (SELECT event_type, MIN(t_us) AS t0 FROM b GROUP BY 1),
+      |xy AS (
+      |  SELECT b.event_type, CAST((b.t_us - o.t0) // 3600000000 AS BIGINT) AS x, b.y
+      |  FROM b JOIN o USING (event_type)),
+      |s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM xy GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(sy // n AS BIGINT) AS mean_y_cents,
+      |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |       ELSE (100 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+      |       END AS BIGINT) AS slope_centi_per_hr
+      |FROM s
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Timeseries.linearTrend(Tables(s, dir, "events"), "event_type", "ts", "value")
+      .orderBy("event_type")
+  }
+
   val all: Seq[GateQuery] =
     Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow,
-      qAnomaly, qOhlcBars, qEwma)
+      qAnomaly, qOhlcBars, qEwma, qLinearTrend)
 }

@@ -918,6 +918,26 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D76 — rendezvous (HRW) consistent shard assignment: argmax of
+    * md5("seed:shard:id") over shards. The oracle replays all N
+    * hashes and the (hash DESC, shard DESC) argmax per doc — the
+    * same total order as array_max over (hash, shard) structs.
+    */
+  val qRendezvous: GateQuery = GateQuery(
+    "q_rendezvous",
+    """SELECT doc_id, shard FROM (
+      |  SELECT d.doc_id, CAST(t.s AS INT) AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY d.doc_id
+      |      ORDER BY md5('23:' || CAST(t.s AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) DESC,
+      |               t.s DESC) AS rn
+      |  FROM documents d, generate_series(0, 7) t(s))
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.ShardExport.rendezvousAssign(
+        Tables(s, dir, "documents"), "doc_id", seed = 23L, nShards = 8)
+      .orderBy("doc_id")
+  }
+
   /** D12f — REAL video decode: each video doc becomes a genuine GVID
     * container (length-prefixed REAL PNG frames, frame-f pixel =
     * (doc_id + 101f + 7x + 13y) mod 256), is genuinely demuxed,
@@ -2386,5 +2406,5 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch, qDedupPrefix)
+    qQuantileSketch, qDedupPrefix, qRendezvous)
 }

@@ -29,6 +29,31 @@ class ShardExportSpec extends AnyFunSuite {
     assert(a.toSeq.map(_._2).sum === 200L, "every doc in exactly one shard")
   }
 
+  test("rendezvousAssign: minimal movement on resize, mod-N moves most; deterministic") {
+    val ids = (1L to 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    def assign(n: Int) = ShardExport.rendezvousAssign(ids, "doc_id", seed = 23L, n)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val at8 = assign(8)
+    val at9 = assign(9)
+    assert(at8.values.toSet.size === 8 && at9.values.toSet.size === 9)
+    // HRW growth property: going 8→9 shards, a key moves ONLY if
+    // shard 8's new hash beats its old winner — expected 1/9 ≈ 11%,
+    // and every mover lands on the NEW shard
+    val moved = at8.count { case (id, s) => at9(id) != s }
+    assert(moved < 2000 / 9 * 2, s"HRW moved $moved of 2000 (expected ~222)")
+    assert(at8.forall { case (id, s) => at9(id) == s || at9(id) == 8 },
+      "movers must land on the new shard only")
+    // mod-N comparison: the same resize moves the majority of keys
+    val mod8 = (1L to 2000L).map(i => i -> (i % 8)).toMap
+    val mod9 = (1L to 2000L).map(i => i -> (i % 9)).toMap
+    assert(mod8.count { case (id, s) => mod9(id) != s } > 1500,
+      "mod-N resize reshuffles most keys - the contrast HRW exists for")
+    // pure function of (id, seed): partition layout is irrelevant
+    val repart = ShardExport.rendezvousAssign(ids.repartition(7), "doc_id", 23L, 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(repart === at8)
+  }
+
   test("a different seed reshuffles shard membership") {
     val s17 = ShardExport.shardAssign(docs(1), "doc_id", "text", 17, 4)
       .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

@@ -183,6 +183,29 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("linearTrend: hand-worked slopes incl. negative, one-hour group yields NULL") {
+    // up: y = 100 + 50x cents at hours 0,1,2 (exact slope 50 c/hr →
+    // 5000 centi); down: y = 300 − 100x (slope −100 → −10000);
+    // flat1h: two events inside one hour → zero denominator
+    val e = Seq(
+      (1L, 0 * H, 1L, "up", 1.00), (2L, 1 * H, 1L, "up", 1.50),
+      (3L, 2 * H, 1L, "up", 2.00),
+      (4L, 0 * H, 1L, "down", 3.00), (5L, 1 * H, 1L, "down", 2.00),
+      (6L, 0 * H, 1L, "flat1h", 1.00), (7L, 0 * H + 60L * 1000000L, 1L, "flat1h", 9.00))
+      .toDF("event_id", "t_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    for (parts <- Seq(1, 3)) {
+      val got = Timeseries.linearTrend(e.repartition(parts),
+          "event_type", "ts", "value")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      assert(got("up") === ((3L, 150L, Some(5000L))), s"parts=$parts")
+      assert(got("down") === ((2L, 250L, Some(-10000L))))
+      assert(got("flat1h") === ((2L, 500L, None)), "one-hour group: no slope")
+    }
+  }
+
   test("containmentPairs catches doc-inside-doc that Jaccard misses") {
     import graft.operators.Dedup
     // B = A verbatim plus a long unrelated tail: containment(A,B)=100%
