@@ -50,4 +50,41 @@ object Linalg {
     }.toDF("i", "j", "partial")
       .groupBy("i", "j").agg(sum("partial").as("s"))
   }
+
+  /** D77 — dominant principal direction by POWER ITERATION over the
+    * Gram table (the top-PCA step of embedding whitening/compression,
+    * Mises & Pollaczek-Geiringer 1929): v ← G·v, renormalized each
+    * round by the CURRENT max |component| via integral division — the
+    * HITS renorm trick, so every iterate is exact integer arithmetic
+    * an independent engine replays (float power iteration drifts by
+    * reduction order). The Gram is PSD, so iterates converge toward
+    * the top eigenvector; the all-ones start is deterministic.
+    *
+    * Scale shape: the iteration state is ONE dim-row vector; each
+    * round is a dim²-row join + map-side-partial sum keyed by i, plus
+    * a broadcast single-row max — nothing corpus-sized is touched
+    * after the one gramInt8 pass. Overflow bound:
+    * dim·maxG·scale² must stay under 2⁶³ (maxG ≤ 127²·n_vectors).
+    *
+    * @param gram upper-triangle (i, j, s) as produced by [[gramInt8]]
+    * @return (dim_idx, v) — components at `scale`
+    */
+  def powerIteration(gram: DataFrame, dim: Int, iters: Int,
+      scale: Long = 10000L): DataFrame = {
+    val spark = gram.sparkSession
+    val full = gram.select(col("i"), col("j"), col("s"))
+      .union(gram.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("s")))
+      .localCheckpoint() // reused every iteration
+    var v = spark.range(dim)
+      .select(col("id").cast("int").as("j"), lit(scale).as("v"))
+    for (_ <- 1 to iters) {
+      val w = full.join(v, "j")
+        .groupBy(col("i")).agg(sum(col("s") * col("v")).as("w"))
+      v = w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("__mx"))))
+        .select(col("i").as("j"), expr(s"w * $scale div __mx").as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("j").as("dim_idx"), col("v")).orderBy("dim_idx")
+  }
 }

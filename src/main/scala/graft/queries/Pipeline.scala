@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, MergeUpsert, Packing, Prep, Relevance, Sampling, ShardExport, Similarity, Tokenize}
+import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Linalg, MergeUpsert, Packing, Prep, Relevance, Sampling, ShardExport, Similarity, Tokenize}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -2136,6 +2136,55 @@ object Pipeline {
       .orderBy("i", "j")
   }
 
+  /** D77 — top principal direction by integer power iteration over
+    * the quantized Gram: the oracle rebuilds the Gram, expands the
+    * triangle symmetrically, and unrolls every v←G·v round with the
+    * max-|component| integral renorm. A wrong Gram cell, expansion,
+    * sum, or renorm shifts some component.
+    */
+  private def powerOracle(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id,
+        |        CASE WHEN scale = 0
+        |             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(v, x -> CAST(floor(x * 127 / scale) AS BIGINT))
+        |        END AS qv
+        |      FROM sc),
+        |g AS (SELECT CAST(gi.i - 1 AS INT) AS i, CAST(gj.j - 1 AS INT) AS j,
+        |        CAST(SUM(qv[gi.i] * qv[gj.j]) AS BIGINT) AS s
+        |      FROM q, generate_series(1, 64) gi(i), generate_series(1, 64) gj(j)
+        |      WHERE gj.j >= gi.i
+        |      GROUP BY 1, 2),
+        |fg AS MATERIALIZED (
+        |  SELECT i, j, s FROM g
+        |  UNION ALL SELECT j AS i, i AS j, s FROM g WHERE i <> j),
+        |v0 AS (SELECT CAST(t.i AS INT) AS j, CAST(10000 AS BIGINT) AS v
+        |       FROM generate_series(0, 63) t(i))""".stripMargin
+    val rs = (1 to iters).map { r =>
+      s"""w$r AS (SELECT f.i, CAST(SUM(f.s * v${r - 1}.v) AS BIGINT) AS w
+         |  FROM fg f JOIN v${r - 1} ON v${r - 1}.j = f.j GROUP BY 1),
+         |v$r AS (SELECT w$r.i AS j,
+         |  CAST(w$r.w * 10000 // (SELECT MAX(abs(w)) FROM w$r) AS BIGINT) AS v
+         |  FROM w$r)""".stripMargin
+    }
+    val tail =
+      s"""SELECT j AS dim_idx, v FROM v$iters
+         |ORDER BY dim_idx""".stripMargin
+    (head +: rs).mkString(",\n") + "\n" + tail
+  }
+
+  val qPowerIteration: GateQuery = GateQuery(
+    "q_power_iteration", powerOracle(iters = 3)) { (s, dir) =>
+    Linalg.powerIteration(
+      Linalg.gramInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding"),
+      dim = 64, iters = 3)
+  }
+
   /** D50 — video perceptual hashing: real demux, real per-frame
     * decode, per-sampled-frame aHash bands, (frame position, band)
     * candidate degree. The oracle replays frame selection, resized
@@ -2406,5 +2455,5 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch, qDedupPrefix, qRendezvous)
+    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration)
 }

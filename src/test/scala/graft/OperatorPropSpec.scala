@@ -280,6 +280,24 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(run(emb.repartition(8)) === got)
   }
 
+  test("powerIteration: hand-worked rounds on a diagonal-ish Gram, converges to dominant axis") {
+    import spark.implicits._
+    // G = [[4, 0], [0, 1]] (upper triangle rows): dominant axis = dim 0.
+    // v0 = (S, S); w1 = (4S, S) -> v1 = (S, S/4); w2 = (4S, S/4) ->
+    // v2 = (S, S/16)
+    val S = 10000L
+    val g = Seq((0, 0, 4L), (0, 1, 0L), (1, 1, 1L)).toDF("i", "j", "s")
+    val v2 = graft.operators.Linalg.powerIteration(g, dim = 2, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(v2 === Map(0 -> S, 1 -> S / 16))
+    // off-diagonal coupling uses the SYMMETRIC expansion: G=[[0,2],[2,0]]
+    // swaps mass every round but renorm keeps both at S
+    val g2 = Seq((0, 0, 0L), (0, 1, 2L), (1, 1, 0L)).toDF("i", "j", "s")
+    val w = graft.operators.Linalg.powerIteration(g2, dim = 2, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(w === Map(0 -> S, 1 -> S), "symmetric expansion feeds both directions")
+  }
+
   test("canonicalDedup: case/punct/space-blind groups, survivor = min id") {
     val docs = Seq(
       (10L, "Hello,  World!"), (3L, "hello world"), (7L, "hello world."),
