@@ -73,6 +73,42 @@ object Quality {
   }
 
   /** The full suite: one row per constraint, `passed` derived. */
+  /** D78 — MAD-based robust outlier audit: per group, the DISCRETE
+    * median of the value (exact cents), the median absolute deviation
+    * around it, and the count of rows beyond k·MAD — the
+    * heavy-tail-safe outlier gate (mean/σ z-scores break when the
+    * tail IS the signal; median/MAD have a 50% breakdown point,
+    * Hampel 1974). percentile_disc picks an ACTUAL data value (first
+    * value at cume_dist ≥ p), so with integer cents every reported
+    * number and the k·MAD compare are engine-exact — no
+    * interpolation to disagree on.
+    *
+    * Scale shape: two grouped ordered-set aggregates (the inherent
+    * per-group sorts) + one broadcast-sized join of the per-group
+    * medians back; the outlier count is a conditional sum in the
+    * same pass as the MAD join. Fixed-width rows only.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 5): DataFrame = {
+    val y = df.select(col(groupCol),
+      (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast("long").as("yc"))
+    val med = y.groupBy(groupCol).agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY yc) AS BIGINT)")
+        .as("med_cents"))
+    val dev = y.join(broadcast(med), groupCol)
+      .withColumn("ad", abs(col("yc") - col("med_cents")))
+    val mad = dev.groupBy(groupCol).agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT)")
+        .as("mad_cents"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        max("med_cents").as("med_cents"), max("mad_cents").as("mad_cents"),
+        sum(when(col("ad") > lit(k.toLong) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   def check(df: DataFrame, rules: Seq[RowRule],
       uniqueKeys: Seq[(String, Seq[String])] = Nil,
       foreignKeys: Seq[(String, String, DataFrame, String)] = Nil): DataFrame = {

@@ -281,7 +281,38 @@ object Events2 {
       .orderBy("event_type")
   }
 
+  /** D78 — MAD robust outlier audit per event type: discrete medians
+    * over exact cents make every number and the k·MAD compare
+    * engine-exact.
+    */
+  val qMadOutliers: GateQuery = GateQuery(
+    "q_mad_outliers",
+    """WITH y AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+      |  FROM events),
+      |med AS (SELECT event_type,
+      |          CAST(quantile_disc(yc, 0.5) AS BIGINT) AS med_cents
+      |        FROM y GROUP BY 1),
+      |dev AS (SELECT y.event_type, y.yc, med.med_cents,
+      |          abs(y.yc - med.med_cents) AS ad
+      |        FROM y JOIN med USING (event_type)),
+      |mad AS (SELECT event_type,
+      |          CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad_cents
+      |        FROM dev GROUP BY 1)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(d.med_cents) AS BIGINT) AS med_cents,
+      |  CAST(MAX(m.mad_cents) AS BIGINT) AS mad_cents,
+      |  CAST(COUNT(*) FILTER (WHERE d.ad > 5 * m.mad_cents) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    graft.operators.Quality.robustOutliers(
+        Tables(s, dir, "events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
   val all: Seq[GateQuery] =
     Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow,
-      qAnomaly, qOhlcBars, qEwma, qLinearTrend)
+      qAnomaly, qOhlcBars, qEwma, qLinearTrend, qMadOutliers)
 }

@@ -45,6 +45,25 @@ class QualitySpec extends AnyFunSuite {
     assert(clean.forall(_.getBoolean(3)))
   }
 
+  test("robustOutliers: hand-worked median/MAD, the mean-breaking outlier is caught") {
+    // group g: values 1.00×5 and one 100.00 — a mean/σ z-score is
+    // dragged by the outlier; median=100c, MAD=0c, so the 10000c row
+    // is the ONLY |dev| > 5·MAD hit. Group h: symmetric {1,2,3},
+    // median 2.00, MAD 1.00, no outliers at k=5.
+    val df = (Seq.fill(5)(("g", 1.00)) :+ (("g", 100.00))) ++
+      Seq(("h", 1.00), ("h", 2.00), ("h", 3.00)) match {
+      case rows => rows.toDF("grp", "value")
+    }
+    for (parts <- Seq(1, 3)) {
+      val got = graft.operators.Quality.robustOutliers(
+          df.repartition(parts), "grp", "value")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got("g") === ((6L, 100L, 0L, 1L)), s"parts=$parts")
+      assert(got("h") === ((3L, 200L, 100L, 0L)))
+    }
+  }
+
   test("row rules are ONE aggregate pass; suite is UDF- and cartesian-free") {
     val rules = Seq(Quality.notNull("qty"), Quality.inRange("qty", lit(1), lit(50)),
       Quality.inSet("flag", Seq("A")))
