@@ -79,12 +79,19 @@ object Linalg {
     var v = spark.range(dim)
       .select(col("id").cast("int").as("j"), lit(scale).as("v"))
     for (_ <- 1 to iters) {
-      val w = full.join(v, "j")
-        .groupBy(col("i")).agg(sum(col("s") * col("v")).as("w"))
-      v = w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("__mx"))))
-        .select(col("i").as("j"), expr(s"w * $scale div __mx").as("v"))
-        .localCheckpoint()
+      v = powerRound(full, v, scale).localCheckpoint()
     }
     v.select(col("j").as("dim_idx"), col("v")).orderBy("dim_idx")
+  }
+
+  /** One v←G·v round (uncheckpointed — PlanSpec asserts its shape:
+    * dim-keyed partial-agg matvec, broadcast single-row max renorm).
+    */
+  private[graft] def powerRound(full: DataFrame, v: DataFrame,
+      scale: Long): DataFrame = {
+    val w = full.join(v, "j")
+      .groupBy(col("i")).agg(sum(col("s") * col("v")).as("w"))
+    w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("__mx"))))
+      .select(col("i").as("j"), expr(s"w * $scale div __mx").as("v"))
   }
 }

@@ -396,6 +396,59 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("rendezvous assignment is a zero-shuffle projection") {
+    import spark.implicits._
+    val p = graft.operators.ShardExport.rendezvousAssign(
+        (1L to 50L).map(Tuple1(_)).toDF("doc_id"), "doc_id", seed = 23L, nShards = 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange") && !p.contains("ScalaUDF") &&
+      !p.contains("Window"), p)
+  }
+
+  test("linear trend: two map-side-partial aggregates, broadcast origin, no window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("t", "grp", "value")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val p = graft.operators.Timeseries.linearTrend(e, "grp", "ts", "value")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("ScalaUDF") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), "per-group origins broadcast back: " + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("ohlc bars: single grouped aggregate, no per-bar window sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq((1L, 10L, "a", 1.0), (2L, 20L, "a", 2.0))
+      .toDF("event_id", "t", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val p = graft.operators.Timeseries.ohlcBars(e, "event_type", "ts", "value", "event_id")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window") && !p.contains("ScalaUDF"), p)
+    // min_by/max_by ride the SAME aggregate as max/min/count/sum (the
+    // struct ordering makes it a SortAggregate) — one partial/final
+    // aggregate pair, never a per-bar window sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("power iteration round: dim-keyed partial-agg matvec, broadcast max renorm") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val g = Seq((0, 0, 4L), (0, 1, 1L), (1, 1, 2L)).toDF("i", "j", "s")
+    val v0 = Seq((0, 10000L), (1, 10000L)).toDF("j", "v")
+    val p = graft.operators.Linalg.powerRound(g, v0, scale = 10000L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("BroadcastExchange"), "renorm max must broadcast: " + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("sliding window: one corpus exchange with map-side partial agg") {
     val p = planOf("q_sliding_window")
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
