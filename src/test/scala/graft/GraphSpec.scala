@@ -308,6 +308,52 @@ class GraphSpec extends AnyFunSuite {
     assert(two(2L)._1 < S && two(11L)._2 < S)
   }
 
+  test("cross-operator: unit-weight shortestPaths equals hopDistances on random graphs") {
+    val rng = new scala.util.Random(41L)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      val edges = (1 to n * 2).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val g = edges.toDF("src", "dst")
+      val seeds = Seq(edges.head._1).toDF("v")
+      val bfs = Graph.hopDistances(g, seeds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sssp = Graph.shortestPaths(
+          g.withColumn("w", org.apache.spark.sql.functions.lit(1L)), seeds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sssp === bfs, s"trial=$trial: unit-weight SSSP must equal BFS")
+    }
+  }
+
+  test("cross-operator: triangleCounts equals brute-force enumeration on random graphs") {
+    val rng = new scala.util.Random(43L)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val und = (for { a <- 0L until n; b <- a + 1 until n if rng.nextInt(100) < 25 }
+        yield (a, b)).toSet
+      val brute = (for {
+        a <- 0L until n; b <- a + 1 until n; c <- b + 1 until n
+        if und((a, b)) && und((b, c)) && und((a, c))
+      } yield Set(a, b, c)).toSet
+      val got = Graph.triangles(und.toSeq.toDF("src", "dst"))
+        .collect().map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length === got.toSet.size, "each triangle exactly once")
+      assert(got.toSet === brute, s"trial=$trial n=$n")
+    }
+  }
+
+  test("cross-operator: labelPropagation labels are node ids; every node labeled") {
+    val rng = new scala.util.Random(47L)
+    val edges = (1 to 60).map(_ => (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val g = edges.toDF("src", "dst")
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val got = Graph.labelPropagation(g, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === nodes, "every node gets a community")
+    assert(got.values.toSet.subsetOf(nodes), "labels are node ids")
+  }
+
   test("duplicate input edges do not change the result") {
     val once = Graph.pageRank(pathEdges(1), iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
