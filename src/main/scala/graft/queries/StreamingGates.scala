@@ -413,6 +413,46 @@ object StreamingGates {
     }
   }
 
+  /** E27s — the SAME OHLC declarative plan running as a STREAM
+    * (Complete mode): struct-keyed min_by/max_by aggregate state per
+    * (type, bar). One more batch==stream equivalence, this time for
+    * ordered-pick aggregates rather than sums.
+    */
+  val qStreamOhlc: GateQuery = GateQuery(
+    "q_stream_ohlc",
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bar,
+      |    epoch_us(ts) AS t_us, event_id, value AS v,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, bar, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bar
+      |                       ORDER BY t_us, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bar
+      |                       ORDER BY t_us DESC, event_id DESC) AS rn_d
+      |  FROM b),
+      |agg AS (
+      |  SELECT event_type, bar, MAX(v) AS high_v, MIN(v) AS low_v,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v_micro) AS BIGINT) AS vol_micro
+      |  FROM b GROUP BY 1, 2),
+      |o AS (SELECT event_type, bar, v AS open_v FROM r WHERE rn_a = 1),
+      |c AS (SELECT event_type, bar, v AS close_v FROM r WHERE rn_d = 1)
+      |SELECT a.event_type, epoch_us(a.bar) AS bar_us, o.open_v, a.high_v,
+      |  a.low_v, c.close_v, a.n, a.vol_micro
+      |FROM agg a
+      |JOIN o USING (event_type, bar) JOIN c USING (event_type, bar)
+      |ORDER BY event_type, bar_us""".stripMargin) { (s, dir) =>
+    val bars = graft.operators.Timeseries.ohlcBars(
+      eventsStream(s, dir), "event_type", "ts", "value", "event_id")
+    runToMemory(bars, OutputMode.Complete())
+      .select(col("event_type"), unix_micros(col("bar")).as("bar_us"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"),
+        col("n"), col("vol_micro"))
+      .orderBy("event_type", "bar_us")
+  }
+
   /** E12 — stream-static enrichment: the event STREAM left-joins the
     * static customer dimension (broadcast, re-planned per batch), then
     * aggregates per market segment — against the plain batch-join
@@ -770,6 +810,6 @@ object StreamingGates {
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamTws, qStreamTimerSessions, qStreamMapState,
-      qStreamWarmStart, qStreamListState)
+      qStreamWarmStart, qStreamListState, qStreamOhlc)
     .map(_.copy(bench = false))
 }
