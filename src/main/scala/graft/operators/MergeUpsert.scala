@@ -46,4 +46,37 @@ object MergeUpsert {
       .partitionBy(partCol)
       .parquet(path)
   }
+
+  /** D79 — changelog derivation (snapshot diff → CDC rows): given two
+    * keyed table states, emit the minimal insert/update/delete
+    * changeset that turns `before` into `after` — the inverse of the
+    * MERGE above, and the bridge from snapshot-based storage to
+    * changelog consumers (downstream incremental jobs, cache
+    * invalidation, audit). op ∈ I/U/D; U is detected by md5 over the
+    * concatenated compare columns (length-prefixed fields so "ab"+"c"
+    * never collides with "a"+"bc"; NULL compares equal to '' — the
+    * usual CDC absent-vs-empty convention, spec-pinned).
+    *
+    * Scale shape: ONE key-keyed full outer join of two fixed-width
+    * (key, hash) projections — content reduces to md5 BEFORE the
+    * shuffle, so the exchange never carries payloads; unchanged rows
+    * drop in the post-join filter.
+    */
+  def changelog(before: DataFrame, after: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "changelog needs compare columns")
+    def hashed(df: DataFrame, h: String) = {
+      val parts = compareCols.flatMap(c =>
+        Seq(length(coalesce(col(c).cast("string"), lit(""))).cast("string"),
+          coalesce(col(c).cast("string"), lit(""))))
+      df.select(col(keyCol).as("k"), md5(concat(parts: _*).cast("binary")).as(h))
+    }
+    hashed(before, "hb").join(hashed(after, "ha"), Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("hb").isNull, lit("I"))
+          .when(col("ha").isNull, lit("D"))
+          .when(col("hb") =!= col("ha"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col("k").as(keyCol))
+  }
 }

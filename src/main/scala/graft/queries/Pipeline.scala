@@ -2185,6 +2185,42 @@ object Pipeline {
       dim = 64, iters = 3)
   }
 
+  /** D79 — changelog derivation: before = documents, after = the same
+    * table with %7 keys deleted, %5 texts rewritten, and %11 keys
+    * re-inserted under shifted ids. The oracle replays the diff as a
+    * value-compare full outer join — equal to the engine's
+    * hash-compare because md5 equality over length-prefixed fields is
+    * value equality.
+    */
+  val qChangelog: GateQuery = GateQuery(
+    "q_changelog",
+    """WITH b AS (SELECT doc_id, text FROM documents),
+      |a AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 11 = 0)
+      |SELECT op, doc_id FROM (
+      |  SELECT CASE WHEN b.doc_id IS NULL THEN 'I'
+      |              WHEN a.doc_id IS NULL THEN 'D'
+      |              WHEN b.text <> a.text THEN 'U' END AS op,
+      |    COALESCE(b.doc_id, a.doc_id) AS doc_id
+      |  FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id)
+      |WHERE op IS NOT NULL
+      |ORDER BY doc_id, op""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val after = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    MergeUpsert.changelog(docs, after, "doc_id", Seq("text"))
+      .orderBy("doc_id", "op")
+  }
+
   /** D50 — video perceptual hashing: real demux, real per-frame
     * decode, per-sampled-frame aHash bands, (frame position, band)
     * candidate degree. The oracle replays frame selection, resized
@@ -2455,5 +2491,5 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration)
+    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog)
 }

