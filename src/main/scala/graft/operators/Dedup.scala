@@ -373,15 +373,22 @@ object Dedup {
             greatest(col("a.n_sh"), col("b.n_sh")) * tNum)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact verification on the EXPLODED index, not array re-joins:
-    // n_inter = count of shared (distinct) shingles via two id-keyed
-    // equi-joins over fixed-width rows. The array alternative
-    // (verifyCandidates) ships each candidate's full shingle array
-    // through two joins — at a low threshold/short shingle the
-    // candidate set is large (~193k pairs at n=3, sf0.1) and those
-    // array shuffles plus a corpus re-shingle dominated the gate
-    // (~2× the whole remaining pipeline). ex is already checkpointed;
-    // every exchanged row here is (id, id, shingle) or smaller.
+    verifyOnIndex(ex, sizes, cand, tNum, tDen)
+  }
+
+  /** Exact verification of (d1, d2) candidates on the EXPLODED
+    * (doc_id, shingle) index, not array re-joins: n_inter = count of
+    * shared (distinct) shingles via two id-keyed equi-joins over
+    * fixed-width rows. The array alternative (verifyCandidates) ships
+    * each candidate's full shingle array through two joins — at a low
+    * threshold/short shingle the candidate set is large (~193k pairs
+    * at n=3, sf0.1) and those array shuffles plus a corpus re-shingle
+    * dominated the prefix gate ~2×. Every exchanged row here is
+    * (id, id, shingle) or smaller. Shared by the prefix-filtered and
+    * sorted-neighborhood joins.
+    */
+  private[operators] def verifyOnIndex(ex: DataFrame, sizes: DataFrame,
+      cand: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val inter = cand
       .join(ex.select(col("doc_id").as("d1"), col("shingle")), "d1")
       .join(ex.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
@@ -397,6 +404,53 @@ object Dedup {
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("s1") + col("s2") - col("n_inter")).cast("double"))
       .select("d1", "d2", "n_inter", "jaccard")
+  }
+
+  /** D80 — sorted-neighborhood near-dup candidates (Hernández &
+    * Stolfo SIGMOD'95 merge/purge): docs ordered globally by their
+    * canonical key ([[canonicalKey]]); every pair within `window`
+    * positions is a candidate, then exact-verified on the shingle
+    * index. The complementary recall path to shingle blocking: two
+    * near-dups differing only LATE in the text sort adjacent and are
+    * found even when every shingle they share is corpus-common —
+    * while edits in the first words sort them apart (that case is
+    * LSH/prefix territory; pipelines run both).
+    *
+    * Scale shape: global positions via the two-phase bucket rank
+    * (the shuffleDeterministic shape — leading-char bucket window +
+    * broadcast exclusive bucket offsets, never one global window
+    * partition); candidates are the window-unrolled EQUI-join
+    * (pos + d = pos′, d ∈ 1..window) — |corpus|·window fixed-width
+    * rows, a hash join, not a range nested-loop; verification on the
+    * exploded index moves (id, id, shingle) rows only.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, n: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(window >= 1, s"invalid window $window")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("ck", canonicalKey(col("text")))
+      .withColumn("__b", substring(col("ck"), 1, 1))
+    val inB = Window.partitionBy("__b").orderBy(col("ck"), col("doc_id"))
+    val ranked = keyed.withColumn("__rk", row_number().over(inB))
+    val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum("__n").over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__b", "__off")
+    val pos = ranked.join(broadcast(offsets), "__b")
+      .select(col("doc_id"), (col("__off") + col("__rk")).as("pos"))
+      .localCheckpoint() // feeds both sides of the neighbor join
+    val probe = pos.select(col("doc_id").as("ida"),
+        explode(array((1 to window).map(lit(_)): _*)).as("d"), col("pos"))
+      .select(col("ida"), (col("pos") + col("d")).as("pos"))
+    val cand = probe.join(pos, "pos")
+      .select(least(col("ida"), col("doc_id")).as("d1"),
+        greatest(col("ida"), col("doc_id")).as("d2"))
+    val ex = shingleIndexPlan(docs, idCol, textCol, n).localCheckpoint()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    verifyOnIndex(ex, sizes, cand, tNum, tDen)
   }
 
   /** D2 — MinHash + LSH near-dup pairs, the 100 TB-scale path:

@@ -2221,6 +2221,43 @@ object Pipeline {
       .orderBy("doc_id", "op")
   }
 
+  /** D80 — sorted-neighborhood near-dup candidates: canonical-key
+    * global order, window-4 neighbor pairs, exact verification at
+    * Jaccard ≥ 3/5 (the q_dedup_jaccard/prefix output contract). The
+    * oracle replays the canonicalization, the GLOBAL ROW_NUMBER, the
+    * window pairing, and the exact verification.
+    */
+  val qDedupSortedNbr: GateQuery = GateQuery(
+    "q_dedup_sortednbr",
+    s"""WITH ${shingleCte(3)},
+       |ck AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ck
+       |  FROM documents),
+       |p AS (SELECT doc_id, ck,
+       |        ROW_NUMBER() OVER (ORDER BY ck, doc_id) AS pos
+       |      FROM ck),
+       |cand AS (
+       |  SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+       |         GREATEST(a.doc_id, b.doc_id) AS d2
+       |  FROM p a JOIN p b ON b.pos BETWEEN a.pos + 1 AND a.pos + 4),
+       |inter AS (SELECT c.d1, c.d2, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, n_inter,
+       |  CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE n_inter * 5 >= (s1.n_sh + s2.n_sh - n_inter) * 3
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.sortedNeighborhoodPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        window = 4, n = 3, tNum = 3, tDen = 5)
+      .orderBy("d1", "d2")
+  }
+
   /** D50 — video perceptual hashing: real demux, real per-frame
     * decode, per-sampled-frame aHash bands, (frame position, band)
     * candidate degree. The oracle replays frame selection, resized
@@ -2491,5 +2528,6 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog)
+    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog,
+    qDedupSortedNbr)
 }

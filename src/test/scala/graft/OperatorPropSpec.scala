@@ -298,6 +298,32 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(w === Map(0 -> S, 1 -> S), "symmetric expansion feeds both directions")
   }
 
+  test("sortedNeighborhoodPairs: finds late-edit near-dups, misses first-word edits (the stated trade)") {
+    // clones differing only in the LAST word sort adjacent — found —
+    // while the same edit in the FIRST word sorts them apart when
+    // enough other docs sit between (window 1 here forces it).
+    val docs = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta last1"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta last2"),
+      (10L, "astart beta gamma delta epsilon zeta eta theta iota"),
+      (11L, "zstart beta gamma delta epsilon zeta eta theta iota")) ++
+      (20L to 40L).map(i => (i, s"w$i filler body ${"pad " * 6}tail")))
+      .toDF("doc_id", "text")
+    def pairs(w: Int) = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text", window = w, n = 3,
+        tNum = 1, tDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w1 = pairs(1)
+    assert(w1.contains((1L, 2L)), "late-edit clones sort adjacent")
+    assert(!w1.contains((10L, 11L)),
+      "first-word edit sorts apart at window 1 - LSH territory, by design")
+    // partition invariance
+    val again = graft.operators.Dedup
+      .sortedNeighborhoodPairs(docs.repartition(5), "doc_id", "text", 1, 3, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === w1)
+  }
+
   test("canonicalDedup: case/punct/space-blind groups, survivor = min id") {
     val docs = Seq(
       (10L, "Hello,  World!"), (3L, "hello world"), (7L, "hello world."),
