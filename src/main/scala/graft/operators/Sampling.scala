@@ -100,6 +100,44 @@ object Sampling {
     * empty array (plain explode then drops them — the downsampled-out
     * rows).
     */
+  /** D81 — deterministic negative sampling for contrastive training:
+    * k pseudo-random partner docs per anchor, chosen by
+    * hex12(md5("seed:anchor:i")) mod corpus-size over the
+    * md5-shuffled position table (Prep.shuffleDeterministic) — so
+    * the negative set is a pure function of (corpus, seed) and a
+    * re-run on any engine/cluster emits byte-identical training
+    * pairs (silently different negatives = silently different
+    * contrastive gradients). Rare self-pairs (anchor drawn as its
+    * own negative, p = k/n) are kept, not rejected: rejection would
+    * make the draw sequence data-dependent and unreplayable — the
+    * training loader drops them, the sampler stays pure.
+    *
+    * Scale shape: one position table build (the two-phase bucket
+    * rank), then a pure projection of k draws per anchor equi-joined
+    * back on the position — fixed-width rows, no window over the
+    * corpus, corpus size ships as a broadcast one-row aggregate, not
+    * a driver scalar.
+    */
+  def negativeSample(docs: DataFrame, idCol: String, k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 1, s"invalid k $k")
+    val pos = Prep.shuffleDeterministic(docs.select(col(idCol)), idCol, seed)
+      .select(col(idCol).as("__nid"), col("pos"))
+      .localCheckpoint() // anchors AND the draw target join reuse it
+    val n = pos.agg(count(lit(1)).as("__n"))
+    val draws = pos.select(col("__nid").as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("__n"),
+        explode(array((1 to k).map(lit(_)): _*)).as("i"))
+      .select(col("anchor_id"), col("i"),
+        (conv(substring(md5(concat_ws(":", lit(seed).cast("string"),
+            col("anchor_id").cast("string"), col("i").cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long") % col("__n") + 1)
+          .as("pos"))
+    draws.join(pos, "pos")
+      .select(col("anchor_id"), col("i"), col("__nid").as("negative_id"))
+  }
+
   def explodeCopies(df: DataFrame, nCopiesCol: String = "n_copies"): DataFrame =
     df.withColumn("copy_idx",
       explode(when(col(nCopiesCol) > 0, sequence(lit(1), col(nCopiesCol)))

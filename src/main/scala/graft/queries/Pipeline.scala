@@ -2258,6 +2258,33 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
+  /** D81 — deterministic negative sampling: 3 draws per anchor over
+    * the md5-shuffled position table. The oracle replays the shuffle
+    * order, the hex12 draw, the mod, and the position join — a wrong
+    * position table or draw slice scrambles every negative.
+    */
+  val qNegativeSample: GateQuery = GateQuery(
+    "q_negative_sample",
+    """WITH p AS (
+      |  SELECT doc_id, md5('29:' || CAST(doc_id AS VARCHAR)) AS sk
+      |  FROM documents),
+      |pos AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS pos
+      |        FROM p),
+      |d AS (
+      |  SELECT a.doc_id AS anchor_id, CAST(t.i AS INT) AS i,
+      |    CAST(('0x' || substr(md5('29:' || CAST(a.doc_id AS VARCHAR)
+      |      || ':' || CAST(t.i AS VARCHAR)), 1, 12))::BIGINT
+      |      % (SELECT COUNT(*) FROM documents) + 1 AS BIGINT) AS pos
+      |  FROM documents a, generate_series(1, 3) t(i))
+      |SELECT d.anchor_id, d.i, pos.doc_id AS negative_id
+      |FROM d JOIN pos USING (pos)
+      |ORDER BY anchor_id, i""".stripMargin) { (s, dir) =>
+    Sampling.negativeSample(Tables(s, dir, "documents"), "doc_id",
+        k = 3, seed = 29L)
+      .select(col("anchor_id"), col("i"), col("negative_id"))
+      .orderBy("anchor_id", "i")
+  }
+
   /** D50 — video perceptual hashing: real demux, real per-frame
     * decode, per-sampled-frame aHash bands, (frame position, band)
     * candidate degree. The oracle replays frame selection, resized
@@ -2529,5 +2556,5 @@ object Pipeline {
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
     qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog,
-    qDedupSortedNbr)
+    qDedupSortedNbr, qNegativeSample)
 }
