@@ -406,6 +406,51 @@ object Dedup {
       .select("d1", "d2", "n_inter", "jaccard")
   }
 
+  /** D82 — greedy coverage-maximization selection (the classic
+    * 1−1/e-approximate submodular maximizer, Nemhauser et al. 1978 —
+    * the coverage/facility-location shape of coreset data selection):
+    * pick k docs one at a time, each round taking the doc that covers
+    * the most NOT-yET-covered shingles, ties to the smallest id. A
+    * budgeted selection that maximizes shingle coverage buys more
+    * n-gram diversity per token than any frequency heuristic, and
+    * greedy is within 1−1/e of optimal.
+    *
+    * Scale shape: per round ONE anti-join of the (doc, shingle) index
+    * against the covered set + a map-side-partial gain count + a
+    * single-row argmax agg (max(struct(gain, −id)) — no sort); the
+    * covered set grows by ≤ one doc's shingles per round and is the
+    * only state. k passes over the index by construction — for large
+    * budgets batch the rounds (stochastic greedy); this is the exact
+    * small-k primitive.
+    *
+    * @return (round, doc_id, gain) — gain = newly covered shingles;
+    *         rounds after full coverage produce no row
+    */
+  def greedyCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"invalid k $k")
+    val spark = docs.sparkSession
+    val ex = shingleIndexPlan(docs, idCol, textCol, n).localCheckpoint()
+    var covered = ex.select("shingle").filter(lit(false)).localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to k) {
+      val gains = ex.join(covered, Seq("shingle"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+      val best = gains
+        .agg(max(struct(col("gain"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(lit(r).cast("int").as("round"),
+          (-col("m.nid")).as("doc_id"), col("m.gain").as("gain"))
+        .filter(col("doc_id").isNotNull) // all-covered: empty gains
+        .localCheckpoint()
+      rounds += best
+      covered = covered
+        .union(ex.join(broadcast(best.select("doc_id")), "doc_id").select("shingle"))
+        .distinct()
+        .localCheckpoint()
+    }
+    rounds.reduce(_ union _)
+  }
+
   /** D80 — sorted-neighborhood near-dup candidates (Hernández &
     * Stolfo SIGMOD'95 merge/purge): docs ordered globally by their
     * canonical key ([[canonicalKey]]); every pair within `window`

@@ -2285,6 +2285,39 @@ object Pipeline {
       .orderBy("anchor_id", "i")
   }
 
+  /** D82 — greedy coverage selection, 5 rounds: the oracle unrolls
+    * every round — gain recount against the growing covered set,
+    * (gain DESC, id ASC) argmax, coverage union. One wrong round
+    * cascades into every later pick.
+    */
+  private def coverageOracle(k: Int): String = {
+    val head =
+      s"""WITH ${shingleCte(3)},
+         |c0 AS (SELECT shingle FROM sh WHERE false)""".stripMargin
+    val rs = (1 to k).map { r =>
+      s"""g$r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+         |  FROM sh WHERE shingle NOT IN (SELECT shingle FROM c${r - 1})
+         |  GROUP BY 1),
+         |b$r AS (SELECT CAST($r AS INT) AS round, doc_id, gain
+         |  FROM g$r ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |c$r AS MATERIALIZED (SELECT shingle FROM c${r - 1}
+         |  UNION
+         |  SELECT sh.shingle FROM sh JOIN b$r USING (doc_id))""".stripMargin
+    }
+    val tail =
+      s"""SELECT round, doc_id, gain FROM (
+         |  ${(1 to k).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin
+    (head +: rs).mkString(",\n") + "\n" + tail
+  }
+
+  val qGreedyCoverage: GateQuery = GateQuery(
+    "q_greedy_coverage", coverageOracle(k = 5)) { (s, dir) =>
+    Dedup.greedyCoverage(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 5)
+      .orderBy("round")
+  }
+
   /** D50 — video perceptual hashing: real demux, real per-frame
     * decode, per-sampled-frame aHash bands, (frame position, band)
     * candidate degree. The oracle replays frame selection, resized
@@ -2556,5 +2589,5 @@ object Pipeline {
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
     qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog,
-    qDedupSortedNbr, qNegativeSample)
+    qDedupSortedNbr, qNegativeSample, qGreedyCoverage)
 }

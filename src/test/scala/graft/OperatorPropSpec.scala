@@ -324,6 +324,31 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(again === w1)
   }
 
+  test("greedyCoverage: marginal gain beats size, ties to min id, exhaustion stops") {
+    // doc 1 covers shingles A∪B (8 3-grams); docs 2 and 3 each cover
+    // a DISJOINT new region (4 each); doc 4 duplicates doc 1, so
+    // after round 1 it contributes NOTHING — greedy must pick 1 then
+    // {2,3}, and once coverage is exhausted round 4 emits NO row
+    // (a zero-gain doc has no surviving index rows at all).
+    val a = "a1 a2 a3 a4 a5"          // 3 grams
+    val b = "b1 b2 b3 b4 b5"          // 3 grams
+    val c = "c1 c2 c3 c4 c5 c6"       // 4 grams
+    val d = "d1 d2 d3 d4 d5 d6"       // 4 grams
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, c), (3L, d), (4L, s"$a $b"))
+      .toDF("doc_id", "text")
+    for (parts <- Seq(1, 3)) {
+      val got = graft.operators.Dedup.greedyCoverage(
+          docs.repartition(parts), "doc_id", "text", n = 3, k = 4)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got(1)._1 === 1L, s"parts=$parts")
+      assert(got(1)._2 === 8L, "10 words -> 8 trigrams")
+      assert(Set(got(2)._1, got(3)._1) === Set(2L, 3L), "disjoint regions next")
+      assert(got(2)._2 === 4L && got(3)._2 === 4L)
+      assert(!got.contains(4), "exhausted coverage: round 4 emits no row")
+    }
+  }
+
   test("canonicalDedup: case/punct/space-blind groups, survivor = min id") {
     val docs = Seq(
       (10L, "Hello,  World!"), (3L, "hello world"), (7L, "hello world."),
