@@ -451,6 +451,25 @@ object Dedup {
     rounds.reduce(_ union _)
   }
 
+  /** D83 — bag-of-words duplicate groups: canonicalize, SORT the
+    * token multiset, hash — so documents that are permutations of
+    * the same words collapse (shuffled boilerplate lists, reordered
+    * template fields) while canonicalDedup (D45, order-preserving)
+    * keeps them apart. Same D1 scale shape: normalization and the
+    * sorted-bag hash are a zero-shuffle projection; only
+    * (hash, id, n_tokens) triples move.
+    */
+  def bagDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bag = array_join(array_sort(split(canonicalKey(col(textCol)), " ")), " ")
+    docs.select(col(idCol),
+        md5(bag.cast("binary")).as("bag_hash"),
+        size(split(canonicalKey(col(textCol)), " ")).as("n_tok"))
+      .groupBy("bag_hash")
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_copies"),
+        min("n_tok").as("n_tok"))
+  }
+
   /** D80 — sorted-neighborhood near-dup candidates (Hernández &
     * Stolfo SIGMOD'95 merge/purge): docs ordered globally by their
     * canonical key ([[canonicalKey]]); every pair within `window`

@@ -272,9 +272,9 @@ object Events2 {
       |  FROM xy GROUP BY 1)
       |SELECT event_type, n,
       |  CAST(sy // n AS BIGINT) AS mean_y_cents,
-      |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-      |       ELSE (100 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
-      |       END AS BIGINT) AS slope_centi_per_hr
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST((100 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+      |       END AS slope_centi_per_hr
       |FROM s
       |ORDER BY event_type""".stripMargin) { (s, dir) =>
     Timeseries.linearTrend(Tables(s, dir, "events"), "event_type", "ts", "value")

@@ -2318,6 +2318,29 @@ object Pipeline {
       .orderBy("round")
   }
 
+  /** D83 — bag-of-words dedup: the oracle replays canonicalization,
+    * list sort, and the hash — permutations of the same words MUST
+    * collapse, which pins the sort itself.
+    */
+  val qDedupBag: GateQuery = GateQuery(
+    "q_dedup_bag",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(string_split(canon, ' ')), ' ')) AS bag_hash,
+      |    CAST(len(string_split(canon, ' ')) AS INT) AS n_tok
+      |  FROM c)
+      |SELECT bag_hash, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies,
+      |  CAST(MIN(n_tok) AS INT) AS n_tok
+      |FROM b GROUP BY 1
+      |ORDER BY bag_hash""".stripMargin) { (s, dir) =>
+    Dedup.bagDedup(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("bag_hash")
+  }
+
   /** D50 — video perceptual hashing: real demux, real per-frame
     * decode, per-sampled-frame aHash bands, (frame position, band)
     * candidate degree. The oracle replays frame selection, resized
@@ -2589,5 +2612,5 @@ object Pipeline {
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
     qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog,
-    qDedupSortedNbr, qNegativeSample, qGreedyCoverage)
+    qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag)
 }

@@ -349,6 +349,23 @@ class OperatorPropSpec extends AnyFunSuite {
     }
   }
 
+  test("bagDedup: permutations collapse, canonicalDedup keeps them apart, multiset-sensitive") {
+    val docs = Seq(
+      (5L, "alpha beta gamma"), (2L, "gamma alpha beta"),   // permutation
+      (3L, "Alpha, beta gamma!"),                           // canon-equal to 5
+      (7L, "alpha alpha beta gamma"),                       // different MULTISET
+      (9L, "delta"))
+      .toDF("doc_id", "text")
+    val bag = graft.operators.Dedup.bagDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // {2,3,5} share one bag (survivor 2); 7 and 9 alone
+    assert(bag === Map(2L -> 3L, 7L -> 1L, 9L -> 1L))
+    // order-preserving canonical dedup does NOT merge the permutation
+    val canon = graft.operators.Dedup.canonicalDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(canon(2L) === 1L && canon(3L) === 2L, "canonical keeps word order")
+  }
+
   test("canonicalDedup: case/punct/space-blind groups, survivor = min id") {
     val docs = Seq(
       (10L, "Hello,  World!"), (3L, "hello world"), (7L, "hello world."),
