@@ -247,6 +247,37 @@ object Timeseries {
                |END""".stripMargin).as("slope_centi_per_hr"))
   }
 
+  /** D84 — Pareto frontier (skyline) on two minimized dimensions:
+    * the points no other point beats on BOTH axes (strict on at least
+    * one) — the multi-objective shortlist query (cheapest-and-
+    * smallest part, shortest-and-freshest doc) that a top-k on any
+    * single score cannot express.
+    *
+    * O(n log n), not the naive Θ(n²) dominance self-join: collapse to
+    * one (x, min y) row per x (same-x rows with larger y are
+    * dominated within the group), then a point survives iff its y is
+    * STRICTLY below the running min of y over all smaller x — one
+    * grouped aggregate + one window over the collapsed (distinct-x-
+    * sized) set. The corpus never self-joins; the window runs over
+    * ≤ |distinct x| rows.
+    *
+    * @return (x, y, n_rows) — frontier points with the count of rows
+    *         at that exact point
+    */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val perX = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy("x").agg(min("y").as("y"), count(lit(1)).as("n_at_x"))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("rm", min("y").over(w))
+      .filter(col("rm").isNull || col("y") < col("rm"))
+      .select("x", "y")
+    // n_rows counts rows AT the frontier point (same x AND same y)
+    val atPoint = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_rows"))
+    frontier.join(atPoint, Seq("x", "y"))
+  }
+
   def transitionMatrix(events: DataFrame, idCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))

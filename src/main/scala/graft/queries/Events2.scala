@@ -312,7 +312,30 @@ object Events2 {
       .orderBy("event_type")
   }
 
+  /** D84 — Pareto frontier of parts minimizing (retail price, size):
+    * the oracle replays the per-x collapse, the strict running-min
+    * test, and the at-point row count.
+    */
+  val qPareto: GateQuery = GateQuery(
+    "q_pareto",
+    """WITH perx AS (
+      |  SELECT p_retailprice AS x, MIN(p_size) AS y FROM part GROUP BY 1),
+      |f AS (SELECT x, y,
+      |        MIN(y) OVER (ORDER BY x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+      |      FROM perx),
+      |fr AS (SELECT x, y FROM f WHERE rm IS NULL OR y < rm),
+      |ap AS (SELECT p_retailprice AS x, p_size AS y, COUNT(*) AS n_rows
+      |       FROM part GROUP BY 1, 2)
+      |SELECT fr.x, fr.y, ap.n_rows
+      |FROM fr JOIN ap USING (x, y)
+      |ORDER BY x""".stripMargin) { (s, dir) =>
+    graft.operators.Timeseries.paretoFrontier(
+        Tables(s, dir, "part"), "p_retailprice", "p_size")
+      .orderBy("x")
+  }
+
   val all: Seq[GateQuery] =
     Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow,
-      qAnomaly, qOhlcBars, qEwma, qLinearTrend, qMadOutliers)
+      qAnomaly, qOhlcBars, qEwma, qLinearTrend, qMadOutliers, qPareto)
 }

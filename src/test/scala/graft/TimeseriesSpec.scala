@@ -206,6 +206,22 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("paretoFrontier: hand-worked skyline, same-x and same-point handling, equal-y excluded") {
+    // points (x, y): frontier must be (1,5), (3,2), (7,1).
+    // (2,5): same y as the running min -> dominated by (1,5) (strict x).
+    // (3,4): same x as (3,2), larger y -> dominated in the x-group.
+    // (9,1): y equals running min 1 -> dominated by (7,1).
+    // (7,1) appears twice -> one frontier row with n_rows = 2.
+    val pts = Seq((1, 5), (2, 5), (3, 2), (3, 4), (7, 1), (7, 1), (9, 1), (8, 3))
+      .toDF("x", "y")
+    for (parts <- Seq(1, 3)) {
+      val got = graft.operators.Timeseries.paretoFrontier(
+          pts.repartition(parts), "x", "y")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got === Map((1, 5) -> 1L, (3, 2) -> 1L, (7, 1) -> 2L), s"parts=$parts")
+    }
+  }
+
   test("containmentPairs catches doc-inside-doc that Jaccard misses") {
     import graft.operators.Dedup
     // B = A verbatim plus a long unrelated tail: containment(A,B)=100%
