@@ -608,6 +608,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D85 — label-quality audit: confusion matrix between the DECLARED
+    * lang column and the D8 classifier's prediction, with per-cell
+    * counts and the declared-label agreement rate in ppm — the first
+    * check against a mislabeled upstream corpus (a declared-vs-
+    * predicted disagreement cluster is either a classifier gap or a
+    * poisoned label source; both need the matrix, not an accuracy
+    * scalar). One scan + one (declared, predicted) aggregate + a
+    * broadcast of per-declared totals.
+    */
+  val qLangConfusion: GateQuery = GateQuery(
+    "q_lang_confusion",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and'))) AS en_s,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('spark','agg','hash','query','scan'))) AS code_s,
+      |    len(list_filter(string_split(text, ' '), w -> w IN ('table','row','column','value'))) AS data_s
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang, CASE
+      |    WHEN en_s >= code_s AND en_s >= data_s AND en_s > 0 THEN 'en'
+      |    WHEN code_s >= data_s AND code_s > 0 THEN 'code'
+      |    WHEN data_s > 0 THEN 'data'
+      |    ELSE 'unknown' END AS lang_pred
+      |  FROM s),
+      |m AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM p GROUP BY 1, 2),
+      |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM m GROUP BY 1)
+      |SELECT m.lang, m.lang_pred, m.n,
+      |  CAST(m.n * 1000000 // t.tot AS BIGINT) AS cell_ppm
+      |FROM m JOIN t USING (lang)
+      |ORDER BY lang, lang_pred""".stripMargin) { (s, dir) =>
+    val m = Tables(s, dir, "documents")
+      .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val t = m.groupBy("lang").agg(sum("n").as("tot"))
+    m.join(broadcast(t), "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("n * 1000000 div tot").as("cell_ppm"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** D11 — 5-gram min-hash document fingerprint. */
   val qFingerprint: GateQuery = GateQuery(
     "q_fingerprint",
@@ -2612,5 +2653,6 @@ object Pipeline {
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
     qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog,
-    qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag)
+    qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag,
+    qLangConfusion)
 }
