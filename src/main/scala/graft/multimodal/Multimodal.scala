@@ -202,6 +202,32 @@ object Multimodal {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"))
   }
 
+  /** D86 — image near-dup CLUSTERS end-to-end: aHash band agreement
+    * (≥ `minBands` of 4 — the integer stand-in for a Hamming bound)
+    * proposes pairs, connected components makes them transitive, and
+    * every image doc lands in a cluster (singletons alone) — the
+    * apply-side of D43 that a dedup pipeline actually consumes, with
+    * re-encoded/copied images collapsing into one keepable group.
+    * Scale shape: codec once per image, band join over fixed-width
+    * rows, the D15 min-label CC on the (sparse) pair graph.
+    */
+  def imageClusters(docs: DataFrame, minBands: Int = 3): DataFrame = {
+    val ph = imagePhashTable(docs).toDF().localCheckpoint()
+    val bands = ph.select(col("doc_id"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "v")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= minBands)
+      .select("d1", "d2")
+    graft.operators.Components.clusterDocuments(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").cast("long").as("doc_id")),
+      "doc_id", pairs)
+  }
+
   final case class VideoPhashRow(doc_id: Long, frame_idx: Int, src_frame: Int,
       b0: Int, b1: Int, b2: Int, b3: Int)
 

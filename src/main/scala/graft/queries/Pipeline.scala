@@ -649,6 +649,46 @@ object Pipeline {
       .orderBy("lang", "lang_pred")
   }
 
+  /** D86 — image near-dup clusters: ≥3-of-4 aHash band agreement →
+    * transitive closure → min-id cluster per image doc. The oracle
+    * recomputes pixels, bands, the band-count pair rule, AND the
+    * closure — identical images (the 768-id content period) must
+    * land in one cluster. bench=false (recursive-CTE oracle).
+    */
+  val qImageClusters: GateQuery = GateQuery(
+    "q_image_clusters",
+    """WITH RECURSIVE img AS (
+      |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |rp AS (
+      |  SELECT i.doc_id, gy.y * 8 + gx.x AS idx,
+      |    CAST((i.doc_id + 7 * ((gx.x * i.w) // 8) + 13 * ((gy.y * i.h) // 8)) % 256 AS BIGINT) AS p
+      |  FROM img i, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+      |m AS (SELECT doc_id, CAST(SUM(p) // 64 AS BIGINT) AS mean FROM rp GROUP BY 1),
+      |bands AS (
+      |  SELECT rp.doc_id, CAST(rp.idx // 16 AS BIGINT) AS band,
+      |    CAST(SUM(CASE WHEN rp.p > m.mean THEN 1 << (rp.idx % 16) ELSE 0 END) AS BIGINT) AS v
+      |  FROM rp JOIN m USING (doc_id) GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+      |SELECT i.doc_id,
+      |  LEAST(i.doc_id, COALESCE(MIN(r.b), i.doc_id)) AS cluster_id
+      |FROM img i LEFT JOIN reach r ON r.a = i.doc_id
+      |GROUP BY i.doc_id
+      |ORDER BY i.doc_id""".stripMargin,
+    bench = false) { (s, dir) =>
+    graft.multimodal.Multimodal.imageClusters(Tables(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
   /** D11 — 5-gram min-hash document fingerprint. */
   val qFingerprint: GateQuery = GateQuery(
     "q_fingerprint",
@@ -2654,5 +2694,5 @@ object Pipeline {
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
     qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog,
     qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag,
-    qLangConfusion)
+    qLangConfusion, qImageClusters)
 }
