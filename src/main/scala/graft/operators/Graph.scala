@@ -473,6 +473,40 @@ object Graph {
     h.join(a, "v").select(col("v").as("node"), col("h").as("hub"), col("a").as("auth"))
   }
 
+  /** D87 — one-row graph profile: node/edge counts, degree extremes,
+    * wedge count Σ deg·(deg−1)/2, exact triangle total, and the
+    * GLOBAL clustering coefficient 3·triangles/wedges in integer ppm
+    * — the first summary run on any link graph (is it social-like,
+    * clustered, or a near-random mesh?), and the sanity gate before
+    * paying for the heavier per-node analyses.
+    *
+    * Scale shape: one degree aggregate, one single-row reduce over
+    * it, the D63 orientation-bounded triangle count reduced to one
+    * row, and a cross join of three 1-row frames — nothing
+    * node-sized leaves the executors.
+    */
+  def profile(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds degrees, edge count, and triangles
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val degAgg = deg.agg(count(lit(1)).as("n_nodes"), max("deg").as("max_deg"),
+      sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+    val edgeAgg = und.agg(count(lit(1)).as("n_edges"))
+    val triAgg = triangles(und.select(col("a").as("src"), col("b").as("dst")))
+      .agg(count(lit(1)).as("triangles"))
+    degAgg.crossJoin(edgeAgg).crossJoin(triAgg)
+      .select(col("n_nodes"), col("n_edges"), col("max_deg"), col("wedges"),
+        col("triangles"),
+        expr("""CASE WHEN wedges = 0 THEN NULL
+               |ELSE 3 * triangles * 1000000 div wedges END""".stripMargin)
+          .as("clustering_ppm"))
+  }
+
   private def coreDegrees(e: DataFrame): DataFrame =
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

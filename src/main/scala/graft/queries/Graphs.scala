@@ -450,7 +450,49 @@ object Graphs {
     Graph.hits(pairs, iters = 2).orderBy("node")
   }
 
+  /** One-row profile of the part co-purchase graph: the oracle
+    * replays degrees, wedge arithmetic, the FULL orientation-based
+    * triangle count, and the ppm clustering coefficient.
+    */
+  val qGraphProfile: GateQuery = GateQuery(
+    "q_graph_profile",
+    """WITH pairs AS (
+      |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, l1.l_orderkey AS ok
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      |e AS (SELECT a, b FROM (
+      |        SELECT a, b, COUNT(DISTINCT ok) AS n FROM pairs GROUP BY 1, 2)
+      |      WHERE n >= 2),
+      |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      |        GROUP BY 1),
+      |da AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |         CAST(MAX(deg) AS BIGINT) AS max_deg,
+      |         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+      |       FROM deg),
+      |ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+      |o AS (SELECT
+      |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+      |             THEN a ELSE b END AS u,
+      |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+      |             THEN b ELSE a END AS w,
+      |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+      |             THEN d2.deg ELSE d1.deg END AS dw
+      |      FROM e JOIN deg d1 ON d1.v = e.a JOIN deg d2 ON d2.v = e.b),
+      |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+      |  SELECT e1.u FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |   AND (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))
+      |  WHERE EXISTS (SELECT 1 FROM o
+      |                WHERE o.u = e1.w AND o.w = e2.w)))
+      |SELECT da.n_nodes, ea.n_edges, da.max_deg, da.wedges, tri.triangles,
+      |  CASE WHEN da.wedges = 0 THEN NULL
+      |       ELSE CAST(3 * tri.triangles * 1000000 // da.wedges AS BIGINT)
+      |       END AS clustering_ppm
+      |FROM da, ea, tri""".stripMargin, bench = false) { (s, dir) =>
+    Graph.profile(partEdges(s, dir))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qPagerank, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict, qSssp,
-      qRandomWalk, qHits)
+      qRandomWalk, qHits, qGraphProfile)
 }

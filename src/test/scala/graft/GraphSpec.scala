@@ -354,6 +354,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.toSet.subsetOf(nodes), "labels are node ids")
   }
 
+  test("profile: K4 closes every wedge (ppm = 1e6); path has zero triangles; messy input cleaned") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val p = Graph.profile(k4).collect().head
+    // K4: 4 nodes, 6 edges, deg 3 each, wedges 4·C(3,2)=12, triangles
+    // C(4,3)=4 → 3·4/12 = 1.0 exactly
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3),
+      p.getLong(4), p.getLong(5)) === ((4L, 6L, 3L, 12L, 4L, 1000000L)))
+    val path = Graph.profile(pathEdges(1)).collect().head
+    assert(path.getLong(4) === 0L && path.getLong(5) === 0L)
+    // dup/direction/self-loop cleaning keeps the same profile
+    val messy = k4.union(Seq((2L, 1L), (3L, 3L)).toDF("src", "dst"))
+    assert(Graph.profile(messy).collect().head.toSeq === p.toSeq)
+  }
+
   test("duplicate input edges do not change the result") {
     val once = Graph.pageRank(pathEdges(1), iters = 2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
