@@ -387,11 +387,19 @@ object Graph {
     * (hex12(md5("seed:w:v:t")) mod deg(v)) + 1. Walks from isolated
     * start nodes end at step 0.
     *
-    * Scale shape: the whole walk is ONE declarative plan — `steps`
-    * self-joins of the ranked adjacency (localCheckpoint'd once,
-    * reused per step), each moving fixed-width (walk, node) rows;
-    * the per-node neighbor ranking is a degree-bounded window, paid
-    * once. No driver loop, no iterative checkpointing.
+    * Scale shape: the whole walk is ONE LINEAR declarative plan —
+    * `steps` left-joins of the ranked adjacency (localCheckpoint'd
+    * once, reused per step), each carrying fixed-width (walk, node,
+    * path) rows, with the visited prefix accumulated in an array
+    * column and posexploded ONCE at the end. (The per-step-union
+    * alternative re-derives step t's lineage inside every later
+    * frame — steps·(steps+1)/2 joins instead of steps; at 5 steps
+    * that was 3× the work for identical output.) Walks that die
+    * (isolated start) carry a null node forward: the join condition
+    * can never match again and the path stops growing, preserving
+    * the emit-prefix-only semantics without a per-step frame. The
+    * per-node neighbor ranking is a degree-bounded window, paid once.
+    * No driver loop, no iterative checkpointing.
     *
     * @return (walk_id, step, node) — step 0 is the start node
     */
@@ -410,20 +418,25 @@ object Graph {
         org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy("v")))
       .localCheckpoint() // reused by every step's join
     var cur = starts.select(col("v")).distinct()
-      .select(col("v").as("walk_id"), col("v").as("node"))
-    val frames = scala.collection.mutable.ArrayBuffer(
-      cur.select(col("walk_id"), lit(0).cast("int").as("step"), col("node")))
+      .select(col("v").as("walk_id"), col("v").as("node"),
+        array(col("v")).as("path"))
     for (t <- 1 to steps) {
       val pick = conv(substring(md5(concat_ws(":",
           lit(seed).cast("string"), col("walk_id").cast("string"),
           col("node").cast("string"), lit(t).cast("string")).cast("binary")),
         1, 12), 16, 10).cast("long")
-      cur = cur.join(ranked, col("node") === col("u"))
-        .filter(col("rnk") === pmod(pick, col("deg")) + 1)
-        .select(col("walk_id"), col("v").as("node"))
-      frames += cur.select(col("walk_id"), lit(t).cast("int").as("step"), col("node"))
+      // left join: a walk at a dead end (or already dead — null node
+      // never equals u) survives with v null and an unchanged path
+      cur = cur.join(ranked,
+          col("node") === col("u") && col("rnk") === pmod(pick, col("deg")) + 1,
+          "left")
+        .select(col("walk_id"), col("v").as("node"),
+          when(col("v").isNull, col("path"))
+            .otherwise(array_append(col("path"), col("v"))).as("path"))
     }
-    frames.reduce(_ union _)
+    cur.select(col("walk_id"),
+        posexplode(col("path")).as(Seq("step", "node")))
+      .select(col("walk_id"), col("step").cast("int").as("step"), col("node"))
   }
 
   /** HITS hubs & authorities (Kleinberg JACM'99) — PageRank's

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for ANN search (Jégou, Douze & Schmid, TPAMI
+  * 2011 — "Product Quantization for Nearest Neighbor Search"): split
+  * each d-dim embedding into `m` subvectors of d/m dims, learn a
+  * `ksub`-entry codebook per subspace, store each vector as m small
+  * codes. An ADC (asymmetric distance computation) scan then ranks the
+  * whole corpus from a per-query lookup table without ever touching the
+  * raw vectors — the memory-bound trick that makes billion-vector ANN
+  * feasible: at m=8/ksub=16 a 64-float embedding (256 B) becomes 8
+  * codes (8 B), a 32× footprint cut, so 100 TB of raw embeddings scan
+  * as ~3 TB of codes.
+  *
+  * Integer-exact variant (the D28/D49 discipline): vectors land on the
+  * floor(x·256) integer grid BEFORE training and encoding, codebook
+  * centroids are floored to the same grid, and every distance is a
+  * BIGINT sum of squares — so code assignment and the full ADC ranking
+  * replay bit-for-bit in an independent SQL engine reading the written
+  * codebook. Training itself (driver-local seeded k-means on a ≤
+  * `trainSample` hash-ordered sample, the IVF trainQuantizer shape)
+  * need not replay: the codebook parquet IS the contract.
+  *
+  * Scale shape: ONE full-corpus pass to encode (m codegen'd
+  * NearestCentroid argmin loops in a single projection — no UDF, no
+  * shuffle), codes written once; a search scans ONLY the code table,
+  * joins a broadcast (qid, sub, code, d2) lookup table built
+  * driver-side from the query batch (|Q|·m·ksub rows), and reduces
+  * through one map-side-partial (qid, cid) sum. No corpus shuffle at
+  * any point; the per-query state is the kilobyte lookup table.
+  */
+object Pq {
+
+  /** Quantization grid shared by training, encoding, and search:
+    * component → floor(x·256) as BIGINT. ·256 is a power of two, so
+    * the float→double widening and the multiply are both exact — every
+    * engine floors the identical double.
+    */
+  private def quantized(vecCol: String): org.apache.spark.sql.Column =
+    transform(col(vecCol), x => floor(x.cast("double") * 256d).cast("long"))
+
+  private def quantize(v: Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 256d).toLong).toArray
+
+  /** Train per-subspace codebooks on a seeded hash-ordered driver
+    * sample (≤ `trainSample` vectors — one corpus TakeOrdered pass at
+    * any scale). Returns [sub][code][j] integer centroids, floored to
+    * the same grid as the vectors.
+    */
+  def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, seed: Long, trainSample: Int): Array[Array[Array[Long]]] = {
+    val sample = corpus
+      .select(quantized(vecCol).as("qv"), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy("__h")
+      .limit(trainSample)
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(sample.nonEmpty, "pq training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * dsub, (s + 1) * dsub).map(_.toDouble))
+      Similarity.localKMeans(sub, ksub, seed + s, iters = 15)
+        .map(_.map(math.floor(_).toLong))
+    }
+  }
+
+  /** Build and persist the PQ index: `dir/codebook` = (sub, code,
+    * centroid array<bigint>) — m·ksub rows, the whole model;
+    * `dir/codes` = (cid, codes array<int>) — the 32×-compressed corpus.
+    * Encoding is one projection over the corpus: per subspace a
+    * codegen'd integer NearestCentroid argmin (ties → lowest code) on
+    * the slice()d quantized vector.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dir: String, seed: Long = 42L,
+      trainSample: Int = 2048): Unit = {
+    val spark = corpus.sparkSession
+    val cb = trainCodebook(corpus, idCol, vecCol, m, ksub, seed, trainSample)
+    val dsub = cb(0)(0).length
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (ctr, c) => (s, c, ctr.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    val q = corpus.select(col(idCol).as("cid"), quantized(vecCol).as("qv"))
+    val codeCols = (0 until m).map { s =>
+      graft.functions.NearestCentroid.nearestCentroid(
+        slice(col("qv"), s * dsub + 1, dsub), cb(s))
+    }
+    q.select(col("cid"), array(codeCols: _*).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** ADC top-k over a written index: quantize the query batch
+    * driver-side, build the (qid, sub, code, d2) asymmetric-distance
+    * lookup table (|Q|·m·ksub rows — broadcast by contract), scan the
+    * CODE table only, and rank by the BIGINT sum of per-subspace table
+    * entries (ties → lowest cid). The corpus-side plan is
+    * scan → posexplode(m codes) → broadcast join → partial-agg sum:
+    * zero corpus shuffle beyond the (qid, cid)-keyed reduce of
+    * fixed-width rows.
+    *
+    * @return (qid, cid, adist, rk) for rk ≤ k — adist is the exact
+    *         integer ADC distance, so the oracle pins the arithmetic,
+    *         not just the ordering
+    */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .select("sub", "code", "centroid").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Long]](m, ksub)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    val dsub = cb(0)(0).length
+    val qRows = queries.select(col(idCol).as("qid"), col(vecCol).as("qv")).collect()
+    val dtab = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = quantize(r.getSeq[Float](1))
+      require(qv.length == m * dsub,
+        s"query dim ${qv.length} != index dim ${m * dsub}")
+      for (s <- 0 until m; c <- 0 until ksub) yield {
+        var d = 0L
+        var j = 0
+        while (j < dsub) {
+          val t = qv(s * dsub + j) - cb(s)(c)(j)
+          d += t * t
+          j += 1
+        }
+        (qid, s, c, d)
+      }
+    }
+    import spark.implicits._
+    val dtabDf = dtab.toSeq.toDF("qid", "sub", "code", "d2")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist"), col("cid"))
+    codes
+      .select(col("cid"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dtabDf), Seq("sub", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid")
+      .agg(sum("d2").as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "adist", "rk")
+  }
+}

@@ -221,7 +221,7 @@ object Similarity {
     * points: microseconds, deterministic under the seed, no cluster
     * jobs.
     */
-  private def localKMeans(points: Array[Array[Double]], k: Int, seed: Long,
+  private[operators] def localKMeans(points: Array[Array[Double]], k: Int, seed: Long,
       iters: Int): Array[Array[Double]] = {
     require(points.nonEmpty, "kmeans needs a non-empty training sample")
     val rng = new scala.util.Random(seed)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Linalg, MergeUpsert, Packing, Prep, Relevance, Sampling, ShardExport, Similarity, Tokenize}
+import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Itemsets, Linalg, MergeUpsert, Packing, Pq, Prep, Relevance, Sampling, ShardExport, Similarity, Tokenize}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -532,6 +532,83 @@ object Pipeline {
         .select("qid", "cid", "rk")
         .orderBy("qid", "rk")
     }
+  }
+
+  /** One PQ index per (JVM, sf-dir), built lazily (the ivfIndexDir
+    * move): gates re-running in this process search the written
+    * codebook + code table.
+    */
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    pqIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Pq.writeIndex(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 8, ksub = 16, dir = out)
+      out
+    })
+
+  /** D88 — product-quantization ANN (Jégou et al. TPAMI'11), HASH-GREEN
+    * end to end: the oracle reads the engine-written CODEBOOK via
+    * read_parquet and independently replays the whole pipeline in SQL —
+    * grid quantization (floor(x·256), exact in IEEE doubles), per-
+    * subspace argmin encoding of every corpus vector (ties → lowest
+    * code — so the stored code table is cross-checked against a
+    * re-encode, the q_heap_dsv2 move), the per-query asymmetric
+    * distance table, and the BIGINT ADC ranking with its exact `adist`
+    * values. A wrong centroid, code, lookup entry, or tie-break
+    * anywhere shifts a row and breaks the hash.
+    */
+  val qPqSearch: GateQuery = {
+    val idxGlob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${ProcessHandle.current().pid()}/*"
+    GateQuery(
+      "q_pq_search",
+      s"""WITH cb AS (SELECT sub, code, centroid FROM read_parquet('$idxGlob/codebook/*.parquet')),
+         |v8 AS (SELECT vec_id, list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS qv
+         |       FROM embeddings),
+         |dists AS (SELECT v.vec_id, c.sub, c.code,
+         |    CAST(list_aggregate(list_transform(generate_series(1, 8),
+         |      j -> (v.qv[c.sub * 8 + j] - c.centroid[j]) * (v.qv[c.sub * 8 + j] - c.centroid[j])),
+         |      'sum') AS BIGINT) AS d2
+         |  FROM v8 v, cb c),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+         |    FROM dists) WHERE rk = 1),
+         |dtab AS (SELECT vec_id AS qid, sub, code, d2 FROM dists WHERE vec_id < 5),
+         |scored AS (SELECT dt.qid, c.vec_id AS cid, CAST(SUM(dt.d2) AS BIGINT) AS adist
+         |  FROM codes c JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code
+         |  WHERE c.vec_id <> dt.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, cid, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rk FROM scored)
+         |SELECT qid, cid, adist, rk FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Pq.search(s, pqIndexDir(s, dir), emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3)
+        .orderBy("qid", "rk")
+    }
+  }
+
+  /** D88 (write phase) — TIMED codebook train + full-corpus encode to a
+    * fresh directory each call (the q_knn_ivf_write split): the gate
+    * re-reads the written code table and counts rows + the distinct
+    * code alphabet actually used, so the bench number is pure index
+    * build and the hash breaks if any row is dropped or a code lands
+    * outside [0, ksub).
+    */
+  val qPqWrite: GateQuery = GateQuery(
+    "q_pq_write",
+    "SELECT COUNT(*) AS n_rows FROM embeddings") { (s, dir) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_pq_write").toString
+    Pq.writeIndex(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+      m = 8, ksub = 16, dir = out)
+    s.read.parquet(s"$out/codes")
+      .filter(size(col("codes")) === 8 &&
+        forall(col("codes"), c => c >= 0 && c < 16))
+      .agg(count(lit(1)).as("n_rows"))
   }
 
   /** D13 — vector norms and dims (sequential-fold double parity). */
@@ -2675,12 +2752,39 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** D89 — frequent-itemset mining (Apriori): token pairs jointly
+    * present in ≥60% of documents, members each in ≥50% — the
+    * boilerplate-template detector. Thresholds are exact rationals
+    * against the corpus doc count, so the oracle replays pass 1, the
+    * apriori prune, and pass 2 exactly; the support COUNTS are in the
+    * output, so an off-by-one anywhere breaks the hash.
+    */
+  val qFreqItemsets: GateQuery = GateQuery(
+    "q_freq_itemsets",
+    """WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+      |items AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS item
+      |          FROM documents),
+      |it AS (SELECT doc_id, item FROM items WHERE item <> ''),
+      |f1 AS (SELECT item FROM it GROUP BY item
+      |       HAVING COUNT(*) * 2 >= (SELECT nd FROM n)),
+      |fi AS (SELECT i.doc_id, i.item FROM it i JOIN f1 ON f1.item = i.item)
+      |SELECT a.item AS item1, b.item AS item2, COUNT(*) AS support
+      |FROM fi a JOIN fi b ON a.doc_id = b.doc_id AND a.item < b.item
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) * 5 >= (SELECT nd FROM n) * 3
+      |ORDER BY item1, item2""".stripMargin) { (s, dir) =>
+    Itemsets.frequentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        itemNum = 1, itemDen = 2, pairNum = 3, pairDen = 5)
+      .orderBy("item1", "item2")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qNearDupIncremental,
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
-    qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend, qEmbeddingNorm,
+    qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
+    qPqSearch, qPqWrite, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
@@ -2694,5 +2798,5 @@ object Pipeline {
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
     qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog,
     qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag,
-    qLangConfusion, qImageClusters)
+    qLangConfusion, qImageClusters, qFreqItemsets)
 }

@@ -400,7 +400,11 @@ object SqlSurface {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
       val w = docs.write.mode("overwrite")
-      if (fmt == "csv") w.option("header", "true").csv(out) else w.json(out)
+      fmt match {
+        case "csv" => w.option("header", "true").csv(out)
+        case "orc" => w.orc(out)
+        case _     => w.json(out)
+      }
       out
     })
 
@@ -444,6 +448,20 @@ object SqlSurface {
       val out = writeOnce(s, dir, "jsonl")
       roundtripAgg(s.read.schema(roundtripSchema).json(out))
     }
+  }
+
+  /** C42 — ORC source interop: the documents slice round-trips through
+    * Spark's ORC writer/reader (the second columnar wire format after
+    * parquet — warehouse migrations read both). DuckDB has no ORC
+    * reader, so unlike C40/C41 the oracle takes the PARQUET truth
+    * directly: the gate is the cross-format identity — any row, value,
+    * or encoding lost in the ORC write→read cycle breaks the aggregate
+    * hash against the parquet-derived answer.
+    */
+  val qOrcRoundtrip: GateQuery = GateQuery(
+    "q_orc_roundtrip", roundtripOracle("documents")) { (s, dir) =>
+    val out = writeOnce(s, dir, "orc")
+    roundtripAgg(s.read.schema(roundtripSchema).orc(out))
   }
 
   /** C41 — RECURSIVE CTE (Spark 4.x WITH RECURSIVE): hierarchical
@@ -559,6 +577,6 @@ object SqlSurface {
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
-    qCsvRoundtrip, qJsonlRoundtrip, qRecursiveCte, qVariant, qPipeSql,
+    qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qRecursiveCte, qVariant, qPipeSql,
     qLateral)
 }

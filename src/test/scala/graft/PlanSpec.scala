@@ -541,4 +541,44 @@ class PlanSpec extends AnyFunSuite {
     assert(reads.nonEmpty && reads.forall(r =>
       !r.contains("lang") && !r.contains("n_chars")), reads.mkString("\n"))
   }
+
+  test("pq search: code-table scan only, broadcast lookup join, partial-agg sum, no UDF") {
+    val plan = planOf("q_pq_search")
+    // ADC scans the CODES parquet and joins the broadcast distance
+    // table — the raw embedding vectors are never rejoined
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // (qid, cid) distance sum is map-side partial
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // corpus side reads the code table (cid, codes), not embeddings
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(_.contains("codes")), reads.mkString("\n"))
+    assert(!reads.exists(_.contains("embedding:")), reads.mkString("\n"))
+  }
+
+  test("pq encode: one projection with codegen'd argmin loops, no UDF, pruned read") {
+    val cb = Array.fill(4)(Array.fill(4)(Array.fill(16)(0L)))
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.col("embedding"),
+        x => org.apache.spark.sql.functions.floor(x.cast("double") * 256d).cast("long")).as("qv"))
+    val codes = q.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.array((0 until 4).map { s =>
+        graft.functions.NearestCentroid.nearestCentroid(
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.col("qv"), s * 16 + 1, 16), cb(s))
+      }: _*).as("codes"))
+    val plan = codes.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("nearest_centroid"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // pure projection: the only exchange allowed is Tables()'s
+    // round-robin widening of the compute-heavy scan — never a
+    // key-hashed shuffle of the corpus
+    assert(!plan.contains("hashpartitioning"), plan)
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r => !r.contains("label")), reads.mkString("\n"))
+  }
 }
