@@ -75,6 +75,42 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("PROFILE_PREFIX")) {
+      import org.apache.spark.sql.expressions.Window
+      val docs0 = Tables(spark, sfDir, "documents")
+      val (n, tNum, tDen) = (3, 3, 5)
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val ex = graft.operators.Dedup.shingleIndexPlan(docs0, "doc_id", "text", n).localCheckpoint()
+        println(f"[profile] ex checkpoint (run $r)        ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val ranked = ex.join(dfreq, "shingle").join(sizes, "doc_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+        val t1 = System.nanoTime()
+        val pref = ranked.filter(col("rn") <=
+          col("n_sh") - expr(s"(n_sh * $tNum + ${tDen - 1}) div $tDen") + 1)
+          .select("doc_id", "shingle", "n_sh")
+          .localCheckpoint()
+        println(f"[profile] ranked+pref checkpoint (run $r) ${(System.nanoTime() - t1) / 1e9}%8.3f s")
+        val t2 = System.nanoTime()
+        val cand = pref.as("a").join(pref.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+              least(col("a.n_sh"), col("b.n_sh")) * tDen >=
+                greatest(col("a.n_sh"), col("b.n_sh")) * tNum)
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct().localCheckpoint()
+        println(f"[profile] cand self-join (run $r)        ${(System.nanoTime() - t2) / 1e9}%8.3f s  rows=${cand.count()}")
+        val t3 = System.nanoTime()
+        graft.operators.Dedup.verifyOnIndex(ex, sizes, cand, tNum, tDen)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[profile] verify (run $r)                ${(System.nanoTime() - t3) / 1e9}%8.3f s")
+        time(s"FULL prefixFilteredPairs (run $r)")(
+          graft.operators.Dedup.prefixFilteredPairs(docs0, "doc_id", "text", n, tNum, tDen))
+      }
+      spark.stop(); return
+    }
     val docs = Tables(spark, sfDir, "documents")
     if (sys.env.contains("PROFILE_COLD")) {
       time("COLD full minhashLsh")(
