@@ -89,6 +89,59 @@ object Clustering {
     centroids
   }
 
+  /** D90 — k-center coreset selection by greedy farthest-point
+    * traversal (Gonzalez, TCS 1985 — the 2-approximate metric k-center
+    * maximizer): pick the corpus vector farthest from everything
+    * chosen so far, k times. Where D82's greedy coverage maximizes
+    * n-GRAM diversity, this maximizes EMBEDDING-space coverage — the
+    * coreset shape for "select a budget of maximally spread examples"
+    * (diversity sampling for labeling/eval sets); the selected radius
+    * is within 2× of the best possible k-cover by the classic bound.
+    *
+    * Integer-exact: vectors on the floor(x·256) grid, every distance a
+    * BIGINT sum of squares, argmax ties → lowest vec_id. Seed = the
+    * smallest vec_id (deterministic).
+    *
+    * Scale shape: state is ONE narrow (vec_id, q, mind) relation;
+    * each round updates the running min with a codegen'd
+    * `SqDistToCenter` against the newly chosen plan-shipped center —
+    * a PROJECTION, no shuffle, composed lazily (k nested `least`
+    * layers collapse into one projection; nothing is checkpointed
+    * because no exchange ever enters the lineage) — and picks the
+    * next center with one map-side-partial single-row argmax
+    * (`max(struct(mind, −id, q))`). Per round exactly one job whose
+    * only exchange is the final 1-row-per-partition reduce; the
+    * centers live on the driver (k·dim longs).
+    *
+    * @return (round, vec_id, dist) — round 1..k in pick order; dist =
+    *         the squared distance that made the pick (the covering
+    *         radius achieved by the previous rounds), 0 for the seed
+    */
+  def kCenter(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      quantScale: Int = 256): DataFrame = {
+    require(k >= 1, s"invalid k $k")
+    val spark = emb.sparkSession
+    val q = quantize(emb, idCol, vecCol, quantScale)
+    val seedRow = q.orderBy("vec_id").limit(1).collect()
+    require(seedRow.nonEmpty, "k-center needs a non-empty corpus")
+    val seedId = seedRow(0).getLong(0)
+    val seedQ = seedRow(0).getAs[scala.collection.Seq[Long]]("q").toArray
+    val picks = scala.collection.mutable.ArrayBuffer((1, seedId, 0L))
+    var st = q.withColumn("mind",
+      graft.functions.SqDistToCenter.sqDistToCenter(col("q"), seedQ))
+    for (r <- 2 to k) {
+      val far = st.agg(max(struct(col("mind"), (-col("vec_id")).as("nid"),
+        col("q"))).as("m")).collect()(0).getStruct(0)
+      val (dist, id, cq) =
+        (far.getLong(0), -far.getLong(1), far.getSeq[Long](2).toArray)
+      picks += ((r, id, dist))
+      st = st.withColumn("mind", least(col("mind"),
+        graft.functions.SqDistToCenter.sqDistToCenter(col("q"), cq)))
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("round", "vec_id", "dist")
+  }
+
   private def quantize(emb: DataFrame, idCol: String, vecCol: String,
       quantScale: Int): DataFrame =
     emb.select(col(idCol).as("vec_id"),

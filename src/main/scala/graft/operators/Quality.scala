@@ -122,4 +122,44 @@ object Quality {
       .select(col("constraint_name"), col("n_rows"), col("violations"),
         (col("violations") === 0L).as("passed"))
   }
+
+  /** D91 — one-row-per-column dataset profile (the Deequ/TFDV
+    * column-statistics pass run BEFORE constraints are even written:
+    * you state `lang IN (...)` because a profile told you the
+    * alphabet): per column the row count, null count, exact distinct
+    * count, and min/max (typed comparison, rendered as strings after
+    * the aggregate so numeric columns keep numeric order).
+    *
+    * Scale shape: null counts and min/max for EVERY column come from
+    * ONE scan (conditional aggregates, map-side partial, single-row
+    * result — the q_constraints discipline); exact multi-column
+    * distinct counts need per-value reduction, so a second pass melts
+    * to (column, value) pairs — k·n fixed-width rows through one
+    * partial-agg exchange, the only shape exact distinct admits
+    * (estimates belong to D57's HLL sketches). Nothing wider than a
+    * value string ever shuffles.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = one.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))): _*)).as("s"))
+      .select("s.*")
+    val distincts = df.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select("s.*")
+      .filter(col("v").isNotNull)
+      .groupBy("col_name")
+      .agg(count_distinct(col("v")).as("n_distinct"))
+    perCol.join(distincts, Seq("col_name"), "left")
+      .na.fill(0L, Seq("n_distinct"))
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+  }
 }

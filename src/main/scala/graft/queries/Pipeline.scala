@@ -2752,6 +2752,46 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** D90 — k-center coreset selection (Gonzalez farthest-point): 6
+    * greedy rounds over the quantized embeddings. The oracle unrolls
+    * every round — seed, running-min update against the picked
+    * center's own vector, (mind DESC, vec_id ASC) argmax — so one
+    * wrong distance, tie-break, or update anywhere derails every later
+    * pick (the q_kmeans/q_greedy_coverage replay discipline). The
+    * picked DISTANCES are in the output: the covering-radius
+    * arithmetic is pinned, not just the id sequence.
+    */
+  val qKcenter: GateQuery = {
+    val dist = (a: String, b: String) =>
+      s"""CAST(list_aggregate(list_transform(generate_series(1, 64),
+         |  i -> ($a.q[i] - $b.q[i]) * ($a.q[i] - $b.q[i])), 'sum') AS BIGINT)""".stripMargin
+    val k = 6
+    val rounds = (2 to k).map { r =>
+      s"""p$r AS (SELECT vec_id, q, mind FROM m${r - 1}
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$r AS (SELECT m.vec_id, m.q, least(m.mind, ${dist("m", "p")}) AS mind
+         |  FROM m${r - 1} m, p$r p)""".stripMargin
+    }.mkString(",\n")
+    val tail = (2 to k).map(r =>
+      s"SELECT $r AS round, vec_id, mind AS dist FROM p$r").mkString("\nUNION ALL ")
+    GateQuery(
+      "q_kcenter",
+      s"""WITH v8 AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |seed AS (SELECT vec_id, q FROM v8 ORDER BY vec_id LIMIT 1),
+         |m1 AS (SELECT v.vec_id, v.q, ${dist("v", "s")} AS mind FROM v8 v, seed s),
+         |$rounds
+         |SELECT 1 AS round, (SELECT vec_id FROM seed) AS vec_id,
+         |  CAST(0 AS BIGINT) AS dist
+         |UNION ALL $tail
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      Clustering.kCenter(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 6)
+        .orderBy("round")
+    }
+  }
+
   /** D89 — frequent-itemset mining (Apriori): token pairs jointly
     * present in ≥60% of documents, members each in ≥50% — the
     * boilerplate-template detector. Thresholds are exact rationals
@@ -2798,5 +2838,5 @@ object Pipeline {
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
     qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog,
     qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag,
-    qLangConfusion, qImageClusters, qFreqItemsets)
+    qLangConfusion, qImageClusters, qFreqItemsets, qKcenter)
 }

@@ -229,7 +229,46 @@ object Reports {
       .orderBy("constraint_name")
   }
 
+  /** D91 — one-row-per-column dataset profile (Deequ/TFDV column
+    * statistics): row/null/exact-distinct counts and typed min/max per
+    * column of the documents table. The profile is what tells you
+    * which constraints to write; counts are exact and min/max keep
+    * typed (numeric) comparison order, rendered as strings after the
+    * aggregate.
+    */
+  val qProfile: GateQuery = GateQuery(
+    "q_profile",
+    """WITH p AS (
+      |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+      |    CAST(COUNT(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS n_null,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |    CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+      |    CAST(MAX(doc_id) AS VARCHAR) AS max_val
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lang', COUNT(*),
+      |    CAST(COUNT(*) FILTER (WHERE lang IS NULL) AS BIGINT),
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT),
+      |    MIN(lang), MAX(lang) FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars', COUNT(*),
+      |    CAST(COUNT(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+      |    CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+      |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'source', COUNT(*),
+      |    CAST(COUNT(*) FILTER (WHERE source IS NULL) AS BIGINT),
+      |    CAST(COUNT(DISTINCT source) AS BIGINT),
+      |    MIN(source), MAX(source) FROM documents)
+      |SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val
+      |FROM p ORDER BY col_name""".stripMargin) { (s, dir) =>
+    graft.operators.Quality.profile(Tables(s, dir, "documents"),
+        Seq("doc_id", "lang", "n_chars", "source"))
+      .orderBy("col_name")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTopGroups, qCaseBuckets, qHistogram, qLargeTopN,
-    qDupStrings, qJoinRatio, qDupGroupWaste, qConstraints)
+    qDupStrings, qJoinRatio, qDupGroupWaste, qConstraints, qProfile)
 }

@@ -128,4 +128,51 @@ class ClusteringSpec extends AnyFunSuite {
     val c = Clustering.centroidsOf(vecs, "vec_id", "embedding", k = 1, iters = 1, dim = 2)
     assert(c(0).toSeq === Seq((25L + 76L) / 2, (-52L + 25L) / 2))
   }
+
+  test("kCenter: hand-worked farthest-point rounds on a line") {
+    // quantized xs (scale 256): 0, 256, 1280, 512. Seed = id 0 (x=0).
+    // Round 2: farthest is id 2 (x=1280, d=1280²).
+    // Round 3: minds now {1: 256² to seed, 3: 512² to seed}; farthest
+    // id 3 (512² = 262144). Round 4: id 1 (256² = 65536).
+    val vecs = Seq(
+      (0L, Array(0.0f)), (1L, Array(1.0f)), (2L, Array(5.0f)), (3L, Array(2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.kCenter(vecs, "vec_id", "embedding", k = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, 0L, 0L), (2, 2L, 1280L * 1280L),
+      (3, 3L, 512L * 512L), (4, 1L, 256L * 256L)))
+  }
+
+  test("kCenter: argmax ties break to the lowest vec_id") {
+    // ids 1 and 2 equidistant from the seed — round 2 must take id 1
+    val vecs = Seq(
+      (0L, Array(0.0f)), (1L, Array(1.0f)), (2L, Array(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.kCenter(vecs, "vec_id", "embedding", k = 2)
+      .orderBy("round").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1, 0L), (2, 1L)))
+  }
+
+  test("kCenter: fully covered corpus re-picks deterministically at dist 0") {
+    // every vector identical: after the seed all minds are 0; the
+    // contract is k rows with the smallest-id pick at dist 0 (the
+    // oracle's ORDER BY mind DESC, vec_id LIMIT 1 does the same)
+    val vecs = Seq((3L, Array(0.5f)), (7L, Array(0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.kCenter(vecs, "vec_id", "embedding", k = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, 3L, 0L), (2, 3L, 0L), (3, 3L, 0L)))
+  }
+
+  test("kCenter is invariant to physical partitioning") {
+    val rng = new scala.util.Random(19L)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rng.nextFloat())))
+    def run(parts: Int) =
+      Clustering.kCenter(vecs.toDF("vec_id", "embedding").repartition(parts),
+          "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) === run(17))
+  }
 }

@@ -83,4 +83,31 @@ class QualitySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(2))).toSet
     assert(a === b)
   }
+
+  test("profile: hand-counted stats, typed min/max order, all-null column") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType),
+      StructField("empty", StringType)))
+    // ids 9 and 10: STRING comparison would say max = "9"; the typed
+    // aggregate must say max = "10"
+    val rows = Seq(
+      Row(9L, "a", null), Row(10L, "b", null),
+      Row(2L, "a", null), Row(null, null, null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val got = Quality.profile(df, Seq("id", "tag", "empty"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(got("id") === ((4L, 1L, 3L, Some("2"), Some("10"))))
+    assert(got("tag") === ((4L, 1L, 2L, Some("a"), Some("b"))))
+    assert(got("empty") === ((4L, 4L, 0L, None, None)))
+    // partition invariance
+    val re = Quality.profile(df.repartition(3), Seq("id", "tag", "empty"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(re === got.view.mapValues(_._3).toMap)
+  }
 }
