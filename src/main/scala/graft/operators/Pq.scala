@@ -94,6 +94,158 @@ object Pq {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** IVF-PQ — the composed billion-scale layout (Jégou et al. TPAMI'11
+    * §IV; the architecture behind FAISS's IndexIVFPQ): a coarse
+    * quantizer routes each vector to one of `nLists` cells, and PQ
+    * encodes the RESIDUAL (vector − cell centroid) — residuals
+    * concentrate near zero, so the same code budget buys far less
+    * quantization error than flat PQ. On disk the code table is
+    * PARTITIONED BY CELL: a probe reads nProbe/nLists of an already
+    * 32×-compressed table via directory pruning, never touches a raw
+    * vector, and shuffles nothing corpus-sized — the 100 TB ANN
+    * endgame combining D7++'s partition filter with D88's ADC scan.
+    *
+    * Integer-exact end to end: grid quantization, coarse centroids and
+    * sub-codebooks floored to the grid, residuals are exact integer
+    * subtractions, distances BIGINT sums — cell routing, encoding, and
+    * the ADC ranking all replay in SQL from the written model tables.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, m: Int, ksub: Int, dir: String, seed: Long = 42L,
+      trainSample: Int = 2048): Unit = {
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .select(quantized(vecCol).as("qv"), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy("__h")
+      .limit(trainSample)
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(sample.nonEmpty, "ivfpq training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    // coarse quantizer on the grid (train in doubles, floor once)
+    val coarse = Similarity.localKMeans(sample.map(_.map(_.toDouble)),
+      nLists, seed, iters = 15).map(_.map(math.floor(_).toLong))
+    // per-subspace codebooks on the sample's RESIDUALS
+    val resSample = sample.map { v =>
+      val c = coarse(nearestTo(coarse, v))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val cb = Array.tabulate(m) { s =>
+      Similarity.localKMeans(
+        resSample.map(r => r.slice(s * dsub, (s + 1) * dsub).map(_.toDouble)),
+        ksub, seed + 1 + s, iters = 15).map(_.map(math.floor(_).toLong))
+    }
+    import spark.implicits._
+    coarse.zipWithIndex.map { case (ctr, cell) => (cell, ctr.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    cb.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (ctr, c) => (s, c, ctr.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    // ONE corpus pass: grid quantize -> cell route -> integer residual
+    // -> m argmin loops; land partitioned by cell
+    val q = corpus.select(col(idCol).as("cid"), quantized(vecCol).as("qv"))
+      .withColumn("cell",
+        graft.functions.NearestCentroid.nearestCentroid(col("qv"), coarse))
+    val withRes = q.withColumn("res", resTo(col("qv"), col("cell"), coarse))
+    val codeCols = (0 until m).map { s =>
+      graft.functions.NearestCentroid.nearestCentroid(
+        slice(col("res"), s * dsub + 1, dsub), cb(s))
+    }
+    withRes.select(col("cid"), col("cell"), array(codeCols: _*).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Integer residual to the row's own cell centroid: a codegen'd
+    * zip_with over two array columns (the centroid array is selected
+    * from a plan-shipped literal by cell index — element_at on an
+    * array-of-arrays literal).
+    */
+  private def resTo(qv: org.apache.spark.sql.Column,
+      cell: org.apache.spark.sql.Column,
+      coarse: Array[Array[Long]]): org.apache.spark.sql.Column = {
+    val table = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    zip_with(qv, element_at(table, cell + 1), (x, c) => x - c)
+  }
+
+  private def nearestTo(cs: Array[Array[Long]], v: Array[Long]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0L
+      var j = 0
+      while (j < v.length) { val t = v(j) - cs(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Probe a written IVF-PQ index: per query pick the `nProbe` nearest
+    * coarse cells (ties → lowest cell), build the per-(cell, sub,
+    * code) residual distance table driver-side (|Q|·nProbe·m·ksub
+    * rows, broadcast), and ADC-rank ONLY the probed cells' members —
+    * the cell set is a parquet partition filter, so unprobed
+    * directories are never listed or read.
+    *
+    * @return (qid, cid, adist, rk) for rk ≤ k
+    */
+  def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .select("sub", "code", "centroid").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Long]](m, ksub)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    val dsub = cb(0)(0).length
+    val qRows = queries.select(col(idCol).as("qid"), col(vecCol).as("qv")).collect()
+    val dtab = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = quantize(r.getSeq[Float](1))
+      // nProbe nearest cells by integer distance, ties -> lowest cell
+      val cells = coarse.indices.map { cell =>
+        var d = 0L
+        var j = 0
+        while (j < qv.length) { val t = qv(j) - coarse(cell)(j); d += t * t; j += 1 }
+        (d, cell)
+      }.sorted.take(nProbe).map(_._2)
+      for (cell <- cells; s <- 0 until m; c <- 0 until ksub) yield {
+        // residual of the QUERY against this probed cell's centroid
+        var d = 0L
+        var j = 0
+        while (j < dsub) {
+          val t = (qv(s * dsub + j) - coarse(cell)(s * dsub + j)) - cb(s)(c)(j)
+          d += t * t
+          j += 1
+        }
+        (qid, cell, s, c, d)
+      }
+    }
+    import spark.implicits._
+    val dtabDf = dtab.toSeq.toDF("qid", "cell", "sub", "code", "d2")
+    val cells = dtab.map(_._2).distinct.toSeq
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(cells: _*)) // partition filter: directory pruning
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist"), col("cid"))
+    codes
+      .select(col("cid"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dtabDf), Seq("cell", "sub", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid")
+      .agg(sum("d2").as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "adist", "rk")
+  }
+
   /** ADC top-k over a written index: quantize the query batch
     * driver-side, build the (qid, sub, code, d2) asymmetric-distance
     * lookup table (|Q|·m·ksub rows — broadcast by contract), scan the

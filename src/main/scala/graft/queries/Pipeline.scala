@@ -592,6 +592,81 @@ object Pipeline {
     }
   }
 
+  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPqIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfPqIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Pq.writeIvfPqIndex(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        nLists = 8, m = 8, ksub = 16, dir = out)
+      out
+    })
+
+  /** D92 — IVF-PQ composed index (coarse cells + PQ-coded RESIDUALS,
+    * partitioned by cell), probed at nProbe=3 of 8: the oracle reads
+    * the engine-written coarse centroids + sub-codebooks and replays
+    * EVERYTHING in SQL — corpus cell routing, integer residuals,
+    * per-subspace encoding (cross-checking the stored code table),
+    * query probe selection, the per-probed-cell residual distance
+    * tables, and the BIGINT ADC ranking over probed members only.
+    * The scale contract (partition-pruned read of the compressed code
+    * table) is asserted in PqSpec.
+    */
+  val qIvfPqSearch: GateQuery = {
+    val idxGlob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_${ProcessHandle.current().pid()}/*"
+    val sqd64 = (v: String, c: String) =>
+      s"""CAST(list_aggregate(list_transform(generate_series(1, 64),
+         |      i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), 'sum') AS BIGINT)""".stripMargin
+    val sqd8 = (rv: String, b: String) =>
+      s"""CAST(list_aggregate(list_transform(generate_series(1, 8),
+         |      j -> ($rv[$b.sub * 8 + j] - $b.centroid[j]) * ($rv[$b.sub * 8 + j] - $b.centroid[j])),
+         |      'sum') AS BIGINT)""".stripMargin
+    GateQuery(
+      "q_ivfpq_search",
+      s"""WITH coarse AS (SELECT cell, centroid FROM read_parquet('$idxGlob/coarse/*.parquet')),
+         |cb AS (SELECT sub, code, centroid FROM read_parquet('$idxGlob/codebook/*.parquet')),
+         |v8 AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS qv FROM embeddings),
+         |cd AS (SELECT v.vec_id, c.cell, ${sqd64("v.qv", "c.centroid")} AS d
+         |  FROM v8 v, coarse c),
+         |route AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+         |    FROM cd) WHERE rk = 1),
+         |res AS (SELECT v.vec_id, r.cell,
+         |    list_transform(generate_series(1, 64), i -> v.qv[i] - c.centroid[i]) AS rv
+         |  FROM v8 v JOIN route r ON r.vec_id = v.vec_id
+         |  JOIN coarse c ON c.cell = r.cell),
+         |encd AS (SELECT r.vec_id, r.cell, b.sub, b.code, ${sqd8("r.rv", "b")} AS d2
+         |  FROM res r, cb b),
+         |codes AS (SELECT vec_id, cell, sub, code FROM (
+         |    SELECT vec_id, cell, sub, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+         |    FROM encd) WHERE rk = 1),
+         |qprobe AS (SELECT vec_id AS qid, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+         |    FROM cd WHERE vec_id < 5) WHERE rk <= 3),
+         |qres AS (SELECT p.qid, p.cell,
+         |    list_transform(generate_series(1, 64), i -> v.qv[i] - c.centroid[i]) AS rv
+         |  FROM qprobe p JOIN v8 v ON v.vec_id = p.qid
+         |  JOIN coarse c ON c.cell = p.cell),
+         |dtab AS (SELECT r.qid, r.cell, b.sub, b.code, ${sqd8("r.rv", "b")} AS d2
+         |  FROM qres r, cb b),
+         |scored AS (SELECT dt.qid, c.vec_id AS cid, CAST(SUM(dt.d2) AS BIGINT) AS adist
+         |  FROM codes c
+         |  JOIN dtab dt ON dt.cell = c.cell AND dt.sub = c.sub AND dt.code = c.code
+         |  WHERE c.vec_id <> dt.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, cid, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rk FROM scored)
+         |SELECT qid, cid, adist, rk FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Pq.searchIvfPq(s, ivfPqIndexDir(s, dir), emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nProbe = 3)
+        .orderBy("qid", "rk")
+    }
+  }
+
   /** D88 (write phase) — TIMED codebook train + full-corpus encode to a
     * fresh directory each call (the q_knn_ivf_write split): the gate
     * re-reads the written code table and counts rows + the distinct
@@ -2824,7 +2899,7 @@ object Pipeline {
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
-    qPqSearch, qPqWrite, qEmbeddingNorm,
+    qPqSearch, qPqWrite, qIvfPqSearch, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,

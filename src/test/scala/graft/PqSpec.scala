@@ -96,6 +96,46 @@ class PqSpec extends AnyFunSuite {
     assert(run(1) === run(13))
   }
 
+  test("IVF-PQ: probe reads only probed cell partitions; residual ADC tracks the true cluster") {
+    val dir = freshDir("ivfpq")
+    val df = clusteredVecs(256, 17L).toDF("vec_id", "embedding")
+    Pq.writeIvfPqIndex(df, "vec_id", "embedding", nLists = 4, m = 4, ksub = 4, dir = dir)
+    val res = Pq.searchIvfPq(spark, dir, df.filter(col("vec_id") < 4),
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    // the cell restriction is a partition filter on the code table
+    val planStr = res.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [cell"),
+      s"cell IN (...) must be a partition filter, plan was:\n$planStr")
+    // two well-separated clusters: every neighbor from the query's own
+    res.collect().foreach { r =>
+      assert(r.getLong(0) % 2 === r.getLong(1) % 2,
+        s"query ${r.getLong(0)} matched the wrong cluster via ${r.getLong(1)}")
+    }
+    // a probe at 2 of 4 cells lists only the probed directories
+    val probed = spark.read.parquet(s"$dir/codes").filter(col("cell").isin(0, 1))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).length
+    assert(selected === 2, s"probe must read only probed cells, read $selected of 4")
+  }
+
+  test("IVF-PQ codes: every row encoded, codes in range, cells in range") {
+    val dir = freshDir("ivfpq2")
+    val df = clusteredVecs(64, 23L).toDF("vec_id", "embedding")
+    Pq.writeIvfPqIndex(df, "vec_id", "embedding", nLists = 4, m = 4, ksub = 4, dir = dir)
+    val codes = spark.read.parquet(s"$dir/codes").collect()
+    assert(codes.length === 64)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(cs.length === 4 && cs.forall(c => c >= 0 && c < 4))
+      val cell = r.getInt(r.fieldIndex("cell"))
+      assert(cell >= 0 && cell < 4)
+    }
+  }
+
   test("PQ search finds the true cluster when corpus is well-separated") {
     // recall contract on clustered data: for every query, all top-5
     // neighbors come from the query's own cluster (ADC error is far
