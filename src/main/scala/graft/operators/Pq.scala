@@ -184,6 +184,39 @@ object Pq {
     best
   }
 
+  /** Append a new vector batch to an EXISTING IVF-PQ index without
+    * retraining or rewriting (the appendIvfIndex economics at the
+    * compressed layout): the stored coarse centroids + sub-codebooks
+    * ARE the model, the batch is routed/residual-encoded with the same
+    * one-projection plan, and the cell-partitioned append touches only
+    * the new rows' directories. Probing afterwards is exact over
+    * old+new because routing and encoding depend only on the
+    * (unchanged) stored tables.
+    */
+  def appendIvfPqIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .select("sub", "code", "centroid").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Long]](m, ksub)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    val dsub = cb(0)(0).length
+    val q = newVecs.select(col(idCol).as("cid"), quantized(vecCol).as("qv"))
+      .withColumn("cell",
+        graft.functions.NearestCentroid.nearestCentroid(col("qv"), coarse))
+    val withRes = q.withColumn("res", resTo(col("qv"), col("cell"), coarse))
+    val codeCols = (0 until m).map { s =>
+      graft.functions.NearestCentroid.nearestCentroid(
+        slice(col("res"), s * dsub + 1, dsub), cb(s))
+    }
+    withRes.select(col("cid"), col("cell"), array(codeCols: _*).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   /** Probe a written IVF-PQ index: per query pick the `nProbe` nearest
     * coarse cells (ties → lowest cell), build the per-(cell, sub,
     * code) residual distance table driver-side (|Q|·nProbe·m·ksub

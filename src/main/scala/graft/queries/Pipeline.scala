@@ -612,9 +612,14 @@ object Pipeline {
     * The scale contract (partition-pruned read of the compressed code
     * table) is asserted in PqSpec.
     */
-  val qIvfPqSearch: GateQuery = {
-    val idxGlob =
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_${ProcessHandle.current().pid()}/*"
+  /** Shared IVF-PQ replay oracle, parameterized by the index
+    * directory glob: it reads the written coarse + codebook tables and
+    * replays the whole pipeline over the full embeddings corpus — so
+    * the SAME SQL adjudicates a freshly built index and an appended
+    * one (the oracle never cares HOW rows entered the code table; a
+    * row lost, duplicated, or mis-encoded by either path breaks it).
+    */
+  private def ivfPqOracleSql(idxGlob: String): String = {
     val sqd64 = (v: String, c: String) =>
       s"""CAST(list_aggregate(list_transform(generate_series(1, 64),
          |      i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), 'sum') AS BIGINT)""".stripMargin
@@ -622,9 +627,7 @@ object Pipeline {
       s"""CAST(list_aggregate(list_transform(generate_series(1, 8),
          |      j -> ($rv[$b.sub * 8 + j] - $b.centroid[j]) * ($rv[$b.sub * 8 + j] - $b.centroid[j])),
          |      'sum') AS BIGINT)""".stripMargin
-    GateQuery(
-      "q_ivfpq_search",
-      s"""WITH coarse AS (SELECT cell, centroid FROM read_parquet('$idxGlob/coarse/*.parquet')),
+    s"""WITH coarse AS (SELECT cell, centroid FROM read_parquet('$idxGlob/coarse/*.parquet')),
          |cb AS (SELECT sub, code, centroid FROM read_parquet('$idxGlob/codebook/*.parquet')),
          |v8 AS (SELECT vec_id, list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS qv FROM embeddings),
@@ -659,9 +662,42 @@ object Pipeline {
          |r AS (SELECT qid, cid, adist,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rk FROM scored)
          |SELECT qid, cid, adist, rk FROM r WHERE rk <= 3
-         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+         |ORDER BY qid, rk""".stripMargin
+  }
+
+  val qIvfPqSearch: GateQuery = GateQuery(
+    "q_ivfpq_search",
+    ivfPqOracleSql(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_${ProcessHandle.current().pid()}/*")) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Pq.searchIvfPq(s, ivfPqIndexDir(s, dir), emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nProbe = 3)
+      .orderBy("qid", "rk")
+  }
+
+  /** D92 (append phase) — incremental maintenance of the compressed
+    * index: built from the even half, the odd half APPENDED against
+    * the stored coarse/codebook tables (no retrain, no rewrite, only
+    * the new rows' cell directories touched), then probed. The shared
+    * replay oracle reads the appended index's models and re-derives
+    * the expected result over the WHOLE corpus — rows lost, routed, or
+    * encoded inconsistently by the append all break the hash.
+    * bench=false: write+append+probe in one wall-clock would muddle
+    * the attributable numbers (the q_knn_ivf_append precedent).
+    */
+  val qIvfPqAppend: GateQuery = {
+    val tag = s"graft_ivfpq_app_${ProcessHandle.current().pid()}"
+    GateQuery(
+      "q_ivfpq_append",
+      ivfPqOracleSql(s"${System.getProperty("java.io.tmpdir")}/$tag/*"),
+      bench = false) { (s, dir) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/$tag/${new java.io.File(dir).getName}"
       val emb = Tables(s, dir, "embeddings")
-      Pq.searchIvfPq(s, ivfPqIndexDir(s, dir), emb.filter(col("vec_id") < 5),
+      Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+        "embedding", nLists = 8, m = 8, ksub = 16, dir = out)
+      Pq.appendIvfPqIndex(s, out, emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      Pq.searchIvfPq(s, out, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 3, nProbe = 3)
         .orderBy("qid", "rk")
     }
@@ -2899,7 +2935,7 @@ object Pipeline {
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
-    qPqSearch, qPqWrite, qIvfPqSearch, qEmbeddingNorm,
+    qPqSearch, qPqWrite, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
