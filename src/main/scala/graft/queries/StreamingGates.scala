@@ -806,10 +806,64 @@ object StreamingGates {
       .orderBy("event_id")
   }
 
+  private val stagedEmbDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** E35 — streaming semantic routing: an embedding stream is assigned
+    * to its nearest cell of a FIXED integer quantizer (the vectors of
+    * the 4 smallest ids — deterministic and oracle-inlinable) by the
+    * same codegen'd NearestCentroid expression the batch ANN/k-means
+    * paths use, then reduced to per-cell counts + id sums in Complete
+    * mode. This is the ingest-time shape of D92's index maintenance:
+    * route arriving vectors to their home cell BEFORE they land, so
+    * the landing write is already partition-local. The oracle replays
+    * quantization, the seed-centroid table, the (d, cell) argmin, and
+    * the per-cell membership sums in batch SQL — a routing drift of
+    * one vector breaks the id sum.
+    */
+  val qStreamRoute: GateQuery = GateQuery(
+    "q_stream_route",
+    """WITH v8 AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, qv
+      |  FROM (SELECT vec_id, qv FROM v8 ORDER BY vec_id LIMIT 4)),
+      |cd AS (SELECT v.vec_id, s.cell,
+      |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+      |      i -> (v.qv[i] - s.qv[i]) * (v.qv[i] - s.qv[i])), 'sum') AS BIGINT) AS d
+      |  FROM v8 v, seeds s),
+      |route AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+      |    FROM cd) WHERE rk = 1)
+      |SELECT cell, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      |FROM route GROUP BY cell
+      |ORDER BY cell""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val centroids = emb.orderBy("vec_id").limit(4)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 256d).cast("long")).as("qv"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val srcDir = stagedEmbDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_emb")
+      java.nio.file.Files.createSymbolicLink(d.resolve("embeddings.parquet"),
+        java.nio.file.Paths.get(dir, "embeddings.parquet"))
+      d.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    val stream = s.readStream.schema(schema).parquet(srcDir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 256d).cast("long")).as("qv"))
+      .withColumn("cell",
+        graft.functions.NearestCentroid.nearestCentroid(col("qv"), centroids))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+    runToMemory(stream, OutputMode.Complete())
+      .orderBy("cell")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamTws, qStreamTimerSessions, qStreamMapState,
-      qStreamWarmStart, qStreamListState, qStreamOhlc)
+      qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute)
     .map(_.copy(bench = false))
 }
