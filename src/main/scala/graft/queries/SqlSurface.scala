@@ -401,9 +401,11 @@ object SqlSurface {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
       val w = docs.write.mode("overwrite")
       fmt match {
-        case "csv" => w.option("header", "true").csv(out)
-        case "orc" => w.orc(out)
-        case _     => w.json(out)
+        case "csv"  => w.option("header", "true").csv(out)
+        case "orc"  => w.orc(out)
+        case "zstd" => w.option("compression", "zstd").parquet(out)
+        case "text" => docs.select(col("text")).write.mode("overwrite").text(out)
+        case _      => w.json(out)
       }
       out
     })
@@ -462,6 +464,44 @@ object SqlSurface {
     "q_orc_roundtrip", roundtripOracle("documents")) { (s, dir) =>
     val out = writeOnce(s, dir, "orc")
     roundtripAgg(s.read.schema(roundtripSchema).orc(out))
+  }
+
+  /** C43 — zstd-compressed parquet interop: the 100 TB storage
+    * default (zstd ≈ gzip ratios at snappy-class read speed). Spark
+    * WRITES zstd parquet, DuckDB PARSES THE SAME FILES — so the gate
+    * pins cross-engine codec compatibility of the written pages, not
+    * just both engines' own codec paths.
+    */
+  val qZstdRoundtrip: GateQuery = {
+    val glob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_zstd_${ProcessHandle.current().pid()}/*/*.parquet"
+    GateQuery("q_zstd_roundtrip",
+      roundtripOracle(s"read_parquet('$glob')")) { (s, dir) =>
+      val out = writeOnce(s, dir, "zstd")
+      roundtripAgg(s.read.parquet(out))
+    }
+  }
+
+  /** C44 — raw text-file source (one document per line — the
+    * lowest-common-denominator corpus interchange format): Spark
+    * writes `text`, reads it back, and proves content identity via an
+    * ORDER-INSENSITIVE integer content hash (sum of md5 prefixes —
+    * line files carry no ids and no ordering guarantee across
+    * writers). Oracle takes the parquet truth: any line lost, split,
+    * or altered in the text cycle shifts the sum.
+    */
+  val qTextRoundtrip: GateQuery = GateQuery(
+    "q_text_roundtrip",
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+      |  CAST(SUM(('0x' || substr(md5(text), 1, 12))::BIGINT) AS BIGINT) AS content_sum
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val out = writeOnce(s, dir, "text")
+    s.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("sum_len"),
+        sum(conv(substring(md5(col("value").cast("binary")), 1, 12), 16, 10)
+          .cast("long")).as("content_sum"))
   }
 
   /** C41 — RECURSIVE CTE (Spark 4.x WITH RECURSIVE): hierarchical
@@ -577,6 +617,6 @@ object SqlSurface {
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
-    qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qRecursiveCte, qVariant, qPipeSql,
+    qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qRecursiveCte, qVariant, qPipeSql,
     qLateral)
 }
