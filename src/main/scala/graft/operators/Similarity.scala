@@ -203,6 +203,35 @@ object Similarity {
       .select("qid", "cid", "rk", "sim")
   }
 
+  /** D93 — hard-negative mining for contrastive training (the
+    * DPR/dense-retriever recipe, Karpukhin et al. EMNLP'20): for each
+    * anchor, the top-k most-similar vectors BELOW a near-duplicate
+    * ceiling. Neighbors above the ceiling are positives in disguise —
+    * training on them as negatives poisons the objective — so the
+    * ceiling carves the informative band: close enough to be hard,
+    * far enough to be true negatives. The exact-scan sibling of
+    * knnBruteForce (same broadcast-query shape, same fold-order
+    * double cosine, so the same oracle family applies); at corpus
+    * scale route through the IVF/PQ index first and band-filter the
+    * probed candidates.
+    *
+    * @return (qid, cid, sim, rk) for rk ≤ k within the band
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ceiling: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("sim") < ceiling)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "sim", "rk")
+  }
+
   /** Indices of the `n` nearest centroids to `v/nrm` by euclidean
     * distance (== cosine order on unit vectors).
     */

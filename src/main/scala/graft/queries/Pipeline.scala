@@ -308,6 +308,31 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** D93 — hard-negative mining: same exact-scan shape as
+    * q_knn_bruteforce but ranked INSIDE the informative band
+    * (sim < 0.3 — at this corpus each anchor's top neighbors sit
+    * above 0.3, so the ceiling genuinely excludes the would-be
+    * positives and the result differs from plain kNN). sim rides in
+    * the output, pinning the double fold-order arithmetic.
+    */
+  val qHardNegatives: GateQuery = GateQuery(
+    "q_hard_negatives",
+    s"""WITH $embCte,
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |        ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id < 5),
+       |b AS (SELECT qid, cid, sim FROM p WHERE sim < 0.3),
+       |r AS (SELECT qid, cid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM b)
+       |SELECT qid, cid, sim, rk FROM r WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, ceiling = 0.3)
+      .orderBy("qid", "rk")
+  }
+
   /** D7 — bucketed (IVF-style) ANN: same queries, 4-bit sign buckets. */
   val qKnnLsh: GateQuery = {
     val bucket = (v: String) => (0 until 4).map { i =>
@@ -2933,7 +2958,7 @@ object Pipeline {
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
     qNearDupIncremental,
     qDedupClusters, qCurate, qCurateFull,
-    qNearDupEmbedding, qKnnBruteForce, qKnnLsh, qKnnIvf, qKnnIvfFull,
+    qNearDupEmbedding, qKnnBruteForce, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
     qPqSearch, qPqWrite, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,

@@ -542,6 +542,40 @@ class PlanSpec extends AnyFunSuite {
       !r.contains("lang") && !r.contains("n_chars")), reads.mkString("\n"))
   }
 
+  test("frequent itemsets: broadcast apriori prune, partial-agg passes, no cartesian, no UDF") {
+    val plan = planOf("q_freq_itemsets")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // the frequent-item prune joins via broadcast (vocab bounded by
+    // avg_basket·den/num after the support filter)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // pass-1 item support and pass-2 pair support both partial-agg
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r => !r.contains("lang")), reads.mkString("\n"))
+  }
+
+  test("k-center round: projection-only min-dist chain, single-row argmax, no shuffle of state") {
+    val st = Tables(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.col("embedding"),
+          x => org.apache.spark.sql.functions.floor(x.cast("double") * 256d).cast("long")).as("q"))
+      .withColumn("mind", graft.functions.SqDistToCenter.sqDistToCenter(
+        org.apache.spark.sql.functions.col("q"), Array.fill(64)(0L)))
+      .withColumn("mind", org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.col("mind"),
+        graft.functions.SqDistToCenter.sqDistToCenter(
+          org.apache.spark.sql.functions.col("q"), Array.fill(64)(1L))))
+    val plan = st.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("sq_dist_to_center"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // two rounds of least() collapse into projections — never a
+    // key-hashed shuffle of the (id, q, mind) state
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("pq search: code-table scan only, broadcast lookup join, partial-agg sum, no UDF") {
     val plan = planOf("q_pq_search")
     // ADC scans the CODES parquet and joins the broadcast distance

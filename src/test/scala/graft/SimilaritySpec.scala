@@ -41,4 +41,32 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(run() === run())
   }
+
+  test("hardNegatives: ceiling excludes near-dups, ranks the band, reduces to kNN at ceiling 1+") {
+    import spark.implicits._
+    // anchor 0 at (1,0); id 1 is a near-clone (sim ~0.999 -> excluded
+    // at ceiling 0.9), ids 2..4 progressively farther
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.03f)),
+      (2L, Array(0.8f, 0.6f)), (3L, Array(0.2f, 0.98f)),
+      (4L, Array(-1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val anchors = vecs.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+    val banded = Similarity.hardNegatives(vecs, anchors, "vec_id", "embedding",
+        k = 2, ceiling = 0.9)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(banded === Seq((2L, 1), (3L, 2)), s"got $banded") // 1 excluded, 4 beyond k
+    // ceiling above any cosine -> identical ranking to knnBruteForce
+    val all = Similarity.hardNegatives(vecs, anchors, "vec_id", "embedding",
+        k = 4, ceiling = 2.0)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    val knn = Similarity.knnBruteForce(vecs, anchors, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(all === knn)
+    // partition invariance
+    val re = Similarity.hardNegatives(vecs.repartition(3), anchors,
+        "vec_id", "embedding", k = 2, ceiling = 0.9)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(re === banded)
+  }
 }
