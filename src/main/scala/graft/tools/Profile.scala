@@ -75,6 +75,28 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("PROFILE_GRAPH")) {
+      val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      def edges = {
+        val pairs = li.as("l1").join(li.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+          .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"),
+            col("l1.l_orderkey").as("ok"))
+        pairs.groupBy("src", "dst")
+          .agg(countDistinct("ok").as("n")).filter(col("n") >= 2)
+          .select("src", "dst")
+      }
+      for (r <- 1 to 2) {
+        time(s"partEdges build (run $r)")(edges)
+        val e = edges.localCheckpoint()
+        time(s"randomWalks on cached edges (run $r)")(
+          graft.operators.Graph.randomWalks(e,
+            e.select(col("src").as("v")).union(e.select(col("dst").as("v"))),
+            steps = 5, seed = 11L))
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("PROFILE_PREFIX")) {
       import org.apache.spark.sql.expressions.Window
       val docs0 = Tables(spark, sfDir, "documents")
