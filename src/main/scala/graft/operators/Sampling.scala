@@ -37,12 +37,32 @@ object Sampling {
   /** Top-`n` rows per group by salted hash rank. Ties (hash
     * collisions) break on the key columns themselves, so the result
     * is a total function of (seed, data).
+    *
+    * Two-phase: a one-window-per-(group, input-slice) pre-prune keeps
+    * ≤n rows per slice — the global top-n is necessarily inside some
+    * slice's top-n, so the survivor set provably contains it — then
+    * the true ranks come from a window over the n·slices·groups
+    * survivors. A single per-group window would hash EVERYTHING to
+    * |groups| reducers and sort whole groups there: with few groups
+    * (the gate's 3-flag stratification — or 100 TB split three ways)
+    * that is a handful of tasks sorting a third of the corpus each.
+    * The slice id is physical-partition-derived, but the OUTPUT is
+    * partition-invariant: every slicing's survivor set contains the
+    * same global top-n (spec-pinned).
     */
   def deterministicPerGroup(df: DataFrame, groupCols: Seq[String],
       keyCols: Seq[String], n: Int, seed: Long = 42L): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(hashRank(seed, keyCols.map(col): _*) +: keyCols.map(col): _*)
-    df.withColumn("sample_rk", row_number().over(w))
+    val rk = hashRank(seed, keyCols.map(col): _*)
+    val order = rk +: keyCols.map(col)
+    val slice = Window
+      .partitionBy(groupCols.map(col) :+ spark_partition_id().as("__slice"): _*)
+      .orderBy(order: _*)
+    val survivors = df
+      .withColumn("__srk", row_number().over(slice))
+      .filter(col("__srk") <= n)
+      .drop("__srk")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    survivors.withColumn("sample_rk", row_number().over(w))
       .filter(col("sample_rk") <= n)
   }
 
