@@ -754,6 +754,73 @@ object Dedup {
         coalesce(col("first_dup"), lit(-1)).as("first_dup"))
   }
 
+  /** D94 — winnowing fingerprint selection (Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03 — the MOSS local-fingerprinting scheme): hash
+    * every k-gram, slide a window of w consecutive hashes, and in
+    * each window select the MINIMUM hash with ties broken to the
+    * RIGHTMOST position; the union over windows (deduplicated) is the
+    * document's fingerprint set. The guarantee that makes this the
+    * standard overlap detector: every shared substring of length
+    * ≥ w+k−1 contributes at least one COMMON selected fingerprint,
+    * while expected density is only 2/(w+1) of the gram stream —
+    * local, position-robust, and volume-bounded, unlike "every j-th
+    * hash" schemes that break under single-token insertions.
+    *
+    * Selection is ONE window pass: per gram position p, the frame
+    * [p, p+w−1] reduces to `min(struct(gh, −start))` (min hash, then
+    * max start = rightmost tie), and position p's window is valid
+    * only while the frame is full (p ≤ L−w). Distinct picked
+    * (start, gh) pairs then aggregate per doc into count, first/last
+    * position, and an order-pinned digest of the selected hashes.
+    *
+    * Shuffle discipline at 100 TB: grams reduce to fixed-width
+    * (doc_id, start, md5) rows in-projection; the ONLY exchange keys
+    * by doc_id for the window, whose sort is bounded by doc length
+    * (never global); output volume is capped by the 2/(w+1) density.
+    * Docs with fewer than w grams have no full window and select
+    * nothing — the published guarantee only covers strings of length
+    * ≥ w+k−1, and an independent replayer must agree on the rule.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k > 0, s"invalid k-gram size $k")
+    require(w > 0, s"invalid window size $w")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__toks"),
+      size(toks).as("n_tok"))
+    val grams = base.filter(col("n_tok") >= k)
+      .select(col("doc_id"), (col("n_tok") - k + 1).as("__ng"),
+        posexplode(transform(sequence(lit(0), col("n_tok") - k),
+          i => md5(concat_ws(" ",
+            (1 to k).map(j => element_at(col("__toks"), i + lit(j))): _*)
+            .cast("binary")))))
+      .select(col("doc_id"), col("__ng"), col("pos").as("start"),
+        col("col").as("gh"))
+    val frame = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = grams
+      .withColumn("__pick",
+        min(struct(col("gh"), (-col("start")).as("neg"))).over(frame))
+      .filter(col("start") <= col("__ng") - w) // full windows only
+      .select(col("doc_id"), (-col("__pick.neg")).as("sel_start"),
+        col("__pick.gh").as("gh"))
+      .distinct()
+    val agg = sel.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        min("sel_start").as("first_fp"), max("sel_start").as("last_fp"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("sel_start"), col("gh")))),
+            x => x("gh"))).cast("binary")).as("digest"))
+    base.select(col("doc_id"), col("n_tok"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("first_fp"), lit(-1)).as("first_fp"),
+        coalesce(col("last_fp"), lit(-1)).as("last_fp"),
+        coalesce(col("digest"), lit("")).as("digest"))
+  }
+
   /** D39 — duplicated-span REMOVAL, the apply side of Lee et al. 2022
     * exact-substring dedup that [[duplicatedSpans]] only measures: for
     * every cross-document duplicated n-gram, exactly one occurrence is

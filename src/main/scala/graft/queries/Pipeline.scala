@@ -2156,6 +2156,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D94 — winnowing fingerprint selection (Schleimer et al.
+    * SIGMOD'03 / MOSS): per window of w=4 consecutive 4-gram hashes,
+    * pick the minimum with ties to the RIGHTMOST position; distinct
+    * picks aggregate to per-doc count, first/last position, and an
+    * order-pinned digest of the selected hashes. The oracle replays
+    * hashing, the windowed (hash ASC, start DESC) argmin via a
+    * string-encoded key (md5 is fixed 32 hex chars, 999−start a fixed
+    * 3-digit suffix, so string MIN == the struct order), the
+    * full-window validity rule, AND the digest — a wrong tie-break or
+    * an off-by-one window bound shifts some doc's digest.
+    */
+  val qWinnow: GateQuery = GateQuery(
+    "q_winnow",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(s.i AS INT) AS start, CAST(t.n - 3 AS INT) AS ng,
+      |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+4 AS INT)], ' ')) AS gh
+      |      FROM t, generate_series(0, 255) s(i) WHERE s.i <= n - 4),
+      |p AS (SELECT doc_id, start, ng,
+      |        MIN(gh || lpad(CAST(999 - start AS VARCHAR), 3, '0'))
+      |          OVER (PARTITION BY doc_id ORDER BY start
+      |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
+      |      FROM g),
+      |sel AS (SELECT DISTINCT doc_id,
+      |          CAST(999 - CAST(substring(pick, 33, 3) AS INT) AS INT) AS sel_start,
+      |          substring(pick, 1, 32) AS gh
+      |        FROM p WHERE start <= ng - 4),
+      |a AS (SELECT doc_id, COUNT(*) AS n_fp, MIN(sel_start) AS first_fp,
+      |        MAX(sel_start) AS last_fp,
+      |        md5(string_agg(gh, ',' ORDER BY sel_start)) AS digest
+      |      FROM sel GROUP BY 1)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(COALESCE(a.first_fp, -1) AS INT) AS first_fp,
+      |  CAST(COALESCE(a.last_fp, -1) AS INT) AS last_fp,
+      |  COALESCE(a.digest, '') AS digest
+      |FROM t LEFT JOIN a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.winnow(Tables(s, dir, "documents"), "doc_id", "text", k = 4, w = 4)
+      .orderBy("doc_id")
+  }
+
   /** D40 — seed-vs-corpus quality classification (the CCNet/fastText
     * filter shape): a balanced-prior token-posterior model trained on
     * the weak seed label lang='en', scored over every document as the
@@ -2967,7 +3010,7 @@ object Pipeline {
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
-    qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qSeedClassify,
+    qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,
     qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,

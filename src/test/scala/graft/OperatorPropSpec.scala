@@ -182,6 +182,72 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) === got)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Brute-force winnowing reference (Schleimer et al. '03): per
+    * window the min hash, ties to the rightmost position, distinct.
+    */
+  private def winnowRef(text: String, k: Int, w: Int): Seq[(Int, String)] = {
+    val toks = text.split(" ")
+    val L = toks.length - k + 1
+    val hs = (0 until math.max(L, 0)).map(i => md5hex(toks.slice(i, i + k).mkString(" ")))
+    (0 to L - w).map { j =>
+      val win = j until j + w
+      val m = win.map(hs).min
+      val p = win.filter(hs(_) == m).max
+      (p, hs(p))
+    }.distinct.sortBy(_._1)
+  }
+
+  test("winnow equals the brute-force reference on random docs, any partitioning") {
+    val rng = new scala.util.Random(42)
+    val vocab = Seq("a", "b", "c", "d", "e") // tiny vocab forces repeated grams -> hash ties
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until (2 + rng.nextInt(30))).map(_ => vocab(rng.nextInt(5))).mkString(" ")))
+    val expected = docs.map { case (id, text) =>
+      val picks = winnowRef(text, 4, 4)
+      val nTok = text.split(" ").length
+      if (picks.isEmpty) (id, nTok, 0L, -1, -1, "")
+      else (id, nTok, picks.size.toLong, picks.head._1, picks.last._1,
+        md5hex(picks.map(_._2).mkString(",")))
+    }.toSet
+    for (parts <- Seq(1, 7)) {
+      val got = graft.operators.Dedup.winnow(
+          docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text", k = 4, w = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getInt(3), r.getInt(4), r.getString(5))).toSet
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("winnow: rightmost tie-break, coverage guarantee, and the short-doc rule") {
+    // All grams of an all-identical-token doc hash equal, so EVERY
+    // window's rightmost-tie pick is its last position: picks must be
+    // exactly {w-1 .. L-1} — the tie rule checked without any hashing.
+    val docs = Seq(
+      (0L, Seq.fill(10)("x").mkString(" ")), // L = 7 grams, picks 3..6
+      (1L, "a b c d e f"),                   // L = 3 < w: no full window
+      (2L, "")                               // degenerate
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.winnow(docs, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    val gh = md5hex(Seq.fill(4)("x").mkString(" "))
+    assert(got(0L) === ((10, 4L, 3, 6, md5hex(Seq.fill(4)(gh).mkString(",")))))
+    assert(got(1L) === ((6, 0L, -1, -1, "")))
+    assert(got(2L) === ((1, 0L, -1, -1, "")))
+    // Coverage guarantee on the reference rule: every full window of a
+    // random doc contains at least one selected position.
+    val rng = new scala.util.Random(7)
+    val text = (0 until 60).map(_ => ('a' + rng.nextInt(3)).toChar.toString).mkString(" ")
+    val picks = winnowRef(text, 4, 4).map(_._1).toSet
+    val L = text.split(" ").length - 3
+    for (j <- 0 to L - 4)
+      assert((j until j + 4).exists(picks), s"window $j uncovered")
+  }
+
   test("removeDuplicatedSpans: canonical keeps one copy, others cut, partition-invariant") {
     val docs = Seq(
       (0L, "a b c d e f"),       // canonical holder of the a..f trigrams

@@ -243,6 +243,18 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("winnow: md5-reduced window input, per-doc sort only, no cartesian/UDF") {
+    val p = planOf("q_winnow")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // selection is a window over fixed-width (doc_id, start, md5) rows
+    assert(p.contains("Window"), p)
+    // the per-doc fingerprint aggregate partial-aggregates map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // ONE gram derivation feeds the window (no second explode of the corpus)
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size <= 1, p)
+  }
+
   test("span removal: md5-reduced exchanges, fused canon aggregate, no cartesian/UDF") {
     val p = planOf("q_dedup_spans_remove")
     assert(!p.contains("ScalaUDF"), p)
