@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Itemsets, Linalg, MergeUpsert, Packing, Pq, Prep, Relevance, Sampling, ShardExport, Similarity, Tokenize}
+import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Itemsets, Layout, Linalg, MergeUpsert, Packing, Pq, Prep, Relevance, Sampling, ShardExport, Similarity, Tokenize}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -2287,6 +2287,64 @@ object Pipeline {
     }
   }
 
+  /** One two-layout lineitem write per (JVM, sf-dir), built lazily —
+    * the audit gate re-running in the same process reads the already-
+    * written files, so its steady-state bench number is the audit scan
+    * alone (the q_knn_ivf_probe convention).
+    */
+  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def layoutDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    layoutCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_layout_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Layout.writeLayouts(
+        Tables(s, dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity"),
+        dateCol = "l_shipdate", keyCol = "l_orderkey", nFiles = 8, dir = out)
+      out
+    })
+
+  /** D95 — physical-layout file-skipping audit: the same lineitem rows
+    * written hash-distributed AND range-clustered on l_shipdate, then
+    * each layout audited against a one-year (1997) predicate from its own
+    * per-file zone maps (min/max of the predicate column). The oracle
+    * reads the engine-written files via read_parquet(filename=true)
+    * and replays zone derivation, the skip rule (max < lo OR min ≥ hi),
+    * and the row accounting — hash-green only if the clustered write
+    * actually produced tight zones AND the classification agrees
+    * file-for-file. At 100 TB this audit is how you KNOW a layout
+    * serves the workload before relying on pruning.
+    */
+  val qPruneAudit: GateQuery = {
+    val layoutGlob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_layout_${ProcessHandle.current().pid()}/*"
+    def side(name: String) =
+      s"""${name}_f AS (
+         |  SELECT filename, MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx,
+         |    COUNT(*) AS n
+         |  FROM read_parquet('$layoutGlob/$name/*.parquet', filename=true)
+         |  GROUP BY 1),
+         |${name}_a AS (
+         |  SELECT '$name' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |    CAST(SUM(CASE WHEN mx < DATE '1997-01-01' OR mn >= DATE '1998-01-01'
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_skip,
+         |    CAST(SUM(CASE WHEN mx < DATE '1997-01-01' OR mn >= DATE '1998-01-01'
+         |                  THEN n ELSE 0 END) AS BIGINT) AS rows_skip,
+         |    CAST(SUM(CASE WHEN mx < DATE '1997-01-01' OR mn >= DATE '1998-01-01'
+         |                  THEN 0 ELSE n END) AS BIGINT) AS rows_scan
+         |  FROM ${name}_f)""".stripMargin
+    GateQuery(
+      "q_prune_audit",
+      s"""WITH ${side("hashed")},
+         |${side("clustered")}
+         |SELECT * FROM hashed_a
+         |UNION ALL SELECT * FROM clustered_a
+         |ORDER BY layout""".stripMargin) { (s, dir) =>
+      Layout.pruneAuditBoth(s, layoutDir(s, dir),
+          dateCol = "l_shipdate", lo = "1997-01-01", hi = "1998-01-01")
+        .orderBy("layout")
+    }
+  }
+
   /** D43 — image perceptual hash (aHash) near-dup over REALLY decoded
     * PNGs: 8×8 nearest-resize, strict-greater-than-floor-mean bits,
     * four 16-bit bands, LSH band-match candidate degree. The oracle
@@ -3011,7 +3069,7 @@ object Pipeline {
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,
-    qSourceOverlap, qZorder, qImagePhash, qImportanceWeight, qDedupCanonical,
+    qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
