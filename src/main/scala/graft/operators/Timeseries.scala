@@ -278,6 +278,39 @@ object Timeseries {
     frontier.join(atPoint, Seq("x", "y"))
   }
 
+  /** E36 — hour-of-day seasonal decomposition (the seasonal-naive
+    * baseline every anomaly detector and forecast is judged against:
+    * the expected value of (group, hour-of-day), and how much signal
+    * that expectation fails to explain). Integer-exact: values floor
+    * to micros, the seasonal mean is the integral `sx div n`, and the
+    * residual magnitude is `Σ|x − mean|` in micros — every number an
+    * independent engine replays bit-for-bit, where a float mean never
+    * would.
+    *
+    * Scale shape at 100 TB: two corpus aggregates keyed by the SAME
+    * dimension-sized (group, hod) key — the profile (one map-side
+    * partial exchange) and the residual sum (rows join the broadcast
+    * 24·|groups|-row profile in the map stage, then partial-agg);
+    * nothing corpus-sized is ever sorted or windowed.
+    */
+  def seasonalProfile(events: DataFrame, groupCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val base = events.select(col(groupCol).as("g"),
+      hour(col(tsCol)).cast("int").as("hod"),
+      floor(col(valCol) * 1000000).cast("long").as("x"))
+    val prof = base.groupBy("g", "hod")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .select(col("g"), col("hod"), col("n"),
+        expr("sx div n").as("mean_micro"))
+    val resid = base.join(broadcast(prof.select("g", "hod", "mean_micro")),
+        Seq("g", "hod"))
+      .groupBy("g", "hod")
+      .agg(sum(abs(col("x") - col("mean_micro"))).as("sad_micro"))
+    prof.join(resid, Seq("g", "hod"))
+      .select(col("g").as(groupCol), col("hod"), col("n"),
+        col("mean_micro"), col("sad_micro"))
+  }
+
   def transitionMatrix(events: DataFrame, idCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))

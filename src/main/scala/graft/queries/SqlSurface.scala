@@ -504,6 +504,51 @@ object SqlSurface {
           .cast("long")).as("content_sum"))
   }
 
+  /** C45 — schema-evolution read (mergeSchema / union-by-name): two
+    * parquet vintages of the documents slice — v1 (doc_id, lang,
+    * n_chars) written BEFORE a `source` column existed, v2 carrying
+    * the new column AND a different physical column order — read back
+    * as ONE table. By-name resolution (never positional) plus
+    * null-filling for the pre-evolution files is the contract every
+    * long-lived 100 TB table depends on: schemas evolve in place, old
+    * files are never rewritten. The oracle reads the SAME
+    * engine-written files via union_by_name, so a positional mixup or
+    * a dropped null-fill breaks the hash.
+    */
+  val qSchemaEvolution: GateQuery = {
+    val glob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_evo_${ProcessHandle.current().pid()}/*"
+    GateQuery("q_schema_evolution",
+      s"""WITH u AS (
+         |  SELECT * FROM read_parquet(
+         |    ['$glob/v1/*.parquet', '$glob/v2/*.parquet'], union_by_name=true))
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  COALESCE(MIN(source), '') AS first_source
+         |FROM u GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val out = fmtDirs.getOrElseUpdate(s"evo:$dir", {
+        val p = fmtPath("evo", dir)
+        val docs = Tables(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$p/v1")
+        docs.filter(col("doc_id") % 2 === 1) // evolved: new column, new order
+          .select(col("source"), col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").parquet(s"$p/v2")
+        p
+      })
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum("n_chars").as("sum_chars"),
+          coalesce(min("source"), lit("")).as("first_source"))
+        .orderBy("lang")
+    }
+  }
+
   /** C41 — RECURSIVE CTE (Spark 4.x WITH RECURSIVE): hierarchical
     * ancestor rollup over the implicit binary tree on customer keys
     * (parent = key div 2) — every customer's chain climbs ~14 levels
@@ -617,6 +662,6 @@ object SqlSurface {
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
-    qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qRecursiveCte, qVariant, qPipeSql,
+    qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qSchemaEvolution, qRecursiveCte, qVariant, qPipeSql,
     qLateral)
 }
