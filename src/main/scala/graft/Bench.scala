@@ -63,17 +63,30 @@ object Bench {
     // driver never sets it); heap ingest is skipped when filtering
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.gateQueries.filter(_.bench)
-      .filter(q => only.forall(_.contains(q.name))).map { q =>
-      val times = (1 to reps).map { _ =>
-        try timed(() => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          Double.NaN
+    def run(qs: Seq[GateQuery]): Seq[(String, Double)] =
+      qs.filter(q => only.forall(_.contains(q.name))).map { q =>
+        val times = (1 to reps).map { _ =>
+          try timed(() => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            Double.NaN
+          }
         }
+        q.name -> times.min // NaN poisons min -> a failing gate stays visible
       }
-      q.name -> times.min // NaN poisons min -> a failing gate stays visible
-    }
+    val results = run(SparkEntry.gateQueries.filter(_.bench))
+    // SLOW TIER (default ON; SPARK_GRAFT_BENCH_SLOW=0 skips it for
+    // quick local loops): the 13 iterative/multi-commit batch gates
+    // (k-core, BFS, SSSP, graph profile, the candidate-verified dedup
+    // family, CC clusterings, the curation composition, the persisted
+    // ANN index builds). They get a recorded minimum every round —
+    // without one, a 3× regression in any of them ships silently —
+    // but their sum is reported as `slow_total`, NOT folded into the
+    // fast-tier `value`, so the headline number stays comparable with
+    // rounds 1-8.
+    val slowEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW", "1") != "0"
+    val slowResults =
+      if (slowEnabled) run(SparkEntry.gateQueries.filter(_.slow)) else Seq.empty
     // Heap ingest+export throughput (A1-A11): the q_heap_* gates run
     // on a tiny demo dump and are bench=false, which left ingestion
     // invisible to round-over-round comparison. This generates a
@@ -108,23 +121,31 @@ object Bench {
       val hprof = dir.resolve("bench.hprof").toString
       w.writeTo(hprof, segments = 64)
       val mb = new java.io.File(hprof).length() / 1e6
-      val times = (1 to reps).map { r =>
+      // reps >= 3 for ingest specifically: at ~4 s per rep a min-of-2
+      // still let machine load swing the MB/s signal ±50%
+      // round-over-round (r8: 34.8 vs 51.4 MB/s on identical code),
+      // which makes the regression threshold unusable. One extra ~4 s
+      // rep buys a stable minimum.
+      val ingestReps = reps.max(3)
+      val times = (1 to ingestReps).map { r =>
         val out = dir.resolve(s"pq$r").toString
         timed(() => new HeapDump(spark, hprof).writeParquet(out))
       }
       val sec = times.min
-      System.err.println(f"[bench] heap ingest+export: $mb%.1f MB, 3M objects in $sec%.2f s (${mb / sec}%.1f MB/s, min of $reps)")
+      System.err.println(f"[bench] heap ingest+export: $mb%.1f MB, 3M objects in $sec%.2f s (${mb / sec}%.1f MB/s, min of $ingestReps)")
       (sec, mb)
     }
     val withIngest =
       if (only.isDefined) results
       else results :+ ("q_heap_ingest_export" -> heapIngest._1)
+    val allGates = withIngest ++ slowResults
     // A failing gate records NaN per-gate (rendered as null) but must
     // not poison the total — "value":NaN is not valid JSON and breaks
     // the driver's parse. Sum the gates that ran; surface failures via
     // an explicit count instead.
-    val failed = withIngest.count(_._2.isNaN)
+    val failed = allGates.count(_._2.isNaN)
     val total = withIngest.collect { case (_, v) if !v.isNaN => v }.sum
+    val slowTotal = slowResults.collect { case (_, v) if !v.isNaN => v }.sum
     val wall = (System.nanoTime() - wall0) / 1e9
     // heap_ingest_mb / _mb_s make ingest THROUGHPUT machine-comparable
     // round-over-round, not just its wall-time share of the total.
@@ -140,15 +161,17 @@ object Bench {
     // must stay small enough to survive the tail. It carries the totals,
     // ingest throughput, and the 25 slowest gates; BENCH_DETAIL.json in
     // the repo root carries every gate at full precision.
-    val detailJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":${qJson(withIngest, 3)},""" +
+    val detailJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,""" +
+      f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},"queries":${qJson(allGates, 3)},""" +
       ingestKeys + f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detailJson.getBytes("UTF-8"))
       System.err.println(s"[bench] full per-gate detail -> ${p.toAbsolutePath}")
     } catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val top = withIngest.sortBy { case (_, v) => if (v.isNaN) Double.MaxValue else -v }.take(25)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_gates":${withIngest.size},"failed":$failed,""" +
+    val top = allGates.sortBy { case (_, v) => if (v.isNaN) Double.MaxValue else -v }.take(25)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_gates":${allGates.size},"failed":$failed,""" +
+      f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},""" +
       ingestKeys +
       f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir",""" +
       s""""detail":"BENCH_DETAIL.json","queries":${qJson(top, 2)}}""")

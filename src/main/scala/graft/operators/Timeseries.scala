@@ -256,20 +256,46 @@ object Timeseries {
     * O(n log n), not the naive Θ(n²) dominance self-join: collapse to
     * one (x, min y) row per x (same-x rows with larger y are
     * dominated within the group), then a point survives iff its y is
-    * STRICTLY below the running min of y over all smaller x — one
-    * grouped aggregate + one window over the collapsed (distinct-x-
-    * sized) set. The corpus never self-joins; the window runs over
-    * ≤ |distinct x| rows.
+    * STRICTLY below the running min of y over all smaller x.
+    *
+    * The running min is TWO-PHASE (the Prep.shuffleDeterministic
+    * shape), never a global single-partition window: the collapsed
+    * set range-partitions on x into order-aligned buckets, each
+    * bucket computes its exclusive running min in parallel, and the
+    * cross-bucket carry-in is the exclusive prefix min of the
+    * |buckets|-row bucket-min table (a driver-sized window,
+    * broadcast back). On a continuous-valued x — prices, scores, the
+    * typical skyline axes — |distinct x| ≈ |corpus|, so a global
+    * `Window.orderBy(x)` would funnel the whole corpus through ONE
+    * task; bucketing keeps every corpus-sized stage parallel.
+    * Bucket boundaries come from the range partitioner's sampler and
+    * affect PARALLELISM only — the prefix combine is exact for any
+    * order-aligned bucketing. The bucketed frame is localCheckpointed
+    * once so the rank branch and the bucket-min branch can never see
+    * different sampled boundaries.
     *
     * @return (x, y, n_rows) — frontier points with the count of rows
     *         at that exact point
     */
   def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val perX = df.select(col(xCol).as("x"), col(yCol).as("y"))
-      .groupBy("x").agg(min("y").as("y"), count(lit(1)).as("n_at_x"))
-    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perX
-      .withColumn("rm", min("y").over(w))
+      .groupBy("x").agg(min("y").as("y"))
+    val bucketed = perX.repartitionByRange(256, col("x"))
+      .withColumn("__bucket", spark_partition_id())
+      .localCheckpoint()
+    val inBucket = Window.partitionBy("__bucket").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bucketed.groupBy("__bucket").agg(min("y").as("__bmin"))
+      .withColumn("__rm_pre",
+        min("__bmin").over(Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("__bucket", "__rm_pre")
+    val frontier = bucketed
+      .withColumn("__rm_in", min("y").over(inBucket))
+      .join(broadcast(prefix), "__bucket")
+      // least() skips NULLs: rm is NULL only for the very first point
+      // (no bucket before it, no row before it in its bucket)
+      .withColumn("rm", least(col("__rm_in"), col("__rm_pre")))
       .filter(col("rm").isNull || col("y") < col("rm"))
       .select("x", "y")
     // n_rows counts rows AT the frontier point (same x AND same y)

@@ -164,7 +164,7 @@ object Graphs {
   }
 
   val qKcore: GateQuery = GateQuery(
-    "q_kcore", kcoreOracle(k = 3, oracleRounds = 16), bench = false) { (s, dir) =>
+    "q_kcore", kcoreOracle(k = 3, oracleRounds = 16), bench = false, slow = true) { (s, dir) =>
     val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val pairs = li.as("l1").join(li.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&
@@ -308,7 +308,7 @@ object Graphs {
     coEdges(s, dir, "l_partkey")
 
   val qBfs: GateQuery = GateQuery(
-    "q_bfs_hops", bfsOracle(rounds = 8), bench = false) { (s, dir) =>
+    "q_bfs_hops", bfsOracle(rounds = 8), bench = false, slow = true) { (s, dir) =>
     val seeds = Tables(s, dir, "part")
       .filter(col("p_size") === 1)
       .select(col("p_partkey").as("v"))
@@ -387,7 +387,7 @@ object Graphs {
   }
 
   val qSssp: GateQuery = GateQuery(
-    "q_sssp", ssspOracle(rounds = 12), bench = false) { (s, dir) =>
+    "q_sssp", ssspOracle(rounds = 12), bench = false, slow = true) { (s, dir) =>
     val weighted = partEdgesWeighted(s, dir)
     val seeds = Tables(s, dir, "part")
       .filter(col("p_size") === 1)
@@ -527,7 +527,7 @@ object Graphs {
       |  CASE WHEN da.wedges = 0 THEN NULL
       |       ELSE CAST(3 * tri.triangles * 1000000 // da.wedges AS BIGINT)
       |       END AS clustering_ppm
-      |FROM da, ea, tri""".stripMargin, bench = false) { (s, dir) =>
+      |FROM da, ea, tri""".stripMargin, bench = false, slow = true) { (s, dir) =>
     Graph.profile(partEdges(s, dir))
   }
 

@@ -183,6 +183,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("pareto frontier: two-phase running min, corpus never in a single-partition window") {
+    val p = planOf("q_pareto")
+    assert(!p.contains("ScalaUDF"), p)
+    // the per-point running min must window over the range bucket —
+    // on continuous x the collapsed set is corpus-sized, so an
+    // unpartitioned Window here is a single-task global sort. The
+    // only unpartitioned window left is the 256-row bucket-prefix
+    // combine, which this assert pins by requiring every window whose
+    // frame orders by x to carry the __bucket partition spec.
+    assert(p.contains("__bucket"), p)
+    val winLines = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("x#")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("__bucket"), l))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
     // the 100 TB lever the local thresholds hide: a selective filter on
     // the small join side injects a bloom_filter_agg subquery whose
