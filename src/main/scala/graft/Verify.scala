@@ -31,8 +31,16 @@ object Verify {
     // full JSON escaping (graft.Json) — a tab or CR in builder-authored
     // SQL would otherwise make the driver's json.load fail and silently
     // zero the round's correctness.
+    // {SF_BASE} resolves to the sf-dir basename at dump time: gates
+    // whose oracle reads engine-written temp files scope their glob to
+    // THIS run's sf-dir subtree (a wildcard would aggregate every
+    // sf-dir ever written by the JVM and fail spuriously on the
+    // second one).
+    val sfBase = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${Json.str(k)}: ${Json.str(v.replace("{SF_BASE}", sfBase))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

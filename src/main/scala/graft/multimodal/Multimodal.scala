@@ -10,15 +10,21 @@ import org.apache.spark.sql.functions._
   * transforms (the Scala-native equivalent of a vectorized UDF —
   * per-partition setup cost amortizes the way a codec handle would).
   *
-  * The IMAGE and AUDIO paths are REAL — [[ImageCodec]] encodes/decodes
+  * All THREE modality paths are REAL: [[ImageCodec]] encodes/decodes
   * genuine PNG bytes through the JDK's `javax.imageio` (see
-  * [[imageDecodeTable]] and [[resizeImages]]) and [[AudioCodec]]
-  * encodes/decodes genuine RIFF/WAV PCM through `javax.sound.sampled`
-  * (see [[audioDecodeTable]] and [[resampleAudio]]). Video stays
-  * deterministically STUBBED — no in-JDK codec exists for it — but its
-  * Spark-side plumbing (schemas, partitioning, batch iteration,
-  * explode shapes) is real. A real deployment replaces `StubCodec`
-  * with JNI/javacv calls per partition.
+  * [[imageDecodeTable]], [[imagePhashTable]], [[resizeImages]]),
+  * [[AudioCodec]] encodes/decodes genuine RIFF/WAV PCM through
+  * `javax.sound.sampled` (see [[audioDecodeTable]],
+  * [[audioFingerprintTable]], [[resampleAudio]]), and [[VideoCodec]]
+  * demuxes GVID containers of real PNG frames (see
+  * [[videoFrameTable]], [[videoPhashTable]], [[sampleFrames]]).
+  * Feature extraction ([[extractFeatures]]) decodes payloads through
+  * those codecs and reduces DECODED pixels/samples/frames to a
+  * fixed-dim profile vector. Payloads that do not decode (this
+  * table's text stand-ins, corrupt blobs in a real corpus) fall back
+  * to [[ByteFallback]] — content-derived byte-histogram features and
+  * proportional byte slices — so one bad blob degrades to a weaker
+  * feature instead of killing the task.
   */
 object Multimodal {
 
@@ -30,26 +36,43 @@ object Multimodal {
       features: Seq[Float], feature_norm: Double)
   final case class FrameRow(doc_id: Long, frame_idx: Int, data: Array[Byte])
 
-  /** STUB decoder: deterministic pseudo-features from payload bytes.
-    * Stands in for "decode image/audio, run a feature extractor".
+  /** Fallback transforms for payloads that do NOT decode through any
+    * codec (text stand-ins in testdata, corrupt blobs at 100 TB).
+    * These are content-derived — a byte histogram IS a real feature of
+    * an opaque payload (the same family language-ID uses) — but weaker
+    * than decoded-domain features; the decode-first paths in
+    * [[extractFeatures]] / [[resizeImages]] / [[sampleFrames]] always
+    * win when the bytes parse.
     */
-  object StubCodec {
+  object ByteFallback {
+
+    /** Content-derived byte features, every component in [0, 1):
+      * first half = byte-value histogram folded into dim/2 buckets,
+      * second half = order-sensitive byte-bigram histogram — two
+      * payloads with the same bytes in different order differ.
+      * Denominator is len+1 so a single-bucket payload stays < 1.
+      */
     def features(data: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
-      var h = 1125899906842597L
+      require(dim >= 2, s"feature dim must be >= 2, got $dim")
+      val half = dim / 2
+      val counts = new Array[Int](dim)
       var i = 0
-      while (i < data.length) { h = 31 * h + data(i); i += 1 }
-      i = 0
-      while (i < dim) {
-        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-        out(i) = (h % 1000) / 1000.0f
+      while (i < data.length) {
+        counts((data(i) & 0xff) % half) += 1
+        if (i > 0)
+          counts(half + ((data(i - 1) & 0xff) * 31 + (data(i) & 0xff)) % (dim - half)) += 1
         i += 1
       }
+      val out = new Array[Float](dim)
+      val denom = (data.length + 1).toFloat
+      i = 0
+      while (i < dim) { out(i) = counts(i) / denom; i += 1 }
       out
     }
 
     def resize(data: Array[Byte], fromMeta: MediaMeta, w: Int, h: Int): Array[Byte] = {
-      // real impl: decode, scale, re-encode; stub keeps a proportional slice
+      // non-decodable payload: keep a proportional byte slice so the
+      // size contract tracks the metadata the way a re-encode would
       val ratio = (w.toLong * h) / math.max(1L, fromMeta.width.toLong * fromMeta.height)
       java.util.Arrays.copyOf(data, math.max(1, (data.length * math.min(1L, ratio)).toInt))
     }
@@ -77,14 +100,76 @@ object Multimodal {
       ).as("meta"))
   }
 
-  /** Decode + feature-extract in partition batches. */
+  /** Fixed-dim band profile over a decoded signal: position i maps to
+    * band i·dim/n (integer division — the same index arithmetic as
+    * the codecs' nearest resize), each band reports its mean value
+    * over `scale`. `scale` strictly exceeds the max signal value, so
+    * every component sits in [0, 1) — the invariant the
+    * q_multimodal_meta norm bound rides on.
+    */
+  private def bandProfile(n: Int, dim: Int, value: Int => Double,
+      scale: Double): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (n == 0) return out
+    val sums = new Array[Double](dim)
+    val cnt = new Array[Int](dim)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * dim / n).toInt
+      sums(b) += value(i)
+      cnt(b) += 1
+      i += 1
+    }
+    var b = 0
+    while (b < dim) {
+      if (cnt(b) > 0) out(b) = (sums(b) / cnt(b) / scale).toFloat
+      b += 1
+    }
+    out
+  }
+
+  /** Decode + feature-extract in partition batches. Decode-first, per
+    * modality: images reduce DECODED pixels to a dim-band intensity
+    * profile, audio reduces DECODED PCM samples to a dim-band
+    * |amplitude| profile, video demuxes and reduces per-frame decoded
+    * mean intensities to a dim-band temporal profile. Payloads that
+    * fail their codec fall back to [[ByteFallback.features]] (byte
+    * histograms) instead of failing the task. Every path keeps
+    * components in [0, 1), so `feature_norm < sqrt(dim)` regardless
+    * of which path ran.
+    */
   def extractFeatures(media: DataFrame, dim: Int): Dataset[FeatureRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition codec setup would happen here
+      // codec handles are JVM-static (ImageIO/AudioSystem); per-row
+      // streams are memory-backed (ImageIO.setUseCache(false))
       rows.map { r =>
-        val f = StubCodec.features(r.data, dim)
+        val f = r.modality match {
+          case "image" =>
+            ImageCodec.tryDecode(r.data)
+              .map(img => bandProfile(img.pixels.length, dim,
+                i => img.pixels(i).toDouble, 256.0))
+              .getOrElse(ByteFallback.features(r.data, dim))
+          case "audio" =>
+            AudioCodec.tryDecode(r.data)
+              // 16-bit PCM: |sample| <= 32768 (Short.MinValue), so the
+              // strict < 1 bound needs 32769
+              .map(c => bandProfile(c.samples.length, dim,
+                i => math.abs(c.samples(i).toDouble), 32769.0))
+              .getOrElse(ByteFallback.features(r.data, dim))
+          case "video" =>
+            VideoCodec.tryDemux(r.data)
+              .map { clip =>
+                val means = clip.frames.map(fb =>
+                  ImageCodec.tryDecode(fb)
+                    .map(d => ImageCodec.pixelSum(d).toDouble / d.pixels.length)
+                    .getOrElse(0.0))
+                bandProfile(means.length, dim, i => means(i), 256.0)
+              }
+              .getOrElse(ByteFallback.features(r.data, dim))
+          case _ => ByteFallback.features(r.data, dim)
+        }
         var s = 0.0
         var i = 0
         while (i < f.length) { s += f(i).toDouble * f(i); i += 1 }
@@ -96,7 +181,7 @@ object Multimodal {
   /** Resize every image payload; non-images pass through. Payloads
     * that really decode (PNG/JPEG via [[ImageCodec]]) get a REAL
     * nearest-neighbor resize and PNG re-encode; non-decodable bytes
-    * (this table's text stand-ins) fall back to the stub so the
+    * (this table's text stand-ins) fall back to the byte slice so the
     * metadata contract still holds.
     */
   def resizeImages(media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
@@ -109,7 +194,7 @@ object Multimodal {
           r.copy(data = ImageCodec.encodePng(ImageCodec.resizeNearest(img, w, h)),
             meta = r.meta.copy(width = w, height = h, channels = img.channels))
         case None =>
-          r.copy(data = StubCodec.resize(r.data, r.meta, w, h),
+          r.copy(data = ByteFallback.resize(r.data, r.meta, w, h),
             meta = r.meta.copy(width = w, height = h))
       }
     })
@@ -389,7 +474,7 @@ object Multimodal {
   /** Resample every audio payload to `n` samples; non-audio passes
     * through. Payloads that really decode (WAV via [[AudioCodec]]) get
     * a REAL nearest-neighbor resample and WAV re-encode; non-decodable
-    * bytes (this table's text stand-ins) fall back to the stub so the
+    * bytes (this table's text stand-ins) fall back to the byte slice so the
     * metadata contract still holds — the audio mirror of
     * [[resizeImages]].
     */
@@ -407,7 +492,7 @@ object Multimodal {
             meta = r.meta.copy(sampleRate = clip.sampleRate, nFrames = n,
               channels = clip.channels))
         case None =>
-          r.copy(data = StubCodec.resize(r.data, r.meta, n, 1),
+          r.copy(data = ByteFallback.resize(r.data, r.meta, n, 1),
             meta = r.meta.copy(nFrames = n))
       }
     })
@@ -418,7 +503,7 @@ object Multimodal {
     * that really demux (GVID containers via [[VideoCodec]]) get a REAL
     * uniform frame sample — each emitted row carries the frame's
     * actual encoded PNG bytes; non-container payloads (this table's
-    * text stand-ins) fall back to the stub so the row-count contract
+    * text stand-ins) fall back to the byte slice so the row-count contract
     * (min(maxFrames, meta.nFrames) rows per video) still holds.
     */
   def sampleFrames(media: DataFrame, maxFrames: Int): Dataset[FrameRow] = {
@@ -432,7 +517,7 @@ object Multimodal {
           }
         case None =>
           val n = math.min(maxFrames, r.meta.nFrames)
-          (0 until n).map(i => FrameRow(r.doc_id, i, StubCodec.frame(r.data, i)))
+          (0 until n).map(i => FrameRow(r.doc_id, i, ByteFallback.frame(r.data, i)))
       }
     }
   }
@@ -479,8 +564,8 @@ object Multimodal {
     * trip the Dataset[FeatureRow] pass with the requested dim, and
     * every norm must sit in [0, sqrt(dim)) — values in [0,1) —
     * so `norms_valid` is TRUE iff the mapPartitions pass really ran
-    * over every payload (exact stub values stay spec-pinned in
-    * MultimodalSpec).
+    * over every payload (exact decoded-domain feature values stay
+    * spec-pinned in MultimodalSpec).
     */
   def modalitySummary(spark: SparkSession, docs: DataFrame): DataFrame = {
     val dim = 16

@@ -656,6 +656,48 @@ object Dedup {
       .select("d_new", "d_corpus").distinct()
   }
 
+  /** Opt-in EXACT verification for the incremental probe: when the
+    * corpus text IS reachable at probe time (co-located lakehouse,
+    * not a signatures-only mirror), re-verify every banding candidate
+    * with exact Jaccard at the same `threshold` the one-shot
+    * [[minhashLsh]] uses — the result then equals the one-shot run on
+    * corpus ∪ batch restricted to cross pairs, with none of banding's
+    * false positives.
+    *
+    * Scale shape: candidates stay the bounded LSH-collision set; the
+    * broadcast candidate-id semi-join prunes corpus ∪ batch BEFORE
+    * any shingling, so text is re-shingled for candidate docs only —
+    * identical to the one-shot verify stage's discipline. The index's
+    * stored shingleN drives the recompute, so probe and build cannot
+    * disagree on shingle shape.
+    */
+  def incrementalNearDupVerified(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      corpusText: DataFrame, threshold: Double): DataFrame = {
+    val shingleN = spark.read.parquet(s"$dir/params").head().getInt(0)
+    // two consumers (id prune + pair join): compute the banding probe once
+    val cand = incrementalNearDup(spark, dir, batch, idCol, textCol)
+      .localCheckpoint()
+    val texts = corpusText.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val candIds = cand.select(col("d_new").as("cid"))
+      .union(cand.select(col("d_corpus").as("cid"))).distinct()
+    val candSh = shingleTable(
+        texts.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"),
+        idCol, textCol, shingleN)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    cand
+      .join(candSh.select(col("doc_id").as("d_new"), col("sh").as("sh1"),
+        col("n_sh").as("n1")), "d_new")
+      .join(candSh.select(col("doc_id").as("d_corpus"), col("sh").as("sh2"),
+        col("n_sh").as("n2")), "d_corpus")
+      .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("d_new", "d_corpus", "jaccard")
+  }
+
   /** D3 — SimHash fingerprints (16-bit portable variant; the 64-bit
     * production variant is graft.functions.SimHash64).
     */

@@ -79,4 +79,32 @@ object MergeUpsert {
       .filter(col("op").isNotNull)
       .select(col("op"), col("k").as(keyCol))
   }
+
+  /** D79b — changelog WITH after-images: (op, key) plus the new
+    * values of `compareCols` for I/U rows (NULL for D — the key no
+    * longer exists). This is what a CDC consumer actually applies;
+    * the hash-only [[changelog]] stays the default because ITS
+    * exchange never carries payloads, but a consumer re-joining
+    * `after` by key would repeat this work downstream anyway.
+    *
+    * Scale shape: the diff itself is [[changelog]] (fixed-width
+    * hash exchange); the value attach then broadcast-semi-prunes
+    * `after` to changed keys BEFORE any exchange — change volume is
+    * batch-bounded by construction (it cannot exceed |batch| in the
+    * MERGE flow), so the broadcast is small and the only exchange of
+    * the attach stage carries changed rows, never the table.
+    */
+  def changelogWithValues(before: DataFrame, after: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    val ops = changelog(before, after, keyCol, compareCols)
+      // two consumers below (broadcast prune + final join): compute
+      // the double-shuffle diff once
+      .localCheckpoint()
+    val changedAfter = after
+      .join(broadcast(ops.filter(col("op") =!= "D").select(keyCol)),
+        Seq(keyCol), "left_semi")
+      .select(col(keyCol) +: compareCols.map(col): _*)
+    ops.join(changedAfter, Seq(keyCol), "left")
+      .select(col("op") +: col(keyCol) +: compareCols.map(col): _*)
+  }
 }

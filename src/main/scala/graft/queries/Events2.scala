@@ -335,7 +335,40 @@ object Events2 {
       .orderBy("x")
   }
 
+  /** E36 — hour-of-day seasonal profile: per (event_type, hour) the
+    * integer-exact expected value (micros, floor-div mean) and the
+    * residual magnitude Σ|x − mean| that the expectation fails to
+    * explain. The oracle replays the micro floor, the integral mean,
+    * and the residual sum — every number bit-replayable (value ≥ 0 in
+    * testdata, so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree; a float mean would never hash-match).
+    */
+  val qSeasonal: GateQuery = GateQuery(
+    "q_seasonal",
+    """WITH base AS (
+      |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+      |    CAST(FLOOR(value * 1000000) AS BIGINT) AS x
+      |  FROM events),
+      |prof AS (
+      |  SELECT event_type, hod, COUNT(*) AS n, SUM(x) AS sx
+      |  FROM base GROUP BY 1, 2),
+      |p2 AS (SELECT event_type, hod, n, sx // n AS mean_micro FROM prof),
+      |resid AS (
+      |  SELECT b.event_type, b.hod, SUM(ABS(b.x - p.mean_micro)) AS sad_micro
+      |  FROM base b JOIN p2 p USING (event_type, hod)
+      |  GROUP BY 1, 2)
+      |SELECT p.event_type, p.hod, CAST(p.n AS BIGINT) AS n,
+      |  CAST(p.mean_micro AS BIGINT) AS mean_micro,
+      |  CAST(r.sad_micro AS BIGINT) AS sad_micro
+      |FROM p2 p JOIN resid r USING (event_type, hod)
+      |ORDER BY event_type, hod""".stripMargin) { (s, dir) =>
+    graft.operators.Timeseries.seasonalProfile(
+        Tables(s, dir, "events"), "event_type", "ts", "value")
+      .orderBy("event_type", "hod")
+  }
+
   val all: Seq[GateQuery] =
     Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow,
-      qAnomaly, qOhlcBars, qEwma, qLinearTrend, qMadOutliers, qPareto)
+      qAnomaly, qOhlcBars, qEwma, qLinearTrend, qMadOutliers, qPareto,
+      qSeasonal)
 }

@@ -78,7 +78,7 @@ object Pipeline {
        |JOIN sizes s2 ON s2.doc_id = d2
        |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.6
        |ORDER BY d1, d2""".stripMargin,
-    bench = false) { (s, dir) =>
+    bench = false, slow = true) { (s, dir) =>
     Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", 3, 0.6)
       .orderBy("d1", "d2")
   }
@@ -141,7 +141,7 @@ object Pipeline {
        |JOIN sizes s2 ON s2.doc_id = d2
        |WHERE n_inter * 100 >= least(s1.n_sh, s2.n_sh) * 60
        |ORDER BY d1, d2""".stripMargin,
-    bench = false) { (s, dir) =>
+    bench = false, slow = true) { (s, dir) =>
     Dedup.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
         n = 3, thresholdPct = 60)
       .withColumn("n_inter", col("n_inter").cast("long"))
@@ -169,7 +169,7 @@ object Pipeline {
        |JOIN documents tb ON tb.doc_id = c.d2
        |WHERE levenshtein(ta.text, tb.text) * 100 <= greatest(len(ta.text), len(tb.text)) * 20
        |ORDER BY d1, d2""".stripMargin,
-    bench = false) { (s, dir) =>
+    bench = false, slow = true) { (s, dir) =>
     Dedup.editDistancePairs(Tables(s, dir, "documents"), "doc_id", "text",
         n = 3, maxDistPct = 20)
       .orderBy("d1", "d2")
@@ -241,6 +241,55 @@ object Pipeline {
       "doc_id", "text", idx, shingleN = 3, numHashes = 12, numBands = 4)
     Dedup.incrementalNearDup(s, idx, docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text")
+      .orderBy("d_new", "d_corpus")
+  }
+
+  /** D58b — incremental near-dup with OPT-IN exact verification: when
+    * corpus text is co-located, banding candidates re-verify with
+    * exact Jaccard at the one-shot threshold, so the result equals
+    * one-shot minhashLsh on corpus ∪ batch restricted to cross pairs.
+    * The oracle replays signatures for BOTH sides AND the exact
+    * intersection/threshold — a probe that skipped verification (kept
+    * a banding false positive) or re-shingled with the wrong stored n
+    * both break the hash.
+    */
+  val qNearDupIncrVerified: GateQuery = GateQuery(
+    "q_neardup_incr_verified",
+    s"""WITH ${shingleCte(3)},
+       |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+       |         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS h
+       |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(i // 3 AS BIGINT) AS band,
+       |            md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_sig
+       |          FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT b.doc_id AS d_new, a.doc_id AS d_corpus
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_sig = b.band_sig
+       |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |inter AS (
+       |  SELECT c.d_new, c.d_corpus, COUNT(*) AS n_inter
+       |  FROM cand c JOIN sh x ON x.doc_id = c.d_new
+       |  JOIN sh y ON y.doc_id = c.d_corpus AND y.shingle = x.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.d_new, i.d_corpus,
+       |  CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS jaccard
+       |FROM inter i
+       |JOIN sizes s1 ON s1.doc_id = i.d_new
+       |JOIN sizes s2 ON s2.doc_id = i.d_corpus
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.6
+       |ORDER BY d_new, d_corpus""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_v").toString
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx,
+      shingleN = 3, numHashes = 12, numBands = 4)
+    Dedup.incrementalNearDupVerified(s, idx,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        corpusText = corpus, threshold = 0.6)
       .orderBy("d_new", "d_corpus")
   }
 
@@ -449,7 +498,7 @@ object Pipeline {
     * gates below carry the attributable timings.
     */
   val qKnnIvfIndexed: GateQuery = GateQuery(
-    "q_knn_ivf_indexed", ivfFullProbeOracle, bench = false) { (s, dir) =>
+    "q_knn_ivf_indexed", ivfFullProbeOracle, bench = false, slow = true) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
     Similarity.knnIvfIndexed(s, ivfIndexDir(s, dir),
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nProbe = 16)
@@ -466,7 +515,7 @@ object Pipeline {
     * muddle the attributable split gates.
     */
   val qKnnIvfAppend: GateQuery = GateQuery(
-    "q_knn_ivf_append", ivfFullProbeOracle, bench = false) { (s, dir) =>
+    "q_knn_ivf_append", ivfFullProbeOracle, bench = false, slow = true) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
     val out = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
     Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
@@ -715,7 +764,7 @@ object Pipeline {
     GateQuery(
       "q_ivfpq_append",
       ivfPqOracleSql(s"${System.getProperty("java.io.tmpdir")}/$tag/*"),
-      bench = false) { (s, dir) =>
+      bench = false, slow = true) { (s, dir) =>
       val out = s"${System.getProperty("java.io.tmpdir")}/$tag/${new java.io.File(dir).getName}"
       val emb = Tables(s, dir, "embeddings")
       Pq.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), "vec_id",
@@ -897,7 +946,7 @@ object Pipeline {
       |FROM img i LEFT JOIN reach r ON r.a = i.doc_id
       |GROUP BY i.doc_id
       |ORDER BY i.doc_id""".stripMargin,
-    bench = false) { (s, dir) =>
+    bench = false, slow = true) { (s, dir) =>
     graft.multimodal.Multimodal.imageClusters(Tables(s, dir, "documents"))
       .orderBy("doc_id")
   }
@@ -939,7 +988,7 @@ object Pipeline {
        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin,
-    bench = false) { (s, dir) =>
+    bench = false, slow = true) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     // exact-jaccard pairs (same set LSH verifies at threshold 0.6)
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
@@ -981,7 +1030,7 @@ object Pipeline {
        |WHERE doc_id IN (SELECT doc_id FROM surv)
        |  AND len(string_split(text, ' ')) >= 10
        |ORDER BY doc_id""".stripMargin,
-    bench = false) { (s, dir) =>
+    bench = false, slow = true) { (s, dir) =>
     Curate.curate(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
   }
@@ -2172,16 +2221,20 @@ object Pipeline {
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
       |             len(string_split(text,' ')) AS n
       |           FROM documents),
-      |g AS (SELECT doc_id, CAST(s.i AS INT) AS start, CAST(t.n - 3 AS INT) AS ng,
-      |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+4 AS INT)], ' ')) AS gh
-      |      FROM t, generate_series(0, 255) s(i) WHERE s.i <= n - 4),
+      |-- per-row series (no fixed cap): docs of ANY token length get
+      |-- every gram start. The descending-start tie-break is encoded
+      |-- as lpad(9999-start, 4), valid for docs up to 10003 tokens;
+      |-- beyond that the oracle (not the engine) needs a wider pad.
+      |g AS (SELECT doc_id, CAST(u.i AS INT) AS start, CAST(t.n - 3 AS INT) AS ng,
+      |        md5(array_to_string(toks[CAST(u.i+1 AS INT):CAST(u.i+4 AS INT)], ' ')) AS gh
+      |      FROM t, LATERAL unnest(generate_series(0, n - 4)) u(i)),
       |p AS (SELECT doc_id, start, ng,
-      |        MIN(gh || lpad(CAST(999 - start AS VARCHAR), 3, '0'))
+      |        MIN(gh || lpad(CAST(9999 - start AS VARCHAR), 4, '0'))
       |          OVER (PARTITION BY doc_id ORDER BY start
       |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
       |      FROM g),
       |sel AS (SELECT DISTINCT doc_id,
-      |          CAST(999 - CAST(substring(pick, 33, 3) AS INT) AS INT) AS sel_start,
+      |          CAST(9999 - CAST(substring(pick, 33, 4) AS INT) AS INT) AS sel_start,
       |          substring(pick, 1, 32) AS gh
       |        FROM p WHERE start <= ng - 4),
       |a AS (SELECT doc_id, COUNT(*) AS n_fp, MIN(sel_start) AS first_fp,
@@ -2315,8 +2368,12 @@ object Pipeline {
     * serves the workload before relying on pruning.
     */
   val qPruneAudit: GateQuery = {
+    // {SF_BASE} is substituted by Verify at dump time — the glob must
+    // scope to the CURRENT sf-dir's layout subtree, matching what the
+    // engine side reads; a bare * would aggregate every sf-dir this
+    // JVM ever laid out
     val layoutGlob =
-      s"${System.getProperty("java.io.tmpdir")}/graft_layout_${ProcessHandle.current().pid()}/*"
+      s"${System.getProperty("java.io.tmpdir")}/graft_layout_${ProcessHandle.current().pid()}/{SF_BASE}"
     def side(name: String) =
       s"""${name}_f AS (
          |  SELECT filename, MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx,
@@ -2613,6 +2670,42 @@ object Pipeline {
       .unionByName(docs.filter(col("doc_id") % 11 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000))
     MergeUpsert.changelog(docs, after, "doc_id", Seq("text"))
+      .orderBy("doc_id", "op")
+  }
+
+  /** D79b — changelog with after-images: same diff as q_changelog but
+    * each I/U row carries the NEW text (NULL for D). The oracle's
+    * value-compare full outer join reads the after-image straight off
+    * the preserved side, so a value mis-attached — wrong key, stale
+    * side, dropped NULL-on-delete — breaks the hash.
+    */
+  val qChangelogValues: GateQuery = GateQuery(
+    "q_changelog_values",
+    """WITH b AS (SELECT doc_id, text FROM documents),
+      |a AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 11 = 0)
+      |SELECT op, doc_id, text FROM (
+      |  SELECT CASE WHEN b.doc_id IS NULL THEN 'I'
+      |              WHEN a.doc_id IS NULL THEN 'D'
+      |              WHEN b.text <> a.text THEN 'U' END AS op,
+      |    COALESCE(b.doc_id, a.doc_id) AS doc_id,
+      |    a.text AS text
+      |  FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id)
+      |WHERE op IS NOT NULL
+      |ORDER BY doc_id, op""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val after = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    MergeUpsert.changelogWithValues(docs, after, "doc_id", Seq("text"))
       .orderBy("doc_id", "op")
   }
 
@@ -3057,7 +3150,7 @@ object Pipeline {
 
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
-    qNearDupIncremental,
+    qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
@@ -3073,7 +3166,7 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog,
+    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog, qChangelogValues,
     qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag,
     qLangConfusion, qImageClusters, qFreqItemsets, qKcenter)
 }

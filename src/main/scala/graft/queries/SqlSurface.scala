@@ -504,7 +504,7 @@ object SqlSurface {
           .cast("long")).as("content_sum"))
   }
 
-  /** C45 — schema-evolution read (mergeSchema / union-by-name): two
+  /** C46 — schema-evolution read (mergeSchema / union-by-name): two
     * parquet vintages of the documents slice — v1 (doc_id, lang,
     * n_chars) written BEFORE a `source` column existed, v2 carrying
     * the new column AND a different physical column order — read back
@@ -516,8 +516,11 @@ object SqlSurface {
     * a dropped null-fill breaks the hash.
     */
   val qSchemaEvolution: GateQuery = {
+    // {SF_BASE} is substituted by Verify at dump time: the oracle must
+    // read only THIS sf-dir's evolution fixture, exactly like the
+    // engine side (a bare * aggregates every sf-dir in one JVM)
     val glob =
-      s"${System.getProperty("java.io.tmpdir")}/graft_evo_${ProcessHandle.current().pid()}/*"
+      s"${System.getProperty("java.io.tmpdir")}/graft_evo_${ProcessHandle.current().pid()}/{SF_BASE}"
     GateQuery("q_schema_evolution",
       s"""WITH u AS (
          |  SELECT * FROM read_parquet(

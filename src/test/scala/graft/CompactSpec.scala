@@ -52,6 +52,42 @@ class CompactSpec extends AnyFunSuite {
     assert(parquetFiles(path, "1").length === 1)
   }
 
+  test("clusterCols + maxRecordsPerFile: compaction preserves zone-map skipping") {
+    val path = java.nio.file.Files.createTempDirectory("graft_compact_spec4").toString
+    // a date-clustered table: 400 rows over 40 days in one shard,
+    // written as 8 fragmented cluster-sorted files (2 epochs of 4)
+    val rows = (0L until 400L).map(i => (i, java.sql.Date.valueOf(
+      java.time.LocalDate.of(1997, 1, 1).plusDays(i % 40))))
+    for (epoch <- 0 to 1) {
+      rows.filter(_._1 % 2 == epoch).toDF("id", "d")
+        .withColumn("shard", lit(0L))
+        .repartitionByRange(4, col("d")).sortWithinPartitions("d")
+        .write.mode("append").partitionBy("shard").parquet(path)
+    }
+    assert(parquetFiles(path, "0").length === 8)
+    def skipRatio(): Double = {
+      val perFile = spark.read.parquet(path)
+        .select(input_file_name().as("f"), col("d"))
+        .groupBy("f").agg(min("d").as("mn"), max("d").as("mx"))
+        .withColumn("skip", col("mx") < lit("1997-01-11").cast("date") ||
+          col("mn") >= lit("1997-01-21").cast("date"))
+        .collect()
+      perFile.count(_.getAs[Boolean]("skip")).toDouble / perFile.length
+    }
+    val before = skipRatio()
+    assert(before >= 0.5, s"fixture must skip most files, got $before")
+    val rewritten = Compact.compactPartitions(spark, path, "shard",
+      clusterCols = Seq("d"), maxRecordsPerFile = 100L)
+    assert(rewritten === 1)
+    val files = parquetFiles(path, "0")
+    assert(files.length === 4, s"400 rows / 100 per file, got ${files.length}")
+    // each split of the sorted run covers a disjoint date range, so
+    // the 10-day predicate still skips at least half the files
+    val after = skipRatio()
+    assert(after >= 0.5, s"skip ratio must survive compaction, got $after")
+    assert(spark.read.parquet(path).count() === 400L)
+  }
+
   test("a fully compact table is a no-op") {
     val path = java.nio.file.Files.createTempDirectory("graft_compact_spec3").toString
     (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")

@@ -4,8 +4,11 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** D12: the Spark-side plumbing is real (schema, batch transform
-  * shapes, explode); the codec is a deterministic stub.
+/** D12: real codecs for all three modalities (PNG via ImageIO, WAV
+  * PCM via javax.sound, GVID demux) behind real Spark plumbing
+  * (schema, batch transform shapes, explode). Feature extraction is
+  * decode-first; non-decodable payloads take the content-derived
+  * byte-histogram fallback.
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -27,6 +30,32 @@ class MultimodalSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(media.repartition(7), 16).collect().map(r => r.doc_id -> r.features).toMap
     assert(f1 === f2) // partitioning must not change results
     assert(f1.values.forall(_.size === 16))
+    // all paths keep components in [0,1) — the q_multimodal_meta bound
+    assert(f1.values.forall(_.forall(v => v >= 0f && v < 1f)))
+  }
+
+  test("decodable payloads get DECODED-domain features, not byte fallback") {
+    import spark.implicits._
+    import graft.multimodal.{AudioCodec, ImageCodec}
+    // a constant-64 8x8 gray PNG: every intensity band must read
+    // exactly 64/256, which no byte-histogram of the compressed PNG
+    // stream could produce
+    val png = ImageCodec.encodePng(ImageCodec.Decoded(8, 8, 1, Array.fill(64)(64)))
+    val wav = AudioCodec.encodeWav(AudioCodec.Decoded(16000, 1, Array.fill(256)(-1024)))
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image", png, Multimodal.MediaMeta(8, 8, 1, 0, 1)),
+      Multimodal.MediaRow(1L, "audio", wav, Multimodal.MediaMeta(0, 0, 1, 16000, 1)))
+    val f = Multimodal.extractFeatures(rows.toDF(), 8).collect()
+      .map(r => r.doc_id -> r.features).toMap
+    assert(f(0L).forall(v => math.abs(v - 64f / 256f) < 1e-6))
+    assert(f(1L).forall(v => math.abs(v - 1024f / 32769f) < 1e-6))
+    // a non-decodable payload in the image modality falls back to byte
+    // features instead of failing the task
+    val junk = Seq(Multimodal.MediaRow(2L, "image",
+      "not a png".getBytes("UTF-8"), Multimodal.MediaMeta(8, 8, 1, 0, 1))).toDF()
+    val fb = Multimodal.extractFeatures(junk, 8).collect()
+    assert(fb.length === 1 && fb(0).features.size === 8)
+    assert(fb(0).features === Multimodal.ByteFallback.features("not a png".getBytes("UTF-8"), 8).toSeq)
   }
 
   test("resize rewrites image meta only") {

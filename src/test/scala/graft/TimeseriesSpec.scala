@@ -222,6 +222,28 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalProfile: hand-worked hourly means and residuals, partition-invariant") {
+    // group a, hour 1: values 1.0, 2.0, 4.0 -> x = 1e6, 2e6, 4e6,
+    //   mean = 7e6 div 3 = 2333333, sad = |1e6-m|+|2e6-m|+|4e6-m|
+    //        = 1333333 + 333333 + 1666667 = 3333333
+    // group a, hour 2: single value 3.5 -> mean 3500000, sad 0
+    val rows = Seq(
+      ("a", "2024-01-01 01:10:00", 1.0),
+      ("a", "2024-01-01 01:20:00", 2.0),
+      ("a", "2024-01-02 01:30:00", 4.0), // different day, same hour-of-day
+      ("a", "2024-01-01 02:00:00", 3.5))
+      .toDF("g", "tss", "v").withColumn("ts", col("tss").cast("timestamp"))
+    for (parts <- Seq(1, 3)) {
+      val got = graft.operators.Timeseries.seasonalProfile(
+          rows.repartition(parts), "g", "ts", "v")
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got === Map(
+        ("a", 1) -> ((3L, 2333333L, 3333333L)),
+        ("a", 2) -> ((1L, 3500000L, 0L))), s"parts=$parts")
+    }
+  }
+
   test("containmentPairs catches doc-inside-doc that Jaccard misses") {
     import graft.operators.Dedup
     // B = A verbatim plus a long unrelated tail: containment(A,B)=100%

@@ -105,7 +105,11 @@ class HeapMcpSpec extends AnyFunSuite {
       new java.io.BufferedReader(new java.io.InputStreamReader(
         new java.io.ByteArrayInputStream(clientBytes), "UTF-8")),
       new java.io.PrintStream(out, true, "UTF-8"))
-    val frames = out.toString("UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    val raw = out.toString("UTF-8")
+    // byte-level framing: every frame is one line terminated by a
+    // single \n — no blank separator lines, no trailing garbage
+    assert(raw.endsWith("\n") && !raw.contains("\n\n"), raw.takeRight(80))
+    val frames = raw.split("\n").filter(_.nonEmpty).toSeq
     assert(frames.length === 3, s"3 requests -> 3 frames, notification silent: $frames")
     val init = Json.parse(frames(0)).asInstanceOf[Map[String, Any]]
     assert(init("id") === 0L && init("jsonrpc") === "2.0")
