@@ -279,6 +279,84 @@ object Pq {
       .select("qid", "cid", "adist", "rk")
   }
 
+  /** Exact integer squared L2 between two grid-quantized vectors —
+    * one codegen'd zip_with/aggregate fold, no UDF.
+    */
+  private def intSqDist(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + t)
+
+  /** D96 — two-stage ANN: ADC shortlist → EXACT re-rank (the
+    * production recipe behind every deployed PQ system: compressed
+    * codes rank cheaply but lossily, so the top-`shortlist` ADC
+    * candidates are re-scored against their RAW vectors and only then
+    * cut to k — recall of near-exact search at ~shortlist/|corpus| of
+    * its cost). At 100 TB the point is the read pattern: stage 1
+    * touches only the 32×-compressed code table; stage 2 reads raw
+    * vectors for |Q|·shortlist ids via a broadcast semi-join prune —
+    * the full-width corpus is never scanned, joined, or shuffled.
+    *
+    * Integer-exact: the re-rank distance is the BIGINT squared L2 on
+    * the same floor(x·256) grid the codes were trained on, so an SQL
+    * oracle replays shortlist AND re-rank bit-for-bit.
+    */
+  def searchRerank(spark: SparkSession, dir: String, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k $k")
+    // bounded |Q|·shortlist rows; two consumers (id prune + re-rank join)
+    val cand = search(spark, dir, queries, idCol, vecCol, shortlist)
+      .select("qid", "cid").localCheckpoint()
+    val candVecs = corpus
+      .select(col(idCol).as("cid"), quantized(vecCol).as("cv"))
+      .join(broadcast(cand.select("cid").distinct()), Seq("cid"), "left_semi")
+    val qv = queries.select(col(idCol).as("qid"), quantized(vecCol).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("edist"), col("cid"))
+    cand
+      .join(candVecs, "cid")
+      .join(broadcast(qv), "qid")
+      .withColumn("edist", intSqDist(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "edist", "rk")
+  }
+
+  /** D97 — ANN recall audit: measure recall@k of the PQ index against
+    * EXACT top-k, in-engine ("measure, don't guess" applied to the
+    * index itself — the number that decides nProbe/m/ksub before you
+    * trust the index at scale). Per query: the exact grid-L2 top-k
+    * (ties → lowest cid, the engine-wide convention), the ADC top-k,
+    * and the hit count / recall as integers.
+    *
+    * Scale shape: exact ground truth is one broadcast-queries pass
+    * over the corpus (|Q| is the audit's sample size, bounded by
+    * contract); the audit is run on a sampled query set, not the full
+    * corpus — recall is a statistic, not a per-row transform.
+    */
+  def recallAudit(spark: SparkSession, dir: String, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val approx = search(spark, dir, queries, idCol, vecCol, k)
+      .select(col("qid"), col("cid"), lit(1L).as("__hit"))
+    val qv = queries.select(col(idCol).as("qid"), quantized(vecCol).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("edist"), col("cid"))
+    val exact = corpus
+      .select(col(idCol).as("cid"), quantized(vecCol).as("cv"))
+      .join(broadcast(qv), col("cid") =!= col("qid"))
+      .withColumn("edist", intSqDist(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid")
+    exact.join(approx, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pct", expr("n_hit * 100 div n_exact"))
+      .select("qid", "n_exact", "n_hit", "recall_pct")
+  }
+
   /** ADC top-k over a written index: quantize the query batch
     * driver-side, build the (qid, sub, code, d2) asymmetric-distance
     * lookup table (|Q|·m·ksub rows — broadcast by contract), scan the

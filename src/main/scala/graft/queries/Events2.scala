@@ -352,7 +352,8 @@ object Events2 {
       |prof AS (
       |  SELECT event_type, hod, COUNT(*) AS n, SUM(x) AS sx
       |  FROM base GROUP BY 1, 2),
-      |p2 AS (SELECT event_type, hod, n, sx // n AS mean_micro FROM prof),
+      |p2 AS (SELECT event_type, hod, n,
+      |         CAST(sx // n AS BIGINT) AS mean_micro FROM prof),
       |resid AS (
       |  SELECT b.event_type, b.hod, SUM(ABS(b.x - p.mean_micro)) AS sad_micro
       |  FROM base b JOIN p2 p USING (event_type, hod)

@@ -577,7 +577,7 @@ object Pipeline {
     // pid-scoped fixed dir (see ivfIndexDir); '*' spans the one sf
     // this JVM verifies
     val idxGlob =
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${ProcessHandle.current().pid()}/*"
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${ProcessHandle.current().pid()}/{SF_BASE}"
     GateQuery(
       "q_knn_ivf_partial",
       s"""WITH $embCte,
@@ -635,7 +635,7 @@ object Pipeline {
     */
   val qPqSearch: GateQuery = {
     val idxGlob =
-      s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${ProcessHandle.current().pid()}/*"
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${ProcessHandle.current().pid()}/{SF_BASE}"
     GateQuery(
       "q_pq_search",
       s"""WITH cb AS (SELECT sub, code, centroid FROM read_parquet('$idxGlob/codebook/*.parquet')),
@@ -663,6 +663,94 @@ object Pipeline {
       Pq.search(s, pqIndexDir(s, dir), emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 3)
         .orderBy("qid", "rk")
+    }
+  }
+
+  /** Shared replay of the flat-PQ ADC pipeline (the q_pq_search CTEs
+    * through the ranked ADC result `r`), parameterized by shortlist
+    * depth — reused by the re-rank and recall gates below.
+    */
+  private def pqAdcCtes(idxGlob: String): String =
+    s"""cb AS (SELECT sub, code, centroid FROM read_parquet('$idxGlob/codebook/*.parquet')),
+       |v8 AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS qv
+       |       FROM embeddings),
+       |dists AS (SELECT v.vec_id, c.sub, c.code,
+       |    CAST(list_aggregate(list_transform(generate_series(1, 8),
+       |      j -> (v.qv[c.sub * 8 + j] - c.centroid[j]) * (v.qv[c.sub * 8 + j] - c.centroid[j])),
+       |      'sum') AS BIGINT) AS d2
+       |  FROM v8 v, cb c),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |dtab AS (SELECT vec_id AS qid, sub, code, d2 FROM dists WHERE vec_id < 5),
+       |scored AS (SELECT dt.qid, c.vec_id AS cid, CAST(SUM(dt.d2) AS BIGINT) AS adist
+       |  FROM codes c JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code
+       |  WHERE c.vec_id <> dt.qid GROUP BY 1, 2),
+       |r AS (SELECT qid, cid, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rk FROM scored)""".stripMargin
+
+  private val exactDist64 =
+    """CAST(list_aggregate(list_transform(generate_series(1, 64),
+      |      i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])), 'sum') AS BIGINT)""".stripMargin
+
+  /** D96 — two-stage ANN (ADC shortlist=10 → exact re-rank → k=3):
+    * the oracle replays the full ADC pipeline, the shortlist cut, the
+    * exact grid-L2 re-scoring of shortlist pairs, and the re-ranked
+    * cut — a shortlist that leaked, a re-rank on compressed codes
+    * instead of raw vectors, or a tie mis-break all shift rows.
+    */
+  val qPqRerank: GateQuery = {
+    val idxGlob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${ProcessHandle.current().pid()}/{SF_BASE}"
+    GateQuery(
+      "q_pq_rerank",
+      s"""WITH ${pqAdcCtes(idxGlob)},
+         |sl AS (SELECT qid, cid FROM r WHERE rk <= 10),
+         |ex AS (SELECT s.qid, s.cid, $exactDist64 AS edist
+         |  FROM sl s JOIN v8 q ON q.vec_id = s.qid JOIN v8 c ON c.vec_id = s.cid),
+         |rr AS (SELECT qid, cid, edist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY edist, cid) AS rk FROM ex)
+         |SELECT qid, cid, edist, rk FROM rr WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Pq.searchRerank(s, pqIndexDir(s, dir), emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", k = 3, shortlist = 10)
+        .orderBy("qid", "rk")
+    }
+  }
+
+  /** D97 — in-engine recall@5 audit of the PQ index: exact grid-L2
+    * ground truth per query vs the ADC top-5, hit count and integer
+    * recall. The oracle recomputes BOTH rankings and the join — an
+    * inflated recall (hits counted against the wrong ground truth, or
+    * approx rows double-counted) breaks the hash.
+    */
+  val qAnnRecall: GateQuery = {
+    val idxGlob =
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${ProcessHandle.current().pid()}/{SF_BASE}"
+    GateQuery(
+      "q_ann_recall",
+      s"""WITH ${pqAdcCtes(idxGlob)},
+         |exd AS (SELECT q.vec_id AS qid, c.vec_id AS cid, $exactDist64 AS edist
+         |  FROM v8 q JOIN v8 c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |ex AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY edist, cid) AS rk
+         |    FROM exd) WHERE rk <= 5),
+         |ap AS (SELECT qid, cid FROM r WHERE rk <= 5)
+         |SELECT e.qid AS qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN ap.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN ap.cid IS NOT NULL THEN 1 ELSE 0 END) * 100 // COUNT(*) AS BIGINT) AS recall_pct
+         |FROM ex e LEFT JOIN ap ON ap.qid = e.qid AND ap.cid = e.cid
+         |GROUP BY e.qid
+         |ORDER BY e.qid""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Pq.recallAudit(s, pqIndexDir(s, dir), emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", k = 5)
+        .orderBy("qid")
     }
   }
 
@@ -742,7 +830,7 @@ object Pipeline {
   val qIvfPqSearch: GateQuery = GateQuery(
     "q_ivfpq_search",
     ivfPqOracleSql(
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_${ProcessHandle.current().pid()}/*")) { (s, dir) =>
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_${ProcessHandle.current().pid()}/{SF_BASE}")) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
     Pq.searchIvfPq(s, ivfPqIndexDir(s, dir), emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, nProbe = 3)
@@ -3154,7 +3242,7 @@ object Pipeline {
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
-    qPqSearch, qPqWrite, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,
+    qPqSearch, qPqWrite, qPqRerank, qAnnRecall, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,

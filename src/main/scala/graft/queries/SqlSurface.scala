@@ -432,7 +432,7 @@ object SqlSurface {
     // pid-scoped dir (the ivfIndexDir move); '*' spans the one sf this
     // JVM verifies
     val glob =
-      s"${System.getProperty("java.io.tmpdir")}/graft_csv_${ProcessHandle.current().pid()}/*/*.csv"
+      s"${System.getProperty("java.io.tmpdir")}/graft_csv_${ProcessHandle.current().pid()}/{SF_BASE}/*.csv"
     GateQuery("q_csv_roundtrip", roundtripOracle(
       s"""read_csv('$glob', header=true,
          |  columns={'doc_id':'BIGINT','lang':'VARCHAR','n_chars':'BIGINT','text':'VARCHAR'})""".stripMargin)) { (s, dir) =>
@@ -443,7 +443,7 @@ object SqlSurface {
 
   val qJsonlRoundtrip: GateQuery = {
     val glob =
-      s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${ProcessHandle.current().pid()}/*/*.json"
+      s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${ProcessHandle.current().pid()}/{SF_BASE}/*.json"
     GateQuery("q_jsonl_roundtrip", roundtripOracle(
       s"""read_json('$glob', format='newline_delimited',
          |  columns={'doc_id':'BIGINT','lang':'VARCHAR','n_chars':'BIGINT','text':'VARCHAR'})""".stripMargin)) { (s, dir) =>
@@ -474,7 +474,7 @@ object SqlSurface {
     */
   val qZstdRoundtrip: GateQuery = {
     val glob =
-      s"${System.getProperty("java.io.tmpdir")}/graft_zstd_${ProcessHandle.current().pid()}/*/*.parquet"
+      s"${System.getProperty("java.io.tmpdir")}/graft_zstd_${ProcessHandle.current().pid()}/{SF_BASE}/*.parquet"
     GateQuery("q_zstd_roundtrip",
       roundtripOracle(s"read_parquet('$glob')")) { (s, dir) =>
       val out = writeOnce(s, dir, "zstd")

@@ -183,6 +183,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("pq rerank: raw-vector read pruned to shortlist ids, no cartesian, no UDF") {
+    val p = planOf("q_pq_rerank")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // stage-2 exact re-rank: the corpus's full-width vectors enter the
+    // plan only behind the broadcast shortlist-id semi join
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pareto frontier: two-phase running min, corpus never in a single-partition window") {
     val p = planOf("q_pareto")
     assert(!p.contains("ScalaUDF"), p)

@@ -150,4 +150,63 @@ class PqSpec extends AnyFunSuite {
         s"query ${r.getLong(0)} matched the wrong cluster via ${r.getLong(1)}")
     }
   }
+
+  test("searchRerank: exact-distance order, shortlist containment, exact-on-grid distances") {
+    val dir = freshDir("rerank")
+    val df = clusteredVecs(128, 17L).toDF("vec_id", "embedding")
+    Pq.writeIndex(df, "vec_id", "embedding", m = 4, ksub = 4, dir = dir)
+    val queries = df.filter(col("vec_id") < 3)
+    val shortlist = Pq.search(spark, dir, queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Pq.searchRerank(spark, dir, queries, df, "vec_id", "embedding",
+      k = 4, shortlist = 10).collect()
+    assert(got.length === 3 * 4)
+    // every re-ranked row came from the ADC shortlist
+    got.foreach(r => assert(shortlist((r.getLong(0), r.getLong(1)))))
+    // per query: edist non-decreasing in rk, and equal to the
+    // hand-computed grid L2 against the raw vectors
+    val vecs = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.floor(x * 256d).toLong).toArray).toMap
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getLong(2)).toSeq === sorted.map(_.getLong(2)).toSeq.sorted)
+      sorted.foreach { r =>
+        val (q, c) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+        val d = q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        assert(r.getLong(2) === d, s"edist mismatch for ${r.getLong(0)}->${r.getLong(1)}")
+      }
+    }
+  }
+
+  test("recallAudit: k-bounded ground truth, integer recall accounting, hits agree with a hand-join") {
+    val dir = freshDir("audit")
+    val df = clusteredVecs(96, 23L).toDF("vec_id", "embedding")
+    Pq.writeIndex(df, "vec_id", "embedding", m = 4, ksub = 4, dir = dir)
+    val queries = df.filter(col("vec_id") < 4)
+    val got = Pq.recallAudit(spark, dir, queries, df,
+      "vec_id", "embedding", k = 5).collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getLong(1) === 5L, "ground truth must have exactly k rows")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 5L)
+      assert(r.getLong(3) === r.getLong(2) * 100 / 5)
+    }
+    // the audit's n_hit must equal a hand-join of exact-vs-ADC top-5
+    // (recall itself is legitimately low here: with 4-bit-per-subspace
+    // codes whole clusters collapse to identical codes, ADC ties break
+    // to lowest cid, and within-cluster ORDER is lost — which is
+    // precisely the information the audit exists to surface)
+    val vecs = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.floor(x * 256d).toLong).toArray).toMap
+    val adc = Pq.search(spark, dir, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val handHits = (0L until 4L).map { q =>
+      val exactTop = vecs.keys.filter(_ != q).toSeq
+        .map(c => (vecs(q).zip(vecs(c)).map { case (a, b) => (a - b) * (a - b) }.sum, c))
+        .sorted.take(5).map(_._2)
+      q -> exactTop.count(c => adc((q, c))).toLong
+    }.toMap
+    got.foreach(r => assert(r.getLong(2) === handHits(r.getLong(0)),
+      s"n_hit mismatch for query ${r.getLong(0)}"))
+  }
 }
