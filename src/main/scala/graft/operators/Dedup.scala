@@ -263,10 +263,22 @@ object Dedup {
     cand
       .join(t.select(col(idCol).as("d1"), col(textCol).as("t1")), "d1")
       .join(t.select(col(idCol).as("d2"), col(textCol).as("t2")), "d2")
-      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
       .withColumn("max_len",
         greatest(length(col("t1")), length(col("t2"))).cast("long"))
-      .filter(col("dist") * 100L <= col("max_len") * maxDistPct.toLong)
+      // per-pair distance budget: `dist ≤ floor(max_len·pct/100)` IS
+      // the acceptance predicate (dist is integral), so the budget can
+      // drive the computation instead of being applied after it
+      .withColumn("__k", (col("max_len") * maxDistPct.toLong / lit(100L)).cast("int"))
+      // exact O(1) prefilter: dist ≥ |len1 − len2|, so over-budget
+      // length gaps never reach the distance computation (drops ~2/3
+      // of blocked candidates on the test corpus)
+      .filter(abs(length(col("t1")) - length(col("t2"))) <= col("__k"))
+      // thresholded levenshtein: banded O(len·k) instead of O(len²),
+      // early-exits over-budget pairs with -1; within-budget distances
+      // are exact — same surviving rows and dist values as the
+      // unbounded form, at a fraction of the cell work
+      .withColumn("dist", expr("levenshtein(t1, t2, __k)").cast("long"))
+      .filter(col("dist") >= 0L)
       .select("d1", "d2", "dist", "max_len")
   }
 
