@@ -107,4 +107,70 @@ object MergeUpsert {
     ops.join(changedAfter, Seq(keyCol), "left")
       .select(col("op") +: col(keyCol) +: compareCols.map(col): _*)
   }
+
+  /** D98 (support) — changelog with BOTH images: (op, key,
+    * old_<col>…, new_<col>…). D rows carry old values only, I rows
+    * new only, U rows both — exactly what incremental view
+    * maintenance needs to RETRACT a changed row's old contribution
+    * and add its new one. Same scale discipline as
+    * [[changelogWithValues]]: the diff itself is hash-only; values
+    * attach through TWO broadcast changed-key semi-joins (one per
+    * side), so every value-carrying exchange is bounded by change
+    * volume, never table size.
+    */
+  def changelogBothImages(before: DataFrame, after: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    val ops = changelog(before, after, keyCol, compareCols)
+      .localCheckpoint() // three consumers: two prunes + final joins
+    def side(df: DataFrame, keep: Seq[String], prefix: String) = df
+      .join(broadcast(ops.filter(col("op").isin(keep: _*)).select(keyCol)),
+        Seq(keyCol), "left_semi")
+      .select(col(keyCol) +: compareCols.map(c => col(c).as(s"$prefix$c")): _*)
+    ops
+      .join(side(before, Seq("U", "D"), "old_"), Seq(keyCol), "left")
+      .join(side(after, Seq("I", "U"), "new_"), Seq(keyCol), "left")
+      .select(col("op") +: col(keyCol) +:
+        (compareCols.map(c => col(s"old_$c")) ++
+          compareCols.map(c => col(s"new_$c"))): _*)
+  }
+
+  /** D98 — incremental aggregate-view maintenance: update a
+    * (group, n_rows, sum) rollup from a snapshot diff WITHOUT
+    * re-aggregating the table — the materialized-view half of the CDC
+    * bridge (at 100 TB a nightly full GROUP BY over the corpus to
+    * refresh a dashboard rollup costs more than every delta of the
+    * day combined). Each changed row retracts its old contribution
+    * (at its OLD group — group moves handled) and adds its new one;
+    * groups whose row count reaches zero drop from the view.
+    *
+    * `baseAgg` must be the rollup of `before` with columns
+    * (groupCol, n_rows, sum_val) — e.g. a previous call's output or
+    * one bootstrap aggregation. `valCol` must be integer-typed
+    * (fixed-point by convention) so retraction is exact; float sums
+    * would drift from the recomputed truth they must equal.
+    *
+    * Scale shape: the delta aggregate is keyed by GROUP over
+    * change-bounded rows; the view merge is one outer join of two
+    * dimension-sized tables. Nothing corpus-sized moves.
+    */
+  def maintainGroupSums(baseAgg: DataFrame, before: DataFrame,
+      after: DataFrame, keyCol: String, groupCol: String,
+      valCol: String): DataFrame = {
+    val cl = changelogBothImages(before, after, keyCol, Seq(groupCol, valCol))
+    val retract = cl.filter(col("op").isin("U", "D"))
+      .select(col(s"old_$groupCol").as(groupCol),
+        lit(-1L).as("dn"), (-col(s"old_$valCol")).cast("long").as("dv"))
+    val add = cl.filter(col("op").isin("I", "U"))
+      .select(col(s"new_$groupCol").as(groupCol),
+        lit(1L).as("dn"), col(s"new_$valCol").cast("long").as("dv"))
+    val delta = retract.unionByName(add)
+      .groupBy(groupCol)
+      .agg(sum("dn").as("__dn"), sum("dv").as("__dv"))
+    baseAgg
+      .join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("sum_val"), lit(0L)) + coalesce(col("__dv"), lit(0L))).as("sum_val"))
+      .filter(col("n_rows") > 0)
+  }
 }

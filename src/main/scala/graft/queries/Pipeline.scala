@@ -2797,6 +2797,47 @@ object Pipeline {
       .orderBy("doc_id", "op")
   }
 
+  /** D98 — incremental aggregate-view maintenance: the (lang, count,
+    * sum(n_chars)) rollup of a mutated corpus is produced by applying
+    * the CDC delta to the BEFORE rollup — deletes retract, updates
+    * retract-then-add ACROSS group moves (%5 rows change lang, so
+    * their old group must shrink and a brand-new group appear),
+    * inserts add. The oracle is a FULL re-aggregation of the after
+    * state: hash-green iff incremental maintenance is exactly
+    * equivalent to recomputation — a missed retraction, a
+    * double-count, or a dead group kept alive all break it.
+    */
+  val qIncrAgg: GateQuery = GateQuery(
+    "q_incr_agg",
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN lang || '_mv' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 11 = 0)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_val
+      |FROM a GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val before = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    val after = before.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, concat(col("lang"), lit("_mv")))
+          .otherwise(col("lang")))
+      .withColumn("n_chars",
+        when(col("doc_id") % 3 === 0, col("n_chars") + 1000L)
+          .otherwise(col("n_chars")))
+      .unionByName(before.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    val baseAgg = before.groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_val"))
+    MergeUpsert.maintainGroupSums(baseAgg, before, after,
+        "doc_id", "lang", "n_chars")
+      .orderBy("lang")
+  }
+
   /** D80 — sorted-neighborhood near-dup candidates: canonical-key
     * global order, window-4 neighbor pairs, exact verification at
     * Jaccard ≥ 3/5 (the q_dedup_jaccard/prefix output contract). The
@@ -3254,7 +3295,7 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog, qChangelogValues,
+    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog, qChangelogValues, qIncrAgg,
     qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag,
     qLangConfusion, qImageClusters, qFreqItemsets, qKcenter)
 }

@@ -58,6 +58,54 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(n.isEmpty, "NULL and empty string compare equal by convention")
   }
 
+  test("changelogBothImages: old values on U/D, new values on I/U, NULL elsewhere") {
+    val before = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L))
+      .toDF("id", "g", "v")
+    val after = Seq((1L, "g1", 10L),  // unchanged
+      (2L, "g2", 25L),                // update with group move
+      (4L, "g3", 40L))                // insert; 3 deleted
+      .toDF("id", "g", "v")
+    val got = MergeUpsert.changelogBothImages(before, after, "id", Seq("g", "v"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getString(0),
+          Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          Option(r.getString(4)), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toMap
+    assert(got === Map(
+      2L -> (("U", Some("g1"), Some(20L), Some("g2"), Some(25L))),
+      3L -> (("D", Some("g2"), Some(30L), None, None)),
+      4L -> (("I", None, None, Some("g3"), Some(40L)))))
+  }
+
+  test("maintainGroupSums equals full recompute: moves, deaths, births, value edits") {
+    val before = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "c", 40L), (5L, "c", 5L)).toDF("id", "g", "v")
+    val after = Seq((1L, "a", 11L),  // value edit in place
+      (2L, "b", 20L),                // group move a -> b
+      (4L, "c", 40L),                // unchanged
+      (5L, "c", 5L),                 // unchanged
+      (6L, "d", 60L))                // birth of group d; 3 deleted -> b loses 30
+      .toDF("id", "g", "v")
+    val baseAgg = before.groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_val"))
+    for (parts <- Seq(1, 3)) {
+      val got = MergeUpsert.maintainGroupSums(baseAgg,
+          before.repartition(parts), after, "id", "g", "v")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val full = after.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === full, s"parts=$parts")
+      assert(got === Map("a" -> ((1L, 11L)), "b" -> ((1L, 20L)),
+        "c" -> ((2L, 45L)), "d" -> ((1L, 60L))))
+    }
+    // a batch that empties a group must drop it from the view entirely
+    val afterDead = Seq((6L, "d", 60L)).toDF("id", "g", "v")
+    val dead = MergeUpsert.maintainGroupSums(baseAgg, before, afterDead,
+      "id", "g", "v").collect().map(_.getString(0)).toSet
+    assert(dead === Set("d"))
+  }
+
   test("replace-by-key plus insert, read back from the committed table") {
     val path = freshTable()
     // update id=5 (shard 1), insert id=9 (shard 1): one affected shard
