@@ -153,6 +153,58 @@ object MergeUpsert {
     * change-bounded rows; the view merge is one outer join of two
     * dimension-sized tables. Nothing corpus-sized moves.
     */
+  /** D98/E37 (batch step) — MERGE a batch into the keyed table AND
+    * update its (group, n_rows, sum_val) rollup incrementally, in one
+    * epoch. The delta never needs a snapshot diff here: upsert
+    * semantics make every batch row an I or U, so the retraction set
+    * is exactly the base rows sharing the batch's keys — read behind
+    * the SAME partition pruning as the merge itself, keyed down by a
+    * broadcast semi-join. The rollup table is dimension-sized; its
+    * rewrite is a full (cheap) overwrite.
+    *
+    * Exactly-once: the table merge is idempotent by construction
+    * (replace-by-key), but a replayed delta would double-retract — so
+    * each application is guarded by an atomically-created
+    * `_applied/epoch_<id>` marker (the Snapshots commit move): a
+    * replay of an applied epoch only re-runs the idempotent merge.
+    */
+  def upsertWithMaintainedAgg(spark: SparkSession, tablePath: String,
+      aggPath: String, batch: DataFrame, keyCol: String, partCol: String,
+      groupCol: String, valCol: String, epochId: Long): Unit = {
+    val marker = java.nio.file.Paths.get(aggPath, "_applied", s"epoch_$epochId")
+    val replay = java.nio.file.Files.exists(marker)
+    if (!replay) {
+      val affected = batch.select(partCol).distinct().collect().map(_.get(0))
+      if (affected.isEmpty) return
+      val keys = batch.select(keyCol)
+      val retract = spark.read.parquet(tablePath)
+        .filter(col(partCol).isin(affected: _*))
+        .join(broadcast(keys), Seq(keyCol), "left_semi")
+        .select(col(groupCol), lit(-1L).as("dn"),
+          (-col(valCol)).cast("long").as("dv"))
+      val add = batch.select(col(groupCol), lit(1L).as("dn"),
+        col(valCol).cast("long").as("dv"))
+      val delta = retract.unionByName(add).groupBy(groupCol)
+        .agg(sum("dn").as("__dn"), sum("dv").as("__dv"))
+      val newAgg = spark.read.parquet(aggPath)
+        .join(delta, Seq(groupCol), "full_outer")
+        .select(col(groupCol),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n_rows"),
+          (coalesce(col("sum_val"), lit(0L)) + coalesce(col("__dv"), lit(0L))).as("sum_val"))
+        .filter(col("n_rows") > 0)
+        .localCheckpoint() // aggPath is both input and overwrite target
+      // delta derives from the PRE-merge base, so it must be computed
+      // (checkpointed) before the merge rewrites those partitions
+      upsertPartitioned(spark, tablePath, batch, keyCol, partCol)
+      newAgg.write.mode("overwrite").parquet(aggPath)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      try java.nio.file.Files.createFile(marker)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    } else {
+      upsertPartitioned(spark, tablePath, batch, keyCol, partCol)
+    }
+  }
+
   def maintainGroupSums(baseAgg: DataFrame, before: DataFrame,
       after: DataFrame, keyCol: String, groupCol: String,
       valCol: String): DataFrame = {

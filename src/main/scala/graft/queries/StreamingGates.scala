@@ -758,6 +758,80 @@ object StreamingGates {
       .orderBy("doc_id")
   }
 
+  /** E37 — streaming materialized-view maintenance: two micro-batches
+    * of upserts (batch 1: %3 rows move lang AND change n_chars;
+    * batch 2: %4=1 rows change n_chars, plus brand-new keys) MERGE
+    * into the table while its (lang, n_rows, sum_val) rollup updates
+    * INCREMENTALLY per batch — the gate reads the final ROLLUP
+    * table, and the oracle is a full re-aggregation of the final
+    * table state. Hash-green iff every per-batch retract/add across
+    * two epochs (including group moves and inserts) lands exactly —
+    * the streaming composition of q_incr_agg's contract.
+    */
+  val qStreamIncrAgg: GateQuery = GateQuery(
+    "q_stream_incr_agg",
+    """WITH base AS (SELECT doc_id, doc_id % 4 AS shard, lang, n_chars
+      |             FROM documents),
+      |b1 AS (SELECT doc_id, doc_id % 4 AS shard, lang || '_mv' AS lang,
+      |         n_chars + 1000 AS n_chars
+      |       FROM documents WHERE doc_id % 3 = 0),
+      |b2 AS (SELECT doc_id, doc_id % 4 AS shard, lang, n_chars + 7 AS n_chars
+      |       FROM documents WHERE doc_id % 4 = 1
+      |       UNION ALL
+      |       SELECT doc_id + 1000000 AS doc_id, (doc_id + 1000000) % 4 AS shard,
+      |         lang, n_chars
+      |       FROM documents WHERE doc_id % 11 = 0),
+      |m1 AS (SELECT * FROM b1 UNION ALL
+      |       SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM b1)),
+      |m2 AS (SELECT * FROM b2 UNION ALL
+      |       SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM b2))
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_val
+      |FROM m2 GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+        col("lang"), col("n_chars"))
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_incragg")
+    val table = work.resolve("table").toString
+    val aggPath = work.resolve("agg").toString
+    docs.write.mode("overwrite").partitionBy("shard").parquet(table)
+    // bootstrap the rollup once from the base state
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_val"))
+      .write.mode("overwrite").parquet(aggPath)
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("lang", concat(col("lang"), lit("_mv")))
+      .withColumn("n_chars", col("n_chars") + 1000L)
+    val b2 = docs.filter(col("doc_id") % 4 === 1)
+      .withColumn("n_chars", col("n_chars") + 7L)
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("shard", col("doc_id") % 4))
+    val srcDir = work.resolve("src").toString
+    b1.coalesce(1).write.parquet(s"$srcDir/b1")
+    b2.coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(b1.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val q = StreamingOps.maintainedUpsertStream(stream, table, aggPath,
+      "doc_id", "shard", "lang", "n_chars", work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(aggPath)
+      .select(col("lang"), col("n_rows"), col("sum_val"))
+      .orderBy("lang")
+  }
+
   /** E24 — the hopping-window aggregate on a real stream, against the
     * SAME oracle as the batch q_sliding_window: 1-hour windows every
     * 30 minutes, each event in exactly two. Complete mode re-emits
@@ -862,7 +936,7 @@ object StreamingGates {
 
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
-      qStreamCurate, qStreamSink, qStreamUpsert, qStreamLate, qStreamSliding,
+      qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute)
     .map(_.copy(bench = false))

@@ -289,6 +289,31 @@ object StreamingOps {
       }
       .start()
 
+  /** E37 — streaming materialized-view maintenance: each micro-batch
+    * MERGEs into the keyed table AND incrementally updates its
+    * (group, n_rows, sum_val) rollup — the table's dashboards never
+    * wait for a full re-aggregation. Per-batch cost is bounded by the
+    * batch's partition spread (retraction rows read behind the same
+    * directory pruning as the merge); the rollup rewrite is
+    * dimension-sized. Replay-safe: the delta application is guarded
+    * by a per-epoch marker (MergeUpsert.upsertWithMaintainedAgg), so
+    * a batch re-delivered after a restart re-runs only the idempotent
+    * merge, never a double retraction.
+    */
+  def maintainedUpsertStream(changes: DataFrame, tablePath: String,
+      aggPath: String, keyCol: String, partCol: String, groupCol: String,
+      valCol: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.MergeUpsert.upsertWithMaintainedAgg(
+            batch.sparkSession, tablePath, aggPath, batch, keyCol, partCol,
+            groupCol, valCol, batchId)
+      }
+      .start()
+
   final case class CounterEvent(user_id: Long, v_micro: Long)
   final case class CounterTotals(n: Long, sum_micro: Long)
   final case class CounterUpdate(user_id: Long, n: Long, sum_micro: Long)

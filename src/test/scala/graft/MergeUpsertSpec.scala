@@ -106,6 +106,42 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(dead === Set("d"))
   }
 
+  test("upsertWithMaintainedAgg: rollup tracks merges; epoch replay never double-retracts") {
+    val work = java.nio.file.Files.createTempDirectory("graft_mua_spec")
+    val table = work.resolve("t").toString
+    val aggP = work.resolve("a").toString
+    val base = Seq((1L, 0L, "a", 10L), (2L, 1L, "a", 20L), (3L, 0L, "b", 30L))
+      .toDF("id", "shard", "g", "v")
+    base.write.mode("overwrite").partitionBy("shard").parquet(table)
+    base.groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("sum_val"))
+      .write.mode("overwrite").parquet(aggP)
+    // batch: update id=2 with a group move a->b, insert id=4 into c
+    val batch = Seq((2L, 1L, "b", 25L), (4L, 1L, "c", 40L))
+      .toDF("id", "shard", "g", "v")
+    def rollup() = spark.read.parquet(aggP).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    MergeUpsert.upsertWithMaintainedAgg(spark, table, aggP, batch,
+      "id", "shard", "g", "v", epochId = 7L)
+    val expected = Map("a" -> ((1L, 10L)), "b" -> ((2L, 55L)), "c" -> ((1L, 40L)))
+    assert(rollup() === expected)
+    // the rollup must equal a full recompute of the merged table
+    val full = spark.read.parquet(table).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rollup() === full)
+    // replaying the SAME epoch re-runs only the idempotent merge: the
+    // rollup must not double-retract (without the marker, id=2's new
+    // row would retract itself and b would read (1, 30))
+    MergeUpsert.upsertWithMaintainedAgg(spark, table, aggP, batch,
+      "id", "shard", "g", "v", epochId = 7L)
+    assert(rollup() === expected, "epoch replay corrupted the rollup")
+    // a NEW epoch with the same content applies cleanly (upsert of
+    // identical rows: retract+add cancel, rollup unchanged)
+    MergeUpsert.upsertWithMaintainedAgg(spark, table, aggP, batch,
+      "id", "shard", "g", "v", epochId = 8L)
+    assert(rollup() === expected)
+  }
+
   test("replace-by-key plus insert, read back from the committed table") {
     val path = freshTable()
     // update id=5 (shard 1), insert id=9 (shard 1): one affected shard
