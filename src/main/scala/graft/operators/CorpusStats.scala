@@ -235,7 +235,7 @@ object CorpusStats {
       .withColumn("weight", col("score_t") - col("score_r"))
   }
 
-  /** D52 — stupid-backoff trigram scoring (Brants et al. 2007, the
+  /** D99 — stupid-backoff trigram scoring (Brants et al. 2007, the
     * LM-scoring scheme built FOR distributed corpora): a trigram
     * model trained on the seed subset scores every document; a
     * trigram unseen in the model backs off to 0.4× its bigram score,

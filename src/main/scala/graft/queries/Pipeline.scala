@@ -2568,6 +2568,50 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D99 — stupid-backoff trigram LM scoring (Brants et al. 2007):
+    * seed-trained (lang='en') trigram model scores every document;
+    * unseen trigrams back off to 0.4× the bigram score, bigram misses
+    * score 0 — all in fixed point. The oracle retrains BOTH models
+    * and rescores with the same truncating-div branches — a wrong
+    * context rollup, backoff factor, or miss branch shifts some
+    * document's score or kind counts.
+    */
+  val qBackoffLm: GateQuery = GateQuery(
+    "q_backoff_lm",
+    """WITH t AS (SELECT doc_id, lang = 'en' AS seed,
+      |             string_split(text, ' ') AS t,
+      |             len(string_split(text, ' ')) AS m
+      |           FROM documents),
+      |tri AS (SELECT doc_id, seed, t[u.i] AS w1, t[u.i+1] AS w2, t[u.i+2] AS w3
+      |        FROM t, LATERAL unnest(generate_series(1, m - 2)) u(i)),
+      |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri WHERE seed GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2 FROM c3 GROUP BY 1, 2),
+      |tm AS (SELECT c3.w1, c3.w2, c3.w3,
+      |         CAST(c3.c3 * 1000000 // c2.c2 AS BIGINT) AS lp3
+      |       FROM c3 JOIN c2 USING (w1, w2)),
+      |cb AS (SELECT w2, w3, COUNT(*) AS cb FROM tri WHERE seed GROUP BY 1, 2),
+      |cu AS (SELECT w2, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+      |bm AS (SELECT cb.w2, cb.w3,
+      |         CAST((2 * (cb.cb * 1000000 // cu.cu)) // 5 AS BIGINT) AS lp2
+      |       FROM cb JOIN cu USING (w2)),
+      |sc AS (SELECT tri.doc_id,
+      |         COALESCE(tm.lp3, bm.lp2, 0) AS lp,
+      |         CASE WHEN tm.lp3 IS NOT NULL THEN 0
+      |              WHEN bm.lp2 IS NOT NULL THEN 1 ELSE 2 END AS kind
+      |       FROM tri
+      |       LEFT JOIN tm ON tm.w1 = tri.w1 AND tm.w2 = tri.w2 AND tm.w3 = tri.w3
+      |       LEFT JOIN bm ON bm.w2 = tri.w2 AND bm.w3 = tri.w3)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      |  CAST(SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+      |  CAST(SUM(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+      |  CAST(SUM(lp) AS BIGINT) AS score
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusStats.stupidBackoffScore(Tables(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
   /** D45 — canonical-form dedup: case/punctuation/whitespace-blind
     * duplicate groups. The oracle restates the normalization chain in
     * the same portable regexes, so a wrong strip set, collapse rule,
@@ -3291,7 +3335,7 @@ object Pipeline {
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,
-    qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qDedupCanonical,
+    qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,

@@ -131,6 +131,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
+  test("stupid backoff: seen/backoff/miss branches hand-verified, partition-invariant") {
+    import graft.operators.CorpusStats
+    // seed doc 0: "a b c a b d" -> seed trigrams (a,b,c),(b,c,a),(c,a,b),(a,b,d)
+    //   c3: each = 1; c2 contexts: (a,b)=2, (b,c)=1, (c,a)=1
+    //   lp3: (a,b,c) = 1e6 div 2 = 500000; (b,c,a)=1e6; (c,a,b)=1e6; (a,b,d)=500000
+    //   cb (w2,w3): (b,c)=1,(c,a)=2,(a,b)=1,(b,d)=1; cu: b=2, c=2, a=1
+    // non-seed doc 1: "a b c x y" -> trigrams (a,b,c) seen lp3=500000;
+    //   (b,c,x): tri miss, bigram (c,x) miss -> 0, kind=2
+    //   (c,x,y): tri miss, bigram (x,y) miss -> 0, kind=2
+    // non-seed doc 2: "x b c a" -> (x,b,c): tri miss, bigram (b,c): cb=1 cu=2
+    //   -> lp2 = (2*(1e6 div 2)) div 5 = 200000, kind=1
+    //   (b,c,a): seen -> 1e6
+    val docs = Seq((0L, true, "a b c a b d"), (1L, false, "a b c x y"),
+      (2L, false, "x b c a")).toDF("doc_id", "seed", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.stupidBackoffScore(df, "doc_id", "text", col("seed"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = run(docs)
+    assert(got(0L) === ((4L, 0L, 0L, 3000000L)))
+    assert(got(1L) === ((3L, 0L, 2L, 500000L)))
+    assert(got(2L) === ((2L, 1L, 0L, 1200000L)))
+    assert(run(docs.repartition(5)) === got)
+    val plan = CorpusStats.stupidBackoffScore(docs, "doc_id", "text", col("seed"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("collocations: hand-verified lift boundary, thresholds, partition-invariant") {
     import graft.operators.CorpusStats
     val docs = Seq((0L, "x y x y"), (1L, "x y z"), (2L, "p q"))
