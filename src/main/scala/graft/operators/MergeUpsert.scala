@@ -205,6 +205,59 @@ object MergeUpsert {
     }
   }
 
+  /** D98b — incremental MIN/MAX view maintenance. Unlike SUM/COUNT,
+    * extrema are NOT retractable: deleting a group's current minimum
+    * says nothing about the new minimum without looking at the group
+    * again. The classic maintenance split: additions merge
+    * monotonically (min/max against the delta — always safe); a group
+    * is DIRTY only when a retracted old value EQUALS its current
+    * extremum, and only dirty groups rescan — a semi-join-pruned pass
+    * over `after` bounded by change volume, not table size (on a
+    * group-clustered layout the rescan also directory-prunes). This
+    * is why rollup views at scale pair SUM/COUNT (cheap deltas) with
+    * rare full extrema refreshes — here the refresh granularity is
+    * one group.
+    *
+    * `baseAgg` columns: (groupCol, n_rows, min_val, max_val) — the
+    * rollup of `before`, e.g. a previous call's output.
+    */
+  def maintainGroupMinMax(baseAgg: DataFrame, before: DataFrame,
+      after: DataFrame, keyCol: String, groupCol: String,
+      valCol: String): DataFrame = {
+    val cl = changelogBothImages(before, after, keyCol, Seq(groupCol, valCol))
+      .localCheckpoint() // consumed by adds, retractions, and counts
+    val adds = cl.filter(col("op").isin("I", "U"))
+      .groupBy(col(s"new_$groupCol").as(groupCol))
+      .agg(count(lit(1)).as("__an"), min(s"new_$valCol").as("__amin"),
+        max(s"new_$valCol").as("__amax"))
+    val retr = cl.filter(col("op").isin("U", "D"))
+      .groupBy(col(s"old_$groupCol").as(groupCol))
+      .agg(count(lit(1)).as("__rn"), min(s"old_$valCol").as("__rmin"),
+        max(s"old_$valCol").as("__rmax"))
+    val merged = baseAgg
+      .join(adds, Seq(groupCol), "full_outer")
+      .join(retr, Seq(groupCol), "full_outer")
+      .withColumn("__n", coalesce(col("n_rows"), lit(0L))
+        + coalesce(col("__an"), lit(0L)) - coalesce(col("__rn"), lit(0L)))
+      // dirty iff a retracted value ties the group's current extremum
+      .withColumn("__dirty",
+        (col("__rmin") <= col("min_val")) || (col("__rmax") >= col("max_val")))
+      .localCheckpoint() // consumed by the clean branch AND the dirty-group prune
+    val clean = merged.filter(col("__n") > 0 && !coalesce(col("__dirty"), lit(false)))
+      .select(col(groupCol), col("__n").as("n_rows"),
+        least(col("min_val"), col("__amin")).as("min_val"),
+        greatest(col("max_val"), col("__amax")).as("max_val"))
+    val dirtyGroups = merged
+      .filter(col("__n") > 0 && coalesce(col("__dirty"), lit(false)))
+      .select(groupCol)
+    val rescanned = after
+      .join(broadcast(dirtyGroups), Seq(groupCol), "left_semi")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"), min(valCol).as("min_val"),
+        max(valCol).as("max_val"))
+    clean.unionByName(rescanned)
+  }
+
   def maintainGroupSums(baseAgg: DataFrame, before: DataFrame,
       after: DataFrame, keyCol: String, groupCol: String,
       valCol: String): DataFrame = {

@@ -2882,6 +2882,48 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** D98b — incremental MIN/MAX view maintenance: extrema are not
+    * retractable, so groups whose current extremum was retracted
+    * (deleted %7 rows and %5 group-movers include per-lang minima and
+    * maxima) rescan — pruned to dirty groups only — while clean
+    * groups merge additions monotonically. The oracle fully
+    * re-aggregates the after state: a group refreshed when it needed
+    * no rescan is invisible, but a group NOT rescanned when its
+    * extremum died keeps a stale min/max and breaks the hash.
+    */
+  val qIncrMinmax: GateQuery = GateQuery(
+    "q_incr_minmax",
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN lang || '_mv' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 11 = 0)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_val,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_val
+      |FROM a GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val before = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    val after = before.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, concat(col("lang"), lit("_mv")))
+          .otherwise(col("lang")))
+      .withColumn("n_chars",
+        when(col("doc_id") % 3 === 0, col("n_chars") + 1000L)
+          .otherwise(col("n_chars")))
+      .unionByName(before.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    val baseAgg = before.groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"), min("n_chars").as("min_val"),
+        max("n_chars").as("max_val"))
+    MergeUpsert.maintainGroupMinMax(baseAgg, before, after,
+        "doc_id", "lang", "n_chars")
+      .orderBy("lang")
+  }
+
   /** D80 — sorted-neighborhood near-dup candidates: canonical-key
     * global order, window-4 neighbor pairs, exact verification at
     * Jaccard ≥ 3/5 (the q_dedup_jaccard/prefix output contract). The
@@ -3339,7 +3381,7 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog, qChangelogValues, qIncrAgg,
+    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog, qChangelogValues, qIncrAgg, qIncrMinmax,
     qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag,
     qLangConfusion, qImageClusters, qFreqItemsets, qKcenter)
 }

@@ -106,6 +106,37 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(dead === Set("d"))
   }
 
+  test("maintainGroupMinMax: clean merge vs dirty rescan, hand-worked") {
+    val before = Seq((1L, "a", 10L), (2L, "a", 50L), (3L, "b", 30L),
+      (4L, "b", 70L), (5L, "c", 5L)).toDF("id", "g", "v")
+    // a: max (50) retracted by delete -> DIRTY, new max from rescan = 40
+    // b: add 90 extends max monotonically, no retraction -> CLEAN
+    // c: value edit away from the min (5 -> 8): old 5 WAS min -> DIRTY
+    // d: born via insert
+    val after = Seq((1L, "a", 10L), (6L, "a", 40L),
+      (3L, "b", 30L), (4L, "b", 70L), (7L, "b", 90L),
+      (5L, "c", 8L), (8L, "d", 60L)).toDF("id", "g", "v")
+    val baseAgg = before.groupBy("g").agg(count(lit(1)).as("n_rows"),
+      min("v").as("min_val"), max("v").as("max_val"))
+    for (parts <- Seq(1, 3)) {
+      val got = MergeUpsert.maintainGroupMinMax(baseAgg,
+          before.repartition(parts), after, "id", "g", "v")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val full = after.groupBy("g").agg(count(lit(1)).as("n"),
+          min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === full, s"parts=$parts")
+      assert(got === Map("a" -> ((2L, 10L, 40L)), "b" -> ((3L, 30L, 90L)),
+        "c" -> ((1L, 8L, 8L)), "d" -> ((1L, 60L, 60L))))
+    }
+    // group death: retract every row of a group -> gone from the view
+    val afterDead = Seq((8L, "d", 60L)).toDF("id", "g", "v")
+    assert(MergeUpsert.maintainGroupMinMax(baseAgg, before, afterDead,
+      "id", "g", "v").collect().map(_.getString(0)).toSet === Set("d"))
+  }
+
   test("upsertWithMaintainedAgg: rollup tracks merges; epoch replay never double-retracts") {
     val work = java.nio.file.Files.createTempDirectory("graft_mua_spec")
     val table = work.resolve("t").toString
