@@ -87,6 +87,28 @@ object Bench {
     val slowEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW", "1") != "0"
     val slowResults =
       if (slowEnabled) run(SparkEntry.gateQueries.filter(_.slow)) else Seq.empty
+    // AUX TIER (single rep): streaming gates (fixed micro-batch
+    // latency — a throughput number would measure the harness) and
+    // demo-heap gates (KB-sized fixture dump). Their sums are
+    // meaningless as throughput, but a recorded per-gate number makes
+    // a 10× harness/parser regression visible round-over-round —
+    // without it these ~60 gates have no timing signal at all. One
+    // rep: the point is detection, not a stable minimum.
+    val auxEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_AUX", "1") != "0"
+    val auxResults =
+      if (auxEnabled) {
+        val qs = SparkEntry.gateQueries.filter(q => !q.bench && !q.slow)
+          .filter(q => only.forall(_.contains(q.name)))
+        qs.map { q =>
+          val t = try timed(() =>
+            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            Double.NaN
+          }
+          q.name -> t
+        }
+      } else Seq.empty
     // Heap ingest+export throughput (A1-A11): the q_heap_* gates run
     // on a tiny demo dump and are bench=false, which left ingestion
     // invisible to round-over-round comparison. This generates a
@@ -138,7 +160,7 @@ object Bench {
     val withIngest =
       if (only.isDefined) results
       else results :+ ("q_heap_ingest_export" -> heapIngest._1)
-    val allGates = withIngest ++ slowResults
+    val allGates = withIngest ++ slowResults ++ auxResults
     // A failing gate records NaN per-gate (rendered as null) but must
     // not poison the total — "value":NaN is not valid JSON and breaks
     // the driver's parse. Sum the gates that ran; surface failures via
@@ -161,8 +183,10 @@ object Bench {
     // must stay small enough to survive the tail. It carries the totals,
     // ingest throughput, and the 25 slowest gates; BENCH_DETAIL.json in
     // the repo root carries every gate at full precision.
+    val auxTotal = auxResults.collect { case (_, v) if !v.isNaN => v }.sum
     val detailJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,""" +
-      f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},"queries":${qJson(allGates, 3)},""" +
+      f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},""" +
+      f""""aux_total":$auxTotal%.3f,"n_aux":${auxResults.size},"queries":${qJson(allGates, 3)},""" +
       ingestKeys + f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
@@ -172,6 +196,7 @@ object Bench {
     val top = allGates.sortBy { case (_, v) => if (v.isNaN) Double.MaxValue else -v }.take(25)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_gates":${allGates.size},"failed":$failed,""" +
       f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},""" +
+      f""""aux_total":$auxTotal%.3f,"n_aux":${auxResults.size},""" +
       ingestKeys +
       f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir",""" +
       s""""detail":"BENCH_DETAIL.json","queries":${qJson(top, 2)}}""")
