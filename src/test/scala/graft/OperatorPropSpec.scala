@@ -82,6 +82,50 @@ class OperatorPropSpec extends AnyFunSuite {
     graft.operators.Dedup.jaccardPairs(df, "doc_id", "text", 3, threshold, maxShingleDf = cap)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
+  test("incremental view maintenance equals full recompute on random mutation streams") {
+    import graft.operators.MergeUpsert
+    for (seed <- Seq(3L, 17L, 71L)) {
+      val rng = new scala.util.Random(seed)
+      val groups = Vector("a", "b", "c", "d")
+      val before = (0L until 200L).map(id =>
+        (id, groups(rng.nextInt(4)), rng.nextInt(1000).toLong))
+      // random mutation: ~1/4 deleted, ~1/4 updated (value and/or
+      // group), ~1/8 of ids re-inserted under fresh keys
+      val after = before.flatMap { case (id, g, v) =>
+        rng.nextInt(4) match {
+          case 0 => None                                         // delete
+          case 1 => Some((id, groups(rng.nextInt(4)), rng.nextInt(1000).toLong))
+          case _ => Some((id, g, v))                             // keep
+        }
+      } ++ (0 until 25).map(i =>
+        (1000L + i, groups(rng.nextInt(4)), rng.nextInt(1000).toLong))
+      val bdf = before.toDF("id", "g", "v")
+      val adf = after.toDF("id", "g", "v")
+      val sums = bdf.groupBy("g")
+        .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_val"))
+      val mm = bdf.groupBy("g")
+        .agg(count(lit(1)).as("n_rows"), min("v").as("min_val"), max("v").as("max_val"))
+      for (parts <- Seq(1, 5)) {
+        val gotSums = MergeUpsert.maintainGroupSums(sums,
+            bdf.repartition(parts), adf, "id", "g", "v")
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val fullSums = adf.groupBy("g")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(gotSums === fullSums, s"sums seed=$seed parts=$parts")
+        val gotMm = MergeUpsert.maintainGroupMinMax(mm,
+            bdf.repartition(parts), adf, "id", "g", "v")
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        val fullMm = adf.groupBy("g")
+          .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        assert(gotMm === fullMm, s"minmax seed=$seed parts=$parts")
+      }
+    }
+  }
+
   test("jaccardPairs posting-list cap: identical pairs when near-dups share rare shingles") {
     // 40 docs in 20 near-dup pairs; EVERY doc also carries a universal
     // boilerplate phrase (df=40). With the cap the universal shingles
