@@ -85,4 +85,39 @@ object Relevance {
   private def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(size(TextFunctions.tokens(col(textCol))).cast("long").as("l"))
       .agg(sum("l").as("t_total"), count(lit(1)).as("n_docs"))
+
+  /** D100 — reciprocal-rank fusion (Cormack et al., SIGIR'09): merge
+    * the ranked lists of heterogeneous retrievers (BM25 text search,
+    * vector ANN, …) by summing floor(scale/(k0+rank)) per list —
+    * score scales never need calibrating against each other, which is
+    * WHY hybrid retrieval ships RRF rather than score mixing. Fixed
+    * point (default scale 10^6, k0=60 per the paper) keeps every
+    * contribution integral, so an SQL oracle replays the fusion
+    * bit-for-bit.
+    *
+    * Inputs are (idCol, rank) lists — the k-bounded OUTPUT of top-k
+    * retrievers, so every frame here is k·|lists|-sized: the outer
+    * joins, the fused sum, and the final rank window all run over
+    * candidate rows, never a corpus. Ties break to the lowest id.
+    *
+    * @return (idCol, n_lists, rrf_micro, rank) for rank ≤ topK
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, topK: Int,
+      k0: Int = 60, scale: Long = 1000000L): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    require(topK > 0 && k0 >= 0 && scale > 0, "invalid rrf parameters")
+    val contribs = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(idCol),
+        expr(s"$scale div ($k0 + rank)").as(s"__c$i"))
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val cCols = lists.indices.map(i => col(s"__c$i"))
+    val fused = joined.select(col(idCol),
+      cCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _).cast("long").as("n_lists"),
+      cCols.map(c => coalesce(c, lit(0L))).reduce(_ + _).as("rrf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_micro").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

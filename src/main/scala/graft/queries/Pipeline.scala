@@ -1452,6 +1452,65 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D100 — hybrid retrieval via reciprocal-rank fusion: the BM25
+    * text top-50 and the exact-cosine vector top-50 (query = vec 0,
+    * doc_id ≡ vec_id by testdata contract) fuse as
+    * Σ floor(10^6/(60+rank)) — the calibration-free merge hybrid
+    * search actually ships. The oracle replays BOTH retrievers, both
+    * rank windows, the fixed-point fusion, and the fused ranking — a
+    * list mis-ranked, a missing single-list doc, or a float fusion
+    * all break the hash.
+    */
+  val qHybridRrf: GateQuery = GateQuery(
+    "q_hybrid_rrf",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+       |st AS (SELECT (SELECT COUNT(*) FROM toks) AS t_total,
+       |              (SELECT COUNT(*) FROM documents) AS n_docs),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+       |       WHERE w IN ('join', 'scan', 'window') GROUP BY doc_id, w),
+       |ts AS (SELECT tf.doc_id,
+       |         CAST(SUM((1000000 * 22 * tf.tf * st.t_total) // (10 * st.t_total * tf.tf + 3 * st.t_total + 9 * dl.len * st.n_docs)) AS BIGINT) AS sat
+       |       FROM tf JOIN dl USING (doc_id), st
+       |       GROUP BY tf.doc_id),
+       |tr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sat DESC, doc_id) AS rank FROM ts),
+       |trk AS (SELECT doc_id, rank FROM tr WHERE rank <= 50),
+       |$embCte,
+       |vs AS (SELECT c.vec_id AS doc_id,
+       |         ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+       |       FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |       WHERE q.vec_id = 0),
+       |vr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank FROM vs),
+       |vrk AS (SELECT doc_id, rank FROM vr WHERE rank <= 50),
+       |f AS (SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       |        CAST(CASE WHEN t.rank IS NOT NULL THEN 1 ELSE 0 END
+       |           + CASE WHEN v.rank IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_lists,
+       |        CAST(COALESCE(1000000 // (60 + t.rank), 0) + COALESCE(1000000 // (60 + v.rank), 0) AS BIGINT) AS rrf_micro
+       |      FROM trk t FULL OUTER JOIN vrk v ON v.doc_id = t.doc_id)
+       |SELECT doc_id, n_lists, rrf_micro, rank FROM (
+       |  SELECT doc_id, n_lists, rrf_micro,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+       |  FROM f)
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val wT = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sat_score").desc, col("doc_id"))
+    val textList = Relevance.bm25SaturationExact(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "scan", "window"))
+      // rank window runs over query-term-MATCHED docs only (the tf
+      // filter bounds it), not the corpus
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= 50)
+      .select("doc_id", "rank")
+    val emb = Tables(s, dir, "embeddings")
+    val vecList = Similarity.knnBruteForce(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 50)
+      .select(col("cid").as("doc_id"), col("rk").as("rank"))
+    Relevance.rrfFuse(Seq(textList, vecList), "doc_id", topK = 20)
+      .orderBy("rank")
+  }
+
   /** D55 — persisted inverted-index search: build the index, query
     * THROUGH it, and the scores must equal the from-scratch
     * integer-exact BM25 — same oracle as q_bm25, so a routing bug
@@ -3375,7 +3434,7 @@ object Pipeline {
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
-    qRarity, qBm25, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
+    qRarity, qBm25, qHybridRrf, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,

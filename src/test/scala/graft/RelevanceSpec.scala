@@ -58,4 +58,24 @@ class RelevanceSpec extends AnyFunSuite {
       Relevance.bm25(docs, "doc_id", "text", Nil)
     }
   }
+
+  test("rrfFuse: hand-worked fusion, single-list docs, tie to lowest id, topK bound") {
+    import spark.implicits._
+    // list A ranks docs 1,2,3; list B ranks 2,3,4.
+    // contributions (scale 1e6, k0 60): r1=16393, r2=16129, r3=15873
+    // doc2: 16129+16393=32522; doc3: 15873+16129=32002;
+    // doc1: 16393 (A only); doc4: 15873 (B only)
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val got = Relevance.rrfFuse(Seq(a, b), "doc_id", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq((2L, 2L, 32522L, 1), (3L, 2L, 32002L, 2),
+      (1L, 1L, 16393L, 3)), got.toSeq.toString)
+    // equal ranks in disjoint lists -> equal scores -> lowest id first
+    val c = Seq((9L, 1)).toDF("doc_id", "rank")
+    val d = Seq((5L, 1)).toDF("doc_id", "rank")
+    val tie = Relevance.rrfFuse(Seq(c, d), "doc_id", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(tie.toSeq === Seq((5L, 1), (9L, 2)))
+  }
 }
