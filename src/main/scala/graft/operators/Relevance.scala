@@ -102,6 +102,61 @@ object Relevance {
     *
     * @return (idCol, n_lists, rrf_micro, rank) for rank ≤ topK
     */
+  /** D101 — pseudo-relevance-feedback query expansion (the RM3 shape):
+    * search once, mine expansion terms from the top `fbDocs` results,
+    * search again with the expanded query, and mix. All integer:
+    * expansion weight = floor(scale·fb_tf/corpus_tf) (rarity-
+    * normalized feedback term frequency — a corpus-common term needs
+    * proportionally more feedback mass to qualify, the stopword
+    * guard), term selection = top `fbTerms` by (weight DESC, term
+    * ASC), final score = 2·orig_sat + exp_sat (original terms keep
+    * double weight). Every step replays in SQL.
+    *
+    * Scale shape: the feedback set is fbDocs rows (driver-collected —
+    * bounded by contract, like the ANN query batch); candidate
+    * expansion vocabulary is the feedback docs' token set (≤ fbDocs ·
+    * max_doc_tokens, broadcast); corpus_tf for candidates only rides
+    * a broadcast-filtered token pass; both scoring passes are the
+    * D56 BM25 shape (matched-pairs-only shuffles).
+    *
+    * @return (doc_id, orig_sat, exp_sat, final_sat) for every doc
+    *         matching either query; absent-side scores are 0
+    */
+  def prfExpandedSearch(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], fbDocs: Int, fbTerms: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0, "invalid feedback parameters")
+    val s0 = bm25SaturationExact(docs, idCol, textCol, terms, scale)
+    val fbIds = s0.orderBy(col("sat_score").desc, col("doc_id"))
+      .limit(fbDocs).select("doc_id")
+      .collect().map(_.getLong(0))
+    val fbTok = docs
+      .filter(col(idCol).isin(fbIds: _*))
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(!col("w").isin(terms: _*) && col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("fb_tf"))
+    val corpusTf = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .join(broadcast(fbTok.select("w")), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("c_tf"))
+    val expTerms = fbTok.join(corpusTf, "w")
+      .withColumn("weight", expr(s"fb_tf * $scale div c_tf"))
+      .orderBy(col("weight").desc, col("w"))
+      .limit(fbTerms)
+      .select("w").collect().map(_.getString(0)).toSeq
+    val s1 =
+      if (expTerms.isEmpty) // degenerate corpus: nothing to expand with
+        s0.select(col("doc_id"), lit(0L).as("sat_score")).limit(0)
+      else bm25SaturationExact(docs, idCol, textCol, expTerms, scale)
+    s0.select(col("doc_id"), col("sat_score").as("orig_sat"))
+      .join(s1.select(col("doc_id"), col("sat_score").as("exp_sat")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("orig_sat"), lit(0L)).as("orig_sat"),
+        coalesce(col("exp_sat"), lit(0L)).as("exp_sat"))
+      .withColumn("final_sat", col("orig_sat") * 2 + col("exp_sat"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], idCol: String, topK: Int,
       k0: Int = 60, scale: Long = 1000000L): DataFrame = {
     require(lists.nonEmpty, "rrf needs at least one ranked list")

@@ -1452,6 +1452,58 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D101 — pseudo-relevance-feedback search (RM3 shape): BM25 once,
+    * mine the top-10 results for rarity-normalized expansion terms
+    * (floor(1e6·fb_tf/corpus_tf), top 5 by weight then term), BM25
+    * again with the expansion set, final = 2·orig + exp. The oracle
+    * replays BOTH scoring passes, the feedback cut, the expansion
+    * term selection (via dynamic IN, no literal list), and the
+    * integer mix — a stopword leaking into the expansion set or a
+    * drifted second-pass score rewrites many rows.
+    */
+  val qPrfSearch: GateQuery = GateQuery(
+    "q_prf_search",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+      |st AS (SELECT (SELECT COUNT(*) FROM toks) AS t_total,
+      |              (SELECT COUNT(*) FROM documents) AS n_docs),
+      |tf0 AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      |        WHERE w IN ('join', 'scan', 'window') GROUP BY doc_id, w),
+      |s0 AS (SELECT tf0.doc_id,
+      |         CAST(SUM((1000000 * 22 * tf0.tf * st.t_total) // (10 * st.t_total * tf0.tf + 3 * st.t_total + 9 * dl.len * st.n_docs)) AS BIGINT) AS sat
+      |       FROM tf0 JOIN dl USING (doc_id), st
+      |       GROUP BY tf0.doc_id),
+      |fb AS (SELECT doc_id FROM (
+      |         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sat DESC, doc_id) AS rk
+      |         FROM s0) WHERE rk <= 10),
+      |fbt AS (SELECT w, COUNT(*) AS fb_tf FROM toks
+      |        WHERE doc_id IN (SELECT doc_id FROM fb)
+      |          AND w NOT IN ('join', 'scan', 'window') AND w <> ''
+      |        GROUP BY w),
+      |ctf AS (SELECT toks.w, COUNT(*) AS c_tf FROM toks
+      |        WHERE toks.w IN (SELECT w FROM fbt) GROUP BY toks.w),
+      |expw AS (SELECT fbt.w, CAST(fbt.fb_tf * 1000000 // ctf.c_tf AS BIGINT) AS weight
+      |         FROM fbt JOIN ctf ON ctf.w = fbt.w),
+      |expt AS (SELECT w FROM (
+      |           SELECT w, ROW_NUMBER() OVER (ORDER BY weight DESC, w) AS rk
+      |           FROM expw) WHERE rk <= 5),
+      |tf1 AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      |        WHERE w IN (SELECT w FROM expt) GROUP BY doc_id, w),
+      |s1 AS (SELECT tf1.doc_id,
+      |         CAST(SUM((1000000 * 22 * tf1.tf * st.t_total) // (10 * st.t_total * tf1.tf + 3 * st.t_total + 9 * dl.len * st.n_docs)) AS BIGINT) AS sat
+      |       FROM tf1 JOIN dl USING (doc_id), st
+      |       GROUP BY tf1.doc_id)
+      |SELECT COALESCE(s0.doc_id, s1.doc_id) AS doc_id,
+      |  CAST(COALESCE(s0.sat, 0) AS BIGINT) AS orig_sat,
+      |  CAST(COALESCE(s1.sat, 0) AS BIGINT) AS exp_sat,
+      |  CAST(COALESCE(s0.sat, 0) * 2 + COALESCE(s1.sat, 0) AS BIGINT) AS final_sat
+      |FROM s0 FULL OUTER JOIN s1 ON s1.doc_id = s0.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Relevance.prfExpandedSearch(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "scan", "window"), fbDocs = 10, fbTerms = 5)
+      .orderBy("doc_id")
+  }
+
   /** D100 — hybrid retrieval via reciprocal-rank fusion: the BM25
     * text top-50 and the exact-cosine vector top-50 (query = vec 0,
     * doc_id ≡ vec_id by testdata contract) fuse as
@@ -3434,7 +3486,7 @@ object Pipeline {
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
-    qRarity, qBm25, qHybridRrf, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
+    qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,

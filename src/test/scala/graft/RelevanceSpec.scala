@@ -59,6 +59,27 @@ class RelevanceSpec extends AnyFunSuite {
     }
   }
 
+  test("prfExpandedSearch: expansion terms come from feedback docs, rarity-weighted, final mix exact") {
+    import spark.implicits._
+    // query 'q'. doc 1 matches and is the only feedback doc; its other
+    // terms: 'rare' (corpus_tf 1 -> weight 1e6) and 'common' (corpus_tf
+    // 3 -> weight 333333). fbTerms=1 must pick 'rare' and NOT 'common';
+    // doc 2 contains 'rare' so it gains exp_sat while doc 3 ('common'
+    // only) must stay absent.
+    val docs = Seq((1L, "q rare common"), (2L, "rare x y"), (3L, "common z w"),
+      (4L, "common u v")).toDF("doc_id", "text")
+    val got = Relevance.prfExpandedSearch(docs, "doc_id", "text", Seq("q"),
+        fbDocs = 1, fbTerms = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // T=12 tokens, N=4 docs, len=3 everywhere, tf=1:
+    // sat = floor(1e6*22*12 / (120 + 36 + 9*3*4)) = floor(264e6/264) = 1000000
+    val unit = 1000000L * 22 * 12 / (10L * 12 + 3 * 12 + 9 * 3 * 4)
+    assert(got(1L) === ((unit, unit, 3 * unit))) // matches 'q' AND its own 'rare'
+    assert(got(2L) === ((0L, unit, unit)))       // expansion-only match
+    assert(!got.contains(3L) && !got.contains(4L), "common must not be selected")
+  }
+
   test("rrfFuse: hand-worked fusion, single-list docs, tie to lowest id, topK bound") {
     import spark.implicits._
     // list A ranks docs 1,2,3; list B ranks 2,3,4.
