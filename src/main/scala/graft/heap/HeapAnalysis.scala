@@ -598,6 +598,57 @@ final class HeapAnalysis(t: HeapTables) {
       .orderBy(col("n_traces").desc, col("depth_bucket"))
   }
 
+  // -- B20: referrer-graph analytics ----------------------------------
+  /** Every object→object reference edge in the heap: instance ref
+    * fields (the columns `_fields` marks `field_type = 'object'` —
+    * schema alone cannot tell a long VALUE from a robo ref) plus
+    * object-array elements. Null refs (id 0) drop. The field list is
+    * driver-collected metadata bounded by class count × arity; the
+    * edge frame itself is a union of per-class projections and one
+    * posexplode — scan-shaped, no joins, no shuffle until the
+    * consumer aggregates.
+    */
+  def refEdges: Option[DataFrame] = t.system("_fields").map { fm =>
+    val refFields = fm.filter(col("field_type") === "object")
+      .select("class_name", "field_name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val fieldEdges = refFields.toSeq.flatMap { case (cls, fld) =>
+      t.byClass(cls).map { df =>
+        df.select(col("obj_id").as("src"),
+          HeapTables.refField(df, fld).as("dst"),
+          lit(cls).as("src_class"), lit(fld).as("via"))
+      }
+    }
+    val arrEdges = t.system("_object_arrays").map { oa =>
+      oa.select(col("obj_id").as("src"), explode(col("elements")).as("dst"),
+        col("class_name").as("src_class"), lit("[]").as("via"))
+    }
+    (fieldEdges ++ arrEdges.toSeq)
+      .reduce(_ unionByName _)
+      .filter(col("dst") =!= 0L)
+  }
+
+  /** B20 — shared-object census: the in-degree distribution of the
+    * reference graph rolled up by REFERENCED type. High max_in_deg on
+    * a value-like type (boxed numbers, interned-able strings, shared
+    * byte arrays) is the sharing signal the dup checks approach from
+    * the content side — this is the same waste read off the graph
+    * side, and the natural first question of any retained-size
+    * investigation. Targets without an index row (unresolved ids)
+    * drop, mirroring the reference's resolver behavior.
+    */
+  def referrerStats: Option[DataFrame] = for {
+    edges <- refEdges
+    oi <- t.system("_object_index")
+  } yield {
+    val deg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    deg.join(oi, deg("dst") === oi("obj_id"))
+      .groupBy("type_name")
+      .agg(count(lit(1)).as("n_referenced"),
+        sum("in_deg").as("n_refs"),
+        max("in_deg").as("max_in_deg"))
+  }
+
   def checkThreadStacks(): Option[WasteFinding] = t.system("_stack_traces").flatMap { traces =>
     val traceCount = traces.count()
     if (traceCount == 0) None else {

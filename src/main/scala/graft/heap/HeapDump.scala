@@ -236,6 +236,23 @@ final class HeapDump(spark: SparkSession, path: String) {
           sup.map(_.name))
       }.toDF("class_obj_id", "class_name", "super_class_obj_id", "super_class_name")
 
+  // -- A18: per-class field-layout metadata ---------------------------
+  /** One row per instance-field slot of every class's FULL layout (own
+    * fields then the super chain — the exact decode order of the
+    * per-class tables). This is the export-side record of what the
+    * parser knew: a robo-mode schema alone cannot tell a long VALUE
+    * field from a reference field (both land as BIGINT), so any
+    * generic graph analytics over the export — referrer counts,
+    * ownership chains — needs `field_type = 'object'` to find the
+    * reference columns without hardcoding JDK class shapes.
+    */
+  def fieldsTable: DataFrame =
+    index.classes.values.toSeq.sortBy(_.objId).flatMap { c =>
+      c.layout.zipWithIndex.map { case (f, i) =>
+        (c.objId, c.name, i, f.name, HprofModel.BasicType.javaName(f.typeTag))
+      }
+    }.toDF("class_obj_id", "class_name", "slot_idx", "field_name", "field_type")
+
   // -- A6: object arrays ----------------------------------------------
   def objectArrays: DataFrame = {
     val names = bcClassNames
@@ -425,6 +442,7 @@ final class HeapDump(spark: SparkSession, path: String) {
 
     // driver-side tables come from the pass-1 index: no heap re-scan
     w(classHierarchy, "_class_hierarchy")
+    w(fieldsTable, "_fields")
     w(stackFrames, "_stack_frames")
     w(stackTraces, "_stack_traces")
 

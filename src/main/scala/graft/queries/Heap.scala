@@ -801,6 +801,44 @@ object Heap {
       .orderBy("kind", "type_name")
   }
 
+  /** B20 — shared-object census off the reference graph: edges come
+    * from `_fields`-driven ref columns (String.value, HashMap.table,
+    * ArrayList.elementData in the demo heap) plus object-array
+    * elements, rolled up by referenced type with in-degree stats. The
+    * oracle re-derives every edge from the exported parquet with the
+    * demo classes' ref fields stated explicitly — a field wrongly
+    * typed in `_fields` (value field counted as a ref, or a ref
+    * missed) changes edge counts and breaks the hash.
+    */
+  val qHeapReferrers: GateQuery = GateQuery(
+    "q_heap_referrers",
+    s"""WITH e AS (
+       |  SELECT s.value AS dst
+       |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
+       |  WHERE s.value <> 0
+       |  UNION ALL
+       |  SELECT h."table" FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
+       |  WHERE h."table" <> 0
+       |  UNION ALL
+       |  SELECT a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
+       |  WHERE a.elementData <> 0
+       |  UNION ALL
+       |  SELECT dst FROM (
+       |    SELECT unnest(o.elements) AS dst
+       |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
+       |  WHERE dst <> 0),
+       |d AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY dst),
+       |j AS (SELECT oi.type_name, d.in_deg
+       |      FROM d JOIN read_parquet('$exportDir/_object_index/*.parquet') oi
+       |        ON oi.obj_id = d.dst)
+       |SELECT type_name, CAST(COUNT(*) AS BIGINT) AS n_referenced,
+       |  CAST(SUM(in_deg) AS BIGINT) AS n_refs,
+       |  CAST(MAX(in_deg) AS BIGINT) AS max_in_deg
+       |FROM j GROUP BY type_name
+       |ORDER BY type_name""".stripMargin) { (s, _) =>
+    analysis(s).referrerStats.get.orderBy("type_name")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
@@ -808,6 +846,7 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
+    qHeapReferrers,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
 }

@@ -91,6 +91,20 @@ class HeapDumpSpec extends AnyFunSuite {
     assert(hd.index.classes(f.stringCls).layout.map(_.name) === Seq("value", "hash"))
   }
 
+  test("fieldsTable records full layouts with exact slot order and types") {
+    val (hd, f) = fixture
+    val rows = hd.fieldsTable.collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getString(3), r.getString(4)))
+    // Employee layout: own (name: object, salary) then super Person's
+    // shadowed name (object) and age — slot order IS decode order
+    val emp = rows.filter(_._1 == "com.acme.Employee").sortBy(_._2)
+    assert(emp.map(t => (t._2, t._3, t._4)).toSeq === Seq(
+      (0, "name", "object"), (1, "salary", "double"),
+      (2, "Person@name", "object"), (3, "age", "int")))
+    val str = rows.filter(_._1 == "java.lang.String").sortBy(_._2)
+    assert(str.map(t => (t._3, t._4)).toSeq === Seq(("value", "object"), ("hash", "int")))
+  }
+
   test("objectIndex covers instances, arrays and classes") {
     val (hd, f) = fixture
     val idx = hd.objectIndex.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
