@@ -649,6 +649,48 @@ final class HeapAnalysis(t: HeapTables) {
         max("in_deg").as("max_in_deg"))
   }
 
+  /** B21 — unique-owner ownership collapse, the first-order retained
+    * size: an object with exactly ONE incoming reference is wholly
+    * owned by its referrer, so ownership chains (String→byte[],
+    * List→Object[]→elements — the chains real leak reports are made
+    * of) collapse upward. `rounds` linear owner-chase steps assign
+    * every object an owner ROOT (an object not uniquely owned, or a
+    * chain deeper than `rounds` — both deterministically stay put);
+    * the rollup reports, per root TYPE, how many roots exist, how
+    * many objects collapse into them, and the worst single owner.
+    * Exact retained size needs a dominator tree; this is the cheap
+    * graph half that covers the single-referrer majority, and every
+    * step replays in SQL as an unrolled LEFT JOIN.
+    *
+    * Scale shape: `own` is one aggregate of the edge scan; each round
+    * is one hash join of fixed-width (o, p) rows against the
+    * owner-sized table; the rollup is an aggregate + index join. No
+    * driver state beyond the bounded `_fields` metadata.
+    */
+  def ownershipCollapse(rounds: Int = 8): Option[DataFrame] = for {
+    edges <- refEdges
+    oi <- t.system("_object_index")
+  } yield {
+    val own = edges.groupBy("dst")
+      .agg(count(lit(1)).as("__deg"), min("src").as("owner"))
+      .filter(col("__deg") === 1)
+      .select(col("dst").as("o"), col("owner"))
+      .localCheckpoint() // consumed once per round
+    var p = oi.select(col("obj_id").as("o"))
+      .join(own, Seq("o"), "left")
+      .select(col("o"), coalesce(col("owner"), col("o")).as("p"))
+    for (_ <- 1 until rounds) {
+      p = p.join(own.select(col("o").as("p"), col("owner").as("__p2")),
+          Seq("p"), "left")
+        .select(col("o"), coalesce(col("__p2"), col("p")).as("p"))
+    }
+    val sizes = p.groupBy("p").agg(count(lit(1)).as("owned"))
+    sizes.join(oi, sizes("p") === oi("obj_id"))
+      .groupBy("type_name")
+      .agg(count(lit(1)).as("n_roots"), sum("owned").as("total_owned"),
+        max("owned").as("max_owned"))
+  }
+
   def checkThreadStacks(): Option[WasteFinding] = t.system("_stack_traces").flatMap { traces =>
     val traceCount = traces.count()
     if (traceCount == 0) None else {

@@ -839,6 +839,56 @@ object Heap {
     analysis(s).referrerStats.get.orderBy("type_name")
   }
 
+  /** B21 — unique-owner ownership collapse (first-order retained
+    * size): deg-1 targets chase their owner chain for 8 unrolled
+    * steps, every object lands on an owner root, and the rollup
+    * reports roots/owned/max per root type. The oracle restates the
+    * edge union WITH sources, the unique-owner aggregate, all 8
+    * chase steps as LEFT JOINs, and the final rollup — a chase step
+    * skipped, a non-unique owner kept, or a root typed off the wrong
+    * side all break the hash.
+    */
+  val qHeapOwnership: GateQuery = {
+    val rounds = 8
+    val chase = (1 until rounds).map { k =>
+      s"""p$k AS (SELECT q.o, COALESCE(w.owner, q.p) AS p
+         |       FROM p${k - 1} q LEFT JOIN own w ON w.o = q.p)""".stripMargin
+    }.mkString(",\n")
+    GateQuery(
+      "q_heap_ownership",
+      s"""WITH e AS (
+         |  SELECT s.obj_id AS src, s.value AS dst
+         |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
+         |  WHERE s.value <> 0
+         |  UNION ALL
+         |  SELECT h.obj_id, h."table" FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
+         |  WHERE h."table" <> 0
+         |  UNION ALL
+         |  SELECT a.obj_id, a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
+         |  WHERE a.elementData <> 0
+         |  UNION ALL
+         |  SELECT src, dst FROM (
+         |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
+         |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
+         |  WHERE dst <> 0),
+         |own AS (SELECT dst AS o, MIN(src) AS owner FROM e
+         |        GROUP BY dst HAVING COUNT(*) = 1),
+         |oi AS (SELECT obj_id, type_name
+         |       FROM read_parquet('$exportDir/_object_index/*.parquet')),
+         |p0 AS (SELECT oi.obj_id AS o, COALESCE(w.owner, oi.obj_id) AS p
+         |       FROM oi LEFT JOIN own w ON w.o = oi.obj_id),
+         |$chase,
+         |sz AS (SELECT p AS root, COUNT(*) AS owned FROM p${rounds - 1} GROUP BY p)
+         |SELECT oi.type_name, CAST(COUNT(*) AS BIGINT) AS n_roots,
+         |  CAST(SUM(sz.owned) AS BIGINT) AS total_owned,
+         |  CAST(MAX(sz.owned) AS BIGINT) AS max_owned
+         |FROM sz JOIN oi ON oi.obj_id = sz.root
+         |GROUP BY oi.type_name
+         |ORDER BY oi.type_name""".stripMargin) { (s, _) =>
+      analysis(s).ownershipCollapse(rounds).get.orderBy("type_name")
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
@@ -846,7 +896,7 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
-    qHeapReferrers,
+    qHeapReferrers, qHeapOwnership,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
 }
