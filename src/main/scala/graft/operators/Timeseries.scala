@@ -337,6 +337,37 @@ object Timeseries {
         col("mean_micro"), col("sad_micro"))
   }
 
+  /** E38 — seasonally-adjusted anomaly flags: an event is anomalous
+    * when its deviation from the (group, hour-of-day) seasonal mean
+    * exceeds `k`× the profile's mean absolute deviation — the
+    * seasonal-naive detector E36's profile exists to feed, and the
+    * one a plain rolling z-score cannot imitate (a 9am spike is
+    * normal at 9am and anomalous at 3am). Integer-exact: the flag is
+    * the cross-multiplied compare |x − mean|·n > k·sad (both sides
+    * BIGINT; sad/n IS the group's mean abs deviation), so no float
+    * threshold ever drifts between engines.
+    *
+    * Scale shape: E36's two corpus aggregates build the profile; the
+    * flag pass joins each row against the broadcast 24·|groups|-row
+    * profile map-side — one corpus-keyed exchange total, nothing
+    * sorted or windowed.
+    */
+  def seasonalAnomalies(events: DataFrame, idCol: String, groupCol: String,
+      tsCol: String, valCol: String, k: Int): DataFrame = {
+    require(k > 0, s"invalid threshold multiple $k")
+    val prof = seasonalProfile(events, groupCol, tsCol, valCol)
+      .select(col(groupCol), col("hod"), col("n"),
+        col("mean_micro"), col("sad_micro"))
+    events.select(col(idCol), col(groupCol),
+        hour(col(tsCol)).cast("int").as("hod"),
+        floor(col(valCol) * 1000000).cast("long").as("x_micro"))
+      .join(broadcast(prof), Seq(groupCol, "hod"))
+      .withColumn("dev_micro", abs(col("x_micro") - col("mean_micro")))
+      .filter(col("dev_micro") * col("n") > lit(k.toLong) * col("sad_micro"))
+      .select(col(idCol), col(groupCol), col("hod"), col("x_micro"),
+        col("mean_micro"), col("dev_micro"))
+  }
+
   def transitionMatrix(events: DataFrame, idCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))

@@ -368,8 +368,42 @@ object Events2 {
       .orderBy("event_type", "hod")
   }
 
+  /** E38 — seasonally-adjusted anomalies: flag events whose deviation
+    * from the (event_type, hour-of-day) seasonal mean exceeds 3× the
+    * profile's mean absolute deviation, via the integer
+    * cross-multiplied compare |x−mean|·n > 3·sad. The oracle rebuilds
+    * the whole profile and replays the compare — a drifted mean, a
+    * wrong n, or a float threshold all change the flagged set.
+    */
+  val qSeasonalAnomaly: GateQuery = GateQuery(
+    "q_seasonal_anomaly",
+    """WITH base AS (
+      |  SELECT event_id, event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+      |    CAST(FLOOR(value * 1000000) AS BIGINT) AS x
+      |  FROM events),
+      |prof AS (
+      |  SELECT event_type, hod, COUNT(*) AS n, SUM(x) AS sx
+      |  FROM base GROUP BY 1, 2),
+      |p2 AS (SELECT event_type, hod, n,
+      |         CAST(sx // n AS BIGINT) AS mean_micro FROM prof),
+      |resid AS (
+      |  SELECT b.event_type, b.hod, CAST(SUM(ABS(b.x - p.mean_micro)) AS BIGINT) AS sad_micro
+      |  FROM base b JOIN p2 p USING (event_type, hod)
+      |  GROUP BY 1, 2)
+      |SELECT b.event_id, b.event_type, b.hod, b.x AS x_micro,
+      |  p.mean_micro, CAST(ABS(b.x - p.mean_micro) AS BIGINT) AS dev_micro
+      |FROM base b
+      |JOIN p2 p USING (event_type, hod)
+      |JOIN resid r USING (event_type, hod)
+      |WHERE ABS(b.x - p.mean_micro) * p.n > 3 * r.sad_micro
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    graft.operators.Timeseries.seasonalAnomalies(
+        Tables(s, dir, "events"), "event_id", "event_type", "ts", "value", k = 3)
+      .orderBy("event_id")
+  }
+
   val all: Seq[GateQuery] =
     Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow,
       qAnomaly, qOhlcBars, qEwma, qLinearTrend, qMadOutliers, qPareto,
-      qSeasonal)
+      qSeasonal, qSeasonalAnomaly)
 }

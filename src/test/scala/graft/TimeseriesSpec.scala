@@ -244,6 +244,29 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalAnomalies: hourly baseline flags the off-profile point, boundary exact") {
+    // (g=a, hour 3) across five days: 1.0 ×8 calm + one 9.0 spike.
+    //   x: 1e6 ×8, 9e6 → mean = 17e6 div 9 = 1888888
+    //   devs: calm 888888, spike 7111112
+    //   sad = 8·888888 + 7111112 = 14222216
+    //   k=3 rule: dev·9 > 3·14222216 = 42666648
+    //     spike: 7111112·9 = 64000008 → FLAGGED
+    //     calm:    888888·9 =  7999992 → not flagged
+    // (a lone spike among FEW points inflates its own baseline enough
+    // to stay unflagged — that robustness is the point of the
+    // mean-abs-dev denominator, and why the fixture needs 8 calm rows)
+    val rows = (1 to 8).map(i => (i.toLong, "a", s"2024-01-0${(i % 4) + 1} 03:00:00", 1.0)) :+
+      ((9L, "a", "2024-01-05 03:30:00", 9.0))
+    val df = rows.toDF("event_id", "g", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    for (parts <- Seq(1, 3)) {
+      val got = graft.operators.Timeseries.seasonalAnomalies(
+          df.repartition(parts), "event_id", "g", "ts", "v", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(5)))
+      assert(got.toSeq === Seq((9L, 7111112L)), s"parts=$parts: ${got.toSeq}")
+    }
+  }
+
   test("containmentPairs catches doc-inside-doc that Jaccard misses") {
     import graft.operators.Dedup
     // B = A verbatim plus a long unrelated tail: containment(A,B)=100%
