@@ -536,4 +536,41 @@ object Graph {
       .select(col("v"),
         (lit(base) + expr(s"($d100 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
   }
+
+  /** D59b — personalized PageRank (random walk with restart to a SEED
+    * set — the "influence of these nodes" query behind
+    * recommendation, data-attribution, and similar-entity search,
+    * where global PageRank answers the wrong question). Identical
+    * integer arithmetic to [[pageRank]] — contributions
+    * `r div outdeg`, damped `d·s div 100` — except the restart mass
+    * `scale·(100−d)/100` lands ONLY on the seeds (split evenly), and
+    * rank initializes to `scale/|seeds|` at the seeds, 0 elsewhere.
+    * Same per-round cost: ONE dst-keyed partial-sum exchange; the
+    * seed test is a broadcast-literal predicate.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long], iters: Int,
+      scale: Long = 1000000000000L, d100: Long = 85L): DataFrame = {
+    require(seeds.nonEmpty, "personalized pagerank needs a seed set")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    val init = scale / seeds.length
+    val seedBase = (scale * (100L - d100) / 100L) / seeds.length
+    val isSeed = col("v").isin(seeds: _*)
+    var r = nodes.select(col("v"),
+      when(isSeed, init).otherwise(0L).cast("long").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(r, withDeg("src") === r("v"))
+        .select(col("dst").as("v"), expr("r div outdeg").as("c"))
+        .groupBy("v").agg(sum("c").as("s"))
+      r = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (when(isSeed, seedBase).otherwise(0L).cast("long") +
+            expr(s"($d100 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("v").as("node"), col("r").as("rank_ppt"))
+  }
 }

@@ -43,6 +43,68 @@ object Graphs {
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
 
+  /** D59b — personalized PageRank: restart mass lands only on the two
+    * lowest customer nodes in the trade graph (seed selection itself
+    * is data-derived and replayed), rank initializes at the seeds and
+    * diffuses 3 damped rounds. Oracle unrolls every round with the
+    * seed-conditional restart — a seed mis-picked, restart mass
+    * leaking to non-seeds, or a wrong split all shift every rank.
+    */
+  val qPersonalizedPr: GateQuery = GateQuery(
+    "q_ppr",
+    """WITH pairs AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |e AS (
+      |  SELECT c AS src, s AS dst FROM pairs
+      |  UNION
+      |  SELECT s AS src, c AS dst FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS v FROM e),
+      |sd AS (SELECT v FROM nodes WHERE v % 2 = 0 ORDER BY v LIMIT 2),
+      |b AS (SELECT CAST(1000000000000 // 2 AS BIGINT) AS init),
+      |bb AS (SELECT CAST(((1000000000000 * 15) // 100) // 2 AS BIGINT) AS sbase),
+      |r0 AS (SELECT nodes.v,
+      |         CASE WHEN nodes.v IN (SELECT v FROM sd)
+      |              THEN (SELECT init FROM b) ELSE 0 END AS r
+      |       FROM nodes),
+      |c1 AS (SELECT e.dst AS v, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS s
+      |       FROM e JOIN r0 ON r0.v = e.src JOIN deg ON deg.src = e.src
+      |       GROUP BY 1),
+      |r1 AS (SELECT nodes.v,
+      |         CASE WHEN nodes.v IN (SELECT v FROM sd)
+      |              THEN (SELECT sbase FROM bb) ELSE 0 END
+      |       + CAST((85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c1 ON c1.v = nodes.v),
+      |c2 AS (SELECT e.dst AS v, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS s
+      |       FROM e JOIN r1 ON r1.v = e.src JOIN deg ON deg.src = e.src
+      |       GROUP BY 1),
+      |r2 AS (SELECT nodes.v,
+      |         CASE WHEN nodes.v IN (SELECT v FROM sd)
+      |              THEN (SELECT sbase FROM bb) ELSE 0 END
+      |       + CAST((85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c2 ON c2.v = nodes.v),
+      |c3 AS (SELECT e.dst AS v, CAST(SUM(r2.r // deg.outdeg) AS BIGINT) AS s
+      |       FROM e JOIN r2 ON r2.v = e.src JOIN deg ON deg.src = e.src
+      |       GROUP BY 1),
+      |r3 AS (SELECT nodes.v,
+      |         CASE WHEN nodes.v IN (SELECT v FROM sd)
+      |              THEN (SELECT sbase FROM bb) ELSE 0 END
+      |       + CAST((85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c3 ON c3.v = nodes.v)
+      |SELECT v AS node, CAST(r AS BIGINT) AS rank_ppt FROM r3
+      |ORDER BY node""".stripMargin) { (s, dir) =>
+    val edges = tradeEdges(s, dir)
+    // seed selection replayed by the oracle: the two lowest customer
+    // nodes (even ids) present in the graph — bounded collect
+    val seeds = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .distinct().filter(col("v") % 2 === 0)
+      .orderBy("v").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    Graph.personalizedPageRank(edges, seeds, iters).orderBy("node")
+  }
+
   val qPagerank: GateQuery = GateQuery(
     "q_pagerank",
     """WITH pairs AS (
@@ -559,6 +621,6 @@ object Graphs {
   }
 
   val all: Seq[GateQuery] =
-    Seq(qGraphBuild, qPagerank, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict, qSssp,
+    Seq(qGraphBuild, qPagerank, qPersonalizedPr, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict, qSssp,
       qRandomWalk, qHits, qGraphProfile)
 }

@@ -38,6 +38,27 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank: restart mass confined to seeds, upstream-only nodes rank 0") {
+    // 1→2→3, 4→3: seed {1}. Node 4 has no in-edges and no restart, so
+    // its rank must be EXACTLY 0 every round; mass reaches 2 and 3
+    // only through the walk from 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    for (parts <- Seq(1, 3)) {
+      val got = Graph.personalizedPageRank(edges.repartition(parts),
+          seeds = Seq(1L), iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // r0: 1 -> S (init = S/|seeds| = S), others 0
+      // iter1: 1 -> sbase (restart only), 2 -> 85·S/100, 3 -> 0, 4 -> 0
+      // iter2: 1 -> sbase, 2 -> 85·sbase/100, 3 -> 85·(85·S/100)/100
+      val sbase = (S * 15 / 100) / 1
+      val r1_2 = 85L * S / 100
+      assert(got(1L) === sbase, got.toString)
+      assert(got(2L) === 85L * sbase / 100, got.toString)
+      assert(got(3L) === 85L * r1_2 / 100, got.toString)
+      assert(got(4L) === 0L, "no restart, no in-edges: rank must be exactly 0")
+    }
+  }
+
   test("rank mass is conserved up to bounded floor loss") {
     // star: center 0 — leaves 1..6, symmetric
     val edges = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L)))
