@@ -225,6 +225,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "n_inter", "jaccard")
 
+  /** D102 — LSH banding calibration audit ("measure, don't guess"
+    * applied to the MinHash parameters, the LSH sibling of the ANN
+    * recall audit): per Jaccard decile of the exact-verified candidate
+    * pairs, the EMPIRICAL band-collision rate next to the ANALYTIC
+    * s-curve 1−(1−j^r)^b — the two numbers that justify a
+    * (numHashes, numBands) choice before a 100 TB corpus relies on
+    * it. A decile where empirical and analytic diverge means the
+    * signature pipeline (not the theory) is broken; a threshold
+    * decile with low collision ppm means the banding misses real
+    * near-dups.
+    *
+    * Replayability: j is the IEEE double n_inter/union; j^r and
+    * (1−x)^b expand to EXPLICIT multiplications (no pow — library
+    * pow implementations differ), and each pair contributes
+    * floor(prob·10^6) as a BIGINT, so sums never depend on double
+    * fold order. Collision ppm is an integer cross-divide.
+    */
+  def lshCalibration(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, numBands: Int,
+      maxShingleDf: Int = 1000): DataFrame = {
+    require(numHashes % numBands == 0, "bands must evenly divide hashes")
+    val r = numHashes / numBands
+    val exact = jaccardPairs(docs, idCol, textCol, n, threshold = 0.0,
+      maxShingleDf).select("d1", "d2", "jaccard")
+    val bands = bandSignatures(docs, idCol, textCol, n, numHashes, numBands)
+    val collide = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val jr = (1 to r).map(_ => col("jaccard")).reduce(_ * _)
+    val miss1 = lit(1.0) - jr
+    val missB = (1 to numBands).map(_ => miss1).reduce(_ * _)
+    exact.join(collide, Seq("d1", "d2"), "left")
+      .withColumn("__prob_ppm",
+        floor((lit(1.0) - missB) * 1000000d).cast("long"))
+      .withColumn("decile", least(floor(col("jaccard") * 10).cast("int"), lit(9)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_collided"),
+        sum("__prob_ppm").as("__psum"))
+      .withColumn("collide_ppm", expr("n_collided * 1000000 div n_pairs"))
+      .withColumn("expected_ppm", expr("__psum div n_pairs"))
+      .select("decile", "n_pairs", "n_collided", "collide_ppm", "expected_ppm")
+  }
+
   /** D61 — asymmetric CONTAINMENT near-dup: |A∩B| / min(|A|,|B|).
     * Jaccard misses doc-inside-doc duplication (a page quoted whole
     * inside a larger page scores low on union but 100% on the smaller

@@ -293,6 +293,53 @@ object Pipeline {
       .orderBy("d_new", "d_corpus")
   }
 
+  /** D102 — LSH banding calibration: per Jaccard decile of the
+    * exact-verified candidate pairs, empirical band-collision ppm
+    * vs the analytic s-curve 1−(1−j³)⁴ in fixed point (explicit
+    * multiplications, no pow; per-pair floor(prob·10⁶) so no double
+    * sum-order). The oracle replays BOTH pipelines — exact
+    * verification AND the KM signature banding — plus the decile
+    * bucketing and both ppm reductions.
+    */
+  val qLshCalibration: GateQuery = GateQuery(
+    "q_lsh_calibration",
+    s"""WITH ${shingleCte(3)},
+       |${jaccardInterCte()},
+       |ex AS (SELECT i.d1, i.d2,
+       |         CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS j
+       |       FROM inter i
+       |       JOIN sizes s1 ON s1.doc_id = i.d1
+       |       JOIN sizes s2 ON s2.doc_id = i.d2),
+       |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+       |         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS h
+       |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band,
+       |            md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_sig
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |coll AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |p AS (SELECT ex.d1, ex.d2,
+       |        CASE WHEN coll.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+       |        CAST(FLOOR((1 - (1-j*j*j)*(1-j*j*j)*(1-j*j*j)*(1-j*j*j)) * 1000000) AS BIGINT) AS prob_ppm,
+       |        CAST(LEAST(FLOOR(j * 10), 9) AS INT) AS decile
+       |      FROM ex LEFT JOIN coll ON coll.d1 = ex.d1 AND coll.d2 = ex.d2)
+       |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(hit) AS BIGINT) AS n_collided,
+       |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS collide_ppm,
+       |  CAST(SUM(prob_ppm) // COUNT(*) AS BIGINT) AS expected_ppm
+       |FROM p GROUP BY decile
+       |ORDER BY decile""".stripMargin,
+    bench = false, slow = true) { (s, dir) =>
+    Dedup.lshCalibration(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 12, numBands = 4)
+      .orderBy("decile")
+  }
+
   /** D3 — 16-bit SimHash fingerprint per document. */
   val qDedupSimhash: GateQuery = {
     val hexVal = (k: Int) => s"(strpos('0123456789abcdef', substr(md5(w), $k, 1)) - 1)"
@@ -3475,7 +3522,7 @@ object Pipeline {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash,
+    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash, qLshCalibration,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
