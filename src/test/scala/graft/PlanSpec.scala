@@ -183,6 +183,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental view maintenance: hash-only diff exchange, broadcast value attach, no cartesian") {
+    val p = planOf("q_incr_agg")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // after-image values attach behind broadcast changed-key semi-joins
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // (the md5-before-exchange diff stage is materialized behind the
+    // changelog's localCheckpoint and so invisible to this plan; its
+    // shape is pinned by the q_changelog gate itself)
+  }
+
   test("pq rerank: raw-vector read pruned to shortlist ids, no cartesian, no UDF") {
     val p = planOf("q_pq_rerank")
     assert(!p.contains("ScalaUDF"), p)
