@@ -55,7 +55,9 @@ class GateQuerySpec extends AnyFunSuite {
   // Known-safe `//` uses: a plain-integer division whose result is only
   // a bounded intermediate (group key over generate_series ints), never
   // an output column — `//` over un-widened BIGINT stays BIGINT.
-  private val uncastDivExempt = Set("q_dedup_minhash")
+  // q_lsh_calibration shares q_dedup_minhash's bands CTE verbatim
+  // (i // 3 as a bounded group key); its output columns are all CAST
+  private val uncastDivExempt = Set("q_dedup_minhash", "q_lsh_calibration")
 
   for (q <- SparkEntry.gateQueries; sql <- q.oracle; if !uncastDivExempt(q.name)) {
     test(s"${q.name} oracle: every // line is CAST-wrapped") {
