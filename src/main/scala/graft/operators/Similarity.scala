@@ -36,6 +36,53 @@ object Similarity {
     * time, so at 100 TB the corpus can be stored bucketed and the
     * probe becomes a co-located join with zero corpus shuffle.
     */
+  /** D103 — dimension-truncation recall audit (the matryoshka
+    * question: how much of exact top-k survives if search uses only
+    * the first d′ dimensions? — the number that decides whether a
+    * prefix-truncated index, at 1/4 the bytes and FLOPs, is safe to
+    * deploy). For each d′ in `dims`, exact grid-L2 top-k on the
+    * d′-prefix is compared against full-dimension exact top-k per
+    * query; hits and integer recall_pct come back per (query, d′).
+    *
+    * One corpus pass: every truncated distance is a prefix-slice fold
+    * computed alongside the full distance in the same projection, so
+    * |dims| audits cost one broadcast-queries scan, not |dims| scans.
+    * Integer-exact on the floor(x·256) grid — replayable in SQL.
+    */
+  def truncationRecallAudit(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && k > 0, "invalid audit parameters")
+    val grid = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * 256d).cast("long"))
+    val q = queries.select(col(idCol).as("qid"), grid(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), grid(col(vecCol)).as("cv"))
+    def distPrefix(d: Int) = aggregate(
+      zip_with(slice(col("qv"), 1, d), slice(col("cv"), 1, d),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, t) => acc + t)
+    val fullDist = aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, t) => acc + t)
+    val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(Seq(col("qid"), col("cid"), fullDist.as("__df")) ++
+        dims.map(d => distPrefix(d).as(s"__d$d")): _*)
+      .localCheckpoint() // one corpus pass feeds |dims|+1 rankings
+    def topk(distCol: String) = {
+      val w = Window.partitionBy("qid").orderBy(col(distCol), col("cid"))
+      pairs.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k).select("qid", "cid")
+    }
+    val full = topk("__df").withColumn("__hit", lit(1L))
+    dims.map { d =>
+      topk(s"__d$d")
+        .join(full, Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("qid"), lit(d).as("dim"), col("n_hit"),
+          expr(s"n_hit * 100 div $k").as("recall_pct"))
+    }.reduce(_ unionByName _)
+  }
+
   def knnLshBucketed(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))

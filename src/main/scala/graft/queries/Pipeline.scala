@@ -1551,6 +1551,50 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D103 — dimension-truncation recall audit (matryoshka): exact
+    * top-5 on the 16- and 32-dim prefixes vs full 64-dim exact top-5,
+    * integer recall per (query, dim). The oracle recomputes all three
+    * rankings from prefix-slice folds and the hit joins — a truncated
+    * distance read off the wrong slice or hits counted against the
+    * wrong ground truth break the hash.
+    */
+  val qTruncRecall: GateQuery = {
+    def dist(d: Int) =
+      s"""CAST(list_aggregate(list_transform(generate_series(1, $d),
+         |      i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])), 'sum') AS BIGINT)""".stripMargin
+    def tk(dc: String, name: String) =
+      s"""$name AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY $dc, cid) AS rk
+         |  FROM p) WHERE rk <= 5)""".stripMargin
+    def audit(d: Int) =
+      s"""a$d AS (SELECT t.qid, CAST($d AS INT) AS dim,
+         |  CAST(SUM(CASE WHEN f.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |FROM t$d t LEFT JOIN fr f ON f.qid = t.qid AND f.cid = t.cid
+         |GROUP BY t.qid)""".stripMargin
+    GateQuery(
+      "q_trunc_recall",
+      s"""WITH v8 AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dist(64)} AS df, ${dist(16)} AS d16, ${dist(32)} AS d32
+         |  FROM v8 q JOIN v8 c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |${tk("df", "fr")},
+         |${tk("d16", "t16")},
+         |${tk("d32", "t32")},
+         |${audit(16)},
+         |${audit(32)}
+         |SELECT qid, dim, n_hit, CAST(n_hit * 100 // 5 AS BIGINT) AS recall_pct
+         |FROM (SELECT * FROM a16 UNION ALL SELECT * FROM a32)
+         |ORDER BY qid, dim""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.truncationRecallAudit(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, dims = Seq(16, 32))
+        .orderBy("qid", "dim")
+    }
+  }
+
   /** D100 — hybrid retrieval via reciprocal-rank fusion: the BM25
     * text top-50 and the exact-cosine vector top-50 (query = vec 0,
     * doc_id ≡ vec_id by testdata contract) fuse as
@@ -3525,7 +3569,7 @@ object Pipeline {
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash, qLshCalibration,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qCurate, qCurateFull,
-    qNearDupEmbedding, qKnnBruteForce, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
+    qNearDupEmbedding, qKnnBruteForce, qTruncRecall, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
     qPqSearch, qPqWrite, qPqRerank, qAnnRecall, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
