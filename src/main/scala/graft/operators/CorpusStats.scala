@@ -375,4 +375,29 @@ object CorpusStats {
       .withColumn("drift_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
       .select("w", "cnt_a", "cnt_b", "rate_a_ppm", "rate_b_ppm", "drift_ppm")
   }
+
+  /** D104 — vocabulary-retention audit of a curation pass: what
+    * fraction of the corpus's distinct n-gram vocabulary survives
+    * into the kept subset — the information-loss number that belongs
+    * next to every dedup's byte-savings number (dropping 30% of bytes
+    * while keeping 99% of the vocabulary is a win; dropping 30% of
+    * the VOCABULARY is a curation bug). One exploded gram pass feeds
+    * both distinct counts; the survivor prune is a broadcast-or-hash
+    * semi-join on doc ids BEFORE the kept-side distinct, so nothing
+    * beyond (gram) keys ever shuffles.
+    */
+  def vocabRetention(docs: DataFrame, idCol: String, textCol: String,
+      survivorIds: DataFrame, n: Int, scale: Long = 1000000L): DataFrame = {
+    val g = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shinglesFromWords(
+          TextFunctions.tokens(col(textCol)), n)).as("g"))
+    val total = g.agg(countDistinct("g").as("n_total"))
+    val kept = g
+      .join(survivorIds.select(col(survivorIds.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .agg(countDistinct("g").as("n_kept"))
+    total.crossJoin(kept)
+      .withColumn("retention_ppm", expr(s"n_kept * $scale div n_total"))
+      .select("n_total", "n_kept", "retention_ppm")
+  }
 }

@@ -340,6 +340,30 @@ object Pipeline {
       .orderBy("decile")
   }
 
+  /** D104 — vocabulary-retention audit: the distinct-3-gram fraction
+    * that survives exact dedup — the information-loss number that
+    * belongs beside every dedup's byte-savings number. The oracle
+    * replays the survivor election, both distinct counts, and the
+    * integral ppm.
+    */
+  val qVocabRetention: GateQuery = GateQuery(
+    "q_vocab_retention",
+    s"""WITH ${shingleCte(3)},
+       |surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |t AS (SELECT COUNT(DISTINCT shingle) AS n_total FROM sh),
+       |k AS (SELECT COUNT(DISTINCT shingle) AS n_kept FROM sh
+       |      WHERE doc_id IN (SELECT doc_id FROM surv))
+       |SELECT CAST(t.n_total AS BIGINT) AS n_total,
+       |  CAST(k.n_kept AS BIGINT) AS n_kept,
+       |  CAST(k.n_kept * 1000000 // t.n_total AS BIGINT) AS retention_ppm
+       |FROM t, k""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val survivors = docs.groupBy(md5(col("text").cast("binary")))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    CorpusStats.vocabRetention(docs, "doc_id", "text", survivors, n = 3)
+  }
+
   /** D3 — 16-bit SimHash fingerprint per document. */
   val qDedupSimhash: GateQuery = {
     val hexVal = (k: Int) => s"(strpos('0123456789abcdef', substr(md5(w), $k, 1)) - 1)"
@@ -3566,7 +3590,7 @@ object Pipeline {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash, qLshCalibration,
+    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash, qLshCalibration, qVocabRetention,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qTruncRecall, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
