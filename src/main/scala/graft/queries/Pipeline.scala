@@ -2455,9 +2455,11 @@ object Pipeline {
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
       |             len(string_split(text,' ')) AS n
       |           FROM documents),
+      |-- per-row series (no fixed cap): docs of ANY token length get
+      |-- every gram start (same LATERAL shape as the q_winnow oracle).
       |g AS (SELECT doc_id, CAST(s.i AS INT) AS start,
       |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+5 AS INT)], ' ')) AS gh
-      |      FROM t, generate_series(0, 255) s(i) WHERE s.i <= n - 5),
+      |      FROM t, LATERAL unnest(generate_series(0, n - 5)) s(i)),
       |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
       |ds AS (SELECT doc_id, start FROM g WHERE gh IN (SELECT gh FROM dup)),
       |agg AS (SELECT doc_id, COUNT(*) AS dup_ngrams, MIN(start) AS first_dup
@@ -2489,9 +2491,11 @@ object Pipeline {
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
       |             len(string_split(text,' ')) AS n
       |           FROM documents),
+      |-- per-row series (no fixed cap): docs of ANY token length get
+      |-- every gram start (same LATERAL shape as the q_winnow oracle).
       |g AS (SELECT doc_id, CAST(s.i AS INT) AS start,
       |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+5 AS INT)], ' ')) AS gh
-      |      FROM t, generate_series(0, 255) s(i) WHERE s.i <= n - 5),
+      |      FROM t, LATERAL unnest(generate_series(0, n - 5)) s(i)),
       |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
       |occ AS (SELECT doc_id, start, gh FROM g WHERE gh IN (SELECT gh FROM dup)),
       |c1 AS (SELECT gh, MIN(doc_id) AS cdoc FROM occ GROUP BY gh),
@@ -2502,8 +2506,8 @@ object Pipeline {
       |        FROM occ o JOIN canon c ON o.gh = c.gh, generate_series(0, 4) d(d)
       |        WHERE NOT (o.doc_id = c.cdoc AND o.start = c.cstart)),
       |kept AS (SELECT t.doc_id, s.i AS idx, toks[CAST(s.i + 1 AS INT)] AS tok
-      |         FROM t, generate_series(0, 255) s(i)
-      |         WHERE s.i < n AND NOT EXISTS (
+      |         FROM t, LATERAL unnest(generate_series(0, n - 1)) s(i)
+      |         WHERE NOT EXISTS (
       |           SELECT 1 FROM cut
       |           WHERE cut.doc_id = t.doc_id AND cut.tok_idx = s.i)),
       |r AS (SELECT doc_id, COUNT(*) AS n_kept,

@@ -319,6 +319,28 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) === got)
   }
 
+  test("span dedup has no gram-start cap: duplicates past position 255 detected and cut") {
+    // Two 400-token docs sharing ONLY a 5-gram at starts 310 (d0) and
+    // 350 (d1). A 255-capped start series (the r9 oracle defect) would
+    // see zero duplicates; the engine — and since r10 the oracle's
+    // LATERAL unnest series — must flag exactly that span.
+    val shared = (0 until 5).map(i => s"dup$i").mkString(" ")
+    def doc(prefix: String, at: Int) =
+      ((0 until at).map(i => s"$prefix$i") ++ Seq(shared) ++
+        (at + 5 until 400).map(i => s"$prefix$i")).mkString(" ")
+    val docs = Seq((0L, doc("a", 310)), (1L, doc("b", 350))).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(spans(0L) === ((400, 1L, 5L, 310)))
+    assert(spans(1L) === ((400, 1L, 5L, 350)))
+    val removed = graft.operators.Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(removed(0L)._1 === 0L)  // lowest doc_id holds the canonical copy
+    assert(removed(1L)._1 === 5L)  // d1's occurrence at 350 cut
+    assert(removed(1L)._2 === doc("b", 350).split(" ").patch(350, Nil, 5).mkString(" "))
+  }
+
   test("sourceOverlap: hand-computed pair matrix, containment, partition-invariant") {
     // 2-gram shingles: A0 {a b, b c}; A1 {b c, c d}; B0 {b c, c d};
     // C0 {x y}. Distinct per source: A {a b, b c, c d} (3), B {b c,
