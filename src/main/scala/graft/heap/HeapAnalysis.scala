@@ -623,10 +623,13 @@ final class HeapAnalysis(t: HeapTables) {
       oa.select(col("obj_id").as("src"), explode(col("elements")).as("dst"),
         col("class_name").as("src_class"), lit("[]").as("via"))
     }
+    // reduceOption: a dump with no object-typed field slots (or none
+    // with exported per-class tables) and no _object_arrays table has
+    // zero edge frames — an empty edge set, not an exception
     (fieldEdges ++ arrEdges.toSeq)
-      .reduce(_ unionByName _)
-      .filter(col("dst") =!= 0L)
-  }
+      .reduceOption(_ unionByName _)
+      .map(_.filter(col("dst") =!= 0L))
+  }.flatten
 
   /** B20 — shared-object census: the in-degree distribution of the
     * reference graph rolled up by REFERENCED type. High max_in_deg on

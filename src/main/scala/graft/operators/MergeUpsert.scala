@@ -164,45 +164,73 @@ object MergeUpsert {
     *
     * Exactly-once: the table merge is idempotent by construction
     * (replace-by-key), but a replayed delta would double-retract — so
-    * each application is guarded by an atomically-created
-    * `_applied/epoch_<id>` marker (the Snapshots commit move): a
-    * replay of an applied epoch only re-runs the idempotent merge.
+    * delta application is guarded by an atomically-created epoch
+    * marker. The commit protocol orders rollup BEFORE merge so no
+    * crash window can seal a stale rollup:
+    * (1) write the updated rollup (derived from the PRE-merge base)
+    *     to a staging dir — freely recomputable while no marker
+    *     exists, because the table merge has not run yet;
+    * (2) atomically create `<aggPath>__applied/epoch_<id>` — the
+    *     commit point sealing this epoch's rollup content;
+    * (3) publish staging over `aggPath`;
+    * (4) run the idempotent table merge.
+    * A replay before (2) recomputes everything against the untouched
+    * base; a replay after (2) finishes publish+merge from the SEALED
+    * staging instead of recomputing — the delta is never derived from
+    * a post-merge base, where retract and add would cancel and a
+    * stale rollup would be sealed as current. Markers live BESIDE
+    * `aggPath`, not inside it, so the wholesale rollup publish of one
+    * epoch can never wipe earlier epochs' markers. (Paths use
+    * local-fs atomic create/move; on a cluster store substitute its
+    * rename/commit primitive — the protocol is storage-agnostic.)
     */
   def upsertWithMaintainedAgg(spark: SparkSession, tablePath: String,
       aggPath: String, batch: DataFrame, keyCol: String, partCol: String,
       groupCol: String, valCol: String, epochId: Long): Unit = {
-    val marker = java.nio.file.Paths.get(aggPath, "_applied", s"epoch_$epochId")
-    val replay = java.nio.file.Files.exists(marker)
-    if (!replay) {
-      val affected = batch.select(partCol).distinct().collect().map(_.get(0))
-      if (affected.isEmpty) return
-      val keys = batch.select(keyCol)
-      val retract = spark.read.parquet(tablePath)
-        .filter(col(partCol).isin(affected: _*))
-        .join(broadcast(keys), Seq(keyCol), "left_semi")
-        .select(col(groupCol), lit(-1L).as("dn"),
-          (-col(valCol)).cast("long").as("dv"))
-      val add = batch.select(col(groupCol), lit(1L).as("dn"),
-        col(valCol).cast("long").as("dv"))
-      val delta = retract.unionByName(add).groupBy(groupCol)
-        .agg(sum("dn").as("__dn"), sum("dv").as("__dv"))
-      val newAgg = spark.read.parquet(aggPath)
-        .join(delta, Seq(groupCol), "full_outer")
-        .select(col(groupCol),
-          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n_rows"),
-          (coalesce(col("sum_val"), lit(0L)) + coalesce(col("__dv"), lit(0L))).as("sum_val"))
-        .filter(col("n_rows") > 0)
-        .localCheckpoint() // aggPath is both input and overwrite target
-      // delta derives from the PRE-merge base, so it must be computed
-      // (checkpointed) before the merge rewrites those partitions
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(s"${aggPath}__applied", s"epoch_$epochId")
+    val staging = Paths.get(s"${aggPath}__staging_epoch_$epochId")
+    def deleteTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+    def publish(): Unit = { deleteTree(Paths.get(aggPath)); Files.move(staging, Paths.get(aggPath)) }
+    if (Files.exists(marker)) {
+      // Epoch already sealed: finish a publish the sealing run may
+      // have died before, then re-run only the idempotent merge.
+      if (Files.exists(staging)) publish()
       upsertPartitioned(spark, tablePath, batch, keyCol, partCol)
-      newAgg.write.mode("overwrite").parquet(aggPath)
-      java.nio.file.Files.createDirectories(marker.getParent)
-      try java.nio.file.Files.createFile(marker)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    } else {
-      upsertPartitioned(spark, tablePath, batch, keyCol, partCol)
+      return
     }
+    val affected = batch.select(partCol).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return
+    val keys = batch.select(keyCol)
+    val retract = spark.read.parquet(tablePath)
+      .filter(col(partCol).isin(affected: _*))
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(col(groupCol), lit(-1L).as("dn"),
+        (-col(valCol)).cast("long").as("dv"))
+    val add = batch.select(col(groupCol), lit(1L).as("dn"),
+      col(valCol).cast("long").as("dv"))
+    val delta = retract.unionByName(add).groupBy(groupCol)
+      .agg(sum("dn").as("__dn"), sum("dv").as("__dv"))
+    val newAgg = spark.read.parquet(aggPath)
+      .join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("sum_val"), lit(0L)) + coalesce(col("__dv"), lit(0L))).as("sum_val"))
+      .filter(col("n_rows") > 0)
+    // (1) staging write materializes the pre-merge delta to disk —
+    // the base is untouched until step (4), so no checkpoint needed
+    deleteTree(staging)
+    newAgg.write.mode("overwrite").parquet(staging.toString)
+    // (2) seal; (3) publish; (4) merge
+    Files.createDirectories(marker.getParent)
+    try Files.createFile(marker)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    publish()
+    upsertPartitioned(spark, tablePath, batch, keyCol, partCol)
   }
 
   /** D98b — incremental MIN/MAX view maintenance. Unlike SUM/COUNT,

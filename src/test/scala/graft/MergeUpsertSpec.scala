@@ -171,6 +171,88 @@ class MergeUpsertSpec extends AnyFunSuite {
     MergeUpsert.upsertWithMaintainedAgg(spark, table, aggP, batch,
       "id", "shard", "g", "v", epochId = 8L)
     assert(rollup() === expected)
+    // markers live OUTSIDE aggPath: epoch 8's wholesale rollup publish
+    // must not have wiped epoch 7's marker (the replay guard)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${aggP}__applied", "epoch_7")),
+      "earlier epoch's marker wiped by a later rollup rewrite")
+  }
+
+  test("upsertWithMaintainedAgg: crash recovery from every commit-protocol window") {
+    def setup(): (String, String) = {
+      val work = java.nio.file.Files.createTempDirectory("graft_mua_crash")
+      val table = work.resolve("t").toString
+      val aggP = work.resolve("a").toString
+      val base = Seq((1L, 0L, "a", 10L), (2L, 1L, "a", 20L), (3L, 0L, "b", 30L))
+        .toDF("id", "shard", "g", "v")
+      base.write.mode("overwrite").partitionBy("shard").parquet(table)
+      base.groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("sum_val"))
+        .write.mode("overwrite").parquet(aggP)
+      (table, aggP)
+    }
+    val batch = Seq((2L, 1L, "b", 25L), (4L, 1L, "c", 40L))
+      .toDF("id", "shard", "g", "v")
+    val expected = Map("a" -> ((1L, 10L)), "b" -> ((2L, 55L)), "c" -> ((1L, 40L)))
+    def rollupOf(aggP: String) = spark.read.parquet(aggP).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def tableMatchesRollup(table: String, aggP: String): Unit = {
+      val full = spark.read.parquet(table).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rollupOf(aggP) === full, "rollup desynced from table")
+    }
+    val sealedRollup = Seq(("a", 1L, 10L), ("b", 2L, 55L), ("c", 1L, 40L))
+      .toDF("g", "n_rows", "sum_val")
+
+    // window 1: died after sealing (staging + marker) but BEFORE
+    // publish and merge — replay must finish publish then merge
+    locally {
+      val (table, aggP) = setup()
+      sealedRollup.write.parquet(s"${aggP}__staging_epoch_7")
+      val m = java.nio.file.Paths.get(s"${aggP}__applied", "epoch_7")
+      java.nio.file.Files.createDirectories(m.getParent)
+      java.nio.file.Files.createFile(m)
+      MergeUpsert.upsertWithMaintainedAgg(spark, table, aggP, batch,
+        "id", "shard", "g", "v", epochId = 7L)
+      assert(rollupOf(aggP) === expected)
+      tableMatchesRollup(table, aggP)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"${aggP}__staging_epoch_7")), "staging not cleaned")
+    }
+
+    // window 2: died after publish but BEFORE the merge — replay must
+    // keep the sealed rollup (NOT recompute against a pre-merge base
+    // it no longer matches) and run only the merge
+    locally {
+      val (table, aggP) = setup()
+      val aggDir = java.nio.file.Paths.get(aggP)
+      java.nio.file.Files.walk(aggDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      sealedRollup.write.parquet(aggP)
+      val m = java.nio.file.Paths.get(s"${aggP}__applied", "epoch_7")
+      java.nio.file.Files.createDirectories(m.getParent)
+      java.nio.file.Files.createFile(m)
+      MergeUpsert.upsertWithMaintainedAgg(spark, table, aggP, batch,
+        "id", "shard", "g", "v", epochId = 7L)
+      assert(rollupOf(aggP) === expected)
+      tableMatchesRollup(table, aggP)
+    }
+
+    // window 3 (the r9 ADVICE lost-update bug shape): with the OLD
+    // merge-first ordering, a death between merge and rollup write
+    // left a merged table + stale rollup + no marker, and the replay's
+    // delta (derived from the post-merge base) cancelled to zero,
+    // sealing the stale rollup. The new protocol cannot reach that
+    // state — the merge only runs after the marker exists — so an
+    // unsealed replay always sees the pre-merge base. Pin that: no
+    // marker, no staging, untouched base => clean full application.
+    locally {
+      val (table, aggP) = setup()
+      MergeUpsert.upsertWithMaintainedAgg(spark, table, aggP, batch,
+        "id", "shard", "g", "v", epochId = 7L)
+      assert(rollupOf(aggP) === expected)
+      tableMatchesRollup(table, aggP)
+    }
   }
 
   test("replace-by-key plus insert, read back from the committed table") {

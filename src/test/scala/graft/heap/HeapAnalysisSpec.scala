@@ -253,6 +253,35 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(report.contains("Bad Collections"))
   }
 
+  test("B20/B21 on an edge-less dump: empty edge set, not an exception") {
+    // no object-typed instance fields, no object arrays: zero edge
+    // frames to union — refEdges and its consumers must yield None
+    val w = new HprofWriter()
+    val obj = w.defineClass("java.lang.Object")
+    val counterCls = w.defineClass("com.example.Counter", obj,
+      instanceFields = Seq("n" -> BasicType.Int))
+    w.instance(counterCls, Seq(BasicType.Int -> 1))
+    w.primArray(BasicType.Int, Seq(1, 2, 3))
+    val dir = java.nio.file.Files.createTempDirectory("heapan_noedge")
+    val hprof = dir.resolve("noedge.hprof").toString
+    w.writeTo(hprof, segments = 1)
+    val out = dir.resolve("parquet").toString
+    new HeapDump(spark, hprof).writeParquet(out)
+    // full export: _object_arrays exists but is empty -> empty edge frame
+    val an = new HeapAnalysis(new HeapTables(spark, out))
+    assert(an.refEdges.map(_.count()) === Some(0L))
+    assert(an.referrerStats.map(_.count()) === Some(0L))
+    // a partial/foreign export MISSING _object_arrays entirely: zero
+    // edge frames to union — must yield None, not throw (r9 ADVICE)
+    val oaDir = java.nio.file.Paths.get(out, "_object_arrays")
+    java.nio.file.Files.walk(oaDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.delete(f))
+    val an2 = new HeapAnalysis(new HeapTables(spark, out))
+    assert(an2.refEdges.isEmpty)
+    assert(an2.referrerStats.isEmpty)
+    assert(an2.ownershipCollapse().isEmpty)
+  }
+
   test("resolved-mode export: ref columns are STRUCT{id,type} and the full waste suite matches robo") {
     // the export really is the reference's non-robo layout
     val strTable = new HeapTables(spark, resolvedDir).byClass("java.lang.String").get
