@@ -694,6 +694,111 @@ final class HeapAnalysis(t: HeapTables) {
         max("owned").as("max_owned"))
   }
 
+  /** B22 (support) — per-object shallow-size estimate, derivable from
+    * the export alone: primitive arrays are header + n×width, object
+    * arrays header + n×ref, instances header + the summed slot widths
+    * of the class's FULL `_fields` layout (exact for the compressed-
+    * oops model the other checks use; classes without field rows fall
+    * back to a bare header). The reference stops at a flat per-type
+    * estimate (`check_estimated_shallow_size`); this is the per-object
+    * refinement retained-size aggregation needs.
+    */
+  def perObjectShallowSizes: Option[DataFrame] = t.system("_object_index").map { oi =>
+    val primTypes = Seq(("boolean", 1), ("byte", 1), ("char", 2), ("short", 2),
+      ("int", 4), ("float", 4), ("long", 8), ("double", 8))
+    val primSizes = primTypes.flatMap { case (pt, w) =>
+      t.system(s"_primitive_arrays_$pt").map(df =>
+        df.select(col("obj_id"),
+          (lit(ArrayHeader) + size(col("values")).cast("long") * w).as("bytes")))
+    }
+    val arrSizes = primSizes ++ t.system("_object_arrays").map(df =>
+      df.select(col("obj_id"),
+        (lit(ArrayHeader) + size(col("elements")).cast("long") * RefSize).as("bytes"))).toSeq
+    val arrays = arrSizes.reduceOption(_ unionByName _)
+    val width = when(col("field_type").isin("boolean", "byte"), 1L)
+      .when(col("field_type").isin("char", "short"), 2L)
+      .when(col("field_type").isin("long", "double"), 8L)
+      .when(col("field_type") === "object", RefSize)
+      .otherwise(4L) // int, float
+    val classSizes = t.system("_fields").map(
+      _.groupBy("class_name").agg((lit(ObjectHeader) + sum(width)).as("inst_bytes"))
+        .withColumnRenamed("class_name", "type_name"))
+    val nonArrays = arrays match {
+      case Some(a) => oi.join(a.select("obj_id"), Seq("obj_id"), "left_anti")
+      case None => oi
+    }
+    val inst = classSizes match {
+      case Some(cs) => nonArrays.join(cs, Seq("type_name"), "left")
+        .select(col("obj_id"), coalesce(col("inst_bytes"), lit(ObjectHeader)).as("bytes"))
+      case None => nonArrays.select(col("obj_id"), lit(ObjectHeader).as("bytes"))
+    }
+    arrays.map(inst.unionByName(_)).getOrElse(inst)
+  }
+
+  /** B22 — dominator-approximate retained size: "what does deleting X
+    * free?" answered per root type. The exact answer is a dominator
+    * tree (Lengauer–Tarjan); this is the bounded-round distributed
+    * approximation over the B20 edge set, strictly tighter than B21:
+    *
+    *  1. unique-referrer targets (distinct in-degree 1) are owned by
+    *     that referrer — chased `chaseRounds` owner steps upward;
+    *  2. a SHARED target whose referrers ALL collapse to one common
+    *     root is owned by that root (the diamond case: A→B→D, A→C→D
+    *     gives D to A — the dominator answer first-order ownership
+    *     misses); referrers with differing roots keep the target a
+    *     root of its own ("kept alive by multiple", the conservative
+    *     MAT answer);
+    *  3. one more `chaseRounds` chase folds adopted subtrees in, and
+    *     every object's shallow bytes roll up to its final root.
+    *
+    * Approximation contract (stated, deterministic): chains deeper
+    * than `chaseRounds` and diamonds-of-diamonds beyond one adoption
+    * pass stay put (under-collapse, never over-attribution); cycles
+    * resolve by bounded unroll exactly as B21. Scale shape: every
+    * step is an aggregate or hash join of fixed-width (o, p) rows —
+    * the label-propagation discipline of Components.scala — and the
+    * only driver-resident state is the bounded `_fields` metadata.
+    */
+  def retainedSize(chaseRounds: Int = 4): Option[DataFrame] = for {
+    edges <- refEdges
+    oi <- t.system("_object_index")
+    sizes <- perObjectShallowSizes
+  } yield {
+    val ref = edges.select("src", "dst").distinct().localCheckpoint()
+    val deg = ref.groupBy("dst")
+      .agg(count(lit(1)).as("__deg"), min("src").as("__only"))
+      .localCheckpoint() // consumed by own1 and the shared-node prune
+    val own1 = deg.filter(col("__deg") === 1)
+      .select(col("dst").as("o"), col("__only").as("p"))
+      .localCheckpoint() // consumed once per chase round, twice
+    def chase(own: DataFrame): DataFrame = {
+      var p = oi.select(col("obj_id").as("o")).join(own, Seq("o"), "left")
+        .select(col("o"), coalesce(col("p"), col("o")).as("r"))
+      for (_ <- 1 until chaseRounds)
+        p = p.join(own.select(col("o").as("r"), col("p").as("__p2")), Seq("r"), "left")
+          .select(col("o"), coalesce(col("__p2"), col("r")).as("r"))
+      p
+    }
+    val r0 = chase(own1).localCheckpoint()
+    val shared = deg.filter(col("__deg") >= 2).select(col("dst").as("o"))
+    val adopt = ref.join(shared, ref("dst") === shared("o"))
+      .select(shared("o"), ref("src"))
+      .join(r0.withColumnRenamed("o", "src"), Seq("src"))
+      .groupBy("o")
+      .agg(countDistinct("r").as("__nr"), min("r").as("__r"))
+      .filter(col("__nr") === 1 && col("__r") =!= col("o"))
+      .select(col("o"), col("__r").as("p"))
+    val own2 = own1.unionByName(adopt).localCheckpoint()
+    val fin = chase(own2)
+    val perRoot = fin.join(sizes.withColumnRenamed("obj_id", "o"), Seq("o"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("owned"), sum("bytes").as("retained"))
+    perRoot.join(oi, perRoot("r") === oi("obj_id"))
+      .groupBy("type_name")
+      .agg(count(lit(1)).as("n_roots"), sum("owned").as("total_owned"),
+        sum("retained").as("retained_bytes"), max("retained").as("max_retained"))
+  }
+
   def checkThreadStacks(): Option[WasteFinding] = t.system("_stack_traces").flatMap { traces =>
     val traceCount = traces.count()
     if (traceCount == 0) None else {
@@ -846,7 +951,17 @@ final class HeapAnalysis(t: HeapTables) {
     val withWaste = if (!waste) base else {
       val findings = runWasteAnalysis(maxTier)
       val total = findings.map(_.estimatedWasteBytes).sum
-      base ++ Seq(
+      // B20-B22 graph sections ride with the full (waste) analysis:
+      // the quick look stays scan-cheap, the report answers "who
+      // shares it / who owns it / what would deleting it free"
+      val graph = Seq(
+        "referrer_stats" -> dfRows(referrerStats.map(
+          _.orderBy(col("n_refs").desc, col("type_name")).limit(topN))),
+        "ownership" -> dfRows(ownershipCollapse().map(
+          _.orderBy(col("total_owned").desc, col("type_name")).limit(topN))),
+        "retained" -> dfRows(retainedSize().map(
+          _.orderBy(col("retained_bytes").desc, col("type_name")).limit(topN))))
+      base ++ graph ++ Seq(
         "waste_findings" -> jArr(findings.map(f => jObj(Seq(
           "check_name" -> jStr(f.checkName),
           "tier" -> f.tier.toString,

@@ -47,6 +47,15 @@ object HeapGuide {
       |
       |The CLI equivalents: `count-records`, `dump-objects`, `analyze-json`
       |(see graft.heap.HeapCli).
+      |
+      |## Reference-graph analytics (also inside `analyze` reports)
+      |
+      |```scala
+      |val an = new HeapAnalysis(new HeapTables(spark, "/path/to/out"))
+      |an.referrerStats.foreach(_.show())     // who shares an object (in-degree census)
+      |an.ownershipCollapse().foreach(_.show()) // unique-owner chains collapsed
+      |an.retainedSize().foreach(_.show())    // dominator-approximate retained bytes
+      |```
       |""".stripMargin
 
   val sqlExamples: String =
@@ -100,6 +109,18 @@ object HeapGuide {
       |```sql
       |SELECT * FROM _class_hierarchy
       |WHERE super_class_name = 'java.util.AbstractMap'
+      |```
+      |
+      |## Shared objects: reference-graph in-degree census
+      |```sql
+      |WITH refs AS (
+      |  SELECT s.value AS dst FROM java_lang_String s WHERE s.value != 0
+      |  UNION ALL
+      |  SELECT explode(elements) AS dst FROM _object_arrays)
+      |SELECT idx.type_name, COUNT(*) AS n_refs,
+      |       COUNT(DISTINCT refs.dst) AS n_referenced
+      |FROM refs JOIN _object_index idx ON idx.obj_id = refs.dst
+      |GROUP BY idx.type_name ORDER BY n_refs DESC LIMIT 20
       |```
       |
       |## Join instance fields to the object index for type resolution

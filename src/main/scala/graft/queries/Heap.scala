@@ -134,6 +134,22 @@ object Heap {
       w.gcRoot(Sub.RootJavaFrame, strs(2), threadSerial = 1, frameIdx = 0)
       w.gcRoot(Sub.RootMonitorUsed, strs(3))
 
+      // B22: dominator-shape structures. Diamond: A -> {B, C} -> D -> E
+      // (D is shared but both referrers collapse to A, so A retains the
+      // whole diamond); contested: two root Nodes both reference Z, so
+      // Z stays its own root (kept alive by multiple).
+      val nodeCls = w.defineClass("com.example.Node", obj,
+        instanceFields = Seq("left" -> BasicType.Object,
+          "right" -> BasicType.Object, "payload" -> BasicType.Int))
+      val nE = w.instance(nodeCls, Seq(BasicType.Object -> 0L, BasicType.Object -> 0L, BasicType.Int -> 5))
+      val nD = w.instance(nodeCls, Seq(BasicType.Object -> nE, BasicType.Object -> 0L, BasicType.Int -> 4))
+      val nB = w.instance(nodeCls, Seq(BasicType.Object -> nD, BasicType.Object -> 0L, BasicType.Int -> 2))
+      val nC = w.instance(nodeCls, Seq(BasicType.Object -> nD, BasicType.Object -> 0L, BasicType.Int -> 3))
+      w.instance(nodeCls, Seq(BasicType.Object -> nB, BasicType.Object -> nC, BasicType.Int -> 1))
+      val nZ = w.instance(nodeCls, Seq(BasicType.Object -> 0L, BasicType.Object -> 0L, BasicType.Int -> 26))
+      w.instance(nodeCls, Seq(BasicType.Object -> nZ, BasicType.Object -> 0L, BasicType.Int -> 24))
+      w.instance(nodeCls, Seq(BasicType.Object -> nZ, BasicType.Object -> 0L, BasicType.Int -> 25))
+
       // A7: static fields (object ref, primitive, null ref)
       w.defineClass("com.example.Registry", obj, staticFields = Seq(
         ("CACHE", BasicType.Object, strs.head),
@@ -823,6 +839,12 @@ object Heap {
        |  SELECT a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
        |  WHERE a.elementData <> 0
        |  UNION ALL
+       |  SELECT n."left" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n
+       |  WHERE n."left" <> 0
+       |  UNION ALL
+       |  SELECT n2."right" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n2
+       |  WHERE n2."right" <> 0
+       |  UNION ALL
        |  SELECT dst FROM (
        |    SELECT unnest(o.elements) AS dst
        |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
@@ -867,6 +889,12 @@ object Heap {
          |  SELECT a.obj_id, a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
          |  WHERE a.elementData <> 0
          |  UNION ALL
+         |  SELECT n.obj_id, n."left" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n
+         |  WHERE n."left" <> 0
+         |  UNION ALL
+         |  SELECT n2.obj_id, n2."right" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n2
+         |  WHERE n2."right" <> 0
+         |  UNION ALL
          |  SELECT src, dst FROM (
          |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
          |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
@@ -889,6 +917,102 @@ object Heap {
     }
   }
 
+  /** B22 — dominator-approximate retained size: unique-referrer
+    * ownership (B21) tightened by one diamond-adoption pass — a
+    * shared object whose referrers ALL collapse to one root belongs
+    * to that root; referrers with differing roots keep it a root of
+    * its own. Per-object shallow bytes (arrays by element count,
+    * instances by the `_fields` slot layout) roll up to final roots.
+    * The oracle replays the WHOLE program: the stated edge union,
+    * distinct-referrer degrees, both 4-step chases, the adoption
+    * aggregate, the three size derivations, and the rollup — a wrong
+    * width, a skipped chase step, or an over-eager adoption all
+    * break the hash.
+    */
+  val qHeapRetained: GateQuery = {
+    val rounds = 4
+    def chaseSql(prefix: String, own: String) = (1 until rounds).map { k =>
+      s"""$prefix$k AS (SELECT q.o, COALESCE(w.p, q.r) AS r
+         |       FROM $prefix${k - 1} q LEFT JOIN $own w ON w.o = q.r)""".stripMargin
+    }.mkString(",\n")
+    val primWidths = Seq(("boolean", 1), ("byte", 1), ("char", 2), ("short", 2),
+      ("int", 4), ("float", 4), ("long", 8), ("double", 8))
+    val pwSql = primWidths.map { case (pt, w) =>
+      s"""  SELECT obj_id, CAST(16 + len("values") * $w AS BIGINT) AS bytes
+         |  FROM read_parquet('$exportDir/_primitive_arrays_$pt/*.parquet')""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    GateQuery(
+      "q_heap_retained",
+      s"""WITH e AS (
+         |  SELECT s.obj_id AS src, s.value AS dst
+         |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
+         |  WHERE s.value <> 0
+         |  UNION ALL
+         |  SELECT h.obj_id, h."table" FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
+         |  WHERE h."table" <> 0
+         |  UNION ALL
+         |  SELECT a.obj_id, a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
+         |  WHERE a.elementData <> 0
+         |  UNION ALL
+         |  SELECT n.obj_id, n."left" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n
+         |  WHERE n."left" <> 0
+         |  UNION ALL
+         |  SELECT n2.obj_id, n2."right" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n2
+         |  WHERE n2."right" <> 0
+         |  UNION ALL
+         |  SELECT src, dst FROM (
+         |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
+         |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
+         |  WHERE dst <> 0),
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |dg AS (SELECT dst, COUNT(*) AS deg, MIN(src) AS only_src FROM ed GROUP BY dst),
+         |own1 AS (SELECT dst AS o, only_src AS p FROM dg WHERE deg = 1),
+         |oi AS (SELECT obj_id, type_name
+         |       FROM read_parquet('$exportDir/_object_index/*.parquet')),
+         |q0 AS (SELECT oi.obj_id AS o, COALESCE(w.p, oi.obj_id) AS r
+         |       FROM oi LEFT JOIN own1 w ON w.o = oi.obj_id),
+         |${chaseSql("q", "own1")},
+         |adopt AS (
+         |  SELECT ed.dst AS o, MIN(r0.r) AS p
+         |  FROM dg JOIN ed ON ed.dst = dg.dst AND dg.deg >= 2
+         |  JOIN q${rounds - 1} r0 ON r0.o = ed.src
+         |  GROUP BY ed.dst
+         |  HAVING COUNT(DISTINCT r0.r) = 1 AND MIN(r0.r) <> ed.dst),
+         |own2 AS (SELECT o, p FROM own1 UNION ALL SELECT o, p FROM adopt),
+         |p0 AS (SELECT oi.obj_id AS o, COALESCE(w.p, oi.obj_id) AS r
+         |       FROM oi LEFT JOIN own2 w ON w.o = oi.obj_id),
+         |${chaseSql("p", "own2")},
+         |pw AS (
+         |$pwSql),
+         |arr AS (
+         |  SELECT obj_id, bytes FROM pw
+         |  UNION ALL
+         |  SELECT obj_id, CAST(16 + len(elements) * 4 AS BIGINT) AS bytes
+         |  FROM read_parquet('$exportDir/_object_arrays/*.parquet')),
+         |cs AS (SELECT class_name AS type_name,
+         |         CAST(16 + SUM(CASE WHEN field_type IN ('boolean','byte') THEN 1
+         |                            WHEN field_type IN ('char','short') THEN 2
+         |                            WHEN field_type IN ('long','double') THEN 8
+         |                            ELSE 4 END) AS BIGINT) AS bytes
+         |       FROM read_parquet('$exportDir/_fields/*.parquet')
+         |       GROUP BY class_name),
+         |inst AS (SELECT oi.obj_id, CAST(COALESCE(cs.bytes, 16) AS BIGINT) AS bytes
+         |         FROM oi LEFT JOIN cs ON cs.type_name = oi.type_name
+         |         WHERE oi.obj_id NOT IN (SELECT obj_id FROM arr)),
+         |sz AS (SELECT obj_id, bytes FROM inst UNION ALL SELECT obj_id, bytes FROM arr),
+         |rt AS (SELECT f.r AS root, COUNT(*) AS owned, SUM(sz.bytes) AS retained
+         |       FROM p${rounds - 1} f JOIN sz ON sz.obj_id = f.o GROUP BY f.r)
+         |SELECT oi.type_name, CAST(COUNT(*) AS BIGINT) AS n_roots,
+         |  CAST(SUM(rt.owned) AS BIGINT) AS total_owned,
+         |  CAST(SUM(rt.retained) AS BIGINT) AS retained_bytes,
+         |  CAST(MAX(rt.retained) AS BIGINT) AS max_retained
+         |FROM rt JOIN oi ON oi.obj_id = rt.root
+         |GROUP BY oi.type_name
+         |ORDER BY oi.type_name""".stripMargin) { (s, _) =>
+      analysis(s).retainedSize(rounds).get.orderBy("type_name")
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
@@ -896,7 +1020,7 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
-    qHeapReferrers, qHeapOwnership,
+    qHeapReferrers, qHeapOwnership, qHeapRetained,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
 }

@@ -253,6 +253,56 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(report.contains("Bad Collections"))
   }
 
+  test("B22 retained size: diamond collapses to the common root, contested node stays put") {
+    // Node(left, right, payload): 16 header + 4 + 4 + 4 = 28 bytes.
+    // String(value, hash): 16 + 4 + 4 = 24. byte[5]: 16 + 5 = 21.
+    // Diamond: A -> {B, C} -> D -> E. D has TWO referrers (B, C) but
+    // both collapse to A, so the adoption pass hands D (and through
+    // the second chase, E) to A: retained(A) = 5 * 28 = 140 — the
+    // dominator answer first-order unique-ownership misses.
+    // Contested: X -> Z, Y -> Z with X, Y distinct roots: Z stays its
+    // own root ("kept alive by multiple"). str uniquely owns its
+    // byte[]: retained(str) = 24 + 21 = 45.
+    val w = new HprofWriter()
+    val obj = w.defineClass("java.lang.Object")
+    val node = w.defineClass("com.example.Node", obj,
+      instanceFields = Seq("left" -> BasicType.Object,
+        "right" -> BasicType.Object, "payload" -> BasicType.Int))
+    val strCls = w.defineClass("java.lang.String", obj,
+      instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+    def mkNode(l: Long, r: Long, p: Int) =
+      w.instance(node, Seq(BasicType.Object -> l, BasicType.Object -> r, BasicType.Int -> p))
+    val nE = mkNode(0L, 0L, 5)
+    val nD = mkNode(nE, 0L, 4)
+    val nB = mkNode(nD, 0L, 2)
+    val nC = mkNode(nD, 0L, 3)
+    mkNode(nB, nC, 1) // A
+    val nZ = mkNode(0L, 0L, 26)
+    mkNode(nZ, 0L, 24) // X
+    mkNode(nZ, 0L, 25) // Y
+    val b = w.byteArray("hello")
+    w.instance(strCls, Seq(BasicType.Object -> b, BasicType.Int -> 7))
+    val dir = java.nio.file.Files.createTempDirectory("heapan_retained")
+    val hprof = dir.resolve("diamond.hprof").toString
+    w.writeTo(hprof, segments = 1)
+    val out = dir.resolve("parquet").toString
+    new HeapDump(spark, hprof).writeParquet(out)
+    val an = new HeapAnalysis(new HeapTables(spark, out))
+    val got = an.retainedSize().get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // Node roots: A(owns 5, 140B), X(1, 28B), Y(1, 28B), Z(1, 28B)
+    assert(got("com.example.Node") === ((4L, 8L, 224L, 140L)))
+    assert(got("java.lang.String") === ((1L, 2L, 45L, 45L)))
+    // class objects (in _object_index, B21 convention) self-root at a
+    // bare 16B header each
+    Seq("class java.lang.Object", "class com.example.Node",
+        "class java.lang.String").foreach { c =>
+      assert(got(c) === ((1L, 1L, 16L, 16L)), c)
+    }
+    assert(got.size === 5)
+  }
+
   test("B20/B21 on an edge-less dump: empty edge set, not an exception") {
     // no object-typed instance fields, no object arrays: zero edge
     // frames to union — refEdges and its consumers must yield None
