@@ -244,11 +244,26 @@ object Dedup {
     */
   def lshCalibration(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, numBands: Int,
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = 1000,
+      samplePairMod: Int = 1, sampleSeed: Long = 42L): DataFrame = {
     require(numHashes % numBands == 0, "bands must evenly divide hashes")
+    require(samplePairMod >= 1, "samplePairMod must be >= 1")
     val r = numHashes / numBands
-    val exact = jaccardPairs(docs, idCol, textCol, n, threshold = 0.0,
-      maxShingleDf).select("d1", "d2", "jaccard")
+    // Audit economics at 100 TB: the exact-verify side at threshold 0
+    // is the most expensive operator in the repo run at its loosest
+    // setting, yet the calibration answer is a per-decile STATISTIC —
+    // a deterministic 1-in-mod pair sample (seeded md5 over (d1, d2),
+    // applied BEFORE the shingle-set join, so verification cost is
+    // O(sample)) estimates it with the same replayability: the oracle
+    // re-applies the identical draw. mod = 1 keeps full-census mode.
+    val cand0 = blockedCandidatePairs(docs, idCol, textCol, n, maxShingleDf)
+    val cand = if (samplePairMod <= 1) cand0 else
+      cand0.filter(
+        Sampling.hashMod(sampleSeed, col("d1"), col("d2")) % samplePairMod === 0)
+    val exact = verifyCandidates(docs, idCol, textCol, n, cand)
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
+      .select("d1", "d2", "jaccard")
     val bands = bandSignatures(docs, idCol, textCol, n, numHashes, numBands)
     val collide = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&

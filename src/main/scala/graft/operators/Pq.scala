@@ -336,10 +336,19 @@ object Pq {
     * corpus — recall is a statistic, not a per-row transform.
     */
   def recallAudit(spark: SparkSession, dir: String, queries: DataFrame,
-      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val approx = search(spark, dir, queries, idCol, vecCol, k)
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryMod: Int = 1, sampleSeed: Long = 42L): DataFrame = {
+    require(queryMod >= 1, "queryMod must be >= 1")
+    // At 100 TB each audited query costs one corpus pass for exact
+    // ground truth — recall is a statistic, so a deterministic 1-in-mod
+    // query sample (seeded md5 over the id, replayable by the oracle)
+    // bounds the audit at O(|Q|/mod) corpus passes. mod = 1 audits the
+    // full provided query set.
+    val qs = if (queryMod <= 1) queries else queries.filter(
+      Sampling.hashMod(sampleSeed, col(idCol)) % queryMod === 0)
+    val approx = search(spark, dir, qs, idCol, vecCol, k)
       .select(col("qid"), col("cid"), lit(1L).as("__hit"))
-    val qv = queries.select(col(idCol).as("qid"), quantized(vecCol).as("qv"))
+    val qv = qs.select(col(idCol).as("qid"), quantized(vecCol).as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("edist"), col("cid"))
     val exact = corpus

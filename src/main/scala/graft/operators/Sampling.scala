@@ -34,6 +34,16 @@ object Sampling {
     md5(concat_ws("-", (lit(seed.toString) +: toks): _*).cast("binary"))
   }
 
+  /** 48-bit integer draw from the same portable rank — the keep test
+    * `hashMod(seed, keys) % m === 0` is a deterministic 1-in-m sample
+    * of whatever the keys identify (rows, pairs, queries), replayable
+    * in any engine with md5. 12 hex digits = 48 bits, so the value is
+    * always a non-negative Long and the mod is exact integer
+    * arithmetic — no float fraction to round differently.
+    */
+  def hashMod(seed: Long, keys: Column*): Column =
+    conv(substring(hashRank(seed, keys: _*), 1, 12), 16, 10).cast("long")
+
   /** Top-`n` rows per group by salted hash rank. Ties (hash
     * collisions) break on the key columns themselves, so the result
     * is a total function of (seed, data).

@@ -50,11 +50,19 @@ object Similarity {
     * Integer-exact on the floor(x·256) grid — replayable in SQL.
     */
   def truncationRecallAudit(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+      idCol: String, vecCol: String, k: Int, dims: Seq[Int],
+      queryMod: Int = 1, sampleSeed: Long = 42L): DataFrame = {
     require(dims.nonEmpty && k > 0, "invalid audit parameters")
+    require(queryMod >= 1, "queryMod must be >= 1")
+    // Same audit-economics contract as Pq.recallAudit: each query is
+    // one broadcast-join pass over the corpus, so a deterministic
+    // 1-in-mod seeded-md5 query sample (oracle-replayable) bounds the
+    // audit cost; mod = 1 keeps the full query set.
+    val sampled = if (queryMod <= 1) queries else queries.filter(
+      Sampling.hashMod(sampleSeed, col(idCol)) % queryMod === 0)
     val grid = (c: org.apache.spark.sql.Column) =>
       transform(c, x => floor(x.cast("double") * 256d).cast("long"))
-    val q = queries.select(col(idCol).as("qid"), grid(col(vecCol)).as("qv"))
+    val q = sampled.select(col(idCol).as("qid"), grid(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("cid"), grid(col(vecCol)).as("cv"))
     def distPrefix(d: Int) = aggregate(
       zip_with(slice(col("qv"), 1, d), slice(col("cv"), 1, d),

@@ -310,7 +310,11 @@ object Pipeline {
     * multiplications, no pow; per-pair floor(prob·10⁶) so no double
     * sum-order). The oracle replays BOTH pipelines — exact
     * verification AND the KM signature banding — plus the decile
-    * bucketing and both ppm reductions.
+    * bucketing and both ppm reductions. Sampling IS engaged
+    * (samplePairMod = 2: a seeded md5 draw over (d1, d2) halves the
+    * exact-verify side BEFORE the shingle-set join — the audit's
+    * dominant cost at 100 TB — and the oracle re-applies the
+    * identical draw), so the O(sample) path is the one under test.
     */
   val qLshCalibration: GateQuery = GateQuery(
     "q_lsh_calibration",
@@ -320,7 +324,8 @@ object Pipeline {
        |         CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS j
        |       FROM inter i
        |       JOIN sizes s1 ON s1.doc_id = i.d1
-       |       JOIN sizes s2 ON s2.doc_id = i.d2),
+       |       JOIN sizes s2 ON s2.doc_id = i.d2
+       |       WHERE ${hashModSql(42L, "i.d1", "i.d2")} % 2 = 0),
        |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
        |hs AS (SELECT doc_id,
        |         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
@@ -347,7 +352,7 @@ object Pipeline {
        |ORDER BY decile""".stripMargin,
     bench = false, slow = true) { (s, dir) =>
     Dedup.lshCalibration(Tables(s, dir, "documents"), "doc_id", "text",
-        n = 3, numHashes = 12, numBands = 4)
+        n = 3, numHashes = 12, numBands = 4, samplePairMod = 2)
       .orderBy("decile")
   }
 
@@ -752,7 +757,19 @@ object Pipeline {
     * through the ranked ADC result `r`), parameterized by shortlist
     * depth — reused by the re-rank and recall gates below.
     */
-  private def pqAdcCtes(idxGlob: String): String =
+  /** DuckDB replay of Sampling.hashMod(seed, keys*): the same
+    * length-prefixed token string, md5, 48-bit hex prefix as BIGINT —
+    * so a seeded 1-in-mod draw made by the engine is re-derived by the
+    * oracle key-for-key (keys here are non-null ids; the Spark side's
+    * NULL token never arises).
+    */
+  private def hashModSql(seed: Long, keys: String*): String = {
+    val toks = keys.map(k =>
+      s"CAST(LENGTH(CAST($k AS VARCHAR)) AS VARCHAR) || ':' || CAST($k AS VARCHAR)")
+    s"(('0x' || substr(md5('$seed-' || ${toks.mkString(" || '-' || ")}), 1, 12))::BIGINT)"
+  }
+
+  private def pqAdcCtes(idxGlob: String, qPred: String = "vec_id < 5"): String =
     s"""cb AS (SELECT sub, code, centroid FROM read_parquet('$idxGlob/codebook/*.parquet')),
        |v8 AS (SELECT vec_id, list_transform(embedding,
        |         x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS qv
@@ -766,7 +783,7 @@ object Pipeline {
        |    SELECT vec_id, sub, code,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
        |    FROM dists) WHERE rk = 1),
-       |dtab AS (SELECT vec_id AS qid, sub, code, d2 FROM dists WHERE vec_id < 5),
+       |dtab AS (SELECT vec_id AS qid, sub, code, d2 FROM dists WHERE $qPred),
        |scored AS (SELECT dt.qid, c.vec_id AS cid, CAST(SUM(dt.d2) AS BIGINT) AS adist
        |  FROM codes c JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code
        |  WHERE c.vec_id <> dt.qid GROUP BY 1, 2),
@@ -807,17 +824,22 @@ object Pipeline {
     * ground truth per query vs the ADC top-5, hit count and integer
     * recall. The oracle recomputes BOTH rankings and the join — an
     * inflated recall (hits counted against the wrong ground truth, or
-    * approx rows double-counted) breaks the hash.
+    * approx rows double-counted) breaks the hash. Sampling IS engaged
+    * here (queryMod = 2 over a 10-id pool → the seeded draw keeps
+    * vec_ids 1,3,5,9): the oracle re-derives the identical md5 draw,
+    * so the sampled audit path — the one a 100 TB corpus would run —
+    * is the one under test, not just full-census mode.
     */
   val qAnnRecall: GateQuery = {
     val idxGlob =
       s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_${ProcessHandle.current().pid()}/{SF_BASE}"
+    def qPred(id: String) = s"$id < 10 AND ${hashModSql(42L, id)} % 2 = 0"
     GateQuery(
       "q_ann_recall",
-      s"""WITH ${pqAdcCtes(idxGlob)},
+      s"""WITH ${pqAdcCtes(idxGlob, qPred("vec_id"))},
          |exd AS (SELECT q.vec_id AS qid, c.vec_id AS cid, $exactDist64 AS edist
          |  FROM v8 q JOIN v8 c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 5),
+         |  WHERE ${qPred("q.vec_id")}),
          |ex AS (SELECT qid, cid FROM (
          |    SELECT qid, cid,
          |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY edist, cid) AS rk
@@ -830,8 +852,8 @@ object Pipeline {
          |GROUP BY e.qid
          |ORDER BY e.qid""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      Pq.recallAudit(s, pqIndexDir(s, dir), emb.filter(col("vec_id") < 5),
-          emb, "vec_id", "embedding", k = 5)
+      Pq.recallAudit(s, pqIndexDir(s, dir), emb.filter(col("vec_id") < 10),
+          emb, "vec_id", "embedding", k = 5, queryMod = 2)
         .orderBy("qid")
     }
   }
@@ -933,7 +955,7 @@ object Pipeline {
     val tag = s"graft_ivfpq_app_${ProcessHandle.current().pid()}"
     GateQuery(
       "q_ivfpq_append",
-      ivfPqOracleSql(s"${System.getProperty("java.io.tmpdir")}/$tag/*"),
+      ivfPqOracleSql(s"${System.getProperty("java.io.tmpdir")}/$tag/{SF_BASE}"),
       bench = false, slow = true) { (s, dir) =>
       val out = s"${System.getProperty("java.io.tmpdir")}/$tag/${new java.io.File(dir).getName}"
       val emb = Tables(s, dir, "embeddings")
@@ -1591,7 +1613,10 @@ object Pipeline {
     * integer recall per (query, dim). The oracle recomputes all three
     * rankings from prefix-slice folds and the hit joins — a truncated
     * distance read off the wrong slice or hits counted against the
-    * wrong ground truth break the hash.
+    * wrong ground truth break the hash. Sampling IS engaged (the same
+    * seeded queryMod = 2 draw as q_ann_recall, replayed by the
+    * oracle), exercising the O(sample) audit path a 100 TB corpus
+    * needs — each audited query is one corpus pass.
     */
   val qTruncRecall: GateQuery = {
     def dist(d: Int) =
@@ -1614,7 +1639,7 @@ object Pipeline {
          |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
          |    ${dist(64)} AS df, ${dist(16)} AS d16, ${dist(32)} AS d32
          |  FROM v8 q JOIN v8 c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 5),
+         |  WHERE q.vec_id < 10 AND ${hashModSql(42L, "q.vec_id")} % 2 = 0),
          |${tk("df", "fr")},
          |${tk("d16", "t16")},
          |${tk("d32", "t32")},
@@ -1624,8 +1649,8 @@ object Pipeline {
          |FROM (SELECT * FROM a16 UNION ALL SELECT * FROM a32)
          |ORDER BY qid, dim""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      Similarity.truncationRecallAudit(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 5, dims = Seq(16, 32))
+      Similarity.truncationRecallAudit(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, dims = Seq(16, 32), queryMod = 2)
         .orderBy("qid", "dim")
     }
   }

@@ -144,6 +144,47 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(capped === uncapped)
   }
 
+  test("lshCalibration pair sampling: filter-then-verify equals the seeded draw over the census pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Sampling}
+    val paired = (0 until 40).map { i =>
+      val p = i / 2
+      val body = (0 until 12).map(k => s"w${p}x$k").mkString(" ")
+      (i.toLong, s"calib probe here $body" + (if (i % 2 == 1) " tailvariant" else ""))
+    }
+    val df = paired.toDF("doc_id", "text")
+    // expected: replay the draw over the CENSUS pair set (verify-then-
+    // filter) — the operator samples BEFORE verification, so equality
+    // proves sampling changes cost, not results, for surviving pairs
+    val census = Dedup.jaccardPairs(df, "doc_id", "text", 3, threshold = 0.0)
+    val expected = census
+      .filter(Sampling.hashMod(42L, col("d1"), col("d2")) % 2 === 0)
+      .withColumn("decile", least(floor(col("jaccard") * 10).cast("int"), lit(9)))
+      .groupBy("decile").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sampled = Dedup.lshCalibration(df, "doc_id", "text",
+        n = 3, numHashes = 12, numBands = 4, samplePairMod = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sampled === expected)
+    val full = Dedup.lshCalibration(df, "doc_id", "text",
+        n = 3, numHashes = 12, numBands = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sampled.values.sum < full.values.sum, "the draw must be a strict subsample here")
+    assert(full.values.sum === census.count())
+  }
+
+  test("Sampling.hashMod pins the portable md5 draw the oracles replay") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+    // the q_ann_recall / q_trunc_recall oracles hard-replay this exact
+    // draw in DuckDB SQL; if the Spark-side token format or hex slice
+    // ever drifts, this pin breaks before the gates do
+    val ids = (0L until 10L).toDF("vec_id")
+    val kept = ids.filter(Sampling.hashMod(42L, col("vec_id")) % 2 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L, 9L))
+  }
+
   test("jaccardPairs posting-list cap bounds candidates under one universal shingle") {
     // adversarial: 50 docs share ONLY one boilerplate phrase. Without
     // the cap all 50*49/2 pairs reach verification (the k-squared skew

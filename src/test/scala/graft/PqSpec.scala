@@ -209,4 +209,24 @@ class PqSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(2) === handHits(r.getLong(0)),
       s"n_hit mismatch for query ${r.getLong(0)}"))
   }
+
+  test("recallAudit queryMod: the seeded sample equals the full audit on the drawn subset") {
+    val dir = freshDir("auditsample")
+    val df = clusteredVecs(96, 23L).toDF("vec_id", "embedding")
+    Pq.writeIndex(df, "vec_id", "embedding", m = 4, ksub = 4, dir = dir)
+    val pool = df.filter(col("vec_id") < 10)
+    def rows(audit: org.apache.spark.sql.DataFrame) = audit.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sampled = rows(Pq.recallAudit(spark, dir, pool, df,
+      "vec_id", "embedding", k = 5, queryMod = 2))
+    // the sampled run must equal a full audit over the manually-drawn
+    // query subset — sampling changes which queries pay a corpus pass,
+    // never the per-query answer
+    val manual = pool.filter(
+      graft.operators.Sampling.hashMod(42L, col("vec_id")) % 2 === 0)
+    assert(sampled === rows(Pq.recallAudit(spark, dir, manual, df,
+      "vec_id", "embedding", k = 5)))
+    // pins the exact draw the q_ann_recall oracle replays in SQL
+    assert(sampled.map(_._1) === Set(1L, 3L, 5L, 9L))
+  }
 }

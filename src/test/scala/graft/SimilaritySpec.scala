@@ -69,4 +69,21 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
     assert(re === banded)
   }
+
+  test("truncationRecallAudit queryMod: seeded sample equals the full audit on the drawn subset") {
+    val emb = Tables(spark, sf, "embeddings")
+    val pool = emb.filter(col("vec_id") < 10)
+    def rows(a: org.apache.spark.sql.DataFrame) = a.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val sampled = rows(Similarity.truncationRecallAudit(emb, pool,
+      "vec_id", "embedding", k = 5, dims = Seq(16, 32), queryMod = 2))
+    // sampling selects which queries pay a corpus pass; per-query
+    // recall must be untouched — and the draw is the exact md5 draw
+    // the q_trunc_recall oracle replays in SQL
+    val manual = pool.filter(
+      graft.operators.Sampling.hashMod(42L, col("vec_id")) % 2 === 0)
+    assert(sampled === rows(Similarity.truncationRecallAudit(emb, manual,
+      "vec_id", "embedding", k = 5, dims = Seq(16, 32))))
+    assert(sampled.map(_._1) === Set(1L, 3L, 5L, 9L))
+  }
 }
