@@ -799,6 +799,51 @@ final class HeapAnalysis(t: HeapTables) {
         sum("retained").as("retained_bytes"), max("retained").as("max_retained"))
   }
 
+  /** B23 — GC-root reachability distance: per-object minimum hop
+    * count from any GC root along the B20 reference edges, rolled up
+    * per type — the "why is X alive / is X reachable at all" answer
+    * (MAT's path-to-GC-roots, reduced to the distance census that is
+    * computable distributed). A type with n_reached = 0 within
+    * `maxHops` is either garbage-in-waiting or held only through
+    * edges outside the exported field model (statics, JNI structures)
+    * — both worth a look; min_dist says how directly a root pins the
+    * type (1 = root-adjacent), max_dist how deep its liveness chains
+    * run.
+    *
+    * Frontier BFS: each round expands only NEWLY reached objects (the
+    * delta), so total exchange is O(reachable edges), not
+    * O(rounds × reachable) — the scale shape Bellman-style
+    * re-relaxation lacks. First-reach depth IS the minimum distance,
+    * so the result equals a `maxHops`-round Bellman unroll (the form
+    * the SQL oracle replays) exactly. Approximation contract: objects
+    * whose shortest root path exceeds `maxHops` report unreached —
+    * deterministic, never over-claimed.
+    */
+  def rootReachability(maxHops: Int = 8): Option[DataFrame] = for {
+    edges <- refEdges
+    roots <- t.system("_gc_roots")
+    oi <- t.system("_object_index")
+  } yield {
+    val ref = edges.select("src", "dst").distinct().localCheckpoint()
+    var dist = roots.select(col("obj_id")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val nxt = frontier.join(ref, frontier("obj_id") === ref("src"))
+        .select(col("dst").as("obj_id")).distinct()
+        .join(dist, Seq("obj_id"), "left_anti")
+        .withColumn("dist", lit(h)).localCheckpoint()
+      dist = dist.unionByName(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    oi.join(dist, Seq("obj_id"), "left")
+      .groupBy("type_name")
+      .agg(count(lit(1)).as("n_objects"),
+        sum(when(col("dist").isNotNull, 1L).otherwise(0L)).as("n_reached"),
+        coalesce(min("dist").cast("long"), lit(-1L)).as("min_dist"),
+        coalesce(max("dist").cast("long"), lit(-1L)).as("max_dist"))
+  }
+
   def checkThreadStacks(): Option[WasteFinding] = t.system("_stack_traces").flatMap { traces =>
     val traceCount = traces.count()
     if (traceCount == 0) None else {
@@ -960,7 +1005,9 @@ final class HeapAnalysis(t: HeapTables) {
         "ownership" -> dfRows(ownershipCollapse().map(
           _.orderBy(col("total_owned").desc, col("type_name")).limit(topN))),
         "retained" -> dfRows(retainedSize().map(
-          _.orderBy(col("retained_bytes").desc, col("type_name")).limit(topN))))
+          _.orderBy(col("retained_bytes").desc, col("type_name")).limit(topN))),
+        "root_reachability" -> dfRows(rootReachability().map(
+          _.orderBy(col("n_objects").desc, col("type_name")).limit(topN))))
       base ++ graph ++ Seq(
         "waste_findings" -> jArr(findings.map(f => jObj(Seq(
           "check_name" -> jStr(f.checkName),

@@ -55,6 +55,7 @@ object HeapGuide {
       |an.referrerStats.foreach(_.show())     // who shares an object (in-degree census)
       |an.ownershipCollapse().foreach(_.show()) // unique-owner chains collapsed
       |an.retainedSize().foreach(_.show())    // dominator-approximate retained bytes
+      |an.rootReachability().foreach(_.show()) // hop distance from GC roots per type
       |```
       |""".stripMargin
 

@@ -110,7 +110,7 @@ object Heap {
       w.instance(hm, Seq(BasicType.Int -> 2, BasicType.Object -> hmTable))
       w.instance(al, Seq(BasicType.Int -> 0, BasicType.Object -> 0L))
       w.instance(al, Seq(BasicType.Int -> 1, BasicType.Object -> 0L))
-      w.instance(al, Seq(BasicType.Int -> 3, BasicType.Object -> alBacking))
+      val alBig = w.instance(al, Seq(BasicType.Int -> 3, BasicType.Object -> alBacking))
 
       // B10: boxed primitives
       (1 to 5).foreach(i => w.instance(integerCls, Seq(BasicType.Int -> i)))
@@ -145,7 +145,14 @@ object Heap {
       val nD = w.instance(nodeCls, Seq(BasicType.Object -> nE, BasicType.Object -> 0L, BasicType.Int -> 4))
       val nB = w.instance(nodeCls, Seq(BasicType.Object -> nD, BasicType.Object -> 0L, BasicType.Int -> 2))
       val nC = w.instance(nodeCls, Seq(BasicType.Object -> nD, BasicType.Object -> 0L, BasicType.Int -> 3))
-      w.instance(nodeCls, Seq(BasicType.Object -> nB, BasicType.Object -> nC, BasicType.Int -> 1))
+      val nA = w.instance(nodeCls, Seq(BasicType.Object -> nB, BasicType.Object -> nC, BasicType.Int -> 1))
+      // B23: roots with DEPTH — the diamond head (Node chain reaches
+      // hop 3: A -> B/C -> D -> E) and the populated ArrayList
+      // (al -> backing Object[] -> strings -> byte[]s, also hop 3) —
+      // so the reachability census has real multi-hop structure, not
+      // just root-adjacent strings
+      w.gcRoot(Sub.RootJavaFrame, nA, threadSerial = 1, frameIdx = 0)
+      w.gcRoot(Sub.RootThreadObject, alBig, threadSerial = 1)
       val nZ = w.instance(nodeCls, Seq(BasicType.Object -> 0L, BasicType.Object -> 0L, BasicType.Int -> 26))
       w.instance(nodeCls, Seq(BasicType.Object -> nZ, BasicType.Object -> 0L, BasicType.Int -> 24))
       w.instance(nodeCls, Seq(BasicType.Object -> nZ, BasicType.Object -> 0L, BasicType.Int -> 25))
@@ -1013,6 +1020,64 @@ object Heap {
     }
   }
 
+  /** B23 — GC-root reachability distance census: per-type minimum /
+    * maximum hop count from any GC root along the B20 edge set
+    * (8 bounded rounds; unreached-within-8 reports -1). The engine
+    * runs frontier BFS (only the newly-reached delta exchanges per
+    * round); the oracle replays the equivalent 8-round Bellman unroll
+    * — first-reach depth IS the min distance, so the two agree
+    * row-for-row. A root seeded off the wrong table, an edge missed,
+    * or a min taken over the wrong relaxation all break the hash.
+    */
+  val qHeapRootPath: GateQuery = {
+    val hops = 8
+    val bellman = (1 to hops).map { k =>
+      s"""d$k AS (SELECT o, MIN(dist) AS dist FROM (
+         |  SELECT o, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS o, q.dist + 1 AS dist
+         |  FROM d${k - 1} q JOIN ed e ON e.src = q.o) GROUP BY o)""".stripMargin
+    }.mkString(",\n")
+    GateQuery(
+      "q_heap_root_path",
+      s"""WITH e AS (
+         |  SELECT s.obj_id AS src, s.value AS dst
+         |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
+         |  WHERE s.value <> 0
+         |  UNION ALL
+         |  SELECT h.obj_id, h."table" FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
+         |  WHERE h."table" <> 0
+         |  UNION ALL
+         |  SELECT a.obj_id, a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
+         |  WHERE a.elementData <> 0
+         |  UNION ALL
+         |  SELECT n.obj_id, n."left" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n
+         |  WHERE n."left" <> 0
+         |  UNION ALL
+         |  SELECT n2.obj_id, n2."right" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n2
+         |  WHERE n2."right" <> 0
+         |  UNION ALL
+         |  SELECT src, dst FROM (
+         |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
+         |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
+         |  WHERE dst <> 0),
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |d0 AS (SELECT DISTINCT obj_id AS o, 0 AS dist
+         |       FROM read_parquet('$exportDir/_gc_roots/*.parquet')),
+         |$bellman,
+         |oi AS (SELECT obj_id, type_name
+         |       FROM read_parquet('$exportDir/_object_index/*.parquet'))
+         |SELECT oi.type_name, CAST(COUNT(*) AS BIGINT) AS n_objects,
+         |  CAST(SUM(CASE WHEN d.o IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+         |  CAST(COALESCE(MIN(d.dist), -1) AS BIGINT) AS min_dist,
+         |  CAST(COALESCE(MAX(d.dist), -1) AS BIGINT) AS max_dist
+         |FROM oi LEFT JOIN d$hops d ON d.o = oi.obj_id
+         |GROUP BY oi.type_name
+         |ORDER BY oi.type_name""".stripMargin) { (s, _) =>
+      analysis(s).rootReachability(hops).get.orderBy("type_name")
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
@@ -1020,7 +1085,7 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
-    qHeapReferrers, qHeapOwnership, qHeapRetained,
+    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapRootPath,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
 }

@@ -303,6 +303,49 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(got.size === 5)
   }
 
+  test("B23 root reachability: hand-worked depths, min over two roots, unreached stays -1") {
+    // chain: R0 -> n1 -> n2 -> n3 (depths 0..3); a SECOND root points
+    // straight at n2, so n2's min dist is 0 and n3 relaxes to 1 —
+    // first-reach BFS must take the minimum, not the first chain it
+    // happens to expand. Orphan node o1 -> o2 has no root: both -1.
+    val w = new HprofWriter()
+    val obj = w.defineClass("java.lang.Object")
+    val node = w.defineClass("com.example.Node", obj,
+      instanceFields = Seq("left" -> BasicType.Object,
+        "right" -> BasicType.Object, "payload" -> BasicType.Int))
+    def mk(l: Long, p: Int) =
+      w.instance(node, Seq(BasicType.Object -> l, BasicType.Object -> 0L, BasicType.Int -> p))
+    val n3 = mk(0L, 3)
+    val n2 = mk(n3, 2)
+    val n1 = mk(n2, 1)
+    val r0 = mk(n1, 0)
+    val o2 = mk(0L, 12)
+    mk(o2, 11) // o1, unrooted
+    val strCls = w.defineClass("java.lang.String", obj,
+      instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+    val b = w.byteArray("deep")
+    val s1 = w.instance(strCls, Seq(BasicType.Object -> b, BasicType.Int -> 9))
+    w.gcRoot(Sub.RootThreadObject, r0, threadSerial = 1)
+    w.gcRoot(Sub.RootJniGlobal, n2)
+    w.gcRoot(Sub.RootMonitorUsed, s1)
+    val dir = java.nio.file.Files.createTempDirectory("heapan_rootpath")
+    val hprof = dir.resolve("rootpath.hprof").toString
+    w.writeTo(hprof, segments = 1)
+    val out = dir.resolve("parquet").toString
+    new HeapDump(spark, hprof).writeParquet(out)
+    val an = new HeapAnalysis(new HeapTables(spark, out))
+    val got = an.rootReachability().get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // Nodes: r0(0) n1(1) n2(0, via the direct root) n3(1, relaxed
+    // through n2's root) reached; o1, o2 unreached -> 4 of 6, max 1
+    assert(got("com.example.Node") === ((6L, 4L, 0L, 1L)))
+    assert(got("java.lang.String") === ((1L, 1L, 0L, 0L)))
+    assert(got("byte[]") === ((1L, 1L, 1L, 1L)))
+    // class objects carry no outgoing edges and no roots: -1
+    assert(got("class com.example.Node") === ((1L, 0L, -1L, -1L)))
+  }
+
   test("B20/B21 on an edge-less dump: empty edge set, not an exception") {
     // no object-typed instance fields, no object arrays: zero edge
     // frames to union — refEdges and its consumers must yield None
