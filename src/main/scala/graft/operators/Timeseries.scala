@@ -368,6 +368,50 @@ object Timeseries {
         col("mean_micro"), col("dev_micro"))
   }
 
+  /** E39 — one-sided CUSUM changepoint detection (Page 1954; the
+    * standard sequential detector for a sustained LEVEL SHIFT, which
+    * point detectors like E21/E38 structurally miss — ten successive
+    * readings each 1.5 MADs high never trip a z-score but accumulate
+    * here). Per group, over the (ts, tie)-ordered series:
+    * S_t = max(0, S_{t−1} + (x_t − mean − slack)), flag when
+    * S_t > threshold.
+    *
+    * The recursion LOOKS sequential but is window-expressible through
+    * the prefix identity S_t = P_t − min(0, min_{j≤t} P_j) where
+    * P_t = Σ_{j≤t}(x_t − mean − slack): a running sum and a running
+    * min over the SAME (group, order) window — one corpus exchange,
+    * both windows sharing the sort, no recursion, no UDAF. Per-group
+    * sort is the inherent cost of any sequential detector (the ewma
+    * precedent). Integer-exact: values floor to micros, the group
+    * mean is the integral `sx div n`, slack/threshold are caller
+    * micros — every S_t replays bit-for-bit in SQL.
+    *
+    * @return flagged rows (group, ts, tie, x_micro, cusum_micro) —
+    *         the points where the accumulated upward drift exceeds
+    *         `thresholdMicro`, i.e. the alarm set
+    */
+  def cusumChangepoints(events: DataFrame, groupCol: String, tsCol: String,
+      tieCol: String, valCol: String,
+      slackMicro: Long, thresholdMicro: Long): DataFrame = {
+    require(slackMicro >= 0 && thresholdMicro > 0, "invalid CUSUM parameters")
+    val base = events.select(col(groupCol).as("g"), col(tsCol).as("ts"),
+      col(tieCol).as("tie"),
+      floor(col(valCol) * 1000000).cast("long").as("x_micro"))
+    val means = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x_micro").as("sx"))
+      .select(col("g"), expr("sx div n").as("mean_micro"))
+    val ord = Window.partitionBy("g").orderBy(col("ts"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(means), Seq("g"))
+      .withColumn("__d", col("x_micro") - col("mean_micro") - lit(slackMicro))
+      .withColumn("__p", sum("__d").over(ord))
+      .withColumn("cusum_micro",
+        col("__p") - least(lit(0L), min("__p").over(ord)))
+      .filter(col("cusum_micro") > thresholdMicro)
+      .select(col("g").as(groupCol), col("ts").as(tsCol),
+        col("tie").as(tieCol), col("x_micro"), col("cusum_micro"))
+  }
+
   def transitionMatrix(events: DataFrame, idCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))

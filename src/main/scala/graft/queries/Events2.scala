@@ -402,8 +402,46 @@ object Events2 {
       .orderBy("event_id")
   }
 
+  /** E39 — one-sided CUSUM changepoint alarms: per event_type over
+    * the (ts, event_id)-ordered series, S_t = max(0, S_{t−1} +
+    * (x − mean − slack)) flags where it exceeds the threshold — the
+    * sustained-level-shift detector point detectors (E21/E38) miss.
+    * Computed windowed via S_t = P_t − min(0, min_prefix P): the
+    * oracle replays the micro floor, the integral mean, both running
+    * windows (DuckDB needs them in two CTE levels — window calls
+    * can't nest), and the alarm cut. slack 10, threshold 200 value
+    * units: 1644 alarms at sf0.01 and 99 at sf0.001 — a real alarm
+    * set at BOTH verification scales, never the corpus.
+    */
+  val qCusum: GateQuery = GateQuery(
+    "q_cusum",
+    """WITH base AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(FLOOR(value * 1000000) AS BIGINT) AS x_micro
+      |  FROM events),
+      |m AS (SELECT event_type, CAST(SUM(x_micro) // COUNT(*) AS BIGINT) AS mean_micro
+      |      FROM base GROUP BY 1),
+      |d AS (SELECT b.*, b.x_micro - m.mean_micro - 10000000 AS dd
+      |      FROM base b JOIN m USING (event_type)),
+      |p AS (SELECT *, SUM(dd) OVER w AS pp
+      |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p2 AS (SELECT *, MIN(pp) OVER w2 AS mp
+      |       FROM p WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, ts, event_id, x_micro,
+      |  CAST(pp - LEAST(0, mp) AS BIGINT) AS cusum_micro
+      |FROM p2
+      |WHERE pp - LEAST(0, mp) > 200000000
+      |ORDER BY event_type, ts, event_id""".stripMargin) { (s, dir) =>
+    graft.operators.Timeseries.cusumChangepoints(
+        Tables(s, dir, "events"), "event_type", "ts", "event_id", "value",
+        slackMicro = 10000000L, thresholdMicro = 200000000L)
+      .orderBy("event_type", "ts", "event_id")
+  }
+
   val all: Seq[GateQuery] =
     Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow,
       qAnomaly, qOhlcBars, qEwma, qLinearTrend, qMadOutliers, qPareto,
-      qSeasonal, qSeasonalAnomaly)
+      qSeasonal, qSeasonalAnomaly, qCusum)
 }

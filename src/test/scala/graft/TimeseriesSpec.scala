@@ -267,6 +267,43 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cusumChangepoints: hand recursion matches, sustained shift flags where a point spike resets") {
+    // group "a": mean of (10,10,10,10,16,16,16,16) = 13.0 exactly.
+    // slack 1.0: d = x - 14 in micros. The first four points drive S
+    // to 0 (all negative, clamped); the sustained +16 run accumulates
+    // +2.0 each: S = 2, 4, 6, 8 -> threshold 5.0 flags exactly the
+    // last two points.
+    val shift = (0 until 8).map(i =>
+      ("a", i.toLong * 1000000L, i.toLong, if (i < 4) 10.0 else 16.0))
+    // group "b": one +100 spike in a flat series — S jumps once then
+    // DECAYS by |d| per flat point instead of latching, the behavior
+    // that distinguishes CUSUM from a running-max alarm.
+    val spike = (0 until 8).map(i =>
+      ("b", i.toLong * 1000000L, (10 + i).toLong, if (i == 3) 100.0 else 10.0))
+    val df = (shift ++ spike)
+      .toDF("g", "t_us", "eid", "v")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+      .repartition(3)
+    val got = Timeseries.cusumChangepoints(df, "g", "ts", "eid", "v",
+        slackMicro = 1000000L, thresholdMicro = 5000000L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSet
+    // exact integer recursion, worked by hand:
+    // a: d = +2000000 for each 16 -> S at eids 6,7 = 6000000, 8000000
+    assert(got.filter(_._1 == "a") === Set(("a", 6L, 6000000L), ("a", 7L, 8000000L)))
+    // b: mean floor((7*10+100)/8)=21.25 -> d(spike)=+77750000 flags
+    // once; the following flat points decay S by 12250000 each:
+    // 65500000, 53250000, ... still > 5000000 through eid 17 — the
+    // DECAY is visible (S strictly falls), unlike a latched point flag
+    val bFlags = got.filter(_._1 == "b").toSeq.sortBy(_._2)
+    assert(bFlags.map(_._2) === Seq(13L, 14L, 15L, 16L, 17L))
+    assert(bFlags.map(_._3) === Seq(77750000L, 65500000L, 53250000L, 41000000L, 28750000L))
+    // partition invariance
+    val re = Timeseries.cusumChangepoints(df.repartition(7), "g", "ts", "eid", "v",
+        slackMicro = 1000000L, thresholdMicro = 5000000L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSet
+    assert(re === got)
+  }
+
   test("containmentPairs catches doc-inside-doc that Jaccard misses") {
     import graft.operators.Dedup
     // B = A verbatim plus a long unrelated tail: containment(A,B)=100%
