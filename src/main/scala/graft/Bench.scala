@@ -118,6 +118,44 @@ object Bench {
     // objects so parse/export throughput dominates the ~200 per-table
     // commit fixed costs — at 15 MB the MB/s number measured commit
     // overhead, not the parse path that matters at 100×.
+    // CROSS-SCALE AUDIT (slow tier only; SPARK_GRAFT_BENCH_XSCALE=0
+    // skips): a superlinear plan regression — an accidental O(n²) in a
+    // candidate family — is invisible at one scale factor and
+    // catastrophic at 100×. Timing the slow-tier gates at a second,
+    // 10×-smaller SF in the same run yields the per-gate empirical
+    // scaling exponent log(t_big/t_small)/log(10); exponents > 1.3
+    // are flagged in the printed line and recorded per-gate in
+    // BENCH_DETAIL.json so the regression is caught mechanically,
+    // round-over-round. Fixed per-job overhead at the small SF only
+    // DEFLATES the exponent, so a flag is never overhead noise.
+    // min-of-2 at the small SF: these gates run seconds there, and a
+    // single loaded-machine rep would fake a low exponent.
+    val xscaleEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_XSCALE", "1") != "0" &&
+      slowEnabled && only.isEmpty
+    val xscaleDir = sys.env.get("SPARK_GRAFT_BENCH_XSCALE_DIR").orElse {
+      val small = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+      if (small.isDirectory && small.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
+        Some(small.getAbsolutePath) else None
+    }
+    val xscale: Seq[(String, Double, Double)] =
+      if (!xscaleEnabled || xscaleDir.isEmpty) Seq.empty
+      else SparkEntry.gateQueries.filter(_.slow).flatMap { q =>
+        val big = slowResults.toMap.getOrElse(q.name, Double.NaN)
+        val times = (1 to reps.max(2)).map { _ =>
+          try timed(() => q.fn(spark, xscaleDir.get).write.format("noop").mode("overwrite").save())
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] xscale ${q.name} failed: ${e.getMessage}")
+            Double.NaN
+          }
+        }
+        val small = times.min
+        if (big.isNaN || small.isNaN || small <= 0) None
+        else Some((q.name, small, math.log(big / small) / math.log(10.0)))
+      }
+    val xscaleFlagged = xscale.count(_._3 > 1.3)
+    xscale.filter(_._3 > 1.3).foreach { case (n, s0, e) =>
+      System.err.println(f"[bench] SCALING FLAG $n: exp=$e%.2f (small=$s0%.2fs)")
+    }
     val heapIngest = if (only.isDefined) (0.0, 0.0) else {
       import graft.heap.{HeapDump, HprofWriter}
       import graft.heap.HprofModel.BasicType
@@ -157,9 +195,30 @@ object Bench {
       System.err.println(f"[bench] heap ingest+export: $mb%.1f MB, 3M objects in $sec%.2f s (${mb / sec}%.1f MB/s, min of $ingestReps)")
       (sec, mb)
     }
+    // FAST-TIER LATE RE-PASS (full-tier runs only): the r9 driver run
+    // showed fast gates reading 2-4× their isolated minima while the
+    // slow/aux tiers shared the JVM — transient machine load early in
+    // the run inflates both early reps at once, and min-of-2 can't see
+    // through it. One extra rep per fast gate at the very END of the
+    // run (JVM warmest, tiers drained) spreads the minimum across the
+    // whole wall-clock window, so a load spike has to span the entire
+    // run to inflate a gate's recorded number.
+    val fastFinal =
+      if (only.isDefined || (!slowEnabled && !auxEnabled)) results
+      else {
+        val late = SparkEntry.gateQueries.filter(_.bench).map { q =>
+          q.name -> (try timed(() =>
+            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          catch { case _: Throwable => Double.NaN })
+        }.toMap
+        results.map { case (n, v) =>
+          val l = late.getOrElse(n, Double.NaN)
+          n -> (if (v.isNaN) l else if (l.isNaN) v else v.min(l))
+        }
+      }
     val withIngest =
-      if (only.isDefined) results
-      else results :+ ("q_heap_ingest_export" -> heapIngest._1)
+      if (only.isDefined) fastFinal
+      else fastFinal :+ ("q_heap_ingest_export" -> heapIngest._1)
     val allGates = withIngest ++ slowResults ++ auxResults
     // A failing gate records NaN per-gate (rendered as null) but must
     // not poison the total — "value":NaN is not valid JSON and breaks
@@ -184,9 +243,18 @@ object Bench {
     // ingest throughput, and the 25 slowest gates; BENCH_DETAIL.json in
     // the repo root carries every gate at full precision.
     val auxTotal = auxResults.collect { case (_, v) if !v.isNaN => v }.sum
+    // per-gate cross-scale record: small-SF minimum and the empirical
+    // exponent, so round-over-round diffs of BENCH_DETAIL.json catch a
+    // scaling regression even when the absolute times look plausible
+    val scalingJson = xscale
+      .map { case (n, s0, e) => f""""$n":{"t_small":$s0%.3f,"exp":$e%.2f}""" }
+      .mkString("{", ",", "}")
     val detailJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,""" +
       f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},""" +
       f""""aux_total":$auxTotal%.3f,"n_aux":${auxResults.size},"queries":${qJson(allGates, 3)},""" +
+      (if (xscale.nonEmpty)
+        s""""scaling":$scalingJson,"xscale_flagged":$xscaleFlagged,"xscale_sf":"${xscaleDir.get}","""
+      else "") +
       ingestKeys + f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
@@ -197,6 +265,7 @@ object Bench {
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_gates":${allGates.size},"failed":$failed,""" +
       f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},""" +
       f""""aux_total":$auxTotal%.3f,"n_aux":${auxResults.size},""" +
+      (if (xscale.nonEmpty) s""""xscale_flagged":$xscaleFlagged,""" else "") +
       ingestKeys +
       f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir",""" +
       s""""detail":"BENCH_DETAIL.json","queries":${qJson(top, 2)}}""")
