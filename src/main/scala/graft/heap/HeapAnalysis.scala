@@ -623,10 +623,22 @@ final class HeapAnalysis(t: HeapTables) {
       oa.select(col("obj_id").as("src"), explode(col("elements")).as("dst"),
         col("class_name").as("src_class"), lit("[]").as("via"))
     }
+    // static ref fields: class object → referenced instance. Without
+    // these, everything held alive ONLY through a static (caches,
+    // registries, singletons — the classic leak shapes) reads as
+    // unreferenced/unreachable in B20–B23; sticky-class GC roots pin
+    // class objects, so this is the edge that connects them onward.
+    val staticEdges = t.system("_static_fields").map { sf =>
+      sf.filter(col("field_type") === "object")
+        .select(col("class_obj_id").as("src"), col("ref_id").as("dst"),
+          concat(lit("class "), col("class_name")).as("src_class"),
+          col("field_name").as("via"))
+    }
     // reduceOption: a dump with no object-typed field slots (or none
-    // with exported per-class tables) and no _object_arrays table has
-    // zero edge frames — an empty edge set, not an exception
-    (fieldEdges ++ arrEdges.toSeq)
+    // with exported per-class tables) and no _object_arrays or
+    // _static_fields table has zero edge frames — an empty edge set,
+    // not an exception
+    (fieldEdges ++ arrEdges.toSeq ++ staticEdges.toSeq)
       .reduceOption(_ unionByName _)
       .map(_.filter(col("dst") =!= 0L))
   }.flatten

@@ -157,11 +157,15 @@ object Heap {
       w.instance(nodeCls, Seq(BasicType.Object -> nZ, BasicType.Object -> 0L, BasicType.Int -> 24))
       w.instance(nodeCls, Seq(BasicType.Object -> nZ, BasicType.Object -> 0L, BasicType.Int -> 25))
 
-      // A7: static fields (object ref, primitive, null ref)
-      w.defineClass("com.example.Registry", obj, staticFields = Seq(
+      // A7: static fields (object ref, primitive, null ref). The
+      // class object is sticky-rooted — the realistic liveness shape
+      // (class roots are HOW statics stay alive), so the B23 census
+      // sees the class → static → instance chain.
+      val registryCls = w.defineClass("com.example.Registry", obj, staticFields = Seq(
         ("CACHE", BasicType.Object, strs.head),
         ("LIMIT", BasicType.Int, 42),
         ("EMPTY_REF", BasicType.Object, 0L)))
+      w.gcRoot(Sub.RootStickyClass, registryCls)
 
       // A10: stack frames + traces with depths 1 / 3 / 0
       val f1 = w.stackFrame("main", "()V", "Main.java", "java.lang.String", 1)
@@ -188,6 +192,41 @@ object Heap {
     demoDir(spark)
     new HeapAnalysis(new HeapTables(spark, exportDirResolved))
   }
+
+  /** Shared oracle restatement of `HeapAnalysis.refEdges` over the
+    * demo export: every instance ref field the demo classes carry
+    * (stated explicitly — a field mis-typed in `_fields` changes edge
+    * counts), object-array elements, and static ref fields
+    * (class object → target). The `e` CTE keeps ROW MULTIPLICITY
+    * (in-degree counts every edge occurrence); consumers needing the
+    * distinct relation derive it themselves.
+    */
+  private lazy val refEdgeSql: String =
+    s"""e AS (
+       |  SELECT s.obj_id AS src, s.value AS dst
+       |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
+       |  WHERE s.value <> 0
+       |  UNION ALL
+       |  SELECT h.obj_id, h."table" FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
+       |  WHERE h."table" <> 0
+       |  UNION ALL
+       |  SELECT a.obj_id, a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
+       |  WHERE a.elementData <> 0
+       |  UNION ALL
+       |  SELECT n.obj_id, n."left" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n
+       |  WHERE n."left" <> 0
+       |  UNION ALL
+       |  SELECT n2.obj_id, n2."right" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n2
+       |  WHERE n2."right" <> 0
+       |  UNION ALL
+       |  SELECT src, dst FROM (
+       |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
+       |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
+       |  WHERE dst <> 0
+       |  UNION ALL
+       |  SELECT sf.class_obj_id, sf.ref_id
+       |  FROM read_parquet('$exportDir/_static_fields/*.parquet') sf
+       |  WHERE sf.field_type = 'object' AND sf.ref_id <> 0)""".stripMargin
 
   private def table(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(s"${demoDir(spark)}/$name")
@@ -835,27 +874,7 @@ object Heap {
     */
   val qHeapReferrers: GateQuery = GateQuery(
     "q_heap_referrers",
-    s"""WITH e AS (
-       |  SELECT s.value AS dst
-       |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
-       |  WHERE s.value <> 0
-       |  UNION ALL
-       |  SELECT h."table" FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
-       |  WHERE h."table" <> 0
-       |  UNION ALL
-       |  SELECT a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
-       |  WHERE a.elementData <> 0
-       |  UNION ALL
-       |  SELECT n."left" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n
-       |  WHERE n."left" <> 0
-       |  UNION ALL
-       |  SELECT n2."right" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n2
-       |  WHERE n2."right" <> 0
-       |  UNION ALL
-       |  SELECT dst FROM (
-       |    SELECT unnest(o.elements) AS dst
-       |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
-       |  WHERE dst <> 0),
+    s"""WITH $refEdgeSql,
        |d AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY dst),
        |j AS (SELECT oi.type_name, d.in_deg
        |      FROM d JOIN read_parquet('$exportDir/_object_index/*.parquet') oi
@@ -885,27 +904,7 @@ object Heap {
     }.mkString(",\n")
     GateQuery(
       "q_heap_ownership",
-      s"""WITH e AS (
-         |  SELECT s.obj_id AS src, s.value AS dst
-         |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
-         |  WHERE s.value <> 0
-         |  UNION ALL
-         |  SELECT h.obj_id, h."table" FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
-         |  WHERE h."table" <> 0
-         |  UNION ALL
-         |  SELECT a.obj_id, a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
-         |  WHERE a.elementData <> 0
-         |  UNION ALL
-         |  SELECT n.obj_id, n."left" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n
-         |  WHERE n."left" <> 0
-         |  UNION ALL
-         |  SELECT n2.obj_id, n2."right" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n2
-         |  WHERE n2."right" <> 0
-         |  UNION ALL
-         |  SELECT src, dst FROM (
-         |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
-         |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
-         |  WHERE dst <> 0),
+      s"""WITH $refEdgeSql,
          |own AS (SELECT dst AS o, MIN(src) AS owner FROM e
          |        GROUP BY dst HAVING COUNT(*) = 1),
          |oi AS (SELECT obj_id, type_name
@@ -950,27 +949,7 @@ object Heap {
     }.mkString("\n  UNION ALL\n")
     GateQuery(
       "q_heap_retained",
-      s"""WITH e AS (
-         |  SELECT s.obj_id AS src, s.value AS dst
-         |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
-         |  WHERE s.value <> 0
-         |  UNION ALL
-         |  SELECT h.obj_id, h."table" FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
-         |  WHERE h."table" <> 0
-         |  UNION ALL
-         |  SELECT a.obj_id, a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
-         |  WHERE a.elementData <> 0
-         |  UNION ALL
-         |  SELECT n.obj_id, n."left" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n
-         |  WHERE n."left" <> 0
-         |  UNION ALL
-         |  SELECT n2.obj_id, n2."right" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n2
-         |  WHERE n2."right" <> 0
-         |  UNION ALL
-         |  SELECT src, dst FROM (
-         |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
-         |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
-         |  WHERE dst <> 0),
+      s"""WITH $refEdgeSql,
          |ed AS (SELECT DISTINCT src, dst FROM e),
          |dg AS (SELECT dst, COUNT(*) AS deg, MIN(src) AS only_src FROM ed GROUP BY dst),
          |own1 AS (SELECT dst AS o, only_src AS p FROM dg WHERE deg = 1),
@@ -1040,27 +1019,7 @@ object Heap {
     }.mkString(",\n")
     GateQuery(
       "q_heap_root_path",
-      s"""WITH e AS (
-         |  SELECT s.obj_id AS src, s.value AS dst
-         |  FROM read_parquet('$exportDir/java.lang.String_*/*.parquet') s
-         |  WHERE s.value <> 0
-         |  UNION ALL
-         |  SELECT h.obj_id, h."table" FROM read_parquet('$exportDir/java.util.HashMap_*/*.parquet') h
-         |  WHERE h."table" <> 0
-         |  UNION ALL
-         |  SELECT a.obj_id, a.elementData FROM read_parquet('$exportDir/java.util.ArrayList_*/*.parquet') a
-         |  WHERE a.elementData <> 0
-         |  UNION ALL
-         |  SELECT n.obj_id, n."left" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n
-         |  WHERE n."left" <> 0
-         |  UNION ALL
-         |  SELECT n2.obj_id, n2."right" FROM read_parquet('$exportDir/com.example.Node_*/*.parquet') n2
-         |  WHERE n2."right" <> 0
-         |  UNION ALL
-         |  SELECT src, dst FROM (
-         |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
-         |    FROM read_parquet('$exportDir/_object_arrays/*.parquet') o)
-         |  WHERE dst <> 0),
+      s"""WITH $refEdgeSql,
          |ed AS (SELECT DISTINCT src, dst FROM e),
          |d0 AS (SELECT DISTINCT obj_id AS o, 0 AS dist
          |       FROM read_parquet('$exportDir/_gc_roots/*.parquet')),

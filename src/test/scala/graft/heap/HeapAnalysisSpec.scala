@@ -346,6 +346,43 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(got("class com.example.Node") === ((1L, 0L, -1L, -1L)))
   }
 
+  test("static ref fields are graph edges: cache-only liveness is visible to B20/B23") {
+    // the classic leak shape: an instance held ONLY by a static cache.
+    // Without the class→static→instance edge it reads unreferenced
+    // (B20) and unreachable (B23); with it, the sticky-rooted class
+    // carries liveness: class(0) -> cached String(1) -> byte[](2).
+    val w = new HprofWriter()
+    val obj = w.defineClass("java.lang.Object")
+    val strCls = w.defineClass("java.lang.String", obj,
+      instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+    val b = w.byteArray("cached")
+    val s1 = w.instance(strCls, Seq(BasicType.Object -> b, BasicType.Int -> 3))
+    val holder = w.defineClass("com.example.Holder", obj, staticFields = Seq(
+      ("CACHE", BasicType.Object, s1),
+      ("NULL_REF", BasicType.Object, 0L),
+      ("N", BasicType.Int, 9)))
+    w.gcRoot(Sub.RootStickyClass, holder)
+    val dir = java.nio.file.Files.createTempDirectory("heapan_static_edge")
+    val hprof = dir.resolve("staticedge.hprof").toString
+    w.writeTo(hprof, segments = 1)
+    val out = dir.resolve("parquet").toString
+    new HeapDump(spark, hprof).writeParquet(out)
+    val an = new HeapAnalysis(new HeapTables(spark, out))
+    // B20: the static edge is the String's ONLY referrer; null static
+    // refs and primitive statics contribute nothing
+    val edges = an.refEdges.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(edges.toSet === Set(
+      (holder, s1, "class com.example.Holder", "CACHE"),
+      (s1, b, "java.lang.String", "value")))
+    // B23: liveness flows class(0) -> String(1) -> byte[](2)
+    val reach = an.rootReachability().get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(reach("java.lang.String") === ((1L, 1L, 1L)))
+    assert(reach("byte[]") === ((1L, 2L, 2L)))
+    assert(reach("class com.example.Holder") === ((1L, 0L, 0L)))
+  }
+
   test("B20/B21 on an edge-less dump: empty edge set, not an exception") {
     // no object-typed instance fields, no object arrays: zero edge
     // frames to union — refEdges and its consumers must yield None
@@ -364,11 +401,15 @@ class HeapAnalysisSpec extends AnyFunSuite {
     val an = new HeapAnalysis(new HeapTables(spark, out))
     assert(an.refEdges.map(_.count()) === Some(0L))
     assert(an.referrerStats.map(_.count()) === Some(0L))
-    // a partial/foreign export MISSING _object_arrays entirely: zero
-    // edge frames to union — must yield None, not throw (r9 ADVICE)
-    val oaDir = java.nio.file.Paths.get(out, "_object_arrays")
-    java.nio.file.Files.walk(oaDir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.delete(f))
+    // a partial/foreign export MISSING _object_arrays AND
+    // _static_fields entirely: zero edge frames to union — must yield
+    // None, not throw (r9 ADVICE)
+    Seq("_object_arrays", "_static_fields").foreach { tname =>
+      val d = java.nio.file.Paths.get(out, tname)
+      if (java.nio.file.Files.exists(d))
+        java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
     val an2 = new HeapAnalysis(new HeapTables(spark, out))
     assert(an2.refEdges.isEmpty)
     assert(an2.referrerStats.isEmpty)
