@@ -880,6 +880,36 @@ object StreamingGates {
       .orderBy("event_id")
   }
 
+  /** E39 (stream) — the E39 CUSUM level-shift alarm running ONLINE
+    * (flatMapGroupsWithState, one Long of state per group, Append
+    * mode) against the IDENTICAL oracle as batch q_cusum: the exact
+    * recursion the batch operator's running-sum/running-min identity
+    * replays at rest. Per-type in-control means are computed
+    * batch-side and handed to the processor as model state (the
+    * warm-start pattern) — an in-control level is a property of
+    * history, not something the detector should learn from the very
+    * stream it polices.
+    */
+  val qStreamCusum: GateQuery = GateQuery(
+    "q_stream_cusum", Events2.qCusum.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val targets = Tables(s, dir, "events")
+      .select(col("event_type"), floor(col("value") * 1000000).cast("long").as("x"))
+      .groupBy("event_type").agg(expr("sum(x) div count(1)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val evs = eventsStream(s, dir)
+      .select(col("event_id").cast("long").as("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        floor(col("value") * 1000000).cast("long").as("x_micro"))
+      .as[StreamingOps.CusumEvent]
+    runToMemory(StreamingOps.cusumStream(evs, targets,
+        slackMicro = 10000000L, thresholdMicro = 200000000L).toDF(),
+        OutputMode.Append())
+      .select(col("event_type"), timestamp_micros(col("t_us")).as("ts"),
+        col("event_id"), col("x_micro"), col("cusum_micro"))
+      .orderBy("event_type", "ts", "event_id")
+  }
+
   private val stagedEmbDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** E35 — streaming semantic routing: an embedding stream is assigned
@@ -937,7 +967,7 @@ object StreamingGates {
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
-      qStreamAnomaly, qStreamTws, qStreamTimerSessions, qStreamMapState,
+      qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute)
     .map(_.copy(bench = false))
 }

@@ -68,6 +68,11 @@ object StreamingOps {
   final case class AnomState(xs: List[Long])
   final case class AnomHit(event_id: Long, event_type: String, x: Long, n_window: Long)
 
+  final case class CusumEvent(event_id: Long, event_type: String, t_us: Long, x_micro: Long)
+  final case class CusumState(s: Long)
+  final case class CusumHit(event_type: String, t_us: Long, event_id: Long,
+    x_micro: Long, cusum_micro: Long)
+
   /** E26 — STREAMING rolling z-score anomaly detection: the E25
     * float-free flag ((n·x−S)² > k²·(n·Q−S²) over the `lookback`
     * preceding same-group values, integer cents) evaluated
@@ -101,6 +106,37 @@ object StreamingOps {
             ring = (ring :+ e.x).takeRight(lookback)
           }
           state.update(AnomState(ring))
+          out.result().iterator
+      }
+  }
+
+  /** E39 (stream twin) — online one-sided CUSUM: per group, the exact
+    * recursion S = max(0, S + x − target − slack), one Long of state,
+    * alarm rows emitted in Append mode the moment S crosses the
+    * threshold — the form CUSUM was designed for (sequential detection
+    * is an ONLINE procedure; the batch operator's window identity
+    * exists to replay it at rest). `targets` is model state computed
+    * offline (the warm-start pattern, q_stream_warmstart precedent):
+    * an in-control mean is a property of history, not of the stream.
+    * Per-batch sort by (t_us, event_id) gives the same total order as
+    * the batch operator; state carries S across micro-batches.
+    */
+  def cusumStream(events: Dataset[CusumEvent], targets: Map[String, Long],
+      slackMicro: Long, thresholdMicro: Long): Dataset[CusumHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (tpe, evs, state: GroupState[CusumState]) =>
+          val ref = targets.getOrElse(tpe, 0L) + slackMicro
+          var s = state.getOption.map(_.s).getOrElse(0L)
+          val out = Seq.newBuilder[CusumHit]
+          evs.toSeq.sortBy(e => (e.t_us, e.event_id)).foreach { e =>
+            s = math.max(0L, s + e.x_micro - ref)
+            if (s > thresholdMicro)
+              out += CusumHit(tpe, e.t_us, e.event_id, e.x_micro, s)
+          }
+          state.update(CusumState(s))
           out.result().iterator
       }
   }

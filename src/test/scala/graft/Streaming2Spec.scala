@@ -98,6 +98,33 @@ class Streaming2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E39 stream: CUSUM state crosses micro-batches, decays, and matches the hand recursion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.CusumEvent]
+    // target 10, slack 1 (micros): d = x - 11
+    val q = StreamingOps.cusumStream(input.toDS(), Map("t" -> 10000000L),
+        slackMicro = 1000000L, thresholdMicro = 5000000L)
+      .writeStream.format("memory").queryName("cusum_sink")
+      .outputMode(OutputMode.Append()).start()
+    def ev(i: Long, x: Long) = StreamingOps.CusumEvent(i, "t", i * 1000000L, x * 1000000L)
+    try {
+      // batch 1: four 13s accumulate +2 each -> S = 2,4,6,8; alarms at
+      // the last two (S > 5)
+      input.addData((1L to 4L).map(i => ev(i, 13L)): _*)
+      q.processAllAvailable()
+      // batch 2: S=8 must CARRY OVER; one more 13 -> 10 (alarm), then
+      // two 10s decay by 1 each -> 9, 8 (still alarming: decay visible,
+      // not a reset), then a 1 drops S to 0 (clamped) -> quiet
+      input.addData(Seq(ev(5L, 13L), ev(6L, 10L), ev(7L, 10L), ev(8L, 1L)): _*)
+      q.processAllAvailable()
+      val hits = spark.table("cusum_sink").collect()
+        .map(r => (r.getLong(2), r.getLong(4))).sortBy(_._1)
+      assert(hits.toSeq === Seq((3L, 6000000L), (4L, 8000000L),
+        (5L, 10000000L), (6L, 9000000L), (7L, 8000000L)))
+    } finally q.stop()
+  }
+
   test("RocksDB state store backs the stateful sessionizer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
