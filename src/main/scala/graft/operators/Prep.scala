@@ -63,6 +63,33 @@ object Prep {
       when(b < valFrom, "train").when(b < testFrom, "val").otherwise("test"))
   }
 
+  /** D105 — LEAKAGE-SAFE split assignment: a near-duplicate of a
+    * train doc landing in the test set is a memorized answer, not
+    * held-out data, so the per-doc hash split (`splitAssign`) silently
+    * contaminates eval the moment the corpus contains near-dups — and
+    * every web corpus does. Here the unit of assignment is the
+    * near-dup CLUSTER: docs cluster over the supplied similarity
+    * `pairs` (any pair source composes — exact-hash groups, minhash
+    * band survivors, verified-jaccard pairs), the cluster id (min
+    * member id, the Components contract) is hashed with the SAME
+    * md5-prefix rule as `splitAssign`, and every member inherits its
+    * cluster's split — near-dups cannot straddle train/test by
+    * construction. A singleton doc's cluster id is its own id, so on
+    * a dup-free corpus this IS `splitAssign`, bit for bit. Cost
+    * beyond the clustering the dedup pass already ran: one hash
+    * projection + one id-keyed join against the two-long-per-doc
+    * cluster table.
+    */
+  def splitAssignClustered(df: DataFrame, idCol: String, pairs: DataFrame,
+      seed: Long, valFrom: String = "e6", testFrom: String = "f3"): DataFrame = {
+    require(valFrom < testFrom, s"split thresholds out of order: $valFrom >= $testFrom")
+    val clusters = Components.clusterDocuments(df.select(col(idCol)), idCol, pairs)
+    val b = substring(shuffleKey(col("cluster_id"), seed), 1, 2)
+    df.join(clusters, Seq(idCol))
+      .withColumn("split",
+        when(b < valFrom, "train").when(b < testFrom, "val").otherwise("test"))
+  }
+
   /** Int8 embedding quantization for storage: per-vector max-abs
     * scale, component q = floor(x·127/scale) ∈ [-128, 127] — a 4×
     * footprint cut for ANN corpora whose recall tolerates ~1/254

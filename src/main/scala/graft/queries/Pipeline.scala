@@ -1188,6 +1188,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D105 — leakage-safe splits: train/val/test assignment hashed on
+    * the near-dup CLUSTER id, so near-duplicates cannot straddle
+    * train/test (the eval-contamination hole a per-doc hash split
+    * leaves open). Oracle replays clustering (recursive reach CTE,
+    * same as q_dedup_clusters) AND the md5-prefix split rule on the
+    * cluster id — a doc inheriting the wrong cluster or the hash
+    * applied to the doc id instead of the cluster id breaks the hash.
+    */
+  val qSplitLeakageSafe: GateQuery = GateQuery(
+    "q_split_leakage_safe",
+    s"""WITH RECURSIVE ${shingleCte(3)},
+       |${jaccardInterCte()},
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.6),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |cl AS (
+       |  SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN substring(md5('7:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+       |       WHEN substring(md5('7:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM cl
+       |ORDER BY doc_id""".stripMargin,
+    bench = false, slow = true) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    Prep.splitAssignClustered(docs.select("doc_id"), "doc_id", pairs, seed = 7L)
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
   /** D-composition — the full curation flow (exact dedup → near-dup
     * cluster survivors → quality gate) hash-matched against the same
     * composition in SQL.
@@ -3632,7 +3673,7 @@ object Pipeline {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash, qLshCalibration, qVocabRetention,
     qNearDupIncremental, qNearDupIncrVerified,
-    qDedupClusters, qCurate, qCurateFull,
+    qDedupClusters, qSplitLeakageSafe, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qTruncRecall, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
     qPqSearch, qPqWrite, qPqRerank, qAnnRecall, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,

@@ -51,6 +51,39 @@ class PrepSpec extends AnyFunSuite {
     assert(sub === full)
   }
 
+  test("clustered splits keep near-dup clusters whole and reduce to splitAssign on singletons") {
+    val docs = (0L until 400L).toDF("doc_id")
+    // pair graph: chains {0,1,2} and {10,350}, rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 350L)).toDF("d1", "d2")
+    val got = Prep.splitAssignClustered(docs, "doc_id", pairs, seed = 7L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size === 400)
+    // every cluster member shares its cluster's id AND split
+    assert(Seq(0L, 1L, 2L).map(got(_)).distinct.size === 1)
+    assert(got(0L)._1 === 0L)
+    assert(Seq(10L, 350L).map(got(_)).distinct.size === 1)
+    assert(got(10L)._1 === 10L)
+    // singletons: cluster id is the doc's own id and the split IS
+    // plain splitAssign's answer
+    val plain = Prep.splitAssign(docs, "doc_id", 7L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, (cid, sp)) =>
+      if (!Set(0L, 1L, 2L, 10L, 350L).contains(id)) {
+        assert(cid === id)
+        assert(sp === plain(id))
+      }
+    }
+    // the guarantee itself: no pair straddles a split boundary
+    Seq((0L, 1L), (1L, 2L), (10L, 350L)).foreach { case (a, b) =>
+      assert(got(a)._2 === got(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // partition invariance
+    val again = Prep.splitAssignClustered(docs.repartition(7), "doc_id",
+        pairs.repartition(3), seed = 7L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again === got)
+  }
+
   test("chunk windows align with token content, including the ragged tail") {
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val chunks = Prep.chunkDocs(docs, "doc_id", "text", window = 4, stride = 3)
