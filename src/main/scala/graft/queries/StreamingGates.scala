@@ -910,6 +910,52 @@ object StreamingGates {
       .orderBy("event_type", "ts", "event_id")
   }
 
+  /** E41 — streaming distribution-drift monitor (D56's online twin):
+    * per tumbling hour, the event-type mix vs the offline reference
+    * profile (whole-corpus ppm per type, integral div), ONE L1-gap row
+    * per window emitted when the watermark closes it
+    * (EventTimeTimeout). Sentinel rows push the watermark past every
+    * real window; their own far-future window never times out, so
+    * nothing needs filtering. Oracle replays windowing, both ppm
+    * floors, and the L1 sum over the full reference vocabulary
+    * (absent-in-window types contribute their whole reference ppm).
+    */
+  val qStreamDrift: GateQuery = GateQuery(
+    "q_stream_drift",
+    """WITH ref AS (
+      |  SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
+      |tot AS (SELECT SUM(c) AS n FROM ref),
+      |rp AS (SELECT event_type, c * 1000000 // (SELECT n FROM tot) AS r_ppm FROM ref),
+      |w AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us,
+      |         event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |wn AS (SELECT w_start_us, CAST(SUM(c) AS BIGINT) AS n FROM w GROUP BY 1)
+      |SELECT wn.w_start_us, wn.n AS n_events,
+      |  CAST(SUM(ABS(COALESCE(w.c, 0) * 1000000 // wn.n - rp.r_ppm)) AS BIGINT) AS l1_ppm
+      |FROM wn CROSS JOIN rp
+      |LEFT JOIN w ON w.w_start_us = wn.w_start_us AND w.event_type = rp.event_type
+      |GROUP BY wn.w_start_us, wn.n
+      |ORDER BY wn.w_start_us""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val windowUs = 3600000000L
+    val ref = Tables(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = ref.map(_._2).sum
+    val refPpm = ref.map { case (t, c) => t -> c * 1000000L / total }.toMap
+    val evs = eventsStreamWithSentinels(s, dir)
+      .withWatermark("ts", "1 second")
+      .select(col("event_type"),
+        (expr(s"unix_micros(ts) div ${windowUs}L") * windowUs).as("w_start_us"),
+        col("ts"))
+      .as[StreamingOps.DriftEvent]
+    runToMemory(StreamingOps.driftStream(evs, refPpm, windowUs).toDF(),
+        OutputMode.Append())
+      .select("w_start_us", "n_events", "l1_ppm")
+      .orderBy("w_start_us")
+  }
+
   private val stagedEmbDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** E35 — streaming semantic routing: an embedding stream is assigned
@@ -968,6 +1014,6 @@ object StreamingGates {
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
-      qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute)
+      qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift)
     .map(_.copy(bench = false))
 }

@@ -68,6 +68,12 @@ object StreamingOps {
   final case class AnomState(xs: List[Long])
   final case class AnomHit(event_id: Long, event_type: String, x: Long, n_window: Long)
 
+  // ts rides along solely to keep the watermark column visible to the
+  // stateful operator (EventTimeTimeout requires it in the child plan)
+  final case class DriftEvent(event_type: String, w_start_us: Long, ts: java.sql.Timestamp)
+  final case class DriftCounts(counts: Map[String, Long])
+  final case class DriftRow(w_start_us: Long, n_events: Long, l1_ppm: Long)
+
   final case class CusumEvent(event_id: Long, event_type: String, t_us: Long, x_micro: Long)
   final case class CusumState(s: Long)
   final case class CusumHit(event_type: String, t_us: Long, event_id: Long,
@@ -138,6 +144,45 @@ object StreamingOps {
           }
           state.update(CusumState(s))
           out.result().iterator
+      }
+  }
+
+  /** E41 — STREAMING distribution-drift monitor, the online twin of
+    * the batch token/mixture-drift audit (D56): per tumbling
+    * event-time window, the event-type mix is compared against an
+    * offline reference profile (ppm per type, integral div — model
+    * state, the warm-start pattern) and ONE row per window emits the
+    * L1 gap in ppm the moment the watermark closes the window — the
+    * scraper-regression/source-flood alarm that fires before loss
+    * curves move. State per open window is one count per type
+    * (vocabulary-bounded, not corpus-bounded); EventTimeTimeout emits
+    * and frees it exactly once.
+    */
+  def driftStream(events: Dataset[DriftEvent], refPpm: Map[String, Long],
+      windowUs: Long): Dataset[DriftRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.w_start_us)
+      .flatMapGroupsWithState[DriftCounts, DriftRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (wStart, evs, state: GroupState[DriftCounts]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            state.remove()
+            val n = counts.valuesIterator.sum
+            val l1 = refPpm.iterator.map { case (t, r) =>
+              math.abs(counts.getOrElse(t, 0L) * 1000000L / n - r)
+            }.sum
+            Iterator.single(DriftRow(wStart, n, l1))
+          } else {
+            val cur = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val upd = evs.foldLeft(cur) { (m, e) =>
+              m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(DriftCounts(upd))
+            // fire when the watermark passes the window end
+            state.setTimeoutTimestamp((wStart + windowUs) / 1000L)
+            Iterator.empty
+          }
       }
   }
 

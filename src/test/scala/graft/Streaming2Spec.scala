@@ -125,6 +125,38 @@ class Streaming2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E41 stream: drift windows emit once on watermark close with the hand L1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val winUs = 10000000L // 10 s windows
+    val ref = Map("a" -> 600000L, "b" -> 400000L)
+    val evs = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 second")
+      .select(col("event_type"),
+        (expr(s"unix_micros(ts) div ${winUs}L") * winUs).as("w_start_us"),
+        col("ts"))
+      .as[StreamingOps.DriftEvent]
+    val q = StreamingOps.driftStream(evs, ref, winUs)
+      .writeStream.format("memory").queryName("drift_sink")
+      .outputMode(OutputMode.Append()).start()
+    def ev(us: Long, t: String) =
+      (new java.sql.Timestamp(us / 1000L), t)
+    try {
+      // window 0: 3 a + 1 b -> ppm (750000, 250000), L1 = 150000+150000
+      // window 10s: 1 a + 1 b -> ppm (500000, 500000), L1 = 100000+100000
+      input.addData(ev(1000000L, "a"), ev(2000000L, "a"), ev(3000000L, "a"),
+        ev(4000000L, "b"), ev(11000000L, "a"), ev(12000000L, "b"))
+      q.processAllAvailable()
+      // far-future row pushes the watermark past both windows
+      input.addData(ev(1000000000000L, "a"))
+      q.processAllAvailable()
+      val rows = spark.table("drift_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(rows.toSeq === Seq((0L, 4L, 300000L), (10000000L, 2L, 200000L)))
+    } finally q.stop()
+  }
+
   test("RocksDB state store backs the stateful sessionizer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
