@@ -856,6 +856,75 @@ final class HeapAnalysis(t: HeapTables) {
         coalesce(max("dist").cast("long"), lit(-1L)).as("max_dist"))
   }
 
+  /** B24 — exemplar shortest PATH to a GC root, per type: B23 answers
+    * "how far from a root"; the question an investigation acts on is
+    * "held alive through WHAT" — the concrete root→…→object chain
+    * (MAT's path-to-GC-roots). Deterministic derivation with no
+    * per-node parent tracking in the BFS: after the B23 distance pass,
+    * parent(d) = MIN(src) over edges whose src sits exactly one hop
+    * closer (every node at dist h has one — that is what dist h
+    * means), the per-type exemplar is the (min dist, then min id)
+    * reached object, and the path unrolls by walking parents at most
+    * maxHops times. Every walk frame is type-count-sized (broadcast
+    * side); the parent table is derived once and checkpointed, so the
+    * unroll joins never replay the BFS.
+    */
+  def rootPathExemplars(maxHops: Int = 8): Option[DataFrame] = for {
+    edges <- refEdges
+    roots <- t.system("_gc_roots")
+    oi <- t.system("_object_index")
+  } yield {
+    val ref = edges.select("src", "dst").distinct().localCheckpoint()
+    var dist = roots.select(col("obj_id")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val nxt = frontier.join(ref, frontier("obj_id") === ref("src"))
+        .select(col("dst").as("obj_id")).distinct()
+        .join(dist, Seq("obj_id"), "left_anti")
+        .withColumn("dist", lit(h)).localCheckpoint()
+      dist = dist.unionByName(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    val ds = dist.select(col("obj_id").as("src"), col("dist").as("sd"))
+    val dd = dist.select(col("obj_id").as("pdst"), col("dist").as("dd"))
+    val parent = ref.join(ds, Seq("src"))
+      .join(dd, ref("dst") === dd("pdst"))
+      .where(col("sd") + 1 === col("dd"))
+      .groupBy(col("dst")).agg(min("src").as("parent"))
+      .localCheckpoint()
+    // two exemplars per type: the root-NEAREST instance (why is this
+    // type reachable at all) and the DEEPEST one (what chain its far
+    // tail hangs off — the one that exposes multi-hop structure);
+    // ties break to the smallest id on both
+    val reached = oi.join(dist, Seq("obj_id"))
+    val nearest = reached.groupBy("type_name")
+      .agg(min(struct(col("dist"), col("obj_id"))).as("m"))
+      .select(col("type_name"), lit("nearest").as("kind"),
+        col("m.obj_id").as("exemplar_id"), col("m.dist").as("dist"))
+    val deepest = reached.groupBy("type_name")
+      .agg(min(struct((-col("dist")).as("nd"), col("obj_id"))).as("m"))
+      .select(col("type_name"), lit("deepest").as("kind"),
+        col("m.obj_id").as("exemplar_id"), (-col("m.nd")).as("dist"))
+    val exemplar = nearest.unionByName(deepest)
+    var walk = exemplar.select(col("type_name"), col("kind"), col("exemplar_id"),
+      col("dist"), col("exemplar_id").as("node_id"), col("dist").as("step"))
+    var acc = walk
+    for (_ <- 1 to maxHops) {
+      walk = walk.where(col("step") > 0)
+        .join(parent, walk("node_id") === parent("dst"))
+        .select(col("type_name"), col("kind"), col("exemplar_id"), col("dist"),
+          col("parent").as("node_id"), (col("step") - 1).as("step"))
+      acc = acc.unionByName(walk)
+    }
+    val nodeTypes = oi.select(col("obj_id").as("node_id"),
+      col("type_name").as("node_type"))
+    acc.join(nodeTypes, Seq("node_id"), "left")
+      .select(col("type_name"), col("kind"), col("exemplar_id"),
+        col("dist").cast("long").as("dist"), col("step").cast("long").as("step"),
+        col("node_id"), coalesce(col("node_type"), lit("(root)")).as("node_type"))
+  }
+
   def checkThreadStacks(): Option[WasteFinding] = t.system("_stack_traces").flatMap { traces =>
     val traceCount = traces.count()
     if (traceCount == 0) None else {
@@ -1019,7 +1088,9 @@ final class HeapAnalysis(t: HeapTables) {
         "retained" -> dfRows(retainedSize().map(
           _.orderBy(col("retained_bytes").desc, col("type_name")).limit(topN))),
         "root_reachability" -> dfRows(rootReachability().map(
-          _.orderBy(col("n_objects").desc, col("type_name")).limit(topN))))
+          _.orderBy(col("n_objects").desc, col("type_name")).limit(topN))),
+        "path_exemplars" -> dfRows(rootPathExemplars().map(
+          _.orderBy(col("type_name"), col("kind"), col("step")).limit(topN * 8))))
       base ++ graph ++ Seq(
         "waste_findings" -> jArr(findings.map(f => jObj(Seq(
           "check_name" -> jStr(f.checkName),

@@ -1037,6 +1037,67 @@ object Heap {
     }
   }
 
+  /** B24 — exemplar path to GC root, per type: the oracle re-derives
+    * the whole construction from the export — 8-round Bellman
+    * distances, min-src parent selection at exactly one hop closer,
+    * per-type (min dist, min id) exemplar, and the recursive parent
+    * walk — so a wrong parent tie-break, an exemplar picked off the
+    * wrong order, or a walk step skipping a hop all break the hash.
+    */
+  val qHeapPathExemplars: GateQuery = {
+    val hops = 8
+    val bellman = (1 to hops).map { k =>
+      s"""d$k AS (SELECT o, MIN(dist) AS dist FROM (
+         |  SELECT o, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS o, q.dist + 1 AS dist
+         |  FROM d${k - 1} q JOIN ed e ON e.src = q.o) GROUP BY o)""".stripMargin
+    }.mkString(",\n")
+    GateQuery(
+      "q_heap_path_exemplars",
+      s"""WITH RECURSIVE $refEdgeSql,
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |d0 AS (SELECT DISTINCT obj_id AS o, 0 AS dist
+         |       FROM read_parquet('$exportDir/_gc_roots/*.parquet')),
+         |$bellman,
+         |oi AS (SELECT obj_id, type_name
+         |       FROM read_parquet('$exportDir/_object_index/*.parquet')),
+         |par AS (
+         |  SELECT ed.dst AS o, MIN(ed.src) AS p
+         |  FROM ed
+         |  JOIN d$hops ds ON ds.o = ed.src
+         |  JOIN d$hops dd ON dd.o = ed.dst
+         |  WHERE ds.dist + 1 = dd.dist
+         |  GROUP BY ed.dst),
+         |rx AS (SELECT oi.type_name, d.o AS obj_id, d.dist
+         |       FROM oi JOIN d$hops d ON d.o = oi.obj_id),
+         |ex AS (
+         |  SELECT type_name, 'nearest' AS kind, obj_id AS exemplar_id, dist FROM (
+         |    SELECT type_name, obj_id, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY type_name
+         |                         ORDER BY dist, obj_id) AS rn
+         |    FROM rx) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT type_name, 'deepest' AS kind, obj_id AS exemplar_id, dist FROM (
+         |    SELECT type_name, obj_id, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY type_name
+         |                         ORDER BY dist DESC, obj_id) AS rn
+         |    FROM rx) WHERE rn = 1),
+         |walk(type_name, kind, exemplar_id, dist, node_id, step) AS (
+         |  SELECT type_name, kind, exemplar_id, dist, exemplar_id, dist FROM ex
+         |  UNION ALL
+         |  SELECT w.type_name, w.kind, w.exemplar_id, w.dist, par.p, w.step - 1
+         |  FROM walk w JOIN par ON par.o = w.node_id
+         |  WHERE w.step > 0)
+         |SELECT w.type_name, w.kind, w.exemplar_id,
+         |  CAST(w.dist AS BIGINT) AS dist, CAST(w.step AS BIGINT) AS step,
+         |  w.node_id, COALESCE(oi2.type_name, '(root)') AS node_type
+         |FROM walk w LEFT JOIN oi oi2 ON oi2.obj_id = w.node_id
+         |ORDER BY w.type_name, w.kind, w.step""".stripMargin) { (s, _) =>
+      analysis(s).rootPathExemplars(hops).get.orderBy("type_name", "kind", "step")
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
@@ -1045,6 +1106,7 @@ object Heap {
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
     qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapRootPath,
+    qHeapPathExemplars,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
 }

@@ -346,6 +346,39 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(got("class com.example.Node") === ((1L, 0L, -1L, -1L)))
   }
 
+  test("B24 path exemplars: deepest walks the diamond through the min-id parent") {
+    // diamond: r -> {a, b} -> c -> d. Depths r=0, a=b=1, c=2, d=3.
+    // c has TWO dist-1 parents; the deterministic path must pick
+    // MIN(a, b). Nearest Node exemplar is r itself (dist 0, path [r]);
+    // deepest is d with the full 4-node chain.
+    val w = new HprofWriter()
+    val obj = w.defineClass("java.lang.Object")
+    val node = w.defineClass("com.example.Node", obj,
+      instanceFields = Seq("left" -> BasicType.Object,
+        "right" -> BasicType.Object, "payload" -> BasicType.Int))
+    def mk(l: Long, r: Long, p: Int) =
+      w.instance(node, Seq(BasicType.Object -> l, BasicType.Object -> r, BasicType.Int -> p))
+    val d = mk(0L, 0L, 3)
+    val c = mk(d, 0L, 2)
+    val a = mk(c, 0L, 1)
+    val b = mk(c, 0L, 1)
+    val r = mk(a, b, 0)
+    w.gcRoot(Sub.RootThreadObject, r, threadSerial = 1)
+    val dir = java.nio.file.Files.createTempDirectory("heapan_pathex")
+    val hprof = dir.resolve("pathex.hprof").toString
+    w.writeTo(hprof, segments = 1)
+    val out = dir.resolve("parquet").toString
+    new HeapDump(spark, hprof).writeParquet(out)
+    val an = new HeapAnalysis(new HeapTables(spark, out))
+    val got = an.rootPathExemplars().get.collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(5), x.getLong(4)))
+    val nodePaths = got.filter(_._1 == "com.example.Node")
+    val nearest = nodePaths.filter(_._2 == "nearest").sortBy(_._4).map(_._3)
+    assert(nearest.toSeq === Seq(r))
+    val deepest = nodePaths.filter(_._2 == "deepest").sortBy(_._4).map(_._3)
+    assert(deepest.toSeq === Seq(r, math.min(a, b), c, d))
+  }
+
   test("static ref fields are graph edges: cache-only liveness is visible to B20/B23") {
     // the classic leak shape: an instance held ONLY by a static cache.
     // Without the class→static→instance edge it reads unreferenced
