@@ -4,10 +4,11 @@ import graft.operators.Components
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The alternating large-star/small-star components (Kiveris et al.
-  * 2014) against the independently-shaped min-label reference and
-  * hand-built graphs — including the long-chain case that proves the
-  * O(log n) round compression min-label cannot have.
+/** The hybrid components (min-label prelude escaping to Kiveris et
+  * al. 2014 large-star/small-star) against the independently-shaped
+  * min-label reference and hand-built graphs — including the
+  * long-chain case that proves the escape's O(log n) round
+  * compression, which min-label cannot have.
   */
 class ComponentsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -16,6 +17,14 @@ class ComponentsSpec extends AnyFunSuite {
       maxIter: Int = 25): Map[Long, Long] = {
     import spark.implicits._
     Components.connectedComponents(
+        nodes.toDF("id"), edges.toDF("src", "dst"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def runAlt(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      maxIter: Int = 25): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponentsAlternating(
         nodes.toDF("id"), edges.toDF("src", "dst"), maxIter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
@@ -50,17 +59,23 @@ class ComponentsSpec extends AnyFunSuite {
       val got = run(nodes, edges)
       val ref = runRef(nodes, edges)
       assert(got === ref, s"trial=$trial n=$n degree=$degree")
+      // the escape-path algorithm must agree on its own, not only
+      // when the hybrid happens to reach it
+      assert(runAlt(nodes, edges) === ref, s"alt trial=$trial n=$n degree=$degree")
     }
   }
 
   test("long chain converges in O(log n) rounds, not O(diameter)") {
-    // a 100-node path has diameter 99: min-label needs ~100 rounds,
-    // the alternating algorithm must finish well inside 10
+    // a 100-node path has diameter 99: min-label needs ~100 rounds;
+    // the hybrid's 4-round prelude cannot finish it, so it must
+    // escape to the alternating algorithm and finish well inside 10
+    // rewriting rounds
     val nodes = (0L until 100L)
     val edges = (0L until 99L).map(i => (i, i + 1))
     val got = run(nodes, edges, maxIter = 10)
     assert(got === nodes.map(_ -> 0L).toMap,
-      "chain not collapsed within 10 rounds — round compression lost")
+      "chain not collapsed — round-compression escape lost")
+    assert(runAlt(nodes, edges, maxIter = 10) === nodes.map(_ -> 0L).toMap)
   }
 
   test("clusterDocuments: pair columns, singleton docs, min survivor") {
