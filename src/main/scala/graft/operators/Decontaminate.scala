@@ -38,6 +38,39 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** D106 — split-contamination audit: given a (doc_id, split)
+    * assignment, the n-gram overlap every val/test doc shares with the
+    * TRAIN split — "did leakage actually happen under THIS split".
+    * D105's clustered split guarantees near-dups don't straddle; this
+    * measures what still leaks (shared boilerplate, similarity below
+    * the clustering threshold), and run against a plain per-doc hash
+    * split it quantifies exactly the contamination D105 exists to
+    * prevent. Scale shape: the join is keyed on the shingle — the
+    * train side reduces to its DISTINCT shingle set before the
+    * exchange, the eval side is the split fraction of the corpus, and
+    * the output is one row per eval doc (eval splits are small by
+    * construction; zero-overlap docs are kept — the audit's answer is
+    * a distribution, not a blacklist).
+    *
+    * @return (idCol, split, n_shingles, n_overlap, leak_ppm) for every
+    *         val/test doc with at least n tokens
+    */
+  def splitContamination(docs: DataFrame, splits: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val sh = Dedup.explodeShingles(Dedup.shingleTable(docs, idCol, textCol, n))
+    val tagged = sh.join(splits.select(col(idCol), col("split")), Seq(idCol))
+    val trainSh = tagged.filter(col("split") === "train")
+      .select("shingle").distinct()
+    val evalSh = tagged.filter(col("split") =!= "train")
+    val totals = evalSh.groupBy(idCol, "split")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = evalSh.join(trainSh, Seq("shingle"))
+      .groupBy(idCol, "split").agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq(idCol, "split"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("leak_ppm", expr("n_overlap * 1000000 div n_shingles"))
+  }
+
   /** Apply step: the training corpus with contaminated docs removed
     * (docs sharing at least `minOverlap` distinct n-grams with the
     * benchmark set). A broadcast anti-join — zero corpus shuffle.

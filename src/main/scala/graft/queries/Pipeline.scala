@@ -1571,6 +1571,39 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D106 — split-contamination audit: per val/test doc, the distinct
+    * 3-gram overlap with the TRAIN split under the plain per-doc hash
+    * split (D29's md5 rule, seed 7) — the leakage number D105's
+    * clustered split exists to drive to the near-dup floor. Oracle
+    * replays shingling, the split CASE, the train distinct-shingle
+    * reduction, and the ppm floor.
+    */
+  val qSplitContamination: GateQuery = GateQuery(
+    "q_split_contamination",
+    s"""WITH ${shingleCte(3)},
+       |spl AS (SELECT doc_id,
+       |  CASE WHEN substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+       |       WHEN substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+       |       ELSE 'test' END AS split
+       |  FROM documents),
+       |tr AS (SELECT DISTINCT sh.shingle FROM sh JOIN spl USING (doc_id)
+       |       WHERE spl.split = 'train'),
+       |ev AS (SELECT sh.doc_id, spl.split, sh.shingle
+       |       FROM sh JOIN spl USING (doc_id) WHERE spl.split <> 'train'),
+       |tot AS (SELECT doc_id, split, COUNT(*) AS n_shingles FROM ev GROUP BY 1, 2),
+       |ov AS (SELECT ev.doc_id, COUNT(*) AS n_overlap
+       |       FROM ev JOIN tr ON tr.shingle = ev.shingle GROUP BY 1)
+       |SELECT t.doc_id, t.split, t.n_shingles,
+       |  COALESCE(o.n_overlap, 0) AS n_overlap,
+       |  COALESCE(o.n_overlap, 0) * 1000000 // t.n_shingles AS leak_ppm
+       |FROM tot t LEFT JOIN ov o USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val splits = Prep.splitAssign(docs.select("doc_id"), "doc_id", seed = 7L)
+    Decontaminate.splitContamination(docs, splits, "doc_id", "text", 3)
+      .orderBy("doc_id")
+  }
+
   /** D27 — BM25 relevance (query-targeted corpus selection): the
     * term-saturation component in PURE INTEGER arithmetic — with
     * k1 = 6/5, b = 3/4 the factor is rational, and multiplying
@@ -3680,7 +3713,7 @@ object Pipeline {
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
-    qDecontaminate, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
+    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,

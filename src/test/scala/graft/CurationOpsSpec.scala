@@ -44,6 +44,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Decontaminate.overlap(train, bench, "doc_id", "text", 3).count() === 0)
   }
 
+  test("splitContamination: hand-worked overlap counts, zero path kept, partition-invariant") {
+    // train doc 1 holds the shingles of "a b c d e"; test doc 2 is a
+    // full near-dup (leak_ppm 1000000), test doc 3 shares exactly one
+    // 3-gram ("c d e": 3 of its 4 shingles are novel), test doc 4 is
+    // disjoint (kept with zero overlap — the audit reports the
+    // distribution, not a blacklist)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "c d e p q r"), (4L, "x y z w v")).toDF("doc_id", "text")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "test"), (4L, "val"))
+      .toDF("doc_id", "split")
+    val got = Decontaminate.splitContamination(docs, splits, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(2L) === (("test", 3L, 3L, 1000000L)))
+    assert(got(3L) === (("test", 4L, 1L, 250000L)))
+    assert(got(4L) === (("val", 3L, 0L, 0L)))
+    assert(!got.contains(1L), "train docs are not audited rows")
+    val again = Decontaminate.splitContamination(
+        docs.repartition(5), splits.repartition(3), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again === got)
+  }
+
   test("stratified: per-stratum counts are floor(pct*n/100), any partitioning") {
     val docs = corpus(101) // strata of 26/25/25/25
     for (parts <- Seq(1, 7)) {
