@@ -747,6 +747,19 @@ final class HeapAnalysis(t: HeapTables) {
     arrays.map(inst.unionByName(_)).getOrElse(inst)
   }
 
+  /** Per-type (count, shallow bytes) census — the histogram both the
+    * single-dump reports and the two-dump growth diff (B25) aggregate
+    * from; one join of the object index against the per-object sizes,
+    * one aggregate.
+    */
+  def typeSizeCensus: Option[DataFrame] = for {
+    oi <- t.system("_object_index")
+    sizes <- perObjectShallowSizes
+  } yield oi.join(sizes, Seq("obj_id"), "left")
+    .groupBy("type_name")
+    .agg(count(lit(1)).as("n_objects"),
+      sum(coalesce(col("bytes"), lit(0L))).as("shallow_bytes"))
+
   /** B22 — dominator-approximate retained size: "what does deleting X
     * free?" answered per root type. The exact answer is a dominator
     * tree (Lengauer–Tarjan); this is the bounded-round distributed

@@ -193,6 +193,48 @@ object Heap {
     new HeapAnalysis(new HeapTables(spark, exportDirResolved))
   }
 
+  /** The demo process "ten minutes later", for the B25 growth diff:
+    * the string/byte[] population grew, a brand-new CacheEntry type
+    * appeared, and the boxed-Integer/HashMap populations from the
+    * first dump are gone — births, deaths, and growth all present.
+    * All 8 primitive-array tables are seeded so the diff oracle's
+    * globs resolve on both exports.
+    */
+  val exportDirB: String = s"${new java.io.File(exportDir).getParent}/parquet_later"
+
+  private def demoDirB(spark: SparkSession): String =
+    cache.computeIfAbsent("demoB", _ => {
+      val w = new HprofWriter()
+      val obj = w.defineClass("java.lang.Object")
+      val str = w.defineClass("java.lang.String", obj,
+        instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+      val al = w.defineClass("java.util.ArrayList", obj,
+        instanceFields = Seq("size" -> BasicType.Int, "elementData" -> BasicType.Object))
+      val cacheCls = w.defineClass("com.example.CacheEntry", obj,
+        instanceFields = Seq("key" -> BasicType.Object, "hits" -> BasicType.Long))
+      val oaCls = w.defineClass("[Ljava.lang.Object;", obj)
+      val bs = (0 until 70).map(i => w.byteArray(s"payload-${i % 10}"))
+      val strs = bs.map(b => w.instance(str, Seq(BasicType.Object -> b, BasicType.Int -> b.toInt)))
+      w.primArray(BasicType.Int, Seq(1, 2, 3))
+      w.primArray(BasicType.Long, Seq(1L))
+      w.primArray(BasicType.Boolean, Seq(true))
+      w.primArray(BasicType.Char, Seq('a'.toInt))
+      w.primArray(BasicType.Short, Seq(1.toShort))
+      w.primArray(BasicType.Float, Seq(1.5f))
+      w.primArray(BasicType.Double, Seq(2.5))
+      val backing = w.objArray(oaCls, strs.take(5))
+      val alist = w.instance(al, Seq(BasicType.Int -> 5, BasicType.Object -> backing))
+      (0 until 12).foreach(i =>
+        w.instance(cacheCls, Seq(BasicType.Object -> strs(i), BasicType.Long -> i.toLong)))
+      w.gcRoot(Sub.RootThreadObject, alist, threadSerial = 1)
+      val dir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(exportDirB).getParent)
+      val hprof = dir.resolve("demo_later.hprof").toString
+      w.writeTo(hprof, segments = 2)
+      new HeapDump(spark, hprof).writeParquet(exportDirB)
+      exportDirB
+    })
+
   /** Shared oracle restatement of `HeapAnalysis.refEdges` over the
     * demo export: every instance ref field the demo classes carry
     * (stated explicitly — a field mis-typed in `_fields` changes edge
@@ -1098,6 +1140,64 @@ object Heap {
     }
   }
 
+  /** B25 — two-dump growth diff: per-type count/byte deltas between
+    * the demo export and its "later" variant. The oracle re-derives
+    * BOTH censuses from the raw exports (prim-array widths, object
+    * arrays, `_fields` slot widths, header constants — the same size
+    * model q_heap_retained pins) and replays the full-outer diff, so
+    * a size drift in either export, a missed birth/death, or a
+    * coalesce dropped on one side breaks the hash.
+    */
+  val qHeapDiff: GateQuery = {
+    val primWidths = Seq(("boolean", 1), ("byte", 1), ("char", 2), ("short", 2),
+      ("int", 4), ("float", 4), ("long", 8), ("double", 8))
+    def censusSql(dir: String, tag: String): String = {
+      val pw = primWidths.map { case (pt, w) =>
+        s"""  SELECT obj_id, CAST(16 + len("values") * $w AS BIGINT) AS bytes
+           |  FROM read_parquet('$dir/_primitive_arrays_$pt/*.parquet')""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""arr_$tag AS (
+         |$pw
+         |  UNION ALL
+         |  SELECT obj_id, CAST(16 + len(elements) * 4 AS BIGINT) AS bytes
+         |  FROM read_parquet('$dir/_object_arrays/*.parquet')),
+         |cs_$tag AS (SELECT class_name AS type_name,
+         |         CAST(16 + SUM(CASE WHEN field_type IN ('boolean','byte') THEN 1
+         |                            WHEN field_type IN ('char','short') THEN 2
+         |                            WHEN field_type IN ('long','double') THEN 8
+         |                            ELSE 4 END) AS BIGINT) AS bytes
+         |       FROM read_parquet('$dir/_fields/*.parquet')
+         |       GROUP BY class_name),
+         |oi_$tag AS (SELECT obj_id, type_name
+         |       FROM read_parquet('$dir/_object_index/*.parquet')),
+         |inst_$tag AS (SELECT oi.obj_id, CAST(COALESCE(cs.bytes, 16) AS BIGINT) AS bytes
+         |       FROM oi_$tag oi LEFT JOIN cs_$tag cs USING (type_name)
+         |       WHERE oi.obj_id NOT IN (SELECT obj_id FROM arr_$tag)),
+         |sz_$tag AS (SELECT obj_id, bytes FROM inst_$tag
+         |       UNION ALL SELECT obj_id, bytes FROM arr_$tag),
+         |cen_$tag AS (SELECT oi.type_name, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(sz.bytes) AS BIGINT) AS b
+         |       FROM oi_$tag oi JOIN sz_$tag sz USING (obj_id)
+         |       GROUP BY oi.type_name)""".stripMargin
+    }
+    GateQuery(
+      "q_heap_diff",
+      s"""WITH ${censusSql(exportDir, "a")},
+         |${censusSql(exportDirB, "b")}
+         |SELECT type_name,
+         |  COALESCE(a.n, 0) AS n_before, COALESCE(b.n, 0) AS n_after,
+         |  COALESCE(b.n, 0) - COALESCE(a.n, 0) AS delta_n,
+         |  COALESCE(a.b, 0) AS bytes_before, COALESCE(b.b, 0) AS bytes_after,
+         |  COALESCE(b.b, 0) - COALESCE(a.b, 0) AS delta_bytes
+         |FROM cen_a a FULL OUTER JOIN cen_b b USING (type_name)
+         |ORDER BY type_name""".stripMargin) { (s, _) =>
+      demoDir(s)
+      demoDirB(s)
+      HeapDiff.typeDelta(new HeapTables(s, exportDir), new HeapTables(s, exportDirB))
+        .get.orderBy("type_name")
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
@@ -1106,7 +1206,7 @@ object Heap {
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
     qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapRootPath,
-    qHeapPathExemplars,
+    qHeapPathExemplars, qHeapDiff,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
 }

@@ -379,6 +379,45 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(deepest.toSeq === Seq(r, math.min(a, b), c, d))
   }
 
+  test("B25 heap diff: hand-worked growth, birth, and death deltas") {
+    def export(nStrings: Int, withNew: Boolean): String = {
+      val w = new HprofWriter()
+      val obj = w.defineClass("java.lang.Object")
+      val str = w.defineClass("java.lang.String", obj,
+        instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+      val bs = (0 until nStrings).map(i => w.byteArray("xy"))
+      bs.foreach(b => w.instance(str, Seq(BasicType.Object -> b, BasicType.Int -> 1)))
+      if (withNew) {
+        val nt = w.defineClass("com.example.NewType", obj,
+          instanceFields = Seq("hits" -> BasicType.Long))
+        w.instance(nt, Seq(BasicType.Long -> 9L))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("heapan_diff")
+      val hprof = dir.resolve("d.hprof").toString
+      w.writeTo(hprof, segments = 1)
+      val out = dir.resolve("parquet").toString
+      new HeapDump(spark, hprof).writeParquet(out)
+      out
+    }
+    val a = export(2, withNew = false)
+    val b = export(3, withNew = true)
+    val got = HeapDiff.typeDelta(new HeapTables(spark, a), new HeapTables(spark, b))
+      .get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // String = 16 header + 4 ref + 4 int = 24B; byte[] "xy" = 16 + 2 = 18B;
+    // NewType = 16 + 8 = 24B (birth: zero on the before side)
+    assert(got("java.lang.String") === ((2L, 3L, 1L, 48L, 72L, 24L)))
+    assert(got("byte[]") === ((2L, 3L, 1L, 36L, 54L, 18L)))
+    assert(got("com.example.NewType") === ((0L, 1L, 1L, 0L, 24L, 24L)))
+    assert(got("class com.example.NewType") === ((0L, 1L, 1L, 0L, 16L, 16L)))
+    // death direction: diff the other way round
+    val rev = HeapDiff.typeDelta(new HeapTables(spark, b), new HeapTables(spark, a))
+      .get.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rev("com.example.NewType") === -1L)
+    assert(rev("java.lang.String") === -1L)
+  }
+
   test("static ref fields are graph edges: cache-only liveness is visible to B20/B23") {
     // the classic leak shape: an instance held ONLY by a static cache.
     // Without the class→static→instance edge it reads unreferenced
