@@ -62,9 +62,16 @@ object HeapCli {
       val spark = session()
       HeapSql.query(spark, dir, sql).show(100, truncate = false)
       spark.stop()
+    case "diff" :: dirBefore :: dirAfter :: Nil =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      HeapDiff.typeDelta(new HeapTables(spark, dirBefore), new HeapTables(spark, dirAfter))
+        .map(_.orderBy(col("delta_bytes").desc, col("type_name")))
+        .foreach(_.show(50, truncate = false))
+      spark.stop()
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: convert | count-records | dump-objects | analyze | analyze-json | query")
+      System.err.println("commands: convert | count-records | dump-objects | analyze | analyze-json | query | diff")
       sys.exit(2)
   }
 }

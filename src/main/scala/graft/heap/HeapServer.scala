@@ -124,6 +124,17 @@ final class HeapServer(spark: SparkSession, port: Int) {
         waste = p.get("waste").forall(_ == true),
         maxTier = p.get("max_tier").fold(2)(_.toString.toInt)))
 
+    case ("POST", "/diff") =>
+      val p = parseFlat(readBody(ex))
+      val df = sessions.diff(reqStr(p, "session_before"), reqStr(p, "session_after"))
+      val rows = df.limit(p.get("top_n").fold(100)(_.toString.toInt)).collect()
+      JsonBody(Json.obj(Seq(
+        "session_before" -> Json.str(reqStr(p, "session_before")),
+        "session_after" -> Json.str(reqStr(p, "session_after")),
+        "columns" -> Json.arr(df.columns.toSeq.map(Json.str)),
+        "rows" -> rowsJson(df.columns, rows.toSeq),
+        "row_count" -> rows.length.toString)))
+
     case ("GET", "/guides") =>
       JsonBody(Json.obj(Seq("guides" -> Json.arr(HeapGuide.guides.keys.toSeq.sorted.map(Json.str)))))
 

@@ -115,6 +115,20 @@ final class HeapSessions(spark: SparkSession) {
   }
 
   /** Drop the session's views; parquet files stay on disk. */
+  /** B25 across two open sessions: the per-type growth census between
+    * the dump behind `beforeId` and the one behind `afterId` — the
+    * two-session question (take a dump, wait, take another) the
+    * single-session tools cannot answer. Sorted biggest growth first.
+    */
+  def diff(beforeId: String, afterId: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (a, b) = catalogLock.synchronized((get(beforeId), get(afterId)))
+    HeapDiff.typeDelta(new HeapTables(spark, a.dir), new HeapTables(spark, b.dir))
+      .getOrElse(throw new IllegalStateException(
+        s"sessions '$beforeId'/'$afterId' lack _object_index exports"))
+      .orderBy(col("delta_bytes").desc, col("type_name"))
+  }
+
   def close(sessionId: String): Unit = catalogLock.synchronized {
     val sess = get(sessionId)
     sess.tables.foreach(v => spark.catalog.dropTempView(s"${sess.id}__$v"))

@@ -122,6 +122,39 @@ class HeapServerSpec extends AnyFunSuite {
     post("/sessions/close", """{"session_id":"srv_an"}""")
   }
 
+  test("diff route: growth census between two session dumps") {
+    post("/convert",
+      s"""{"hprof_path":${graft.Json.str(hprofPath)},"output_dir":${graft.Json.str(exportDir)}}""")
+    // "later" dump: 14 strings instead of 10
+    val w = new HprofWriter()
+    val obj = w.defineClass("java.lang.Object")
+    val str = w.defineClass("java.lang.String", obj,
+      instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+    (0 until 14).foreach { i =>
+      val b = w.byteArray(s"srv-$i")
+      w.instance(str, Seq(BasicType.Object -> b, BasicType.Int -> i))
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("heap_server_b")
+    val hprof2 = dir2.resolve("later.hprof").toString
+    w.writeTo(hprof2, segments = 1)
+    val export2 = dir2.resolve("pq").toString
+    post("/convert",
+      s"""{"hprof_path":${graft.Json.str(hprof2)},"output_dir":${graft.Json.str(export2)}}""")
+    post("/sessions/open", s"""{"parquet_dir":${graft.Json.str(exportDir)},"session_id":"dump_t0"}""")
+    post("/sessions/open", s"""{"parquet_dir":${graft.Json.str(export2)},"session_id":"dump_t1"}""")
+    val r = post("/diff", """{"session_before":"dump_t0","session_after":"dump_t1"}""")
+    assert(r.statusCode() === 200, r.body())
+    assert(r.body().contains("\"delta_n\""))
+    // String grew 10 -> 14
+    assert(r.body().contains("\"type_name\":\"java.lang.String\""))
+    assert(r.body().contains("\"n_before\":10"))
+    assert(r.body().contains("\"n_after\":14"))
+    val missing = post("/diff", """{"session_before":"dump_t0","session_after":"ghost"}""")
+    assert(missing.statusCode() === 404)
+    post("/sessions/close", """{"session_id":"dump_t0"}""")
+    post("/sessions/close", """{"session_id":"dump_t1"}""")
+  }
+
   test("guides surface and unknown-session error codes") {
     val names = get("/guides")
     assert(names.body().contains("sql-examples"))
