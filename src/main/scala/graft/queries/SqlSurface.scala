@@ -661,10 +661,61 @@ object SqlSurface {
         |ORDER BY n.n_name, t.c_custkey""".stripMargin)
   }
 
+  /** C47 — GROUP BY ALL / ORDER BY ALL (the analyst-ergonomics SQL
+    * both engines adopted): grouping keys inferred as every
+    * non-aggregate select item, ordering as the full select list. The
+    * SAME text runs on both engines — inference parity IS the test (a
+    * column mis-classified as key or aggregate changes the result
+    * shape).
+    */
+  val qGroupOrderAll: GateQuery = GateQuery(
+    "q_group_order_all",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_linenumber <= 3
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_linenumber <= 3
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  /** C48 — error-safe arithmetic (`try_divide`, `try_cast`): the
+    * ingest-hardening family that turns malformed input into NULL
+    * instead of a job-killing exception at row 10^12 of a 100 TB
+    * scan. Oracle states the exact NULL semantics with portable
+    * NULLIF / TRY_CAST equivalents.
+    */
+  val qTryFuncs: GateQuery = GateQuery(
+    "q_try_funcs",
+    """SELECT o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) / NULLIF(o_custkey % 3, 0) AS safe_ratio,
+      |  TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+      |  TRY_CAST(substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS BIGINT) AS year_num
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 500""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |  try_divide(CAST(o_totalprice AS DOUBLE), o_custkey % 3) AS safe_ratio,
+        |  try_cast(o_orderstatus AS BIGINT) AS status_num,
+        |  try_cast(substring(CAST(o_orderdate AS STRING), 1, 4) AS BIGINT) AS year_num
+        |FROM orders
+        |ORDER BY o_orderkey
+        |LIMIT 500""".stripMargin)
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
     qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qSchemaEvolution, qRecursiveCte, qVariant, qPipeSql,
-    qLateral)
+    qLateral, qGroupOrderAll, qTryFuncs)
 }
