@@ -1595,7 +1595,7 @@ object Pipeline {
        |       FROM ev JOIN tr ON tr.shingle = ev.shingle GROUP BY 1)
        |SELECT t.doc_id, t.split, t.n_shingles,
        |  COALESCE(o.n_overlap, 0) AS n_overlap,
-       |  COALESCE(o.n_overlap, 0) * 1000000 // t.n_shingles AS leak_ppm
+       |  CAST(COALESCE(o.n_overlap, 0) * 1000000 // t.n_shingles AS BIGINT) AS leak_ppm
        |FROM tot t LEFT JOIN ov o USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")

@@ -925,9 +925,9 @@ object StreamingGates {
     """WITH ref AS (
       |  SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
       |tot AS (SELECT SUM(c) AS n FROM ref),
-      |rp AS (SELECT event_type, c * 1000000 // (SELECT n FROM tot) AS r_ppm FROM ref),
+      |rp AS (SELECT event_type, CAST(c * 1000000 // (SELECT n FROM tot) AS BIGINT) AS r_ppm FROM ref),
       |w AS (
-      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us,
+      |  SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS w_start_us,
       |         event_type, COUNT(*) AS c
       |  FROM events GROUP BY 1, 2),
       |wn AS (SELECT w_start_us, CAST(SUM(c) AS BIGINT) AS n FROM w GROUP BY 1)
