@@ -666,4 +666,33 @@ class PlanSpec extends AnyFunSuite {
     val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(reads.nonEmpty && reads.forall(r => !r.contains("label")), reads.mkString("\n"))
   }
+
+  test("split contamination: partial-agg counts, hash-only exchanges, no UDF, no cartesian") {
+    val plan = planOf("q_split_contamination")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // per-doc totals and overlap counts both map-side partial
+    assert("partial_count".r.findAllIn(plan).size >= 2, plan)
+    // the corpus read prunes to id + text
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.forall(r => !r.contains("lang") && !r.contains("source")),
+      reads.mkString("\n"))
+  }
+
+  test("leakage-safe split: hash projection on the cluster id, no UDF, no cartesian") {
+    val plan = planOf("q_split_leakage_safe")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // the split rule is the md5 projection, not a join against a rule table
+    assert(plan.contains("md5"), plan)
+  }
+
+  test("heap diff: census aggregates on both sides before the diff join") {
+    val plan = planOf("q_heap_diff")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // two type-level censuses → ≥4 HashAggregates (partial+final each side)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+    assert(plan.contains("FullOuter"), plan)
+  }
 }
