@@ -35,6 +35,31 @@ object Curate {
       .select(idCol, "n_tokens", "quality_score")
   }
 
+  /** D107 — QUALITY-elected cluster survivors: min-id survivor
+    * election (the `curate` default) is deterministic but blind — it
+    * can keep a cluster's worst member and drop its best. Production
+    * dedup keeps the best member per near-dup cluster; here "best" is
+    * the repo's quality score with the id as the deterministic tie,
+    * expressed as ONE `max(struct(score, -id))` aggregate per cluster
+    * — no window sort over the corpus. Returns one row per cluster:
+    * the elected survivor, its score, and the cluster size (the
+    * member count a dedup report wants next to every election).
+    */
+  def electSurvivorsByQuality(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val clusters = Components.clusterDocuments(docs, idCol, pairs)
+    val sig = TextFunctions.qualitySignals(col(textCol)).toMap
+    val scored = docs
+      .select(col(idCol), sig("quality_score").as("quality_score"))
+      .join(clusters, Seq(idCol))
+    scored.groupBy("cluster_id")
+      .agg(
+        max(struct(col("quality_score"), (-col(idCol)).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("m.nid")).as(idCol),
+        col("m.quality_score").as("quality_score"), col("n_members"))
+  }
+
   /** The FULL curation DAG a training run executes, as one
     * composition: exact dedup → benchmark decontamination → quality
     * gate → domain-mixture resampling → sequence packing of the

@@ -1229,6 +1229,53 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D107 — quality-elected cluster survivors: per near-dup cluster,
+    * the member with the best quality score survives (id as the
+    * deterministic tie) — production dedup keeps the BEST member, not
+    * the min id. Oracle replays clustering, the quality formula, and
+    * the election as ROW_NUMBER(score DESC, id ASC) = 1.
+    */
+  val qSurvivorQuality: GateQuery = GateQuery(
+    "q_survivor_quality",
+    s"""WITH RECURSIVE ${shingleCte(3)},
+       |${jaccardInterCte()},
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= 0.6),
+       |e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |cl AS (
+       |  SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |      - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+       |      + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0 AS quality_score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT cl.cluster_id, cl.doc_id, q.quality_score,
+       |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+       |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+       |                       ORDER BY q.quality_score DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN q ON q.doc_id = cl.doc_id)
+       |SELECT cluster_id, doc_id, quality_score, n_members
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin,
+    bench = false, slow = true) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    Curate.electSurvivorsByQuality(docs, "doc_id", "text", pairs)
+      .orderBy("cluster_id")
+  }
+
   /** D-composition — the full curation flow (exact dedup → near-dup
     * cluster survivors → quality gate) hash-matched against the same
     * composition in SQL.
@@ -3706,7 +3753,7 @@ object Pipeline {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash, qLshCalibration, qVocabRetention,
     qNearDupIncremental, qNearDupIncrVerified,
-    qDedupClusters, qSplitLeakageSafe, qCurate, qCurateFull,
+    qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qTruncRecall, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
     qPqSearch, qPqWrite, qPqRerank, qAnnRecall, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontaminate, Packing, Sampling}
+import graft.operators.{Curate, Decontaminate, Packing, Sampling}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -66,6 +66,28 @@ class CurationOpsSpec extends AnyFunSuite {
         docs.repartition(5), splits.repartition(3), "doc_id", "text", 3)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again === got)
+  }
+
+  test("electSurvivorsByQuality: best member wins, id breaks ties, singletons elect themselves") {
+    // cluster {1,2}: doc 2 is all-stopword (higher quality score) and
+    // must beat the lower id; cluster {3,4}: identical texts tie on
+    // score, so the LOWER id wins; doc 5 is a singleton
+    val docs = Seq(
+      (1L, "xxx yyy zzz qqq www eee rrr ttt uuu iii"),
+      (2L, "the a of and to in the a of and"),
+      (3L, "same text here same text here same text here one"),
+      (4L, "same text here same text here same text here one"),
+      (5L, "lonely doc with no pair at all here now ok")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    val got = Curate.electSurvivorsByQuality(docs, "doc_id", "text", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 2L)), "quality must beat the min id")
+    assert(got(3L) === ((3L, 2L)), "score tie breaks to the lower id")
+    assert(got(5L) === ((5L, 1L)))
+    val again = Curate.electSurvivorsByQuality(
+        docs.repartition(4), "doc_id", "text", pairs.repartition(2))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
     assert(again === got)
   }
 
