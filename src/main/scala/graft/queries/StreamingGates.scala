@@ -956,6 +956,48 @@ object StreamingGates {
       .orderBy("w_start_us")
   }
 
+  /** E42 — streaming funnel: the q_funnel stage derivation run ONLINE
+    * (per-user 3-Long state machine, Append-mode advance rows). The
+    * oracle re-derives every user's t_view/t_click/t_purchase with
+    * the batch MIN-filter CTEs and unpivots them to the same
+    * stage-advance rows — a stage advanced on the wrong event, an
+    * equal-timestamp chain resolved differently, or a missed
+    * cross-batch carry breaks the hash.
+    */
+  val qStreamFunnel: GateQuery = GateQuery(
+    "q_stream_funnel",
+    """WITH f AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t_view
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, f.t_view,
+      |    MIN(epoch_us(e.ts)) FILTER (WHERE e.event_type = 'click'
+      |      AND epoch_us(e.ts) >= f.t_view) AS t_click
+      |  FROM events e JOIN f ON f.user_id = e.user_id
+      |  GROUP BY e.user_id, f.t_view),
+      |p AS (
+      |  SELECT e.user_id, c.t_view, c.t_click,
+      |    MIN(epoch_us(e.ts)) FILTER (WHERE e.event_type = 'purchase'
+      |      AND epoch_us(e.ts) >= c.t_click) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  GROUP BY e.user_id, c.t_view, c.t_click)
+      |SELECT user_id, 'view' AS stage, t_view AS t_us, t_view AS t_view_us
+      |FROM p WHERE t_view IS NOT NULL
+      |UNION ALL
+      |SELECT user_id, 'click', t_click, t_view FROM p WHERE t_click IS NOT NULL
+      |UNION ALL
+      |SELECT user_id, 'purchase', t_purchase, t_view FROM p WHERE t_purchase IS NOT NULL
+      |ORDER BY user_id, t_us, stage""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"), col("event_id").cast("long").as("event_id"))
+      .as[StreamingOps.FunnelEvent]
+    runToMemory(StreamingOps.funnelStream(evs).toDF(), OutputMode.Append())
+      .select("user_id", "stage", "t_us", "t_view_us")
+      .orderBy("user_id", "t_us", "stage")
+  }
+
   private val stagedEmbDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** E35 — streaming semantic routing: an embedding stream is assigned
@@ -1014,6 +1056,7 @@ object StreamingGates {
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
-      qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift)
+      qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
+      qStreamFunnel)
     .map(_.copy(bench = false))
 }

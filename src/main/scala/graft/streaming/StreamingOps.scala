@@ -74,6 +74,10 @@ object StreamingOps {
   final case class DriftCounts(counts: Map[String, Long])
   final case class DriftRow(w_start_us: Long, n_events: Long, l1_ppm: Long)
 
+  final case class FunnelEvent(user_id: Long, event_type: String, t_us: Long, event_id: Long)
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  final case class FunnelAdvance(user_id: Long, stage: String, t_us: Long, t_view_us: Long)
+
   final case class CusumEvent(event_id: Long, event_type: String, t_us: Long, x_micro: Long)
   final case class CusumState(s: Long)
   final case class CusumHit(event_type: String, t_us: Long, event_id: Long,
@@ -183,6 +187,51 @@ object StreamingOps {
             state.setTimeoutTimestamp((wStart + windowUs) / 1000L)
             Iterator.empty
           }
+      }
+  }
+
+  /** E42 — STREAMING funnel: the batch funnel's per-user stage
+    * derivation (first view → first click at/after it → first
+    * purchase at/after that) as an ONLINE state machine — marketing/
+    * conversion monitors want the advance the moment it happens, not
+    * at the nightly re-aggregation. One 3-Long state per user (the
+    * three stage timestamps); a stage-advance row emits in Append
+    * mode as each stage is first reached, carrying t_view so the
+    * purchase row prices the user's full latency with no join back.
+    * Per batch, events process in (ts, id) order and the pass loops
+    * to fixpoint (≤3 rounds — stages only advance three times), so
+    * equal-timestamp chains (click at exactly t_view) resolve exactly
+    * as the batch MIN-filter semantics do.
+    */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.event_id))
+          val out = Seq.newBuilder[FunnelAdvance]
+          var changed = true
+          while (changed) {
+            changed = false
+            sorted.foreach { e =>
+              if (st.tView < 0L && e.event_type == "view") {
+                st = st.copy(tView = e.t_us); changed = true
+                out += FunnelAdvance(uid, "view", e.t_us, e.t_us)
+              } else if (st.tView >= 0L && st.tClick < 0L &&
+                  e.event_type == "click" && e.t_us >= st.tView) {
+                st = st.copy(tClick = e.t_us); changed = true
+                out += FunnelAdvance(uid, "click", e.t_us, st.tView)
+              } else if (st.tClick >= 0L && st.tPurchase < 0L &&
+                  e.event_type == "purchase" && e.t_us >= st.tClick) {
+                st = st.copy(tPurchase = e.t_us); changed = true
+                out += FunnelAdvance(uid, "purchase", e.t_us, st.tView)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

@@ -157,6 +157,31 @@ class Streaming2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E42 stream: funnel fixpoint resolves equal-ts chains; state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode(OutputMode.Append()).start()
+    def ev(id: Long, t: Long, tpe: String) = StreamingOps.FunnelEvent(1L, tpe, t, id)
+    try {
+      // click sorts BEFORE the equal-timestamp view (lower id); the
+      // fixpoint's second pass must still accept it as the first
+      // click >= t_view, exactly like the batch MIN filter
+      input.addData(ev(1L, 3L, "click"), ev(2L, 3L, "view"))
+      q.processAllAvailable()
+      // purchase@2 predates t_click=3 -> must NOT advance; purchase@7 does,
+      // and carries t_view from the PREVIOUS batch's state
+      input.addData(ev(3L, 2L, "purchase"), ev(4L, 7L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_sink").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._2, x._1))
+      assert(rows.toSeq === Seq(("click", 3L, 3L), ("view", 3L, 3L), ("purchase", 7L, 3L)))
+    } finally q.stop()
+  }
+
   test("RocksDB state store backs the stateful sessionizer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
