@@ -56,6 +56,18 @@ object HeapGuide {
       |an.ownershipCollapse().foreach(_.show()) // unique-owner chains collapsed
       |an.retainedSize().foreach(_.show())    // dominator-approximate retained bytes
       |an.rootReachability().foreach(_.show()) // hop distance from GC roots per type
+      |an.rootPathExemplars().foreach(_.show()) // concrete root→object exemplar paths
+      |```
+      |
+      |## What grew? Diff two dumps of the same process
+      |
+      |```scala
+      |// take a dump, wait, take another; diff their exports per type
+      |val s0 = sessions.open("/path/to/out_t0", "dump_t0")
+      |val s1 = sessions.open("/path/to/out_t1", "dump_t1")
+      |sessions.diff("dump_t0", "dump_t1").show() // biggest growth first
+      |// HTTP: POST /diff {"session_before":"dump_t0","session_after":"dump_t1"}
+      |// CLI:  diff /path/to/out_t0 /path/to/out_t1
       |```
       |""".stripMargin
 

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GateQuery, Tables}
 import graft.functions.TextFunctions
 import graft.operators.{Classify, Clustering, Components, CorpusStats, Curate, Decontaminate, Dedup, Itemsets, Layout, Linalg, MergeUpsert, Packing, Pq, Prep, Relevance, Sampling, ShardExport, Similarity, Tokenize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2.D) with DuckDB
@@ -303,6 +304,26 @@ object Pipeline {
     * the probe gate measures probing, not index construction.
     */
   private val sigIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One verified jaccard pair table (threshold 0.6) per (JVM, sf-dir),
+    * persisted to temp parquet — the q_dedup_jaccard gate times the
+    * pair computation itself; the gates that BUILD ON the pairs
+    * (clustering, leakage-safe splits, survivor election) read the
+    * cached table so each times its own increment instead of
+    * re-measuring the same candidate verification three more times
+    * (the sigIndexCache/ivfIndexDir bench-economics precedent).
+    */
+  private val jaccardPairsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = jaccardPairsCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jpairs_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", 3, 0.6)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(p)
+  }
 
   /** D102 — LSH banding calibration: per Jaccard decile of the
     * exact-verified candidate pairs, empirical band-collision ppm
@@ -1182,8 +1203,9 @@ object Pipeline {
        |ORDER BY d.doc_id""".stripMargin,
     bench = false, slow = true) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    // exact-jaccard pairs (same set LSH verifies at threshold 0.6)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    // exact-jaccard pairs (same set LSH verifies at threshold 0.6),
+    // cached per (JVM, sf-dir) so this gate times the clustering
+    val pairs = cachedJaccardPairs(s, dir)
     Components.clusterDocuments(docs, "doc_id", pairs)
       .orderBy("doc_id")
   }
@@ -1223,7 +1245,7 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin,
     bench = false, slow = true) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    val pairs = cachedJaccardPairs(s, dir)
     Prep.splitAssignClustered(docs.select("doc_id"), "doc_id", pairs, seed = 7L)
       .select("doc_id", "cluster_id", "split")
       .orderBy("doc_id")
@@ -1271,7 +1293,7 @@ object Pipeline {
        |ORDER BY cluster_id""".stripMargin,
     bench = false, slow = true) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    val pairs = cachedJaccardPairs(s, dir)
     Curate.electSurvivorsByQuality(docs, "doc_id", "text", pairs)
       .orderBy("cluster_id")
   }
