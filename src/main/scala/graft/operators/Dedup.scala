@@ -634,11 +634,13 @@ object Dedup {
     * mirrorable in SQL: ('0x' || substr(md5(s),...))::BIGINT.
     * The set size rides in the same aggregate — no second pass.
     */
-  private[operators] def bandSignatures(docs: DataFrame, idCol: String,
-      textCol: String, shingleN: Int, numHashes: Int, numBands: Int): DataFrame = {
-    require(numHashes % numBands == 0, "bands must evenly divide hashes")
+  /** (doc_id, n_sh, h0..h{numHashes-1}) — the raw KM minhash
+    * signature table `bandSignatures` bands and the estimate audit
+    * (D108) compares component-wise.
+    */
+  private[operators] def rawSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int): DataFrame = {
     require(numHashes <= 1024, "h1 + i*h2 must stay below 2^63: numHashes <= 1024")
-    val rowsPerBand = numHashes / numBands
     val inv = explodeShingles(shingleTable(docs, idCol, textCol, shingleN))
     val modulus = 1L << 48
     val withHalves = inv.select(col("doc_id"),
@@ -649,7 +651,14 @@ object Dedup {
     val minAggs = (0 until numHashes).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % lit(modulus)).as(s"h$i")) :+
       count(lit(1)).as("n_sh")
-    val sig = withHalves.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    withHalves.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  private[operators] def bandSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int, numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0, "bands must evenly divide hashes")
+    val rowsPerBand = numHashes / numBands
+    val sig = rawSignatures(docs, idCol, textCol, shingleN, numHashes)
     sig.select(col("doc_id"), col("n_sh"),
       posexplode(array((0 until numBands).map { b =>
         md5(concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -689,6 +698,52 @@ object Dedup {
         (col("n1") + col("n2") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
+  }
+
+  /** D108 — signature-estimate error audit, the third leg of the LSH
+    * audit triad (D102 measures banding collision vs the s-curve,
+    * D103 truncation recall; this measures the ESTIMATOR itself):
+    * per banding candidate pair, the fraction of matching minhash
+    * components — the classic unbiased Jaccard estimate — beside the
+    * exact Jaccard, with the signed error in ppm. The realized error
+    * at small numHashes is the number that justifies the
+    * verify-after-banding architecture over trusting the estimate
+    * (12 hashes ⇒ ±1/12 granularity), measured on this corpus rather
+    * than quoted from theory. Cost: the signature pass the LSH run
+    * already does, plus exact verification of the tiny candidate set.
+    */
+  def signatureEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, numBands: Int): DataFrame = {
+    val sig = rawSignatures(docs, idCol, textCol, shingleN, numHashes)
+      .select(col("doc_id"), col("n_sh"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("hs"))
+      .localCheckpoint()
+    val bands = bandSignatures(docs, idCol, textCol, shingleN, numHashes, numBands)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .localCheckpoint()
+    val withSig = cand
+      .join(sig.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n_sh").as("n1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n_sh").as("n2")), "d2")
+      .withColumn("n_match",
+        aggregate(zip_with(col("hs1"), col("hs2"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+    val candIds = cand.select(col("d1").as("cid"))
+      .union(cand.select(col("d2").as("cid"))).distinct()
+    val candSh = shingleTable(
+      docs.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"),
+      idCol, textCol, shingleN)
+    withSig
+      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("est_ppm", expr(s"n_match * 1000000 div ${numHashes}L"))
+      .withColumn("jaccard_ppm", expr("n_inter * 1000000 div (n1 + n2 - n_inter)"))
+      .withColumn("err_ppm", col("est_ppm") - col("jaccard_ppm"))
+      .select("d1", "d2", "n_match", "est_ppm", "jaccard_ppm", "err_ppm")
   }
 
   /** D58 — persisted MinHash signature index: the corpus keeps

@@ -212,6 +212,55 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
+  /** D108 — signature-estimate error audit: per banding candidate
+    * pair, matching-component count, the minhash Jaccard estimate,
+    * the exact Jaccard, and the signed error (all integer ppm). The
+    * oracle replays the full KM signature pipeline for BOTH docs, the
+    * component-equality count, the exact intersection, and both ppm
+    * floors.
+    */
+  val qSigEstimate: GateQuery = GateQuery(
+    "q_sig_estimate",
+    s"""WITH ${shingleCte(3)},
+       |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+       |         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS h
+       |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(i // 3 AS BIGINT) AS band,
+       |            md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_sig
+       |          FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |m AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM cand c
+       |  JOIN mh a ON a.doc_id = c.d1
+       |  JOIN mh b ON b.doc_id = c.d2 AND b.i = a.i
+       |  GROUP BY c.d1, c.d2),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+       |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y
+       |    ON y.doc_id = c.d2 AND y.shingle = x.shingle
+       |  GROUP BY c.d1, c.d2)
+       |SELECT m.d1, m.d2, m.n_match,
+       |  CAST(m.n_match * 1000000 // 12 AS BIGINT) AS est_ppm,
+       |  CAST(COALESCE(i.n_inter, 0) * 1000000 // (s1.n_sh + s2.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT) AS jaccard_ppm,
+       |  CAST(m.n_match * 1000000 // 12 - COALESCE(i.n_inter, 0) * 1000000 // (s1.n_sh + s2.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT) AS err_ppm
+       |FROM m
+       |LEFT JOIN inter i ON i.d1 = m.d1 AND i.d2 = m.d2
+       |JOIN sizes s1 ON s1.doc_id = m.d1
+       |JOIN sizes s2 ON s2.doc_id = m.d2
+       |ORDER BY m.d1, m.d2""".stripMargin) { (s, dir) =>
+    Dedup.signatureEstimateAudit(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 12, numBands = 4)
+      .orderBy("d1", "d2")
+  }
+
   /** D58 — incremental near-dup against the PERSISTED signature
     * index: evens are indexed, odds probe, and every (new, corpus)
     * band collision must match the oracle replaying the full KM
@@ -3773,7 +3822,7 @@ object Pipeline {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qDedupSimhash, qLshCalibration, qVocabRetention,
+    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qDedupSimhash, qLshCalibration, qVocabRetention,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qTruncRecall, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,

@@ -126,6 +126,35 @@ class OperatorPropSpec extends AnyFunSuite {
     }
   }
 
+  test("signatureEstimateAudit: identical docs estimate exactly, bounds hold, partition-invariant") {
+    import graft.operators.Dedup
+    // docs 1/2 identical -> every minhash component matches: n_match =
+    // 12, est = jaccard = 1000000, err = 0. Docs 3/4 share a real
+    // overlap -> the pair surfaces with n_match in [0, 12] and
+    // est_ppm = n_match * 1000000 div 12 exactly.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"))
+      .toDF("doc_id", "text")
+    val got = Dedup.signatureEstimateAudit(docs, "doc_id", "text", 3, 12, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.contains((1L, 2L)))
+    assert(got((1L, 2L)) === ((12L, 1000000L, 1000000L, 0L)))
+    got.foreach { case (_, (nMatch, est, jac, err)) =>
+      assert(nMatch >= 0L && nMatch <= 12L)
+      assert(est === nMatch * 1000000L / 12L)
+      assert(err === est - jac)
+      assert(jac >= 0L && jac <= 1000000L)
+    }
+    val again = Dedup.signatureEstimateAudit(docs.repartition(5), "doc_id", "text", 3, 12, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(again === got)
+  }
+
   test("jaccardPairs posting-list cap: identical pairs when near-dups share rare shingles") {
     // 40 docs in 20 near-dup pairs; EVERY doc also carries a universal
     // boilerplate phrase (df=40). With the cap the universal shingles
