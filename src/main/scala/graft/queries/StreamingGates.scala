@@ -555,6 +555,51 @@ object StreamingGates {
       .orderBy("doc_id")
   }
 
+  /** E43 — ingest-time decontamination guard: the training-doc stream
+    * is checked against the broadcast benchmark shingle set per
+    * micro-batch (stream-static, stateless per doc), flags landing in
+    * per-batch directories. Same oracle as batch q_decontaminate —
+    * streamed union == batch answer is the whole claim.
+    */
+  val qStreamDecontaminate: GateQuery = GateQuery(
+    "q_stream_decontaminate",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |idx AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i FROM w),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM idx),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+       |SELECT s.doc_id, COUNT(*) AS n_overlap
+       |FROM sh s JOIN bench b ON s.shingle = b.shingle
+       |WHERE s.doc_id % 97 <> 0
+       |GROUP BY s.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_decon")
+    val srcDir = work.resolve("src").toString
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    train.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    train.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(train.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val outDir = work.resolve("out").toString
+    val q = StreamingOps.decontaminateStream(stream, bench, "doc_id", "text",
+      shingleN = 3, outDir, work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$outDir/flagged/batch_*")
+      .orderBy("doc_id")
+  }
+
   /** E14 — exactly-once checkpointed file sink, driven through a REAL
     * restart: events arrive as two single-file micro-batches; the query
     * drains batch 1 to a parquet sink and stops, batch 2 lands, and a
@@ -1057,6 +1102,6 @@ object StreamingGates {
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
-      qStreamFunnel)
+      qStreamFunnel, qStreamDecontaminate)
     .map(_.copy(bench = false))
 }

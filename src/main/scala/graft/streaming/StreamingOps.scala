@@ -341,6 +341,36 @@ object StreamingOps {
     * exactly-once for this sink, same discipline as the reference's
     * idempotent chunk files).
     */
+  /** E43 — INGEST-TIME decontamination guard: the D20 benchmark-
+    * overlap check running as a stream-static pass at arrival, so an
+    * eval doc never enters the training corpus in the first place
+    * (cheaper and safer than scrubbing after the fact). Per-doc
+    * overlap depends only on the doc and the static benchmark shingle
+    * set — stateless across docs — so each micro-batch runs the exact
+    * batch operator (broadcast bench set, zero corpus shuffle) and
+    * the streamed union of flags equals the batch answer bit-for-bit.
+    * Idempotent sink: flags land under a per-batch directory keyed by
+    * (checkpoint digest, batchId), so a replayed batch overwrites its
+    * own output instead of double-appending.
+    */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, outDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Decontaminate
+          .overlap(batch, bench, idCol, textCol, shingleN)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/flagged/batch_${streamId}_$batchId")
+        ()
+      }
+      .start()
+  }
+
   def curateStream(docs: DataFrame, idCol: String, textCol: String,
       corpusDir: String, checkpointDir: String):
       org.apache.spark.sql.streaming.StreamingQuery = {

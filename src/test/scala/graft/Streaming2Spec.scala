@@ -182,6 +182,33 @@ class Streaming2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E43 stream: decontamination flags per batch equal the batch operator; batch dirs isolated") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val work = java.nio.file.Files.createTempDirectory("decon_spec")
+    val outDir = work.resolve("out").toString
+    val q = StreamingOps.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+      shingleN = 3, outDir, work.resolve("ckpt").toString)
+    try {
+      input.addData((1L, "a b c d e"), (2L, "x y z w v"))
+      q.processAllAvailable()
+      input.addData((3L, "q q c d e q q"))
+      q.processAllAvailable()
+      val flagged = spark.read.parquet(s"$outDir/flagged/batch_*")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // doc 1 shares all 3 shingles, doc 3 exactly one ("c d e"),
+      // doc 2 none -> absent
+      assert(flagged === Map(1L -> 3L, 3L -> 1L))
+      // one directory per micro-batch: a replay overwrites its own
+      val dirs = new java.io.File(s"$outDir/flagged").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs.length === 2 && dirs.forall(_.startsWith("batch_")), dirs.toSeq)
+    } finally q.stop()
+  }
+
   test("RocksDB state store backs the stateful sessionizer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
