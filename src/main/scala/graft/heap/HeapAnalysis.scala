@@ -509,6 +509,42 @@ final class HeapAnalysis(t: HeapTables) {
   def classCountStats: Option[DataFrame] = t.system("_object_index").map(
     _.agg(countDistinct(col("type_name")).as("n_classes")))
 
+  /** B26 core: duplicate-class / classloader census — the classic
+    * metaspace-leak signature B13's flat count can only hint at: the
+    * SAME class name defined by MULTIPLE loaders (hot-redeploy, OSGi,
+    * plugin frameworks — each redeploy leaks a loader holding a full
+    * copy of every class it defined). One row per class name defined
+    * more than once: copy count, distinct-loader count, and the
+    * loader ids themselves (numerically sorted, CSV — the ids an
+    * investigation greps the dump for). `loader_obj_id = 0` is the
+    * bootstrap loader. Dimension-sized end to end: the input is the
+    * class-count-sized `_class_hierarchy`, never the object stream.
+    */
+  def classloaderCensus: Option[DataFrame] = t.system("_class_hierarchy").map { ch =>
+    ch.groupBy("class_name")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("loader_obj_id")).as("n_loaders"),
+        concat_ws(",", transform(sort_array(collect_list(col("loader_obj_id"))),
+          x => x.cast("string"))).as("loader_ids"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("class_name"))
+  }
+
+  def checkClassloaders(): Option[WasteFinding] = classloaderCensus.flatMap { df =>
+    val rows = df.collect()
+    if (rows.isEmpty) None else {
+      val nNames = rows.length.toLong
+      val nExtra = rows.map(r => r.getLong(1) - 1).sum
+      // a leaked duplicate class costs its metaspace footprint; the
+      // reference's B13 heuristic prices a class at 8 KiB — reuse it
+      val severity = if (nExtra > 1000) "HIGH" else if (nExtra > 100) "MEDIUM" else "INFO"
+      Some(WasteFinding("Duplicate Classes / Classloader Leaks", 2, severity,
+        nNames, nExtra * 8192L,
+        s"$nNames class names defined by multiple loaders ($nExtra duplicate definitions)",
+        "Multiple definitions of one class name mean several classloaders each define it — the hot-redeploy/OSGi/plugin leak shape. Find what pins the stale loaders (threads, statics, caches holding any instance from the old deployment)."))
+    }
+  }
+
   def checkClassCount(): Option[WasteFinding] = classCountStats.flatMap { df =>
     val cnt = df.collect()(0).getLong(0)
     if (cnt < 10000) None else {
@@ -784,7 +820,12 @@ final class HeapAnalysis(t: HeapTables) {
     * the label-propagation discipline of Components.scala — and the
     * only driver-resident state is the bounded `_fields` metadata.
     */
-  def retainedSize(chaseRounds: Int = 4): Option[DataFrame] = for {
+  /** Shared B22/B27 core: the (r, owned, retained) per-final-root
+    * frame — every object assigned to the root its ownership chain
+    * (unique-owner collapse + one diamond-adoption pass) ends at,
+    * with shallow bytes summed per root.
+    */
+  private def retainedPerRoot(chaseRounds: Int): Option[DataFrame] = for {
     edges <- refEdges
     oi <- t.system("_object_index")
     sizes <- perObjectShallowSizes
@@ -815,14 +856,38 @@ final class HeapAnalysis(t: HeapTables) {
       .select(col("o"), col("__r").as("p"))
     val own2 = own1.unionByName(adopt).localCheckpoint()
     val fin = chase(own2)
-    val perRoot = fin.join(sizes.withColumnRenamed("obj_id", "o"), Seq("o"))
+    fin.join(sizes.withColumnRenamed("obj_id", "o"), Seq("o"))
       .groupBy(col("r"))
       .agg(count(lit(1)).as("owned"), sum("bytes").as("retained"))
-    perRoot.join(oi, perRoot("r") === oi("obj_id"))
-      .groupBy("type_name")
-      .agg(count(lit(1)).as("n_roots"), sum("owned").as("total_owned"),
-        sum("retained").as("retained_bytes"), max("retained").as("max_retained"))
   }
+
+  def retainedSize(chaseRounds: Int = 4): Option[DataFrame] = for {
+    perRoot <- retainedPerRoot(chaseRounds)
+    oi <- t.system("_object_index")
+  } yield perRoot.join(oi, perRoot("r") === oi("obj_id"))
+    .groupBy("type_name")
+    .agg(count(lit(1)).as("n_roots"), sum("owned").as("total_owned"),
+      sum("retained").as("retained_bytes"), max("retained").as("max_retained"))
+
+  /** B27 — biggest single objects by retained bytes (the MAT
+    * "Biggest Objects" pie, per object instead of B22's per-type
+    * rollup): the top-N final ownership roots with what each owns and
+    * retains — the artifact that names the ONE cache/buffer/list a
+    * heap investigation should delete first. Same approximation
+    * contract as B22 (chains beyond the chase bound and
+    * diamonds-of-diamonds under-collapse, never over-attribute).
+    * Global top-N is a TakeOrdered over the root-count-sized frame
+    * (deterministic via the obj_id tie-break), never a full sort of
+    * the object stream.
+    */
+  def retainedTopObjects(chaseRounds: Int = 4, limit: Int = 20): Option[DataFrame] = for {
+    perRoot <- retainedPerRoot(chaseRounds)
+    oi <- t.system("_object_index")
+  } yield perRoot.join(oi, perRoot("r") === oi("obj_id"))
+    .select(col("r").as("obj_id"), col("type_name"), col("owned"),
+      col("retained").as("retained_bytes"))
+    .orderBy(col("retained_bytes").desc, col("obj_id"))
+    .limit(limit)
 
   /** B23 — GC-root reachability distance: per-object minimum hop
     * count from any GC root along the B20 reference edges, rolled up
@@ -1103,7 +1168,9 @@ final class HeapAnalysis(t: HeapTables) {
         "root_reachability" -> dfRows(rootReachability().map(
           _.orderBy(col("n_objects").desc, col("type_name")).limit(topN))),
         "path_exemplars" -> dfRows(rootPathExemplars().map(
-          _.orderBy(col("type_name"), col("kind"), col("step")).limit(topN * 8))))
+          _.orderBy(col("type_name"), col("kind"), col("step")).limit(topN * 8))),
+        "classloaders" -> dfRows(classloaderCensus.map(_.limit(topN))),
+        "top_retained" -> dfRows(retainedTopObjects(limit = topN)))
       base ++ graph ++ Seq(
         "waste_findings" -> jArr(findings.map(f => jObj(Seq(
           "check_name" -> jStr(f.checkName),

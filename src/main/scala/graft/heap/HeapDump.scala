@@ -43,7 +43,7 @@ object HeapIO {
 final case class ClassInfo(
     objId: Long, name: String, superId: Long, instanceSize: Int,
     staticFields: Seq[StaticField], ownFields: Seq[FieldDesc],
-    layout: Seq[LayoutField])
+    layout: Seq[LayoutField], loaderId: Long = 0L)
 
 final class HeapIndex(
     val utf8: Map[Long, String],
@@ -192,7 +192,7 @@ final class HeapDump(spark: SparkSession, path: String) {
     val classes = dumpMap.map { case (cid, cd) =>
       cid -> ClassInfo(cid, names.getOrElse(cid, "(unresolved)"), cd.superClassObjId,
         cd.instanceSize, cd.staticFields, cd.instanceFields,
-        HeapIndex.buildLayout(cid, dumpMap, names, utf8))
+        HeapIndex.buildLayout(cid, dumpMap, names, utf8), cd.loaderObjId)
     }
     val serialToName = loads.map(lc => lc.serial ->
       utf8.getOrElse(lc.nameId, "(missing utf8)").replace('/', '.')).toMap
@@ -233,8 +233,9 @@ final class HeapDump(spark: SparkSession, path: String) {
         val sup = index.classes.get(c.superId)
         (c.objId, c.name,
           if (c.superId == 0) None else Some(c.superId),
-          sup.map(_.name))
-      }.toDF("class_obj_id", "class_name", "super_class_obj_id", "super_class_name")
+          sup.map(_.name), c.loaderId)
+      }.toDF("class_obj_id", "class_name", "super_class_obj_id",
+        "super_class_name", "loader_obj_id")
 
   // -- A18: per-class field-layout metadata ---------------------------
   /** One row per instance-field slot of every class's FULL layout (own

@@ -124,6 +124,15 @@ object HeapGuide {
       |WHERE super_class_name = 'java.util.AbstractMap'
       |```
       |
+      |## Classloader leaks: class names defined by multiple loaders
+      |```sql
+      |SELECT class_name, COUNT(*) AS n_copies,
+      |       COUNT(DISTINCT loader_obj_id) AS n_loaders
+      |FROM _class_hierarchy
+      |GROUP BY class_name HAVING COUNT(*) > 1
+      |ORDER BY n_copies DESC
+      |```
+      |
       |## Shared objects: reference-graph in-degree census
       |```sql
       |WITH refs AS (

@@ -110,7 +110,8 @@ object HprofModel {
       superClassObjId: Long, // 0 = none
       instanceSize: Int,
       staticFields: Seq[StaticField],
-      instanceFields: Seq[FieldDesc])
+      instanceFields: Seq[FieldDesc],
+      loaderObjId: Long = 0L) // 0 = bootstrap loader
 
   final case class LoadClassInfo(serial: Int, classObjId: Long, nameId: Long)
 

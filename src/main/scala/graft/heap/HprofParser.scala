@@ -179,7 +179,8 @@ object HprofParser {
     val classObjId = c.id(idSize)
     c.u4() // stack trace serial
     val superId = c.id(idSize)
-    c.id(idSize); c.id(idSize); c.id(idSize) // loader, signers, protection domain
+    val loaderId = c.id(idSize)
+    c.id(idSize); c.id(idSize) // signers, protection domain
     c.id(idSize); c.id(idSize) // reserved
     val instanceSize = c.u4().toInt
     val cpCount = c.u2()
@@ -203,7 +204,7 @@ object HprofParser {
     }
     val fieldCount = c.u2()
     val fields = (0 until fieldCount).map(_ => FieldDesc(c.id(idSize), c.u1()))
-    ClassDumpInfo(classObjId, superId, instanceSize, statics, fields)
+    ClassDumpInfo(classObjId, superId, instanceSize, statics, fields, loaderId)
   }
 
   /** Render one primitive value as a string (static-field table;

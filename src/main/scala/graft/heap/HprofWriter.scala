@@ -38,7 +38,7 @@ final class HprofWriter(val idSize: Int = 8) {
   def defineClass(name: String, superId: Long = 0L,
       instanceFields: Seq[(String, Int)] = Nil,
       staticFields: Seq[(String, Int, Any)] = Nil,
-      instanceSize: Int = 16): Long = {
+      instanceSize: Int = 16, loaderId: Long = 0L): Long = {
     val classId = freshId()
     val serial = nextClassSerial; nextClassSerial += 1
     val nameId = stringId(name)
@@ -48,7 +48,7 @@ final class HprofWriter(val idSize: Int = 8) {
     classDumps += { d =>
       d.writeByte(Sub.ClassDump)
       wid(d, classId); d.writeInt(0); wid(d, superId)
-      wid(d, 0L); wid(d, 0L); wid(d, 0L); wid(d, 0L); wid(d, 0L)
+      wid(d, loaderId); wid(d, 0L); wid(d, 0L); wid(d, 0L); wid(d, 0L)
       d.writeInt(instanceSize)
       d.writeShort(0) // constant pool
       d.writeShort(staticFields.size)

@@ -746,6 +746,81 @@ object Dedup {
       .select("d1", "d2", "n_match", "est_ppm", "jaccard_ppm", "err_ppm")
   }
 
+  /** D109 — banding-plan chooser: the DESIGN-side answer the audit
+    * triad (D102 calibration, D103 truncation, D108 estimate error)
+    * measures after the fact. For EVERY divisor plan (r bands-rows ×
+    * b bands = numHashes) of the signature budget, score the plan on
+    * the corpus's OWN pair population: per df-capped blocked
+    * candidate pair (the D102 universe — plan-neutral, unlike any one
+    * plan's banding collisions) take the signature Jaccard estimate
+    * m/H (the D108 estimator — no exact verification needed), and
+    * compute the plan's collision probability 1−(1−(m/H)^r)^b.
+    * Report, per plan: mean collision ppm over WANTED pairs (est ≥
+    * threshold — the plan's expected recall at the operating point),
+    * mean ppm over unwanted pairs (expected false-candidate rate),
+    * the expected total collision count (candidate-volume cost), and
+    * the chosen plan (max recall−falsepos separation, smaller r on
+    * ties).
+    *
+    * Integer-exact and fold-order-free: with H = numHashes and
+    * r·b = H, the probability is (H^H − (H^r − m^r)^b) / H^H — every
+    * intermediate ≤ 12^12 ≈ 8.9·10^12 (Long-exact; ·10^6 for the ppm
+    * floor stays under 2^63), powers expand to explicit
+    * multiplications (no library pow to disagree over), and each pair
+    * contributes a floored ppm BIGINT to the sums.
+    *
+    * Scale shape: ONE aggregate over the candidate-pair frame
+    * produces every plan's sums simultaneously (2·|plans| partial-agg
+    * columns, map-side combined); the |plans|-row reshape + argmax is
+    * dimension-sized. Nothing corpus-sized is windowed or re-scanned
+    * per plan.
+    */
+  def bandingPlanAudit(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, thresholdPpm: Long,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val h = numHashes
+    val denom = BigInt(h).pow(h)
+    require(denom * 1000000 < BigInt(Long.MaxValue),
+      s"numHashes^numHashes * 1e6 must stay Long-exact (got H=$h)")
+    val sig = rawSignatures(docs, idCol, textCol, shingleN, h)
+      .select(col("doc_id"), array((0 until h).map(i => col(s"h$i")): _*).as("hs"))
+    val m = blockedCandidatePairs(docs, idCol, textCol, shingleN, maxShingleDf)
+      .join(sig.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
+      .withColumn("n_match",
+        aggregate(zip_with(col("hs1"), col("hs2"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+      .withColumn("wanted", expr(s"n_match * 1000000 div $h") >= thresholdPpm)
+      .select("n_match", "wanted")
+    val plans = (1 to h).filter(h % _ == 0).map(r => (r, h / r))
+    def powS(e: String, k: Int): String = List.fill(k)(s"($e)").mkString(" * ")
+    def ppmExpr(r: Int, b: Int): String = {
+      val hr = BigInt(h).pow(r)
+      s"(${denom}L - ${powS(s"${hr}L - ${powS("n_match", r)}", b)}) * 1000000L div ${denom}L"
+    }
+    val sums = plans.flatMap { case (r, b) => Seq(
+      sum(when(col("wanted"), expr(ppmExpr(r, b))).otherwise(lit(0L))).as(s"sw_$r"),
+      sum(when(!col("wanted"), expr(ppmExpr(r, b))).otherwise(lit(0L))).as(s"su_$r"))
+    }
+    val agg = m.agg(
+      sum(when(col("wanted"), 1L).otherwise(0L)).as("nw"),
+      (sum(when(!col("wanted"), 1L).otherwise(0L)).as("nu") +: sums): _*)
+    val stacked = agg.selectExpr(
+      "coalesce(nw, 0L) as n_wanted", "coalesce(nu, 0L) as n_unwanted",
+      s"stack(${plans.size}, ${plans.map { case (r, b) =>
+        s"$r, $b, coalesce(sw_$r, 0L), coalesce(su_$r, 0L)" }.mkString(", ")}) " +
+        "as (rows_per_band, bands, sw, su)")
+    stacked
+      .withColumn("catch_ppm", expr("sw div greatest(n_wanted, 1L)"))
+      .withColumn("false_ppm", expr("su div greatest(n_unwanted, 1L)"))
+      .withColumn("exp_collide_ppm", col("sw") + col("su"))
+      .withColumn("chosen", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+        (col("catch_ppm") - col("false_ppm")).desc, col("rows_per_band"))) === 1)
+      .select("rows_per_band", "bands", "n_wanted", "n_unwanted",
+        "catch_ppm", "false_ppm", "exp_collide_ppm", "chosen")
+  }
+
   /** D58 — persisted MinHash signature index: the corpus keeps
     * (doc_id, band, band_sig) rows beside its data — fixed-width, a
     * few rows per document — so incremental NEAR-dup curation of a

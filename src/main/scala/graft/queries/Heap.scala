@@ -167,6 +167,20 @@ object Heap {
         ("EMPTY_REF", BasicType.Object, 0L)))
       w.gcRoot(Sub.RootStickyClass, registryCls)
 
+      // B26: ONE class name defined by TWO loaders (the hot-redeploy
+      // leak shape). Loader ids are real objects (URLClassLoader
+      // instances), and both definitions carry instances so the
+      // per-class `_<id>`-suffixed table split is exercised too.
+      val uclCls = w.defineClass("java.net.URLClassLoader", obj)
+      val loader1 = w.instance(uclCls, Nil)
+      val loader2 = w.instance(uclCls, Nil)
+      val svcA = w.defineClass("com.example.PluginService", obj,
+        instanceFields = Seq("gen" -> BasicType.Int), loaderId = loader1)
+      val svcB = w.defineClass("com.example.PluginService", obj,
+        instanceFields = Seq("gen" -> BasicType.Int), loaderId = loader2)
+      w.instance(svcA, Seq(BasicType.Int -> 1))
+      w.instance(svcB, Seq(BasicType.Int -> 2))
+
       // A10: stack frames + traces with depths 1 / 3 / 0
       val f1 = w.stackFrame("main", "()V", "Main.java", "java.lang.String", 1)
       val f2 = w.stackFrame("run", "()V", "Worker.java", "java.lang.Thread", 42)
@@ -601,6 +615,25 @@ object Heap {
       .orderBy("class_name", "super_name")
   }
 
+  /** B26: duplicate-class / classloader-leak census — class names
+    * defined by MULTIPLE loaders (the demo heap defines
+    * com.example.PluginService under two URLClassLoader instances).
+    * The oracle re-derives copy counts, distinct-loader counts, and
+    * the sorted loader-id CSV from the exported hierarchy table — a
+    * loader id dropped or mis-parsed by the ETL breaks the hash.
+    */
+  val qHeapClassloaders: GateQuery = GateQuery(
+    "q_heap_classloaders",
+    s"""SELECT class_name, n_copies, n_loaders, loader_ids FROM (
+       |  SELECT class_name, COUNT(*) AS n_copies,
+       |    COUNT(DISTINCT loader_obj_id) AS n_loaders,
+       |    string_agg(CAST(loader_obj_id AS VARCHAR), ',' ORDER BY loader_obj_id) AS loader_ids
+       |  FROM read_parquet('$exportDir/_class_hierarchy/*.parquet')
+       |  GROUP BY class_name HAVING COUNT(*) > 1)
+       |ORDER BY n_copies DESC, class_name""".stripMargin) { (s, _) =>
+    analysis(s).classloaderCensus.get
+  }
+
   /** B6-B19: the FULL waste suite — every finding's (name, tier,
     * severity, affected, waste) re-derived by DuckDB from the same
     * export: per-check aggregates, the severity tiering, the
@@ -977,8 +1010,13 @@ object Heap {
     * width, a skipped chase step, or an over-eager adoption all
     * break the hash.
     */
-  val qHeapRetained: GateQuery = {
-    val rounds = 4
+  private val retainedRounds = 4
+  /** Shared CTE preamble for the B22/B27 gates: edges, degrees, both
+    * ownership chases, the adoption pass, per-object shallow sizes,
+    * and the per-root `rt(root, owned, retained)` frame.
+    */
+  private lazy val retainedCtesSql: String = {
+    val rounds = retainedRounds
     def chaseSql(prefix: String, own: String) = (1 until rounds).map { k =>
       s"""$prefix$k AS (SELECT q.o, COALESCE(w.p, q.r) AS r
          |       FROM $prefix${k - 1} q LEFT JOIN $own w ON w.o = q.r)""".stripMargin
@@ -989,9 +1027,7 @@ object Heap {
       s"""  SELECT obj_id, CAST(16 + len("values") * $w AS BIGINT) AS bytes
          |  FROM read_parquet('$exportDir/_primitive_arrays_$pt/*.parquet')""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    GateQuery(
-      "q_heap_retained",
-      s"""WITH $refEdgeSql,
+    s"""$refEdgeSql,
          |ed AS (SELECT DISTINCT src, dst FROM e),
          |dg AS (SELECT dst, COUNT(*) AS deg, MIN(src) AS only_src FROM ed GROUP BY dst),
          |own1 AS (SELECT dst AS o, only_src AS p FROM dg WHERE deg = 1),
@@ -1029,16 +1065,37 @@ object Heap {
          |         WHERE oi.obj_id NOT IN (SELECT obj_id FROM arr)),
          |sz AS (SELECT obj_id, bytes FROM inst UNION ALL SELECT obj_id, bytes FROM arr),
          |rt AS (SELECT f.r AS root, COUNT(*) AS owned, SUM(sz.bytes) AS retained
-         |       FROM p${rounds - 1} f JOIN sz ON sz.obj_id = f.o GROUP BY f.r)
-         |SELECT oi.type_name, CAST(COUNT(*) AS BIGINT) AS n_roots,
-         |  CAST(SUM(rt.owned) AS BIGINT) AS total_owned,
-         |  CAST(SUM(rt.retained) AS BIGINT) AS retained_bytes,
-         |  CAST(MAX(rt.retained) AS BIGINT) AS max_retained
-         |FROM rt JOIN oi ON oi.obj_id = rt.root
-         |GROUP BY oi.type_name
-         |ORDER BY oi.type_name""".stripMargin) { (s, _) =>
-      analysis(s).retainedSize(rounds).get.orderBy("type_name")
-    }
+         |       FROM p${rounds - 1} f JOIN sz ON sz.obj_id = f.o GROUP BY f.r)""".stripMargin
+  }
+
+  val qHeapRetained: GateQuery = GateQuery(
+    "q_heap_retained",
+    s"""WITH $retainedCtesSql
+       |SELECT oi.type_name, CAST(COUNT(*) AS BIGINT) AS n_roots,
+       |  CAST(SUM(rt.owned) AS BIGINT) AS total_owned,
+       |  CAST(SUM(rt.retained) AS BIGINT) AS retained_bytes,
+       |  CAST(MAX(rt.retained) AS BIGINT) AS max_retained
+       |FROM rt JOIN oi ON oi.obj_id = rt.root
+       |GROUP BY oi.type_name
+       |ORDER BY oi.type_name""".stripMargin) { (s, _) =>
+    analysis(s).retainedSize(retainedRounds).get.orderBy("type_name")
+  }
+
+  /** B27 — biggest single objects by retained bytes (MAT "Biggest
+    * Objects", per object where B22 rolls up per type): the top-N
+    * final ownership roots with owned-object count and retained
+    * bytes. Same replay as q_heap_retained through the per-root
+    * frame; the top-N cut is deterministic via the obj_id tie-break.
+    */
+  val qHeapTopRetained: GateQuery = GateQuery(
+    "q_heap_top_retained",
+    s"""WITH $retainedCtesSql
+       |SELECT rt.root AS obj_id, oi.type_name,
+       |  CAST(rt.owned AS BIGINT) AS owned,
+       |  CAST(rt.retained AS BIGINT) AS retained_bytes
+       |FROM rt JOIN oi ON oi.obj_id = rt.root
+       |ORDER BY retained_bytes DESC, obj_id LIMIT 20""".stripMargin) { (s, _) =>
+    analysis(s).retainedTopObjects(retainedRounds, limit = 20).get
   }
 
   /** B23 — GC-root reachability distance census: per-type minimum /
@@ -1204,8 +1261,8 @@ object Heap {
     qHeapBadPrimArrays, qHeapBoxed, qHeapCollectionSizing,
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
-    qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapWaste,
-    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapRootPath,
+    qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapClassloaders, qHeapWaste,
+    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapRootPath,
     qHeapPathExemplars, qHeapDiff,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))

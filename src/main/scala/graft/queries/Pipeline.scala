@@ -261,6 +261,77 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
+  /** D109 — banding-plan chooser: every divisor plan (r×b = 12) of
+    * the signature budget scored on the corpus's own df-capped
+    * candidate-pair population via the signature Jaccard estimate —
+    * expected recall at threshold 0.6, expected false-candidate rate,
+    * expected collision volume, and the argmax plan. The oracle
+    * replays the blocked candidates, the 12-component match count,
+    * and all six plans' s-curves with EXPLICIT integer
+    * multiplications (every intermediate ≤ 12^12, Long-exact — no
+    * pow to disagree over), then the same separation argmax.
+    */
+  val qBandingPlan: GateQuery = GateQuery(
+    "q_banding_plan",
+    s"""WITH ${shingleCte(3)},
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |         WHERE a.shingle IN (SELECT shingle FROM rare)),
+       |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+       |         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS h
+       |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+       |m AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+       |    CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) * 1000000 // 12 >= 600000 AS BOOLEAN) AS wanted
+       |  FROM cand c
+       |  JOIN mh a ON a.doc_id = c.d1
+       |  JOIN mh b ON b.doc_id = c.d2 AND b.i = a.i
+       |  GROUP BY c.d1, c.d2),
+       |pp AS (
+       |  SELECT wanted, 1 AS r, 12 AS b,
+       |    (8916100448256 - (12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)) * 1000000 // 8916100448256 AS ppm
+       |  FROM m
+       |  UNION ALL SELECT wanted, 2, 6,
+       |    (8916100448256 - (144-nm*nm)*(144-nm*nm)*(144-nm*nm)*(144-nm*nm)*(144-nm*nm)*(144-nm*nm)) * 1000000 // 8916100448256 FROM m
+       |  UNION ALL SELECT wanted, 3, 4,
+       |    (8916100448256 - (1728-nm*nm*nm)*(1728-nm*nm*nm)*(1728-nm*nm*nm)*(1728-nm*nm*nm)) * 1000000 // 8916100448256 FROM m
+       |  UNION ALL SELECT wanted, 4, 3,
+       |    (8916100448256 - (20736-nm*nm*nm*nm)*(20736-nm*nm*nm*nm)*(20736-nm*nm*nm*nm)) * 1000000 // 8916100448256 FROM m
+       |  UNION ALL SELECT wanted, 6, 2,
+       |    (8916100448256 - (2985984-nm*nm*nm*nm*nm*nm)*(2985984-nm*nm*nm*nm*nm*nm)) * 1000000 // 8916100448256 FROM m
+       |  UNION ALL SELECT wanted, 12, 1,
+       |    nm*nm*nm*nm*nm*nm*nm*nm*nm*nm*nm*nm * 1000000 // 8916100448256 FROM m),
+       |agg AS (
+       |  SELECT r AS rows_per_band, b AS bands,
+       |    SUM(CASE WHEN wanted THEN 1 ELSE 0 END) AS n_wanted,
+       |    SUM(CASE WHEN wanted THEN 0 ELSE 1 END) AS n_unwanted,
+       |    SUM(CASE WHEN wanted THEN ppm ELSE 0 END) AS sw,
+       |    SUM(CASE WHEN wanted THEN 0 ELSE ppm END) AS su
+       |  FROM pp GROUP BY r, b),
+       |fin AS (
+       |  SELECT rows_per_band, bands,
+       |    CAST(n_wanted AS BIGINT) AS n_wanted,
+       |    CAST(n_unwanted AS BIGINT) AS n_unwanted,
+       |    CAST(sw // greatest(n_wanted, 1) AS BIGINT) AS catch_ppm,
+       |    CAST(su // greatest(n_unwanted, 1) AS BIGINT) AS false_ppm,
+       |    CAST(sw + su AS BIGINT) AS exp_collide_ppm
+       |  FROM agg)
+       |SELECT rows_per_band, bands, n_wanted, n_unwanted, catch_ppm,
+       |  false_ppm, exp_collide_ppm,
+       |  ROW_NUMBER() OVER (ORDER BY catch_ppm - false_ppm DESC, rows_per_band) = 1 AS chosen
+       |FROM fin
+       |ORDER BY rows_per_band""".stripMargin) { (s, dir) =>
+    Dedup.bandingPlanAudit(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 12, thresholdPpm = 600000L)
+      .orderBy("rows_per_band")
+  }
+
   /** D58 — incremental near-dup against the PERSISTED signature
     * index: evens are indexed, odds probe, and every (new, corpus)
     * band collision must match the oracle replaying the full KM
@@ -3822,7 +3893,7 @@ object Pipeline {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qDedupSimhash, qLshCalibration, qVocabRetention,
+    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qTruncRecall, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,

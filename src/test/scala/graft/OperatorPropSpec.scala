@@ -155,6 +155,50 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("bandingPlanAudit: all divisor plans, exact-dup recall 1e6, monotone in r, argmax chosen, partition-invariant") {
+    import graft.operators.Dedup
+    // docs 1/2 identical -> the one wanted pair (m = 12): every plan
+    // collides it with probability exactly 1, so catch_ppm = 1000000
+    // across the board. Docs 3/4 share one shingle with 1 -> unwanted
+    // pairs populating the false side. Collision probability is
+    // pointwise non-increasing in r at fixed m, so both means are too.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma iota kappa lambda mu nu xi"),
+      (4L, "alpha beta gamma rho sigma tau upsilon phi chi"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.bandingPlanAudit(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 12, thresholdPpm = 600000L)
+      .orderBy("rows_per_band").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ===
+      Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)))
+    rows.foreach { case (r, b, nw, nu, c, f, e, _) =>
+      assert(r * b === 12)
+      assert(nw === 1L, "exactly the identical pair is wanted")
+      assert(nu >= 1L, "the shared-shingle pairs are unwanted candidates")
+      assert(c === 1000000L, "an exact dup survives every plan")
+      assert(f >= 0L && f <= 1000000L)
+      assert(e >= c, "expected collisions include the wanted pair")
+    }
+    // monotone: fewer, longer bands collide less at every m
+    rows.sliding(2).foreach { case Array(a, bb) =>
+      assert(a._5 >= bb._5, s"catch_ppm must not increase with r")
+      assert(a._6 >= bb._6, s"false_ppm must not increase with r")
+    }
+    // chosen == recomputed argmax(catch - false, tie-break smaller r)
+    val want = rows.maxBy(t => (t._5 - t._6, -t._1))
+    assert(rows.filter(_._8).toSeq === Seq(want))
+    val again = Dedup.bandingPlanAudit(docs.repartition(7), "doc_id", "text",
+        shingleN = 3, numHashes = 12, thresholdPpm = 600000L)
+      .orderBy("rows_per_band").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("jaccardPairs posting-list cap: identical pairs when near-dups share rare shingles") {
     // 40 docs in 20 near-dup pairs; EVERY doc also carries a universal
     // boilerplate phrase (df=40). With the cap the universal shingles

@@ -301,6 +301,20 @@ class HeapAnalysisSpec extends AnyFunSuite {
       assert(got(c) === ((1L, 1L, 16L, 16L)), c)
     }
     assert(got.size === 5)
+
+    // B27: the per-object view of the same frame — the diamond head A
+    // is the single biggest object (140B), the String second (45B),
+    // and the limit + (retained desc, obj_id) tie-break hold: the
+    // three 28B Node roots (X, Y, Z) order by id.
+    val top = an.retainedTopObjects(limit = 4).get.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(top.length === 4)
+    assert(top(0) === (("com.example.Node", 5L, 140L)), "A first")
+    assert(top(1) === (("java.lang.String", 2L, 45L)))
+    assert(top(2) === (("com.example.Node", 1L, 28L)))
+    assert(top(3) === (("com.example.Node", 1L, 28L)))
+    val ids = an.retainedTopObjects(limit = 4).get.collect().map(_.getLong(0))
+    assert(ids.drop(2).sorted.toSeq === ids.drop(2).toSeq, "ties order by obj_id")
   }
 
   test("B23 root reachability: hand-worked depths, min over two roots, unreached stays -1") {

@@ -32,6 +32,12 @@ class HeapDumpSpec extends AnyFunSuite {
       instanceFields = Seq("name" -> BasicType.Object, "salary" -> BasicType.Double),
       staticFields = Seq(("COMPANY", BasicType.Object, 0x9999L), ("HEADCOUNT", BasicType.Int, 42)))
     val objArrayCls = w.defineClass("[Ljava.lang.Object;", objectCls)
+    // B26: the same name under two distinct loaders (ids are arbitrary
+    // object ids here — the parser must carry them through verbatim)
+    val pluginClsA = w.defineClass("com.acme.Plugin", objectCls,
+      instanceFields = Seq("gen" -> BasicType.Int), loaderId = 0x7001L)
+    val pluginClsB = w.defineClass("com.acme.Plugin", objectCls,
+      instanceFields = Seq("gen" -> BasicType.Int), loaderId = 0x7002L)
 
     val helloBytes1 = w.byteArray("hello")
     val helloBytes2 = w.byteArray("hello")
@@ -80,7 +86,7 @@ class HeapDumpSpec extends AnyFunSuite {
     val (hd, _) = fixture
     val counts = hd.countRecords.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("HeapDumpSegment") === 3L)
-    assert(counts("LoadClass") === 6L)
+    assert(counts("LoadClass") === 8L)
   }
 
   test("index resolves classes, layouts and shadowed field names") {
@@ -115,8 +121,8 @@ class HeapDumpSpec extends AnyFunSuite {
     assert(idx(f.normalArr) === "java.lang.Object[]")
     assert(idx(f.stringCls) === "class java.lang.String")
     // every emitted object is indexed: 7 prim arrays, 3 obj arrays,
-    // 5 instances, 6 classes
-    assert(idx.size === 7 + 3 + 5 + 6)
+    // 5 instances, 8 classes (Plugin defined twice)
+    assert(idx.size === 7 + 3 + 5 + 8)
   }
 
   test("typed instance tables decode fields") {
@@ -203,6 +209,21 @@ class HeapDumpSpec extends AnyFunSuite {
     assert(hier("java.lang.Object") === None)
   }
 
+  test("B26: loader ids survive the parse and the census finds the duplicate name") {
+    val (hd, f) = fixture
+    val loaders = hd.classHierarchy.collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(4)).toMap
+    assert(loaders((("com.acme.Plugin"), f.pluginClsA)) === 0x7001L)
+    assert(loaders((("com.acme.Plugin"), f.pluginClsB)) === 0x7002L)
+    assert(loaders((("java.lang.Object"), f.objectCls)) === 0L, "default = bootstrap")
+    val out = java.nio.file.Files.createTempDirectory("heap_b26").toString
+    hd.writeParquet(out)
+    val census = new HeapAnalysis(new HeapTables(spark, out)).classloaderCensus.get
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+    assert(census.toSeq === Seq("com.acme.Plugin" ->
+      ((2L, 2L, s"${0x7001L},${0x7002L}"))), "only the duplicated name surfaces")
+  }
+
   test("renderObjects covers instances, classes and arrays") {
     val (hd, _) = fixture
     val lines = hd.renderObjects(100)
@@ -243,6 +264,6 @@ class HeapDumpSpec extends AnyFunSuite {
     assert(dirs.contains("_primitive_arrays_byte"))
     assert(dirs.exists(_.startsWith("java.lang.String_")))
     val idx = spark.read.parquet(s"$out/_object_index")
-    assert(idx.count() === 21)
+    assert(idx.count() === 23)
   }
 }
