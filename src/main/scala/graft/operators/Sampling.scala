@@ -125,6 +125,48 @@ object Sampling {
       (whole + when(u24 < fracThresh, 1L).otherwise(0L)).cast("int"))
   }
 
+  /** D110 — token-budget mixture allocator: the planning step BEFORE
+    * D22's domainMix can run — given target mixture weights (integer
+    * percent) and a total token budget, how many epochs of each
+    * source materialize it? Per domain: available tokens, target
+    * tokens (budget·w div 100), epochs in hundredths capped at
+    * `maxEpochsX100` (repeating a small source too often degrades it
+    * — the cap is the over-epoching guard every mixture recipe
+    * carries), the tokens the integer plan actually allocates, and
+    * the shortfall (cap undershoot + flooring remainder). Feed
+    * `epochs_x100` into domainMix's quarter-step schedule (or exact
+    * copies via explodeCopies) to execute the plan.
+    *
+    * Integer-exact throughout: tokens are whitespace-token counts
+    * (the D10 contract), all divisions floor, and at 100 TB scale
+    * the largest intermediate (target·100) stays well under 2^63.
+    * Scale shape: ONE corpus aggregate to the domain-count-sized
+    * frame, then pure projection — the budget arithmetic never
+    * touches corpus rows. Domains carrying rows but no weight plan
+    * at weight 0; weighted domains absent from the corpus emit no
+    * row (nothing to allocate from).
+    */
+  def tokenBudgetAllocation(docs: DataFrame, domainCol: String, textCol: String,
+      weightsPct: Map[String, Int], budgetTokens: Long,
+      maxEpochsX100: Long = 400L): DataFrame = {
+    require(budgetTokens >= 0 && maxEpochsX100 >= 0)
+    val wExpr = weightsPct.foldLeft(lit(0)) { case (acc, (d, w)) =>
+      when(col("domain") === d, lit(w)).otherwise(acc)
+    }
+    docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFunctions.tokens(col(textCol)))).as("n_tokens"))
+      .withColumn("weight_pct", wExpr.cast("long"))
+      .withColumn("target_tokens", expr(s"${budgetTokens}L * weight_pct div 100"))
+      .withColumn("epochs_x100",
+        least(expr("target_tokens * 100 div n_tokens"), lit(maxEpochsX100)))
+      .withColumn("alloc_tokens", expr("epochs_x100 * n_tokens div 100"))
+      .withColumn("shortfall_tokens",
+        greatest(col("target_tokens") - col("alloc_tokens"), lit(0L)))
+      .select("domain", "n_docs", "n_tokens", "weight_pct", "target_tokens",
+        "epochs_x100", "alloc_tokens", "shortfall_tokens")
+  }
+
   /** Apply step for domainMix: one output row per copy. `sequence(1,
     * 0)` would DESCEND in Spark, so zero-copy rows are guarded to an
     * empty array (plain explode then drops them — the downsampled-out

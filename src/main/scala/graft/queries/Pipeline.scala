@@ -2615,6 +2615,53 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D110 — token-budget mixture allocator: per-source epochs/
+    * allocation for a 1.6×-corpus token budget under a 8/6/3-percent
+    * weight tiering, epochs capped at 2.5. The budget is itself
+    * derived from the corpus (total tokens · 16 div 10), so both
+    * engines re-derive every input; the oracle replays the domain
+    * token census, the weight tiering from the source name, and all
+    * four integer plan columns. The testdata exercises all three
+    * regimes (capped, multi-epoch uncapped, sub-epoch downsample).
+    */
+  val qTokenBudget: GateQuery = GateQuery(
+    "q_token_budget",
+    """WITH tok AS (
+      |  SELECT source AS domain, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(len(string_split(text, ' '))) * 16 // 10 AS BIGINT) AS budget
+      |        FROM documents),
+      |w AS (
+      |  SELECT domain, n_docs, n_tokens,
+      |    CAST(CASE WHEN CAST(substr(domain, 4) AS INT) < 5 THEN 8
+      |              WHEN CAST(substr(domain, 4) AS INT) < 10 THEN 6
+      |              ELSE 3 END AS BIGINT) AS weight_pct
+      |  FROM tok),
+      |plan AS (
+      |  SELECT domain, n_docs, n_tokens, weight_pct,
+      |    CAST((SELECT budget FROM tot) * weight_pct // 100 AS BIGINT) AS target_tokens
+      |  FROM w),
+      |ep AS (
+      |  SELECT *, CAST(least(target_tokens * 100 // n_tokens, 250) AS BIGINT) AS epochs_x100
+      |  FROM plan),
+      |al AS (
+      |  SELECT *, CAST(epochs_x100 * n_tokens // 100 AS BIGINT) AS alloc_tokens FROM ep)
+      |SELECT domain, n_docs, n_tokens, weight_pct, target_tokens, epochs_x100,
+      |  alloc_tokens,
+      |  CAST(greatest(target_tokens - alloc_tokens, 0) AS BIGINT) AS shortfall_tokens
+      |FROM al
+      |ORDER BY domain""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val total = docs.agg(
+      sum(size(TextFunctions.tokens(col("text"))))).collect()(0).getLong(0)
+    val weights = (0 until 20)
+      .map(i => s"src$i" -> (if (i < 5) 8 else if (i < 10) 6 else 3)).toMap
+    Sampling.tokenBudgetAllocation(docs, "source", "text", weights,
+        budgetTokens = total * 16 / 10, maxEpochsX100 = 250L)
+      .orderBy("domain")
+  }
+
   /** D23 — sequence packing (concat-and-chunk into 512-token context
     * windows, 8 deterministic shards): bin-level fill report.
     */
@@ -3902,7 +3949,7 @@ object Pipeline {
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
-    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qPackBins, qDedupIncremental,
+    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,

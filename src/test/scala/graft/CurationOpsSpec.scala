@@ -141,6 +141,38 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetAllocation: hand-worked plan across all three regimes, partition-invariant") {
+    // domain a: 2 docs × 3 tokens = 6; b: 1 doc × 4; c: 1 doc × 10.
+    // budget 30, weights a=50 b=30 c=10 (unweighted d -> 0), cap 2.0:
+    //   a: target 15, raw epochs 15*100 div 6 = 250 -> CAPPED 200,
+    //      alloc 200*6 div 100 = 12, shortfall 3
+    //   b: target 9, epochs 900 div 4 = 225 -> capped 200, alloc 8, short 1
+    //   c: target 3, epochs 300 div 10 = 30 (sub-epoch), alloc 3, short 0
+    //   d: weight 0 -> all zeros
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "p q r"),
+      (3L, "b", "w x y z"), (4L, "c", "a b c d e f g h i j"),
+      (5L, "d", "lone row"))
+      .toDF("doc_id", "domain", "text")
+    val got = Sampling.tokenBudgetAllocation(docs, "domain", "text",
+        Map("a" -> 50, "b" -> 30, "c" -> 10), budgetTokens = 30L,
+        maxEpochsX100 = 200L)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq === Seq(
+      ("a", 2L, 6L, 50L, 15L, 200L, 12L, 3L),
+      ("b", 1L, 4L, 30L, 9L, 200L, 8L, 1L),
+      ("c", 1L, 10L, 10L, 3L, 30L, 3L, 0L),
+      ("d", 1L, 2L, 0L, 0L, 0L, 0L, 0L)))
+    val again = Sampling.tokenBudgetAllocation(docs.repartition(4), "domain",
+        "text", Map("a" -> 50, "b" -> 30, "c" -> 10), 30L, 200L)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("rarity: df bounds hold; unique words give min_df = 1") {
     import graft.operators.CorpusStats
     val docs = Seq(
