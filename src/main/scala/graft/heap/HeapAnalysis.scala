@@ -644,10 +644,44 @@ final class HeapAnalysis(t: HeapTables) {
     * posexplode — scan-shaped, no joins, no shuffle until the
     * consumer aggregates.
     */
+  /** Class names whose super chain reaches java.lang.ref.Reference —
+    * weak/soft/phantom reference types and their subclasses (incl.
+    * shapes like WeakHashMap$Entry that extend WeakReference outside
+    * the java.lang.ref package, which a name-prefix test would miss).
+    * Driver-walked over the class-count-sized hierarchy table, the
+    * same bounded-metadata budget refEdges already spends on
+    * `_fields`. Names from several loaders merge (supers union), so
+    * one reference-typed copy marks the name.
+    */
+  private def referenceTypeNames: Option[Set[String]] =
+    t.system("_class_hierarchy").map { ch =>
+      val sup = ch.select("class_name", "super_class_name").collect()
+        .groupBy(_.getString(0)).map { case (n, rows) =>
+          n -> rows.flatMap(r => Option(r.getString(1))).toSet
+        }
+      val root = "java.lang.ref.Reference"
+      def reaches(n: String, seen: Set[String]): Boolean =
+        n == root || (!seen(n) &&
+          sup.getOrElse(n, Set.empty[String]).exists(p => reaches(p, seen + n)))
+      sup.keySet.filter(n => reaches(n, Set.empty)).toSet
+    }
+
+  /** STRONG references only: `referent` slots of Reference subtypes
+    * are excluded — a weak/soft/phantom referent does NOT keep its
+    * target alive, so counting it would corrupt every downstream
+    * liveness answer (B21 ownership, B22 retained, B23 reachability,
+    * B24 paths) on any real dump, all of which carry reference
+    * objects. B28's referenceCensus is the first-class read of the
+    * excluded edges.
+    */
   def refEdges: Option[DataFrame] = t.system("_fields").map { fm =>
+    val refTypes = referenceTypeNames.getOrElse(Set.empty)
+    def isReferent(cls: String, fld: String): Boolean =
+      refTypes(cls) && (fld == "referent" || fld.endsWith("@referent"))
     val refFields = fm.filter(col("field_type") === "object")
       .select("class_name", "field_name")
       .collect().map(r => (r.getString(0), r.getString(1)))
+      .filterNot((isReferent _).tupled)
     val fieldEdges = refFields.toSeq.flatMap { case (cls, fld) =>
       t.byClass(cls).map { df =>
         df.select(col("obj_id").as("src"),
@@ -698,6 +732,42 @@ final class HeapAnalysis(t: HeapTables) {
       .agg(count(lit(1)).as("n_referenced"),
         sum("in_deg").as("n_refs"),
         max("in_deg").as("max_in_deg"))
+  }
+
+  /** B28 — weak/soft/phantom reference census: per Reference-subtype
+    * class, total reference objects, CLEARED ones (referent = 0 —
+    * the collector already took the target; a large cleared
+    * population that never shrinks means reference processing or the
+    * owning map's expunge isn't running), and LIVE ones (still
+    * pointing at a reachable target). These are exactly the referent
+    * edges refEdges excludes from the liveness graph — the census is
+    * their first-class read: WeakHashMap health, soft-cache pressure,
+    * finalizer backlog. Scan-shaped: one pass over each
+    * reference-class table (type set and slot names are
+    * driver-bounded class metadata), one dimension-keyed aggregate.
+    */
+  def referenceCensus: Option[DataFrame] = for {
+    refTypes <- referenceTypeNames
+    fm <- t.system("_fields")
+  } yield {
+    val slots = fm.filter(col("field_type") === "object")
+      .select("class_name", "field_name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter { case (c, f) =>
+        refTypes(c) && (f == "referent" || f.endsWith("@referent")) }
+    val frames = slots.toSeq.flatMap { case (cls, fld) =>
+      t.byClass(cls).map(df => df.select(lit(cls).as("ref_class"),
+        HeapTables.refField(df, fld).as("referent")))
+    }
+    import fm.sparkSession.implicits._
+    frames.reduceOption(_ unionByName _)
+      .map(_.groupBy("ref_class").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("referent") === 0L, 1L).otherwise(0L)).as("n_cleared"),
+        sum(when(col("referent") =!= 0L, 1L).otherwise(0L)).as("n_live"))
+        .orderBy("ref_class"))
+      .getOrElse(Seq.empty[(String, Long, Long, Long)]
+        .toDF("ref_class", "n_total", "n_cleared", "n_live"))
   }
 
   /** B21 — unique-owner ownership collapse, the first-order retained
@@ -1170,7 +1240,8 @@ final class HeapAnalysis(t: HeapTables) {
         "path_exemplars" -> dfRows(rootPathExemplars().map(
           _.orderBy(col("type_name"), col("kind"), col("step")).limit(topN * 8))),
         "classloaders" -> dfRows(classloaderCensus.map(_.limit(topN))),
-        "top_retained" -> dfRows(retainedTopObjects(limit = topN)))
+        "top_retained" -> dfRows(retainedTopObjects(limit = topN)),
+        "references" -> dfRows(referenceCensus.map(_.limit(topN))))
       base ++ graph ++ Seq(
         "waste_findings" -> jArr(findings.map(f => jObj(Seq(
           "check_name" -> jStr(f.checkName),

@@ -181,6 +181,21 @@ object Heap {
       w.instance(svcA, Seq(BasicType.Int -> 1))
       w.instance(svcB, Seq(BasicType.Int -> 2))
 
+      // B28: reference objects — WeakReference (2 live -> strings,
+      // 1 cleared) and SoftReference (1 live -> byte[], 1 cleared),
+      // both inheriting `referent` from java.lang.ref.Reference. Their
+      // referent edges must NOT enter the liveness graph (refEdges
+      // excludes them), so B20-B24 answers stay strong-reference-only.
+      val refCls = w.defineClass("java.lang.ref.Reference", obj,
+        instanceFields = Seq("referent" -> BasicType.Object))
+      val weakCls = w.defineClass("java.lang.ref.WeakReference", refCls)
+      val softCls = w.defineClass("java.lang.ref.SoftReference", refCls)
+      w.instance(weakCls, Seq(BasicType.Object -> strs(0)))
+      w.instance(weakCls, Seq(BasicType.Object -> strs(1)))
+      w.instance(weakCls, Seq(BasicType.Object -> 0L))
+      w.instance(softCls, Seq(BasicType.Object -> bs(0)))
+      w.instance(softCls, Seq(BasicType.Object -> 0L))
+
       // A10: stack frames + traces with depths 1 / 3 / 0
       val f1 = w.stackFrame("main", "()V", "Main.java", "java.lang.String", 1)
       val f2 = w.stackFrame("run", "()V", "Worker.java", "java.lang.Thread", 42)
@@ -632,6 +647,31 @@ object Heap {
        |  GROUP BY class_name HAVING COUNT(*) > 1)
        |ORDER BY n_copies DESC, class_name""".stripMargin) { (s, _) =>
     analysis(s).classloaderCensus.get
+  }
+
+  /** B28: weak/soft reference census — per Reference-subtype class,
+    * total / cleared (referent = 0) / live counts. The oracle replays
+    * both per-class table scans explicitly; an ETL that dropped the
+    * inherited referent slot, mis-typed it, or a census that counted
+    * the wrong table breaks the hash. (The exclusion of these same
+    * referent edges from the liveness graph is pinned by the B20-B24
+    * gates staying green with reference objects present in the demo
+    * heap — their oracles enumerate strong edges only.)
+    */
+  val qHeapRefs: GateQuery = GateQuery(
+    "q_heap_refs",
+    s"""SELECT ref_class, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN referent = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cleared,
+       |  CAST(SUM(CASE WHEN referent <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+       |FROM (
+       |  SELECT 'java.lang.ref.WeakReference' AS ref_class, referent
+       |  FROM read_parquet('$exportDir/java.lang.ref.WeakReference_*/*.parquet')
+       |  UNION ALL
+       |  SELECT 'java.lang.ref.SoftReference', referent
+       |  FROM read_parquet('$exportDir/java.lang.ref.SoftReference_*/*.parquet'))
+       |GROUP BY ref_class
+       |ORDER BY ref_class""".stripMargin) { (s, _) =>
+    analysis(s).referenceCensus.get
   }
 
   /** B6-B19: the FULL waste suite — every finding's (name, tier,
@@ -1261,7 +1301,7 @@ object Heap {
     qHeapBadPrimArrays, qHeapBoxed, qHeapCollectionSizing,
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
-    qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapClassloaders, qHeapWaste,
+    qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapClassloaders, qHeapRefs, qHeapWaste,
     qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapRootPath,
     qHeapPathExemplars, qHeapDiff,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)

@@ -317,6 +317,50 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(ids.drop(2).sorted.toSeq === ids.drop(2).toSeq, "ties order by obj_id")
   }
 
+  test("B28 reference census counts cleared/live; referent edges stay out of the liveness graph") {
+    // weak -> s1 must NOT make s1 reachable or owned: with the weak
+    // ref as the ONLY referrer of s1, s1 self-roots and stays at
+    // dist -1 even though the WeakReference object itself is rooted.
+    // Entry extends WeakReference OUTSIDE java.lang.ref (the
+    // WeakHashMap$Entry shape) — the hierarchy walk must catch it.
+    val w = new HprofWriter()
+    val obj = w.defineClass("java.lang.Object")
+    val refCls = w.defineClass("java.lang.ref.Reference", obj,
+      instanceFields = Seq("referent" -> BasicType.Object))
+    val weakCls = w.defineClass("java.lang.ref.WeakReference", refCls)
+    val entryCls = w.defineClass("java.util.WeakHashMap$Entry", weakCls,
+      instanceFields = Seq("hash" -> BasicType.Int))
+    val strCls = w.defineClass("java.lang.String", obj,
+      instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+    val b1 = w.byteArray("abc")
+    val s1 = w.instance(strCls, Seq(BasicType.Object -> b1, BasicType.Int -> 1))
+    val wr1 = w.instance(weakCls, Seq(BasicType.Object -> s1))
+    w.instance(weakCls, Seq(BasicType.Object -> 0L)) // cleared
+    // Entry layout: own (hash) then inherited referent
+    w.instance(entryCls, Seq(BasicType.Int -> 7, BasicType.Object -> s1))
+    w.gcRoot(Sub.RootJniGlobal, wr1)
+    val dir = java.nio.file.Files.createTempDirectory("heapan_refs")
+    val hprof = dir.resolve("refs.hprof").toString
+    w.writeTo(hprof, segments = 1)
+    val out = dir.resolve("parquet").toString
+    new HeapDump(spark, hprof).writeParquet(out)
+    val an = new HeapAnalysis(new HeapTables(spark, out))
+    val census = an.referenceCensus.get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(census === Map(
+      "java.lang.ref.WeakReference" -> ((2L, 1L, 1L)),
+      "java.util.WeakHashMap$Entry" -> ((1L, 0L, 1L))))
+    // liveness: s1's only referrers are weak -> excluded -> s1 owns
+    // only its byte[] and is unreachable from the root that pins wr1
+    val edges = an.refEdges.get.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!edges.contains((wr1, s1)), "weak referent edge excluded")
+    assert(edges.contains((s1, b1)), "strong String.value edge kept")
+    val reach = an.rootReachability().get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(reach("java.lang.String") === ((0L, -1L)), "weakly-held only: unreached")
+    assert(reach("java.lang.ref.WeakReference")._1 === 1L, "the rooted ref object itself reaches")
+  }
+
   test("B23 root reachability: hand-worked depths, min over two roots, unreached stays -1") {
     // chain: R0 -> n1 -> n2 -> n3 (depths 0..3); a SECOND root points
     // straight at n2, so n2's min dist is 0 and n3 relaxes to 1 —

@@ -101,7 +101,7 @@ class HeapSessionsSpec extends AnyFunSuite {
     assert(Set("session_id", "parquet_dir", "summary", "top_types", "categories",
       "byte_array_distribution", "waste_findings",
       "referrer_stats", "ownership", "retained", "path_exemplars",
-      "classloaders", "top_retained",
+      "classloaders", "top_retained", "references",
       "total_estimated_waste_bytes").subsetOf(fields), fields)
     assert(!parsed.schema.fieldNames.contains("_corrupt_record"), json.take(400))
     // reference shape: summary is ONE object (not a row array) with
