@@ -82,6 +82,54 @@ object CorpusStats {
     } finally { toks.unpersist(blocking = false); () }
   }
 
+  /** D111 — two-pass EXACT heavy hitters: every token whose true
+    * count clears `minCount`, with its EXACT count — at a cost that
+    * never shuffles the vocabulary. Pass 1 reduces the corpus to one
+    * driver-resident Count-Min sketch (mergeable partials, the D31
+    * machinery); pass 2 streams the corpus again filtering each
+    * occurrence against the broadcast sketch (estimate ≥ minCount)
+    * and exactly counts only the survivors. CMS can only
+    * OVERestimate, so no true heavy hitter is dropped (zero false
+    * negatives — the property that makes the result EXACT, not
+    * approximate); sketch false positives survive the filter but die
+    * at the final exact-count threshold. The result therefore equals
+    * plain `GROUP BY token HAVING count ≥ minCount` for ANY sketch
+    * parameters — eps only tunes how much false-positive volume the
+    * exact pass pays for.
+    *
+    * Scale shape: two corpus scans (the persisted explode), one
+    * aggregate whose state is the fixed width·depth counter grid, and
+    * a shuffle of ONLY the candidate occurrences (heavy tokens +
+    * bounded false positives) — the full-vocab exchange a naive
+    * groupBy would pay never happens. The broadcast-sketch occurrence
+    * filter is a mapPartitions (a sketch lookup cannot be a Catalyst
+    * expression); it is the established distributed heavy-hitter
+    * form.
+    */
+  def exactHeavyHitters(docs: DataFrame, textCol: String, minCount: Long,
+      eps: Double = 0.0001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    require(minCount > 0, s"invalid minCount $minCount")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    toks.persist()
+    try {
+      val sketchBytes = toks
+        .agg(count_min_sketch(col("w"), lit(eps), lit(confidence), lit(seed)))
+        .head().getAs[Array[Byte]](0)
+      val bc = spark.sparkContext.broadcast(sketchBytes)
+      val survivors = toks.as[String].mapPartitions { it =>
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        it.filter(w => sk.estimateCount(w) >= minCount)
+      }.toDF("w")
+      survivors.groupBy("w").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+        .select(col("w").as("token"), col("n"))
+        .localCheckpoint() // sever lineage before unpersist
+    } finally { toks.unpersist(blocking = false); () }
+  }
+
   /** D37 — bigram language-model likelihood scoring: the
     * perplexity-filter shape of CCNet/RefinedWeb-style curation (score
     * each document under an n-gram LM trained on the corpus, filter

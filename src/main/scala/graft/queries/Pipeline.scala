@@ -2322,6 +2322,30 @@ object Pipeline {
       .orderBy("token")
   }
 
+  /** D111 — two-pass EXACT heavy hitters: sketch-filtered candidate
+    * occurrences, exactly counted — the result must equal a plain
+    * GROUP BY HAVING (the oracle IS that plain form; a sketch that
+    * dropped a true heavy hitter, a filter that passed per-occurrence
+    * inconsistently, or a final threshold off by one all break the
+    * hash). Threshold = 0.1% of the token stream, re-derived by both
+    * engines.
+    */
+  val qHeavyExact: GateQuery = GateQuery(
+    "q_heavy_exact",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |thr AS (SELECT COUNT(*) // 1000 AS mc FROM toks)
+      |SELECT w AS token, COUNT(*) AS n
+      |FROM toks GROUP BY w
+      |HAVING COUNT(*) >= (SELECT mc FROM thr)
+      |ORDER BY token""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val total = docs.agg(
+      sum(size(TextFunctions.tokens(col("text"))))).collect()(0).getLong(0)
+    graft.operators.CorpusStats.exactHeavyHitters(docs, "text",
+        minCount = total / 1000)
+      .orderBy("token")
+  }
+
   /** D57 — persisted mergeable HLL sketches: built per shard, merged
     * from the sketch TABLE at query time. The oracle replays the
     * exact distinct; the sketch estimate rides as a contract boolean
@@ -3951,7 +3975,7 @@ object Pipeline {
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
-    qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters,
+    qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,

@@ -27,6 +27,27 @@ class SketchSpec extends AnyFunSuite {
     assert(order === Seq("a", "b"))
   }
 
+  test("D111 exactHeavyHitters == plain groupBy-having, any sketch params, any partitioning") {
+    val docs = (1 to 60).map { i =>
+      // 'hot' in every doc (60), 'warm' in half (30), 'w<i>' unique
+      (i.toLong, s"hot ${if (i % 2 == 0) "warm" else s"u$i"} w$i")
+    }.toDF("doc_id", "text")
+    val expect = Map("hot" -> 60L, "warm" -> 30L)
+    def run(eps: Double, parts: Int) =
+      CorpusStats.exactHeavyHitters(docs.repartition(parts), "text",
+          minCount = 30L, eps = eps)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(0.0001, 1) === expect)
+    // a DELIBERATELY coarse sketch (heavy collisions -> many false
+    // positives) must still return the exact answer: the false
+    // positives die at the exact-count threshold
+    assert(run(0.4, 7) === expect)
+    // threshold boundary: minCount = 31 excludes 'warm' exactly
+    val tight = CorpusStats.exactHeavyHitters(docs, "text", minCount = 31L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight === Map("hot" -> 60L))
+  }
+
   test("hll: merged per-shard sketches estimate inside the bound") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions._
