@@ -111,23 +111,23 @@ object CorpusStats {
     require(minCount > 0, s"invalid minCount $minCount")
     val spark = docs.sparkSession
     import spark.implicits._
+    // two corpus scans by design: the sketch pass materializes now
+    // (driver-resident grid), the exact pass is the LAZY frame
+    // returned — caching the explode would not survive into the
+    // caller's evaluation, and the explode is a cheap projection
     val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-    toks.persist()
-    try {
-      val sketchBytes = toks
-        .agg(count_min_sketch(col("w"), lit(eps), lit(confidence), lit(seed)))
-        .head().getAs[Array[Byte]](0)
-      val bc = spark.sparkContext.broadcast(sketchBytes)
-      val survivors = toks.as[String].mapPartitions { it =>
-        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(bc.value))
-        it.filter(w => sk.estimateCount(w) >= minCount)
-      }.toDF("w")
-      survivors.groupBy("w").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= minCount)
-        .select(col("w").as("token"), col("n"))
-        .localCheckpoint() // sever lineage before unpersist
-    } finally { toks.unpersist(blocking = false); () }
+    val sketchBytes = toks
+      .agg(count_min_sketch(col("w"), lit(eps), lit(confidence), lit(seed)))
+      .head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(sketchBytes)
+    val survivors = toks.as[String].mapPartitions { it =>
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bc.value))
+      it.filter(w => sk.estimateCount(w) >= minCount)
+    }.toDF("w")
+    survivors.groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("w").as("token"), col("n"))
   }
 
   /** D37 — bigram language-model likelihood scoring: the

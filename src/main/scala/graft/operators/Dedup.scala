@@ -805,18 +805,32 @@ object Dedup {
     val agg = m.agg(
       sum(when(col("wanted"), 1L).otherwise(0L)).as("nw"),
       (sum(when(!col("wanted"), 1L).otherwise(0L)).as("nu") +: sums): _*)
-    val stacked = agg.selectExpr(
-      "coalesce(nw, 0L) as n_wanted", "coalesce(nu, 0L) as n_unwanted",
+    // the argmax is computed INSIDE the one aggregate row, before the
+    // reshape: per-plan separations as columns, their greatest, and a
+    // first-match CASE over ascending r for the smallest-r tie-break.
+    // No window (even a |plans|-row unpartitioned WindowExec drags the
+    // single-partition warning into every bench tail), no second pass,
+    // no join — the whole chooser is one projection over one row.
+    val planMath = plans.flatMap { case (r, _) => Seq(
+      s"coalesce(sw_$r, 0L) div greatest(coalesce(nw, 0L), 1L) as catch_$r",
+      s"coalesce(su_$r, 0L) div greatest(coalesce(nu, 0L), 1L) as false_$r")
+    }
+    val scored = agg.selectExpr(
+      (Seq("coalesce(nw, 0L) as n_wanted", "coalesce(nu, 0L) as n_unwanted") ++
+        plans.map { case (r, _) => s"coalesce(sw_$r, 0L) as sw_$r" } ++
+        plans.map { case (r, _) => s"coalesce(su_$r, 0L) as su_$r" } ++
+        planMath): _*)
+      .withColumn("__best", greatest(
+        plans.map { case (r, _) => expr(s"catch_$r - false_$r") }: _*))
+      .withColumn("__pick", expr("CASE " + plans.map { case (r, _) =>
+        s"WHEN catch_$r - false_$r = __best THEN $r" }.mkString(" ") + " END"))
+    scored.selectExpr(
+      "n_wanted", "n_unwanted", "__pick",
       s"stack(${plans.size}, ${plans.map { case (r, b) =>
-        s"$r, $b, coalesce(sw_$r, 0L), coalesce(su_$r, 0L)" }.mkString(", ")}) " +
-        "as (rows_per_band, bands, sw, su)")
-    stacked
-      .withColumn("catch_ppm", expr("sw div greatest(n_wanted, 1L)"))
-      .withColumn("false_ppm", expr("su div greatest(n_unwanted, 1L)"))
+        s"$r, $b, sw_$r, su_$r, catch_$r, false_$r" }.mkString(", ")}) " +
+        "as (rows_per_band, bands, sw, su, catch_ppm, false_ppm)")
       .withColumn("exp_collide_ppm", col("sw") + col("su"))
-      .withColumn("chosen", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-        (col("catch_ppm") - col("false_ppm")).desc, col("rows_per_band"))) === 1)
+      .withColumn("chosen", col("rows_per_band") === col("__pick"))
       .select("rows_per_band", "bands", "n_wanted", "n_unwanted",
         "catch_ppm", "false_ppm", "exp_collide_ppm", "chosen")
   }

@@ -695,4 +695,42 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
     assert(plan.contains("FullOuter"), plan)
   }
+
+  test("banding plan: ONE pass computes every plan's sums, no UDF, no cartesian") {
+    val plan = planOf("q_banding_plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // all 6 plans' wanted/unwanted sums ride ONE aggregate over the
+    // pair frame (sw_1..su_12 emerge from a single HashAggregate's
+    // attribute list), not one aggregate pass per plan
+    val aggLines = plan.linesIterator.filter(_.contains("sw_1#")).toSeq
+    assert(aggLines.exists(l => l.contains("sw_12#") && l.contains("su_12#")),
+      plan.take(4000))
+  }
+
+  test("token budget: one corpus aggregate then projection-only plan math") {
+    val plan = planOf("q_token_budget")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // the domain census partial-aggregates map-side; budget arithmetic
+    // is projection (no join against a weight table)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // corpus read prunes to the two consumed columns
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.forall(r => !r.contains("lang") && !r.contains("doc_id")),
+      reads.mkString("\n"))
+  }
+
+  test("exact heavy hitters: candidate-only exchange, pruned read, no cartesian") {
+    val plan = planOf("q_heavy_exact")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only exchange after the sketch filter carries surviving
+    // occurrences; the final count partial-aggregates map-side
+    assert(plan.contains("partial_count"), plan)
+    // corpus read prunes to text only
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.forall(r => !r.contains("doc_id") && !r.contains("source")),
+      reads.mkString("\n"))
+  }
 }
