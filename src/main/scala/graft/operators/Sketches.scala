@@ -61,14 +61,22 @@ object Sketches {
     * |shards|·|bins| fixed-width rows; query = scan of that tiny
     * table, one window cumsum over |bins| rows, never the corpus.
     */
-  def writeHistogramSketch(docs: DataFrame, valueCol: String,
-      shardCol: String, dir: String, binWidth: Long): Unit = {
+  /** The (shard, bin, cnt) reduction both the batch writer and the
+    * E44 streaming monitor append: one map-side-partial aggregate to
+    * |shards|·|bins| fixed-width rows.
+    */
+  def histogramShardRows(docs: DataFrame, valueCol: String,
+      shardCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"invalid binWidth $binWidth")
     docs.select(col(shardCol).as("shard"),
         expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("bin"))
       .groupBy("shard", "bin").agg(count(lit(1)).as("cnt"))
-      .write.mode("append").parquet(dir)
   }
+
+  def writeHistogramSketch(docs: DataFrame, valueCol: String,
+      shardCol: String, dir: String, binWidth: Long): Unit =
+    histogramShardRows(docs, valueCol, shardCol, binWidth)
+      .write.mode("append").parquet(dir)
 
   /** Quantile bins from the persisted sketch (all shards or a
     * subset): for each pct, the bin holding the ceiling-rank element

@@ -295,18 +295,18 @@ object Pipeline {
        |  GROUP BY c.d1, c.d2),
        |pp AS (
        |  SELECT wanted, 1 AS r, 12 AS b,
-       |    (8916100448256 - (12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)) * 1000000 // 8916100448256 AS ppm
+       |    CAST((8916100448256 - (12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)*(12-nm)) * 1000000 // 8916100448256 AS BIGINT) AS ppm
        |  FROM m
        |  UNION ALL SELECT wanted, 2, 6,
-       |    (8916100448256 - (144-nm*nm)*(144-nm*nm)*(144-nm*nm)*(144-nm*nm)*(144-nm*nm)*(144-nm*nm)) * 1000000 // 8916100448256 FROM m
+       |    CAST((8916100448256 - (144-nm*nm)*(144-nm*nm)*(144-nm*nm)*(144-nm*nm)*(144-nm*nm)*(144-nm*nm)) * 1000000 // 8916100448256 AS BIGINT) FROM m
        |  UNION ALL SELECT wanted, 3, 4,
-       |    (8916100448256 - (1728-nm*nm*nm)*(1728-nm*nm*nm)*(1728-nm*nm*nm)*(1728-nm*nm*nm)) * 1000000 // 8916100448256 FROM m
+       |    CAST((8916100448256 - (1728-nm*nm*nm)*(1728-nm*nm*nm)*(1728-nm*nm*nm)*(1728-nm*nm*nm)) * 1000000 // 8916100448256 AS BIGINT) FROM m
        |  UNION ALL SELECT wanted, 4, 3,
-       |    (8916100448256 - (20736-nm*nm*nm*nm)*(20736-nm*nm*nm*nm)*(20736-nm*nm*nm*nm)) * 1000000 // 8916100448256 FROM m
+       |    CAST((8916100448256 - (20736-nm*nm*nm*nm)*(20736-nm*nm*nm*nm)*(20736-nm*nm*nm*nm)) * 1000000 // 8916100448256 AS BIGINT) FROM m
        |  UNION ALL SELECT wanted, 6, 2,
-       |    (8916100448256 - (2985984-nm*nm*nm*nm*nm*nm)*(2985984-nm*nm*nm*nm*nm*nm)) * 1000000 // 8916100448256 FROM m
+       |    CAST((8916100448256 - (2985984-nm*nm*nm*nm*nm*nm)*(2985984-nm*nm*nm*nm*nm*nm)) * 1000000 // 8916100448256 AS BIGINT) FROM m
        |  UNION ALL SELECT wanted, 12, 1,
-       |    nm*nm*nm*nm*nm*nm*nm*nm*nm*nm*nm*nm * 1000000 // 8916100448256 FROM m),
+       |    CAST(nm*nm*nm*nm*nm*nm*nm*nm*nm*nm*nm*nm * 1000000 // 8916100448256 AS BIGINT) FROM m),
        |agg AS (
        |  SELECT r AS rows_per_band, b AS bands,
        |    SUM(CASE WHEN wanted THEN 1 ELSE 0 END) AS n_wanted,
@@ -2333,7 +2333,7 @@ object Pipeline {
   val qHeavyExact: GateQuery = GateQuery(
     "q_heavy_exact",
     """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-      |thr AS (SELECT COUNT(*) // 1000 AS mc FROM toks)
+      |thr AS (SELECT CAST(COUNT(*) // 1000 AS BIGINT) AS mc FROM toks)
       |SELECT w AS token, COUNT(*) AS n
       |FROM toks GROUP BY w
       |HAVING COUNT(*) >= (SELECT mc FROM thr)

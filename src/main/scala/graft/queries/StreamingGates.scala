@@ -600,6 +600,43 @@ object StreamingGates {
       .orderBy("doc_id")
   }
 
+  /** E44 — streaming quantile monitor: documents arrive as two file
+    * micro-batches, each lands its (shard, bin, cnt) histogram rows
+    * as a per-epoch sketch shard, and the final p50/p90/p99 answered
+    * from the sketch directory alone must equal the IDENTICAL batch
+    * q_quantile_sketch oracle — bin counts are merge-associative, so
+    * streamed shards == one-shot sketch, bit for bit.
+    */
+  val qStreamQuantiles: GateQuery = GateQuery(
+    "q_stream_quantiles", Pipeline.qQuantileSketch.oracle.get) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select((col("doc_id") % 8).as("shard"), col("doc_id"), col("n_chars"))
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_hist")
+    val srcDir = work.resolve("src").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val sketchDir = work.resolve("sk").toString
+    val q = StreamingOps.histogramSketchStream(stream, "n_chars", "shard",
+      sketchDir, binWidth = 64L, work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Sketches
+      .quantilesFromSketch(s, s"$sketchDir/epoch_*", 64L, Seq(50, 90, 99))
+      .orderBy("pct")
+  }
+
   /** E14 — exactly-once checkpointed file sink, driven through a REAL
     * restart: events arrive as two single-file micro-batches; the query
     * drains batch 1 to a parquet sink and stops, batch 2 lands, and a
@@ -1102,6 +1139,6 @@ object StreamingGates {
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
-      qStreamFunnel, qStreamDecontaminate)
+      qStreamFunnel, qStreamDecontaminate, qStreamQuantiles)
     .map(_.copy(bench = false))
 }

@@ -371,6 +371,37 @@ object StreamingOps {
       .start()
   }
 
+  /** E44 — streaming quantile monitor: each micro-batch reduces to
+    * its (shard, bin, cnt) histogram rows (the D65 sketch algebra)
+    * and lands them as ONE per-epoch shard directory beside the
+    * persisted sketch — so a live p50/p95/p99 dashboard reads a tiny
+    * fixed-width table, never the stream's history, and the answer
+    * after any prefix of batches is EXACTLY the batch sketch over
+    * those batches' rows (bin counts are merge-associative; nothing
+    * is approximate at bin resolution). Replay-safe: the epoch
+    * directory is overwritten idempotently, so a re-delivered batch
+    * re-lands the same rows instead of double-counting (the
+    * curateStream stream-id discipline). Query side:
+    * `Sketches.quantilesFromSketch(spark, s"$dir/epoch_*", ...)`.
+    */
+  def histogramSketchStream(docs: DataFrame, valueCol: String,
+      shardCol: String, sketchDir: String, binWidth: Long,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches
+          .histogramShardRows(batch, valueCol, shardCol, binWidth)
+          .write.mode("overwrite")
+          .parquet(s"$sketchDir/epoch_${streamId}_$batchId")
+        ()
+      }
+      .start()
+  }
+
   def curateStream(docs: DataFrame, idCol: String, textCol: String,
       corpusDir: String, checkpointDir: String):
       org.apache.spark.sql.streaming.StreamingQuery = {

@@ -16,6 +16,40 @@ class Streaming2Spec extends AnyFunSuite {
 
   private def t(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("E44: per-batch sketch shards compose — streamed quantiles == one-shot batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (shard, value)
+    val df = input.toDF().toDF("shard", "v")
+    val work = java.nio.file.Files.createTempDirectory("hist_stream")
+    val sk = work.resolve("sk").toString
+    val q = StreamingOps.histogramSketchStream(df, "v", "shard", sk,
+      binWidth = 10L, work.resolve("ckpt").toString)
+    val b1 = (1L to 40L).map(i => (i % 4, i))
+    val b2 = (41L to 100L).map(i => (i % 4, i))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // two epoch dirs landed
+    val epochs = new java.io.File(sk).listFiles().map(_.getName).filter(_.startsWith("epoch_"))
+    assert(epochs.length === 2, epochs.toSeq)
+    val streamed = graft.operators.Sketches
+      .quantilesFromSketch(spark, s"$sk/epoch_*", 10L, Seq(50, 90, 99))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    // one-shot batch sketch over the same 100 values
+    val batchDir = work.resolve("batch_sk").toString
+    graft.operators.Sketches.writeHistogramSketch(
+      (b1 ++ b2).toDF("shard", "v"), "v", "shard", batchDir, 10L)
+    val oneShot = graft.operators.Sketches
+      .quantilesFromSketch(spark, batchDir, 10L, Seq(50, 90, 99))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(streamed === oneShot)
+    // hand check: 100 values 1..100, p50 rank 50 -> value 50 -> bin 5
+    assert(streamed(50L) === ((5L, 100L)))
+    assert(streamed(99L) === ((9L, 100L)))
+  }
+
   test("E7: dropDuplicatesWithinWatermark drops re-arrivals, state expires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
