@@ -41,4 +41,33 @@ object HeapDiff {
         (coalesce(col("bytes_after"), lit(0L)) - coalesce(col("bytes_before"), lit(0L)))
           .as("delta_bytes"))
   }
+
+  /** B29 — RETAINED-size growth diff, the leak answer typeDelta's
+    * shallow census can only approximate: per root type, how much the
+    * memory its roots HOLD ALIVE grew between the dumps (a Cache type
+    * whose own rows are 24 bytes each but whose retained subtrees
+    * doubled is the leak; shallow deltas rank it far down). Each side
+    * runs the B22 dominator-approximate derivation to its type-level
+    * retained census, then a full-outer diff — the two object graphs
+    * never meet. Same approximation contract as B22, applied equally
+    * to both sides, so the DELTA of under-collapse cancels for
+    * structurally-similar dumps.
+    */
+  def retainedDelta(before: HeapTables, after: HeapTables): Option[DataFrame] = for {
+    a <- new HeapAnalysis(before).retainedSize()
+    b <- new HeapAnalysis(after).retainedSize()
+  } yield {
+    val an = a.select(col("type_name"), col("n_roots").as("roots_before"),
+      col("retained_bytes").as("retained_before"))
+    val bn = b.select(col("type_name"), col("n_roots").as("roots_after"),
+      col("retained_bytes").as("retained_after"))
+    an.join(bn, Seq("type_name"), "full_outer")
+      .select(col("type_name"),
+        coalesce(col("roots_before"), lit(0L)).as("roots_before"),
+        coalesce(col("roots_after"), lit(0L)).as("roots_after"),
+        coalesce(col("retained_before"), lit(0L)).as("retained_before"),
+        coalesce(col("retained_after"), lit(0L)).as("retained_after"),
+        (coalesce(col("retained_after"), lit(0L)) -
+          coalesce(col("retained_before"), lit(0L))).as("delta_retained"))
+  }
 }

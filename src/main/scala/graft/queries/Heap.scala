@@ -1055,7 +1055,14 @@ object Heap {
     * ownership chases, the adoption pass, per-object shallow sizes,
     * and the per-root `rt(root, owned, retained)` frame.
     */
-  private lazy val retainedCtesSql: String = {
+  private lazy val retainedCtesSql: String =
+    retainedCtesFor(exportDir, refEdgeSql)
+
+  /** The same preamble parameterized by (export dir, edge enumeration)
+    * — the B29 retained-growth oracle runs it once per dump side as a
+    * nested WITH subquery.
+    */
+  private def retainedCtesFor(exportDir: String, refEdgeSql: String): String = {
     val rounds = retainedRounds
     def chaseSql(prefix: String, own: String) = (1 until rounds).map { k =>
       s"""$prefix$k AS (SELECT q.o, COALESCE(w.p, q.r) AS r
@@ -1295,6 +1302,63 @@ object Heap {
     }
   }
 
+  /** B29 — RETAINED-size growth diff between the two dumps: per root
+    * type, how much the memory its roots HOLD ALIVE changed — the
+    * leak answer the shallow diff (B25) can only approximate (the
+    * later dump's CacheEntry rows are 28 bytes each, but each retains
+    * a string + payload subtree). The oracle runs the FULL B22
+    * retained derivation once per side as nested WITH subqueries —
+    * the before-side with the before-demo's edge enumeration, the
+    * after-side with the later demo's (String.value,
+    * ArrayList.elementData, CacheEntry.key, array elements, statics)
+    * — then replays the full-outer delta.
+    */
+  val qHeapRetainedDiff: GateQuery = {
+    val refEdgeSqlB =
+      s"""e AS (
+         |  SELECT s.obj_id AS src, s.value AS dst
+         |  FROM read_parquet('$exportDirB/java.lang.String_*/*.parquet') s
+         |  WHERE s.value <> 0
+         |  UNION ALL
+         |  SELECT a.obj_id, a.elementData FROM read_parquet('$exportDirB/java.util.ArrayList_*/*.parquet') a
+         |  WHERE a.elementData <> 0
+         |  UNION ALL
+         |  SELECT c.obj_id, c."key" FROM read_parquet('$exportDirB/com.example.CacheEntry_*/*.parquet') c
+         |  WHERE c."key" <> 0
+         |  UNION ALL
+         |  SELECT src, dst FROM (
+         |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
+         |    FROM read_parquet('$exportDirB/_object_arrays/*.parquet') o)
+         |  WHERE dst <> 0
+         |  UNION ALL
+         |  SELECT sf.class_obj_id, sf.ref_id
+         |  FROM read_parquet('$exportDirB/_static_fields/*.parquet') sf
+         |  WHERE sf.field_type = 'object' AND sf.ref_id <> 0)""".stripMargin
+    def side(ctes: String) =
+      s"""(WITH $ctes
+         |SELECT oi.type_name, CAST(COUNT(*) AS BIGINT) AS n_roots,
+         |  CAST(SUM(rt.retained) AS BIGINT) AS retained
+         |FROM rt JOIN oi ON oi.obj_id = rt.root
+         |GROUP BY oi.type_name)""".stripMargin
+    GateQuery(
+      "q_heap_retained_diff",
+      s"""SELECT COALESCE(a.type_name, b.type_name) AS type_name,
+         |  CAST(COALESCE(a.n_roots, 0) AS BIGINT) AS roots_before,
+         |  CAST(COALESCE(b.n_roots, 0) AS BIGINT) AS roots_after,
+         |  CAST(COALESCE(a.retained, 0) AS BIGINT) AS retained_before,
+         |  CAST(COALESCE(b.retained, 0) AS BIGINT) AS retained_after,
+         |  CAST(COALESCE(b.retained, 0) - COALESCE(a.retained, 0) AS BIGINT) AS delta_retained
+         |FROM ${side(retainedCtesFor(exportDir, refEdgeSql))} a
+         |FULL OUTER JOIN ${side(retainedCtesFor(exportDirB, refEdgeSqlB))} b
+         |  ON a.type_name = b.type_name
+         |ORDER BY type_name""".stripMargin) { (s, _) =>
+      demoDir(s)
+      demoDirB(s)
+      HeapDiff.retainedDelta(new HeapTables(s, exportDir), new HeapTables(s, exportDirB))
+        .get.orderBy("type_name")
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
@@ -1303,7 +1367,7 @@ object Heap {
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapClassloaders, qHeapRefs, qHeapWaste,
     qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapRootPath,
-    qHeapPathExemplars, qHeapDiff,
+    qHeapPathExemplars, qHeapDiff, qHeapRetainedDiff,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
 }

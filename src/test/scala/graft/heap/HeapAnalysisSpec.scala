@@ -317,6 +317,42 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(ids.drop(2).sorted.toSeq === ids.drop(2).toSeq, "ties order by obj_id")
   }
 
+  test("B29 retained delta: growth, births and deaths in retained bytes, hand-worked") {
+    // before: String(24) -> byte[3](19): retained(String) = 43; one
+    // boxed Integer(20) that will die. after: TWO such Strings (86)
+    // and no Integer. Deltas: String +43, Integer -20, class objects 0.
+    def build(nStrings: Int, withInt: Boolean): String = {
+      val w = new HprofWriter()
+      val obj = w.defineClass("java.lang.Object")
+      val strCls = w.defineClass("java.lang.String", obj,
+        instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+      val intCls = w.defineClass("java.lang.Integer", obj,
+        instanceFields = Seq("value" -> BasicType.Int))
+      (1 to nStrings).foreach { i =>
+        val b = w.byteArray("abc")
+        w.instance(strCls, Seq(BasicType.Object -> b, BasicType.Int -> i))
+      }
+      if (withInt) w.instance(intCls, Seq(BasicType.Int -> 9))
+      val dir = java.nio.file.Files.createTempDirectory("heapan_rdiff")
+      val hp = dir.resolve("d.hprof").toString
+      w.writeTo(hp, segments = 1)
+      val out = dir.resolve("pq").toString
+      new HeapDump(spark, hp).writeParquet(out)
+      out
+    }
+    val before = build(1, withInt = true)
+    val after = build(2, withInt = false)
+    val got = HeapDiff.retainedDelta(
+        new HeapTables(spark, before), new HeapTables(spark, after))
+      .get.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("java.lang.String") === ((1L, 2L, 43L, 86L, 43L)))
+    assert(got("java.lang.Integer") === ((1L, 0L, 20L, 0L, -20L)), "death surfaces")
+    assert(got("class java.lang.Object") === ((1L, 1L, 16L, 16L, 0L)))
+    // Integer class object exists in BOTH dumps (defined, no instances after)
+    assert(got("class java.lang.Integer") === ((1L, 1L, 16L, 16L, 0L)))
+  }
+
   test("B28 reference census counts cleared/live; referent edges stay out of the liveness graph") {
     // weak -> s1 must NOT make s1 reachable or owned: with the weak
     // ref as the ONLY referrer of s1, s1 self-roots and stays at
