@@ -69,9 +69,16 @@ object HeapCli {
         .map(_.orderBy(col("delta_bytes").desc, col("type_name")))
         .foreach(_.show(50, truncate = false))
       spark.stop()
+    case "diff-retained" :: dirBefore :: dirAfter :: Nil =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      HeapDiff.retainedDelta(new HeapTables(spark, dirBefore), new HeapTables(spark, dirAfter))
+        .map(_.orderBy(col("delta_retained").desc, col("type_name")))
+        .foreach(_.show(50, truncate = false))
+      spark.stop()
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: convert | count-records | dump-objects | analyze | analyze-json | query | diff")
+      System.err.println("commands: convert | count-records | dump-objects | analyze | analyze-json | query | diff | diff-retained")
       sys.exit(2)
   }
 }

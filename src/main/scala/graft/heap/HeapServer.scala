@@ -126,7 +126,13 @@ final class HeapServer(spark: SparkSession, port: Int) {
 
     case ("POST", "/diff") =>
       val p = parseFlat(readBody(ex))
-      val df = sessions.diff(reqStr(p, "session_before"), reqStr(p, "session_after"))
+      // mode=retained switches the census from shallow deltas (B25)
+      // to retained-size deltas (B29) — same request/response shape
+      val retained = p.get("mode").exists(_.toString == "retained")
+      val df =
+        if (retained) sessions.diffRetained(
+          reqStr(p, "session_before"), reqStr(p, "session_after"))
+        else sessions.diff(reqStr(p, "session_before"), reqStr(p, "session_after"))
       val rows = df.limit(p.get("top_n").fold(100)(_.toString.toInt)).collect()
       JsonBody(Json.obj(Seq(
         "session_before" -> Json.str(reqStr(p, "session_before")),

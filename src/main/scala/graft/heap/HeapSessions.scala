@@ -129,6 +129,19 @@ final class HeapSessions(spark: SparkSession) {
       .orderBy(col("delta_bytes").desc, col("type_name"))
   }
 
+  /** B29 across two open sessions: the retained-size growth census —
+    * what each root type HOLDS ALIVE, diffed. Sorted biggest retained
+    * growth first.
+    */
+  def diffRetained(beforeId: String, afterId: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (a, b) = catalogLock.synchronized((get(beforeId), get(afterId)))
+    HeapDiff.retainedDelta(new HeapTables(spark, a.dir), new HeapTables(spark, b.dir))
+      .getOrElse(throw new IllegalStateException(
+        s"sessions '$beforeId'/'$afterId' lack the exports the retained census needs"))
+      .orderBy(col("delta_retained").desc, col("type_name"))
+  }
+
   def close(sessionId: String): Unit = catalogLock.synchronized {
     val sess = get(sessionId)
     sess.tables.foreach(v => spark.catalog.dropTempView(s"${sess.id}__$v"))

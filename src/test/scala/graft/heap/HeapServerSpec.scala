@@ -149,6 +149,12 @@ class HeapServerSpec extends AnyFunSuite {
     assert(r.body().contains("\"type_name\":\"java.lang.String\""))
     assert(r.body().contains("\"n_before\":10"))
     assert(r.body().contains("\"n_after\":14"))
+    // mode=retained flips to the B29 retained-size census, same shape
+    val rr = post("/diff",
+      """{"session_before":"dump_t0","session_after":"dump_t1","mode":"retained"}""")
+    assert(rr.statusCode() === 200, rr.body())
+    assert(rr.body().contains("\"delta_retained\""))
+    assert(rr.body().contains("\"type_name\":\"java.lang.String\""))
     val missing = post("/diff", """{"session_before":"dump_t0","session_after":"ghost"}""")
     assert(missing.statusCode() === 404)
     post("/sessions/close", """{"session_id":"dump_t0"}""")
