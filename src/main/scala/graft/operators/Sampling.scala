@@ -125,6 +125,33 @@ object Sampling {
       (whole + when(u24 < fracThresh, 1L).otherwise(0L)).cast("int"))
   }
 
+  /** D112 — per-domain top-fraction selection: keep the best
+    * `keepPct`% of each domain by a score column — the CCNet-style
+    * APPLY step behind every quality/perplexity filter ("keep the top
+    * 60% per language bucket"): a single global cut would let one
+    * high-scoring domain crowd out every other; the per-domain cut
+    * preserves the mixture. Deterministic: rank = ROW_NUMBER over
+    * (score desc, id asc) — the id tiebreak makes the kept set a pure
+    * function of the data — and the threshold is the integer floor
+    * n·keepPct div 100 per domain, so engines cannot disagree at the
+    * boundary.
+    *
+    * Scale shape: one shuffle on the domain key serves both the rank
+    * and the per-domain count (same partition spec); a severely
+    * skewed domain serializes its own sort only — salt upstream if
+    * one domain dominates the corpus.
+    */
+  def selectTopFraction(df: DataFrame, domainCol: String, scoreCol: String,
+      idCol: String, keepPct: Int): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"invalid keepPct $keepPct")
+    val byDomain = Window.partitionBy(col(domainCol))
+    df.withColumn("__rk", row_number().over(
+        byDomain.orderBy(col(scoreCol).desc, col(idCol))))
+      .withColumn("__n", count(lit(1)).over(byDomain))
+      .filter(expr(s"__rk <= __n * $keepPct div 100"))
+      .drop("__rk", "__n")
+  }
+
   /** D110 — token-budget mixture allocator: the planning step BEFORE
     * D22's domainMix can run — given target mixture weights (integer
     * percent) and a total token budget, how many epochs of each

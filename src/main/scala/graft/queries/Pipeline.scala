@@ -2639,6 +2639,38 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D112 — per-domain top-fraction quality selection: keep the best
+    * 60% of every language bucket by an integer-exact quality score
+    * (stopword density ppm − punctuation density ppm + capped length
+    * bonus — the D9 formula in integer form, so ranking is
+    * bit-identical across engines). The oracle replays the score, the
+    * per-domain ROW_NUMBER with the id tiebreak, and the floored
+    * threshold — an off-by-one at any bucket boundary breaks the hash.
+    */
+  val qQualityTopFrac: GateQuery = GateQuery(
+    "q_quality_topfrac",
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) * 1000000 // len(string_split(text, ' '))
+      |      - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1000000 // len(text)
+      |      + least(len(string_split(text, ' ')), 100) * 10000 AS BIGINT) AS iq
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, iq,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY iq DESC, doc_id) AS rk,
+      |        COUNT(*) OVER (PARTITION BY lang) AS n
+      |      FROM q)
+      |SELECT doc_id, lang, iq FROM r
+      |WHERE rk <= CAST(n * 60 // 100 AS BIGINT)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ws = TextFunctions.tokens(col("text"))
+    val scored = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+      (expr(s"size(filter(split(coalesce(text, ''), ' '), w -> w IN ('the','a','of','and','to','in'))) * 1000000L div size(split(coalesce(text, ''), ' '))") -
+        expr("regexp_count(text, '[^a-z0-9 ]') * 1000000L div length(text)") +
+        least(size(ws), lit(100)) * lit(10000L)).as("iq"))
+    Sampling.selectTopFraction(scored, "lang", "iq", "doc_id", keepPct = 60)
+      .orderBy("doc_id")
+  }
+
   /** D110 — token-budget mixture allocator: per-source epochs/
     * allocation for a 1.6×-corpus token budget under a 8/6/3-percent
     * weight tiering, epochs capped at 2.5. The budget is itself
@@ -3973,7 +4005,7 @@ object Pipeline {
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
-    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qPackBins, qDedupIncremental,
+    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,

@@ -173,6 +173,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("selectTopFraction: per-domain floor cut, id tiebreak, partition-invariant") {
+    // domain a: 5 rows, 60% -> floor(3); scores force a tie at the
+    // boundary: ids 1..5 with scores 9,7,7,7,2 -> kept 1,2,3 (7-tie
+    // broken by smaller id). domain b: 2 rows, 60% -> floor(1.2) = 1.
+    // domain c: 1 row, 60% -> floor(0.6) = 0 kept (small buckets die
+    // at low keepPct — deterministic, documented).
+    val df = Seq(
+      (1L, "a", 9L), (2L, "a", 7L), (3L, "a", 7L), (4L, "a", 7L), (5L, "a", 2L),
+      (6L, "b", 5L), (7L, "b", 5L),
+      (8L, "c", 100L)).toDF("doc_id", "dom", "score")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.selectTopFraction(d, "dom", "score", "doc_id", keepPct = 60)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(df) === Seq(1L, 2L, 3L, 6L))
+    assert(run(df.repartition(5)) === Seq(1L, 2L, 3L, 6L))
+    // keepPct 100 keeps everything, 0 keeps nothing
+    assert(Sampling.selectTopFraction(df, "dom", "score", "doc_id", 100).count() === 8)
+    assert(Sampling.selectTopFraction(df, "dom", "score", "doc_id", 0).count() === 0)
+  }
+
   test("rarity: df bounds hold; unique words give min_df = 1") {
     import graft.operators.CorpusStats
     val docs = Seq(
