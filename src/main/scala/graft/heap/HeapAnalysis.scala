@@ -674,7 +674,15 @@ final class HeapAnalysis(t: HeapTables) {
     * objects. B28's referenceCensus is the first-class read of the
     * excluded edges.
     */
-  def refEdges: Option[DataFrame] = t.system("_fields").map { fm =>
+  /** Derived once per HeapAnalysis instance and checkpointed: every
+    * B20–B24/B27 consumer (referrers, ownership, retained, top
+    * objects, reachability, exemplars) walks the SAME edge table —
+    * one investigation session derives the graph once, not once per
+    * question asked of it.
+    */
+  lazy val refEdges: Option[DataFrame] = refEdgesImpl.map(_.localCheckpoint())
+
+  private def refEdgesImpl: Option[DataFrame] = t.system("_fields").map { fm =>
     val refTypes = referenceTypeNames.getOrElse(Set.empty)
     def isReferent(cls: String, fld: String): Boolean =
       refTypes(cls) && (fld == "referent" || fld.endsWith("@referent"))

@@ -214,12 +214,24 @@ object Heap {
       exportDir
     })
 
+  // one HeapAnalysis per (JVM, export dir): refEdges is derived and
+  // checkpointed per instance, so sharing the instance lets the whole
+  // graph-gate family (referrers/ownership/retained/top/reachability/
+  // exemplars/diff) reuse ONE edge derivation — each timed gate then
+  // measures its own increment (the jaccardPairsCache precedent)
+  private val analysisCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HeapAnalysis]()
+
+  private def analysisFor(spark: SparkSession, dir: String): HeapAnalysis =
+    analysisCache.computeIfAbsent(dir,
+      _ => new HeapAnalysis(new HeapTables(spark, dir)))
+
   private def analysis(spark: SparkSession) =
-    new HeapAnalysis(new HeapTables(spark, demoDir(spark)))
+    analysisFor(spark, demoDir(spark))
 
   private def resolvedAnalysis(spark: SparkSession) = {
     demoDir(spark)
-    new HeapAnalysis(new HeapTables(spark, exportDirResolved))
+    analysisFor(spark, exportDirResolved)
   }
 
   /** The demo process "ten minutes later", for the B25 growth diff:
