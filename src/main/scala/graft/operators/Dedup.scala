@@ -982,8 +982,11 @@ object Dedup {
     * explodes each duplicated start to at most n token indices (n-fold,
     * bounded) and distinct-counts per doc.
     */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+  /** (doc_id, n_tok) base + (doc_id, start, gh) gram-hash stream —
+    * grams reduce to md5 in-projection; shared by D34/D39/D113.
+    */
+  private def tokenGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     require(n > 0, s"invalid n-gram size $n")
     val toks = split(coalesce(col(textCol), lit("")), " ")
     val base = docs.select(col(idCol).as("doc_id"), toks.as("__toks"),
@@ -995,23 +998,77 @@ object Dedup {
             (1 to n).map(k => element_at(col("__toks"), i + lit(k))): _*)
             .cast("binary")))))
       .select(col("doc_id"), col("pos").as("start"), col("col").as("gh"))
-    val dup = grams.groupBy("gh")
-      .agg(countDistinct("doc_id").as("__nd"))
-      .filter(col("__nd") >= 2).select("gh")
-    val dupStarts = grams.join(dup, Seq("gh"), "left_semi")
+    (base.select("doc_id", "n_tok"), grams)
+  }
+
+  /** Per-doc rollup of a dup-start stream into the D34 span report:
+    * dup-gram count, distinct covered token positions, earliest dup.
+    */
+  private def spanReport(base: DataFrame, dupStarts: DataFrame, n: Int): DataFrame = {
     val spanAgg = dupStarts.groupBy("doc_id")
       .agg(count(lit(1)).as("dup_ngrams"), min("start").as("first_dup"))
     val covered = dupStarts
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("tok_idx"))
       .groupBy("doc_id").agg(countDistinct("tok_idx").as("covered_tok"))
-    base.select(col("doc_id"), col("n_tok"))
+    base
       .join(spanAgg, Seq("doc_id"), "left")
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
         coalesce(col("covered_tok"), lit(0L)).as("covered_tok"),
         coalesce(col("first_dup"), lit(-1)).as("first_dup"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val (base, grams) = tokenGrams(docs, idCol, textCol, n)
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= 2).select("gh")
+    spanReport(base, grams.join(dup, Seq("gh"), "left_semi"), n)
+  }
+
+  /** D113 — persisted dup-gram index + ingest-time duplicated-span
+    * guard: the steady-state form of Lee et al. exact-substring
+    * measurement (D34 is the one-shot). The corpus keeps its DISTINCT
+    * gram hashes beside the data (fixed-width md5 rows, gram n
+    * persisted with the index so build and probe cannot disagree); a
+    * NEW batch probes with ONE semi-join on the hash key and gets the
+    * full D34 span report against the whole corpus — the corpus text
+    * is never rescanned or re-grammed (the D24/D58 index economics
+    * applied at span granularity). `appendGramIndex` extends the
+    * index with an accepted batch's NOVEL grams only (anti-join —
+    * probe-shaped cost), keeping it duplicate-free.
+    */
+  def writeGramIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, dir: String): Unit = {
+    val (_, grams) = tokenGrams(corpus, idCol, textCol, n)
+    grams.select("gh").distinct().write.mode("append").parquet(s"$dir/grams")
+    corpus.sparkSession.range(1)
+      .select(lit(n).as("gram_n"))
+      .coalesce(1).write.mode("ignore").parquet(s"$dir/params")
+  }
+
+  def incrementalDuplicatedSpans(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = spark.read.parquet(s"$indexDir/params").head().getInt(0)
+    val (base, grams) = tokenGrams(batch, idCol, textCol, n)
+    val idx = spark.read.parquet(s"$indexDir/grams")
+    spanReport(base, grams.join(idx, Seq("gh"), "left_semi"), n)
+  }
+
+  def appendGramIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val n = spark.read.parquet(s"$indexDir/params").head().getInt(0)
+    val (_, grams) = tokenGrams(batch, idCol, textCol, n)
+    val idx = spark.read.parquet(s"$indexDir/grams")
+    // materialize BEFORE writing — the append lands in the same
+    // directory the anti-join reads; lazy evaluation would scan files
+    // while they are being added
+    val novel = grams.select("gh").distinct()
+      .join(idx, Seq("gh"), "left_anti").localCheckpoint()
+    novel.write.mode("append").parquet(s"$indexDir/grams")
   }
 
   /** D94 — winnowing fingerprint selection (Schleimer, Wilkerson &

@@ -2651,9 +2651,9 @@ object Pipeline {
     "q_quality_topfrac",
     """WITH q AS (
       |  SELECT doc_id, lang,
-      |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) * 1000000 // len(string_split(text, ' '))
-      |      - len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1000000 // len(text)
-      |      + least(len(string_split(text, ' ')), 100) * 10000 AS BIGINT) AS iq
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) * 1000000 // len(string_split(text, ' ')) AS BIGINT)
+      |      - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1000000 // len(text) AS BIGINT)
+      |      + CAST(least(len(string_split(text, ' ')), 100) * 10000 AS BIGINT) AS iq
       |  FROM documents),
       |r AS (SELECT doc_id, lang, iq,
       |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY iq DESC, doc_id) AS rk,
@@ -2876,6 +2876,58 @@ object Pipeline {
       |FROM t LEFT JOIN agg USING(doc_id) LEFT JOIN cov USING(doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Dedup.duplicatedSpans(Tables(s, dir, "documents"), "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** One on-disk dup-gram index per (JVM, sf-dir), built lazily from
+    * the quarter-0 docs and extended via appendGramIndex with the
+    * quarter-2 docs — so the probe gate measures probing (and the
+    * append path is under the oracle: if append dropped or duplicated
+    * grams, odd-doc reports change and the hash breaks).
+    */
+  private val gramIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D113 — ingest-time duplicated-span guard against the PERSISTED
+    * gram index: odd docs probe the even docs' distinct 5-gram hashes
+    * (built quarter-0 first, quarter-2 appended) and report the D34
+    * span numbers vs the corpus — corpus text never rescanned. The
+    * oracle re-derives the even-doc gram set and replays the per-doc
+    * rollup; within-batch-only repeats must NOT flag.
+    */
+  val qDupSpansIncr: GateQuery = GateQuery(
+    "q_dup_spans_incr",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(s.i AS INT) AS start,
+      |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+5 AS INT)], ' ')) AS gh
+      |      FROM t, LATERAL unnest(generate_series(0, n - 5)) s(i)),
+      |idx AS (SELECT DISTINCT gh FROM g WHERE doc_id % 2 = 0),
+      |ds AS (SELECT doc_id, start FROM g
+      |       WHERE doc_id % 2 = 1 AND gh IN (SELECT gh FROM idx)),
+      |agg AS (SELECT doc_id, COUNT(*) AS dup_ngrams, MIN(start) AS first_dup
+      |        FROM ds GROUP BY doc_id),
+      |cov AS (SELECT ds.doc_id, COUNT(DISTINCT ds.start + c.d) AS covered_tok
+      |        FROM ds, generate_series(0, 4) c(d)
+      |        GROUP BY ds.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(agg.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+      |  CAST(COALESCE(cov.covered_tok, 0) AS BIGINT) AS covered_tok,
+      |  CAST(COALESCE(agg.first_dup, -1) AS INT) AS first_dup
+      |FROM t LEFT JOIN agg USING(doc_id) LEFT JOIN cov USING(doc_id)
+      |WHERE t.doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idx = gramIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_gram_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", n = 5, out)
+      Dedup.appendGramIndex(s, out, docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text")
+      out
+    })
+    Dedup.incrementalDuplicatedSpans(s, idx,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
       .orderBy("doc_id")
   }
 
@@ -4008,7 +4060,7 @@ object Pipeline {
     qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
-    qEmbedQuant, qSrpProject, qDupSpans, qDedupSpansRemove, qWinnow, qSeedClassify,
+    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDedupSpansRemove, qWinnow, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,

@@ -340,6 +340,34 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) === got)
   }
 
+  test("D113 incremental spans: corpus-index probe, append composes, batch-internal repeats don't flag") {
+    import graft.operators.Dedup
+    val corpus0 = Seq((0L, "a b c d e f")).toDF("doc_id", "text")   // index seed
+    val corpusApp = Seq((2L, "p q r s t u")).toDF("doc_id", "text") // appended later
+    val dir = java.nio.file.Files.createTempDirectory("gram_idx").toString
+    Dedup.writeGramIndex(corpus0, "doc_id", "text", n = 3, dir)
+    Dedup.appendGramIndex(spark, dir, corpusApp, "doc_id", "text")
+    // re-appending the SAME docs adds nothing (anti-join keeps it lean)
+    val sizeBefore = spark.read.parquet(s"$dir/grams").count()
+    Dedup.appendGramIndex(spark, dir, corpus0.unionAll(corpusApp), "doc_id", "text")
+    assert(spark.read.parquet(s"$dir/grams").count() === sizeBefore)
+    val batch = Seq(
+      (11L, "x a b c d y"),       // starts 1,2 hit the SEED half
+      (13L, "z p q r s w"),       // start 1 hits the APPENDED half
+      (15L, "m n o k m n o k"),   // repeats within the batch only: no flag
+      (17L, "q r")                // too short, still reported
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDuplicatedSpans(spark, dir, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got(11L) === ((6, 2L, 4L, 1)))
+    // starts 1 ("p q r") AND 2 ("q r s") hit the appended half:
+    // tokens {1,2,3,4} covered
+    assert(got(13L) === ((6, 2L, 4L, 1)), "appended grams are probed too")
+    assert(got(15L) === ((8, 0L, 0L, -1)), "corpus-unknown batch repeats don't flag")
+    assert(got(17L) === ((2, 0L, 0L, -1)))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
