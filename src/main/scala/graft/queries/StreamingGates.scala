@@ -637,6 +637,70 @@ object StreamingGates {
       .orderBy("pct")
   }
 
+  /** E45 — the ingest-time duplicated-span guard ONLINE: quarter-1
+    * docs arrive as batch 1 (probed against the even-doc seed index,
+    * then their novel grams appended), quarter-3 docs as batch 2
+    * (probed against seed ∪ batch 1 — the oracle replays exactly that
+    * order dependence: a batch-2 span duplicating only a batch-1 doc
+    * MUST flag, and a batch-1 span duplicating only batch 2 must not).
+    */
+  val qStreamSpanGuard: GateQuery = GateQuery(
+    "q_stream_span_guard",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(s.i AS INT) AS start,
+      |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+5 AS INT)], ' ')) AS gh
+      |      FROM t, LATERAL unnest(generate_series(0, n - 5)) s(i)),
+      |idx0 AS (SELECT DISTINCT gh FROM g WHERE doc_id % 2 = 0),
+      |idx1 AS (SELECT DISTINCT gh FROM g WHERE doc_id % 2 = 0 OR doc_id % 4 = 1),
+      |ds AS (
+      |  SELECT doc_id, start FROM g
+      |  WHERE doc_id % 4 = 1 AND gh IN (SELECT gh FROM idx0)
+      |  UNION ALL
+      |  SELECT doc_id, start FROM g
+      |  WHERE doc_id % 4 = 3 AND gh IN (SELECT gh FROM idx1)),
+      |agg AS (SELECT doc_id, COUNT(*) AS dup_ngrams, MIN(start) AS first_dup
+      |        FROM ds GROUP BY doc_id),
+      |cov AS (SELECT ds.doc_id, COUNT(DISTINCT ds.start + c.d) AS covered_tok
+      |        FROM ds, generate_series(0, 4) c(d)
+      |        GROUP BY ds.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(agg.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+      |  CAST(COALESCE(cov.covered_tok, 0) AS BIGINT) AS covered_tok,
+      |  CAST(COALESCE(agg.first_dup, -1) AS INT) AS first_dup
+      |FROM t LEFT JOIN agg USING(doc_id) LEFT JOIN cov USING(doc_id)
+      |WHERE t.doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_spans")
+    val idxDir = work.resolve("idx").toString
+    graft.operators.Dedup.writeGramIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 5, idxDir)
+    val srcDir = work.resolve("src").toString
+    docs.filter(col("doc_id") % 4 === 1).coalesce(1).write.parquet(s"$srcDir/b1")
+    docs.filter(col("doc_id") % 4 === 3).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val outDir = work.resolve("out").toString
+    val q = StreamingOps.spanGuardStream(stream, "doc_id", "text",
+      idxDir, outDir, work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$outDir/spans/batch_*")
+      .orderBy("doc_id")
+  }
+
   /** E14 — exactly-once checkpointed file sink, driven through a REAL
     * restart: events arrive as two single-file micro-batches; the query
     * drains batch 1 to a parquet sink and stops, batch 2 lands, and a
@@ -1139,6 +1203,6 @@ object StreamingGates {
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
-      qStreamFunnel, qStreamDecontaminate, qStreamQuantiles)
+      qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard)
     .map(_.copy(bench = false))
 }

@@ -402,6 +402,38 @@ object StreamingOps {
       .start()
   }
 
+  /** E45 — the D113 duplicated-span guard running ONLINE: every
+    * micro-batch (1) probes the persisted gram index and lands its
+    * span report, then (2) appends its own NOVEL grams — so batch 2
+    * is checked against corpus ∪ batch 1, exactly the ingest-time
+    * loop (a span duplicated only between two in-flight batches IS
+    * caught, at one batch of latency). Report directories are
+    * stamped with the stream id + batch id (the curateStream
+    * discipline) so a replayed batch overwrites its own report
+    * idempotently; the append side is naturally idempotent (anti-join
+    * adds nothing on re-delivery).
+    */
+  def spanGuardStream(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.Dedup
+          .incrementalDuplicatedSpans(spark, indexDir, batch, idCol, textCol)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/spans/batch_${streamId}_$batchId")
+        graft.operators.Dedup
+          .appendGramIndex(spark, indexDir, batch, idCol, textCol)
+        ()
+      }
+      .start()
+  }
+
   def curateStream(docs: DataFrame, idCol: String, textCol: String,
       corpusDir: String, checkpointDir: String):
       org.apache.spark.sql.streaming.StreamingQuery = {

@@ -50,6 +50,32 @@ class Streaming2Spec extends AnyFunSuite {
     assert(streamed(99L) === ((9L, 100L)))
   }
 
+  test("E45: span guard probes then appends — batch 2 sees batch 1, not vice versa") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("span_guard")
+    val idx = work.resolve("idx").toString
+    graft.operators.Dedup.writeGramIndex(
+      Seq((0L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text", n = 3, idx)
+    val input = MemoryStream[(Long, String)]
+    val out = work.resolve("out").toString
+    val q = StreamingOps.spanGuardStream(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, out, work.resolve("ckpt").toString)
+    try {
+      // batch 1: doc 1 hits the seed ("a b c"); doc 3's "p q r" is NOVEL
+      input.addData((1L, "x a b c y"), (3L, "p q r s"))
+      q.processAllAvailable()
+      // batch 2: doc 5 duplicates BATCH 1's "p q r" — must flag now
+      input.addData((5L, "z p q r w"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$out/spans/batch_*").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(4)))).toMap
+    assert(got(1L) === ((1L, 1)), "seed-index hit in batch 1")
+    assert(got(3L) === ((0L, -1)), "novel in batch 1: silent, then appended")
+    assert(got(5L) === ((1L, 1)), "batch 2 flags a span known only from batch 1")
+  }
+
   test("E7: dropDuplicatesWithinWatermark drops re-arrivals, state expires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
