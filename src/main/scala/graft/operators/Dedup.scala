@@ -1071,6 +1071,77 @@ object Dedup {
     novel.write.mode("append").parquet(s"$indexDir/grams")
   }
 
+  /** D114 — content-defined chunking (the rsync/LBFS boundary trick
+    * at token level): a chunk boundary falls AFTER token i whenever
+    * the hash of the w-token window ending at i clears the modulus
+    * test — so boundaries move WITH the content, and inserting one
+    * token near a document's head shifts every fixed-width chunk but
+    * leaves all CDC chunks after the next boundary identical. That
+    * shift robustness is what makes chunk-level dedup work on
+    * near-identical documents where whole-doc hashing sees two
+    * distinct texts. Expected chunk length ≈ `modulus` tokens.
+    *
+    * Engine-exact: the boundary test is integer (first 6 md5 hex
+    * digits as a number, mod `modulus`), chunk identity is the md5 of
+    * the chunk's token span — no floats, no rolling state (the window
+    * hash is recomputed per position in-projection, the winnowing
+    * discipline). Everything through chunk emission is a PURE
+    * PROJECTION over the token array — zero shuffle until the
+    * cross-doc census groups chunk hashes.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, modulus: Int): DataFrame = {
+    require(w > 0 && modulus > 0, s"invalid CDC params w=$w modulus=$modulus")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("t"),
+      size(toks).cast("long").as("n"))
+    // boundary AFTER 0-based position i, i in [w-1, n-2] (never after
+    // the last token); windows are 1-based slices [i-w+2, i+1]
+    val bpos = when(col("n") >= w + 1,
+      filter(sequence(lit(w - 1L), col("n") - 2),
+        i => conv(substring(md5(concat_ws(" ",
+          slice(col("t"), (i + lit(2 - w)).cast("int"), lit(w))).cast("binary")),
+          1, 6), 16, 10).cast("long") % modulus === 0))
+      .otherwise(array().cast("array<long>"))
+    val withCuts = base.withColumn("cuts",
+      concat(array(lit(-1L)), bpos, array(col("n") - 1)))
+    withCuts.select(col("doc_id"), col("n").as("n_tok"),
+        explode(transform(sequence(lit(1), size(col("cuts")) - 1), k => struct(
+          (k - 1).cast("long").as("chunk_idx"),
+          (element_at(col("cuts"), (k + 1).cast("int")) -
+            element_at(col("cuts"), k.cast("int"))).as("chunk_len"),
+          md5(concat_ws(" ", slice(col("t"),
+            (element_at(col("cuts"), k.cast("int")) + 2).cast("int"),
+            (element_at(col("cuts"), (k + 1).cast("int")) -
+              element_at(col("cuts"), k.cast("int"))).cast("int")))
+            .cast("binary")).as("ch"))).as("c")))
+      .select(col("doc_id"), col("n_tok"), col("col.chunk_idx"),
+        col("col.chunk_len"), col("col.ch"))
+      .filter(col("chunk_len") > 0) // empty docs emit no chunks
+  }
+
+  /** Cross-doc duplicate-chunk census over CDC chunks: per doc, how
+    * many of its chunks (and tokens) also appear verbatim in ANOTHER
+    * doc — the shift-robust read of copy volume. One exchange on the
+    * chunk hash; dup flags return on a semi-join.
+    */
+  def cdcDuplicateCensus(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, modulus: Int): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, w, modulus)
+    val dup = chunks.groupBy("ch")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= 2).select("ch")
+    val flagged = chunks.join(dup, Seq("ch"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_chunks"), sum("chunk_len").as("dup_tokens"))
+    chunks.groupBy("doc_id")
+      .agg(max("n_tok").as("n_tok"), count(lit(1)).as("n_chunks"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** D94 — winnowing fingerprint selection (Schleimer, Wilkerson &
     * Aiken, SIGMOD'03 — the MOSS local-fingerprinting scheme): hash
     * every k-gram, slide a window of w consecutive hashes, and in

@@ -2931,6 +2931,43 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D114 — content-defined chunking + cross-doc duplicate-chunk
+    * census (w=3 window, modulus 16 ≈ 16-token chunks): the oracle
+    * replays the boundary test (6-hex-digit window hash mod 16), the
+    * cut/slice arithmetic, chunk md5s, and the ≥2-distinct-docs
+    * census — an off-by-one anywhere in the slicing shifts chunk
+    * identities corpus-wide and breaks the hash.
+    */
+  val qCdcChunks: GateQuery = GateQuery(
+    "q_cdc_chunks",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             CAST(len(string_split(text,' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |b AS (SELECT doc_id, toks, n,
+      |        list_filter(generate_series(2, n-2),
+      |          i -> ('0x' || substr(md5(array_to_string(toks[CAST(i-1 AS INT):CAST(i+1 AS INT)], ' ')), 1, 6))::BIGINT % 16 = 0) AS bpos
+      |      FROM t),
+      |c AS (SELECT doc_id, toks, n, [CAST(-1 AS BIGINT)] || bpos || [n-1] AS cuts FROM b),
+      |ck AS (SELECT doc_id, n,
+      |         cuts[CAST(k.k+1 AS INT)] - cuts[CAST(k.k AS INT)] AS chunk_len,
+      |         md5(array_to_string(toks[CAST(cuts[CAST(k.k AS INT)]+2 AS INT):CAST(cuts[CAST(k.k+1 AS INT)]+1 AS INT)], ' ')) AS ch
+      |       FROM c, LATERAL unnest(generate_series(1, len(cuts)-1)) k(k)),
+      |ckv AS (SELECT * FROM ck WHERE chunk_len > 0),
+      |dup AS (SELECT ch FROM ckv GROUP BY ch HAVING COUNT(DISTINCT doc_id) >= 2),
+      |fl AS (SELECT doc_id, COUNT(*) AS nd, CAST(SUM(chunk_len) AS BIGINT) AS dt
+      |       FROM ckv WHERE ch IN (SELECT ch FROM dup) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, MAX(n) AS n_tok, COUNT(*) AS n_chunks
+      |        FROM ckv GROUP BY doc_id)
+      |SELECT tot.doc_id, tot.n_tok, tot.n_chunks,
+      |  CAST(COALESCE(fl.nd, 0) AS BIGINT) AS n_dup_chunks,
+      |  CAST(COALESCE(fl.dt, 0) AS BIGINT) AS dup_tokens
+      |FROM tot LEFT JOIN fl USING(doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.cdcDuplicateCensus(Tables(s, dir, "documents"), "doc_id", "text",
+        w = 3, modulus = 16)
+      .orderBy("doc_id")
+  }
+
   /** D39 — duplicated-span removal (the apply side of Lee et al. 2022
     * exact-substring dedup): every cross-doc duplicated 5-gram keeps
     * exactly its canonical occurrence (lowest doc_id, then start);
@@ -4060,7 +4097,7 @@ object Pipeline {
     qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
-    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDedupSpansRemove, qWinnow, qSeedClassify,
+    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qCdcChunks, qDedupSpansRemove, qWinnow, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,

@@ -368,6 +368,32 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(got(17L) === ((2, 0L, 0L, -1)))
   }
 
+  test("D114 CDC: chunks tile the doc, a shifted copy shares all but the head chunk, partition-invariant") {
+    import graft.operators.Dedup
+    val words = (0 until 200).map(i => s"w${(i * 37) % 50}")
+    val a = words.mkString(" ")
+    val b = "zzz yyy xxx " + a // 3 injected tokens: every fixed-width chunk would shift
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text", w = 3, modulus = 16)
+      .collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc(1L).map(_.getLong(3)).sum === 200L, "chunk lengths tile doc 1")
+    assert(byDoc(2L).map(_.getLong(3)).sum === 203L, "chunk lengths tile doc 2")
+    val h1 = byDoc(1L).map(_.getString(4)).toSet
+    val h2 = byDoc(2L).map(_.getString(4)).toSet
+    assert(h1.size >= 5, s"200 tokens at ~1/16 boundary rate chunk up (got ${h1.size})")
+    // content-defined: once past the injected prefix the boundary
+    // stream realigns, so every doc-1 chunk except the head re-occurs
+    assert((h1 intersect h2).size >= h1.size - 1,
+      s"shared ${(h1 intersect h2).size} of ${h1.size}")
+    val cen = Dedup.cdcDuplicateCensus(docs, "doc_id", "text", 3, 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(cen(1L)._2 >= (h1.size - 1).toLong, "census flags the shared chunks")
+    val again = Dedup.cdcDuplicateCensus(docs.repartition(3), "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again === cen)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
