@@ -54,6 +54,16 @@ object Bench {
           graft.functions.VectorFunctions.toDouble(col("embedding"))).as("nrm"))
         .write.format("noop").mode("overwrite").save()
     }
+    // Heap demo fixtures (two exports + the checkpointed ref-edge
+    // derivation) are per-JVM lazy caches: the first q_heap_* gate to
+    // run would otherwise pay fixture CONSTRUCTION inside its timing
+    // (r10: q_heap_object_index 4.1→7.7 s, q_heap_referrers 0.7→3.0 s
+    // were exactly this). Warm them before any timed loop so heap
+    // gates time the QUERY. Skipped only when a gate filter excludes
+    // every heap gate.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+          .forall(_.split(",").exists(_.startsWith("q_heap"))))
+      graft.queries.Heap.warmDemoFixtures(spark)
     def timed(f: () => Unit): Double = {
       val t0 = System.nanoTime()
       f()
@@ -156,7 +166,11 @@ object Bench {
     xscale.filter(_._3 > 1.3).foreach { case (n, s0, e) =>
       System.err.println(f"[bench] SCALING FLAG $n: exp=$e%.2f (small=$s0%.2fs)")
     }
-    val heapIngest = if (only.isDefined) (0.0, 0.0) else {
+    // the ingest bench honors the gate filter by its own name, so
+    // `SPARK_GRAFT_BENCH_ONLY=q_heap_ingest_export` measures ingest
+    // throughput in isolation when iterating on the export path
+    val ingestSelected = only.forall(_.contains("q_heap_ingest_export"))
+    val heapIngest = if (!ingestSelected) (0.0, 0.0) else {
       import graft.heap.{HeapDump, HprofWriter}
       import graft.heap.HprofModel.BasicType
       val w = new HprofWriter()
@@ -217,7 +231,7 @@ object Bench {
         }
       }
     val withIngest =
-      if (only.isDefined) fastFinal
+      if (!ingestSelected) fastFinal
       else fastFinal :+ ("q_heap_ingest_export" -> heapIngest._1)
     val allGates = withIngest ++ slowResults ++ auxResults
     // A failing gate records NaN per-gate (rendered as null) but must
@@ -231,7 +245,7 @@ object Bench {
     // heap_ingest_mb / _mb_s make ingest THROUGHPUT machine-comparable
     // round-over-round, not just its wall-time share of the total.
     val ingestKeys =
-      if (only.isDefined) ""
+      if (!ingestSelected) ""
       else f""""heap_ingest_mb":${heapIngest._2}%.1f,"heap_ingest_mb_s":${heapIngest._2 / heapIngest._1}%.1f,"""
     def qJson(kvs: Seq[(String, Double)], dp: Int): String = kvs
       .map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN) "null" else s"%.${dp}f".format(v)) }

@@ -441,19 +441,33 @@ final class HeapDump(spark: SparkSession, path: String) {
     def w(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name")
 
-    // driver-side tables come from the pass-1 index: no heap re-scan
-    w(classHierarchy, "_class_hierarchy")
-    w(fieldsTable, "_fields")
-    w(stackFrames, "_stack_frames")
-    w(stackTraces, "_stack_traces")
-
     if (!resolveRefs) {
-      w(staticFields, "_static_fields")
+      // The five driver-derived metadata tables are KB-sized: their
+      // wall-clock is five job-launch + commit round-trips, not data
+      // (~1 s of the ~3.5 s bench-dump export when sequential).
+      // Submit them from worker threads so their latency hides behind
+      // the heap-scanning job — concurrent job submission is the
+      // supported Spark pattern for independent outputs.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val metadataWrites = Future.sequence(Seq(
+        Future(w(classHierarchy, "_class_hierarchy")),
+        Future(w(fieldsTable, "_fields")),
+        Future(w(stackFrames, "_stack_frames")),
+        Future(w(stackTraces, "_stack_traces")),
+        Future(w(staticFields, "_static_fields"))))
       // ONE pass-2 job writes everything else: the system tables
       // multiplexed from the segment scan itself, the per-class
       // tables from the clustered shuffle fed by the same scan
       writeRoboTablesSinglePass(outDir)
+      Await.result(metadataWrites, Duration.Inf)
     } else {
+      // driver-side tables come from the pass-1 index: no heap re-scan
+      w(classHierarchy, "_class_hierarchy")
+      w(fieldsTable, "_fields")
+      w(stackFrames, "_stack_frames")
+      w(stackTraces, "_stack_traces")
       // resolved mode (the reference's non-robo default) keeps the
       // DataFrame writes: it re-reads _object_index for the ref
       // struct joins, so the tables must exist as plans anyway

@@ -29,7 +29,7 @@ object Components {
     * @return (id, component) where component = min node id reachable
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25, minLabelRounds: Int = 12): DataFrame = {
+      maxIter: Int = 25, minLabelRounds: Int = 4): DataFrame = {
     val sym = symmetrized(edges)
     val (labels, converged) = minLabelLoop(nodes, sym, minLabelRounds)
     if (converged) labels

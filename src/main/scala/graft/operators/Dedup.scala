@@ -1043,11 +1043,28 @@ object Dedup {
     */
   def writeGramIndex(corpus: DataFrame, idCol: String, textCol: String,
       n: Int, dir: String): Unit = {
-    val (_, grams) = tokenGrams(corpus, idCol, textCol, n)
-    grams.select("gh").distinct().write.mode("append").parquet(s"$dir/grams")
-    corpus.sparkSession.range(1)
-      .select(lit(n).as("gram_n"))
-      .coalesce(1).write.mode("ignore").parquet(s"$dir/params")
+    val spark = corpus.sparkSession
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(paramsPath)) {
+      // Re-building into an existing index: the stored gram size is
+      // LAW — appending grams computed at a different n would poison
+      // every later probe (mixed gram sizes hash-disjoint, so dup
+      // spans silently under-report). Fail fast on mismatch; on match
+      // route through the anti-join append so repeated builds stay
+      // duplicate-free (distinct() alone is batch-local).
+      val stored = spark.read.parquet(s"$dir/params").head().getInt(0)
+      require(stored == n,
+        s"gram index at $dir was built with n=$stored but re-build requested n=$n; " +
+          "delete the index to change gram size")
+      appendGramIndex(spark, dir, corpus, idCol, textCol)
+    } else {
+      val (_, grams) = tokenGrams(corpus, idCol, textCol, n)
+      grams.select("gh").distinct().write.mode("errorifexists").parquet(s"$dir/grams")
+      spark.range(1)
+        .select(lit(n).as("gram_n"))
+        .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+    }
   }
 
   def incrementalDuplicatedSpans(spark: org.apache.spark.sql.SparkSession,

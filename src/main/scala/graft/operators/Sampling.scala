@@ -185,8 +185,14 @@ object Sampling {
         sum(size(graft.functions.TextFunctions.tokens(col(textCol)))).as("n_tokens"))
       .withColumn("weight_pct", wExpr.cast("long"))
       .withColumn("target_tokens", expr(s"${budgetTokens}L * weight_pct div 100"))
+      // a weighted domain whose docs are all empty (n_tokens = 0) has
+      // nothing to epoch over: plan 0 epochs and report the full
+      // target as shortfall — dividing by n_tokens would NULL (or
+      // throw under ANSI) instead
       .withColumn("epochs_x100",
-        least(expr("target_tokens * 100 div n_tokens"), lit(maxEpochsX100)))
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(least(expr("target_tokens * 100 div n_tokens"),
+            lit(maxEpochsX100))))
       .withColumn("alloc_tokens", expr("epochs_x100 * n_tokens div 100"))
       .withColumn("shortfall_tokens",
         greatest(col("target_tokens") - col("alloc_tokens"), lit(0L)))

@@ -234,6 +234,23 @@ object Heap {
     analysisFor(spark, exportDirResolved)
   }
 
+  /** Build every per-JVM lazy heap fixture OUTSIDE any timed gate:
+    * both demo exports (robo + resolved + the "later" dump) and the
+    * shared checkpointed ref-edge derivations. Whichever q_heap_* gate
+    * runs first otherwise pays fixture CONSTRUCTION inside its own
+    * wall-clock — the r10 bench read q_heap_object_index at 1.9× and
+    * q_heap_referrers at 4× their r9 times for exactly that reason
+    * (two dumps + `_fields` + loader parsing landed in the export).
+    * Bench calls this before the timing loops; Verify correctness is
+    * unaffected either way.
+    */
+  def warmDemoFixtures(spark: SparkSession): Unit = {
+    demoDir(spark)
+    demoDirB(spark)
+    analysis(spark).refEdges.foreach(_ => ())
+    resolvedAnalysis(spark).refEdges.foreach(_ => ())
+  }
+
   /** The demo process "ten minutes later", for the B25 growth diff:
     * the string/byte[] population grew, a brand-new CacheEntry type
     * appeared, and the boxed-Integer/HashMap populations from the

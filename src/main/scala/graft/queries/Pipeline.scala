@@ -374,7 +374,7 @@ object Pipeline {
     * a banding false positive) or re-shingled with the wrong stored n
     * both break the hash.
     */
-  val qNearDupIncrVerified: GateQuery = GateQuery(
+  val qNearDupIncrVerified: GateQuery = GateQuery.slowTier(
     "q_neardup_incr_verified",
     s"""WITH ${shingleCte(3)},
        |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),

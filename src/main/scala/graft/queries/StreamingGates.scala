@@ -97,12 +97,35 @@ object StreamingGates {
     Tables.normalizeEventTs(s.readStream.schema(raw).parquet(srcDir))
   }
 
+  /** Drain a started query, stop it, and UNLOAD every state-store
+    * provider the JVM has accumulated. Without the unload, providers
+    * (HDFS-backed and RocksDB alike) stay registered in the shared
+    * `StateStore.loadedProviders` map after the query stops, and the
+    * background maintenance thread keeps snapshotting/compacting them
+    * — by the time the 30th stateful gate runs, an unrelated gate's
+    * RocksDB instances are still paying native compaction + lock cost
+    * inside ITS wall-clock (the r10 bench saw an unchanged
+    * q_stream_sessionize_rocksdb read 10.9× its r9 time for exactly
+    * this reason). One short demo stream per gate never needs warm
+    * cross-query state, so the unload is pure hygiene.
+    */
+  private[queries] def drainAndUnload(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      // public entry point that unloads every provider and parks the
+      // maintenance thread; both restart lazily at the next stateful
+      // query's first StateStore.get (unloadAll alone is private[sql])
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
   /** Start → drain → stop; the memory sink's rows survive the stop. */
   private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_sink_${sinkSeq.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    drainAndUnload(q)
     spark.table(name)
   }
 
@@ -549,7 +572,7 @@ object StreamingGates {
     val corpusDir = work.resolve("corpus").toString
     val q = StreamingOps.curateStream(stream, "doc_id", "text",
       corpusDir, work.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
+    drainAndUnload(q)
     s.read.parquet(s"$corpusDir/docs")
       .select("doc_id", "lang")
       .orderBy("doc_id")
@@ -595,7 +618,7 @@ object StreamingGates {
     val outDir = work.resolve("out").toString
     val q = StreamingOps.decontaminateStream(stream, bench, "doc_id", "text",
       shingleN = 3, outDir, work.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
+    drainAndUnload(q)
     s.read.parquet(s"$outDir/flagged/batch_*")
       .orderBy("doc_id")
   }
@@ -631,7 +654,7 @@ object StreamingGates {
     val sketchDir = work.resolve("sk").toString
     val q = StreamingOps.histogramSketchStream(stream, "n_chars", "shard",
       sketchDir, binWidth = 64L, work.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
+    drainAndUnload(q)
     graft.operators.Sketches
       .quantilesFromSketch(s, s"$sketchDir/epoch_*", 64L, Seq(50, 90, 99))
       .orderBy("pct")
@@ -696,7 +719,7 @@ object StreamingGates {
     val outDir = work.resolve("out").toString
     val q = StreamingOps.spanGuardStream(stream, "doc_id", "text",
       idxDir, outDir, work.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
+    drainAndUnload(q)
     s.read.parquet(s"$outDir/spans/batch_*")
       .orderBy("doc_id")
   }
@@ -740,7 +763,7 @@ object StreamingGates {
           .withColumn("value2", (col("value").cast(D) * 2).cast("double"))
           .drop("value"),
         out, ckpt)
-      try q.processAllAvailable() finally q.stop()
+      drainAndUnload(q)
     }
     stage("b1", 0); runOnce()
     stage("b2", 1); runOnce() // restart: resumes AFTER committed batch 1
@@ -897,7 +920,7 @@ object StreamingGates {
       .parquet(staged.toString)
     val q = StreamingOps.upsertStream(stream, table, "doc_id", "shard",
       work.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
+    drainAndUnload(q)
     s.read.parquet(table)
       .select(col("doc_id"), col("shard").cast("long").as("shard"),
         md5(col("text").cast("binary")).as("content_hash"))
@@ -972,7 +995,7 @@ object StreamingGates {
       .parquet(staged.toString)
     val q = StreamingOps.maintainedUpsertStream(stream, table, aggPath,
       "doc_id", "shard", "lang", "n_chars", work.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
+    drainAndUnload(q)
     s.read.parquet(aggPath)
       .select(col("lang"), col("n_rows"), col("sum_val"))
       .orderBy("lang")
@@ -1063,8 +1086,10 @@ object StreamingGates {
     * (EventTimeTimeout). Sentinel rows push the watermark past every
     * real window; their own far-future window never times out, so
     * nothing needs filtering. Oracle replays windowing, both ppm
-    * floors, and the L1 sum over the full reference vocabulary
-    * (absent-in-window types contribute their whole reference ppm).
+    * floors, and the two-sided L1 sum: the full reference vocabulary
+    * (absent-in-window types contribute their whole reference ppm)
+    * PLUS observed types absent from the reference (a novel source
+    * type counts its full observed ppm — the flood case).
     */
   val qStreamDrift: GateQuery = GateQuery(
     "q_stream_drift",
@@ -1076,13 +1101,23 @@ object StreamingGates {
       |  SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS w_start_us,
       |         event_type, COUNT(*) AS c
       |  FROM events GROUP BY 1, 2),
-      |wn AS (SELECT w_start_us, CAST(SUM(c) AS BIGINT) AS n FROM w GROUP BY 1)
-      |SELECT wn.w_start_us, wn.n AS n_events,
-      |  CAST(SUM(ABS(COALESCE(w.c, 0) * 1000000 // wn.n - rp.r_ppm)) AS BIGINT) AS l1_ppm
-      |FROM wn CROSS JOIN rp
-      |LEFT JOIN w ON w.w_start_us = wn.w_start_us AND w.event_type = rp.event_type
-      |GROUP BY wn.w_start_us, wn.n
-      |ORDER BY wn.w_start_us""".stripMargin) { (s, dir) =>
+      |wn AS (SELECT w_start_us, CAST(SUM(c) AS BIGINT) AS n FROM w GROUP BY 1),
+      |refgap AS (
+      |  SELECT wn.w_start_us, wn.n,
+      |    CAST(SUM(ABS(COALESCE(w.c, 0) * 1000000 // wn.n - rp.r_ppm)) AS BIGINT) AS gap
+      |  FROM wn CROSS JOIN rp
+      |  LEFT JOIN w ON w.w_start_us = wn.w_start_us AND w.event_type = rp.event_type
+      |  GROUP BY wn.w_start_us, wn.n),
+      |novgap AS (
+      |  SELECT w.w_start_us, CAST(SUM(w.c * 1000000 // wn.n) AS BIGINT) AS gap
+      |  FROM w JOIN wn ON wn.w_start_us = w.w_start_us
+      |  LEFT JOIN rp ON rp.event_type = w.event_type
+      |  WHERE rp.event_type IS NULL
+      |  GROUP BY w.w_start_us)
+      |SELECT r.w_start_us, r.n AS n_events,
+      |  CAST(r.gap + COALESCE(nv.gap, 0) AS BIGINT) AS l1_ppm
+      |FROM refgap r LEFT JOIN novgap nv ON nv.w_start_us = r.w_start_us
+      |ORDER BY r.w_start_us""".stripMargin) { (s, dir) =>
     import s.implicits._
     val windowUs = 3600000000L
     val ref = Tables(s, dir, "events")

@@ -173,8 +173,15 @@ object StreamingOps {
             val counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
             state.remove()
             val n = counts.valuesIterator.sum
+            // both directions of the gap: reference types (|obs − ref|,
+            // absent-in-window types contribute their full ref ppm) AND
+            // observed types absent from the reference — a brand-new
+            // source type is the loudest flood signal and must count
+            // its full observed ppm, not just dilute the others
             val l1 = refPpm.iterator.map { case (t, r) =>
               math.abs(counts.getOrElse(t, 0L) * 1000000L / n - r)
+            }.sum + counts.iterator.collect {
+              case (t, c) if !refPpm.contains(t) => c * 1000000L / n
             }.sum
             Iterator.single(DriftRow(wStart, n, l1))
           } else {
@@ -202,6 +209,15 @@ object StreamingOps {
     * to fixpoint (≤3 rounds — stages only advance three times), so
     * equal-timestamp chains (click at exactly t_view) resolve exactly
     * as the batch MIN-filter semantics do.
+    *
+    * CONTRACT — in-order arrival across batches: skipped candidate
+    * events are NOT buffered in state, so batch-equivalence holds only
+    * when micro-batches arrive in event-time order (a click landing in
+    * batch 1 that qualifies only after its view arrives in batch 2 is
+    * missed; the batch MIN-filter would count it). File-replay and
+    * log-compacted sources satisfy this; for out-of-order transports,
+    * front it with a watermark-sorted buffer stage before this
+    * operator. cusumStream carries the same assumption.
     */
   def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
