@@ -1088,6 +1088,134 @@ object Dedup {
     novel.write.mode("append").parquet(s"$indexDir/grams")
   }
 
+  /** D115 — Bloom-SKETCHED tier of the D113 gram-index guard: per
+    * hash bucket, one Spark `BloomFilter` over the corpus's distinct
+    * gram hashes (60-bit md5 prefixes), persisted beside the data the
+    * way the exact tier persists its gram rows. The sketch is orders
+    * smaller than the exact index (~`-log2(fpp)` BITS per gram vs a
+    * 32-hex-char row), so the steady-state ingest guard can probe a
+    * broadcast-resident structure at batch-projection cost — no
+    * semi-join against a corpus-scale gram table per micro-batch. The
+    * price is one-sided: false POSITIVES at the configured fpp (a
+    * flagged span that isn't in the corpus — escalate suspects to the
+    * exact tier), never false negatives (every true duplicated span
+    * flags; the recall contract `q_dup_spans_sketch` pins in-engine).
+    *
+    * Scale shape: build is the exact tier's projection + one distinct
+    * + a per-bucket stream fold (two exchanges, no gram ever
+    * collected); each bloom is sized from ITS bucket's cardinality
+    * (pass-1 count, bucket-count-bounded driver state — the CMS
+    * precedent). Total sketch bytes ≈ grams · 1.44·log2(1/fpp) / 8 —
+    * the build-time budget knob is (numBuckets, fppPpm); at corpus
+    * sizes where even that exceeds broadcast budget, raise fpp (the
+    * guard degrades to a noisier prefilter, never to a missed dup).
+    */
+  def writeGramBloomIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, dir: String, numBuckets: Int = 64, fppPpm: Long = 10000L): Unit = {
+    require(numBuckets > 0, s"invalid numBuckets $numBuckets")
+    require(fppPpm > 0 && fppPpm < 1000000L, s"invalid fppPpm $fppPpm")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (_, grams) = tokenGrams(corpus, idCol, textCol, n)
+    val g = grams
+      .select(conv(substring(col("gh"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .withColumn("bucket", pmod(col("h"), lit(numBuckets.toLong)).cast("int"))
+      .localCheckpoint() // consumed by the count pass AND the fold pass
+    val counts = g.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val fpp = fppPpm / 1e6
+    val blooms = g.select("bucket", "h").as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(bcCounts.value.getOrElse(b, 1L), 1L), fpp)
+        it.foreach { case (_, h) => bf.putLong(h) }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (b, bcCounts.value.getOrElse(b, 0L), bos.toByteArray)
+      }
+      .toDF("bucket", "n_grams", "bloom")
+    blooms.write.mode("errorifexists").parquet(s"$dir/bloom")
+    spark.range(1)
+      .select(lit(n).as("gram_n"), lit(numBuckets).as("num_buckets"),
+        lit(fppPpm).as("fpp_ppm"))
+      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+  }
+
+  /** Probe side of [[writeGramBloomIndex]]: the D34 span report for a
+    * new batch against the SKETCHED corpus gram set. The blooms ride
+    * an executor broadcast (deserialized once per JVM, not per row);
+    * the probe plan is a pure projection + filter over the batch's
+    * grams — zero exchanges touch anything corpus-sized. The filter
+    * itself is a deliberate (justified) udf: bloom membership needs
+    * the sketch's own scatter hashing, which no Catalyst expression
+    * exposes for a per-bucket structure.
+    */
+  def incrementalDuplicatedSpansSketch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (n, mightContain) = loadBloomIndex(spark, indexDir)
+    val (base, grams) = tokenGrams(batch, idCol, textCol, n)
+    val hits = grams
+      .withColumn("__h", conv(substring(col("gh"), 1, 15), 16, 10).cast("long"))
+      .filter(mightContain(col("__h")))
+      .select("doc_id", "start", "gh")
+    spanReport(base, hits, n)
+  }
+
+  /** (gram n, per-row bloom membership udf) for a persisted sketch
+    * index — the blooms ride one broadcast, deserialized once per JVM.
+    */
+  private def loadBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Int, org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    val p = spark.read.parquet(s"$indexDir/params")
+      .select("gram_n", "num_buckets").head()
+    val n = p.getInt(0)
+    val numBuckets = p.getInt(1)
+    val blooms = spark.read.parquet(s"$indexDir/bloom")
+      .select("bucket", "bloom").collect()
+      .map(r => r.getInt(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
+    val bc = spark.sparkContext.broadcast(blooms)
+    val mightContain = udf((h: Long) =>
+      bc.value.get(java.lang.Math.floorMod(h, numBuckets.toLong).toInt)
+        .exists(_.mightContainLong(h)))
+    (n, mightContain)
+  }
+
+  /** The sketch tier's RECALL CONTRACT, in-engine and per position:
+    * the exact-tier span report for `batch` plus, per doc, the count
+    * of exact dup-gram STARTS the sketch failed to flag — zero by the
+    * Bloom no-false-negative guarantee, so a non-zero anywhere means
+    * the sketch was built over different grams (wrong n, wrong hash
+    * truncation, a dropped bucket) and the gate hash breaks. The
+    * exact columns double as the usual D113 oracle surface.
+    */
+  def sketchGuardRecallAudit(spark: org.apache.spark.sql.SparkSession,
+      exactDir: String, sketchDir: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val n = spark.read.parquet(s"$exactDir/params").head().getInt(0)
+    val (nSketch, mightContain) = loadBloomIndex(spark, sketchDir)
+    require(n == nSketch,
+      s"exact index n=$n vs sketch n=$nSketch — tiers built over different grams")
+    val (base, grams) = tokenGrams(batch, idCol, textCol, n)
+    val idx = spark.read.parquet(s"$exactDir/grams")
+    val exactStarts = grams.join(idx, Seq("gh"), "left_semi")
+      .localCheckpoint() // consumed by the report AND the miss anti-join
+    val sketchStarts = grams
+      .withColumn("__h", conv(substring(col("gh"), 1, 15), 16, 10).cast("long"))
+      .filter(mightContain(col("__h")))
+      .select("doc_id", "start")
+    val missed = exactStarts.select("doc_id", "start")
+      .join(sketchStarts, Seq("doc_id", "start"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("__missed"))
+    spanReport(base, exactStarts, n)
+      .join(missed, Seq("doc_id"), "left")
+      .withColumn("missed_by_sketch", coalesce(col("__missed"), lit(0L)))
+      .drop("__missed")
+  }
+
   /** D114 — content-defined chunking (the rsync/LBFS boundary trick
     * at token level): a chunk boundary falls AFTER token i whenever
     * the hash of the w-token window ending at i clears the modulus

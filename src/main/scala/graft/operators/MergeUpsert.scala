@@ -180,26 +180,35 @@ object MergeUpsert {
     * a post-merge base, where retract and add would cancel and a
     * stale rollup would be sealed as current. Markers live BESIDE
     * `aggPath`, not inside it, so the wholesale rollup publish of one
-    * epoch can never wipe earlier epochs' markers. (Paths use
-    * local-fs atomic create/move; on a cluster store substitute its
-    * rename/commit primitive — the protocol is storage-agnostic.)
+    * epoch can never wipe earlier epochs' markers.
+    *
+    * The protocol runs through the path's own Hadoop `FileSystem`
+    * (resolved per call from `aggPath`'s scheme), so the same code
+    * commits on local fs, HDFS, or any store with a `FileSystem`
+    * adapter. It leans on exactly two contract guarantees — atomic
+    * `createNewFile` (the seal) and atomic directory `rename` (the
+    * publish) — both held by HDFS and local fs. Object-store adapters
+    * whose rename is copy-based (raw S3A) should front the store with
+    * a committer/metastore that restores atomic publish; the seam is
+    * this one `FileSystem` resolution, nothing else assumes locality.
     */
   def upsertWithMaintainedAgg(spark: SparkSession, tablePath: String,
       aggPath: String, batch: DataFrame, keyCol: String, partCol: String,
       groupCol: String, valCol: String, epochId: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    val marker = Paths.get(s"${aggPath}__applied", s"epoch_$epochId")
-    val staging = Paths.get(s"${aggPath}__staging_epoch_$epochId")
-    def deleteTree(p: java.nio.file.Path): Unit =
-      if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-      }
-    def publish(): Unit = { deleteTree(Paths.get(aggPath)); Files.move(staging, Paths.get(aggPath)) }
-    if (Files.exists(marker)) {
+    import org.apache.hadoop.fs.Path
+    val aggP = new Path(aggPath)
+    val fs = aggP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerDir = new Path(s"${aggPath}__applied")
+    val marker = new Path(markerDir, s"epoch_$epochId")
+    val staging = new Path(s"${aggPath}__staging_epoch_$epochId")
+    def publish(): Unit = {
+      if (fs.exists(aggP)) fs.delete(aggP, true)
+      require(fs.rename(staging, aggP), s"publish rename $staging -> $aggP failed")
+    }
+    if (fs.exists(marker)) {
       // Epoch already sealed: finish a publish the sealing run may
       // have died before, then re-run only the idempotent merge.
-      if (Files.exists(staging)) publish()
+      if (fs.exists(staging)) publish()
       upsertPartitioned(spark, tablePath, batch, keyCol, partCol)
       return
     }
@@ -223,12 +232,14 @@ object MergeUpsert {
       .filter(col("n_rows") > 0)
     // (1) staging write materializes the pre-merge delta to disk —
     // the base is untouched until step (4), so no checkpoint needed
-    deleteTree(staging)
+    if (fs.exists(staging)) fs.delete(staging, true)
     newAgg.write.mode("overwrite").parquet(staging.toString)
-    // (2) seal; (3) publish; (4) merge
-    Files.createDirectories(marker.getParent)
-    try Files.createFile(marker)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // (2) seal; (3) publish; (4) merge. createNewFile is the
+    // FileSystem contract's atomic create-if-absent — a concurrent
+    // sealer loses the race and returns false, which is fine: the
+    // sealed content is identical (same pre-merge base, same batch).
+    fs.mkdirs(markerDir)
+    fs.createNewFile(marker)
     publish()
     upsertPartitioned(spark, tablePath, batch, keyCol, partCol)
   }

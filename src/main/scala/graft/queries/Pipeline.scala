@@ -2931,6 +2931,67 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** One persisted Bloom sketch index per (JVM, sf-dir), over the
+    * same even-doc corpus as the exact gram index — the probe gate
+    * measures probing.
+    */
+  private val bloomIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D115 — Bloom-sketched tier of the D113 ingest-time span guard,
+    * proven by its RECALL CONTRACT (the q_knn_ivf_partial pattern):
+    * odd docs probe BOTH tiers over the same even-doc corpus; the
+    * gate emits the exact-tier span report (under the same DuckDB
+    * replay as q_dup_spans_incr) plus per doc the count of exact
+    * dup-gram starts the sketch failed to flag — the oracle pins that
+    * count to LITERAL ZERO, which is exactly the Bloom
+    * no-false-negative guarantee. A sketch built over different grams
+    * (wrong n, wrong truncation, lost bucket) breaks the hash.
+    */
+  val qDupSpansSketch: GateQuery = GateQuery(
+    "q_dup_spans_sketch",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(s.i AS INT) AS start,
+      |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+5 AS INT)], ' ')) AS gh
+      |      FROM t, LATERAL unnest(generate_series(0, n - 5)) s(i)),
+      |idx AS (SELECT DISTINCT gh FROM g WHERE doc_id % 2 = 0),
+      |ds AS (SELECT doc_id, start FROM g
+      |       WHERE doc_id % 2 = 1 AND gh IN (SELECT gh FROM idx)),
+      |agg AS (SELECT doc_id, COUNT(*) AS dup_ngrams, MIN(start) AS first_dup
+      |        FROM ds GROUP BY doc_id),
+      |cov AS (SELECT ds.doc_id, COUNT(DISTINCT ds.start + c.d) AS covered_tok
+      |        FROM ds, generate_series(0, 4) c(d)
+      |        GROUP BY ds.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(agg.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+      |  CAST(COALESCE(cov.covered_tok, 0) AS BIGINT) AS covered_tok,
+      |  CAST(COALESCE(agg.first_dup, -1) AS INT) AS first_dup,
+      |  CAST(0 AS BIGINT) AS missed_by_sketch
+      |FROM t LEFT JOIN agg USING(doc_id) LEFT JOIN cov USING(doc_id)
+      |WHERE t.doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val exactIdx = gramIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_gram_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", n = 5, out)
+      Dedup.appendGramIndex(s, out, docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text")
+      out
+    })
+    val sketchIdx = bloomIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_gram_bloom_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeGramBloomIndex(even, "doc_id", "text", n = 5, out,
+        numBuckets = 16, fppPpm = 10000L)
+      out
+    })
+    Dedup.sketchGuardRecallAudit(s, exactIdx, sketchIdx,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** D114 — content-defined chunking + cross-doc duplicate-chunk
     * census (w=3 window, modulus 16 ≈ 16-token chunks): the oracle
     * replays the boundary test (6-hex-digit window hash mod 16), the
@@ -4097,7 +4158,7 @@ object Pipeline {
     qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
-    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qCdcChunks, qDedupSpansRemove, qWinnow, qSeedClassify,
+    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qCdcChunks, qDedupSpansRemove, qWinnow, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,

@@ -725,7 +725,7 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
-  /** C40 — runtime-bloom-filtered join: a selective dim-side filter
+  /** C49 — runtime-bloom-filtered join: a selective dim-side filter
     * injects a `bloom_filter_agg` subquery whose `might_contain`
     * prunes fact rows BEFORE the join shuffle — at 100 TB the
     * difference between shuffling 2% of lineitem and all of it. The

@@ -552,7 +552,7 @@ object SqlSurface {
     }
   }
 
-  /** C41 — RECURSIVE CTE (Spark 4.x WITH RECURSIVE): hierarchical
+  /** C50 — RECURSIVE CTE (Spark 4.x WITH RECURSIVE): hierarchical
     * ancestor rollup over the implicit binary tree on customer keys
     * (parent = key div 2) — every customer's chain climbs ~14 levels
     * to the root, and each tree node aggregates the customers whose
@@ -584,7 +584,7 @@ object SqlSurface {
         |ORDER BY node""".stripMargin)
   }
 
-  /** C43 — VARIANT semi-structured type (Spark 4.x): `parse_json`
+  /** C51 — VARIANT semi-structured type (Spark 4.x): `parse_json`
     * ONCE into the binary-encoded variant, then typed `variant_get`
     * access — the scale-right semi-structured path (per-field
     * re-parsing of the JSON string, get_json_object style, re-lexes
@@ -613,7 +613,7 @@ object SqlSurface {
         |ORDER BY event_type""".stripMargin)
   }
 
-  /** C44 — SQL pipe syntax (Spark 4.x `|>`): the linear FROM-first
+  /** C52 — SQL pipe syntax (Spark 4.x `|>`): the linear FROM-first
     * dataflow dialect. Same relational semantics, so the oracle is
     * ordinary SQL — the gate pins that the pipe surface parses, plans,
     * and aggregates identically (incl. the post-aggregation WHERE,

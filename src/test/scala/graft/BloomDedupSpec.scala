@@ -72,4 +72,69 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a, b),
       "filter bytes must not depend on physical partitioning")
   }
+
+  // --- D115: Bloom-sketched tier of the gram-index span guard -------
+
+  test("gram bloom sketch: exact recall (no false negatives) and span superset") {
+    val work = java.nio.file.Files.createTempDirectory("graft_gram_bloom_spec")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val exactDir = work.resolve("exact").toString
+    val sketchDir = work.resolve("sketch").toString
+    Dedup.writeGramIndex(corpus, "doc_id", "text", n = 5, exactDir)
+    Dedup.writeGramBloomIndex(corpus, "doc_id", "text", n = 5, sketchDir,
+      numBuckets = 8, fppPpm = 10000L)
+    // per-position recall contract: zero exact dup starts unseen by
+    // the sketch, on every doc
+    val audit = Dedup.sketchGuardRecallAudit(spark, exactDir, sketchDir,
+      batch, "doc_id", "text").collect()
+    assert(audit.nonEmpty)
+    assert(audit.forall(_.getAs[Long]("missed_by_sketch") == 0L),
+      "bloom sketch missed an exact dup gram — false negative")
+    // the sketch report dominates the exact report per doc (superset
+    // of flagged starts => counts >=, first_dup <=)
+    val exact = Dedup.incrementalDuplicatedSpans(spark, exactDir, batch,
+      "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_ngrams"), r.getAs[Long]("covered_tok"), r.getAs[Int]("first_dup"))).toMap
+    val sk = Dedup.incrementalDuplicatedSpansSketch(spark, sketchDir, batch,
+      "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_ngrams"), r.getAs[Long]("covered_tok"), r.getAs[Int]("first_dup"))).toMap
+    assert(exact.keySet === sk.keySet)
+    exact.foreach { case (id, (dn, cov, fd)) =>
+      val (sdn, scov, sfd) = sk(id)
+      assert(sdn >= dn && scov >= cov, s"doc $id: sketch report below exact")
+      if (fd >= 0) assert(sfd >= 0 && sfd <= fd, s"doc $id: sketch first_dup after exact")
+    }
+    // the sketch is materially smaller than the exact index on disk
+    def bytes(p: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    }
+    assert(bytes(s"$sketchDir/bloom") * 3 < bytes(s"$exactDir/grams"),
+      s"sketch ${bytes(s"$sketchDir/bloom")} B not materially smaller than exact ${bytes(s"$exactDir/grams")} B")
+  }
+
+  test("gram bloom sketch: build params are law (bucket layout pinned, rebuild refused)") {
+    val work = java.nio.file.Files.createTempDirectory("graft_gram_bloom_spec2")
+    val d = work.resolve("s").toString
+    Dedup.writeGramBloomIndex(docs.limit(50), "doc_id", "text", n = 3, d,
+      numBuckets = 4, fppPpm = 50000L)
+    // a second build into the same dir must fail (errorifexists), not
+    // silently mix bloom generations
+    intercept[Exception] {
+      Dedup.writeGramBloomIndex(docs.limit(50), "doc_id", "text", n = 3, d,
+        numBuckets = 4, fppPpm = 50000L)
+    }
+    // recall audit refuses mismatched gram sizes across tiers
+    val exactDir = work.resolve("e").toString
+    Dedup.writeGramIndex(docs.limit(50), "doc_id", "text", n = 5, exactDir)
+    intercept[IllegalArgumentException] {
+      Dedup.sketchGuardRecallAudit(spark, exactDir, d,
+        docs.limit(10), "doc_id", "text")
+    }
+  }
 }

@@ -255,6 +255,41 @@ class MergeUpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertWithMaintainedAgg: commit protocol runs through the path's Hadoop FileSystem") {
+    // Explicit file: scheme — the protocol must resolve and use the
+    // Hadoop FileSystem for seal/publish/replay (LocalFileSystem here,
+    // the RawLocalFileSystem-backed adapter), not java.nio locality.
+    // The same resolution hands the protocol to HDFS on hdfs:// paths.
+    val work = java.nio.file.Files.createTempDirectory("graft_mua_hfs")
+    val table = s"file:${work.resolve("t")}"
+    val aggP = s"file:${work.resolve("a")}"
+    val base = Seq((1L, 0L, "a", 10L), (2L, 1L, "a", 20L), (3L, 0L, "b", 30L))
+      .toDF("id", "shard", "g", "v")
+    base.write.mode("overwrite").partitionBy("shard").parquet(table)
+    base.groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("sum_val"))
+      .write.mode("overwrite").parquet(aggP)
+    val batch = Seq((2L, 1L, "b", 25L), (4L, 1L, "c", 40L))
+      .toDF("id", "shard", "g", "v")
+    val expected = Map("a" -> ((1L, 10L)), "b" -> ((2L, 55L)), "c" -> ((1L, 40L)))
+    def rollup() = spark.read.parquet(aggP).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    MergeUpsert.upsertWithMaintainedAgg(spark, table, aggP, batch,
+      "id", "shard", "g", "v", epochId = 7L)
+    assert(rollup() === expected)
+    val hp = new org.apache.hadoop.fs.Path(aggP)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem],
+      s"file: path must resolve the RawLocalFileSystem-backed adapter, got ${fs.getClass}")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${aggP}__applied/epoch_7")),
+      "seal marker not visible through the FileSystem API")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${aggP}__staging_epoch_7")),
+      "staging not cleaned after publish")
+    // replay through the same FileSystem-resolved guard stays exact
+    MergeUpsert.upsertWithMaintainedAgg(spark, table, aggP, batch,
+      "id", "shard", "g", "v", epochId = 7L)
+    assert(rollup() === expected, "epoch replay corrupted the rollup")
+  }
+
   test("replace-by-key plus insert, read back from the committed table") {
     val path = freshTable()
     // update id=5 (shard 1), insert id=9 (shard 1): one affected shard
