@@ -294,13 +294,19 @@ final class HeapDump(spark: SparkSession, path: String) {
     }.toDF("root_type", "obj_id", "thread_serial", "frame_index")
 
   // -- A7: static fields (driver-side from class dumps) ---------------
+  /** slot_idx = the slot's position in the CLASS DUMP's declaration
+    * order — the order `dump-objects` renders statics in, which a
+    * reader of the export (the q_heap_render oracle included) cannot
+    * otherwise reconstruct from an unordered parquet row set.
+    */
   def staticFields: DataFrame =
     index.classes.values.toSeq.sortBy(_.objId).flatMap { c =>
-      c.staticFields.map { sf =>
-        (c.objId, c.name, index.utf8.getOrElse(sf.nameId, "(missing utf8)"),
+      c.staticFields.zipWithIndex.map { case (sf, i) =>
+        (c.objId, c.name, i, index.utf8.getOrElse(sf.nameId, "(missing utf8)"),
           BasicType.javaName(sf.typeTag), sf.primitive, sf.refId)
       }
-    }.toDF("class_obj_id", "class_name", "field_name", "field_type", "primitive_value", "ref_id")
+    }.toDF("class_obj_id", "class_name", "slot_idx", "field_name",
+      "field_type", "primitive_value", "ref_id")
 
   // -- A10: stack frames / traces -------------------------------------
   def stackFrames: DataFrame =

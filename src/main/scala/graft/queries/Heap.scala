@@ -1388,7 +1388,98 @@ object Heap {
     }
   }
 
+  /** A13 — `dump-objects` human-readable rendering under a driver
+    * oracle: every rendered line for the demo heap (classes with
+    * statics, instances with decoded fields, object arrays with
+    * element ids, primitive arrays with value previews) must equal a
+    * DuckDB reconstruction of the SAME rendering from the export —
+    * string assembly is portable SQL, so a drifted hex format, a
+    * swapped field order, a broken preview truncation, or a decode
+    * bug in any field slot breaks the hash. The oracle states each
+    * demo class's layout explicitly (the refEdgeSql precedent): field
+    * ORDER inside `{}` is the class layout, static order is the
+    * class-dump slot order (`slot_idx`), char arrays render as
+    * characters, refs as lower-hex ids.
+    */
+  val qHeapRender: GateQuery = {
+    def hex(c: String) = s"lower(to_hex($c))"
+    // per-class instance line: explicit layout, object fields as hex
+    def inst(name: String, fields: (String, Boolean)*): String = {
+      val body =
+        if (fields.isEmpty) "''"
+        else fields.map { case (f, isRef) =>
+          if (isRef) s"'$f=0x' || ${hex(s""""$f"""")}"
+          else s"'$f=' || CAST(\"$f\" AS VARCHAR)"
+        }.mkString(" || ', ' || ")
+      s"""SELECT '$name@0x' || ${hex("obj_id")} || ' {' || $body || '}' AS line
+         |FROM read_parquet('$exportDir/${name}_*/*.parquet')""".stripMargin
+    }
+    // primitive-array line: first-8 preview; chars render as their
+    // integer CODE POINTS (the parser models char slots as ints —
+    // robo-style, exactly what the export stores)
+    def prim(t: String, render: String): String =
+      s"""SELECT '$t[' || CAST(len("values") AS VARCHAR) || ']@0x' || ${hex("obj_id")} ||
+         |  ' [' || COALESCE(array_to_string(list_transform("values"[1:8], x -> $render), ', '), '') ||
+         |  CASE WHEN len("values") > 8 THEN ', ...' ELSE '' END || ']' AS line
+         |FROM read_parquet('$exportDir/_primitive_arrays_$t/*.parquet')""".stripMargin
+    val instLines = Seq(
+      inst("java.lang.String", "value" -> true, "hash" -> false),
+      inst("java.util.HashMap", "size" -> false, "table" -> true),
+      inst("java.util.ArrayList", "size" -> false, "elementData" -> true),
+      inst("java.lang.Integer", "value" -> false),
+      inst("java.lang.Long", "value" -> false),
+      inst("java.lang.Thread", "threadStatus" -> false),
+      inst("java.nio.DirectByteBuffer", "capacity" -> false,
+        "position" -> false, "limit" -> false),
+      inst("com.example.Node", "left" -> true, "right" -> true, "payload" -> false),
+      inst("java.net.URLClassLoader"),
+      inst("com.example.PluginService", "gen" -> false),
+      inst("java.lang.ref.WeakReference", "referent" -> true),
+      inst("java.lang.ref.SoftReference", "referent" -> true))
+    val primLines = Seq(
+      prim("boolean", "CAST(x AS VARCHAR)"),
+      prim("byte", "CAST(x AS VARCHAR)"),
+      prim("char", "CAST(x AS VARCHAR)"),
+      prim("short", "CAST(x AS VARCHAR)"),
+      prim("int", "CAST(x AS VARCHAR)"),
+      prim("long", "CAST(x AS VARCHAR)"),
+      prim("float", "CAST(x AS VARCHAR)"),
+      prim("double", "CAST(x AS VARCHAR)"))
+    GateQuery(
+      "q_heap_render",
+      s"""WITH statics AS (
+         |  SELECT class_obj_id,
+         |    string_agg('static ' || field_name || '=' ||
+         |      CASE WHEN field_type = 'object' THEN '0x' || ${hex("ref_id")}
+         |           ELSE primitive_value END, ', ' ORDER BY slot_idx) AS s
+         |  FROM read_parquet('$exportDir/_static_fields/*.parquet')
+         |  GROUP BY class_obj_id),
+         |class_lines AS (
+         |  SELECT 'class ' || c.class_name || '@0x' || ${hex("c.class_obj_id")} ||
+         |    ' {' || COALESCE(st.s, '') || '}' AS line
+         |  FROM read_parquet('$exportDir/_class_hierarchy/*.parquet') c
+         |  LEFT JOIN statics st ON st.class_obj_id = c.class_obj_id),
+         |oa_lines AS (
+         |  SELECT regexp_replace(class_name, '^\\[L(.*);$$', '\\1') ||
+         |    '[' || CAST(len(elements) AS VARCHAR) || ']@0x' || ${hex("obj_id")} ||
+         |    ' [' || COALESCE(array_to_string(list_transform(elements[1:8], x -> '0x' || lower(to_hex(x))), ', '), '') ||
+         |    CASE WHEN len(elements) > 8 THEN ', ...' ELSE '' END || ']' AS line
+         |  FROM read_parquet('$exportDir/_object_arrays/*.parquet'))
+         |SELECT line FROM (
+         |  SELECT line FROM class_lines
+         |  UNION ALL SELECT line FROM oa_lines
+         |${(primLines ++ instLines).map(q => "  UNION ALL " + q.replace("\n", " ")).mkString("\n")}
+         |)
+         |ORDER BY line""".stripMargin) { (s, _) =>
+      import s.implicits._
+      demoDir(s)
+      val hprof = s"${new java.io.File(exportDir).getParent}/demo.hprof"
+      new HeapDump(s, hprof).renderObjects(1000000).toDF("line").orderBy("line")
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
+    qHeapRender,
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
     qHeapBadPrimArrays, qHeapBoxed, qHeapCollectionSizing,
