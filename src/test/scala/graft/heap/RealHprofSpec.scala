@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class RealHprofSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private def makeRealDump(): Option[String] = {
+  private def makeRealDump(jvmFlags: Seq[String] = Seq.empty): Option[String] = {
     val dir = java.nio.file.Files.createTempDirectory("realheap")
     val src = dir.resolve("Tiny.java")
     java.nio.file.Files.writeString(src,
@@ -26,7 +26,8 @@ class RealHprofSpec extends AnyFunSuite {
         |  }
         |}""".stripMargin)
     if (new ProcessBuilder("javac", src.toString).inheritIO().start().waitFor() != 0) return None
-    val proc = new ProcessBuilder("java", "-Xmx64m", "-cp", dir.toString, "Tiny").start()
+    val cmd = Seq("java", "-Xmx64m") ++ jvmFlags ++ Seq("-cp", dir.toString, "Tiny")
+    val proc = new ProcessBuilder(cmd: _*).start()
     try {
       val reader = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
       val line = reader.readLine() // wait for READY
@@ -80,6 +81,44 @@ class RealHprofSpec extends AnyFunSuite {
           .filter(col("class_name") === "java.util.HashMap")
           .select("super_class_name").collect().map(_.getString(0))
         assert(hier.contains("java.util.AbstractMap"))
+    }
+  }
+
+  /** Layout-drift hardening: the SAME workload dumped from a JVM with
+    * compact strings DISABLED and class-data sharing off — String
+    * backing flips from byte[] to char[], the CDS-mapped metadata
+    * layout disappears, object addresses shift. The parser must not
+    * care.
+    */
+  test("real jmap dump from a -XX:-CompactStrings -Xshare:off JVM ingests too") {
+    makeRealDump(Seq("-XX:-CompactStrings", "-Xshare:off")) match {
+      case None => cancel("jmap dump unavailable in this environment")
+      case Some(hprof) =>
+        info(f"dump size: ${new java.io.File(hprof).length() / 1e6}%.1f MB")
+        val hd = new HeapDump(spark, hprof)
+        assert(hd.header.formatName === "JAVA PROFILE 1.0.2")
+        assert(hd.index.classes.size > 500)
+
+        // with compact strings DISABLED every String's byte[] holds
+        // UTF-16 code units (2 bytes/char, platform order) instead of
+        // Latin-1 — the payload layout the first fixture never shows
+        val strs = hd.instancesByName("java.lang.String").get
+        val bytes = hd.primitiveArrays(BasicType.Byte)
+        val decodeUtf16 = udf((v: scala.collection.Seq[Byte]) =>
+          new String(v.toArray, java.nio.charset.StandardCharsets.UTF_16LE))
+        val contents = strs.select(col("value").as("bid"))
+          .join(bytes.withColumnRenamed("obj_id", "bid"), "bid")
+          .select(decodeUtf16(col("values")).as("text"))
+          .filter(col("text").isin("key999", "val999"))
+        assert(contents.count() >= 2,
+          "UTF-16 strings must decode on a -XX:-CompactStrings dump")
+
+        // record tallies sane: class dumps, instances, prim arrays all seen
+        val counts = hd.countRecords.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(counts.getOrElse("HeapDumpSegment", 0L) + counts.getOrElse("HeapDump", 0L) >= 1L)
+        val rootKinds = hd.gcRoots.select("root_type").distinct().count()
+        assert(rootKinds >= 3)
     }
   }
 }
