@@ -116,16 +116,19 @@ object Events {
 
   /** E2c — Spark's NATIVE session_window operator (the same operator
     * drives streaming session aggregation) against the lag/cumsum CTE
-    * oracle. session_window merges events whose gap to the previous
-    * event is < gap (a gap of exactly 30:00 starts a NEW session), so
-    * the oracle's boundary is `>=`.
+    * oracle. Boundary semantics probed, not assumed: an event exactly
+    * `gap` after its predecessor MERGES into the session (windows
+    * [t, t+gap) touching is enough — verified on 4.1.2 with a
+    * 0/1800s/3601s fixture), so a new session starts only when the
+    * gap is STRICTLY exceeded and the oracle's boundary is `>` —
+    * the same convention as the custom E2 sessionizer.
     */
   val qSessionWindow: GateQuery = GateQuery(
     "q_session_window",
     """WITH g AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -712,10 +712,78 @@ object SqlSurface {
         |LIMIT 500""".stripMargin)
   }
 
+  /** C53 — higher-order array functions (lambda family): filter,
+    * transform, reduce, exists, forall over each document's token
+    * array — the codegen'd in-row loop that replaces a UDF for
+    * element-wise work (at 100 TB an explode→group for a per-row
+    * array reduction is a shuffle of every token; the lambda form is
+    * zero-shuffle). Oracle restates each lambda with DuckDB's list_*
+    * combinators (exists/forall via filtered length).
+    */
+  val qHigherOrder: GateQuery = GateQuery(
+    "q_higher_order",
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), w -> len(w) > 4)) AS n_long,
+      |  CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '), w -> len(w))), (a, b) -> a + b) AS BIGINT) AS chars_sum,
+      |  len(list_filter(string_split(text, ' '), w -> w = 'the')) > 0 AS has_the,
+      |  len(list_filter(string_split(text, ' '), w -> len(w) > 0)) = len(string_split(text, ' ')) AS all_nonempty,
+      |  array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 4), w -> upper(w)), ' ') AS head_upper
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(filter(col("ws"), w => length(w) > 4)).as("n_long"),
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("chars_sum"),
+        exists(col("ws"), w => w === "the").as("has_the"),
+        forall(col("ws"), w => length(w) > 0).as("all_nonempty"),
+        concat_ws(" ", transform(slice(col("ws"), 1, 4), w => upper(w))).as("head_upper"))
+      .orderBy("doc_id")
+  }
+
+  /** C54 — MAP column type: per document a token→count map is BUILT
+    * in-row (map_from_entries over the grouped token list), then
+    * accessed (element_at), introspected (sorted keys, cardinality) —
+    * the dictionary-shaped column every feature store leans on where
+    * a struct's fields aren't known ahead of time. Everything leaves
+    * the query as scalars, so map-internal ordering (undefined in
+    * both engines) never reaches the hash. The Spark side groups
+    * in-row via array machinery (sort + distinct + count per key),
+    * exercising map_from_entries exactly where a 100 TB plan wants it
+    * — zero shuffle, one projection.
+    */
+  val qMapType: GateQuery = GateQuery(
+    "q_map_type",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    map_from_entries(list_transform(list_distinct(string_split(text, ' ')),
+      |      w -> {'k': w, 'v': len(list_filter(string_split(text, ' '), x -> x = w))})) AS tok_counts
+      |  FROM documents)
+      |SELECT doc_id,
+      |  cardinality(tok_counts) AS n_keys,
+      |  COALESCE(tok_counts['the'][1], 0) AS n_the,
+      |  list_sort(map_keys(tok_counts))[1] AS first_key,
+      |  list_sort(map_keys(tok_counts))[-1] AS last_key
+      |FROM m
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ws = split(col("text"), " ")
+    val entries = transform(array_distinct(ws),
+      w => struct(w.as("k"),
+        size(filter(ws, x => x === w)).cast("long").as("v")))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), map_from_entries(entries).as("tok_counts"))
+      .select(col("doc_id"),
+        size(col("tok_counts")).as("n_keys"),
+        coalesce(element_at(col("tok_counts"), "the"), lit(0L)).as("n_the"),
+        element_at(array_sort(map_keys(col("tok_counts"))), 1).as("first_key"),
+        element_at(array_sort(map_keys(col("tok_counts"))), -1).as("last_key"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
     qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qSchemaEvolution, qRecursiveCte, qVariant, qPipeSql,
-    qLateral, qGroupOrderAll, qTryFuncs)
+    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType)
 }

@@ -1233,11 +1233,66 @@ object StreamingGates {
       .orderBy("cell")
   }
 
+  /** E46 — the NATIVE session_window sessionizer on a real stream,
+    * against the SAME lag/cumsum oracle as the batch q_session_window
+    * (exact-gap merge semantics and all). Sessions only flush in
+    * Append mode once the watermark passes their end, so the
+    * far-future sentinels push the watermark past every real session.
+    * The sentinels flow INTO the aggregation deliberately: a pre-agg
+    * `user_id >= 0` filter gets PUSHED BELOW the watermark node by
+    * the optimizer, which silences the sentinels before the watermark
+    * tracker ever sees them and strands the tail sessions unflushed
+    * (measured: 7 sessions short). The sentinel sessions themselves
+    * can never flush — the watermark stops 1 s before them — so the
+    * sink-side filter is pure belt-and-braces.
+    */
+  val qStreamSessionWindow: GateQuery = GateQuery(
+    "q_stream_session_window", Events.qSessionWindow.oracle.get) { (s, dir) =>
+    val src = eventsStreamWithSentinels(s, dir)
+      .withWatermark("ts", "1 second")
+    runToMemory(StreamingOps.sessionWindowAgg(src, "30 minutes"),
+        OutputMode.Append())
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "start_us")
+  }
+
+  /** E47 — chained stateful aggregations in ONE streaming query
+    * (hourly counts → daily rollup, both event-time windows): the
+    * oracle replays the two-level aggregation from the raw events, so
+    * a dropped intermediate row, a window_time off-by-one, or a
+    * second-stage watermark bug all break the hash.
+    */
+  val qStreamChained: GateQuery = GateQuery(
+    "q_stream_chained",
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT strftime(date_trunc('day', hr), '%Y-%m-%d') AS day, event_type,
+      |  CAST(SUM(n) AS BIGINT) AS total,
+      |  CAST(MAX(n) AS BIGINT) AS max_hourly,
+      |  COUNT(*) AS active_hours
+      |FROM h GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+    // sentinels ride through BOTH aggregation stages (a pre-agg
+    // filter would be pushed below the watermark node — see
+    // qStreamSessionWindow); their hour/day windows sit 1 s past the
+    // final watermark so neither stage ever emits them, and the
+    // sink-side day cutoff is belt-and-braces
+    val src = eventsStreamWithSentinels(s, dir)
+      .withWatermark("ts", "1 second")
+    runToMemory(StreamingOps.chainedWindowAgg(src), OutputMode.Append())
+      .filter(col("day_start") < lit("2024-03-01").cast("timestamp"))
+      .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("total"), col("max_hourly"), col("active_hours"))
+      .orderBy("day", "event_type")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
-      qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard)
+      qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
+      qStreamSessionWindow, qStreamChained)
     .map(_.copy(bench = false))
 }

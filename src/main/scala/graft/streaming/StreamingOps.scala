@@ -35,6 +35,40 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** E46 — NATIVE session_window aggregation, the built-in gap
+    * sessionizer (vs the hand-rolled mapGroupsWithState E4): merges
+    * events whose gap is ≤ the duration (exact-gap events MERGE —
+    * probed, see the batch q_session_window gate), state is the
+    * engine's own session store, sessions emit in Append mode once
+    * the watermark passes their end. Works unchanged on batch
+    * DataFrames — same operator both ways is the whole point.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_us", "last_us", "n_events")
+
+  /** E47 — CHAINED stateful aggregations in ONE streaming query
+    * (Spark 4 multiple-stateful-operators): hourly per-type counts
+    * (first windowed agg) roll up into daily per-type stats (second
+    * windowed agg keyed on `window_time` of the first window) without
+    * landing the intermediate anywhere. Pre-4.x this took two queries
+    * with a sink between them — at scale that's a full materialization
+    * plus a second read of every hourly row. The daily row emits once
+    * the watermark passes the day.
+    */
+  def chainedWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("hw"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("hw")), "1 day").as("dw"), col("event_type"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("max_hourly"),
+        count(lit(1)).as("active_hours"))
+      .select(col("dw.start").as("day_start"), col("event_type"),
+        col("total"), col("max_hourly"), col("active_hours"))
+
   final case class SessionEvent(user_id: Long, ts_us: Long)
   final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
