@@ -290,4 +290,34 @@ object Prep {
           col("pos") * stride +
             least(lit(window), col("__n") - col("pos") * stride)).as("last_tok"))
   }
+
+  /** D116 — equi-depth quantile bucket assignment (quality deciles,
+    * length-tier labels) WITHOUT a corpus-wide window: the naive
+    * `ntile(k) OVER (ORDER BY v)` funnels every row through one
+    * window partition — the exact anti-pattern shuffleDeterministic
+    * exists to avoid — so buckets come from TWO cheap steps instead:
+    * (1) one aggregate computes the k−1 `percentile_disc` boundaries
+    * (exact, ANSI cume_dist ≥ p semantics both engines share — the
+    * q_percentile_disc parity gate pins it), a ONE-ROW frame;
+    * (2) a broadcast of that row and a pure projection assigns
+    * `bucket = 1 + |{boundaries strictly below v}|` via an in-row
+    * array filter. Ties land in the LOWER bucket (v == boundary is
+    * not `>`), so assignment is deterministic under any row order.
+    * Swap step (1) for approx_percentile (or the D65 persisted
+    * sketch) at scales where exact boundaries cost a sort — the
+    * assignment projection is unchanged.
+    */
+  def quantileBuckets(docs: DataFrame, idCol: String, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"invalid bucket count $nBuckets")
+    val bounds = docs.agg(
+      array((1 until nBuckets).map { i =>
+        expr(s"percentile_disc(${i.toDouble / nBuckets}) WITHIN GROUP (ORDER BY $valueCol)")
+      }: _*).as("__bounds"))
+    docs.select(col(idCol), col(valueCol))
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol), col(valueCol),
+        (size(filter(col("__bounds"), b => col(valueCol) > b)) + 1)
+          .cast("int").as("bucket"))
+  }
 }

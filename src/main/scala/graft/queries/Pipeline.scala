@@ -2671,6 +2671,39 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D116 — equi-depth quantile bucket assignment (length deciles
+    * here; quality deciles in production) WITHOUT a corpus-wide
+    * window: boundaries from one percentile_disc aggregate (the
+    * q_percentile_disc cross-engine pairing), broadcast back, bucket
+    * assigned by an in-row array filter — `ntile(10) OVER (ORDER BY
+    * v)` would funnel 100 TB through one window partition. The oracle
+    * re-derives the nine boundaries with quantile_disc and replays
+    * the strictly-greater assignment rule, so a drifted boundary or
+    * an off-by-one at a tie breaks the hash. Per-bucket tallies ride
+    * along to pin the equi-depth property itself.
+    */
+  val qQuantileBuckets: GateQuery = GateQuery(
+    "q_quantile_buckets",
+    """WITH b AS (
+      |  SELECT quantile_disc(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      |  FROM documents),
+      |a AS (
+      |  SELECT d.doc_id, d.n_chars,
+      |    CAST(1 + len(list_filter(b.bs, x -> d.n_chars > x)) AS INT) AS bucket
+      |  FROM documents d CROSS JOIN b)
+      |SELECT doc_id, n_chars, bucket,
+      |  CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_n
+      |FROM a
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val assigned = graft.operators.Prep.quantileBuckets(
+      Tables(s, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", nBuckets = 10)
+    val sizes = assigned.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    assigned.join(broadcast(sizes), "bucket")
+      .select("doc_id", "n_chars", "bucket", "bucket_n")
+      .orderBy("doc_id")
+  }
+
   /** D110 — token-budget mixture allocator: per-source epochs/
     * allocation for a 1.6×-corpus token budget under a 8/6/3-percent
     * weight tiering, epochs capped at 2.5. The budget is itself
@@ -4155,7 +4188,7 @@ object Pipeline {
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
-    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qPackBins, qDedupIncremental,
+    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qCdcChunks, qDedupSpansRemove, qWinnow, qSeedClassify,

@@ -166,4 +166,29 @@ class PrepSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("quantileBuckets: equi-depth, monotone, ties to the lower bucket, no global window") {
+    val df = (1L to 100L).map(i => (i, i * 3 % 97)).toDF("id", "v")
+    val got = Prep.quantileBuckets(df, "id", "v", nBuckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length === 100)
+    assert(got.forall(r => r._3 >= 1 && r._3 <= 4))
+    // monotone in v
+    val byV = got.sortBy(_._2)
+    assert(byV.sliding(2).forall { case Array(a, b) => a._3 <= b._3 })
+    // equi-depth: 100 rows over 4 buckets ≈ 25 each (discrete
+    // boundaries on near-unique values keep it within ±2)
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(s => s >= 23 && s <= 27), sizes.toString)
+    // a value equal to a boundary lands in the LOWER bucket: the max
+    // of bucket 1 is the 25th-percentile boundary itself
+    val b1max = got.filter(_._3 == 1).map(_._2).max
+    assert(got.filter(_._2 == b1max).forall(_._3 == 1))
+    // plan: assignment is a broadcast join + projection, no window,
+    // no single-partition exchange of the corpus
+    val plan = Prep.quantileBuckets(df, "id", "v", 4).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
 }
