@@ -19,7 +19,23 @@ object AsOf {
     *                  from the latest right row at or before left.ts)
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, ts, leftCols, rightCols, backward = true)
+
+  /** FORWARD as-of — for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` (inclusive) on the same key: the
+    * "next reading at or after" lookup (next heartbeat after an
+    * alert, first fill after an order). Same one-shuffle union +
+    * running-carry shape as the backward join, just time-reversed —
+    * the carry runs over a DESCENDING order so it holds the earliest
+    * later right row.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, ts, leftCols, rightCols, backward = false)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftCols: Seq[String], rightCols: Seq[String], backward: Boolean): DataFrame = {
     // All right columns travel as ONE struct so the window's
     // last(ignoreNulls) picks a single right ROW atomically — per-column
     // carry would mix values from different rows whenever the latest
@@ -34,8 +50,11 @@ object AsOf {
       (col(key) +: col(ts).as("__ts") +: lit(1).as("__is_r") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) :+
         struct(rightCols.map(col): _*).as("__r"): _*)
-    // right rows sort BEFORE left rows at equal ts → inclusive match
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__is_r").desc)
+    // right rows sort BEFORE left rows at equal ts → inclusive match;
+    // forward mode reverses the time order so the carry holds the
+    // EARLIEST right row at-or-after each left row
+    val timeOrd = if (backward) col("__ts").asc else col("__ts").desc
+    val w = Window.partitionBy(key).orderBy(timeOrd, col("__is_r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

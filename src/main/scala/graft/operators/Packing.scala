@@ -87,4 +87,48 @@ object Packing {
         max(col("n_tok")).as("max_tok"))
       .withColumn("pad_waste", col("n_docs") * col("max_tok") - col("sum_tok"))
   }
+
+  /** D117 — SFT loss-mask derivation over the packed layout: each
+    * document is a (prompt, completion) pair — prompt = the first
+    * `n div 2` tokens here; swap in a real prompt-length column at
+    * integration time — and after concat-and-chunk packing the
+    * trainer needs, PER CONTEXT WINDOW, the spans where loss is
+    * ACTIVE (completion tokens) vs masked (prompt tokens). Emits one
+    * row per (document, window) intersection of the document's
+    * completion interval: (shard, win, doc_id, start_in_win,
+    * mask_len). A loader applies these rows directly as the
+    * loss-mask segments of window `win`.
+    *
+    * Scale shape: the same shard-parallel running-sum layout as
+    * [[packDocs]] (one exchange on the shard key), then a PURE
+    * projection + bounded explode — a document spans at most
+    * ceil(len/ctxLen)+1 windows, so row multiplication is the
+    * corpus-tokens/ctxLen factor the trainer reads anyway. All
+    * integer arithmetic; the layout and masks replay bit-for-bit on
+    * any engine.
+    */
+  def sftPackMasks(docs: DataFrame, idCol: String, textCol: String,
+      ctxLen: Int, shards: Int): DataFrame = {
+    require(ctxLen > 0, s"invalid ctxLen $ctxLen")
+    require(shards > 0, s"invalid shard count $shards")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val t = docs.select(col(idCol).as("doc_id"),
+        (col(idCol) % shards).cast("int").as("shard"),
+        size(toks).cast("long").as("n"))
+      .filter(col("n") >= 1)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val laid = t.withColumn("end_off", sum("n").over(w))
+      .withColumn("st", col("end_off") - col("n"))
+      .withColumn("cs", col("st") + expr("n div 2")) // completion start
+      .withColumn("ce", col("st") + col("n"))        // completion end (excl)
+    laid.select(col("shard"), col("doc_id"), col("cs"), col("ce"),
+        explode(sequence(expr(s"cs div ${ctxLen}L"),
+          expr(s"(ce - 1) div ${ctxLen}L"))).as("win"))
+      .select(col("shard"), col("win"), col("doc_id"),
+        (greatest(col("cs"), col("win") * ctxLen) - col("win") * ctxLen)
+          .as("start_in_win"),
+        (least(col("ce"), (col("win") + 1) * ctxLen)
+          - greatest(col("cs"), col("win") * ctxLen)).as("mask_len"))
+  }
 }

@@ -206,6 +206,31 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** E5b — FORWARD as-of join: each click paired with the same
+    * user's EARLIEST error at or after it ("what broke next") —
+    * the time-reversed twin of E5, against DuckDB's native ASOF
+    * with the <= condition.
+    */
+  val qAsOfForward: GateQuery = GateQuery(
+    "q_asof_forward",
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |  r.value AS asof_value, epoch_us(r.ts) AS asof_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    import graft.operators.AsOf
+    val ev = Tables(s, dir, "events")
+    AsOf.asOfJoinForward(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "error").select("user_id", "ts", "value"),
+      "user_id", "ts",
+      leftCols = Seq("event_id"), rightCols = Seq("value", "ts"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("asof_value"), unix_micros(col("asof_ts")).as("asof_ts_us"))
+      .orderBy("event_id")
+  }
+
   /** E6 — range join: error events matched into each user's session
     * intervals via bucketed equi-join; oracle is the plain BETWEEN
     * join over the same session CTE.
@@ -297,5 +322,5 @@ object Events {
 
   val all: Seq[GateQuery] = Seq(
     qTumblingWindow, qSessionize, qSessionTable, qSessionWindow, qJsonExtract,
-    qEventLeaders, qAsOfJoin, qRangeJoin, qFunnel, qRetention)
+    qEventLeaders, qAsOfJoin, qAsOfForward, qRangeJoin, qFunnel, qRetention)
 }

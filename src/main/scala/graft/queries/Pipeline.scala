@@ -2777,6 +2777,42 @@ object Pipeline {
       .orderBy("shard", "bin")
   }
 
+  /** D117 — SFT loss-mask spans over the packed layout: per context
+    * window, where loss is ACTIVE (completion tokens) vs masked
+    * (prompt tokens), one row per (document, window) completion-span
+    * intersection. The oracle replays the shard-parallel running-sum
+    * layout, the `n div 2` prompt split, the window explode, and the
+    * clamp arithmetic — any off-by-one shifts a span boundary and
+    * breaks the hash.
+    */
+  val qSftMasks: GateQuery = GateQuery(
+    "q_sft_masks",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |o AS (
+      |  SELECT shard, doc_id, n,
+      |    SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      |  FROM t WHERE n >= 1),
+      |c AS (SELECT shard, doc_id,
+      |        end_off - n + CAST(n // 2 AS BIGINT) AS cs,
+      |        end_off AS ce
+      |      FROM o),
+      |wx AS (SELECT shard, doc_id, cs, ce,
+      |         unnest(generate_series(CAST(cs // 256 AS BIGINT), CAST((ce - 1) // 256 AS BIGINT))) AS win
+      |       FROM c)
+      |SELECT shard, CAST(win AS BIGINT) AS win, doc_id,
+      |  CAST(greatest(cs, win * 256) - win * 256 AS BIGINT) AS start_in_win,
+      |  CAST(least(ce, (win + 1) * 256) - greatest(cs, win * 256) AS BIGINT) AS mask_len
+      |FROM wx
+      |ORDER BY shard, win, doc_id""".stripMargin) { (s, dir) =>
+    Packing.sftPackMasks(Tables(s, dir, "documents"), "doc_id", "text",
+        ctxLen = 256, shards = 8)
+      .orderBy("shard", "win", "doc_id")
+  }
+
   /** D16+ — the FULL curation DAG as one gate: exact dedup →
     * decontamination (bench = doc_id % 97 == 0) → quality gate →
     * domain mixture → sequence packing of the copies. The oracle
@@ -4188,7 +4224,7 @@ object Pipeline {
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
-    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qDedupIncremental,
+    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qCdcChunks, qDedupSpansRemove, qWinnow, qSeedClassify,

@@ -772,6 +772,55 @@ object StreamingGates {
       .orderBy("event_id")
   }
 
+  /** E48 — Trigger.AvailableNow incremental batch: TWO separate
+    * scheduled invocations of the same query definition (the second
+    * after new data lands), each terminating ITSELF when caught up.
+    * The second run must resume after the first's committed batch —
+    * a re-read would duplicate b1's rows, an offset skip would drop
+    * b2's — so the final directory hash-matching the batch oracle is
+    * the exactly-once-across-scheduled-runs proof. Distinct from E14:
+    * there the harness stops a continuous query; here the TRIGGER
+    * ends it, the scheduled-job operational mode.
+    */
+  val qStreamAvailableNow: GateQuery = GateQuery(
+    "q_stream_available_now",
+    """SELECT event_id, user_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 3 AS DOUBLE) AS value3
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val evs = Tables(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_avnow")
+    val srcDir = work.resolve("src").toString
+    evs.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    evs.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    def stage(b: String, i: Int): Unit = {
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val out = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    def runScheduled(): Unit = {
+      val q = StreamingOps.sinkAvailableNow(
+        s.readStream.schema(evs.schema).parquet(staged.toString)
+          .withColumn("value3", (col("value").cast(D) * 3).cast("double"))
+          .drop("value"),
+        out, ckpt)
+      try q.awaitTermination() // AvailableNow stops the query itself
+      finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+    stage("b1", 0); runScheduled()
+    stage("b2", 1); runScheduled()
+    s.read.parquet(out)
+      .select("event_id", "user_id", "event_type", "value3")
+      .orderBy("event_id")
+  }
+
   /** E17 — stream-stream LEFT OUTER interval join, really run: clicks
     * with no preceding error emit null-padded once both watermarks
     * pass (sentinel-flushed, see eventsStreamWithSentinels). Oracle =
@@ -1293,6 +1342,6 @@ object StreamingGates {
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
-      qStreamSessionWindow, qStreamChained)
+      qStreamSessionWindow, qStreamChained, qStreamAvailableNow)
     .map(_.copy(bench = false))
 }

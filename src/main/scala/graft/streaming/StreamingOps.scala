@@ -377,6 +377,25 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** E48 — incremental-batch run (`Trigger.AvailableNow`): the query
+    * processes everything available, commits, and STOPS ITSELF — the
+    * operational mode that turns a streaming pipeline into a nightly/
+    * hourly scheduled job with streaming's exactly-once bookkeeping
+    * (offsets + sink manifest) instead of hand-rolled high-water
+    * marks. Each scheduled invocation resumes after the previous
+    * run's committed batches; at 100 TB this is how backfill and
+    * steady-state share ONE query definition. Caller awaits
+    * termination — the trigger ends the query when caught up.
+    */
+  def sinkAvailableNow(stream: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Continuous corpus curation: every micro-batch is incrementally
     * exact-deduped against the PERSISTED corpus (batch content whose
     * hash the corpus already holds is dropped, then keep-first within

@@ -37,6 +37,24 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("asof_aux")))
   }
 
+  test("asOfJoinForward picks the EARLIEST right row at or after, inclusive") {
+    val left = Seq((1L, 20L, "L1"), (1L, 31L, "L2"), (2L, 5L, "L3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 10L, 100L), // before L1: must not match forward
+      (1L, 20L, 200L), // ties L1's ts: inclusive match
+      (1L, 30L, 300L)) // before L2: no forward match for L2
+      .toDF("k", "ts", "value")
+    val out = AsOf.asOfJoinForward(left, right, "k", "ts",
+      leftCols = Seq("tag"), rightCols = Seq("value"))
+      .collect().map(r => r.getString(r.fieldIndex("tag")) ->
+        (if (r.isNullAt(r.fieldIndex("asof_value"))) None
+         else Some(r.getLong(r.fieldIndex("asof_value"))))).toMap
+    assert(out("L1") === Some(200L), "equal-ts right row must match (inclusive)")
+    assert(out("L2") === None, "no right row at/after 31")
+    assert(out("L3") === None, "no right rows for key 2 at all")
+  }
+
   test("bucketedRangeJoin: integer bucket math agrees above 2^53") {
     // doubles can't represent these exactly — double-division bucketing
     // would disagree between the point and interval sides for some
