@@ -904,9 +904,19 @@ final class HeapAnalysis(t: HeapTables) {
     * with shallow bytes summed per root.
     */
   private def retainedPerRoot(chaseRounds: Int): Option[DataFrame] = for {
+    fin <- finalOwnership(chaseRounds)
+    sizes <- perObjectShallowSizes
+  } yield fin.join(sizes.withColumnRenamed("obj_id", "o"), Seq("o"))
+    .groupBy(col("r"))
+    .agg(count(lit(1)).as("owned"), sum("bytes").as("retained"))
+
+  /** The (o, r) final ownership assignment both B22 rollups and the
+    * B30 attribution matrix aggregate from: unique-owner collapse,
+    * one diamond-adoption pass, bounded chase.
+    */
+  private def finalOwnership(chaseRounds: Int): Option[DataFrame] = for {
     edges <- refEdges
     oi <- t.system("_object_index")
-    sizes <- perObjectShallowSizes
   } yield {
     val ref = edges.select("src", "dst").distinct().localCheckpoint()
     val deg = ref.groupBy("dst")
@@ -933,11 +943,30 @@ final class HeapAnalysis(t: HeapTables) {
       .filter(col("__nr") === 1 && col("__r") =!= col("o"))
       .select(col("o"), col("__r").as("p"))
     val own2 = own1.unionByName(adopt).localCheckpoint()
-    val fin = chase(own2)
-    fin.join(sizes.withColumnRenamed("obj_id", "o"), Seq("o"))
-      .groupBy(col("r"))
-      .agg(count(lit(1)).as("owned"), sum("bytes").as("retained"))
+    chase(own2)
   }
+
+  /** B30 — retained-attribution MATRIX: retained bytes grouped by
+    * (root type, owned type) — MAT's "class histogram grouped by
+    * dominator" reduced to the distributed bounded-ownership answer.
+    * Where B22 says "HashMap roots retain 4 MB", the matrix says
+    * WHAT that 4 MB is made of (byte[] payloads vs Node spine vs
+    * boxed keys) — the breakdown that turns "this type is heavy"
+    * into an actionable fix. Same approximation contract as B22
+    * (under-collapse, never over-attribution); one extra hash join
+    * against the object index per side, aggregate is
+    * type-pair-bounded.
+    */
+  def retainedMatrix(chaseRounds: Int = 4): Option[DataFrame] = for {
+    fin <- finalOwnership(chaseRounds)
+    sizes <- perObjectShallowSizes
+    oi <- t.system("_object_index")
+  } yield fin
+    .join(sizes.withColumnRenamed("obj_id", "o"), Seq("o"))
+    .join(oi.select(col("obj_id").as("o"), col("type_name").as("owned_type")), Seq("o"))
+    .join(oi.select(col("obj_id").as("r"), col("type_name").as("root_type")), Seq("r"))
+    .groupBy("root_type", "owned_type")
+    .agg(count(lit(1)).as("n_objects"), sum("bytes").as("bytes"))
 
   def retainedSize(chaseRounds: Int = 4): Option[DataFrame] = for {
     perRoot <- retainedPerRoot(chaseRounds)

@@ -1174,6 +1174,31 @@ object Heap {
     analysis(s).retainedTopObjects(retainedRounds, limit = 20).get
   }
 
+  /** B30 — retained-attribution matrix (MAT "class histogram grouped
+    * by dominator"): retained bytes by (root type, owned type) — the
+    * breakdown that says WHAT a heavy root type's retained bytes are
+    * made of. The oracle reuses the full B22 ownership replay
+    * (p<rounds-1> is the final (o, r) assignment) and re-attributes
+    * each owned object's bytes to both endpoints' types — a chain
+    * chased one round short or an adoption mis-assigned moves bytes
+    * between matrix cells and breaks the hash.
+    */
+  val qHeapRetainedMatrix: GateQuery = GateQuery(
+    "q_heap_retained_matrix",
+    s"""WITH $retainedCtesSql
+       |SELECT ro.type_name AS root_type, oo.type_name AS owned_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_objects,
+       |  CAST(SUM(sz.bytes) AS BIGINT) AS bytes
+       |FROM p${retainedRounds - 1} f
+       |JOIN sz ON sz.obj_id = f.o
+       |JOIN oi oo ON oo.obj_id = f.o
+       |JOIN oi ro ON ro.obj_id = f.r
+       |GROUP BY 1, 2
+       |ORDER BY root_type, owned_type""".stripMargin) { (s, _) =>
+    analysis(s).retainedMatrix(retainedRounds).get
+      .orderBy("root_type", "owned_type")
+  }
+
   /** B23 — GC-root reachability distance census: per-type minimum /
     * maximum hop count from any GC root along the B20 edge set
     * (8 bounded rounds; unreached-within-8 reports -1). The engine
@@ -1486,7 +1511,7 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapClassloaders, qHeapRefs, qHeapWaste,
-    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapRootPath,
+    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapRetainedMatrix, qHeapRootPath,
     qHeapPathExemplars, qHeapDiff, qHeapRetainedDiff,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
