@@ -97,6 +97,58 @@ object StreamingGates {
     Tables.normalizeEventTs(s.readStream.schema(raw).parquet(srcDir))
   }
 
+  /** Two REAL micro-batches (event_id parity split) plus a trailing
+    * far-future sentinel file, consumed one file per trigger: every
+    * window's users span both real batches, so cross-batch merge of
+    * aggregation state (HLL partials, counts) is genuinely exercised,
+    * and the sentinel batch pushes the watermark past all real
+    * windows. Same vintage handling as eventsStreamWithSentinels.
+    */
+  private val stagedSplitDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsStreamSplitWithSentinels(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = stagedSplitDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_events_split")
+      val rawDf = s.read.parquet(java.nio.file.Paths.get(dir, "events.parquet").toString)
+      def land(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = d.resolve(s"__$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = d.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(mtime)
+        tmp.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.delete(tmp)
+      }
+      land(rawDf.filter(col("event_id") % 2 === 0), "b1", 1700000000000L)
+      land(rawDf.filter(col("event_id") % 2 === 1), "b2", 1700000060000L)
+      val epochSec = 1709251200L // 2024-03-01T00:00Z, after all testdata
+      import s.implicits._
+      val sentinels = rawDf.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          Seq((-1L, epochSec * 1000000000L, -1L, "click", 0.0, "{}"),
+              (-2L, epochSec * 1000000000L, -2L, "error", 0.0, "{}")).toDF(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          val ldt = java.time.LocalDateTime.ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
+          Seq((-1L, ldt, -1L, "click", 0.0, "{}"),
+              (-2L, ldt, -2L, "error", 0.0, "{}")).toDF(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+        case _ =>
+          val inst = java.time.Instant.ofEpochSecond(epochSec)
+          Seq((-1L, inst, -1L, "click", 0.0, "{}"),
+              (-2L, inst, -2L, "error", 0.0, "{}")).toDF(
+            "event_id", "ts", "user_id", "event_type", "value", "props")
+      }
+      land(sentinels.select(rawDf.columns.map(col): _*), "sent", 1700000120000L)
+      d.toString
+    })
+    val raw = s.read.parquet(srcDir).schema
+    Tables.normalizeEventTs(
+      s.readStream.schema(raw).option("maxFilesPerTrigger", 1).parquet(srcDir))
+  }
+
   /** Drain a started query, stop it, and UNLOAD every state-store
     * provider the JVM has accumulated. Without the unload, providers
     * (HDFS-backed and RocksDB alike) stay registered in the shared
@@ -1336,12 +1388,54 @@ object StreamingGates {
       .orderBy("day", "event_type")
   }
 
+  /** E49 — streaming distinct-cardinality monitor under its sketch
+    * contract: hourly approx-distinct users maintained as HLL state
+    * across THREE real micro-batches (parity split + sentinel, one
+    * file per trigger — partials must merge across batches), each
+    * window emitted at watermark close, then pinned inside the ±3·rsd
+    * corridor of the exact batch count (the q_approx_distinct move —
+    * exact COUNT(DISTINCT) is unsupported in streaming, which is the
+    * point of the sketch). A window that never flushes drops a row
+    * and fails the count; an estimate outside its guarantee flips
+    * within_bounds.
+    */
+  val qStreamDistinct: GateQuery = GateQuery(
+    "q_stream_distinct",
+    """WITH w AS (
+      |  SELECT date_trunc('hour', ts) AS win_t, COUNT(DISTINCT user_id) AS exact_users
+      |  FROM events GROUP BY 1)
+      |SELECT strftime(win_t, '%Y-%m-%d %H:00') AS win,
+      |  CAST(exact_users AS BIGINT) AS exact_users,
+      |  CAST(exact_users - greatest(CAST(ceil(exact_users * 0.06) AS BIGINT), 3) AS BIGINT) AS lo,
+      |  CAST(exact_users + greatest(CAST(ceil(exact_users * 0.06) AS BIGINT), 3) AS BIGINT) AS hi,
+      |  TRUE AS within_bounds
+      |FROM w ORDER BY win""".stripMargin) { (s, dir) =>
+    val src = eventsStreamSplitWithSentinels(s, dir).withWatermark("ts", "1 second")
+    val streamed = runToMemory(StreamingOps.distinctMonitorStream(src),
+      OutputMode.Append())
+    val exact = Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"))
+      .agg(countDistinct("user_id").as("exact_users"))
+    // corridor: ±max(6%, 3) — Spark's HLL++ is DENSE-only (no sparse
+    // small-range mode), so tiny per-window counts carry a few units
+    // of absolute noise a pure relative bound would flag spuriously
+    val slack = greatest(ceil(col("exact_users") * 0.06).cast("long"), lit(3L))
+    streamed.join(exact, "win_start")
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:00").as("win"),
+        col("exact_users"),
+        (col("exact_users") - slack).as("lo"),
+        (col("exact_users") + slack).as("hi"),
+        (col("approx_users") >= col("exact_users") - slack &&
+          col("approx_users") <= col("exact_users") + slack).as("within_bounds"))
+      .orderBy("win")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
-      qStreamSessionWindow, qStreamChained, qStreamAvailableNow)
+      qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct)
     .map(_.copy(bench = false))
 }

@@ -69,6 +69,21 @@ object StreamingOps {
       .select(col("dw.start").as("day_start"), col("event_type"),
         col("total"), col("max_hourly"), col("active_hours"))
 
+  /** E49 — streaming distinct-cardinality monitor: per tumbling
+    * event-time window, the approximate distinct-user count
+    * (HLL++ partials held in the state store and MERGED across
+    * micro-batches — the sketch form of streaming aggregation state),
+    * emitted once the watermark closes the window. Exact
+    * COUNT(DISTINCT) is unsupported in streaming precisely because
+    * its state is unbounded; the sketch is the scale answer, and the
+    * gate pins it inside its error contract against the exact batch
+    * count (the q_approx_distinct pattern).
+    */
+  def distinctMonitorStream(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("w.start").as("win_start"), col("approx_users"))
+
   final case class SessionEvent(user_id: Long, ts_us: Long)
   final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
