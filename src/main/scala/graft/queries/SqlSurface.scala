@@ -780,10 +780,36 @@ object SqlSurface {
       .orderBy("doc_id")
   }
 
+  /** C55 — schema-drift UNION (unionByName + allowMissingColumns):
+    * two vintages of a feed — one carrying `lang`, the other
+    * `n_chars` — union BY NAME with null fill for each side's missing
+    * column, the in-plan sibling of the C46 storage-level
+    * schema-evolution read (there the files differ; here the
+    * DataFrames do). Positional UNION would silently misalign or
+    * reject; by-name + null-fill is the ingest-hardening contract.
+    */
+  val qUnionByName: GateQuery = GateQuery(
+    "q_union_by_name",
+    """SELECT doc_id, 'v1' AS src, lang, CAST(NULL AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, 'v2', CAST(NULL AS VARCHAR), n_chars
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id, src""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), lit("v1").as("src"), col("lang"))
+    val v2 = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), lit("v2").as("src"), col("n_chars").cast("long").as("n_chars"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select("doc_id", "src", "lang", "n_chars")
+      .orderBy("doc_id", "src")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
     qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qSchemaEvolution, qRecursiveCte, qVariant, qPipeSql,
-    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType)
+    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qUnionByName)
 }

@@ -873,6 +873,56 @@ object StreamingGates {
       .orderBy("event_id")
   }
 
+  /** E50 — partitioned exactly-once streaming file sink: two staged
+    * micro-batches land under `event_type=.../` directories with a
+    * restart between them; the committed table read back WITH
+    * partition values must hash-match the batch oracle (a dropped
+    * partition directory, a row landed under the wrong value, or a
+    * replayed batch all break it), and the partition layout is
+    * asserted structurally.
+    */
+  val qStreamSinkPartitioned: GateQuery = GateQuery(
+    "q_stream_sink_partitioned",
+    """SELECT event_id, user_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(12,2)) * 5 AS DOUBLE) AS value5
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val evs = Tables(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_psink")
+    val srcDir = work.resolve("src").toString
+    evs.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    evs.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    def stage(b: String, i: Int): Unit = {
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val out = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val q = StreamingOps.sinkPartitioned(
+        s.readStream.schema(evs.schema).parquet(staged.toString)
+          .withColumn("value5", (col("value").cast(D) * 5).cast("double"))
+          .drop("value"),
+        out, ckpt, partCol = "event_type")
+      drainAndUnload(q)
+    }
+    stage("b1", 0); runOnce()
+    stage("b2", 1); runOnce() // restart resumes after committed batch 1
+    // layout really is partitioned: every event type has its directory
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_type=")).sorted
+    require(dirs.length >= 3, s"partitioned layout missing: ${dirs.mkString(",")}")
+    s.read.parquet(out)
+      .select("event_id", "user_id", "event_type", "value5")
+      .orderBy("event_id")
+  }
+
   /** E17 — stream-stream LEFT OUTER interval join, really run: clicks
     * with no preceding error emit null-padded once both watermarks
     * pass (sentinel-flushed, see eventsStreamWithSentinels). Oracle =
@@ -1436,6 +1486,6 @@ object StreamingGates {
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
-      qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct)
+      qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned)
     .map(_.copy(bench = false))
 }

@@ -411,6 +411,22 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** E50 — PARTITIONED exactly-once streaming file sink: rows land
+    * under `partCol=value/` directories (the landing-zone layout
+    * every downstream batch reader partition-prunes on) with the same
+    * manifest + offset bookkeeping as [[sinkExactlyOnce]]. At 100 TB
+    * the partition column is the difference between a consumer
+    * scanning one event type's directory and scanning the firehose.
+    */
+  def sinkPartitioned(stream: DataFrame, outDir: String,
+      checkpointDir: String, partCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy(partCol)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Continuous corpus curation: every micro-batch is incrementally
     * exact-deduped against the PERSISTED corpus (batch content whose
     * hash the corpus already holds is dropped, then keep-first within
