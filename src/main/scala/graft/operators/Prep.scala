@@ -307,6 +307,49 @@ object Prep {
     * sketch) at scales where exact boundaries cost a sort — the
     * assignment projection is unchanged.
     */
+  /** D118 — deterministic span-corruption layout for denoising
+    * objectives (the T5/BART shape): per document, the token spans a
+    * denoising trainer masks out as prediction targets. Candidate
+    * span STARTS are a pure seeded md5 draw per token position
+    * (hex12 % 100 < ratePct), each start opens a `spanLen`-token
+    * span, and overlapping/adjacent spans merge into islands
+    * (gaps-and-islands over the per-doc start order) — so the emitted
+    * (doc_id, span_idx, start_tok, len) rows are THE corruption
+    * layout, replayable bit-for-bit by any engine and any re-run
+    * (augmentation that can't be replayed can't be debugged or
+    * deduplicated against itself).
+    *
+    * Scale shape: draw + explode are in-row; the island merge is a
+    * window PARTITIONED BY doc (never corpus-wide) over
+    * candidate-start rows (≈ ratePct% of tokens). All integer/md5
+    * arithmetic.
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      ratePct: Int, spanLen: Int, seed: Long): DataFrame = {
+    require(ratePct > 0 && ratePct <= 100, s"invalid ratePct $ratePct")
+    require(spanLen >= 1, s"invalid spanLen $spanLen")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val base = docs.select(col(idCol).as("doc_id"), size(toks).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 1)
+    val draw = (i: Column) => conv(substring(md5(concat_ws(":",
+        lit(seed).cast("string"), col("doc_id").cast("string"), i.cast("string"))
+      .cast("binary")), 1, 12), 16, 10).cast("long") % 100
+    val cand = base.select(col("doc_id"), col("n_tok"),
+        explode(filter(sequence(lit(0L), col("n_tok") - 1),
+          i => draw(i) < ratePct)).as("s"))
+      .withColumn("e", least(col("s") + spanLen, col("n_tok")))
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val isl = cand
+      .withColumn("__pmax", max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("s") > coalesce(col("__pmax"), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy("doc_id", "n_tok", "island")
+      .agg(min("s").as("start_tok"), (max("e") - min("s")).as("len"))
+      .select(col("doc_id"), col("n_tok"), (col("island") - 1).as("span_idx"),
+        col("start_tok"), col("len"))
+  }
+
   def quantileBuckets(docs: DataFrame, idCol: String, valueCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"invalid bucket count $nBuckets")

@@ -2813,6 +2813,43 @@ object Pipeline {
       .orderBy("shard", "win", "doc_id")
   }
 
+  /** D118 — deterministic span-corruption layout (T5/BART denoising
+    * targets): seeded md5 draw opens 7-token spans at ~15% of
+    * positions, overlaps merge into islands. The oracle replays the
+    * draw, the span arithmetic, and the gaps-and-islands merge — a
+    * drifted draw string, an off-by-one span end, or an island split
+    * at the wrong gap all break the hash.
+    */
+  val qSpanCorruption: GateQuery = GateQuery(
+    "q_span_corruption",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      |c AS (
+      |  SELECT doc_id, n, CAST(s.i AS BIGINT) AS s,
+      |    least(CAST(s.i AS BIGINT) + 7, n) AS e
+      |  FROM t, LATERAL unnest(generate_series(0, n - 1)) s(i)
+      |  WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 12))::BIGINT % 100 < 15),
+      |m AS (
+      |  SELECT doc_id, n, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM c),
+      |isl AS (
+      |  SELECT doc_id, n, s, e,
+      |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m)
+      |SELECT doc_id, n AS n_tok, CAST(island - 1 AS BIGINT) AS span_idx,
+      |  CAST(MIN(s) AS BIGINT) AS start_tok,
+      |  CAST(MAX(e) - MIN(s) AS BIGINT) AS len
+      |FROM isl GROUP BY doc_id, n, island
+      |ORDER BY doc_id, span_idx""".stripMargin) { (s, dir) =>
+    graft.operators.Prep.spanCorruption(Tables(s, dir, "documents"),
+        "doc_id", "text", ratePct = 15, spanLen = 7, seed = 42L)
+      .orderBy("doc_id", "span_idx")
+  }
+
   /** D16+ — the FULL curation DAG as one gate: exact dedup →
     * decontamination (bench = doc_id % 97 == 0) → quality gate →
     * domain mixture → sequence packing of the copies. The oracle
@@ -4224,7 +4261,7 @@ object Pipeline {
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
-    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qDedupIncremental,
+    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qCdcChunks, qDedupSpansRemove, qWinnow, qSeedClassify,

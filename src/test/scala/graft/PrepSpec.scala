@@ -191,4 +191,33 @@ class PrepSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("spanCorruption: spans in bounds, islands disjoint with real gaps, replayable") {
+    val docs = (1L to 40L)
+      .map(i => (i, (1 to 60).map(k => s"w$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Prep.spanCorruption(docs, "doc_id", "text",
+        ratePct = 20, spanLen = 5, seed = 7L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty)
+    // every span inside its doc, positive length
+    assert(spans.forall { case (_, n, _, s, l) => s >= 0 && l >= 1 && s + l <= n })
+    // per doc: ordered span_idx from 0, spans strictly disjoint with
+    // a gap (adjacent/overlapping candidates must have merged)
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val ordered = ss.sortBy(_._3)
+      assert(ordered.map(_._3) === ordered.indices.map(_.toLong))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 > a._4 + a._5,
+          s"islands touch: $a then $b — should have merged")
+        case _ => ()
+      }
+    }
+    // pure function of (data, params): identical on a reshuffled input
+    val again = Prep.spanCorruption(docs.repartition(7), "doc_id", "text", 20, 5, 7L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(t => (t._1, t._3)) === spans.sortBy(t => (t._1, t._3)))
+  }
 }
