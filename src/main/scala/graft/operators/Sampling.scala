@@ -223,6 +223,30 @@ object Sampling {
     * corpus, corpus size ships as a broadcast one-row aggregate, not
     * a driver scalar.
     */
+  /** D119 — stratified k-FOLD assignment (cross-validation / balanced
+    * eval splits): within each stratum, docs rank by a seeded md5
+    * shuffle key (id tiebreak) and fold = (rank−1) mod k — so fold
+    * sizes are EXACTLY balanced within every stratum (±1), which the
+    * percentage-hash split (`Prep.splitAssign`) cannot guarantee for
+    * small strata. Pure function of (data, k, seed): any engine
+    * replays the assignment row-exactly.
+    *
+    * Scale shape: one window PARTITIONED BY stratum (strata are the
+    * parallel unit — never a corpus-wide order); skew bound is the
+    * largest stratum, the same bound any per-stratum statistic
+    * already carries.
+    */
+  def stratifiedKFold(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 2, s"invalid fold count $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("__key"), col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("__key", Prep.shuffleKey(col(idCol), seed))
+      .withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+      .drop("__key")
+  }
+
   def negativeSample(docs: DataFrame, idCol: String, k: Int,
       seed: Long): DataFrame = {
     require(k >= 1, s"invalid k $k")

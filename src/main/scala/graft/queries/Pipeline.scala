@@ -2238,6 +2238,25 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D119 — stratified k-fold assignment (k=5 over lang strata): the
+    * oracle replays the seeded md5 rank and the mod-k fold rule, so a
+    * drifted shuffle key, a wrong tiebreak, or an off-by-one in the
+    * rank base reassigns folds and breaks the hash. Exact per-stratum
+    * balance (±1) is implied by the construction the hash pins.
+    */
+  val qKFold: GateQuery = GateQuery(
+    "q_kfold",
+    """SELECT doc_id, lang,
+      |  CAST((ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY md5('11:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS INT) AS fold
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.stratifiedKFold(Tables(s, dir, "documents"), "doc_id", "lang",
+        k = 5, seed = 11L)
+      .select("doc_id", "lang", "fold")
+      .orderBy("doc_id")
+  }
+
   /** D30 — context-window chunking (window 32, stride 24): the
     * long-document → training-window explode, a pure projection (no
     * shuffle). first/last tokens pin CONTENT alignment — the oracle
@@ -4261,7 +4280,7 @@ object Pipeline {
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
-    qDecontaminate, qSplitContamination, qStratifiedSample, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
+    qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qCdcChunks, qDedupSpansRemove, qWinnow, qSeedClassify,
