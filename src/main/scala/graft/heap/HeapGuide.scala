@@ -55,6 +55,7 @@ object HeapGuide {
       |an.referrerStats.foreach(_.show())     // who shares an object (in-degree census)
       |an.ownershipCollapse().foreach(_.show()) // unique-owner chains collapsed
       |an.retainedSize().foreach(_.show())    // dominator-approximate retained bytes
+      |an.retainedMatrix().foreach(_.show())  // retained bytes by (root type, owned type)
       |an.rootReachability().foreach(_.show()) // hop distance from GC roots per type
       |an.rootPathExemplars().foreach(_.show()) // concrete root→object exemplar paths
       |```
