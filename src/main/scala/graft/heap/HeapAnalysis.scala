@@ -1041,6 +1041,40 @@ final class HeapAnalysis(t: HeapTables) {
         coalesce(max("dist").cast("long"), lit(-1L)).as("max_dist"))
   }
 
+  /** B31 — per-root-KIND reachable census: for each GC-root kind
+    * (JNI global, sticky class, thread object, Java frame, …), the
+    * objects and shallow bytes reachable within `maxHops` from THAT
+    * kind's roots — "how much memory is pinned via JNI vs threads vs
+    * classes", the attribution that says which retention CHANNEL to
+    * investigate before any per-type drilldown. Labeled frontier BFS:
+    * the frontier key is (root_kind, obj), so one pass answers every
+    * kind at once; per-kind totals overlap by design (an object
+    * reachable from two kinds counts in both — attribution, not
+    * partition). Same bounded-hop contract as B23.
+    */
+  def rootKindReachability(maxHops: Int = 8): Option[DataFrame] = for {
+    edges <- refEdges
+    roots <- t.system("_gc_roots")
+    sizes <- perObjectShallowSizes
+  } yield {
+    val ref = edges.select("src", "dst").distinct().localCheckpoint()
+    var reach = roots.select(col("root_type"), col("obj_id")).distinct()
+      .localCheckpoint()
+    var frontier = reach
+    for (_ <- 1 to maxHops) {
+      val nxt = frontier.join(ref, frontier("obj_id") === ref("src"))
+        .select(col("root_type"), col("dst").as("obj_id")).distinct()
+        .join(reach, Seq("root_type", "obj_id"), "left_anti")
+        .localCheckpoint()
+      reach = reach.unionByName(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    reach.join(sizes, Seq("obj_id"), "left")
+      .groupBy("root_type")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(coalesce(col("bytes"), lit(0L))).as("reached_bytes"))
+  }
+
   /** B24 — exemplar shortest PATH to a GC root, per type: B23 answers
     * "how far from a root"; the question an investigation acts on is
     * "held alive through WHAT" — the concrete root→…→object chain

@@ -1091,18 +1091,43 @@ object Heap {
     * — the B29 retained-growth oracle runs it once per dump side as a
     * nested WITH subquery.
     */
-  private def retainedCtesFor(exportDir: String, refEdgeSql: String): String = {
-    val rounds = retainedRounds
-    def chaseSql(prefix: String, own: String) = (1 until rounds).map { k =>
-      s"""$prefix$k AS (SELECT q.o, COALESCE(w.p, q.r) AS r
-         |       FROM $prefix${k - 1} q LEFT JOIN $own w ON w.o = q.r)""".stripMargin
-    }.mkString(",\n")
+  /** The pw/arr/cs/inst/sz CTE block: per-object shallow bytes from
+    * the export, shared by the retained replays and the root-kind
+    * census. Requires an `oi` (obj_id, type_name) CTE upstream.
+    */
+  private def sizeCtesFor(exportDir: String): String = {
     val primWidths = Seq(("boolean", 1), ("byte", 1), ("char", 2), ("short", 2),
       ("int", 4), ("float", 4), ("long", 8), ("double", 8))
     val pwSql = primWidths.map { case (pt, w) =>
       s"""  SELECT obj_id, CAST(16 + len("values") * $w AS BIGINT) AS bytes
          |  FROM read_parquet('$exportDir/_primitive_arrays_$pt/*.parquet')""".stripMargin
     }.mkString("\n  UNION ALL\n")
+    s"""pw AS (
+         |$pwSql),
+         |arr AS (
+         |  SELECT obj_id, bytes FROM pw
+         |  UNION ALL
+         |  SELECT obj_id, CAST(16 + len(elements) * 4 AS BIGINT) AS bytes
+         |  FROM read_parquet('$exportDir/_object_arrays/*.parquet')),
+         |cs AS (SELECT class_name AS type_name,
+         |         CAST(16 + SUM(CASE WHEN field_type IN ('boolean','byte') THEN 1
+         |                            WHEN field_type IN ('char','short') THEN 2
+         |                            WHEN field_type IN ('long','double') THEN 8
+         |                            ELSE 4 END) AS BIGINT) AS bytes
+         |       FROM read_parquet('$exportDir/_fields/*.parquet')
+         |       GROUP BY class_name),
+         |inst AS (SELECT oi.obj_id, CAST(COALESCE(cs.bytes, 16) AS BIGINT) AS bytes
+         |         FROM oi LEFT JOIN cs ON cs.type_name = oi.type_name
+         |         WHERE oi.obj_id NOT IN (SELECT obj_id FROM arr)),
+         |sz AS (SELECT obj_id, bytes FROM inst UNION ALL SELECT obj_id, bytes FROM arr)""".stripMargin
+  }
+
+  private def retainedCtesFor(exportDir: String, refEdgeSql: String): String = {
+    val rounds = retainedRounds
+    def chaseSql(prefix: String, own: String) = (1 until rounds).map { k =>
+      s"""$prefix$k AS (SELECT q.o, COALESCE(w.p, q.r) AS r
+         |       FROM $prefix${k - 1} q LEFT JOIN $own w ON w.o = q.r)""".stripMargin
+    }.mkString(",\n")
     s"""$refEdgeSql,
          |ed AS (SELECT DISTINCT src, dst FROM e),
          |dg AS (SELECT dst, COUNT(*) AS deg, MIN(src) AS only_src FROM ed GROUP BY dst),
@@ -1122,24 +1147,7 @@ object Heap {
          |p0 AS (SELECT oi.obj_id AS o, COALESCE(w.p, oi.obj_id) AS r
          |       FROM oi LEFT JOIN own2 w ON w.o = oi.obj_id),
          |${chaseSql("p", "own2")},
-         |pw AS (
-         |$pwSql),
-         |arr AS (
-         |  SELECT obj_id, bytes FROM pw
-         |  UNION ALL
-         |  SELECT obj_id, CAST(16 + len(elements) * 4 AS BIGINT) AS bytes
-         |  FROM read_parquet('$exportDir/_object_arrays/*.parquet')),
-         |cs AS (SELECT class_name AS type_name,
-         |         CAST(16 + SUM(CASE WHEN field_type IN ('boolean','byte') THEN 1
-         |                            WHEN field_type IN ('char','short') THEN 2
-         |                            WHEN field_type IN ('long','double') THEN 8
-         |                            ELSE 4 END) AS BIGINT) AS bytes
-         |       FROM read_parquet('$exportDir/_fields/*.parquet')
-         |       GROUP BY class_name),
-         |inst AS (SELECT oi.obj_id, CAST(COALESCE(cs.bytes, 16) AS BIGINT) AS bytes
-         |         FROM oi LEFT JOIN cs ON cs.type_name = oi.type_name
-         |         WHERE oi.obj_id NOT IN (SELECT obj_id FROM arr)),
-         |sz AS (SELECT obj_id, bytes FROM inst UNION ALL SELECT obj_id, bytes FROM arr),
+         |${sizeCtesFor(exportDir)},
          |rt AS (SELECT f.r AS root, COUNT(*) AS owned, SUM(sz.bytes) AS retained
          |       FROM p${rounds - 1} f JOIN sz ON sz.obj_id = f.o GROUP BY f.r)""".stripMargin
   }
@@ -1234,6 +1242,42 @@ object Heap {
          |GROUP BY oi.type_name
          |ORDER BY oi.type_name""".stripMargin) { (s, _) =>
       analysis(s).rootReachability(hops).get.orderBy("type_name")
+    }
+  }
+
+  /** B31 — per-root-KIND reachable census: objects and shallow bytes
+    * reachable within 8 hops from each GC-root kind's seeds — which
+    * retention CHANNEL (JNI vs threads vs classes) pins how much.
+    * Oracle replays the labeled BFS as a per-kind 8-round distinct
+    * closure plus the shared size CTEs; kinds overlap by design
+    * (attribution, not partition), so a kind bleeding into another's
+    * closure or a missed seed both break the hash.
+    */
+  val qHeapRootKinds: GateQuery = {
+    val hops = 8
+    val rounds = (1 to hops).map { k =>
+      s"""r$k AS (SELECT DISTINCT rt, o FROM (
+         |  SELECT rt, o FROM r${k - 1}
+         |  UNION ALL
+         |  SELECT r${k - 1}.rt, ed.dst AS o
+         |  FROM r${k - 1} JOIN ed ON ed.src = r${k - 1}.o))""".stripMargin
+    }.mkString(",\n")
+    GateQuery(
+      "q_heap_root_kinds",
+      s"""WITH $refEdgeSql,
+         |ed AS (SELECT DISTINCT src, dst FROM e),
+         |oi AS (SELECT obj_id, type_name
+         |       FROM read_parquet('$exportDir/_object_index/*.parquet')),
+         |${sizeCtesFor(exportDir)},
+         |r0 AS (SELECT DISTINCT root_type AS rt, obj_id AS o
+         |       FROM read_parquet('$exportDir/_gc_roots/*.parquet')),
+         |$rounds
+         |SELECT rt AS root_type, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  CAST(SUM(COALESCE(sz.bytes, 0)) AS BIGINT) AS reached_bytes
+         |FROM r$hops LEFT JOIN sz ON sz.obj_id = r$hops.o
+         |GROUP BY rt
+         |ORDER BY rt""".stripMargin) { (s, _) =>
+      analysis(s).rootKindReachability(hops).get.orderBy("root_type")
     }
   }
 
@@ -1511,7 +1555,7 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapClassloaders, qHeapRefs, qHeapWaste,
-    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapRetainedMatrix, qHeapRootPath,
+    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapRetainedMatrix, qHeapRootPath, qHeapRootKinds,
     qHeapPathExemplars, qHeapDiff, qHeapRetainedDiff,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
