@@ -175,4 +175,39 @@ object Relevance {
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** D120 — retrieval-quality metrics IN-ENGINE (the eval harness a
+    * search/ANN/curation change is judged by, run where the rankings
+    * already live instead of exporting to a notebook): per query,
+    * MRR, recall@k, precision@k against a relevance truth set —
+    * integer-exact in ppm (reciprocal rank and the ratios are
+    * integer divisions), so results replay bit-for-bit across
+    * engines and reruns. Recall's denominator is the standard
+    * min(k, n_rel) cap. Queries with no relevant candidates are out
+    * of scope (metrics undefined) — evaluate over `truth`'s query
+    * set.
+    *
+    * Scale shape: one semi-join of the rank lists (≤ k rows per
+    * query) against truth pairs, two query-keyed aggregates —
+    * nothing corpus-sized moves.
+    *
+    * @param ranked (qid, cid, rk) rank lists, rk 1-based (rows past
+    *               `k` are ignored)
+    * @param truth  (qid, cid) relevance pairs
+    */
+  def retrievalMetrics(ranked: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"invalid k $k")
+    val nRel = truth.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col("rk") <= k)
+      .join(truth, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid")
+      .agg(min("rk").as("__first"), count(lit(1)).as("__hits"))
+    nRel.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits_k"),
+        coalesce(expr("1000000L div __first"), lit(0L)).as("rr_ppm"),
+        expr(s"coalesce(__hits, 0L) * 1000000L div least(CAST($k AS BIGINT), n_rel)")
+          .as("recall_ppm"),
+        expr(s"coalesce(__hits, 0L) * 1000000L div CAST($k AS BIGINT)").as("prec_ppm"))
+  }
 }

@@ -585,6 +585,51 @@ object Pipeline {
       .orderBy("qid", "rk")
   }
 
+  /** D120 — retrieval-quality metrics in-engine: per query (every
+    * 25th vector), MRR / recall@20 / precision@20 of the brute-force
+    * cosine ranking against a pseudo-class truth set (vec_id mod 10
+    * — deterministic, and dense enough that hits actually occur).
+    * All three metrics are integer ppm; the oracle replays ranking,
+    * truth, first-hit rank, and all three divisions — a ranking
+    * off-by-one or a mis-capped recall denominator breaks the hash.
+    */
+  val qRetrievalEval: GateQuery = GateQuery(
+    "q_retrieval_eval",
+    s"""WITH $embCte,
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |        ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id % 25 = 0),
+       |r AS (SELECT qid, cid,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       |      FROM p),
+       |t AS (SELECT qid, cid, rk FROM r WHERE rk <= 20),
+       |rel AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+       |        FROM n q JOIN n c
+       |          ON c.vec_id <> q.vec_id AND c.vec_id % 10 = q.vec_id % 10
+       |        WHERE q.vec_id % 25 = 0),
+       |nr AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY qid),
+       |h AS (SELECT t.qid, MIN(t.rk) AS first_rk, COUNT(*) AS hits
+       |      FROM t JOIN rel ON rel.qid = t.qid AND rel.cid = t.cid
+       |      GROUP BY t.qid)
+       |SELECT nr.qid, CAST(nr.n_rel AS BIGINT) AS n_rel,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_k,
+       |  CAST(COALESCE(CAST(1000000 // h.first_rk AS BIGINT), 0) AS BIGINT) AS rr_ppm,
+       |  CAST(COALESCE(h.hits, 0) * 1000000 // least(20, nr.n_rel) AS BIGINT) AS recall_ppm,
+       |  CAST(COALESCE(h.hits, 0) * 1000000 // 20 AS BIGINT) AS prec_ppm
+       |FROM nr LEFT JOIN h ON h.qid = nr.qid
+       |ORDER BY nr.qid""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val ranked = Similarity.knnBruteForce(emb,
+      emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 20)
+    val ids = emb.select(col("vec_id"))
+    val truth = ids.filter(col("vec_id") % 25 === 0).select(col("vec_id").as("qid"))
+      .join(ids.select(col("vec_id").as("cid")),
+        col("cid") =!= col("qid") && col("cid") % 10 === col("qid") % 10)
+    graft.operators.Relevance.retrievalMetrics(ranked, truth, k = 20)
+      .orderBy("qid")
+  }
+
   /** D93 — hard-negative mining: same exact-scan shape as
     * q_knn_bruteforce but ranked INSIDE the informative band
     * (sim < 0.3 — at this corpus each anchor's top neighbors sit
@@ -4274,7 +4319,7 @@ object Pipeline {
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
-    qNearDupEmbedding, qKnnBruteForce, qTruncRecall, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
+    qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
     qPqSearch, qPqWrite, qPqRerank, qAnnRecall, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
