@@ -1480,12 +1480,57 @@ object StreamingGates {
       .orderBy("win")
   }
 
+  /** E51 — stream-static TEMPORAL (SCD2) enrichment, really run: the
+    * dimension is the batch-derived status-run table (q_scd2's
+    * operator output — versioned validity intervals per user) and
+    * every streamed event must pick the version valid at ITS event
+    * time, open tail included. The oracle replays the SCD2 derivation
+    * AND the interval join — a boundary off-by-one (event exactly at
+    * a version change must take the NEW version) or an open-tail miss
+    * breaks the hash.
+    */
+  val qStreamTemporalEnrich: GateQuery = GateQuery(
+    "q_stream_temporal_enrich",
+    """WITH o AS (
+      |  SELECT user_id, event_type AS status, epoch_us(ts) AS t_us, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |seg AS (
+      |  SELECT user_id, status, t_us,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, CAST(grp AS BIGINT) AS version, status,
+      |    MIN(t_us) AS valid_from_us
+      |  FROM seg GROUP BY 1, 2, 3),
+      |v AS (
+      |  SELECT user_id, version, status, valid_from_us,
+      |    COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version),
+      |             -1) AS valid_to_us
+      |  FROM g)
+      |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      |  v.version AS dim_version, v.status AS dim_status
+      |FROM events e JOIN v
+      |  ON v.user_id = e.user_id AND epoch_us(e.ts) >= v.valid_from_us
+      |  AND (v.valid_to_us = -1 OR epoch_us(e.ts) < v.valid_to_us)
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val dim = graft.operators.Timeseries.scd2(Tables(s, dir, "events"),
+      "user_id", "ts", "event_type", "event_id")
+    runToMemory(
+      StreamingOps.temporalEnrichStream(eventsStream(s, dir), dim),
+      OutputMode.Append())
+      .orderBy("event_id")
+  }
+
   val all: Seq[GateQuery] = Seq(qStreamTumbling, qStreamDedup, qStreamSessionize,
       qStreamSessionizeRocksdb, qStreamEnrich, qStreamJoin, qStreamOuterJoin,
       qStreamCurate, qStreamSink, qStreamUpsert, qStreamIncrAgg, qStreamLate, qStreamSliding,
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
-      qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned)
+      qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich)
     .map(_.copy(bench = false))
 }

@@ -411,6 +411,30 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** E51 — stream-static TEMPORAL enrichment: each event picks the
+    * dimension VERSION valid at ITS event time (SCD2 validity
+    * intervals, valid_to = −1 for the open tail) — point-in-time
+    * correctness, where the plain stream-static equi-join (E12)
+    * silently applies TODAY's dimension row to yesterday's event.
+    * Stateless per micro-batch (the static side re-plans per batch,
+    * broadcast when small); the interval predicate rides the join, so
+    * no watermark or state is involved.
+    */
+  def temporalEnrichStream(stream: DataFrame, dim: DataFrame,
+      keyCol: String = "user_id"): DataFrame = {
+    val d = dim.select(col(keyCol).as("__dk"), col("version"),
+      col("status"), col("valid_from_us"), col("valid_to_us"))
+    stream
+      .withColumn("__t_us", unix_micros(col("ts")))
+      .join(d,
+        col(keyCol) === col("__dk") &&
+          col("__t_us") >= col("valid_from_us") &&
+          (col("valid_to_us") === -1L || col("__t_us") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), col(keyCol), col("__t_us").as("ts_us"),
+        col("version").as("dim_version"), col("status").as("dim_status"))
+  }
+
   /** E50 — PARTITIONED exactly-once streaming file sink: rows land
     * under `partCol=value/` directories (the landing-zone layout
     * every downstream batch reader partition-prunes on) with the same
