@@ -806,10 +806,40 @@ object SqlSurface {
       .orderBy("doc_id", "src")
   }
 
+  /** C56 — calendar INTERVAL arithmetic (the retention/billing/
+    * SLA-window family C29's extract/trunc/diff gates don't touch):
+    * day and month interval shifts with month-END CLAMPING pinned
+    * cross-engine (Jan 31 + 1 month = the last day of February in
+    * both engines — a naive days-based shift gets this wrong),
+    * quarter truncation, and date CONSTRUCTION via make_date.
+    */
+  val qIntervalArith: GateQuery = GateQuery(
+    "q_interval_arith",
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus_45d,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+      |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 2 MONTH AS DATE) AS minus_2mo,
+      |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+      |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_first
+      |FROM orders
+      |WHERE o_orderkey <= 20000
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") <= 20000)
+      .select(col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 45).as("plus_45d"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus_3mo"),
+        add_months(col("o_orderdate").cast("date"), -2).as("minus_2mo"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr_start"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .as("month_first"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
     qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qSchemaEvolution, qRecursiveCte, qVariant, qPipeSql,
-    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qUnionByName)
+    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qUnionByName, qIntervalArith)
 }
