@@ -108,6 +108,39 @@ object Similarity {
       .select("qid", "cid", "rk")
   }
 
+  /** D121 — MULTI-PROBE sign-bucket ANN (Lv et al. VLDB'07 applied to
+    * the hyperplane code): each query scans its own bucket PLUS every
+    * Hamming-1 neighbor (the buckets one sign flip away — exactly
+    * where near-boundary neighbors land), recovering most of the
+    * recall single-bucket probing loses WITHOUT adding hash tables or
+    * re-partitioning the corpus. Probe cost is (bits+1)/2^bits of the
+    * corpus instead of 1/2^bits — the standard recall/latency knob on
+    * a bucketed layout, chosen at QUERY time (the stored corpus is
+    * untouched, same write-time bucketing as the single-probe path).
+    * Each (query, candidate) pair arises from exactly one probe (a
+    * candidate has one bucket), so no dedup step is needed.
+    */
+  def knnLshMultiProbe(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .withColumn("probe", signBucket(col("cv"), bits))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("bucket", signBucket(col("qv"), bits))
+      .withColumn("probe", explode(array(
+        (Seq(col("bucket")) ++
+          (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1 << i)))): _*)))
+      .drop("bucket")
+    val scored = c.join(broadcast(q), Seq("probe"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "rk")
+  }
+
   /** D7+ — IVF ANN with LEARNED centroids: KMeans coarse-quantizes the
     * corpus into `nLists` cells; each query probes its `nProbe`
     * nearest cells and exact-scores only those members. The cell

@@ -677,6 +677,38 @@ object Pipeline {
     }
   }
 
+  /** D121 — MULTI-PROBE sign-bucket ANN: the query scans its bucket
+    * plus every Hamming-1 neighbor (one sign flip — where
+    * near-boundary neighbors land), the query-time recall/latency
+    * knob on an untouched bucketed layout. Full replay: the oracle
+    * restates the probe set as xor(bucket_q, bucket_c) ∈ {0,1,2,4,8}
+    * — a probe missed or an extra bucket scanned changes the
+    * candidate set and breaks the hash.
+    */
+  val qKnnMultiProbe: GateQuery = {
+    val bucket = (v: String) => (0 until 4).map { i =>
+      s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    GateQuery(
+      "q_knn_multiprobe",
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, nrm, ${bucket("v")} AS bucket FROM n),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+         |      FROM b q JOIN b c
+         |        ON xor(CAST(c.bucket AS BIGINT), CAST(q.bucket AS BIGINT)) IN (0, 1, 2, 4, 8)
+         |        AND c.vec_id <> q.vec_id
+         |      WHERE q.vec_id < 5),
+         |r AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM p)
+         |SELECT qid, cid, rk FROM r WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.knnLshMultiProbe(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, bits = 4)
+        .orderBy("qid", "rk")
+    }
+  }
+
   /** D7 partial probe — HASH-MATCHED via the ANN recall contract (the
     * sketch-gate move): an 8/16-probe search is approximate by design,
     * so the gate measures its recall against the exact brute-force
@@ -4319,7 +4351,7 @@ object Pipeline {
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
-    qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnIvf, qKnnIvfFull,
+    qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnMultiProbe, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
     qPqSearch, qPqWrite, qPqRerank, qAnnRecall, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
