@@ -1182,6 +1182,28 @@ object Heap {
     analysis(s).retainedTopObjects(retainedRounds, limit = 20).get
   }
 
+  /** A18 — the `_fields` layout-metadata table under a driver oracle:
+    * the engine side re-derives the table from the pass-1 index
+    * (class metadata, super-chain layout order), the oracle reads the
+    * EXPORTED parquet — so the gate pins that what the parser knows
+    * (slot order, field names, robo type tags, per-loader duplicate
+    * class ids) is exactly what the export says, through a real
+    * round-trip. The duplicate-name PluginService classes contribute
+    * two class_obj_ids with identical layouts — the per-loader split
+    * the B26 census depends on.
+    */
+  val qHeapFields: GateQuery = GateQuery(
+    "q_heap_fields",
+    s"""SELECT class_obj_id, class_name, slot_idx, field_name, field_type
+       |FROM read_parquet('$exportDir/_fields/*.parquet')
+       |ORDER BY class_obj_id, slot_idx""".stripMargin) { (s, _) =>
+    demoDir(s)
+    val hprof = s"${new java.io.File(exportDir).getParent}/demo.hprof"
+    new HeapDump(s, hprof).fieldsTable
+      .select("class_obj_id", "class_name", "slot_idx", "field_name", "field_type")
+      .orderBy("class_obj_id", "slot_idx")
+  }
+
   /** B30 — retained-attribution matrix (MAT "class histogram grouped
     * by dominator"): retained bytes by (root type, owned type) — the
     * breakdown that says WHAT a heavy root type's retained bytes are
@@ -1548,7 +1570,7 @@ object Heap {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qHeapRender,
+    qHeapRender, qHeapFields,
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
     qHeapBadPrimArrays, qHeapBoxed, qHeapCollectionSizing,
