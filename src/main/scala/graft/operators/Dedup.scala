@@ -1314,8 +1314,11 @@ object Dedup {
     * nothing — the published guarantee only covers strings of length
     * ≥ w+k−1, and an independent replayer must agree on the rule.
     */
-  def winnow(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int): DataFrame = {
+  /** The (base, selections) halves of the winnowing pass — shared by
+    * the one-shot digest report and the persisted fingerprint index.
+    */
+  private def winnowParts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): (DataFrame, DataFrame) = {
     require(k > 0, s"invalid k-gram size $k")
     require(w > 0, s"invalid window size $w")
     import org.apache.spark.sql.expressions.Window
@@ -1339,19 +1342,73 @@ object Dedup {
       .select(col("doc_id"), (-col("__pick.neg")).as("sel_start"),
         col("__pick.gh").as("gh"))
       .distinct()
+    (base.select(col("doc_id"), col("n_tok")), sel)
+  }
+
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val (base, sel) = winnowParts(docs, idCol, textCol, k, w)
     val agg = sel.groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"),
         min("sel_start").as("first_fp"), max("sel_start").as("last_fp"),
         md5(concat_ws(",",
           transform(sort_array(collect_list(struct(col("sel_start"), col("gh")))),
             x => x("gh"))).cast("binary")).as("digest"))
-    base.select(col("doc_id"), col("n_tok"))
+    base
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("first_fp"), lit(-1)).as("first_fp"),
         coalesce(col("last_fp"), lit(-1)).as("last_fp"),
         coalesce(col("digest"), lit("")).as("digest"))
+  }
+
+  /** D122 — persisted WINNOW-fingerprint index, the middle tier of
+    * the span-guard family: the corpus keeps only its SELECTED
+    * fingerprints (expected 2/(w+1) of the gram stream — ~5× fewer
+    * rows than D113's every-gram index at w=4, positions preserved
+    * unlike D115's Bloom bits), and the winnowing guarantee carries
+    * over: any shared substring of length ≥ w+k−1 still yields a
+    * common selected fingerprint, so the probe provably flags every
+    * long duplicated span at a fraction of the index size. Params
+    * (k, w) are law, exactly like the exact tier's gram size.
+    */
+  def writeWinnowIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val (_, sel) = winnowParts(corpus, idCol, textCol, k, w)
+    sel.select("gh").distinct().write.mode("errorifexists").parquet(s"$dir/fps")
+    spark.range(1)
+      .select(lit(k).as("gram_k"), lit(w).as("window_w"))
+      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+  }
+
+  /** Probe side of [[writeWinnowIndex]]: the batch's own winnow
+    * selections semi-joined against the corpus fingerprint set —
+    * per doc, how many of its fingerprints the corpus already has,
+    * where the first hit sits, and the hit fraction in ppm. A doc
+    * whose long span duplicates corpus content MUST hit (the
+    * winnowing guarantee); scattered small hits are the boilerplate
+    * signal. Probe cost: the batch's selection pass + one semi-join
+    * on the fingerprint hash.
+    */
+  def probeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = spark.read.parquet(s"$indexDir/params")
+      .select("gram_k", "window_w").head()
+    val (base, sel) = winnowParts(batch, idCol, textCol, p.getInt(0), p.getInt(1))
+    val idx = spark.read.parquet(s"$indexDir/fps")
+    val per = sel.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val hits = sel.join(idx, Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), min("sel_start").as("first_hit"))
+    base.join(per, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(expr("n_hit * 1000000L div n_fp"), lit(0L)).as("hit_ppm"),
+        coalesce(col("first_hit"), lit(-1)).as("first_hit"))
   }
 
   /** D39 — duplicated-span REMOVAL, the apply side of Lee et al. 2022

@@ -3324,6 +3324,61 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D122 — persisted winnow-fingerprint index + probe, the MIDDLE
+    * tier of the span-guard family (every-gram D113 ↔ Bloom D115):
+    * the corpus stores only SELECTED fingerprints (~2/(w+1) of the
+    * gram stream, positions preserved), and winnowing's guarantee —
+    * any shared substring ≥ w+k−1 yields a common selected
+    * fingerprint — survives the size cut. Odd docs probe the even
+    * docs' fingerprint set; the oracle replays the full selection
+    * (the q_winnow CTE), the index restriction, and the per-doc
+    * hit rollup with integer-ppm fraction.
+    */
+  val qWinnowIncr: GateQuery = GateQuery(
+    "q_winnow_incr",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(u.i AS INT) AS start, CAST(t.n - 3 AS INT) AS ng,
+      |        md5(array_to_string(toks[CAST(u.i+1 AS INT):CAST(u.i+4 AS INT)], ' ')) AS gh
+      |      FROM t, LATERAL unnest(generate_series(0, n - 4)) u(i)),
+      |p AS (SELECT doc_id, start, ng,
+      |        MIN(gh || lpad(CAST(9999 - start AS VARCHAR), 4, '0'))
+      |          OVER (PARTITION BY doc_id ORDER BY start
+      |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
+      |      FROM g),
+      |sel AS (SELECT DISTINCT doc_id,
+      |          CAST(9999 - CAST(substring(pick, 33, 4) AS INT) AS INT) AS sel_start,
+      |          substring(pick, 1, 32) AS gh
+      |        FROM p WHERE start <= ng - 4),
+      |idx AS (SELECT DISTINCT gh FROM sel WHERE doc_id % 2 = 0),
+      |per AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel
+      |        WHERE doc_id % 2 = 1 GROUP BY doc_id),
+      |h AS (SELECT s.doc_id, COUNT(*) AS n_hit, MIN(s.sel_start) AS first_hit
+      |      FROM sel s JOIN idx ON idx.gh = s.gh
+      |      WHERE s.doc_id % 2 = 1 GROUP BY s.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(per.n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(h.n_hit * 1000000 // per.n_fp, 0) AS BIGINT) AS hit_ppm,
+      |  CAST(COALESCE(h.first_hit, -1) AS INT) AS first_hit
+      |FROM t LEFT JOIN per USING (doc_id) LEFT JOIN h USING (doc_id)
+      |WHERE t.doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idx = winnowIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_winnow_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeWinnowIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 4, w = 4, out)
+      out
+    })
+    Dedup.probeWinnowIndex(s, idx, docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val winnowIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** D40 — seed-vs-corpus quality classification (the CCNet/fastText
     * filter shape): a balanced-prior token-posterior model trained on
     * the weak seed label lang='en', scored over every document as the
@@ -4360,7 +4415,7 @@ object Pipeline {
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
-    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qCdcChunks, qDedupSpansRemove, qWinnow, qSeedClassify,
+    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
