@@ -118,6 +118,23 @@ class BloomDedupSpec extends AnyFunSuite {
       s"sketch ${bytes(s"$sketchDir/bloom")} B not materially smaller than exact ${bytes(s"$exactDir/grams")} B")
   }
 
+  test("gram bloom sketch probe plan never scans the index directory") {
+    val work = java.nio.file.Files.createTempDirectory("graft_gram_bloom_plan")
+    val d = work.resolve("s").toString
+    Dedup.writeGramBloomIndex(docs.limit(60), "doc_id", "text", n = 3, d,
+      numBuckets = 4, fppPpm = 50000L)
+    val probe = Dedup.incrementalDuplicatedSpansSketch(spark, d,
+      docs.limit(20), "doc_id", "text")
+    val plan = probe.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the whole point of the sketch tier: the blooms ride a broadcast
+    // (collected at call time), so the probe PLAN reads only the
+    // batch — no scan of the persisted index, no semi-join against a
+    // corpus-scale gram table
+    assert(!plan.contains(d), s"probe plan scans the index dir:\n$plan")
+    assert(!plan.contains("LeftSemi"), s"probe plan semi-joins an index table:\n$plan")
+  }
+
   test("gram bloom sketch: build params are law (bucket layout pinned, rebuild refused)") {
     val work = java.nio.file.Files.createTempDirectory("graft_gram_bloom_spec2")
     val d = work.resolve("s").toString
