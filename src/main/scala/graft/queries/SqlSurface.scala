@@ -836,10 +836,34 @@ object SqlSurface {
       .orderBy("o_orderkey")
   }
 
+  /** C57 — explicit NULL-ordering semantics (NULLS FIRST / NULLS
+    * LAST): the engines' DEFAULTS disagree (Spark sorts nulls first
+    * ascending, DuckDB last), so any ordered output with nullable
+    * keys silently diverges unless the placement is explicit. The
+    * driver compare sorts rows, so ordering is pinned AS A VALUE:
+    * per-source ROW_NUMBERs under both explicit placements (window
+    * partitioned by source — never corpus-wide). Identical SQL text
+    * runs on both engines.
+    */
+  val qNullOrdering: GateQuery = {
+    val sql =
+      """SELECT doc_id, NULLIF(lang, 'en') AS l,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY NULLIF(lang, 'en') ASC NULLS FIRST, doc_id) AS rk_nf,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY NULLIF(lang, 'en') DESC NULLS LAST, doc_id) AS rk_nl
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    GateQuery("q_null_ordering", sql) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     qIntersect, qExcept, qExceptAll, qGroupingSets, qWindowFuncs, qStringFuncs,
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
     qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qSchemaEvolution, qRecursiveCte, qVariant, qPipeSql,
-    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qUnionByName, qIntervalArith)
+    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qUnionByName, qIntervalArith, qNullOrdering)
 }
