@@ -298,15 +298,18 @@ final class HeapDump(spark: SparkSession, path: String) {
     * order — the order `dump-objects` renders statics in, which a
     * reader of the export (the q_heap_render oracle included) cannot
     * otherwise reconstruct from an unordered parquet row set.
+    * slot_idx is APPENDED after the reference exporter's 6-column
+    * robo schema so positional readers of reference-format exports
+    * keep their column prefix (the repo's own readers are by-name).
     */
   def staticFields: DataFrame =
     index.classes.values.toSeq.sortBy(_.objId).flatMap { c =>
       c.staticFields.zipWithIndex.map { case (sf, i) =>
-        (c.objId, c.name, i, index.utf8.getOrElse(sf.nameId, "(missing utf8)"),
-          BasicType.javaName(sf.typeTag), sf.primitive, sf.refId)
+        (c.objId, c.name, index.utf8.getOrElse(sf.nameId, "(missing utf8)"),
+          BasicType.javaName(sf.typeTag), sf.primitive, sf.refId, i)
       }
-    }.toDF("class_obj_id", "class_name", "slot_idx", "field_name",
-      "field_type", "primitive_value", "ref_id")
+    }.toDF("class_obj_id", "class_name", "field_name",
+      "field_type", "primitive_value", "ref_id", "slot_idx")
 
   // -- A10: stack frames / traces -------------------------------------
   def stackFrames: DataFrame =
@@ -465,9 +468,23 @@ final class HeapDump(spark: SparkSession, path: String) {
         Future(w(staticFields, "_static_fields"))))
       // ONE pass-2 job writes everything else: the system tables
       // multiplexed from the segment scan itself, the per-class
-      // tables from the clustered shuffle fed by the same scan
-      writeRoboTablesSinglePass(outDir)
-      Await.result(metadataWrites, Duration.Inf)
+      // tables from the clustered shuffle fed by the same scan.
+      // If the scan throws, the background metadata writes must still
+      // be drained before surfacing the failure — otherwise they keep
+      // running into outDir after the caller has already seen the
+      // export fail (orphaned jobs, partially-populated directory).
+      try {
+        writeRoboTablesSinglePass(outDir)
+        Await.result(metadataWrites, Duration.Inf)
+      } catch {
+        case scanFailure: Throwable =>
+          // Await.ready (not result) so a metadata failure can't mask
+          // the scan's own exception; interrupt/timeout here is
+          // impossible with Duration.Inf outside of JVM shutdown.
+          try Await.ready(metadataWrites, Duration.Inf)
+          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          throw scanFailure
+      }
     } else {
       // driver-side tables come from the pass-1 index: no heap re-scan
       w(classHierarchy, "_class_hierarchy")

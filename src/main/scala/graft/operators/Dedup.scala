@@ -846,12 +846,68 @@ object Dedup {
     */
   def writeSignatureIndex(corpus: DataFrame, idCol: String, textCol: String,
       dir: String, shingleN: Int, numHashes: Int, numBands: Int): Unit = {
-    bandSignatures(corpus, idCol, textCol, shingleN, numHashes, numBands)
-      .write.mode("append").parquet(s"$dir/bands")
-    corpus.sparkSession.range(1)
-      .select(lit(shingleN).as("shingle_n"), lit(numHashes).as("num_hashes"),
-        lit(numBands).as("num_bands"))
-      .coalesce(1).write.mode("ignore").parquet(s"$dir/params")
+    val spark = corpus.sparkSession
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(paramsPath)) {
+      // Stored band parameters are LAW (the writeGramIndex treatment):
+      // appending signatures computed under different (shingleN,
+      // numHashes, numBands) would silently poison every later probe
+      // — band sigs from mismatched params hash-disjoint, so true
+      // near-dups stop colliding. Fail fast on mismatch; on match
+      // route through the doc-id anti-join append so repeated builds
+      // never duplicate band rows.
+      val p = spark.read.parquet(s"$dir/params")
+        .select("shingle_n", "num_hashes", "num_bands").head()
+      require(p.getInt(0) == shingleN && p.getInt(1) == numHashes &&
+        p.getInt(2) == numBands,
+        s"signature index at $dir was built with (shingleN=${p.getInt(0)}, " +
+          s"numHashes=${p.getInt(1)}, numBands=${p.getInt(2)}) but re-build " +
+          s"requested ($shingleN, $numHashes, $numBands); delete the index " +
+          "to change band parameters")
+      appendSignatureIndex(spark, dir, corpus, idCol, textCol)
+    } else {
+      // params FIRST: a crash between the two writes then leaves a
+      // params-only index, which the exists-branch repairs on the
+      // next build (the append path writes the bands dir fresh)
+      // instead of dying opaquely on a half-built bands write.
+      spark.range(1)
+        .select(lit(shingleN).as("shingle_n"), lit(numHashes).as("num_hashes"),
+          lit(numBands).as("num_bands"))
+        .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+      bandSignatures(corpus, idCol, textCol, shingleN, numHashes, numBands)
+        .write.mode("errorifexists").parquet(s"$dir/bands")
+    }
+  }
+
+  /** Extend a persisted signature index with an accepted batch's band
+    * rows at batch-sized cost: signatures are computed under the
+    * STORED params, and docs already present in the index are skipped
+    * (doc-id anti-join) so re-submitting a batch never duplicates
+    * band rows. The anti-join key is fixed-width (doc_id) against a
+    * column-pruned scan of the bands table — no signature bytes move
+    * for the existing corpus.
+    */
+  def appendSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val p = spark.read.parquet(s"$indexDir/params")
+      .select("shingle_n", "num_hashes", "num_bands").head()
+    val sigs = bandSignatures(batch, idCol, textCol,
+      p.getInt(0), p.getInt(1), p.getInt(2))
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bandsPath)) {
+      // params-only index (crash between a fresh build's two writes):
+      // this batch IS the fresh signature set
+      sigs.write.mode("errorifexists").parquet(s"$indexDir/bands")
+    } else {
+      val existing = spark.read.parquet(s"$indexDir/bands")
+        .select(col("doc_id")).distinct()
+      // materialize BEFORE writing — the append lands in the same
+      // directory the anti-join reads
+      val novel = sigs.join(existing, Seq("doc_id"), "left_anti").localCheckpoint()
+      novel.write.mode("append").parquet(s"$indexDir/bands")
+    }
   }
 
   /** Probe a NEW batch against the stored signature index: one join
@@ -1059,11 +1115,15 @@ object Dedup {
           "delete the index to change gram size")
       appendGramIndex(spark, dir, corpus, idCol, textCol)
     } else {
-      val (_, grams) = tokenGrams(corpus, idCol, textCol, n)
-      grams.select("gh").distinct().write.mode("errorifexists").parquet(s"$dir/grams")
+      // params FIRST: a crash between the two writes then leaves a
+      // params-only index, which the exists-branch repairs on the
+      // next build (appendGramIndex writes the grams dir fresh)
+      // instead of dying opaquely on a half-built grams write.
       spark.range(1)
         .select(lit(n).as("gram_n"))
         .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+      val (_, grams) = tokenGrams(corpus, idCol, textCol, n)
+      grams.select("gh").distinct().write.mode("errorifexists").parquet(s"$dir/grams")
     }
   }
 
@@ -1079,6 +1139,14 @@ object Dedup {
       indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
     val n = spark.read.parquet(s"$indexDir/params").head().getInt(0)
     val (_, grams) = tokenGrams(batch, idCol, textCol, n)
+    val gramsPath = new org.apache.hadoop.fs.Path(s"$indexDir/grams")
+    val fs = gramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(gramsPath)) {
+      // params-only index (crash between a fresh build's two writes):
+      // this batch IS the fresh gram set
+      grams.select("gh").distinct().write.mode("errorifexists").parquet(s"$indexDir/grams")
+      return
+    }
     val idx = spark.read.parquet(s"$indexDir/grams")
     // materialize BEFORE writing — the append lands in the same
     // directory the anti-join reads; lazy evaluation would scan files
@@ -1115,33 +1183,166 @@ object Dedup {
     require(numBuckets > 0, s"invalid numBuckets $numBuckets")
     require(fppPpm > 0 && fppPpm < 1000000L, s"invalid fppPpm $fppPpm")
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val (_, grams) = tokenGrams(corpus, idCol, textCol, n)
-    val g = grams
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(paramsPath)) {
+      // Stored sketch parameters are LAW: a bloom folded under a
+      // different gram size never matches probe hashes, and a
+      // different bucket count scatters hashes to the wrong filters —
+      // both are silent false-negative factories, the one failure
+      // mode the tier promises away. Fail fast on mismatch; on match
+      // route through the OR-merge append.
+      val p = spark.read.parquet(s"$dir/params")
+        .select("gram_n", "num_buckets", "fpp_ppm").head()
+      require(p.getInt(0) == n && p.getInt(1) == numBuckets &&
+        p.getLong(2) == fppPpm,
+        s"bloom index at $dir was built with (n=${p.getInt(0)}, " +
+          s"buckets=${p.getInt(1)}, fppPpm=${p.getLong(2)}) but re-build " +
+          s"requested ($n, $numBuckets, $fppPpm); delete the index to change them")
+      appendGramBloomIndex(spark, dir, corpus, idCol, textCol)
+    } else {
+      // params FIRST: a crash between the two writes leaves a
+      // params-only index the append path repairs (batch becomes the
+      // fresh fold) instead of an opaque already-exists failure.
+      spark.range(1)
+        .select(lit(n).as("gram_n"), lit(numBuckets).as("num_buckets"),
+          lit(fppPpm).as("fpp_ppm"))
+        .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+      bloomRows(bucketedGramHashes(corpus, idCol, textCol, n, numBuckets),
+          fppPpm, Map.empty)
+        .write.mode("errorifexists").parquet(s"$dir/bloom")
+    }
+  }
+
+  /** Distinct 60-bit gram-hash prefixes, bucketed — the shared input
+    * shape of the bloom build and append folds.
+    */
+  private def bucketedGramHashes(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, numBuckets: Int): DataFrame = {
+    val (_, grams) = tokenGrams(docs, idCol, textCol, n)
+    grams
       .select(conv(substring(col("gh"), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
       .withColumn("bucket", pmod(col("h"), lit(numBuckets.toLong)).cast("int"))
-      .localCheckpoint() // consumed by the count pass AND the fold pass
-    val counts = g.groupBy("bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-bucket bloom fold. With an empty `seed` this is the fresh
+    * build (each filter sized from ITS bucket's pass-1 count); with a
+    * seed it is the APPEND merge — novel hashes are `putLong`-ed into
+    * the DESERIALIZED seed filter, which is exactly an OR-merge at
+    * the seed's fixed bit size and hash count (valid because insert
+    * only sets bits: no false negative can appear, and the effective
+    * fpp degrades gracefully as the bucket outgrows its build-time
+    * sizing). `n_grams` after an append is seed + might-contain-novel
+    * count — a LOWER bound on true distinct grams (an fpp-fraction of
+    * genuinely novel grams read as already present), good enough for
+    * its one job: observing bucket growth vs build-time sizing.
+    */
+  private def bloomRows(g: DataFrame, fppPpm: Long,
+      seed: Map[Int, (Long, Array[Byte])]): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    val gg = g.localCheckpoint() // consumed by the count pass AND the fold pass
+    val counts = gg.groupBy("bucket").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bcCounts = spark.sparkContext.broadcast(counts)
+    val bcSeed = spark.sparkContext.broadcast(seed)
     val fpp = fppPpm / 1e6
-    val blooms = g.select("bucket", "h").as[(Int, Long)]
+    gg.select("bucket", "h").as[(Int, Long)]
       .groupByKey(_._1)
       .mapGroups { (b, it) =>
-        val bf = org.apache.spark.util.sketch.BloomFilter.create(
-          math.max(bcCounts.value.getOrElse(b, 1L), 1L), fpp)
-        it.foreach { case (_, h) => bf.putLong(h) }
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        (b, bcCounts.value.getOrElse(b, 0L), bos.toByteArray)
+        def serialize(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        bcSeed.value.get(b) match {
+          case Some((seedCount, bytes)) =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            var novel = 0L
+            it.foreach { case (_, h) =>
+              if (!bf.mightContainLong(h)) novel += 1
+              bf.putLong(h)
+            }
+            (b, seedCount + novel, serialize(bf))
+          case None =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.create(
+              math.max(bcCounts.value.getOrElse(b, 1L), 1L), fpp)
+            it.foreach { case (_, h) => bf.putLong(h) }
+            (b, bcCounts.value.getOrElse(b, 0L), serialize(bf))
+        }
       }
       .toDF("bucket", "n_grams", "bloom")
-    blooms.write.mode("errorifexists").parquet(s"$dir/bloom")
-    spark.range(1)
-      .select(lit(n).as("gram_n"), lit(numBuckets).as("num_buckets"),
-        lit(fppPpm).as("fpp_ppm"))
-      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+  }
+
+  /** Finish (or discard) a bloom publish a previous append died
+    * inside: a COMPLETE staging dir (Spark's _SUCCESS marker) is
+    * republished — rename is the commit point, same two-guarantee
+    * `FileSystem` contract as the MERGE protocol; an incomplete one
+    * is dropped. Idempotent, called before every read and append.
+    */
+  private def recoverBloomPublish(fs: org.apache.hadoop.fs.FileSystem,
+      bloomP: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(staging)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+        if (fs.exists(bloomP)) fs.delete(bloomP, true)
+        require(fs.rename(staging, bloomP),
+          s"bloom publish rename $staging -> $bloomP failed")
+      } else {
+        fs.delete(staging, true)
+      }
+    }
+  }
+
+  /** APPEND path of the sketch tier (the steady-state maintenance the
+    * guard family exists for): the batch's distinct gram hashes are
+    * folded into the DESERIALIZED per-bucket filters — an OR-merge,
+    * valid at the seed's fixed size and hash count, so corpus growth
+    * costs one batch-sized fold instead of a full rebuild. Buckets
+    * the batch doesn't touch keep their stored rows verbatim. The new
+    * bucket table is staged beside the live one and swapped in by
+    * atomic rename (recovery: [[recoverBloomPublish]]), and the
+    * per-dir loaded-broadcast cache is invalidated so the next probe
+    * sees the merged sketch.
+    */
+  def appendGramBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val p = spark.read.parquet(s"$indexDir/params")
+      .select("gram_n", "num_buckets", "fpp_ppm").head()
+    val (n, numBuckets, fppPpm) = (p.getInt(0), p.getInt(1), p.getLong(2))
+    val bloomP = new org.apache.hadoop.fs.Path(s"$indexDir/bloom")
+    val staging = new org.apache.hadoop.fs.Path(s"$indexDir/bloom__staging")
+    val fs = bloomP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverBloomPublish(fs, bloomP, staging)
+    val g = bucketedGramHashes(batch, idCol, textCol, n, numBuckets)
+    if (!fs.exists(bloomP)) {
+      // params-only index (crash between a fresh build's two writes):
+      // this batch IS the fresh corpus fold
+      bloomRows(g, fppPpm, Map.empty)
+        .write.mode("errorifexists").parquet(bloomP.toString)
+    } else {
+      val seedRows = spark.read.parquet(bloomP.toString).collect()
+      val seed = seedRows.map(r =>
+        r.getInt(0) -> (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+      val merged = bloomRows(g, fppPpm, seed)
+      import spark.implicits._
+      val touched = g.select("bucket").distinct().as[Int].collect().toSet
+      val untouched = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          seedRows.filter(r => !touched.contains(r.getInt(0))).toSeq, 1),
+        merged.schema)
+      merged.unionByName(untouched)
+        .coalesce(1).write.mode("errorifexists").parquet(staging.toString)
+      if (fs.exists(bloomP)) fs.delete(bloomP, true)
+      require(fs.rename(staging, bloomP),
+        s"bloom publish rename $staging -> $bloomP failed")
+    }
+    // drop the cached broadcast for this dir — the next probe reloads
+    // the merged sketch; the orphaned broadcast is ContextCleaner-GC'd
+    // (not destroyed here: an in-flight probe plan may still hold it)
+    bloomBroadcastCache.remove(indexDir)
   }
 
   /** Probe side of [[writeGramBloomIndex]]: the D34 span report for a
@@ -1164,20 +1365,43 @@ object Dedup {
     spanReport(base, hits, n)
   }
 
+  /** Loaded sketch cache, one entry per index dir: (gram n, bucket
+    * count, broadcast of the deserialized per-bucket filters). The
+    * documented steady-state use is one probe per micro-batch against
+    * the same dir — without the cache each batch re-collects and
+    * re-broadcasts the whole sketch and leaves the old broadcast to
+    * the ContextCleaner's mercy. Appends invalidate their dir's entry.
+    */
+  private val bloomBroadcastCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Int, org.apache.spark.broadcast.Broadcast[
+      Map[Int, org.apache.spark.util.sketch.BloomFilter]])]()
+
+  /** Drop (and destroy) a cached sketch broadcast — for streaming
+    * callers shutting a guard down. Only call once the dir's probe
+    * plans are drained; mid-query destroy fails the query.
+    */
+  def unloadBloomIndex(indexDir: String): Unit =
+    Option(bloomBroadcastCache.remove(indexDir)).foreach(_._3.destroy())
+
   /** (gram n, per-row bloom membership udf) for a persisted sketch
-    * index — the blooms ride one broadcast, deserialized once per JVM.
+    * index — the blooms ride one broadcast, deserialized once per JVM
+    * and CACHED per index dir across calls.
     */
   private def loadBloomIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (Int, org.apache.spark.sql.expressions.UserDefinedFunction) = {
-    val p = spark.read.parquet(s"$indexDir/params")
-      .select("gram_n", "num_buckets").head()
-    val n = p.getInt(0)
-    val numBuckets = p.getInt(1)
-    val blooms = spark.read.parquet(s"$indexDir/bloom")
-      .select("bucket", "bloom").collect()
-      .map(r => r.getInt(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
-    val bc = spark.sparkContext.broadcast(blooms)
+    val (n, numBuckets, bc) = bloomBroadcastCache.computeIfAbsent(indexDir, _ => {
+      val bloomP = new org.apache.hadoop.fs.Path(s"$indexDir/bloom")
+      val fs = bloomP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverBloomPublish(fs, bloomP,
+        new org.apache.hadoop.fs.Path(s"$indexDir/bloom__staging"))
+      val p = spark.read.parquet(s"$indexDir/params")
+        .select("gram_n", "num_buckets").head()
+      val blooms = spark.read.parquet(s"$indexDir/bloom")
+        .select("bucket", "bloom").collect()
+        .map(r => r.getInt(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
+      (p.getInt(0), p.getInt(1), spark.sparkContext.broadcast(blooms))
+    })
     val mightContain = udf((h: Long) =>
       bc.value.get(java.lang.Math.floorMod(h, numBuckets.toLong).toInt)
         .exists(_.mightContainLong(h)))
@@ -1376,11 +1600,58 @@ object Dedup {
   def writeWinnowIndex(corpus: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, dir: String): Unit = {
     val spark = corpus.sparkSession
-    val (_, sel) = winnowParts(corpus, idCol, textCol, k, w)
-    sel.select("gh").distinct().write.mode("errorifexists").parquet(s"$dir/fps")
-    spark.range(1)
-      .select(lit(k).as("gram_k"), lit(w).as("window_w"))
-      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(paramsPath)) {
+      // Stored (k, w) are LAW, exactly like the exact tier's gram
+      // size: fingerprints selected under different params never
+      // collide with probe selections, so a mixed index silently
+      // voids the winnowing guarantee. Fail fast on mismatch; on
+      // match route through the anti-join append.
+      val p = spark.read.parquet(s"$dir/params")
+        .select("gram_k", "window_w").head()
+      require(p.getInt(0) == k && p.getInt(1) == w,
+        s"winnow index at $dir was built with (k=${p.getInt(0)}, w=${p.getInt(1)}) " +
+          s"but re-build requested (k=$k, w=$w); delete the index to change them")
+      appendWinnowIndex(spark, dir, corpus, idCol, textCol)
+    } else {
+      // params FIRST: a crash between the two writes leaves a
+      // params-only index the append path repairs (fps written fresh).
+      spark.range(1)
+        .select(lit(k).as("gram_k"), lit(w).as("window_w"))
+        .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+      val (_, sel) = winnowParts(corpus, idCol, textCol, k, w)
+      sel.select("gh").distinct().write.mode("errorifexists").parquet(s"$dir/fps")
+    }
+  }
+
+  /** APPEND path of the winnow middle tier — the exact tier's
+    * anti-join append verbatim, over winnowed selections instead of
+    * every gram: the batch's selected fingerprints (computed under
+    * the STORED (k, w)) land after a left-anti against the existing
+    * set, so repeated appends stay duplicate-free and steady-state
+    * corpus growth costs one batch-sized selection pass + one
+    * fixed-width anti-join, never a corpus rebuild.
+    */
+  def appendWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val p = spark.read.parquet(s"$indexDir/params")
+      .select("gram_k", "window_w").head()
+    val (_, sel) = winnowParts(batch, idCol, textCol, p.getInt(0), p.getInt(1))
+    val fpsPath = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
+    val fs = fpsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fpsPath)) {
+      // params-only index (crash between a fresh build's two writes):
+      // this batch IS the fresh fingerprint set
+      sel.select("gh").distinct().write.mode("errorifexists").parquet(s"$indexDir/fps")
+      return
+    }
+    val idx = spark.read.parquet(s"$indexDir/fps")
+    // materialize BEFORE writing — the append lands in the directory
+    // the anti-join reads
+    val novel = sel.select("gh").distinct()
+      .join(idx, Seq("gh"), "left_anti").localCheckpoint()
+    novel.write.mode("append").parquet(s"$indexDir/fps")
   }
 
   /** Probe side of [[writeWinnowIndex]]: the batch's own winnow

@@ -140,12 +140,23 @@ class BloomDedupSpec extends AnyFunSuite {
     val d = work.resolve("s").toString
     Dedup.writeGramBloomIndex(docs.limit(50), "doc_id", "text", n = 3, d,
       numBuckets = 4, fppPpm = 50000L)
-    // a second build into the same dir must fail (errorifexists), not
-    // silently mix bloom generations
-    intercept[Exception] {
-      Dedup.writeGramBloomIndex(docs.limit(50), "doc_id", "text", n = 3, d,
+    // a re-build with DIFFERENT params must refuse — a bloom folded
+    // under another gram size or bucket layout is a silent
+    // false-negative factory
+    intercept[IllegalArgumentException] {
+      Dedup.writeGramBloomIndex(docs.limit(50), "doc_id", "text", n = 4, d,
         numBuckets = 4, fppPpm = 50000L)
     }
+    intercept[IllegalArgumentException] {
+      Dedup.writeGramBloomIndex(docs.limit(50), "doc_id", "text", n = 3, d,
+        numBuckets = 8, fppPpm = 50000L)
+    }
+    // a re-build with MATCHING params routes through the OR-merge
+    // append — idempotent, still one bucket table
+    Dedup.writeGramBloomIndex(docs.limit(50), "doc_id", "text", n = 3, d,
+      numBuckets = 4, fppPpm = 50000L)
+    val buckets = spark.read.parquet(s"$d/bloom").select("bucket").collect().map(_.getInt(0))
+    assert(buckets.length === buckets.distinct.length, "duplicate bucket rows after re-build")
     // recall audit refuses mismatched gram sizes across tiers
     val exactDir = work.resolve("e").toString
     Dedup.writeGramIndex(docs.limit(50), "doc_id", "text", n = 5, exactDir)

@@ -1,0 +1,173 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Maintenance contracts of the persisted dedup indexes (D58 bands,
+  * D113 grams, D115 bloom, D122 winnow): stored params are LAW on
+  * re-build (mismatch refuses, match routes to the append path),
+  * appends compose to the from-scratch build over the union, repeated
+  * appends are idempotent, and a crash between a fresh build's
+  * params/data writes leaves a state the next build repairs instead
+  * of dying on an opaque already-exists error.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables(spark, sf, "documents").select("doc_id", "lang", "text")
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).resolve("idx").toString
+
+  // --- D58: signature (band) index ----------------------------------
+
+  test("D58 signature index: rebuild with different params refuses") {
+    val dir = tmp("sig_idx_refuse")
+    Dedup.writeSignatureIndex(docs.limit(40), "doc_id", "text", dir,
+      shingleN = 3, numHashes = 12, numBands = 4)
+    intercept[IllegalArgumentException] {
+      Dedup.writeSignatureIndex(docs.limit(40), "doc_id", "text", dir,
+        shingleN = 4, numHashes = 12, numBands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.writeSignatureIndex(docs.limit(40), "doc_id", "text", dir,
+        shingleN = 3, numHashes = 16, numBands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.writeSignatureIndex(docs.limit(40), "doc_id", "text", dir,
+        shingleN = 3, numHashes = 12, numBands = 6)
+    }
+    // params unchanged after the refusals
+    val p = spark.read.parquet(s"$dir/params").head()
+    assert((p.getInt(0), p.getInt(1), p.getInt(2)) === ((3, 12, 4)))
+  }
+
+  test("D58 signature index: matching rebuild appends, idempotently; seed+append == one-shot") {
+    val a = docs.filter(col("doc_id") % 4 === 0)
+    val b = docs.filter(col("doc_id") % 4 === 2)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    def pairs(dir: String) =
+      Dedup.incrementalNearDup(spark, dir, probe, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = tmp("sig_idx_incr")
+    Dedup.writeSignatureIndex(a, "doc_id", "text", incr, 3, 12, 4)
+    Dedup.appendSignatureIndex(spark, incr, b, "doc_id", "text")
+    val oneShot = tmp("sig_idx_oneshot")
+    Dedup.writeSignatureIndex(a.unionByName(b), "doc_id", "text", oneShot, 3, 12, 4)
+    val got = pairs(incr)
+    assert(got === pairs(oneShot))
+    assert(got.nonEmpty, "fixture produced no LSH candidates — test is vacuous")
+    // re-submitting an already-indexed batch adds nothing
+    val before = spark.read.parquet(s"$incr/bands").count()
+    Dedup.appendSignatureIndex(spark, incr, b, "doc_id", "text")
+    assert(spark.read.parquet(s"$incr/bands").count() === before)
+    // a matching RE-BUILD routes through the same append (no dup rows)
+    Dedup.writeSignatureIndex(a, "doc_id", "text", incr, 3, 12, 4)
+    assert(spark.read.parquet(s"$incr/bands").count() === before)
+  }
+
+  test("D58 signature index: params-only dir (crash residue) is repaired by the next build") {
+    val dir = tmp("sig_idx_crash")
+    Dedup.writeSignatureIndex(docs.limit(30), "doc_id", "text", dir, 3, 12, 4)
+    // simulate a crash between the params and bands writes
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(s"$dir/bands"))
+    Dedup.writeSignatureIndex(docs.limit(30), "doc_id", "text", dir, 3, 12, 4)
+    assert(spark.read.parquet(s"$dir/bands").count() > 0)
+  }
+
+  // --- D122: winnow fingerprint index --------------------------------
+
+  test("D122 winnow index: append composes to from-scratch over the union") {
+    val a = docs.filter(col("doc_id") % 4 === 0)
+    val b = docs.filter(col("doc_id") % 4 === 2)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    def report(dir: String) =
+      Dedup.probeWinnowIndex(spark, dir, probe, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("n_fp"), r.getAs[Long]("n_hit"), r.getAs[Long]("hit_ppm"),
+            r.getAs[Int]("first_hit")))).toMap
+    val incr = tmp("win_idx_incr")
+    Dedup.writeWinnowIndex(a, "doc_id", "text", k = 4, w = 3, incr)
+    Dedup.appendWinnowIndex(spark, incr, b, "doc_id", "text")
+    val oneShot = tmp("win_idx_oneshot")
+    Dedup.writeWinnowIndex(a.unionByName(b), "doc_id", "text", k = 4, w = 3, oneShot)
+    val got = report(incr)
+    assert(got === report(oneShot))
+    assert(got.values.exists(_._2 > 0L), "no probe hits — test is vacuous")
+    // idempotent re-append
+    val before = spark.read.parquet(s"$incr/fps").count()
+    Dedup.appendWinnowIndex(spark, incr, b, "doc_id", "text")
+    assert(spark.read.parquet(s"$incr/fps").count() === before)
+  }
+
+  test("D122 winnow index: rebuild params are law") {
+    val dir = tmp("win_idx_refuse")
+    Dedup.writeWinnowIndex(docs.limit(30), "doc_id", "text", k = 4, w = 3, dir)
+    intercept[IllegalArgumentException] {
+      Dedup.writeWinnowIndex(docs.limit(30), "doc_id", "text", k = 5, w = 3, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.writeWinnowIndex(docs.limit(30), "doc_id", "text", k = 4, w = 4, dir)
+    }
+    // matching rebuild = append; fingerprint set unchanged for same corpus
+    val before = spark.read.parquet(s"$dir/fps").count()
+    Dedup.writeWinnowIndex(docs.limit(30), "doc_id", "text", k = 4, w = 3, dir)
+    assert(spark.read.parquet(s"$dir/fps").count() === before)
+  }
+
+  // --- D115: bloom sketch tier ---------------------------------------
+
+  test("D115 bloom append: recall contract holds over the grown corpus, untouched buckets survive") {
+    val work = java.nio.file.Files.createTempDirectory("bloom_append")
+    val a = docs.filter(col("doc_id") % 4 === 0)
+    val b = docs.filter(col("doc_id") % 4 === 2)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    val exactDir = work.resolve("exact").toString
+    Dedup.writeGramIndex(a.unionByName(b), "doc_id", "text", n = 5, exactDir)
+    val sketchDir = work.resolve("sketch").toString
+    Dedup.writeGramBloomIndex(a, "doc_id", "text", n = 5, sketchDir,
+      numBuckets = 8, fppPpm = 10000L)
+    Dedup.appendGramBloomIndex(spark, sketchDir, b, "doc_id", "text")
+    // zero false negatives vs the EXACT index over the union: every
+    // dup-gram start from either the seed or the appended half flags
+    val audit = Dedup.sketchGuardRecallAudit(spark, exactDir, sketchDir,
+      probe, "doc_id", "text").collect()
+    assert(audit.nonEmpty)
+    assert(audit.forall(_.getAs[Long]("missed_by_sketch") == 0L),
+      "append lost seed or batch grams — false negative")
+    assert(audit.exists(_.getAs[Long]("dup_ngrams") > 0L), "no dups — vacuous")
+    // still exactly one row per bucket
+    val buckets = spark.read.parquet(s"$sketchDir/bloom")
+      .select("bucket").collect().map(_.getInt(0))
+    assert(buckets.length === buckets.distinct.length)
+  }
+
+  test("D115 bloom append: probe cache invalidates — post-append probes see the merged sketch") {
+    val work = java.nio.file.Files.createTempDirectory("bloom_cache")
+    val d = work.resolve("s").toString
+    val seedDoc = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val appendDoc = Seq((2L, "p q r s t u v w")).toDF("doc_id", "text")
+    Dedup.writeGramBloomIndex(seedDoc, "doc_id", "text", n = 3, d,
+      numBuckets = 4, fppPpm = 1000L)
+    val batch = Seq((11L, "x p q r s y")).toDF("doc_id", "text")
+    // prime the cache: batch hits nothing in the seed-only sketch
+    val preAppend = Dedup.incrementalDuplicatedSpansSketch(spark, d, batch,
+      "doc_id", "text").collect().head
+    assert(preAppend.getAs[Long]("dup_ngrams") === 0L)
+    Dedup.appendGramBloomIndex(spark, d, appendDoc, "doc_id", "text")
+    // the SAME probe now flags the appended grams — a stale cached
+    // broadcast would still read 0
+    val postAppend = Dedup.incrementalDuplicatedSpansSketch(spark, d, batch,
+      "doc_id", "text").collect().head
+    assert(postAppend.getAs[Long]("dup_ngrams") === 2L,
+      s"expected starts 1,2 to flag post-append, got $postAppend")
+    Dedup.unloadBloomIndex(d)
+  }
+}

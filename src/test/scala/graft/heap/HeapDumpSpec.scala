@@ -185,7 +185,7 @@ class HeapDumpSpec extends AnyFunSuite {
   test("static fields table") {
     val (hd, f) = fixture
     val rows = hd.staticFields.collect().map(r =>
-      (r.getString(1), r.getString(3), r.getString(4), r.getString(5), r.getLong(6)))
+      (r.getString(1), r.getString(2), r.getString(3), r.getString(4), r.getLong(5)))
     assert(rows.contains(("com.acme.Employee", "COMPANY", "object", "", 0x9999L)))
     assert(rows.contains(("com.acme.Employee", "HEADCOUNT", "int", "42", 0L)))
   }
