@@ -3379,6 +3379,119 @@ object Pipeline {
 
   private val winnowIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** D122b — APPEND path of the winnow middle tier, proven
+    * order-dependently (the D113 q_dup_spans_incr pattern): the
+    * fingerprint index is seeded from quarter-0 docs and EXTENDED
+    * with quarter-2 via `appendWinnowIndex`; the probe over odd docs
+    * must then equal a from-scratch build over ALL even docs — which
+    * is exactly what the oracle replays. A fingerprint lost or
+    * duplicated by the anti-join append shifts n_hit/hit_ppm and
+    * breaks the hash.
+    */
+  val qWinnowAppend: GateQuery = GateQuery(
+    "q_winnow_append",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(u.i AS INT) AS start, CAST(t.n - 3 AS INT) AS ng,
+      |        md5(array_to_string(toks[CAST(u.i+1 AS INT):CAST(u.i+4 AS INT)], ' ')) AS gh
+      |      FROM t, LATERAL unnest(generate_series(0, n - 4)) u(i)),
+      |p AS (SELECT doc_id, start, ng,
+      |        MIN(gh || lpad(CAST(9999 - start AS VARCHAR), 4, '0'))
+      |          OVER (PARTITION BY doc_id ORDER BY start
+      |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
+      |      FROM g),
+      |sel AS (SELECT DISTINCT doc_id,
+      |          CAST(9999 - CAST(substring(pick, 33, 4) AS INT) AS INT) AS sel_start,
+      |          substring(pick, 1, 32) AS gh
+      |        FROM p WHERE start <= ng - 4),
+      |idx AS (SELECT DISTINCT gh FROM sel WHERE doc_id % 2 = 0),
+      |per AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel
+      |        WHERE doc_id % 2 = 1 GROUP BY doc_id),
+      |h AS (SELECT s.doc_id, COUNT(*) AS n_hit, MIN(s.sel_start) AS first_hit
+      |      FROM sel s JOIN idx ON idx.gh = s.gh
+      |      WHERE s.doc_id % 2 = 1 GROUP BY s.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(per.n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(h.n_hit * 1000000 // per.n_fp, 0) AS BIGINT) AS hit_ppm,
+      |  CAST(COALESCE(h.first_hit, -1) AS INT) AS first_hit
+      |FROM t LEFT JOIN per USING (doc_id) LEFT JOIN h USING (doc_id)
+      |WHERE t.doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idx = winnowAppendIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_winnow_appidx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeWinnowIndex(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", k = 4, w = 4, out)
+      Dedup.appendWinnowIndex(s, out, docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text")
+      out
+    })
+    Dedup.probeWinnowIndex(s, idx, docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val winnowAppendIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D115b — APPEND path of the Bloom sketch tier, proven by the same
+    * recall contract as q_dup_spans_sketch: the sketch is seeded from
+    * quarter-0 docs and OR-merge-EXTENDED with quarter-2 via
+    * `appendGramBloomIndex`; odd docs then probe both the exact index
+    * (built over all evens) and the grown sketch. The oracle pins
+    * missed_by_sketch to literal zero — a dropped bucket, a lost seed
+    * bit, or a stale cached broadcast after the append all surface as
+    * a non-zero miss and break the hash.
+    */
+  val qBloomAppend: GateQuery = GateQuery(
+    "q_bloom_append",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(s.i AS INT) AS start,
+      |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+5 AS INT)], ' ')) AS gh
+      |      FROM t, LATERAL unnest(generate_series(0, n - 5)) s(i)),
+      |idx AS (SELECT DISTINCT gh FROM g WHERE doc_id % 2 = 0),
+      |ds AS (SELECT doc_id, start FROM g
+      |       WHERE doc_id % 2 = 1 AND gh IN (SELECT gh FROM idx)),
+      |agg AS (SELECT doc_id, COUNT(*) AS dup_ngrams, MIN(start) AS first_dup
+      |        FROM ds GROUP BY doc_id),
+      |cov AS (SELECT ds.doc_id, COUNT(DISTINCT ds.start + c.d) AS covered_tok
+      |        FROM ds, generate_series(0, 4) c(d)
+      |        GROUP BY ds.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(agg.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+      |  CAST(COALESCE(cov.covered_tok, 0) AS BIGINT) AS covered_tok,
+      |  CAST(COALESCE(agg.first_dup, -1) AS INT) AS first_dup,
+      |  CAST(0 AS BIGINT) AS missed_by_sketch
+      |FROM t LEFT JOIN agg USING(doc_id) LEFT JOIN cov USING(doc_id)
+      |WHERE t.doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val exactIdx = gramIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_gram_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", n = 5, out)
+      Dedup.appendGramIndex(s, out, docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text")
+      out
+    })
+    val sketchIdx = bloomAppendIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_gram_bloom_app_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeGramBloomIndex(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", n = 5, out, numBuckets = 16, fppPpm = 10000L)
+      Dedup.appendGramBloomIndex(s, out, docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text")
+      out
+    })
+    Dedup.sketchGuardRecallAudit(s, exactIdx, sketchIdx,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val bloomAppendIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** D40 — seed-vs-corpus quality classification (the CCNet/fastText
     * filter shape): a balanced-prior token-posterior model trained on
     * the weak seed label lang='en', scored over every document as the
@@ -4415,7 +4528,7 @@ object Pipeline {
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
-    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qSeedClassify,
+    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
