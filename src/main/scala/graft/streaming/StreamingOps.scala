@@ -124,11 +124,12 @@ object StreamingOps {
   final case class DriftRow(w_start_us: Long, n_events: Long, l1_ppm: Long)
 
   final case class FunnelEvent(user_id: Long, event_type: String, t_us: Long, event_id: Long)
-  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long,
+    maxTs: Long = Long.MinValue)
   final case class FunnelAdvance(user_id: Long, stage: String, t_us: Long, t_view_us: Long)
 
   final case class CusumEvent(event_id: Long, event_type: String, t_us: Long, x_micro: Long)
-  final case class CusumState(s: Long)
+  final case class CusumState(s: Long, maxTs: Long = Long.MinValue)
   final case class CusumHit(event_type: String, t_us: Long, event_id: Long,
     x_micro: Long, cusum_micro: Long)
 
@@ -179,7 +180,20 @@ object StreamingOps {
     * an in-control mean is a property of history, not of the stream.
     * Per-batch sort by (t_us, event_id) gives the same total order as
     * the batch operator; state carries S across micro-batches.
+    *
+    * The in-order-arrival contract is ENFORCED observably, not just
+    * documented: state carries the max event time seen, and a batch
+    * containing events strictly BEFORE it (a cross-batch time
+    * regression — the recursion already consumed later values, so the
+    * drained stream may diverge from the batch replay) additionally
+    * emits one counter row per (type, batch) marked `cusum_micro =
+    * -1`, with `x_micro` = late-event count and `t_us` = the earliest
+    * late timestamp. Monitors alert on the marker; in-order sources
+    * (file replay, compacted logs) never produce one, so
+    * batch-equivalence stays bit-exact there.
     */
+  val LATE_MARKER: Long = -1L
+
   def cusumStream(events: Dataset[CusumEvent], targets: Map[String, Long],
       slackMicro: Long, thresholdMicro: Long): Dataset[CusumHit] = {
     import events.sparkSession.implicits._
@@ -188,14 +202,22 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (tpe, evs, state: GroupState[CusumState]) =>
           val ref = targets.getOrElse(tpe, 0L) + slackMicro
-          var s = state.getOption.map(_.s).getOrElse(0L)
+          val st0 = state.getOption.getOrElse(CusumState(0L))
+          var s = st0.s
           val out = Seq.newBuilder[CusumHit]
-          evs.toSeq.sortBy(e => (e.t_us, e.event_id)).foreach { e =>
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.event_id))
+          val late = sorted.filter(_.t_us < st0.maxTs)
+          if (late.nonEmpty)
+            out += CusumHit(tpe, late.head.t_us, -late.size.toLong,
+              late.size.toLong, LATE_MARKER)
+          sorted.foreach { e =>
             s = math.max(0L, s + e.x_micro - ref)
             if (s > thresholdMicro)
               out += CusumHit(tpe, e.t_us, e.event_id, e.x_micro, s)
           }
-          state.update(CusumState(s))
+          val maxTs = if (sorted.isEmpty) st0.maxTs
+            else math.max(st0.maxTs, sorted.last.t_us)
+          state.update(CusumState(s, maxTs))
           out.result().iterator
       }
   }
@@ -267,6 +289,13 @@ object StreamingOps {
     * log-compacted sources satisfy this; for out-of-order transports,
     * front it with a watermark-sorted buffer stage before this
     * operator. cusumStream carries the same assumption.
+    *
+    * ENFORCED observably: state carries the user's max seen event
+    * time, and a batch holding events strictly before it emits one
+    * `stage = "late_arrival"` row per (user, batch) — `t_us` = late
+    * count, `t_view_us` = earliest late timestamp — so divergence
+    * from the batch oracle is visible in the output stream instead of
+    * silent. In-order sources never emit one.
     */
   def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
@@ -277,6 +306,11 @@ object StreamingOps {
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val sorted = evs.toSeq.sortBy(e => (e.t_us, e.event_id))
           val out = Seq.newBuilder[FunnelAdvance]
+          val late = sorted.filter(_.t_us < st.maxTs)
+          if (late.nonEmpty)
+            out += FunnelAdvance(uid, "late_arrival", late.size.toLong, late.head.t_us)
+          if (sorted.nonEmpty)
+            st = st.copy(maxTs = math.max(st.maxTs, sorted.last.t_us))
           var changed = true
           while (changed) {
             changed = false

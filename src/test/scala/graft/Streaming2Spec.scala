@@ -185,6 +185,52 @@ class Streaming2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("E39/E42 stream in-order contract: cross-batch regressions flag, in-order never does") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // cusum: batch 2 replays an event time before batch 1's max
+    val cin = MemoryStream[StreamingOps.CusumEvent]
+    val cq = StreamingOps.cusumStream(cin.toDS(), Map("t" -> 10000000L),
+        slackMicro = 1000000L, thresholdMicro = 500000000L)
+      .writeStream.format("memory").queryName("cusum_late_sink")
+      .outputMode(OutputMode.Append()).start()
+    def cev(i: Long, t: Long) = StreamingOps.CusumEvent(i, "t", t, 11000000L)
+    try {
+      cin.addData(cev(1L, 1000000L), cev(2L, 5000000L))
+      cq.processAllAvailable()
+      // in-order batch: no marker
+      cin.addData(cev(3L, 6000000L))
+      cq.processAllAvailable()
+      assert(spark.table("cusum_late_sink")
+        .filter(col("cusum_micro") === StreamingOps.LATE_MARKER).count() === 0L)
+      // two events BEFORE the max seen (6s): one marker row, count 2,
+      // earliest late ts carried
+      cin.addData(cev(4L, 2000000L), cev(5L, 3000000L), cev(6L, 7000000L))
+      cq.processAllAvailable()
+      val markers = spark.table("cusum_late_sink")
+        .filter(col("cusum_micro") === StreamingOps.LATE_MARKER).collect()
+      assert(markers.length === 1)
+      assert(markers.head.getAs[Long]("x_micro") === 2L)
+      assert(markers.head.getAs[Long]("t_us") === 2000000L)
+    } finally cq.stop()
+    // funnel: in-order feeding never emits a marker even across many batches
+    val fin = MemoryStream[StreamingOps.FunnelEvent]
+    val fq = StreamingOps.funnelStream(fin.toDS())
+      .writeStream.format("memory").queryName("funnel_late_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      fin.addData(StreamingOps.FunnelEvent(1L, "view", 1L, 1L))
+      fq.processAllAvailable()
+      fin.addData(StreamingOps.FunnelEvent(1L, "click", 2L, 2L))
+      fq.processAllAvailable()
+      fin.addData(StreamingOps.FunnelEvent(1L, "purchase", 3L, 3L))
+      fq.processAllAvailable()
+      val rows = spark.table("funnel_late_sink").collect().map(_.getString(1))
+      assert(!rows.contains("late_arrival"))
+      assert(rows.sorted.toSeq === Seq("click", "purchase", "view"))
+    } finally fq.stop()
+  }
+
   test("E41 stream: drift windows emit once on watermark close with the hand L1") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -232,13 +278,17 @@ class Streaming2Spec extends AnyFunSuite {
       input.addData(ev(1L, 3L, "click"), ev(2L, 3L, "view"))
       q.processAllAvailable()
       // purchase@2 predates t_click=3 -> must NOT advance; purchase@7 does,
-      // and carries t_view from the PREVIOUS batch's state
+      // and carries t_view from the PREVIOUS batch's state. purchase@2
+      // also arrives AFTER batch 1's max event time (3) — a cross-batch
+      // time regression, so the in-order contract emits one
+      // late_arrival marker row (count 1, earliest late ts 2).
       input.addData(ev(3L, 2L, "purchase"), ev(4L, 7L, "purchase"))
       q.processAllAvailable()
       val rows = spark.table("funnel_sink").collect()
         .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
         .sortBy(x => (x._2, x._1))
-      assert(rows.toSeq === Seq(("click", 3L, 3L), ("view", 3L, 3L), ("purchase", 7L, 3L)))
+      assert(rows.toSeq === Seq(("late_arrival", 1L, 2L),
+        ("click", 3L, 3L), ("view", 3L, 3L), ("purchase", 7L, 3L)))
     } finally q.stop()
   }
 
