@@ -18,6 +18,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec warns "No Partition Defined ... single partition" on
+    // EVERY unpartitioned window, including the five bucket-prefix
+    // combines whose input is a bucket-count-bounded aggregate by
+    // design (PlanSpec "bounded prefix windows" pins that
+    // structurally). There is no per-plan suppression, so silence the
+    // class logger here — the anti-pattern itself stays policed by
+    // the spec, not the log.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

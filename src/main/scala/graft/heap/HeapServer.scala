@@ -35,7 +35,15 @@ final class HeapServer(spark: SparkSession, port: Int) {
 
   private val sessions = new HeapSessions(spark)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // daemon worker threads: an embedding process (the q_heap_http gate,
+  // a test JVM) must be able to exit without an explicit stop(); the
+  // standalone main blocks its own non-daemon thread regardless
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => {
+      val t = new Thread(r, "heap-http")
+      t.setDaemon(true)
+      t
+    }))
 
   /** Bound port (differs from the requested one when port = 0). */
   def boundPort: Int = server.getAddress.getPort

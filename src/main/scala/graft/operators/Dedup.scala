@@ -598,6 +598,8 @@ object Dedup {
     val ranked = keyed.withColumn("__rk", row_number().over(inB))
     val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
+        // unpartitioned by design: input = one row per 1-hex-char key
+        // bucket (<=16 rows); same bounded-prefix shape PlanSpec pins
         coalesce(sum("__n").over(
           Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))

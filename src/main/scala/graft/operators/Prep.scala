@@ -38,6 +38,8 @@ object Prep {
     val ranked = keyed.withColumn("__rk", row_number().over(inBucket))
     val offsets = keyed.groupBy("__bucket").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
+        // unpartitioned by design: input = one row per 2-hex-char key
+        // bucket (<=256 rows), pinned by PlanSpec "bounded prefix windows"
         coalesce(sum("__n").over(
           Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
@@ -183,6 +185,8 @@ object Prep {
     val bucketCounts = keyed.groupBy("__sb").agg(count(lit(1)).as("__n"))
     val offsets = bucketCounts
       .withColumn("__off",
+        // unpartitioned by design: input = one row per score bucket,
+        // pinned by PlanSpec "bounded prefix windows"
         coalesce(sum("__n").over(
           Window.orderBy("__sb").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))

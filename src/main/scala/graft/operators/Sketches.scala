@@ -92,6 +92,8 @@ object Sketches {
     // running cum AND the grand total from the SAME window sort — the
     // sketch table is scanned exactly once (a separate total aggregate
     // would re-scan it per consumer)
+    // unpartitioned by design: input = one row per histogram bin
+    // (binWidth-bounded), pinned by PlanSpec "bounded prefix windows"
     val w = Window.orderBy("bin")
     val cum = merged.select(col("bin"),
       sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

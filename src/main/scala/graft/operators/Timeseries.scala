@@ -287,6 +287,8 @@ object Timeseries {
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = bucketed.groupBy("__bucket").agg(min("y").as("__bmin"))
       .withColumn("__rm_pre",
+        // unpartitioned by design: input = one row per range bucket
+        // (256 rows), pinned by PlanSpec "bounded prefix windows"
         min("__bmin").over(Window.orderBy("__bucket")
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select("__bucket", "__rm_pre")

@@ -1569,7 +1569,94 @@ object Heap {
     }
   }
 
+  private def httpPost(port: Int, path: String, body: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"$path -> HTTP ${resp.statusCode()}: ${resp.body()}")
+    resp.body()
+  }
+
+  /** A16/A17 — the serving layer driven over REAL HTTP (the reference's
+    * MCP server surface, server.py:479-537 query_heap + analyze_heap):
+    * the gate opens a session on the demo export through the wire,
+    * walks a paged `/query` (limit 64, has_more/next_offset loop — the
+    * LIMIT n+1 OFFSET pagination contract), then runs `/analyze` and
+    * parses the waste findings back out of the response JSON. The
+    * oracle re-derives BOTH sections from the exported parquet in
+    * DuckDB — the query rows with their page assignment (pinning the
+    * pagination arithmetic) and the full 13-check waste suite (the
+    * q_heap_waste oracle verbatim, as a subquery) — so a transport,
+    * JSON-encoding, session-registration, or paging bug anywhere on
+    * the wire path breaks the hash.
+    */
+  val qHeapHttp: GateQuery = GateQuery(
+    "q_heap_http",
+    s"""WITH oi AS (
+       |  SELECT obj_id, type_name,
+       |    CAST((ROW_NUMBER() OVER (ORDER BY obj_id, type_name) - 1) // 64 AS BIGINT) AS page
+       |  FROM read_parquet('$exportDir/_object_index/*.parquet'))
+       |SELECT * FROM (
+       |  SELECT 'query' AS section, type_name AS name,
+       |    CAST(obj_id AS BIGINT) AS a, page AS b, CAST(0 AS BIGINT) AS c
+       |  FROM oi
+       |  UNION ALL
+       |  SELECT 'analyze', check_name || '|' || severity, CAST(tier AS BIGINT),
+       |    CAST(affected_count AS BIGINT), CAST(estimated_waste_bytes AS BIGINT)
+       |  FROM (${qHeapWaste.oracle.get}) w)
+       |ORDER BY section, name, a""".stripMargin) { (s, _) =>
+    import s.implicits._
+    demoDir(s)
+    // per-call server lifecycle (ephemeral port, stopped in finally):
+    // HttpServer's internal dispatcher thread is non-daemon, so a
+    // JVM-cached server would keep Verify/Bench alive after main exits
+    val srv = new HeapServer(s, 0).start()
+    val port = srv.boundPort
+    def num(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalStateException(s"non-numeric cell: $other")
+    }
+    val rows = Seq.newBuilder[(String, String, Long, Long, Long)]
+    try {
+      httpPost(port, "/sessions/open",
+        s"""{"parquet_dir":${graft.Json.str(exportDir)},"session_id":"gate"}""")
+      var offset = 0L
+      var more = true
+      var page = 0L
+      while (more) {
+        val resp = httpPost(port, "/query",
+          s"""{"session_id":"gate","sql":"SELECT obj_id, type_name FROM _object_index ORDER BY obj_id, type_name","limit":64,"offset":$offset}""")
+        val m = graft.Json.parse(resp).asInstanceOf[Map[String, Any]]
+        m("rows").asInstanceOf[Vector[Any]].foreach { r =>
+          val row = r.asInstanceOf[Map[String, Any]]
+          rows += (("query", row("type_name").asInstanceOf[String],
+            num(row("obj_id")), page, 0L))
+        }
+        more = m("has_more") == true
+        offset = num(m("next_offset"))
+        page += 1
+      }
+      val aresp = httpPost(port, "/analyze",
+        """{"session_id":"gate","top_n":30,"waste":true,"max_tier":3}""")
+      val am = graft.Json.parse(aresp).asInstanceOf[Map[String, Any]]
+      am("waste_findings").asInstanceOf[Vector[Any]].foreach { f =>
+        val fm = f.asInstanceOf[Map[String, Any]]
+        rows += (("analyze",
+          fm("check_name").asInstanceOf[String] + "|" + fm("severity").asInstanceOf[String],
+          num(fm("tier")), num(fm("affected_count")), num(fm("estimated_waste_bytes"))))
+      }
+    } finally srv.stop()
+    rows.result().toDF("section", "name", "a", "b", "c")
+      .orderBy("section", "name", "a")
+  }
+
   val all: Seq[GateQuery] = Seq(
+    qHeapHttp,
     qHeapRender, qHeapFields,
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,

@@ -174,6 +174,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!pw.contains("ScalaUDF"), pw)
   }
 
+  test("bounded prefix windows: every unpartitioned window consumes a bucket aggregate") {
+    // The two-phase rank design (SURVEY §5) allows exactly ONE
+    // unpartitioned window shape: the exclusive prefix sum over
+    // bucket/bin COUNTS, whose input is a groupBy(bucket) aggregate —
+    // row count = bucket cardinality (256 key prefixes, score
+    // buckets, histogram bins), never the corpus. This pins that
+    // structurally for every operator that uses the pattern, so the
+    // WindowExec single-partition warnings those gates emit are
+    // provably benign (and suppressed in the Bench/Verify mains).
+    // (q_dedup_sortednbr uses the same bucket-prefix combine but
+    // materializes it behind a localCheckpoint, so its window is
+    // invisible to the final gate plan — it shares this exact code
+    // shape in Dedup.scala.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- Seq("q_shuffle_det", "q_curriculum",
+        "q_quantile_sketch", "q_pareto")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val wins = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(wins.nonEmpty, s"$name: expected a bucket-prefix window in the plan")
+      wins.foreach { w =>
+        val aggBelow = w.child.collectFirst { case a: Aggregate => a }
+        assert(aggBelow.isDefined,
+          s"$name: unpartitioned window input is not an aggregate-bounded side:\n$w")
+      }
+    }
+  }
+
   test("curriculum order: two-phase rank, corpus never in a single-partition window") {
     val p = planOf("q_curriculum")
     assert(!p.contains("ScalaUDF"), p)
