@@ -71,6 +71,23 @@ object TextFunctions {
         lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** 48-bit md5-prefix token hashes — the widest engine-portable
+    * simhash input that stays positive in a signed BIGINT on both
+    * engines (DuckDB hex-cast replays it exactly). The codegen'd
+    * Murmur3 [[graft.functions.SimHash64]] is the production-width
+    * variant; this one exists so the INDEX family can be oracle-gated
+    * bit-for-bit.
+    */
+  def tokenHashes48(ws: Column): Column =
+    transform(ws, w => conv(substring(md5(w.cast("binary")), 1, 12), 16, 10).cast("long"))
+
+  def simhash48FromHashes(tokHash: Column): Column =
+    (0 until 48).map { b =>
+      when(aggregate(tokHash, lit(0L),
+        (acc, th) => acc + when(shiftright(th, b).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Repetition signals (the "duplicate n-gram fraction" family of
     * quality filters from the large-LM data literature): total vs
     * distinct n-gram counts and their ratio. High ratio = boilerplate

@@ -982,6 +982,96 @@ object Dedup {
       .select(col("doc_id"), tokenHashes(col("ws")).as("th"))
       .select(col("doc_id"), simhash16FromHashes(col("th")).as("simhash"))
 
+  /** 48-bit engine-portable simhash (md5-prefix token hashes) — the
+    * fingerprint the persisted index stores. One long per document.
+    */
+  def simhash48Fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"), tokenHashes48(col("ws")).as("th"))
+      .select(col("doc_id"), simhash48FromHashes(col("th")).as("simhash"))
+
+  /** D123 — persisted SIMHASH fingerprint index with banded
+    * Hamming-distance probe (Manku, Jain & Das Sarma, WWW'07 — the
+    * production web-crawl near-dup design): the corpus keeps ONE
+    * 48-bit simhash per document; a new batch probes by splitting
+    * both sides into 4 × 12-bit bands and exact-joining on any equal
+    * band, then verifying the FULL Hamming distance with integer
+    * popcount. Pigeonhole makes the probe LOSSLESS for the Hamming
+    * criterion: ≤ `maxHamming` (< 4) differing bits cannot touch all
+    * 4 bands, so every qualifying pair shares an intact band and
+    * collides. Index rows are fixed-width (doc_id, simhash) — 16
+    * bytes/doc, the cheapest near-dup index in the family (D58 stores
+    * bands × sig rows, D113 a row per distinct gram).
+    *
+    * Scale shape: probe cost = band join on 12-bit keys (bucket
+    * collision rate 2^-12 per band) + popcount filter on the
+    * candidates — no text ever rescanned at probe time. At larger
+    * corpora widen the fingerprint (the codegen'd 64-bit
+    * [[graft.functions.SimHash64]]) and the band width with it; 48
+    * bits is the widest md5-replayable width both engines hash
+    * identically, which is what lets the gate pin the whole path.
+    */
+  def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(paramsPath)) {
+      val p = spark.read.parquet(s"$dir/params").select("bits", "bands").head()
+      require(p.getInt(0) == 48 && p.getInt(1) == 4,
+        s"simhash index at $dir was built with (bits=${p.getInt(0)}, bands=${p.getInt(1)}); " +
+          "this build writes (48, 4) — delete the index to change widths")
+      appendSimhashIndex(spark, dir, corpus, idCol, textCol)
+    } else {
+      // params FIRST (family-wide discipline): a crash between the
+      // writes leaves a params-only dir the append path repairs
+      spark.range(1).select(lit(48).as("bits"), lit(4).as("bands"))
+        .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
+      simhash48Fingerprints(corpus, idCol, textCol)
+        .write.mode("errorifexists").parquet(s"$dir/sigs")
+    }
+  }
+
+  /** Batch-sized growth of the simhash index: fingerprints of docs
+    * not already present (doc-id anti-join), appended.
+    */
+  def appendSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val sigs = simhash48Fingerprints(batch, idCol, textCol)
+    val sigsPath = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
+    val fs = sigsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sigsPath)) {
+      sigs.write.mode("errorifexists").parquet(s"$indexDir/sigs")
+      return
+    }
+    val existing = spark.read.parquet(s"$indexDir/sigs").select("doc_id").distinct()
+    val novel = sigs.join(existing, Seq("doc_id"), "left_anti").localCheckpoint()
+    novel.write.mode("append").parquet(s"$indexDir/sigs")
+  }
+
+  /** Probe side: every (new doc, corpus doc) pair within `maxHamming`
+    * bit flips of each other, with the verified distance. Lossless
+    * for maxHamming < 4 by the 4-band pigeonhole.
+    */
+  def incrementalSimhashDup(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"maxHamming=$maxHamming voids the 4-band pigeonhole guarantee (needs < 4)")
+    def banded(sigs: DataFrame, dCol: String, sCol: String): DataFrame =
+      sigs.select(col("doc_id").as(dCol), col("simhash").as(sCol),
+          explode(array((0 until 4).map(lit(_)): _*)).as("band"))
+        .withColumn("nib", expr(s"shiftright($sCol, band * 12) & 4095"))
+    val idx = banded(spark.read.parquet(s"$indexDir/sigs"), "d_corpus", "sh_c")
+    val probe = banded(simhash48Fingerprints(batch, idCol, textCol), "d_new", "sh_n")
+    probe.join(idx, Seq("band", "nib"))
+      .select("d_new", "d_corpus", "sh_n", "sh_c").distinct()
+      .withColumn("hamming",
+        expr("bit_count(sh_n ^ sh_c)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d_new", "d_corpus", "hamming")
+  }
+
   /** D5 — embedding-cosine near-dup pairs with sign-bit LSH prefilter:
     * only vectors sharing a coarse bucket are compared, bounding the
     * pairwise work; exact cosine verifies.

@@ -3435,6 +3435,53 @@ object Pipeline {
 
   private val winnowAppendIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val simhashIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D123 — persisted simhash index + banded Hamming probe (Manku et
+    * al. WWW'07), order-dependently: the index is seeded from
+    * quarter-0 docs and EXTENDED with quarter-2; odd docs probe at
+    * Hamming ≤ 3. The oracle replays the 48-bit md5 simhash bit by
+    * bit, the 4 × 12-bit band split, the band-equality candidate
+    * join, and the popcount verify — a vote tie broken differently, a
+    * band boundary off by a bit, or a lost append row all break the
+    * hash. The pigeonhole losslessness (≤3 flips can't touch all 4
+    * bands) is pinned separately in IndexMaintenanceSpec against
+    * brute force.
+    */
+  val qSimhashIncr: GateQuery = {
+    val bitTerms = (0 until 48).map { b =>
+      s"(CASE WHEN SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    GateQuery(
+      "q_simhash_incr",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS th FROM w),
+         |s AS (SELECT doc_id, $bitTerms AS sh FROM h GROUP BY doc_id),
+         |b AS (SELECT doc_id, sh, CAST(g.b AS INT) AS band,
+         |        (sh >> CAST(12 * g.b AS INT)) & 4095 AS nib
+         |      FROM s, generate_series(0, 3) g(b)),
+         |cand AS (SELECT DISTINCT n.doc_id AS d_new, c.doc_id AS d_corpus,
+         |           n.sh AS sn, c.sh AS sc
+         |         FROM b n JOIN b c ON n.band = c.band AND n.nib = c.nib
+         |         WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+         |SELECT d_new, d_corpus, CAST(bit_count(xor(sn, sc)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sn, sc)) <= 3
+         |ORDER BY d_new, d_corpus""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val idx = simhashIndexCache.computeIfAbsent(dir, _ => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_simhash_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+        Dedup.writeSimhashIndex(docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", out)
+        Dedup.appendSimhashIndex(s, out, docs.filter(col("doc_id") % 4 === 2),
+          "doc_id", "text")
+        out
+      })
+      Dedup.incrementalSimhashDup(s, idx,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", maxHamming = 3)
+        .orderBy("d_new", "d_corpus")
+    }
+  }
+
   /** D115b — APPEND path of the Bloom sketch tier, proven by the same
     * recall contract as q_dup_spans_sketch: the sketch is seeded from
     * quarter-0 docs and OR-merge-EXTENDED with quarter-2 via
@@ -4528,7 +4575,7 @@ object Pipeline {
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
-    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSeedClassify,
+    qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,

@@ -122,6 +122,38 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/fps").count() === before)
   }
 
+  // --- D123: simhash fingerprint index --------------------------------
+
+  test("D123 simhash banded probe is LOSSLESS for Hamming<=3 (pigeonhole) and params are law") {
+    val dir = tmp("simhash_idx")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.writeSimhashIndex(corpus, "doc_id", "text", dir)
+    val banded = Dedup.incrementalSimhashDup(spark, dir, batch, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: every (odd, even) pair within Hamming 3 — feasible
+    // at sf0.001 (250 x 250)
+    val sigs = Dedup.simhash48Fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      (dn, sn) <- sigs.iterator if dn % 2 == 1
+      (dc, sc) <- sigs.iterator if dc % 2 == 0
+      h = java.lang.Long.bitCount(sn ^ sc) if h <= 3
+    } yield (dn, dc, h)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "no Hamming<=3 pairs in fixture — test is vacuous")
+    // idempotent append + params-as-law rebuild
+    val before = spark.read.parquet(s"$dir/sigs").count()
+    Dedup.appendSimhashIndex(spark, dir, corpus, "doc_id", "text")
+    assert(spark.read.parquet(s"$dir/sigs").count() === before)
+    Dedup.writeSimhashIndex(corpus, "doc_id", "text", dir) // matching rebuild = append
+    assert(spark.read.parquet(s"$dir/sigs").count() === before)
+    // the guarantee gate: maxHamming >= bands is refused
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalSimhashDup(spark, dir, batch, "doc_id", "text", 4)
+    }
+  }
+
   // --- D115: bloom sketch tier ---------------------------------------
 
   test("D115 bloom append: recall contract holds over the grown corpus, untouched buckets survive") {
