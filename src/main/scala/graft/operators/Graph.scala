@@ -77,6 +77,33 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** D124 — per-node LOCAL clustering coefficient (Watts & Strogatz,
+    * Nature 1998: C_v = closed wedges at v / possible wedges at v),
+    * float-free as an integer ppm: coeff_ppm = 2·tri(v)·10⁶ div
+    * (deg(v)·(deg(v)−1)), 0 for degree-1 nodes. The global triangle
+    * census (D63) says how cohesive the graph is; this says WHERE —
+    * the per-node signal spam/link-farm filters threshold on (farms
+    * interlink densely; organic hubs don't). Cost on top of D63's
+    * orientation-ordered enumeration: one degree census + one
+    * fixed-width join.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        expr("degree * (degree - 1) div 2").as("wedges"),
+        when(col("degree") >= 2,
+          expr("2 * coalesce(triangles, 0L) * 1000000L div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("coeff_ppm"))
+  }
+
   /** Each triangle exactly once as (x, y, z) = orientation-ordered
     * corners (x lowest (deg, id), z highest).
     */

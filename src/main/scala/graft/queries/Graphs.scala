@@ -191,6 +191,52 @@ object Graphs {
     Graph.triangleCounts(partEdges(s, dir)).orderBy("node")
   }
 
+  /** D124 — per-node local clustering coefficient over the same
+    * co-purchase graph: the oracle extends the D63 replay with the
+    * degree census, the wedge count deg·(deg−1)/2, and the integer-ppm
+    * coefficient; degree-1 nodes must appear with zero wedges (a
+    * triangles-only derivation silently drops them).
+    */
+  val qClusteringCoeff: GateQuery = GateQuery(
+    "q_clustering_coeff",
+    """WITH pairs AS (
+      |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, l1.l_orderkey AS ok
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      |e AS (SELECT a, b FROM (
+      |        SELECT a, b, COUNT(DISTINCT ok) AS n FROM pairs GROUP BY 1, 2)
+      |      WHERE n >= 2),
+      |deg AS (SELECT v, COUNT(*) AS deg FROM (
+      |          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      |        GROUP BY 1),
+      |o AS (SELECT
+      |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+      |             THEN a ELSE b END AS u,
+      |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+      |             THEN b ELSE a END AS w,
+      |        CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+      |             THEN d2.deg ELSE d1.deg END AS dw
+      |      FROM e JOIN deg d1 ON d1.v = e.a JOIN deg d2 ON d2.v = e.b),
+      |wedge AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
+      |          FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |           AND (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))),
+      |tri AS (SELECT x, y, z FROM wedge
+      |        WHERE EXISTS (SELECT 1 FROM o
+      |                      WHERE o.u = wedge.y AND o.w = wedge.z)),
+      |tc AS (SELECT node, COUNT(*) AS t FROM (
+      |         SELECT x AS node FROM tri
+      |         UNION ALL SELECT y FROM tri
+      |         UNION ALL SELECT z FROM tri)
+      |       GROUP BY node)
+      |SELECT deg.v AS node, CAST(deg.deg AS BIGINT) AS degree,
+      |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+      |  CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS wedges,
+      |  CAST(CASE WHEN deg.deg >= 2 THEN (2 * COALESCE(tc.t, 0) * 1000000) // (deg.deg * (deg.deg - 1)) ELSE 0 END AS BIGINT) AS coeff_ppm
+      |FROM deg LEFT JOIN tc ON tc.node = deg.v
+      |ORDER BY node""".stripMargin) { (s, dir) =>
+    Graph.clusteringCoefficients(partEdges(s, dir)).orderBy("node")
+  }
+
   /** k-core gate on the part co-purchase graph (parts in the same
     * order ≥2 distinct times — at sf0.01 this peels over ~11 rounds
     * before the 3-core stabilizes, so the fixpoint loop is genuinely
@@ -621,6 +667,6 @@ object Graphs {
   }
 
   val all: Seq[GateQuery] =
-    Seq(qGraphBuild, qPagerank, qPersonalizedPr, qTriangles, qKcore, qLabelProp, qBfs, qLinkPredict, qSssp,
+    Seq(qGraphBuild, qPagerank, qPersonalizedPr, qTriangles, qClusteringCoeff, qKcore, qLabelProp, qBfs, qLinkPredict, qSssp,
       qRandomWalk, qHits, qGraphProfile)
 }
