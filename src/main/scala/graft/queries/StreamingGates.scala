@@ -1230,6 +1230,86 @@ object StreamingGates {
       .orderBy("event_type", "ts", "event_id")
   }
 
+  /** E52 — streaming EWMA, the online twin of the batch fold: the
+    * q_ewma recursive-CTE oracle VERBATIM against a real
+    * flatMapGroupsWithState run — one Long of state per user, per-row
+    * smoothed output, online == at-rest bit-for-bit on the in-order
+    * file source.
+    */
+  val qStreamEwma: GateQuery = GateQuery(
+    "q_stream_ewma", Events2.qEwma.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id").cast("long").as("tie"),
+        floor(col("value") * 1000000).cast("long").as("x_micro"))
+      .as[StreamingOps.EwmaEvent]
+    runToMemory(StreamingOps.ewmaStream(evs, alphaPct = 30).toDF(),
+        OutputMode.Append())
+      .select("user_id", "t_us", "tie", "x_micro", "ewma_micro")
+      .orderBy("user_id", "t_us", "tie")
+  }
+
+  /** E53 — stream-stream AS-OF enrichment: each click paired with the
+    * same user's latest error at/before it, ONLINE — the batch E5
+    * oracle (DuckDB native ASOF LEFT JOIN) verbatim against a tagged
+    * union stream whose per-key state is two scalars (latest right
+    * ts + value), never a buffered interval. Rights process before
+    * lefts at equal timestamps, so the inclusive-match semantics of
+    * the batch operator carry over exactly.
+    */
+  val qStreamAsof: GateQuery = GateQuery(
+    "q_stream_asof", Events.qAsOfJoin.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id").cast("long").as("user_id"),
+        (col("event_type") === "error").as("is_right"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .as[StreamingOps.AsofEvent]
+    runToMemory(StreamingOps.asofStream(evs).toDF(), OutputMode.Append())
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_value"), col("asof_ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** E54 — streaming windowed top-k monitor: per tumbling hour, the 3
+    * most frequent event types (count desc, type asc ties), one
+    * emission per window on watermark close (EventTimeTimeout, the
+    * driftStream harness — sentinels push the watermark past every
+    * real window). Oracle replays the windowing, the ranking, and the
+    * deterministic tie order in batch SQL.
+    */
+  val qStreamTopk: GateQuery = GateQuery(
+    "q_stream_topk",
+    """WITH w AS (
+      |  SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS w_start_us,
+      |         event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT w_start_us, event_type, CAST(c AS BIGINT) AS n,
+      |        ROW_NUMBER() OVER (PARTITION BY w_start_us
+      |                           ORDER BY c DESC, event_type) AS rk
+      |      FROM w)
+      |SELECT w_start_us, CAST(rk AS INT) AS rank, event_type, n
+      |FROM r WHERE rk <= 3
+      |ORDER BY w_start_us, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val windowUs = 3600000000L
+    val evs = eventsStreamWithSentinels(s, dir)
+      .withWatermark("ts", "1 second")
+      .select(col("event_type"),
+        (expr(s"unix_micros(ts) div ${windowUs}L") * windowUs).as("w_start_us"),
+        col("ts"))
+      .as[StreamingOps.DriftEvent]
+    runToMemory(StreamingOps.topkStream(evs, k = 3, windowUs).toDF(),
+        OutputMode.Append())
+      .select("w_start_us", "rank", "event_type", "n")
+      .orderBy("w_start_us", "rank")
+  }
+
   /** E41 — streaming distribution-drift monitor (D56's online twin):
     * per tumbling hour, the event-type mix vs the offline reference
     * profile (whole-corpus ppm per type, integral div), ONE L1-gap row
@@ -1531,6 +1611,7 @@ object StreamingGates {
       qStreamAnomaly, qStreamCusum, qStreamTws, qStreamTimerSessions, qStreamMapState,
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
-      qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich)
+      qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
+      qStreamEwma, qStreamAsof, qStreamTopk)
     .map(_.copy(bench = false))
 }

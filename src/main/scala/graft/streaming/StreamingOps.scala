@@ -334,12 +334,135 @@ object StreamingOps {
       }
   }
 
-  /** E7 — streaming exact dedup: an id re-arriving within the
-    * watermark horizon is dropped; state for an id expires once the
-    * watermark passes it (bounded state — the whole point vs a plain
-    * dropDuplicates, whose state grows forever). Pair with the RocksDB
-    * state store at scale.
+  final case class EwmaEvent(user_id: Long, t_us: Long, tie: Long, x_micro: Long)
+  final case class EwmaState(y: Long, any: Boolean, maxTs: Long = Long.MinValue)
+  final case class EwmaRow(user_id: Long, t_us: Long, tie: Long,
+    x_micro: Long, ewma_micro: Long)
+
+  /** E52 — STREAMING EWMA, the online twin of the batch fold (E28):
+    * y_t = (α·x_t + (100−α)·y_{t−1}) div 100 in integer micros, ONE
+    * Long + a seen-flag of state per key (the recursion's whole
+    * memory), a smoothed row per event in Append mode. Same in-order
+    * contract and enforcement as cusumStream: a cross-batch time
+    * regression emits one marker row per (key, batch) with `tie` =
+    * −(late count), `x_micro` = late count, `ewma_micro` =
+    * LATE_MARKER; in-order sources never see one and the drained
+    * stream equals the batch fold bit-for-bit.
     */
+  def ewmaStream(events: Dataset[EwmaEvent], alphaPct: Int): Dataset[EwmaRow] = {
+    require(alphaPct >= 1 && alphaPct <= 99, s"invalid alphaPct $alphaPct")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0L, any = false))
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.tie))
+          val out = Seq.newBuilder[EwmaRow]
+          val late = sorted.filter(_.t_us < st.maxTs)
+          if (late.nonEmpty)
+            out += EwmaRow(uid, late.head.t_us, -late.size.toLong,
+              late.size.toLong, LATE_MARKER)
+          sorted.foreach { e =>
+            val y = if (!st.any) e.x_micro
+              else (alphaPct * e.x_micro + (100 - alphaPct) * st.y) / 100
+            st = EwmaState(y, any = true, math.max(st.maxTs, e.t_us))
+            out += EwmaRow(uid, e.t_us, e.tie, e.x_micro, y)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  final case class AsofEvent(user_id: Long, is_right: Boolean, t_us: Long,
+    event_id: Long, value: Double)
+  final case class AsofState(rTs: Long, rVal: Double, any: Boolean,
+    maxTs: Long = Long.MinValue)
+  final case class AsofRow(event_id: Long, user_id: Long, ts_us: Long,
+    asof_value: Option[Double], asof_ts_us: Option[Long])
+
+  /** E53 — STREAM-STREAM as-of enrichment: each left event paired with
+    * the same key's LATEST right event at or before it, online.
+    * Spark's stream-stream joins buffer a time interval of BOTH sides
+    * and cannot express "latest at-or-before" (unbounded lookback);
+    * the scale-correct online form is this one: both sides ride ONE
+    * keyed stream (tagged union — the batch E5 operator's exact
+    * shape), state per key is the latest right (ts, value) — two
+    * scalars, NOT a buffer — and each left event emits its enrichment
+    * the moment it arrives. Within a batch, events process in
+    * (ts, right-before-left, id) order, so an equal-timestamp right
+    * enriches an equal-timestamp left exactly as the batch inclusive
+    * join does. In-order contract enforced as everywhere: cross-batch
+    * regressions emit a marker row with `event_id` = −(late count)
+    * and null enrichment fields.
+    */
+  def asofStream(events: Dataset[AsofEvent]): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[AsofState]) =>
+          var st = state.getOption.getOrElse(AsofState(0L, 0.0, any = false))
+          // rights sort before lefts at equal ts -> inclusive match
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, !e.is_right, e.event_id))
+          val out = Seq.newBuilder[AsofRow]
+          val late = sorted.filter(_.t_us < st.maxTs)
+          if (late.nonEmpty)
+            out += AsofRow(-late.size.toLong, uid, late.head.t_us, None, None)
+          sorted.foreach { e =>
+            if (e.is_right)
+              st = st.copy(rTs = e.t_us, rVal = e.value, any = true,
+                maxTs = math.max(st.maxTs, e.t_us))
+            else {
+              out += AsofRow(e.event_id, uid, e.t_us,
+                if (st.any) Some(st.rVal) else None,
+                if (st.any) Some(st.rTs) else None)
+              st = st.copy(maxTs = math.max(st.maxTs, e.t_us))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  final case class TopkCounts(counts: Map[String, Long])
+  final case class TopkRow(w_start_us: Long, rank: Int, event_type: String, n: Long)
+
+  /** E54 — STREAMING windowed top-k monitor (the online twin of the
+    * per-window heavy-hitter question D31 answers at rest): per
+    * tumbling event-time window, the k most frequent event types with
+    * deterministic ties (count desc, then type), ONE emission per
+    * window the moment the watermark closes it. State per open window
+    * is one count per type — vocabulary-bounded like driftStream, not
+    * event-bounded — and EventTimeTimeout frees it exactly once. The
+    * dashboard shape behind "what dominated the last hour" that a
+    * Complete-mode aggregation would re-emit wholesale every batch.
+    */
+  def topkStream(events: Dataset[DriftEvent], k: Int, windowUs: Long): Dataset[TopkRow] = {
+    require(k > 0, s"invalid k $k")
+    require(windowUs > 0, s"invalid windowUs $windowUs")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.w_start_us)
+      .flatMapGroupsWithState[TopkCounts, TopkRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (wStart, evs, state: GroupState[TopkCounts]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            state.remove()
+            counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).zipWithIndex
+              .map { case ((t, c), i) => TopkRow(wStart, i + 1, t, c) }.iterator
+          } else {
+            val cur = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val upd = evs.foldLeft(cur) { (m, e) =>
+              m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(TopkCounts(upd))
+            // fire when the watermark passes the window end
+            state.setTimeoutTimestamp((wStart + windowUs) / 1000L)
+            Iterator.empty
+          }
+      }
+  }
   def dedupStream(events: DataFrame, idCol: String, tsCol: String,
       horizon: String): DataFrame =
     events.withWatermark(tsCol, horizon)

@@ -231,6 +231,80 @@ class Streaming2Spec extends AnyFunSuite {
     } finally fq.stop()
   }
 
+  test("E52/E53 stream: EWMA and as-of state carry across batches; late markers fire") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // EWMA: y carries across batches; alpha=30
+    val ein = MemoryStream[StreamingOps.EwmaEvent]
+    val eq = StreamingOps.ewmaStream(ein.toDS(), alphaPct = 30)
+      .writeStream.format("memory").queryName("ewma_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ein.addData(StreamingOps.EwmaEvent(1L, 1L, 1L, 1000000L),
+        StreamingOps.EwmaEvent(1L, 2L, 2L, 2000000L))
+      eq.processAllAvailable()
+      // batch 2 continues the recursion from y=1300000
+      ein.addData(StreamingOps.EwmaEvent(1L, 3L, 3L, 3000000L))
+      eq.processAllAvailable()
+      // late arrival in batch 3 -> marker
+      ein.addData(StreamingOps.EwmaEvent(1L, 1L, 9L, 500000L))
+      eq.processAllAvailable()
+      val rows = spark.table("ewma_sink").collect()
+        .map(r => (r.getLong(2), r.getLong(4))).toMap // tie -> ewma
+      assert(rows(1L) === 1000000L)                    // first = x
+      assert(rows(2L) === (30L * 2000000L + 70L * 1000000L) / 100) // 1300000
+      assert(rows(3L) === (30L * 3000000L + 70L * 1300000L) / 100) // 1810000
+      assert(rows(-1L) === StreamingOps.LATE_MARKER)   // marker row, count 1
+    } finally eq.stop()
+    // as-of: latest right carries across batches; equal-ts right wins
+    val ain = MemoryStream[StreamingOps.AsofEvent]
+    val aq = StreamingOps.asofStream(ain.toDS())
+      .writeStream.format("memory").queryName("asof_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ain.addData(StreamingOps.AsofEvent(1L, true, 10L, 1L, 5.0),
+        StreamingOps.AsofEvent(1L, false, 10L, 2L, 0.0), // equal-ts: right first
+        StreamingOps.AsofEvent(1L, false, 5L, 3L, 0.0))  // before any right
+      aq.processAllAvailable()
+      ain.addData(StreamingOps.AsofEvent(1L, false, 20L, 4L, 0.0)) // uses batch-1 right
+      aq.processAllAvailable()
+      val rows = spark.table("asof_sink").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+      assert(rows(2L) === ((Some(5.0), Some(10L)))) // inclusive equal-ts match
+      assert(rows(3L) === ((None, None)))           // no right yet
+      assert(rows(4L) === ((Some(5.0), Some(10L)))) // state carried
+    } finally aq.stop()
+  }
+
+  test("E54 stream: windowed top-k emits once per closed window with deterministic ties") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val winUs = 10000000L
+    val evs = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 second")
+      .select(col("event_type"),
+        (expr(s"unix_micros(ts) div ${winUs}L") * winUs).as("w_start_us"),
+        col("ts"))
+      .as[StreamingOps.DriftEvent]
+    val q = StreamingOps.topkStream(evs, k = 2, winUs)
+      .writeStream.format("memory").queryName("topk_sink")
+      .outputMode(OutputMode.Append()).start()
+    def ev(us: Long, t: String) = (new java.sql.Timestamp(us / 1000L), t)
+    try {
+      // window 0: a=2, b=2 (tie -> a first), c=1; only top-2 emit
+      input.addData(ev(1000000L, "a"), ev(2000000L, "a"),
+        ev(3000000L, "b"), ev(4000000L, "b"), ev(5000000L, "c"))
+      q.processAllAvailable()
+      input.addData(ev(1000000000000L, "z")) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("topk_sink").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2))
+      assert(rows.toSeq === Seq((0L, 1, "a", 2L), (0L, 2, "b", 2L)))
+    } finally q.stop()
+  }
+
   test("E41 stream: drift windows emit once on watermark close with the hand L1") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
