@@ -25,6 +25,44 @@ object CorpusStats {
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("df"))
 
+  /** D125 — vocabulary-pruning APPLY (the LM-preprocessing step
+    * behind every fixed-vocab tokenizer: tokens below a document-
+    * frequency floor are rewritten to `<unk>` and the corpus
+    * reassembled in order). The floor is RELATIVE — keep tokens with
+    * df·100 ≥ minDfPct·N — so the same pruning decision replays at
+    * any corpus scale. Emits (doc_id, n_tok, n_unk, text_pruned).
+    *
+    * Scale shape: the df census is one token-keyed map-side-partial
+    * aggregate over DISTINCT (doc, token) pairs; the rewrite joins
+    * exploded positions against the kept-vocabulary table (broadcast
+    * when the head vocabulary is bounded — Spark's planner picks it
+    * up from the aggregate's size estimate) and regroups by doc with
+    * an order-preserving sort_array — the corpus text shuffles once,
+    * as any rewrite must.
+    */
+  def pruneRareTokens(docs: DataFrame, idCol: String, textCol: String,
+      minDfPct: Int): DataFrame = {
+    require(minDfPct >= 1 && minDfPct <= 100, s"invalid minDfPct $minDfPct")
+    val nDocs = docs.count()
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .localCheckpoint() // feeds the df census AND the rewrite join
+    val keep = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 100 >= lit(minDfPct.toLong) * nDocs)
+      .select(col("tok"), lit(true).as("__keep"))
+    toks.join(keep, Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("__keep"), col("tok")).otherwise(lit("<unk>")).as("t2"),
+        when(col("__keep"), 0L).otherwise(1L).as("unk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("unk").as("n_unk"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("t2")))),
+          x => x("t2")), " ").as("text_pruned"))
+  }
+
   /** Per-document rarity profile: distinct word count, summed and
     * minimum document frequency of its words. Low min_df = contains
     * a near-unique word; low sum_df/n_distinct_words = generally

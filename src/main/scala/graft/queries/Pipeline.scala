@@ -503,6 +503,36 @@ object Pipeline {
     * replays the survivor election, both distinct counts, and the
     * integral ppm.
     */
+  /** D125 — vocabulary-pruning apply: tokens under a RELATIVE df
+    * floor (10% of docs) rewrite to `<unk>`, corpus reassembled in
+    * order. The gate hashes the reconstructed text, so the df census,
+    * the keep decision, and order-preserving reassembly are all
+    * pinned; the fixture's injected rare token (df ≈ 5% of docs) is
+    * what makes n_unk non-zero at every scale.
+    */
+  val qPruneVocab: GateQuery = GateQuery(
+    "q_prune_vocab",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |n AS (SELECT COUNT(*) AS nd FROM documents),
+      |x AS (SELECT doc_id, toks[CAST(s.i AS INT)] AS tok, CAST(s.i AS INT) AS pos
+      |      FROM t, LATERAL unnest(generate_series(1, len(toks))) s(i)),
+      |keep AS (SELECT tok FROM (
+      |           SELECT tok, COUNT(DISTINCT doc_id) AS df FROM x GROUP BY tok)
+      |         WHERE df * 100 >= 10 * (SELECT nd FROM n)),
+      |y AS (SELECT doc_id, pos,
+      |        CASE WHEN tok IN (SELECT tok FROM keep) THEN tok ELSE '<unk>' END AS t2,
+      |        CASE WHEN tok IN (SELECT tok FROM keep) THEN 0 ELSE 1 END AS unk
+      |      FROM x)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  CAST(SUM(unk) AS BIGINT) AS n_unk,
+      |  string_agg(t2, ' ' ORDER BY pos) AS text_pruned
+      |FROM y GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusStats.pruneRareTokens(Tables(s, dir, "documents"),
+        "doc_id", "text", minDfPct = 10)
+      .orderBy("doc_id")
+  }
+
   val qVocabRetention: GateQuery = GateQuery(
     "q_vocab_retention",
     s"""WITH ${shingleCte(3)},
@@ -4563,7 +4593,7 @@ object Pipeline {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention,
+    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnMultiProbe, qKnnIvf, qKnnIvfFull,
