@@ -49,6 +49,41 @@ object Prep {
       .drop("__bucket", "__rk", "__off")
   }
 
+  /** D126 — per-group score CALIBRATION by rank normalization: each
+    * row's percentile (integer ppm) of its score WITHIN its group —
+    * the step that makes quality scores comparable across sources
+    * before mixture sampling (a "good" score from a lenient source
+    * and a "good" score from a strict one land on the same scale;
+    * thresholding raw scores across sources silently skews the mix).
+    * Two-phase rank per group — rank within (group, score bucket) +
+    * per-group running bucket offsets — so no group ever funnels
+    * through a single window partition; the offsets/totals sides are
+    * groups × buckets rows, broadcast back.
+    */
+  def rankCalibrate(df: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"invalid bucketWidth $bucketWidth")
+    val keyed = df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        col(scoreCol).cast("long").as("score"))
+      .withColumn("__b", expr(s"score div $bucketWidth"))
+    val inBucket = Window.partitionBy("grp", "__b").orderBy("score", "doc_id")
+    val ranked = keyed.withColumn("__rk", row_number().over(inBucket))
+    val counts = keyed.groupBy("grp", "__b").agg(count(lit(1)).as("__n"))
+    val offsets = counts
+      .withColumn("__off",
+        // per-GROUP prefix (partitioned window — input is groups ×
+        // buckets rows, the bounded side by construction)
+        coalesce(sum("__n").over(Window.partitionBy("grp").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("grp", "__b", "__off")
+    val tot = keyed.groupBy("grp").agg(count(lit(1)).as("n_grp"))
+    ranked.join(broadcast(offsets), Seq("grp", "__b"))
+      .join(broadcast(tot), Seq("grp"))
+      .select(col("doc_id"), col("grp"), col("score"),
+        (col("__off") + col("__rk")).as("rank"), col("n_grp"),
+        expr("(__off + __rk - 1) * 1000000L div n_grp").as("pct_ppm"))
+  }
+
   /** Hash-based train/val/test assignment: the split is a pure
     * projection on the md5 hex prefix (no shuffle, no state), so the
     * same doc lands in the same split on every engine, every run, at

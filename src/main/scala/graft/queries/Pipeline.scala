@@ -503,6 +503,29 @@ object Pipeline {
     * replays the survivor election, both distinct counts, and the
     * integral ppm.
     */
+  /** D126 — per-source score calibration by rank normalization: each
+    * doc's n_chars percentile (ppm) WITHIN its source, the step that
+    * makes per-source quality scores comparable before mixing. The
+    * oracle is the direct per-source ROW_NUMBER; the operator must
+    * reproduce it through the two-phase (bucket rank + offset)
+    * composition — an off-by-one in either phase shifts every
+    * percentile.
+    */
+  val qRankCalibrate: GateQuery = GateQuery(
+    "q_rank_calibrate",
+    """WITH r AS (SELECT doc_id, source, n_chars AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rank,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_grp
+      |  FROM documents)
+      |SELECT doc_id, source AS grp, CAST(score AS BIGINT) AS score,
+      |  CAST(rank AS BIGINT) AS rank, CAST(n_grp AS BIGINT) AS n_grp,
+      |  CAST((rank - 1) * 1000000 // n_grp AS BIGINT) AS pct_ppm
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Prep.rankCalibrate(Tables(s, dir, "documents"),
+        "doc_id", "n_chars", "source", bucketWidth = 64L)
+      .orderBy("doc_id")
+  }
+
   /** D125 — vocabulary-pruning apply: tokens under a RELATIVE df
     * floor (10% of docs) rewrite to `<unk>`, corpus reassembled in
     * order. The gate hashes the reconstructed text, so the df census,
@@ -4593,7 +4616,7 @@ object Pipeline {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab,
+    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab, qRankCalibrate,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnMultiProbe, qKnnIvf, qKnnIvfFull,
