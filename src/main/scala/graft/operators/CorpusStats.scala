@@ -25,6 +25,36 @@ object CorpusStats {
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("df"))
 
+  /** D127 — distinctive terms per group (domain-signature extraction:
+    * which words mark a source as itself): a term's within-group
+    * document-frequency RATE against its corpus rate, as the integer
+    * lift lift_ppm = df_grp·N_corpus·10⁶ div (n_grp·df_corpus) —
+    * 1,000,000 means "no more common here than anywhere"; top `k`
+    * terms per group by (lift desc, term asc). The per-group top-k
+    * window runs over VOCABULARY-sized input partitioned by group —
+    * never the corpus.
+    */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"invalid k $k")
+    import org.apache.spark.sql.expressions.Window
+    val nAll = docs.count()
+    val pairs = docs.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("w"))
+      .localCheckpoint() // feeds the group AND corpus df censuses
+    val grpDf = pairs.groupBy("grp", "w").agg(count(lit(1)).as("df_g"))
+    val corpusDf = pairs.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df_c"))
+    val grpN = docs.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n_g"))
+    val win = Window.partitionBy("grp").orderBy(col("lift_ppm").desc, col("w"))
+    grpDf.join(corpusDf, "w").join(broadcast(grpN), "grp")
+      .select(col("grp"), col("w"), col("df_g"), col("df_c"),
+        expr(s"df_g * ${nAll}L * 1000000L div (n_g * df_c)").as("lift_ppm"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("grp", "rank", "w", "df_g", "df_c", "lift_ppm")
+  }
+
   /** D125 — vocabulary-pruning APPLY (the LM-preprocessing step
     * behind every fixed-vocab tokenizer: tokens below a document-
     * frequency floor are rewritten to `<unk>` and the corpus

@@ -84,6 +84,24 @@ object Prep {
         expr("(__off + __rk - 1) * 1000000L div n_grp").as("pct_ppm"))
   }
 
+  /** D128 — deterministic EXACT-k-per-stratum selection (balanced
+    * eval-set construction: the same k docs per language/domain every
+    * run, regardless of partitioning): rows rank by the seeded
+    * portable shuffle key WITHIN their stratum and the first k
+    * survive. Built on [[rankCalibrate]]'s two-phase rank (hash-value
+    * buckets), so a corpus-sized stratum never funnels through one
+    * window partition. Strata smaller than k return whole.
+    */
+  def stratifiedTopK(df: DataFrame, idCol: String, strataCol: String,
+      seed: Long, k: Int): DataFrame = {
+    require(k > 0, s"invalid k $k")
+    val keyed = df.withColumn("__score",
+      conv(substring(shuffleKey(col(idCol), seed), 1, 15), 16, 10).cast("long"))
+    rankCalibrate(keyed, idCol, "__score", strataCol, bucketWidth = 1L << 52)
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("grp"), col("rank"))
+  }
+
   /** Hash-based train/val/test assignment: the split is a pure
     * projection on the md5 hex prefix (no shuffle, no state), so the
     * same doc lands in the same split on every engine, every run, at

@@ -503,6 +503,59 @@ object Pipeline {
     * replays the survivor election, both distinct counts, and the
     * integral ppm.
     */
+  /** D127 — distinctive terms per source (domain-signature
+    * extraction): per-source df rate vs corpus df rate as an integer
+    * lift ppm, top 5 per source with deterministic ties. The oracle
+    * replays both censuses and the integral lift — a df counted at
+    * token rather than document granularity shifts every lift.
+    */
+  val qDistinctiveTerms: GateQuery = GateQuery(
+    "q_distinctive_terms",
+    """WITH p AS (SELECT DISTINCT source AS grp, doc_id, w FROM (
+      |        SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)),
+      |gd AS (SELECT grp, w, COUNT(*) AS df_g FROM p GROUP BY 1, 2),
+      |cd AS (SELECT w, COUNT(*) AS df_c FROM (SELECT DISTINCT doc_id, w FROM p)
+      |       GROUP BY 1),
+      |gn AS (SELECT source AS grp, COUNT(*) AS n_g FROM documents GROUP BY 1),
+      |na AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (SELECT gd.grp, gd.w, CAST(gd.df_g AS BIGINT) AS df_g,
+      |        CAST(cd.df_c AS BIGINT) AS df_c,
+      |        CAST(gd.df_g * (SELECT n FROM na) * 1000000 // (gn.n_g * cd.df_c) AS BIGINT) AS lift_ppm
+      |      FROM gd JOIN cd USING (w) JOIN gn USING (grp)),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+      |        ORDER BY lift_ppm DESC, w) AS rank FROM s)
+      |SELECT grp, CAST(rank AS INT) AS rank, w, df_g, df_c, lift_ppm
+      |FROM r WHERE rank <= 5
+      |ORDER BY grp, rank""".stripMargin) { (s, dir) =>
+    CorpusStats.distinctiveTerms(Tables(s, dir, "documents"),
+        "doc_id", "text", "source", k = 5)
+      .orderBy("grp", "rank")
+  }
+
+  /** D128 — deterministic exact-k-per-stratum selection (balanced
+    * eval sets): rank by the seeded portable shuffle key within each
+    * language, keep the first 20. The oracle is the direct per-
+    * stratum ROW_NUMBER over the same md5 key; the operator goes
+    * through the two-phase bucket-rank composition and must land on
+    * identical members AND ranks.
+    */
+  val qStratifiedTopK: GateQuery = GateQuery(
+    "q_stratified_topk",
+    """WITH x AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS score
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rank
+      |  FROM x)
+      |SELECT doc_id, lang AS grp, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 20
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Prep.stratifiedTopK(Tables(s, dir, "documents"),
+        "doc_id", "lang", seed = 7L, k = 20)
+      .orderBy("doc_id")
+  }
+
   /** D126 — per-source score calibration by rank normalization: each
     * doc's n_chars percentile (ppm) WITHIN its source, the step that
     * makes per-source quality scores comparable before mixing. The
@@ -4616,7 +4669,7 @@ object Pipeline {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab, qRankCalibrate,
+    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab, qRankCalibrate, qDistinctiveTerms, qStratifiedTopK,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnMultiProbe, qKnnIvf, qKnnIvfFull,

@@ -1310,6 +1310,36 @@ object StreamingGates {
       .orderBy("w_start_us", "rank")
   }
 
+  /** E55 — streaming record-high monitor: one row per new all-time
+    * high per user (strictly greater), carrying the previous high
+    * (null on the first event). Oracle is the batch PRECEDING-frame
+    * running max filtered to record-breakers — the online state
+    * machine must agree row-for-row including the equal-value
+    * non-emission (ties are NOT new highs).
+    */
+  val qStreamRecordHigh: GateQuery = GateQuery(
+    "q_stream_record_high",
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS t_us, event_id,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS v,
+      |    MAX(CAST(floor(value * 1000000) AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+      |  FROM events)
+      |SELECT user_id, t_us, event_id, v AS v_micro, prev_hi
+      |FROM x WHERE prev_hi IS NULL OR v > prev_hi
+      |ORDER BY user_id, t_us, event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id").cast("long").as("event_id"),
+        floor(col("value") * 1000000).cast("long").as("v_micro"))
+      .as[StreamingOps.HighEvent]
+    runToMemory(StreamingOps.recordHighStream(evs).toDF(), OutputMode.Append())
+      .select("user_id", "t_us", "event_id", "v_micro", "prev_hi")
+      .orderBy("user_id", "t_us", "event_id")
+  }
+
   /** E41 — streaming distribution-drift monitor (D56's online twin):
     * per tumbling hour, the event-type mix vs the offline reference
     * profile (whole-corpus ppm per type, integral div), ONE L1-gap row
@@ -1612,6 +1642,6 @@ object StreamingGates {
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
       qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
-      qStreamEwma, qStreamAsof, qStreamTopk)
+      qStreamEwma, qStreamAsof, qStreamTopk, qStreamRecordHigh)
     .map(_.copy(bench = false))
 }

@@ -425,6 +425,45 @@ object StreamingOps {
       }
   }
 
+  final case class HighEvent(user_id: Long, t_us: Long, event_id: Long, v_micro: Long)
+  final case class HighState(hi: Long, any: Boolean, maxTs: Long = Long.MinValue)
+  final case class HighRow(user_id: Long, t_us: Long, event_id: Long,
+    v_micro: Long, prev_hi: Option[Long])
+
+  /** E55 — streaming RECORD-HIGH monitor: per key, a row the moment a
+    * value strictly exceeds every prior value (new all-time high —
+    * the alerting primitive behind "biggest order ever from this
+    * account" / "latency ceiling broken"), carrying the previous high
+    * (null on a key's first event). ONE Long + a seen-flag of state.
+    * A drained in-order stream equals the batch PRECEDING-frame
+    * running max; cross-batch regressions emit the family's marker
+    * row (event_id = −late count, null prev_hi).
+    */
+  def recordHighStream(events: Dataset[HighEvent]): Dataset[HighRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HighState, HighRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[HighState]) =>
+          var st = state.getOption.getOrElse(HighState(0L, any = false))
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.event_id))
+          val out = Seq.newBuilder[HighRow]
+          val late = sorted.filter(_.t_us < st.maxTs)
+          if (late.nonEmpty)
+            out += HighRow(uid, late.head.t_us, -late.size.toLong,
+              late.size.toLong, None)
+          sorted.foreach { e =>
+            if (!st.any || e.v_micro > st.hi) {
+              out += HighRow(uid, e.t_us, e.event_id, e.v_micro,
+                if (st.any) Some(st.hi) else None)
+              st = HighState(e.v_micro, any = true, math.max(st.maxTs, e.t_us))
+            } else st = st.copy(maxTs = math.max(st.maxTs, e.t_us))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class TopkCounts(counts: Map[String, Long])
   final case class TopkRow(w_start_us: Long, rank: Int, event_type: String, n: Long)
 
