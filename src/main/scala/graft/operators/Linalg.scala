@@ -84,6 +84,42 @@ object Linalg {
     v.select(col("j").as("dim_idx"), col("v")).orderBy("dim_idx")
   }
 
+  /** D129 — "all-but-the-top" embedding post-processing (Mu &
+    * Viswanath, ICLR'18, the top-1 variant): remove the dominant
+    * principal direction from every vector — the standard fix for
+    * anisotropic embedding spaces where one direction carries a
+    * corpus-wide bias component and drowns cosine contrast. Exact
+    * integers end-to-end: on the int8-quantized representation with
+    * the direction `u` at the power-iteration scale, the residual is
+    *
+    *   r = q·(u·u) − u·(q·u)
+    *
+    * which is the true residual times the positive scalar (u·u) — so
+    * downstream cosine ORDERING is unchanged while every component
+    * stays a Long both engines reproduce bit-for-bit, and r·u = 0
+    * holds exactly (spec-pinned). Plan shape: `u` is a dim-length
+    * literal array (driver-bounded, from [[powerIteration]]'s
+    * dim-row result); the removal itself is a pure zip_with
+    * projection — zero exchanges.
+    */
+  def removeTopDirection(emb: DataFrame, idCol: String, vecCol: String,
+      direction: Array[Long]): DataFrame = {
+    require(direction.nonEmpty, "empty direction")
+    val uu = direction.map(x => x * x).sum
+    val uArr = array(direction.map(lit(_)): _*)
+    Prep.quantizeInt8(emb, idCol, vecCol)
+      .withColumn("__u", uArr)
+      .withColumn("dot",
+        aggregate(zip_with(col("q"), col("__u"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("__r",
+        zip_with(col("q"), col("__u"), (a, b) => a * lit(uu) - b * col("dot")))
+      .select(col(idCol), col("dot"),
+        aggregate(col("__r"), lit(0L), (acc, x) => acc + x).as("r_sum"),
+        array_min(col("__r")).as("r_min"),
+        array_max(col("__r")).as("r_max"))
+  }
+
   /** One v←G·v round (uncheckpointed — PlanSpec asserts its shape:
     * dim-keyed partial-agg matvec, broadcast single-row max renorm).
     */

@@ -4074,6 +4074,43 @@ object Pipeline {
       dim = 64, iters = 3)
   }
 
+  /** D129 — "all-but-the-top" post-processing: every vector's
+    * dominant-direction projection removed, in the exact integer form
+    * r = q·(u·u) − u·(q·u). The oracle replays the ENTIRE chain —
+    * quantization, Gram, 3 power-iteration rounds, then the per-
+    * vector dot and residual stats — so a drifted direction anywhere
+    * upstream shifts every residual.
+    */
+  val qRemoveTop: GateQuery = GateQuery(
+    "q_remove_top",
+    // powerOracle joins its last CTE to the final SELECT with a bare
+    // newline, so the spliced continuation must re-open the WITH list
+    // with a leading comma
+    powerOracle(iters = 3).replace(
+      "SELECT j AS dim_idx, v FROM v3\nORDER BY dim_idx",
+      """,ul AS (SELECT list(v ORDER BY j) AS ul FROM v3),
+        |uu AS (SELECT CAST(SUM(v * v) AS BIGINT) AS uu FROM v3),
+        |d AS (SELECT q.vec_id,
+        |        CAST(SUM(q.qv[CAST(u.j + 1 AS INT)] * u.v) AS BIGINT) AS dot
+        |      FROM q, v3 u GROUP BY 1),
+        |rr AS (SELECT q.vec_id, d.dot,
+        |         list_transform(generate_series(1, 64),
+        |           i -> q.qv[CAST(i AS INT)] * uu.uu - ul.ul[CAST(i AS INT)] * d.dot) AS r
+        |       FROM q JOIN d USING (vec_id) CROSS JOIN uu CROSS JOIN ul)
+        |SELECT vec_id, dot,
+        |  CAST(list_aggregate(r, 'sum') AS BIGINT) AS r_sum,
+        |  CAST(list_aggregate(r, 'min') AS BIGINT) AS r_min,
+        |  CAST(list_aggregate(r, 'max') AS BIGINT) AS r_max
+        |FROM rr
+        |ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val u = Linalg.powerIteration(
+        Linalg.gramInt8(emb, "vec_id", "embedding"), dim = 64, iters = 3)
+      .orderBy("dim_idx").collect().map(_.getLong(1)) // dim-bounded
+    Linalg.removeTopDirection(emb, "vec_id", "embedding", u)
+      .orderBy("vec_id")
+  }
+
   /** D79 — changelog derivation: before = documents, after = the same
     * table with %7 keys deleted, %5 texts rewritten, and %11 keys
     * re-inserted under shifted ids. The oracle replays the diff as a
@@ -4686,7 +4723,7 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qChangelog, qChangelogValues, qIncrAgg, qIncrMinmax,
+    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qRemoveTop, qChangelog, qChangelogValues, qIncrAgg, qIncrMinmax,
     qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag,
     qLangConfusion, qImageClusters, qFreqItemsets, qKcenter)
 }
