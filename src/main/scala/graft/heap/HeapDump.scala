@@ -227,15 +227,19 @@ final class HeapDump(spark: SparkSession, path: String) {
   }
 
   // -- A9: class hierarchy (driver-side, tiny) ------------------------
+  /** instance_size (the class dump's declared per-instance field
+    * bytes) is APPENDED after the original 5-column schema so
+    * positional readers of earlier exports keep their prefix.
+    */
   def classHierarchy: DataFrame =
     index.classes.values.toSeq.sortBy(_.objId)
       .map { c =>
         val sup = index.classes.get(c.superId)
         (c.objId, c.name,
           if (c.superId == 0) None else Some(c.superId),
-          sup.map(_.name), c.loaderId)
+          sup.map(_.name), c.loaderId, c.instanceSize)
       }.toDF("class_obj_id", "class_name", "super_class_obj_id",
-        "super_class_name", "loader_obj_id")
+        "super_class_name", "loader_obj_id", "instance_size")
 
   // -- A18: per-class field-layout metadata ---------------------------
   /** One row per instance-field slot of every class's FULL layout (own

@@ -1581,6 +1581,60 @@ object Heap {
     resp.body()
   }
 
+  /** B32 — per-class layout-slack audit (the MAT "memory layout"
+    * view): the class dump's DECLARED per-instance field bytes vs the
+    * bytes the full field layout (A18 `_fields`, own + inherited
+    * slots at their HPROF widths, refs at the 8-byte id size) can
+    * account for — the gap is VM alignment/padding on a real dump and
+    * a parser desync on any dump, which is what the gate pins: both
+    * engines must derive identical declared/layout/slack numbers from
+    * the same export.
+    */
+  val qHeapLayoutSlack: GateQuery = {
+    val width = """CASE field_type
+                  |  WHEN 'boolean' THEN 1 WHEN 'byte' THEN 1
+                  |  WHEN 'char' THEN 2 WHEN 'short' THEN 2
+                  |  WHEN 'int' THEN 4 WHEN 'float' THEN 4
+                  |  WHEN 'long' THEN 8 WHEN 'double' THEN 8
+                  |  ELSE 8 END""".stripMargin
+    GateQuery(
+      "q_heap_layout_slack",
+      s"""WITH f AS (
+         |  SELECT class_obj_id,
+         |    CAST(SUM($width) AS BIGINT) AS layout_bytes,
+         |    COUNT(*) AS n_fields
+         |  FROM read_parquet('$exportDir/_fields/*.parquet')
+         |  GROUP BY class_obj_id)
+         |SELECT c.class_obj_id, c.class_name,
+         |  CAST(c.instance_size AS BIGINT) AS declared_bytes,
+         |  CAST(COALESCE(f.layout_bytes, 0) AS BIGINT) AS layout_bytes,
+         |  CAST(c.instance_size - COALESCE(f.layout_bytes, 0) AS BIGINT) AS slack_bytes,
+         |  CAST(COALESCE(f.n_fields, 0) AS BIGINT) AS n_fields
+         |FROM read_parquet('$exportDir/_class_hierarchy/*.parquet') c
+         |LEFT JOIN f ON f.class_obj_id = c.class_obj_id
+         |ORDER BY c.class_obj_id""".stripMargin) { (s, _) =>
+      val widthCol = expr(
+        """CASE field_type
+          |  WHEN 'boolean' THEN 1L WHEN 'byte' THEN 1L
+          |  WHEN 'char' THEN 2L WHEN 'short' THEN 2L
+          |  WHEN 'int' THEN 4L WHEN 'float' THEN 4L
+          |  WHEN 'long' THEN 8L WHEN 'double' THEN 8L
+          |  ELSE 8L END""".stripMargin)
+      val f = table(s, "_fields")
+        .groupBy("class_obj_id")
+        .agg(sum(widthCol).as("layout_bytes"), count(lit(1)).as("n_fields"))
+      table(s, "_class_hierarchy")
+        .join(f, Seq("class_obj_id"), "left")
+        .select(col("class_obj_id"), col("class_name"),
+          col("instance_size").cast("long").as("declared_bytes"),
+          coalesce(col("layout_bytes"), lit(0L)).as("layout_bytes"),
+          (col("instance_size").cast("long") -
+            coalesce(col("layout_bytes"), lit(0L))).as("slack_bytes"),
+          coalesce(col("n_fields"), lit(0L)).as("n_fields"))
+        .orderBy("class_obj_id")
+    }
+  }
+
   /** A16/A17 — the serving layer driven over REAL HTTP (the reference's
     * MCP server surface, server.py:479-537 query_heap + analyze_heap):
     * the gate opens a session on the demo export through the wire,
@@ -1656,7 +1710,7 @@ object Heap {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qHeapHttp,
+    qHeapHttp, qHeapLayoutSlack,
     qHeapRender, qHeapFields,
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
