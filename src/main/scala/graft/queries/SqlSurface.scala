@@ -780,6 +780,64 @@ object SqlSurface {
       .orderBy("doc_id")
   }
 
+  /** C58 — MAP higher-order functions (transform_values, map_filter,
+    * map_entries): the C54 in-row token→count map pushed through the
+    * map-HOF family — double every count, drop entries below a floor,
+    * explode the survivors back to rows. The oracle replays with a
+    * plain relational group-by, so each HOF must agree with its
+    * set-semantics meaning (a value transformed on the wrong key or a
+    * filter applied to keys instead of values breaks the hash).
+    */
+  val qMapHof: GateQuery = GateQuery(
+    "q_map_hof",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |           FROM documents WHERE doc_id % 10 = 0),
+      |c AS (SELECT doc_id, w, COUNT(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT doc_id, w AS token, CAST(n * 2 AS BIGINT) AS n2
+      |FROM c WHERE n * 2 >= 6
+      |ORDER BY doc_id, token""".stripMargin) { (s, dir) =>
+    val ws = split(col("text"), " ")
+    val entries = transform(array_distinct(ws),
+      w => struct(w.as("k"),
+        size(filter(ws, x => x === w)).cast("long").as("v")))
+    Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), map_from_entries(entries).as("m"))
+      .select(col("doc_id"), explode(expr(
+        "map_filter(transform_values(m, (k, v) -> v * 2), (k, v) -> v >= 6)")))
+      .select(col("doc_id"), col("key").as("token"), col("value").as("n2"))
+      .orderBy("doc_id", "token")
+  }
+
+  /** C59 — SQL scalar UDF (`CREATE TEMPORARY FUNCTION … RETURN expr`,
+    * the Spark 3.4+ SQL-function surface): a quality-bucket macro
+    * defined in SQL and applied in a query — the analyst-extension
+    * path that needs no JVM code. The oracle inlines the same
+    * expression (DuckDB's single-statement contract can't CREATE),
+    * which is exactly the semantics the surface promises: a SQL UDF
+    * is macro expansion, not a foreign function.
+    */
+  val qSqlUdf: GateQuery = GateQuery(
+    "q_sql_udf",
+    """SELECT CASE WHEN n_chars < 200 THEN 'short'
+      |            WHEN n_chars < 400 THEN 'medium'
+      |            ELSE 'long' END AS bucket,
+      |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents").createOrReplaceTempView("graft_docs_udf")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_len_bucket(n BIGINT)
+            |RETURNS STRING
+            |RETURN CASE WHEN n < 200 THEN 'short'
+            |            WHEN n < 400 THEN 'medium'
+            |            ELSE 'long' END""".stripMargin)
+    s.sql("""SELECT graft_len_bucket(n_chars) AS bucket, COUNT(*) AS n,
+            |  SUM(n_chars) AS chars
+            |FROM graft_docs_udf
+            |GROUP BY 1
+            |ORDER BY bucket""".stripMargin)
+  }
+
   /** C55 — schema-drift UNION (unionByName + allowMissingColumns):
     * two vintages of a feed — one carrying `lang`, the other
     * `n_chars` — union BY NAME with null fill for each side's missing
@@ -865,5 +923,5 @@ object SqlSurface {
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
     qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qSchemaEvolution, qRecursiveCte, qVariant, qPipeSql,
-    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qUnionByName, qIntervalArith, qNullOrdering)
+    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qMapHof, qSqlUdf, qUnionByName, qIntervalArith, qNullOrdering)
 }
