@@ -1310,6 +1310,36 @@ object StreamingGates {
       .orderBy("w_start_us", "rank")
   }
 
+  /** E56 — streaming changelog derivation (the CDC capture side,
+    * D79's online twin): per user, first observation emits I, a value
+    * change emits U, unchanged re-observations emit nothing. Oracle
+    * replays with a per-key lag over the event order — an emission on
+    * an unchanged value, a missed change, or a first-row U all break
+    * the hash.
+    */
+  val qStreamChangelog: GateQuery = GateQuery(
+    "q_stream_changelog",
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS t_us, event_id,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS v,
+      |    LAG(CAST(floor(value * 1000000) AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv
+      |  FROM events)
+      |SELECT CASE WHEN pv IS NULL THEN 'I' ELSE 'U' END AS op,
+      |  user_id, t_us, event_id, v AS v_micro
+      |FROM x WHERE pv IS NULL OR v <> pv
+      |ORDER BY user_id, t_us, event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id").cast("long").as("event_id"),
+        floor(col("value") * 1000000).cast("long").as("v_micro"))
+      .as[StreamingOps.CdcEvent]
+    runToMemory(StreamingOps.changelogStream(evs).toDF(), OutputMode.Append())
+      .select("op", "user_id", "t_us", "event_id", "v_micro")
+      .orderBy("user_id", "t_us", "event_id")
+  }
+
   /** E55 — streaming record-high monitor: one row per new all-time
     * high per user (strictly greater), carrying the previous high
     * (null on the first event). Oracle is the batch PRECEDING-frame
@@ -1642,6 +1672,6 @@ object StreamingGates {
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
       qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
-      qStreamEwma, qStreamAsof, qStreamTopk, qStreamRecordHigh)
+      qStreamEwma, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog)
     .map(_.copy(bench = false))
 }

@@ -464,6 +464,47 @@ object StreamingOps {
       }
   }
 
+  final case class CdcEvent(user_id: Long, t_us: Long, event_id: Long, v_micro: Long)
+  final case class CdcState(v: Long, any: Boolean, maxTs: Long = Long.MinValue)
+  final case class CdcRow(op: String, user_id: Long, t_us: Long,
+    event_id: Long, v_micro: Long)
+
+  /** E56 — streaming CHANGELOG DERIVATION (the capture side of CDC,
+    * the online twin of D79's snapshot diff): per key, the first
+    * observation emits 'I', a value CHANGE emits 'U', an unchanged
+    * re-observation emits nothing — turning a raw observation stream
+    * into minimal change rows (what a poller in front of a
+    * merge-into sink should forward; E21 is the apply side). ONE
+    * value + seen-flag of state per key. In-order contract enforced
+    * with the family's marker row (op = 'L', event_id = −late count).
+    */
+  def changelogStream(events: Dataset[CdcEvent]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(CdcState(0L, any = false))
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.event_id))
+          val out = Seq.newBuilder[CdcRow]
+          val late = sorted.filter(_.t_us < st.maxTs)
+          if (late.nonEmpty)
+            out += CdcRow("L", uid, late.head.t_us, -late.size.toLong,
+              late.size.toLong)
+          sorted.foreach { e =>
+            if (!st.any) {
+              out += CdcRow("I", uid, e.t_us, e.event_id, e.v_micro)
+              st = CdcState(e.v_micro, any = true, math.max(st.maxTs, e.t_us))
+            } else if (e.v_micro != st.v) {
+              out += CdcRow("U", uid, e.t_us, e.event_id, e.v_micro)
+              st = CdcState(e.v_micro, any = true, math.max(st.maxTs, e.t_us))
+            } else st = st.copy(maxTs = math.max(st.maxTs, e.t_us))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class TopkCounts(counts: Map[String, Long])
   final case class TopkRow(w_start_us: Long, rank: Int, event_type: String, n: Long)
 
