@@ -1261,8 +1261,15 @@ final class HeapAnalysis(t: HeapTables) {
     * total_estimated_waste) as a JSON string — the machine-readable
     * counterpart of renderReport.
     */
+  /** @param graph include the B20-B23 graph sections (referrers /
+    *              ownership / retained / reachability / exemplars /
+    *              classloaders / references) — the expensive closure
+    *              passes; `false` = summary + waste checks only, the
+    *              reference tool's exact surface at a fraction of the
+    *              cost (the HTTP gate's setting).
+    */
   def analyzeJson(topN: Int = 30, waste: Boolean = true, maxTier: Int = 2,
-      sessionId: String = ""): String = {
+      sessionId: String = "", graph: Boolean = true): String = {
     import graft.Json.{arr => jArr, obj => jObj, str => jStr}
     // only types whose toString IS valid JSON pass through raw; any
     // future column type (timestamp, date, array, struct) gets quoted
@@ -1299,7 +1306,7 @@ final class HeapAnalysis(t: HeapTables) {
       // B20-B22 graph sections ride with the full (waste) analysis:
       // the quick look stays scan-cheap, the report answers "who
       // shares it / who owns it / what would deleting it free"
-      val graph = Seq(
+      val graphSections = if (!graph) Seq.empty else Seq(
         "referrer_stats" -> dfRows(referrerStats.map(
           _.orderBy(col("n_refs").desc, col("type_name")).limit(topN))),
         "ownership" -> dfRows(ownershipCollapse().map(
@@ -1313,7 +1320,7 @@ final class HeapAnalysis(t: HeapTables) {
         "classloaders" -> dfRows(classloaderCensus.map(_.limit(topN))),
         "top_retained" -> dfRows(retainedTopObjects(limit = topN)),
         "references" -> dfRows(referenceCensus.map(_.limit(topN))))
-      base ++ graph ++ Seq(
+      base ++ graphSections ++ Seq(
         "waste_findings" -> jArr(findings.map(f => jObj(Seq(
           "check_name" -> jStr(f.checkName),
           "tier" -> f.tier.toString,

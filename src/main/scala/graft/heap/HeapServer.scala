@@ -130,7 +130,8 @@ final class HeapServer(spark: SparkSession, port: Int) {
       JsonBody(sessions.analyze(reqStr(p, "session_id"),
         topN = p.get("top_n").fold(30)(_.toString.toInt),
         waste = p.get("waste").forall(_ == true),
-        maxTier = p.get("max_tier").fold(2)(_.toString.toInt)))
+        maxTier = p.get("max_tier").fold(2)(_.toString.toInt),
+        graph = p.get("graph").forall(_ == true)))
 
     case ("POST", "/diff") =>
       val p = parseFlat(readBody(ex))

@@ -68,9 +68,16 @@ final class HeapSessions(spark: SparkSession) {
     */
   def query(sessionId: String, sql: String): DataFrame = catalogLock.synchronized {
     val sess = get(sessionId)
-    dropBareViews() // stale tables of the previous owner must not linger
-    HeapSql.register(spark, sess.dir)
-    HeapSessions.bareOwners(spark) = (sess.id, sess.tables)
+    // re-register only on OWNER CHANGE: the owner marker is written
+    // under this same lock, so if this session already owns the bare
+    // names every view still points at its directory — repeated pages
+    // of one session (the dominant serving pattern) skip ~20 parquet
+    // footer reads per call
+    if (!HeapSessions.bareOwners.get(spark).contains((sess.id, sess.tables))) {
+      dropBareViews() // stale tables of the previous owner must not linger
+      HeapSql.register(spark, sess.dir)
+      HeapSessions.bareOwners(spark) = (sess.id, sess.tables)
+    }
     spark.sql(sql)
   }
 
@@ -108,10 +115,10 @@ final class HeapSessions(spark: SparkSession) {
     * parquet dir (server.py analyze_heap result shape).
     */
   def analyze(sessionId: String, topN: Int = 30, waste: Boolean = true,
-      maxTier: Int = 2): String = {
+      maxTier: Int = 2, graph: Boolean = true): String = {
     val sess = get(sessionId)
     new HeapAnalysis(new HeapTables(spark, sess.dir))
-      .analyzeJson(topN, waste, maxTier, sess.id)
+      .analyzeJson(topN, waste, maxTier, sess.id, graph)
   }
 
   /** Drop the session's views; parquet files stay on disk. */

@@ -1696,7 +1696,10 @@ object Heap {
         page += 1
       }
       val aresp = httpPost(port, "/analyze",
-        """{"session_id":"gate","top_n":30,"waste":true,"max_tier":3}""")
+        // graph=false: the gate pins the reference analyze surface
+      // (summary + waste findings); the graph sections have their own
+      // dedicated gates and would triple the wire gate's cost
+      """{"session_id":"gate","top_n":30,"waste":true,"max_tier":3,"graph":false}""")
       val am = graft.Json.parse(aresp).asInstanceOf[Map[String, Any]]
       am("waste_findings").asInstanceOf[Vector[Any]].foreach { f =>
         val fm = f.asInstanceOf[Map[String, Any]]
