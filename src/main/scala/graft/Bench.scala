@@ -343,7 +343,12 @@ object Bench {
       else "") +
       ingestKeys + f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir"}"""
     try {
-      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      // a FILTERED run must not clobber the committed full-suite
+      // record: BENCH_DETAIL.json is both the round artifact and the
+      // isolation re-measure's prior-times source, so partial runs
+      // write to BENCH_DETAIL_PARTIAL.json instead
+      val name = if (only.isDefined) "BENCH_DETAIL_PARTIAL.json" else "BENCH_DETAIL.json"
+      val p = java.nio.file.Paths.get(name)
       java.nio.file.Files.write(p, detailJson.getBytes("UTF-8"))
       System.err.println(s"[bench] full per-gate detail -> ${p.toAbsolutePath}")
     } catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
