@@ -210,4 +210,59 @@ object Relevance {
           .as("recall_ppm"),
         expr(s"coalesce(__hits, 0L) * 1000000L div CAST($k AS BIGINT)").as("prec_ppm"))
   }
+
+  /** D130 — MMR diversified re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): from a relevance-ranked candidate pool, greedily pick
+    * the item maximizing (100−λ)·rel − λ·max-sim-to-already-selected
+    * — the standard redundancy remover between retrieval and a
+    * context window (ten near-identical top hits waste the window a
+    * plain top-k would fill with them). Exact integers: relevance and
+    * similarities are int8-quantized dot products, λ a percentage, so
+    * the greedy replays bit-for-bit; ties break (score desc, id asc).
+    *
+    * Scale shape: the DISTRIBUTED work is the corpus-wide relevance
+    * top-`poolK` (one projection + bounded sort); the greedy itself
+    * runs on the collected pool — k-bounded driver state, the k-means
+    * centroid precedent, and exactly where deployed rerankers run
+    * (the pool already fits in one response). Emits one row per
+    * selection round: (rank, vec_id, rel, max_sim, score).
+    */
+  def mmrDiversify(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, poolK: Int, selectK: Int, lambdaPct: Int): DataFrame = {
+    require(poolK >= selectK && selectK >= 1, s"invalid poolK=$poolK selectK=$selectK")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"invalid lambdaPct $lambdaPct")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = Prep.quantizeInt8(emb, idCol, vecCol)
+      .select(col(idCol).as("vec_id"), col("q"))
+    val qvec = q.filter(col("vec_id") === queryId)
+      .head().getAs[Seq[Long]]("q").toArray
+    val qArr = array(qvec.map(lit(_)): _*)
+    val pool = q.filter(col("vec_id") =!= queryId)
+      .withColumn("rel",
+        aggregate(zip_with(col("q"), qArr, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolK)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Seq[Long]]("q").toArray, r.getAs[Long]("rel")))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.iterator.map(i => a(i) * b(i)).sum
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Long], Long, Long, Long)] // id, vec, rel, maxSim, score
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.size < selectK && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, v, rel) =>
+        val ms = if (selected.isEmpty) 0L
+          else selected.iterator.map(s => dot(v, s._2)).max
+        (id, v, rel, ms, (100L - lambdaPct) * rel - lambdaPct * ms)
+      }
+      val best = scored.minBy { case (id, _, _, _, sc) => (-sc, id) }
+      selected += best
+      remaining.filterInPlace(_._1 != best._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, rel, ms, sc), i) => (i + 1, id, rel, ms, sc) }
+      .toSeq.toDF("rank", "vec_id", "rel", "max_sim", "score")
+  }
 }

@@ -4031,6 +4031,69 @@ object Pipeline {
     * max-|component| integral renorm. A wrong Gram cell, expansion,
     * sum, or renorm shifts some component.
     */
+  /** DuckDB replay of the greedy MMR selection, rounds unrolled as
+    * CTEs (the powerOracle pattern): quantize, pool = relevance
+    * top-poolK, then per round the argmax of (100−λ)·rel − λ·max-sim
+    * over the remaining pool with (score desc, id asc) ties.
+    */
+  private def mmrOracle(poolK: Int, selectK: Int, lambdaPct: Int): String = {
+    def dot(a: String, b: String): String =
+      s"CAST(list_aggregate(list_transform(generate_series(1, 64), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), 'sum') AS BIGINT)"
+    val head =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+         |      FROM e),
+         |q AS (SELECT vec_id,
+         |        CASE WHEN scale = 0
+         |             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |             ELSE list_transform(v, x -> CAST(floor(x * 127 / scale) AS BIGINT))
+         |        END AS qv
+         |      FROM sc),
+         |qq AS (SELECT qv FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM q)),
+         |pool AS (SELECT q.vec_id, q.qv, ${dot("q.qv", "qq.qv")} AS rel
+         |         FROM q CROSS JOIN qq
+         |         WHERE q.vec_id <> (SELECT MIN(vec_id) FROM q)
+         |         ORDER BY rel DESC, q.vec_id LIMIT $poolK),
+         |s1 AS (SELECT vec_id, qv, rel, CAST(0 AS BIGINT) AS ms,
+         |         CAST(${100 - lambdaPct} * rel AS BIGINT) AS score
+         |       FROM pool ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to selectK).map { r =>
+      val sels = (1 until r).map(i => s"s$i")
+      val crosses = sels.map(s => s"CROSS JOIN $s").mkString(" ")
+      val notIn = sels.map(s => s"p.vec_id <> $s.vec_id").mkString(" AND ")
+      val msTerms = sels.map(s => dot("p.qv", s"$s.qv")).mkString(", ")
+      val ms = if (sels.size == 1) msTerms else s"GREATEST($msTerms)"
+      s"""c$r AS (SELECT p.vec_id, p.qv, p.rel, CAST($ms AS BIGINT) AS ms
+         |  FROM pool p $crosses WHERE $notIn),
+         |s$r AS (SELECT vec_id, qv, rel, ms,
+         |    CAST(${100 - lambdaPct} * rel - $lambdaPct * ms AS BIGINT) AS score
+         |  FROM c$r ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val unions = (1 to selectK).map(r =>
+      s"SELECT $r AS rank, vec_id, rel, ms AS max_sim, score FROM s$r")
+      .mkString("\nUNION ALL ")
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT CAST(rank AS INT) AS rank, vec_id, rel, max_sim, score FROM (\n$unions)\nORDER BY rank"
+  }
+
+  /** D130 — MMR diversified re-ranking (Carbonell & Goldstein
+    * SIGIR'98): relevance top-8 pool to the lowest-id query vector,
+    * then 4 greedy rounds of (100−30)·rel − 30·max-sim in exact
+    * integers. The oracle unrolls every round — a tie broken
+    * differently, a stale max-sim, or a pool boundary off by one
+    * changes a selection and breaks the hash.
+    */
+  val qMmr: GateQuery = GateQuery(
+    "q_mmr", mmrOracle(poolK = 8, selectK = 4, lambdaPct = 30)) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val queryId = emb.agg(min(col("vec_id"))).head().getLong(0)
+    Relevance.mmrDiversify(emb, "vec_id", "embedding",
+        queryId, poolK = 8, selectK = 4, lambdaPct = 30)
+      .orderBy("rank")
+  }
+
   private def powerOracle(iters: Int): String = {
     val head =
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -4723,7 +4786,7 @@ object Pipeline {
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
     qSourceReport, qBpeMerges, qBpeEncode, qBigramLm, qSemanticDedup,
     qShardExport, qDedupContainment, qDedupEditdist, qCollocations,
-    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qRemoveTop, qChangelog, qChangelogValues, qIncrAgg, qIncrMinmax,
+    qQuantileSketch, qDedupPrefix, qRendezvous, qPowerIteration, qRemoveTop, qMmr, qChangelog, qChangelogValues, qIncrAgg, qIncrMinmax,
     qDedupSortedNbr, qNegativeSample, qGreedyCoverage, qDedupBag,
     qLangConfusion, qImageClusters, qFreqItemsets, qKcenter)
 }
