@@ -1310,6 +1310,50 @@ object StreamingGates {
       .orderBy("w_start_us", "rank")
   }
 
+  /** E57 — streaming debounce: at most one emission per user per 30
+    * EVENT-time minutes, each emitted row carrying the count of
+    * events the cooldown swallowed since the previous emission.
+    * Inherently sequential per key (the decision depends on the last
+    * EMITTED time), so the oracle is a recursive CTE marching each
+    * user's event order — exactly the q_ewma replay pattern.
+    */
+  val qStreamDebounce: GateQuery = GateQuery(
+    "q_stream_debounce",
+    """WITH RECURSIVE x AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, t_us, event_id, rn, TRUE AS emitted,
+      |    t_us AS last_emit, CAST(0 AS BIGINT) AS sup_out,
+      |    CAST(0 AS BIGINT) AS sup_after
+      |  FROM x WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.user_id, x.t_us, x.event_id, x.rn,
+      |    x.t_us >= r.last_emit + 1800000000 AS emitted,
+      |    CASE WHEN x.t_us >= r.last_emit + 1800000000
+      |         THEN x.t_us ELSE r.last_emit END AS last_emit,
+      |    r.sup_after AS sup_out,
+      |    CASE WHEN x.t_us >= r.last_emit + 1800000000
+      |         THEN CAST(0 AS BIGINT) ELSE r.sup_after + 1 END AS sup_after
+      |  FROM x JOIN r ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+      |SELECT user_id, t_us, event_id,
+      |  CAST(sup_out AS BIGINT) AS suppressed_since
+      |FROM r WHERE emitted
+      |ORDER BY user_id, t_us, event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id").cast("long").as("event_id"))
+      .as[StreamingOps.DebounceEvent]
+    runToMemory(StreamingOps.debounceStream(evs, cooldownUs = 1800000000L).toDF(),
+        OutputMode.Append())
+      .select("user_id", "t_us", "event_id", "suppressed_since")
+      .orderBy("user_id", "t_us", "event_id")
+  }
+
   /** E56 — streaming changelog derivation (the CDC capture side,
     * D79's online twin): per user, first observation emits I, a value
     * change emits U, unchanged re-observations emit nothing. Oracle
@@ -1672,6 +1716,6 @@ object StreamingGates {
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
       qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
-      qStreamEwma, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog)
+      qStreamEwma, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce)
     .map(_.copy(bench = false))
 }

@@ -505,6 +505,56 @@ object StreamingOps {
       }
   }
 
+  final case class DebounceEvent(user_id: Long, t_us: Long, event_id: Long)
+  final case class DebounceState(lastEmit: Long, any: Boolean,
+    suppressedCarry: Long = 0L, maxTs: Long = Long.MinValue)
+  final case class DebounceRow(user_id: Long, t_us: Long, event_id: Long,
+    suppressed_since: Long)
+
+  /** E57 — streaming DEBOUNCE (per-key rate limiter): at most one
+    * emission per key per `cooldownUs` of EVENT time — the alert-storm
+    * damper in front of every paging/notification sink. An event
+    * emits iff it is the key's first or its event time is ≥ lastEmit +
+    * cooldown; emitted rows carry how many events the cooldown
+    * swallowed since the previous emission (the storm's size — what
+    * the on-call wants to see). Inherently sequential per key (each
+    * decision depends on the previous EMITTED time, not the previous
+    * event), which is exactly what one Long of state expresses and a
+    * recursive oracle replays. Family late-arrival marker on
+    * cross-batch regressions (event_id = −late count).
+    */
+  def debounceStream(events: Dataset[DebounceEvent],
+      cooldownUs: Long): Dataset[DebounceRow] = {
+    require(cooldownUs > 0, s"invalid cooldownUs $cooldownUs")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DebounceState, DebounceRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[DebounceState]) =>
+          var st = state.getOption.getOrElse(DebounceState(0L, any = false))
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.event_id))
+          val out = Seq.newBuilder[DebounceRow]
+          val late = sorted.filter(_.t_us < st.maxTs)
+          if (late.nonEmpty)
+            out += DebounceRow(uid, late.head.t_us, -late.size.toLong,
+              late.size.toLong)
+          var supCount = st.suppressedCarry
+          sorted.foreach { e =>
+            if (!st.any || e.t_us >= st.lastEmit + cooldownUs) {
+              out += DebounceRow(uid, e.t_us, e.event_id, supCount)
+              supCount = 0L
+              st = DebounceState(e.t_us, any = true,
+                maxTs = math.max(st.maxTs, e.t_us))
+            } else {
+              supCount += 1L
+              st = st.copy(maxTs = math.max(st.maxTs, e.t_us))
+            }
+          }
+          state.update(st.copy(suppressedCarry = supCount))
+          out.result().iterator
+      }
+  }
+
   final case class TopkCounts(counts: Map[String, Long])
   final case class TopkRow(w_start_us: Long, rank: Int, event_type: String, n: Long)
 
