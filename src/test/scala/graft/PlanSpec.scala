@@ -285,6 +285,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash probe: fixed-width band join, no UDF, no cartesian, no text rescan of the index") {
+    val p = planOf("q_simhash_incr")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate join is an equi hash join on (band, nib) — the
+    // probe must never degrade to a nested loop over fingerprints
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // index side reads fixed-width rows only: the stored sigs carry
+    // no text column to rescan
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val idxRead = reads.find(_.contains("simhash"))
+    assert(idxRead.isDefined, p)
+    assert(!idxRead.get.contains("text"), idxRead.get)
+  }
+
+  test("remove-top: zero-exchange projection (no join, no shuffle, no UDF)") {
+    // the direction is a dim-length literal array, so the removal is
+    // a pure zip_with projection over the quantized scan
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.operators.Linalg.removeTopDirection(
+        emb, "vec_id", "embedding", Array.fill(64)(1000L))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("vocab pruning: keep-vocabulary join, order-preserving regroup, no UDF") {
+    val p = planOf("q_prune_vocab")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the rewrite attaches the keep decision by equi join on the token
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("srp projection: join-free UDF-free projection, scan pruned to id+vector") {
     val p = planOf("q_srp_project")
     assert(!p.contains("Join") && !p.contains("ScalaUDF"), p)
