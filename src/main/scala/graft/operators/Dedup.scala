@@ -714,7 +714,7 @@ object Dedup {
     * than quoted from theory. Cost: the signature pass the LSH run
     * already does, plus exact verification of the tiny candidate set.
     */
-  def signatureEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+  private def estimateAuditCore(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, numBands: Int): DataFrame = {
     val sig = rawSignatures(docs, idCol, textCol, shingleN, numHashes)
       .select(col("doc_id"), col("n_sh"),
@@ -745,8 +745,38 @@ object Dedup {
       .withColumn("est_ppm", expr(s"n_match * 1000000 div ${numHashes}L"))
       .withColumn("jaccard_ppm", expr("n_inter * 1000000 div (n1 + n2 - n_inter)"))
       .withColumn("err_ppm", col("est_ppm") - col("jaccard_ppm"))
-      .select("d1", "d2", "n_match", "est_ppm", "jaccard_ppm", "err_ppm")
+      .select("d1", "d2", "n_match", "n_inter", "n1", "n2",
+        "est_ppm", "jaccard_ppm", "err_ppm")
   }
+
+  def signatureEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, numBands: Int): DataFrame =
+    estimateAuditCore(docs, idCol, textCol, shingleN, numHashes, numBands)
+      .select("d1", "d2", "n_match", "est_ppm", "jaccard_ppm", "err_ppm")
+
+  /** D131 — CONTAINMENT estimate from signatures alone, audited
+    * against exact: the asymmetric question (is the smaller doc
+    * inside the larger? — D61's exact answer) recovered from the
+    * SYMMETRIC machinery the index already stores, via the set
+    * identity I = J·(|A|+|B|)/(1+J) applied to the signature Jaccard
+    * estimate Ĵ = m/H and the per-doc shingle counts (cheap stored
+    * stats, no cross-doc work): Ĉ = Î / min(|A|,|B|). This is what
+    * lets a signatures-only mirror RANK quote-style containment
+    * candidates before paying exact verification — the audit measures
+    * the estimator's honest error on the corpus's own candidate
+    * population, against the EXACT containment n_inter/min (not a
+    * ppm round-trip). Integer ppm throughout:
+    * Î = Ĵppm·(n1+n2) div (10⁶ + Ĵppm).
+    */
+  def containmentEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, numBands: Int): DataFrame =
+    estimateAuditCore(docs, idCol, textCol, shingleN, numHashes, numBands)
+      .withColumn("i_est", expr("est_ppm * (n1 + n2) div (1000000L + est_ppm)"))
+      .withColumn("cont_est_ppm", expr("i_est * 1000000L div least(n1, n2)"))
+      .withColumn("cont_ppm", expr("n_inter * 1000000L div least(n1, n2)"))
+      .select(col("d1"), col("d2"), col("n1"), col("n2"),
+        col("cont_est_ppm"), col("cont_ppm"),
+        (col("cont_est_ppm") - col("cont_ppm")).as("cont_err_ppm"))
 
   /** D109 — banding-plan chooser: the DESIGN-side answer the audit
     * triad (D102 calibration, D103 truncation, D108 estimate error)

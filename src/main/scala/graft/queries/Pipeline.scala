@@ -261,6 +261,65 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
+  /** D131 — containment ESTIMATE from signatures, audited against
+    * exact: Ĉ = Î/min(n1,n2) with Î = Ĵ·(n1+n2)/(1+Ĵ) from the stored
+    * signature estimate — what lets a signatures-only mirror rank
+    * quote-style containment candidates before paying verification.
+    * The oracle replays the full chain (signatures, banding
+    * candidates, match counts, the set identity in the same integer
+    * floors, and the exact intersection reference).
+    */
+  val qContEstimate: GateQuery = GateQuery(
+    "q_cont_estimate",
+    s"""WITH ${shingleCte(3)},
+       |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+       |         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS h
+       |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(i // 3 AS BIGINT) AS band,
+       |            md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_sig
+       |          FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |m AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM cand c
+       |  JOIN mh a ON a.doc_id = c.d1
+       |  JOIN mh b ON b.doc_id = c.d2 AND b.i = a.i
+       |  GROUP BY c.d1, c.d2),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+       |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y
+       |    ON y.doc_id = c.d2 AND y.shingle = x.shingle
+       |  GROUP BY c.d1, c.d2),
+       |base AS (
+       |  SELECT m.d1, m.d2,
+       |    CAST(s1.n_sh AS BIGINT) AS n1, CAST(s2.n_sh AS BIGINT) AS n2,
+       |    CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS ni,
+       |    CAST(m.n_match * 1000000 // 12 AS BIGINT) AS est_ppm
+       |  FROM m
+       |  LEFT JOIN inter i ON i.d1 = m.d1 AND i.d2 = m.d2
+       |  JOIN sizes s1 ON s1.doc_id = m.d1
+       |  JOIN sizes s2 ON s2.doc_id = m.d2),
+       |est AS (
+       |  SELECT d1, d2, n1, n2, ni,
+       |    CAST(CAST(est_ppm * (n1 + n2) // (1000000 + est_ppm) AS BIGINT) * 1000000 // LEAST(n1, n2) AS BIGINT) AS cont_est_ppm,
+       |    CAST(ni * 1000000 // LEAST(n1, n2) AS BIGINT) AS cont_ppm
+       |  FROM base)
+       |SELECT d1, d2, n1, n2, cont_est_ppm, cont_ppm,
+       |  CAST(cont_est_ppm - cont_ppm AS BIGINT) AS cont_err_ppm
+       |FROM est
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.containmentEstimateAudit(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 12, numBands = 4)
+      .orderBy("d1", "d2")
+  }
+
   /** D109 — banding-plan chooser: every divisor plan (r×b = 12) of
     * the signature budget scored on the corpus's own df-capped
     * candidate-pair population via the signature Jaccard estimate —
@@ -4769,7 +4828,7 @@ object Pipeline {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab, qRankCalibrate, qDistinctiveTerms, qStratifiedTopK,
+    qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qContEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab, qRankCalibrate, qDistinctiveTerms, qStratifiedTopK,
     qNearDupIncremental, qNearDupIncrVerified,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnMultiProbe, qKnnIvf, qKnnIvfFull,
