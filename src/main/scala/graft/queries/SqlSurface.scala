@@ -780,6 +780,33 @@ object SqlSurface {
       .orderBy("doc_id")
   }
 
+  /** C60 — string function family round 2: `split_part` (the ETL
+    * field extractor), `levenshtein` (the fuzzy-match primitive both
+    * engines ship natively), and `regexp_extract_all` (multi-match
+    * extraction) — pinned as VALUES so tokenization and edit-distance
+    * semantics can't silently diverge between engines.
+    */
+  val qStringFuncs2: GateQuery = GateQuery(
+    "q_string_funcs2",
+    """SELECT p_partkey,
+      |  split_part(p_type, ' ', 1) AS t1,
+      |  split_part(p_type, ' ', 3) AS t3,
+      |  levenshtein(p_name, p_type) AS lev,
+      |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words
+      |FROM part
+      |WHERE p_partkey <= 300
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "part")
+      .filter(col("p_partkey") <= 300)
+      .select(col("p_partkey"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("t1"),
+        split_part(col("p_type"), lit(" "), lit(3)).as("t3"),
+        levenshtein(col("p_name"), col("p_type")).as("lev"),
+        array_join(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)), ",")
+          .as("words"))
+      .orderBy("p_partkey")
+  }
+
   /** C58 — MAP higher-order functions (transform_values, map_filter,
     * map_entries): the C54 in-row token→count map pushed through the
     * map-HOF family — double every count, drop entries below a floor,
@@ -923,5 +950,5 @@ object SqlSurface {
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
     qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qSchemaEvolution, qRecursiveCte, qVariant, qPipeSql,
-    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qMapHof, qSqlUdf, qUnionByName, qIntervalArith, qNullOrdering)
+    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qMapHof, qSqlUdf, qStringFuncs2, qUnionByName, qIntervalArith, qNullOrdering)
 }
