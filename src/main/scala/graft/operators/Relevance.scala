@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BM25 relevance scoring over a document corpus — the retrieval-side
@@ -209,6 +209,48 @@ object Relevance {
         expr(s"coalesce(__hits, 0L) * 1000000L div least(CAST($k AS BIGINT), n_rel)")
           .as("recall_ppm"),
         expr(s"coalesce(__hits, 0L) * 1000000L div CAST($k AS BIGINT)").as("prec_ppm"))
+  }
+
+  /** D132 — ROUGE-N overlap metrics IN-ENGINE (Lin, ACL'04 — the
+    * set-variant: distinct n-gram overlap), for (candidate,
+    * reference) doc pairs: recall = |∩|/|ref n-grams|, precision =
+    * |∩|/|cand n-grams|, F1 = 2PR/(P+R) — all integer ppm with a
+    * zero-denominator guard, the generation-eval counterpart of the
+    * D120 retrieval metrics (score a distillation/summary corpus
+    * against its references WITHOUT exporting to an eval harness).
+    * Scale shape: n-grams reduce to md5 in-projection per side; one
+    * join on the pair id, set sizes via array ops — no token ever
+    * shuffles raw.
+    */
+  def rougeN(pairs: DataFrame, candCol: String, refCol: String,
+      idCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"invalid n $n")
+    // callers guard size >= n, so sequence(0, size - n) is ascending
+    // and yields every gram start exactly once
+    def grams(c: Column): Column = {
+      val t = split(coalesce(c, lit("")), " ")
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => md5(concat_ws(" ",
+          (1 to n).map(k => element_at(t, i + lit(k))): _*).cast("binary"))))
+    }
+    pairs
+      .withColumn("__cg", when(size(split(coalesce(col(candCol), lit("")), " ")) >= n,
+        grams(col(candCol))).otherwise(array().cast("array<string>")))
+      .withColumn("__rg", when(size(split(coalesce(col(refCol), lit("")), " ")) >= n,
+        grams(col(refCol))).otherwise(array().cast("array<string>")))
+      .withColumn("n_cand", size(col("__cg")).cast("long"))
+      .withColumn("n_ref", size(col("__rg")).cast("long"))
+      .withColumn("n_overlap", size(array_intersect(col("__cg"), col("__rg"))).cast("long"))
+      .withColumn("recall_ppm",
+        when(col("n_ref") > 0, expr("n_overlap * 1000000L div n_ref")).otherwise(0L))
+      .withColumn("prec_ppm",
+        when(col("n_cand") > 0, expr("n_overlap * 1000000L div n_cand")).otherwise(0L))
+      .withColumn("f1_ppm",
+        when(col("recall_ppm") + col("prec_ppm") > 0,
+          expr("2 * prec_ppm * recall_ppm div (prec_ppm + recall_ppm)"))
+          .otherwise(0L))
+      .select((idCols.map(col) ++ Seq(col("n_cand"), col("n_ref"),
+        col("n_overlap"), col("recall_ppm"), col("prec_ppm"), col("f1_ppm"))): _*)
   }
 
   /** D130 — MMR diversified re-ranking (Carbonell & Goldstein,

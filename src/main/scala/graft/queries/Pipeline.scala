@@ -261,6 +261,58 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
+  /** D132 — ROUGE-2 overlap metrics in-engine (Lin ACL'04, set
+    * variant): each odd doc scored as a CANDIDATE against the
+    * preceding even doc as REFERENCE — recall/precision/F1 over
+    * distinct bigrams, integer ppm with zero-denominator guards. The
+    * oracle re-derives both bigram sets, the overlap join, and every
+    * guarded floor.
+    */
+  val qRouge: GateQuery = GateQuery(
+    "q_rouge",
+    """WITH p AS (
+      |  SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+      |         c.text AS cand, r.text AS ref
+      |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id - 1
+      |  WHERE c.doc_id % 2 = 1),
+      |cg AS (SELECT DISTINCT cand_id,
+      |         md5(array_to_string(string_split(cand, ' ')[CAST(s.i AS INT):CAST(s.i + 1 AS INT)], ' ')) AS g
+      |       FROM p, LATERAL unnest(generate_series(1, len(string_split(cand, ' ')) - 1)) s(i)),
+      |rg AS (SELECT DISTINCT ref_id,
+      |         md5(array_to_string(string_split(ref, ' ')[CAST(s.i AS INT):CAST(s.i + 1 AS INT)], ' ')) AS g
+      |       FROM p, LATERAL unnest(generate_series(1, len(string_split(ref, ' ')) - 1)) s(i)),
+      |cc AS (SELECT cand_id, COUNT(*) AS n_cand FROM cg GROUP BY 1),
+      |cr AS (SELECT ref_id, COUNT(*) AS n_ref FROM rg GROUP BY 1),
+      |ov AS (SELECT p.cand_id, COUNT(*) AS n_overlap
+      |       FROM p JOIN cg ON cg.cand_id = p.cand_id
+      |              JOIN rg ON rg.ref_id = p.ref_id AND rg.g = cg.g
+      |       GROUP BY 1),
+      |base AS (
+      |  SELECT p.cand_id, p.ref_id,
+      |    CAST(COALESCE(cc.n_cand, 0) AS BIGINT) AS n_cand,
+      |    CAST(COALESCE(cr.n_ref, 0) AS BIGINT) AS n_ref,
+      |    CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+      |  FROM p LEFT JOIN cc ON cc.cand_id = p.cand_id
+      |         LEFT JOIN cr ON cr.ref_id = p.ref_id
+      |         LEFT JOIN ov ON ov.cand_id = p.cand_id),
+      |pr AS (
+      |  SELECT *,
+      |    CASE WHEN n_ref > 0 THEN CAST(n_overlap * 1000000 // n_ref AS BIGINT) ELSE 0 END AS recall_ppm,
+      |    CASE WHEN n_cand > 0 THEN CAST(n_overlap * 1000000 // n_cand AS BIGINT) ELSE 0 END AS prec_ppm
+      |  FROM base)
+      |SELECT cand_id, ref_id, n_cand, n_ref, n_overlap, recall_ppm, prec_ppm,
+      |  CASE WHEN recall_ppm + prec_ppm > 0 THEN CAST(2 * prec_ppm * recall_ppm // (prec_ppm + recall_ppm) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS f1_ppm
+      |FROM pr
+      |ORDER BY cand_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("cand_id"), col("text").as("cand"))
+      .join(docs.select((col("doc_id") + 1).as("cand_id"),
+        col("doc_id").as("ref_id"), col("text").as("ref")), "cand_id")
+    Relevance.rougeN(pairs, "cand", "ref", Seq("cand_id", "ref_id"), n = 2)
+      .orderBy("cand_id")
+  }
+
   /** D131 — containment ESTIMATE from signatures, audited against
     * exact: Ĉ = Î/min(n1,n2) with Î = Ĵ·(n1+n2)/(1+Ĵ) from the stored
     * signature estimate — what lets a signatures-only mirror rank
@@ -4839,7 +4891,7 @@ object Pipeline {
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
-    qRarity, qBm25, qHybridRrf, qPrfSearch, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
+    qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,
