@@ -780,6 +780,30 @@ object SqlSurface {
       .orderBy("doc_id")
   }
 
+  /** C61 — bitwise AGGREGATES (bit_and / bit_or / bit_xor): the
+    * flag-mask rollup family (permission masks, feature-flag unions,
+    * parity checks) both engines ship natively — pinned per group so
+    * fold semantics over 64-bit lanes can't diverge.
+    */
+  val qBitAggs: GateQuery = GateQuery(
+    "q_bit_aggs",
+    """SELECT o_orderpriority,
+      |  CAST(bit_and(o_orderkey) AS BIGINT) AS all_mask,
+      |  CAST(bit_or(o_orderkey) AS BIGINT) AS any_mask,
+      |  CAST(bit_xor(o_orderkey) AS BIGINT) AS parity,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("bit_and(o_orderkey)").cast("long").as("all_mask"),
+        expr("bit_or(o_orderkey)").cast("long").as("any_mask"),
+        expr("bit_xor(o_orderkey)").cast("long").as("parity"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   /** C60 — string function family round 2: `split_part` (the ETL
     * field extractor), `levenshtein` (the fuzzy-match primitive both
     * engines ship natively), and `regexp_extract_all` (multi-match
@@ -950,5 +974,5 @@ object SqlSurface {
     qDateFuncs, qCondAgg, qListAgg, qThetaJoin, qExistsCorr, qNullSemantics,
     qRankFuncs, qArrayFuncs, qJsonStruct, qWindowRange, qIgnoreNulls,
     qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip, qZstdRoundtrip, qTextRoundtrip, qSchemaEvolution, qRecursiveCte, qVariant, qPipeSql,
-    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qMapHof, qSqlUdf, qStringFuncs2, qUnionByName, qIntervalArith, qNullOrdering)
+    qLateral, qGroupOrderAll, qTryFuncs, qHigherOrder, qMapType, qMapHof, qSqlUdf, qStringFuncs2, qBitAggs, qUnionByName, qIntervalArith, qNullOrdering)
 }
