@@ -919,13 +919,23 @@ object Dedup {
     * band rows. The anti-join key is fixed-width (doc_id) against a
     * column-pruned scan of the bands table — no signature bytes move
     * for the existing corpus.
+    *
+    * MUTATION is refused, not silently ignored: re-submitting a doc_id
+    * whose TEXT changed would otherwise be skipped by the anti-join,
+    * leaving the STALE signature probe-able forever — later probes
+    * then miss near-dups of the new content with no error or marker.
+    * The check compares the resubmitted docs' fresh band rows against
+    * their stored rows (a batch-id-pruned scan of the bands table) and
+    * fails fast on any divergence, the same law the params-mismatch
+    * path enforces. To mutate, route through the index's delete path
+    * ([[removeDocsFromSignatureIndex]]) and re-append.
     */
   def appendSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
     val p = spark.read.parquet(s"$indexDir/params")
       .select("shingle_n", "num_hashes", "num_bands").head()
     val sigs = bandSignatures(batch, idCol, textCol,
-      p.getInt(0), p.getInt(1), p.getInt(2))
+      p.getInt(0), p.getInt(1), p.getInt(2)).localCheckpoint()
     val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
     val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(bandsPath)) {
@@ -933,10 +943,24 @@ object Dedup {
       // this batch IS the fresh signature set
       sigs.write.mode("errorifexists").parquet(s"$indexDir/bands")
     } else {
-      val existing = spark.read.parquet(s"$indexDir/bands")
-        .select(col("doc_id")).distinct()
+      // rows of the stored index for doc_ids this batch re-submits
+      // (batch-sized: the semi-join prunes the corpus-side scan)
+      val storedForBatch = spark.read.parquet(s"$indexDir/bands")
+        .join(sigs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val changed = sigs
+        .join(storedForBatch.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .join(storedForBatch, Seq("doc_id", "band", "band_sig"), "left_anti")
+        .select("doc_id").distinct().limit(5)
+        .collect().map(_.get(0)).toSeq
+      require(changed.isEmpty,
+        s"appendSignatureIndex: doc ids ${changed.mkString(", ")} already in " +
+          s"$indexDir with DIFFERENT signatures (their text changed); the index " +
+          "does not support in-place mutation — remove the ids first, then re-append")
       // materialize BEFORE writing — the append lands in the same
       // directory the anti-join reads
+      val existing = spark.read.parquet(s"$indexDir/bands")
+        .select(col("doc_id")).distinct()
       val novel = sigs.join(existing, Seq("doc_id"), "left_anti").localCheckpoint()
       novel.write.mode("append").parquet(s"$indexDir/bands")
     }
@@ -1063,17 +1087,39 @@ object Dedup {
   }
 
   /** Batch-sized growth of the simhash index: fingerprints of docs
-    * not already present (doc-id anti-join), appended.
+    * not already present (doc-id anti-join), appended. Public append
+    * path, so it verifies the stored params itself (the gram/winnow
+    * append discipline — width/bands are hard-coded 48/4 today, but
+    * params-as-law means every entry point checks) and refuses
+    * mutation: a re-submitted doc_id whose fingerprint changed fails
+    * fast instead of silently keeping the stale signature.
     */
   def appendSimhashIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val sigs = simhash48Fingerprints(batch, idCol, textCol)
+    val p = spark.read.parquet(s"$indexDir/params").select("bits", "bands").head()
+    require(p.getInt(0) == 48 && p.getInt(1) == 4,
+      s"simhash index at $indexDir was built with (bits=${p.getInt(0)}, " +
+        s"bands=${p.getInt(1)}) but this append computes 48-bit/4-band " +
+        "fingerprints; delete the index to change widths")
+    val sigs = simhash48Fingerprints(batch, idCol, textCol).localCheckpoint()
     val sigsPath = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
     val fs = sigsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sigsPath)) {
       sigs.write.mode("errorifexists").parquet(s"$indexDir/sigs")
       return
     }
+    val storedForBatch = spark.read.parquet(s"$indexDir/sigs")
+      .join(sigs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val changed = sigs
+      .join(storedForBatch.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .join(storedForBatch, Seq("doc_id", "simhash"), "left_anti")
+      .select("doc_id").distinct().limit(5)
+      .collect().map(_.get(0)).toSeq
+    require(changed.isEmpty,
+      s"appendSimhashIndex: doc ids ${changed.mkString(", ")} already in " +
+        s"$indexDir with DIFFERENT fingerprints (their text changed); remove " +
+        "the ids first, then re-append")
     val existing = spark.read.parquet(s"$indexDir/sigs").select("doc_id").distinct()
     val novel = sigs.join(existing, Seq("doc_id"), "left_anti").localCheckpoint()
     novel.write.mode("append").parquet(s"$indexDir/sigs")
@@ -1430,7 +1476,16 @@ object Dedup {
     * sees the merged sketch.
     */
   def appendGramBloomIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
+    // Per-dir serialization against loadBloomIndex: an unsynchronized
+    // probe racing the publish could (a) land between the live-dir
+    // delete and the staging rename and fail on a missing dir, or
+    // (b) read the PRE-merge blooms and insert its broadcast into the
+    // cache AFTER this append's invalidation — a stale sketch that
+    // silently misses every appended gram (a false-negative window,
+    // the one failure the tier promises away). Holding the dir lock
+    // across the whole append and the whole load closes both.
+    bloomDirLock(indexDir).synchronized {
     val p = spark.read.parquet(s"$indexDir/params")
       .select("gram_n", "num_buckets", "fpp_ppm").head()
     val (n, numBuckets, fppPpm) = (p.getInt(0), p.getInt(1), p.getLong(2))
@@ -1457,6 +1512,9 @@ object Dedup {
         merged.schema)
       merged.unionByName(untouched)
         .coalesce(1).write.mode("errorifexists").parquet(staging.toString)
+      // invalidate BEFORE the swap too: a probe that loaded the old
+      // sketch after this append started must not survive the publish
+      bloomBroadcastCache.remove(indexDir)
       if (fs.exists(bloomP)) fs.delete(bloomP, true)
       require(fs.rename(staging, bloomP),
         s"bloom publish rename $staging -> $bloomP failed")
@@ -1498,12 +1556,23 @@ object Dedup {
     String, (Int, Int, org.apache.spark.broadcast.Broadcast[
       Map[Int, org.apache.spark.util.sketch.BloomFilter]])]()
 
+  /** Per-index-dir monitor serializing sketch loads against append
+    * publishes. Never taken INSIDE a cache operation (the load takes
+    * it around its whole computeIfAbsent; the append takes it around
+    * its whole body), so cache bin locks and this lock never nest in
+    * opposite orders.
+    */
+  private val bloomDirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def bloomDirLock(indexDir: String): Object =
+    bloomDirLocks.computeIfAbsent(indexDir, _ => new Object)
+
   /** Drop (and destroy) a cached sketch broadcast — for streaming
     * callers shutting a guard down. Only call once the dir's probe
     * plans are drained; mid-query destroy fails the query.
     */
-  def unloadBloomIndex(indexDir: String): Unit =
+  def unloadBloomIndex(indexDir: String): Unit = bloomDirLock(indexDir).synchronized {
     Option(bloomBroadcastCache.remove(indexDir)).foreach(_._3.destroy())
+  }
 
   /** (gram n, per-row bloom membership udf) for a persisted sketch
     * index — the blooms ride one broadcast, deserialized once per JVM
@@ -1511,7 +1580,8 @@ object Dedup {
     */
   private def loadBloomIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (Int, org.apache.spark.sql.expressions.UserDefinedFunction) = {
-    val (n, numBuckets, bc) = bloomBroadcastCache.computeIfAbsent(indexDir, _ => {
+    val (n, numBuckets, bc) = bloomDirLock(indexDir).synchronized {
+      bloomBroadcastCache.computeIfAbsent(indexDir, _ => {
       val bloomP = new org.apache.hadoop.fs.Path(s"$indexDir/bloom")
       val fs = bloomP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       recoverBloomPublish(fs, bloomP,
@@ -1523,7 +1593,8 @@ object Dedup {
         .map(r => r.getInt(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
       (p.getInt(0), p.getInt(1), spark.sparkContext.broadcast(blooms))
-    })
+      })
+    }
     val mightContain = udf((h: Long) =>
       bc.value.get(java.lang.Math.floorMod(h, numBuckets.toLong).toInt)
         .exists(_.mightContainLong(h)))

@@ -277,8 +277,11 @@ object Relevance {
     import spark.implicits._
     val q = Prep.quantizeInt8(emb, idCol, vecCol)
       .select(col(idCol).as("vec_id"), col("q"))
-    val qvec = q.filter(col("vec_id") === queryId)
-      .head().getAs[Seq[Long]]("q").toArray
+    // parameter error, not a bare head-of-empty crash, when the query
+    // id is absent — the require-guarded discipline of the family
+    val qRow = q.filter(col("vec_id") === queryId).limit(1).collect().headOption
+    require(qRow.isDefined, s"queryId $queryId not found in $idCol")
+    val qvec = qRow.get.getAs[Seq[Long]]("q").toArray
     val qArr = array(qvec.map(lit(_)): _*)
     val pool = q.filter(col("vec_id") =!= queryId)
       .withColumn("rel",

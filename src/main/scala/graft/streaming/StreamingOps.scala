@@ -337,17 +337,21 @@ object StreamingOps {
   final case class EwmaEvent(user_id: Long, t_us: Long, tie: Long, x_micro: Long)
   final case class EwmaState(y: Long, any: Boolean, maxTs: Long = Long.MinValue)
   final case class EwmaRow(user_id: Long, t_us: Long, tie: Long,
-    x_micro: Long, ewma_micro: Long)
+    x_micro: Long, ewma_micro: Long, is_late_marker: Boolean = false)
 
   /** E52 — STREAMING EWMA, the online twin of the batch fold (E28):
     * y_t = (α·x_t + (100−α)·y_{t−1}) div 100 in integer micros, ONE
     * Long + a seen-flag of state per key (the recursion's whole
     * memory), a smoothed row per event in Append mode. Same in-order
     * contract and enforcement as cusumStream: a cross-batch time
-    * regression emits one marker row per (key, batch) with `tie` =
-    * −(late count), `x_micro` = late count, `ewma_micro` =
-    * LATE_MARKER; in-order sources never see one and the drained
-    * stream equals the batch fold bit-for-bit.
+    * regression emits one marker row per (key, batch) with
+    * `is_late_marker` = true, `tie` = −(late count), `x_micro` = late
+    * count, `ewma_micro` = LATE_MARKER. The FLAG is the marker's
+    * identity — unlike funnel's string stage and cusum's s>threshold
+    * invariant, a legitimate EWMA of −1 is attainable whenever
+    * x_micro can go negative, so a value convention alone would
+    * misclassify real data. In-order sources never see a marker and
+    * the drained stream equals the batch fold bit-for-bit.
     */
   def ewmaStream(events: Dataset[EwmaEvent], alphaPct: Int): Dataset[EwmaRow] = {
     require(alphaPct >= 1 && alphaPct <= 99, s"invalid alphaPct $alphaPct")
@@ -362,7 +366,7 @@ object StreamingOps {
           val late = sorted.filter(_.t_us < st.maxTs)
           if (late.nonEmpty)
             out += EwmaRow(uid, late.head.t_us, -late.size.toLong,
-              late.size.toLong, LATE_MARKER)
+              late.size.toLong, LATE_MARKER, is_late_marker = true)
           sorted.foreach { e =>
             val y = if (!st.any) e.x_micro
               else (alphaPct * e.x_micro + (100 - alphaPct) * st.y) / 100

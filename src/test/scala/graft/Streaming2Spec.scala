@@ -255,6 +255,13 @@ class Streaming2Spec extends AnyFunSuite {
       assert(rows(2L) === (30L * 2000000L + 70L * 1000000L) / 100) // 1300000
       assert(rows(3L) === (30L * 3000000L + 70L * 1300000L) / 100) // 1810000
       assert(rows(-1L) === StreamingOps.LATE_MARKER)   // marker row, count 1
+      // the marker's identity is STRUCTURAL (a real EWMA of -1 is
+      // attainable when x_micro goes negative): exactly the marker row
+      // carries the flag
+      val flagged = spark.table("ewma_sink").collect()
+        .map(r => (r.getLong(2), r.getBoolean(5))).toMap
+      assert(flagged(-1L) === true)
+      assert(Seq(1L, 2L, 3L).forall(flagged(_) === false))
     } finally eq.stop()
     // as-of: latest right carries across batches; equal-ts right wins
     val ain = MemoryStream[StreamingOps.AsofEvent]
