@@ -867,6 +867,182 @@ object Dedup {
         "catch_ppm", "false_ppm", "exp_collide_ppm", "chosen")
   }
 
+  // ------------------------------------------------------------------
+  // DELETE maintenance shared by the persisted similarity indexes
+  // (signature / simhash / gram / winnow). Every curation epoch
+  // DELETES documents (dedup survivors, quality gates, MERGE deletes),
+  // but until round 13 the index family only grew — a curated-away
+  // doc's signatures stayed probe-able forever, costing verify work
+  // and, for banding-only decisions (D58's documented mode), stale
+  // POSITIVES. The lakehouse discipline (D52-D54) applied to indexes:
+  //
+  //  - removeDocs*  appends the ids to a `tombstones` side table —
+  //    batch-sized, one parquet append, no index rewrite. The COMMIT
+  //    POINT is the tombstone file landing; probes anti-join live
+  //    rows against the (broadcast, delete-batch-sized) tombstone set.
+  //  - compact*     folds tombstones in: a staged full rewrite of the
+  //    index table minus tombstoned rows, swapped by atomic rename
+  //    (the bloom-publish protocol), then the tombstone table is
+  //    dropped. Crash between swap and drop leaves tombstones over
+  //    already-removed rows — a no-op anti-join, healed by the next
+  //    compact. Run it on the epoch cadence, like D53's file compact.
+  //  - append*      REFUSES ids with a pending tombstone ("compact
+  //    first"): physically, the old rows are still in the table, so
+  //    un-tombstoning on re-add would resurrect the stale signature
+  //    — the exact silent-staleness failure removeDocs exists to kill.
+  //
+  // Maintenance calls (remove/compact/append) assume a single
+  // maintainer per index dir, as the append family always has; probes
+  // are read-only and see either pre- or post-commit state.
+  // ------------------------------------------------------------------
+
+  private def tombstonePath(indexDir: String) = s"$indexDir/tombstones"
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Append a delete batch's doc ids to the index's tombstone table.
+    * Ids already tombstoned are skipped (idempotent re-delete); ids
+    * absent from the index are harmless (the anti-join never sees
+    * them). One coalesced file per call — the commit point.
+    */
+  private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexDir))
+    val fresh = ids.select(col(idCol).as("doc_id")).distinct()
+    val novel =
+      if (hadoopFs(spark, tp).exists(tp))
+        fresh.join(spark.read.parquet(tp.toString), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+      else fresh
+    novel.coalesce(1).write.mode("append").parquet(tp.toString)
+  }
+
+  /** Stored rows of `table` minus pending tombstones — what every
+    * probe reads. The tombstone side is delete-batch-sized and rides
+    * a broadcast; zero cost when no deletes are pending.
+    */
+  private def liveIndexRows(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, table: String): DataFrame = {
+    val rows = spark.read.parquet(s"$indexDir/$table")
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexDir))
+    if (hadoopFs(spark, tp).exists(tp))
+      rows.join(broadcast(spark.read.parquet(tp.toString).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    else rows
+  }
+
+  /** Refuse an append of ids whose delete is pending — see the family
+    * contract above.
+    */
+  private def refuseTombstoned(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchIds: DataFrame, op: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexDir))
+    if (!hadoopFs(spark, tp).exists(tp)) return
+    val hit = batchIds
+      .join(spark.read.parquet(tp.toString).select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.get(0)).toSeq
+    require(hit.isEmpty,
+      s"$op: doc ids ${hit.mkString(", ")} have a pending delete in $indexDir; " +
+        "compact the index before re-adding them")
+  }
+
+  /** Fold pending tombstones into `table`: staged survivor rewrite +
+    * atomic-rename swap (recoverBloomPublish is the shared republish/
+    * discard recovery), then drop the tombstone table. Idempotent.
+    */
+  private def compactDocTable(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, table: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+    val staging = new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging")
+    val fs = hadoopFs(spark, live)
+    recoverBloomPublish(fs, live, staging)
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexDir))
+    if (!fs.exists(tp)) return
+    spark.read.parquet(live.toString)
+      .join(broadcast(spark.read.parquet(tp.toString).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      .write.mode("errorifexists").parquet(staging.toString)
+    if (fs.exists(live)) fs.delete(live, true)
+    require(fs.rename(staging, live),
+      s"compact publish rename $staging -> $live failed")
+    fs.delete(tp, true)
+  }
+
+  /** Delete docs from the persisted MinHash signature index (D58's
+    * "out" story): tombstone append, batch-sized. Probes stop
+    * reporting the ids immediately; [[compactSignatureIndex]] folds.
+    */
+  def removeDocsFromSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String): Unit =
+    appendTombstones(spark, indexDir, ids, idCol)
+
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = compactDocTable(spark, indexDir, "bands")
+
+  /** Delete docs from the persisted simhash index (D123). */
+  def removeDocsFromSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String): Unit =
+    appendTombstones(spark, indexDir, ids, idCol)
+
+  def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = compactDocTable(spark, indexDir, "sigs")
+
+  /** Delete docs from the persisted gram index (D113). Correct
+    * per-doc deletion needs doc ATTRIBUTION — a gram shared with a
+    * surviving doc must keep flagging — which is why the gram table
+    * stores (doc_id, gh) rows (round 13) rather than a bare distinct
+    * gram set: the probe's semi-join on gh is unchanged, and deletion
+    * becomes exact at the cost of storing each gram once per doc that
+    * contains it instead of once globally.
+    */
+  def removeDocsFromGramIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String): Unit =
+    appendTombstones(spark, indexDir, ids, idCol)
+
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = compactDocTable(spark, indexDir, "grams")
+
+  /** Delete docs from the persisted winnow index (D122) — attributed
+    * (doc_id, gh) rows, same contract as the gram index.
+    */
+  def removeDocsFromWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String): Unit =
+    appendTombstones(spark, indexDir, ids, idCol)
+
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = compactDocTable(spark, indexDir, "fps")
+
+  /** The Bloom sketch tier (D115) cannot delete: bits only ever OR in.
+    * Its delete story is a staged REBUILD from the surviving corpus —
+    * acceptable on the epoch cadence because the sketch is a
+    * prefilter (a stale positive costs one exact-tier escalation,
+    * never a wrong decision) and the fold is one corpus projection.
+    * Published under the same staging + rename + cache-invalidate
+    * protocol as the append path, so probes never see a half-built
+    * sketch.
+    */
+  def rebuildGramBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, survivors: DataFrame, idCol: String, textCol: String): Unit =
+    bloomDirLock(indexDir).synchronized {
+      val p = spark.read.parquet(s"$indexDir/params")
+        .select("gram_n", "num_buckets", "fpp_ppm").head()
+      val bloomP = new org.apache.hadoop.fs.Path(s"$indexDir/bloom")
+      val staging = new org.apache.hadoop.fs.Path(s"$indexDir/bloom__staging")
+      val fs = hadoopFs(spark, bloomP)
+      recoverBloomPublish(fs, bloomP, staging)
+      bloomRows(bucketedGramHashes(survivors, idCol, textCol, p.getInt(0), p.getInt(1)),
+          p.getLong(2), Map.empty)
+        .write.mode("errorifexists").parquet(staging.toString)
+      bloomBroadcastCache.remove(indexDir)
+      if (fs.exists(bloomP)) fs.delete(bloomP, true)
+      require(fs.rename(staging, bloomP),
+        s"bloom publish rename $staging -> $bloomP failed")
+      bloomBroadcastCache.remove(indexDir)
+    }
+
   /** D58 — persisted MinHash signature index: the corpus keeps
     * (doc_id, band, band_sig) rows beside its data — fixed-width, a
     * few rows per document — so incremental NEAR-dup curation of a
@@ -943,6 +1119,8 @@ object Dedup {
       // this batch IS the fresh signature set
       sigs.write.mode("errorifexists").parquet(s"$indexDir/bands")
     } else {
+      refuseTombstoned(spark, indexDir, sigs.select("doc_id").distinct(),
+        "appendSignatureIndex")
       // rows of the stored index for doc_ids this batch re-submits
       // (batch-sized: the semi-join prunes the corpus-side scan)
       val storedForBatch = spark.read.parquet(s"$indexDir/bands")
@@ -957,11 +1135,13 @@ object Dedup {
         s"appendSignatureIndex: doc ids ${changed.mkString(", ")} already in " +
           s"$indexDir with DIFFERENT signatures (their text changed); the index " +
           "does not support in-place mutation — remove the ids first, then re-append")
+      // novel = batch docs with no stored rows (storedForBatch holds
+      // ALL stored rows for batch ids, so no second corpus-side scan);
       // materialize BEFORE writing — the append lands in the same
-      // directory the anti-join reads
-      val existing = spark.read.parquet(s"$indexDir/bands")
-        .select(col("doc_id")).distinct()
-      val novel = sigs.join(existing, Seq("doc_id"), "left_anti").localCheckpoint()
+      // directory the semi-join read
+      val novel = sigs
+        .join(storedForBatch.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       novel.write.mode("append").parquet(s"$indexDir/bands")
     }
   }
@@ -977,7 +1157,7 @@ object Dedup {
   def incrementalNearDup(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val p = spark.read.parquet(s"$dir/params").head()
-    val idx = spark.read.parquet(s"$dir/bands")
+    val idx = liveIndexRows(spark, dir, "bands")
       .select(col("doc_id").as("d_corpus"), col("band"), col("band_sig"))
     bandSignatures(batch, idCol, textCol,
         p.getInt(0), p.getInt(1), p.getInt(2))
@@ -1108,6 +1288,8 @@ object Dedup {
       sigs.write.mode("errorifexists").parquet(s"$indexDir/sigs")
       return
     }
+    refuseTombstoned(spark, indexDir, sigs.select("doc_id").distinct(),
+      "appendSimhashIndex")
     val storedForBatch = spark.read.parquet(s"$indexDir/sigs")
       .join(sigs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
       .localCheckpoint()
@@ -1120,8 +1302,9 @@ object Dedup {
       s"appendSimhashIndex: doc ids ${changed.mkString(", ")} already in " +
         s"$indexDir with DIFFERENT fingerprints (their text changed); remove " +
         "the ids first, then re-append")
-    val existing = spark.read.parquet(s"$indexDir/sigs").select("doc_id").distinct()
-    val novel = sigs.join(existing, Seq("doc_id"), "left_anti").localCheckpoint()
+    val novel = sigs
+      .join(storedForBatch.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     novel.write.mode("append").parquet(s"$indexDir/sigs")
   }
 
@@ -1138,7 +1321,7 @@ object Dedup {
       sigs.select(col("doc_id").as(dCol), col("simhash").as(sCol),
           explode(array((0 until 4).map(lit(_)): _*)).as("band"))
         .withColumn("nib", expr(s"shiftright($sCol, band * 12) & 4095"))
-    val idx = banded(spark.read.parquet(s"$indexDir/sigs"), "d_corpus", "sh_c")
+    val idx = banded(liveIndexRows(spark, indexDir, "sigs"), "d_corpus", "sh_c")
     val probe = banded(simhash48Fingerprints(batch, idCol, textCol), "d_new", "sh_n")
     probe.join(idx, Seq("band", "nib"))
       .select("d_new", "d_corpus", "sh_n", "sh_c").distinct()
@@ -1262,8 +1445,16 @@ object Dedup {
     * full D34 span report against the whole corpus — the corpus text
     * is never rescanned or re-grammed (the D24/D58 index economics
     * applied at span granularity). `appendGramIndex` extends the
-    * index with an accepted batch's NOVEL grams only (anti-join —
-    * probe-shaped cost), keeping it duplicate-free.
+    * index with an accepted batch's rows at batch cost (novel-doc
+    * anti-join), keeping it duplicate-free.
+    *
+    * The gram table stores ATTRIBUTED (doc_id, gh) rows — each gram
+    * once per containing doc, not once globally (round 13, for
+    * [[removeDocsFromGramIndex]]): deleting a doc must keep flagging
+    * grams a SURVIVOR still contains, which a bare distinct-gram set
+    * cannot decide. Probes semi-join on gh exactly as before; the
+    * storage cost is the corpus's per-doc/global gram duplication
+    * ratio (≈1-2× on web text) — the price of an exact "out" path.
     */
   def writeGramIndex(corpus: DataFrame, idCol: String, textCol: String,
       n: Int, dir: String): Unit = {
@@ -1291,7 +1482,8 @@ object Dedup {
         .select(lit(n).as("gram_n"))
         .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
       val (_, grams) = tokenGrams(corpus, idCol, textCol, n)
-      grams.select("gh").distinct().write.mode("errorifexists").parquet(s"$dir/grams")
+      grams.select("doc_id", "gh").distinct()
+        .write.mode("errorifexists").parquet(s"$dir/grams")
     }
   }
 
@@ -1299,7 +1491,7 @@ object Dedup {
       indexDir: String, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = spark.read.parquet(s"$indexDir/params").head().getInt(0)
     val (base, grams) = tokenGrams(batch, idCol, textCol, n)
-    val idx = spark.read.parquet(s"$indexDir/grams")
+    val idx = liveIndexRows(spark, indexDir, "grams").select("gh")
     spanReport(base, grams.join(idx, Seq("gh"), "left_semi"), n)
   }
 
@@ -1307,20 +1499,38 @@ object Dedup {
       indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
     val n = spark.read.parquet(s"$indexDir/params").head().getInt(0)
     val (_, grams) = tokenGrams(batch, idCol, textCol, n)
+    val rows = grams.select("doc_id", "gh").distinct().localCheckpoint()
     val gramsPath = new org.apache.hadoop.fs.Path(s"$indexDir/grams")
     val fs = gramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(gramsPath)) {
       // params-only index (crash between a fresh build's two writes):
       // this batch IS the fresh gram set
-      grams.select("gh").distinct().write.mode("errorifexists").parquet(s"$indexDir/grams")
+      rows.write.mode("errorifexists").parquet(s"$indexDir/grams")
       return
     }
-    val idx = spark.read.parquet(s"$indexDir/grams")
-    // materialize BEFORE writing — the append lands in the same
-    // directory the anti-join reads; lazy evaluation would scan files
-    // while they are being added
-    val novel = grams.select("gh").distinct()
-      .join(idx, Seq("gh"), "left_anti").localCheckpoint()
+    refuseTombstoned(spark, indexDir, rows.select("doc_id").distinct(),
+      "appendGramIndex")
+    // rows of the stored index for doc_ids this batch re-submits
+    // (batch-pruned by the semi-join); materialized BEFORE the write
+    // lands in the directory it read
+    val storedForBatch = spark.read.parquet(s"$indexDir/grams")
+      .join(rows.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // mutation refusal, BOTH directions (gram sets are variable-size:
+    // a changed doc may only ADD grams or only LOSE them)
+    val changed = rows
+      .join(storedForBatch.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .join(storedForBatch, Seq("doc_id", "gh"), "left_anti")
+      .select("doc_id")
+      .union(storedForBatch.join(rows, Seq("doc_id", "gh"), "left_anti").select("doc_id"))
+      .distinct().limit(5).collect().map(_.get(0)).toSeq
+    require(changed.isEmpty,
+      s"appendGramIndex: doc ids ${changed.mkString(", ")} already in $indexDir " +
+        "with DIFFERENT gram sets (their text changed); remove the ids first, " +
+        "then re-append")
+    val novel = rows
+      .join(storedForBatch.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     novel.write.mode("append").parquet(s"$indexDir/grams")
   }
 
@@ -1617,7 +1827,7 @@ object Dedup {
     require(n == nSketch,
       s"exact index n=$n vs sketch n=$nSketch — tiers built over different grams")
     val (base, grams) = tokenGrams(batch, idCol, textCol, n)
-    val idx = spark.read.parquet(s"$exactDir/grams")
+    val idx = liveIndexRows(spark, exactDir, "grams").select("gh")
     val exactStarts = grams.join(idx, Seq("gh"), "left_semi")
       .localCheckpoint() // consumed by the report AND the miss anti-join
     val sketchStarts = grams
@@ -1814,7 +2024,11 @@ object Dedup {
         .select(lit(k).as("gram_k"), lit(w).as("window_w"))
         .coalesce(1).write.mode("errorifexists").parquet(s"$dir/params")
       val (_, sel) = winnowParts(corpus, idCol, textCol, k, w)
-      sel.select("gh").distinct().write.mode("errorifexists").parquet(s"$dir/fps")
+      // attributed (doc_id, gh) rows — see the gram-index rationale:
+      // exact deletion needs to know whether a surviving doc still
+      // selects the fingerprint
+      sel.select("doc_id", "gh").distinct()
+        .write.mode("errorifexists").parquet(s"$dir/fps")
     }
   }
 
@@ -1831,19 +2045,36 @@ object Dedup {
     val p = spark.read.parquet(s"$indexDir/params")
       .select("gram_k", "window_w").head()
     val (_, sel) = winnowParts(batch, idCol, textCol, p.getInt(0), p.getInt(1))
+    val rows = sel.select("doc_id", "gh").distinct().localCheckpoint()
     val fpsPath = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
     val fs = fpsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(fpsPath)) {
       // params-only index (crash between a fresh build's two writes):
       // this batch IS the fresh fingerprint set
-      sel.select("gh").distinct().write.mode("errorifexists").parquet(s"$indexDir/fps")
+      rows.write.mode("errorifexists").parquet(s"$indexDir/fps")
       return
     }
-    val idx = spark.read.parquet(s"$indexDir/fps")
+    refuseTombstoned(spark, indexDir, rows.select("doc_id").distinct(),
+      "appendWinnowIndex")
+    val storedForBatch = spark.read.parquet(s"$indexDir/fps")
+      .join(rows.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // mutation refusal, both directions (selection sets vary in size)
+    val changed = rows
+      .join(storedForBatch.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .join(storedForBatch, Seq("doc_id", "gh"), "left_anti")
+      .select("doc_id")
+      .union(storedForBatch.join(rows, Seq("doc_id", "gh"), "left_anti").select("doc_id"))
+      .distinct().limit(5).collect().map(_.get(0)).toSeq
+    require(changed.isEmpty,
+      s"appendWinnowIndex: doc ids ${changed.mkString(", ")} already in $indexDir " +
+        "with DIFFERENT fingerprint sets (their text changed); remove the ids " +
+        "first, then re-append")
     // materialize BEFORE writing — the append lands in the directory
-    // the anti-join reads
-    val novel = sel.select("gh").distinct()
-      .join(idx, Seq("gh"), "left_anti").localCheckpoint()
+    // the semi-join read
+    val novel = rows
+      .join(storedForBatch.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     novel.write.mode("append").parquet(s"$indexDir/fps")
   }
 
@@ -1861,7 +2092,7 @@ object Dedup {
     val p = spark.read.parquet(s"$indexDir/params")
       .select("gram_k", "window_w").head()
     val (base, sel) = winnowParts(batch, idCol, textCol, p.getInt(0), p.getInt(1))
-    val idx = spark.read.parquet(s"$indexDir/fps")
+    val idx = liveIndexRows(spark, indexDir, "fps").select("gh")
     val per = sel.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val hits = sel.join(idx, Seq("gh"), "left_semi")
       .groupBy("doc_id")

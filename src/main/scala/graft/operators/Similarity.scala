@@ -245,6 +245,49 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
   }
 
+  /** D7++ (delete phase) — remove vectors from an on-disk IVF index
+    * by id, rewriting ONLY the touched cell directories (the D52
+    * MERGE discipline applied to the index layout): one column-pruned
+    * scan finds which cells hold the ids, survivors of those cells
+    * are rewritten via dynamic partition overwrite, and cells left
+    * EMPTY have their directories dropped explicitly (dynamic
+    * overwrite only replaces partitions present in the written data —
+    * an emptied cell would otherwise keep its stale files). Cells the
+    * delete doesn't touch are never read or written. Centroids are
+    * untouched: the quantizer routes by geometry, not membership, so
+    * probes of the shrunk index stay exact. Idempotent — re-removing
+    * absent ids is a no-op.
+    */
+  def removeDocsFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit = {
+    import spark.implicits._
+    val del = ids.select(col(idCol).as("cid")).distinct()
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val touched = corpus.select("cid", "cell")
+      .join(broadcast(del), Seq("cid"), "left_semi")
+      .select("cell").distinct().as[Int].collect().toSeq.sorted
+    if (touched.isEmpty) return
+    val survivors = corpus.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+      .join(broadcast(del), Seq("cid"), "left_anti")
+      .localCheckpoint() // materialize before overwriting what it reads
+    val surviving = survivors.select("cell").distinct().as[Int].collect().toSet
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      survivors.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    finally prev match {
+      case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val corpusP = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+    val fs = corpusP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(surviving).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/corpus/cell=$c")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Probe a written IVF index: the query batch's probe cells become
     * ONE `cell IN (...)` partition filter — directories outside the
     * probed cells are never listed, read, or shuffled.

@@ -55,6 +55,20 @@ object TextIndex {
   def appendIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val spark = docs.sparkSession
+    // ids with a pending delete are refused (the index-family delete
+    // contract): their old postings are still physically present, so
+    // un-tombstoning on re-add would resurrect stale rows — compact
+    // first, then re-append
+    val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (tombP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombP)) {
+      val hit = docs.select(col(idCol).as("doc_id")).distinct()
+        .join(spark.read.parquet(tombP.toString).select("doc_id").distinct(),
+          Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.get(0)).toSeq
+      require(hit.isEmpty,
+        s"appendIndex: doc ids ${hit.mkString(", ")} have a pending delete in " +
+          s"$dir; compact the index before re-adding them")
+    }
     val stats = spark.read.parquet(s"$dir/stats")
       .select("t_total", "n_docs", "n_buckets").head()
     val nBuckets = stats.getInt(2)
@@ -84,6 +98,77 @@ object TextIndex {
       .foreach(java.nio.file.Files.delete)
   }
 
+  /** DELETE maintenance (the index family's round-13 "out" story, the
+    * D52-D54 discipline applied to the inverted index): the removed
+    * ids land in a `tombstones` side table as (doc_id, len) rows —
+    * the length is recovered FROM the postings, so the probe can
+    * derive survivor-exact corpus scalars (BM25's idf/avgdl must
+    * describe the post-delete corpus) without rescanning anything.
+    * One coalesced parquet append is the commit point; probes
+    * anti-join postings against the (broadcast, delete-sized)
+    * tombstone set and subtract its sums from the stats row.
+    * [[compactIndex]] folds tombstones into a physical rewrite.
+    * Idempotent: re-removing an id, or removing one absent from the
+    * index, contributes nothing.
+    */
+  def removeDocs(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val tomb = s"$dir/tombstones"
+    val tombP = new org.apache.hadoop.fs.Path(tomb)
+    val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (doc_id, len) of ids actually in the index — column-pruned scan
+    val present = spark.read.parquet(s"$dir/postings")
+      .select("doc_id", "len").distinct()
+      .join(broadcast(ids.select(col(idCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+    val novel =
+      if (fs.exists(tombP))
+        present.join(spark.read.parquet(tomb).select("doc_id"),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+      else present
+    novel.coalesce(1).write.mode("append").parquet(tomb)
+  }
+
+  /** Fold pending tombstones into the physical layout: postings are
+    * rewritten minus tombstoned docs (staged beside the live dir,
+    * swapped by atomic rename), the stats row is RECOMPUTED from the
+    * surviving postings (idempotent — a crash-rerun can never
+    * double-subtract), and the tombstone table is dropped last (a
+    * crash before the drop leaves no-op tombstones the next compact
+    * clears).
+    */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombP)) return
+    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/postings__staging")
+    if (fs.exists(staging)) fs.delete(staging, true) // prior crashed attempt
+    val survivors = spark.read.parquet(live.toString)
+      .join(broadcast(spark.read.parquet(tombP.toString).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    survivors.repartition(col("bucket"))
+      .write.mode("errorifexists").partitionBy("bucket").parquet(staging.toString)
+    fs.delete(live, true)
+    require(fs.rename(staging, live), s"compact rename $staging -> $live failed")
+    val nBuckets = spark.read.parquet(s"$dir/stats").select("n_buckets").head().getInt(0)
+    val next = spark.read.parquet(live.toString)
+      .select("doc_id", "len").distinct()
+      .agg(sum("len").as("t_total"), count(lit(1)).as("n_docs"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .select(coalesce(col("t_total"), lit(0L)).as("t_total"),
+        col("n_docs"), col("n_buckets"))
+    next.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
+    val target = java.nio.file.Paths.get(dir, "stats")
+    val old = java.nio.file.Paths.get(dir, "stats_old")
+    java.nio.file.Files.move(target, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir, "stats_next"), target)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    fs.delete(tombP, true)
+  }
+
   /** Query through the persisted index. Integer-exact BM25 saturation
     * (the same formula as Relevance.bm25SaturationExact, so an
     * indexed search must equal the from-scratch score bit-for-bit —
@@ -102,9 +187,28 @@ object TextIndex {
         pmod(xxhash64(lit(t)), lit(nBuckets)).cast("int").as(s"b$i") }: _*)
       .head()
     val buckets = terms.indices.map(bucketRow.getInt).distinct
-    spark.read.parquet(s"$dir/postings")
+    // pending deletes: postings anti-join the tombstone ids, and the
+    // corpus scalars subtract the tombstones' recorded (len, count) —
+    // the score is then EXACTLY the from-scratch BM25 over survivors
+    val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val hasTomb = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(tombP)
+    val statsEff =
+      if (!hasTomb) stats.select("t_total", "n_docs")
+      else stats.select("t_total", "n_docs")
+        .crossJoin(spark.read.parquet(tombP.toString)
+          .agg(coalesce(sum("len"), lit(0L)).as("__dt"), count(lit(1)).as("__dn")))
+        .select((col("t_total") - col("__dt")).as("t_total"),
+          (col("n_docs") - col("__dn")).as("n_docs"))
+    val matched = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
-      .crossJoin(broadcast(stats.select("t_total", "n_docs")))
+    val livePostings =
+      if (!hasTomb) matched
+      else matched.join(
+        broadcast(spark.read.parquet(tombP.toString).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    livePostings
+      .crossJoin(broadcast(statsEff))
       .withColumn("sat", expr(
         s"($scale * 22 * tf * t_total) DIV (10 * t_total * tf + 3 * t_total + 9 * len * n_docs)"))
       .groupBy("doc_id", "len")

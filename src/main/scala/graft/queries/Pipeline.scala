@@ -536,6 +536,55 @@ object Pipeline {
     */
   private val sigIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One DELETED-state signature index per (JVM, sf-dir): built over
+    * all evens, then quarter-0 REMOVED via the tombstone path — the
+    * order-dependent state q_neardup_remove probes. Separate from
+    * sigIndexCache: removal mutates, and the other gates pin the
+    * undeleted state.
+    */
+  private val sigRemoveIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D58c — DELETE maintenance of the persisted signature index (the
+    * index family's "out" story): the index holds ALL even docs, then
+    * the quarter-0 docs are REMOVED (tombstone append); odd docs
+    * probing afterwards must see exactly a from-scratch index over
+    * the survivors (quarter-2) — which is what the oracle replays. A
+    * tombstone not honored by the probe (stale positives from deleted
+    * docs, the failure delete maintenance exists to kill) or one that
+    * over-deletes both break the hash.
+    */
+  val qNearDupRemove: GateQuery = GateQuery(
+    "q_neardup_remove",
+    s"""WITH ${shingleCte(3)},
+       |seeds AS (SELECT unnest(generate_series(0, 11)) AS i),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+       |         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS h
+       |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(i // 3 AS BIGINT) AS band,
+       |            md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_sig
+       |          FROM mh GROUP BY doc_id, band)
+       |SELECT DISTINCT b.doc_id AS d_new, a.doc_id AS d_corpus
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig
+       |WHERE a.doc_id % 4 = 2 AND b.doc_id % 2 = 1
+       |ORDER BY d_new, d_corpus""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idx = sigRemoveIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sig_rm_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeSignatureIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", out, shingleN = 3, numHashes = 12, numBands = 4)
+      Dedup.removeDocsFromSignatureIndex(s, out,
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+      out
+    })
+    Dedup.incrementalNearDup(s, idx, docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy("d_new", "d_corpus")
+  }
+
   /** One verified jaccard pair table (threshold 0.6) per (JVM, sf-dir),
     * persisted to temp parquet — the q_dedup_jaccard gate times the
     * pair computation itself; the gates that BUILD ON the pairs
@@ -1045,6 +1094,42 @@ object Pipeline {
     Similarity.appendIvfIndex(s, out, emb.filter(col("vec_id") % 2 === 1),
       "vec_id", "embedding")
     Similarity.knnIvfIndexed(s, out, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nProbe = 16)
+      .select("qid", "cid", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  private val ivfRemoveIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D7++ (delete phase) — the on-disk IVF index's "out" story: the
+    * full corpus is indexed, the quarter-0 vectors are REMOVED by a
+    * touched-cell-only partition rewrite (the D52 discipline — cells
+    * without deleted ids are never read or written; emptied cell dirs
+    * are dropped explicitly), and the full-width probe must equal
+    * brute force over the SURVIVORS — rows resurrected from a stale
+    * cell file, survivors lost by the rewrite, or an emptied cell's
+    * leftover files all break the hash.
+    */
+  val qKnnIvfRemove: GateQuery = GateQuery(
+    "q_knn_ivf_remove",
+    s"""WITH $embCte,
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |        ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.vec_id % 4 <> 0
+       |      WHERE q.vec_id < 5),
+       |r AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM p)
+       |SELECT qid, cid, rk FROM r WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin,
+    bench = false, slow = true) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val idx = ivfRemoveIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_rm_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", nLists = 16, dir = out)
+      Similarity.removeDocsFromIvfIndex(s, out,
+        emb.filter(col("vec_id") % 4 === 0).select("vec_id"), "vec_id")
+      out
+    })
+    Similarity.knnIvfIndexed(s, idx, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, nProbe = 16)
       .select("qid", "cid", "rk")
       .orderBy("qid", "rk")
@@ -2323,6 +2408,44 @@ object Pipeline {
     val idx = java.nio.file.Files.createTempDirectory("graft_textidx_app").toString
     TextIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
     TextIndex.appendIndex(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+    TextIndex.searchSaturationExact(s, idx, Seq("join", "scan", "window"))
+      .orderBy("doc_id")
+  }
+
+  private val textRemoveIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D55c — DELETE maintenance of the persisted inverted text index:
+    * the FULL corpus is indexed, quarter-0 is removed (tombstones
+    * record (doc_id, len) so the probe can derive survivor-exact
+    * corpus scalars), and the search must equal from-scratch BM25
+    * over the survivors — the oracle computes t_total/n_docs over
+    * doc_id % 4 <> 0 only, so a probe that keeps scoring deleted
+    * postings OR keeps using the pre-delete idf/avgdl scalars breaks
+    * the hash.
+    */
+  val qTextSearchRemove: GateQuery = GateQuery(
+    "q_text_search_remove",
+    """WITH surv AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM surv),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM surv),
+      |st AS (SELECT (SELECT COUNT(*) FROM toks) AS t_total,
+      |              (SELECT COUNT(*) FROM surv) AS n_docs),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      |       WHERE w IN ('join', 'scan', 'window') GROUP BY doc_id, w)
+      |SELECT tf.doc_id, CAST(dl.len AS BIGINT) AS n_tokens, COUNT(*) AS n_matched,
+      |  CAST(SUM((1000000 * 22 * tf.tf * st.t_total) // (10 * st.t_total * tf.tf + 3 * st.t_total + 9 * dl.len * st.n_docs)) AS BIGINT) AS sat_score
+      |FROM tf JOIN dl USING (doc_id), st
+      |GROUP BY tf.doc_id, dl.len
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.TextIndex
+    val docs = Tables(s, dir, "documents")
+    val idx = textRemoveIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_text_rm_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      TextIndex.writeIndex(docs, "doc_id", "text", out)
+      TextIndex.removeDocs(s, out,
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+      out
+    })
     TextIndex.searchSaturationExact(s, idx, Seq("join", "scan", "window"))
       .orderBy("doc_id")
   }
@@ -3652,6 +3775,60 @@ object Pipeline {
 
   private val winnowAppendIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val winnowRemoveIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D122c — DELETE maintenance of the winnow middle tier: all evens
+    * indexed (attributed (doc_id, gh) rows), quarter-0 removed by
+    * tombstone, odds probe — must equal a from-scratch build over the
+    * quarter-2 survivors (the oracle's replay). Attribution is the
+    * pinned property here too: a fingerprint selected by BOTH a
+    * deleted and a surviving doc must keep hitting.
+    */
+  val qWinnowRemove: GateQuery = GateQuery(
+    "q_winnow_remove",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(u.i AS INT) AS start, CAST(t.n - 3 AS INT) AS ng,
+      |        md5(array_to_string(toks[CAST(u.i+1 AS INT):CAST(u.i+4 AS INT)], ' ')) AS gh
+      |      FROM t, LATERAL unnest(generate_series(0, n - 4)) u(i)),
+      |p AS (SELECT doc_id, start, ng,
+      |        MIN(gh || lpad(CAST(9999 - start AS VARCHAR), 4, '0'))
+      |          OVER (PARTITION BY doc_id ORDER BY start
+      |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
+      |      FROM g),
+      |sel AS (SELECT DISTINCT doc_id,
+      |          CAST(9999 - CAST(substring(pick, 33, 4) AS INT) AS INT) AS sel_start,
+      |          substring(pick, 1, 32) AS gh
+      |        FROM p WHERE start <= ng - 4),
+      |idx AS (SELECT DISTINCT gh FROM sel WHERE doc_id % 4 = 2),
+      |per AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel
+      |        WHERE doc_id % 2 = 1 GROUP BY doc_id),
+      |h AS (SELECT s.doc_id, COUNT(*) AS n_hit, MIN(s.sel_start) AS first_hit
+      |      FROM sel s JOIN idx ON idx.gh = s.gh
+      |      WHERE s.doc_id % 2 = 1 GROUP BY s.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(per.n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(COALESCE(h.n_hit * 1000000 // per.n_fp, 0) AS BIGINT) AS hit_ppm,
+      |  CAST(COALESCE(h.first_hit, -1) AS INT) AS first_hit
+      |FROM t LEFT JOIN per USING (doc_id) LEFT JOIN h USING (doc_id)
+      |WHERE t.doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idx = winnowRemoveIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_winnow_rm_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeWinnowIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 4, w = 4, out)
+      Dedup.removeDocsFromWinnowIndex(s, out,
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+      out
+    })
+    Dedup.probeWinnowIndex(s, idx, docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   private val simhashIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** D123 — persisted simhash index + banded Hamming probe (Manku et
@@ -3697,6 +3874,100 @@ object Pipeline {
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", maxHamming = 3)
         .orderBy("d_new", "d_corpus")
     }
+  }
+
+  private val simhashRemoveIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D123b — DELETE maintenance of the persisted simhash index: all
+    * evens indexed, quarter-0 removed by tombstone, odds probe at
+    * Hamming ≤ 3 — the result must equal a from-scratch index over
+    * the surviving quarter-2 docs, which the oracle replays bit by
+    * bit (same 48-bit md5 simhash + band + popcount replay as
+    * q_simhash_incr, corpus side restricted to the survivors).
+    */
+  val qSimhashRemove: GateQuery = {
+    val bitTerms = (0 until 48).map { b =>
+      s"(CASE WHEN SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    GateQuery(
+      "q_simhash_remove",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS th FROM w),
+         |s AS (SELECT doc_id, $bitTerms AS sh FROM h GROUP BY doc_id),
+         |b AS (SELECT doc_id, sh, CAST(g.b AS INT) AS band,
+         |        (sh >> CAST(12 * g.b AS INT)) & 4095 AS nib
+         |      FROM s, generate_series(0, 3) g(b)),
+         |cand AS (SELECT DISTINCT n.doc_id AS d_new, c.doc_id AS d_corpus,
+         |           n.sh AS sn, c.sh AS sc
+         |         FROM b n JOIN b c ON n.band = c.band AND n.nib = c.nib
+         |         WHERE n.doc_id % 2 = 1 AND c.doc_id % 4 = 2)
+         |SELECT d_new, d_corpus, CAST(bit_count(xor(sn, sc)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sn, sc)) <= 3
+         |ORDER BY d_new, d_corpus""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val idx = simhashRemoveIndexCache.computeIfAbsent(dir, _ => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_simhash_rm_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+        Dedup.writeSimhashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", out)
+        Dedup.removeDocsFromSimhashIndex(s, out,
+          docs.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+        out
+      })
+      Dedup.incrementalSimhashDup(s, idx,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", maxHamming = 3)
+        .orderBy("d_new", "d_corpus")
+    }
+  }
+
+  private val gramRemoveIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D113b — DELETE maintenance of the persisted gram index, COMPACT
+    * path included: the index holds all even docs' attributed
+    * (doc_id, gh) rows, quarter-0 is removed AND the tombstones are
+    * folded by `compactGramIndex` (staged rewrite + atomic rename),
+    * then odd docs probe. The result must equal a from-scratch index
+    * over the surviving quarter-2 docs — the oracle replays exactly
+    * that. The attribution property is what the gate really pins: a
+    * gram SHARED between a deleted quarter-0 doc and a surviving
+    * quarter-2 doc must KEEP flagging (a bare distinct-gram delete
+    * would over-delete it and under-report spans).
+    */
+  val qGramIndexRemove: GateQuery = GateQuery(
+    "q_gram_index_remove",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |             len(string_split(text,' ')) AS n
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(s.i AS INT) AS start,
+      |        md5(array_to_string(toks[CAST(s.i+1 AS INT):CAST(s.i+5 AS INT)], ' ')) AS gh
+      |      FROM t, LATERAL unnest(generate_series(0, n - 5)) s(i)),
+      |idx AS (SELECT DISTINCT gh FROM g WHERE doc_id % 4 = 2),
+      |ds AS (SELECT doc_id, start FROM g
+      |       WHERE doc_id % 2 = 1 AND gh IN (SELECT gh FROM idx)),
+      |agg AS (SELECT doc_id, COUNT(*) AS dup_ngrams, MIN(start) AS first_dup
+      |        FROM ds GROUP BY doc_id),
+      |cov AS (SELECT ds.doc_id, COUNT(DISTINCT ds.start + c.d) AS covered_tok
+      |        FROM ds, generate_series(0, 4) c(d)
+      |        GROUP BY ds.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_tok,
+      |  CAST(COALESCE(agg.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+      |  CAST(COALESCE(cov.covered_tok, 0) AS BIGINT) AS covered_tok,
+      |  CAST(COALESCE(agg.first_dup, -1) AS INT) AS first_dup
+      |FROM t LEFT JOIN agg USING(doc_id) LEFT JOIN cov USING(doc_id)
+      |WHERE t.doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idx = gramRemoveIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_gram_rm_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 5, out)
+      Dedup.removeDocsFromGramIndex(s, out,
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+      Dedup.compactGramIndex(s, out)
+      out
+    })
+    Dedup.incrementalDuplicatedSpans(s, idx,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .orderBy("doc_id")
   }
 
   /** D115b — APPEND path of the Bloom sketch tier, proven by the same
@@ -4881,7 +5152,8 @@ object Pipeline {
 
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qContEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab, qRankCalibrate, qDistinctiveTerms, qStratifiedTopK,
-    qNearDupIncremental, qNearDupIncrVerified,
+    qNearDupIncremental, qNearDupIncrVerified, qNearDupRemove, qSimhashRemove,
+    qGramIndexRemove, qWinnowRemove, qTextSearchRemove, qKnnIvfRemove,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnMultiProbe, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,

@@ -202,4 +202,179 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       s"expected starts 1,2 to flag post-append, got $postAppend")
     Dedup.unloadBloomIndex(d)
   }
+
+  // --- round 13: DELETE maintenance (remove → tombstone → compact) ---
+
+  test("D58 delete: remove masks probes, compact folds physically, delete-then-append round-trips") {
+    val a = docs.filter(col("doc_id") % 4 === 0)
+    val b = docs.filter(col("doc_id") % 4 === 2)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    def pairs(dir: String) =
+      Dedup.incrementalNearDup(spark, dir, probe, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = tmp("sig_idx_delete")
+    Dedup.writeSignatureIndex(a.unionByName(b), "doc_id", "text", dir, 3, 12, 4)
+    Dedup.removeDocsFromSignatureIndex(spark, dir, a.select("doc_id"), "doc_id")
+    val survivorsOnly = tmp("sig_idx_surv")
+    Dedup.writeSignatureIndex(b, "doc_id", "text", survivorsOnly, 3, 12, 4)
+    assert(pairs(dir) === pairs(survivorsOnly),
+      "tombstone-masked probe must equal from-scratch over survivors")
+    // re-delete is idempotent
+    Dedup.removeDocsFromSignatureIndex(spark, dir, a.select("doc_id"), "doc_id")
+    assert(pairs(dir) === pairs(survivorsOnly))
+    // append of a tombstoned id refuses until compact
+    intercept[IllegalArgumentException] {
+      Dedup.appendSignatureIndex(spark, dir, a.limit(1), "doc_id", "text")
+    }
+    // compact: physical rows gone, tombstones cleared, probe unchanged
+    Dedup.compactSignatureIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val aIds = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    val left = spark.read.parquet(s"$dir/bands").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(left.intersect(aIds).isEmpty, "compact must drop tombstoned rows")
+    assert(pairs(dir) === pairs(survivorsOnly))
+    // delete-then-append: after compact the removed docs re-add cleanly
+    Dedup.appendSignatureIndex(spark, dir, a, "doc_id", "text")
+    val full = tmp("sig_idx_full")
+    Dedup.writeSignatureIndex(a.unionByName(b), "doc_id", "text", full, 3, 12, 4)
+    assert(pairs(dir) === pairs(full),
+      "compact + re-append must equal the never-deleted index")
+  }
+
+  test("append mutation refusal: re-submitting a doc whose text changed fails fast (bands/sigs/grams/fps)") {
+    val orig = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val changed = Seq((1L, "a b c d e f g h i CHANGED")).toDF("doc_id", "text")
+    val same = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    locally {
+      val d = tmp("sig_mut")
+      Dedup.writeSignatureIndex(orig, "doc_id", "text", d, 3, 12, 4)
+      intercept[IllegalArgumentException] {
+        Dedup.appendSignatureIndex(spark, d, changed, "doc_id", "text")
+      }
+      Dedup.appendSignatureIndex(spark, d, same, "doc_id", "text") // no-op, no refusal
+      assert(spark.read.parquet(s"$d/bands").filter(col("doc_id") === 1L).count() === 4L)
+    }
+    locally {
+      val d = tmp("simhash_mut")
+      Dedup.writeSimhashIndex(orig, "doc_id", "text", d)
+      intercept[IllegalArgumentException] {
+        Dedup.appendSimhashIndex(spark, d, changed, "doc_id", "text")
+      }
+      Dedup.appendSimhashIndex(spark, d, same, "doc_id", "text")
+      assert(spark.read.parquet(s"$d/sigs").filter(col("doc_id") === 1L).count() === 1L)
+    }
+    locally {
+      val d = tmp("gram_mut")
+      Dedup.writeGramIndex(orig, "doc_id", "text", n = 3, d)
+      intercept[IllegalArgumentException] {
+        Dedup.appendGramIndex(spark, d, changed, "doc_id", "text")
+      }
+      // a SHRUNK gram set (text truncated) must also refuse — the
+      // both-directions check
+      intercept[IllegalArgumentException] {
+        Dedup.appendGramIndex(spark, d,
+          Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text")
+      }
+      Dedup.appendGramIndex(spark, d, same, "doc_id", "text")
+    }
+    locally {
+      val d = tmp("winnow_mut")
+      Dedup.writeWinnowIndex(orig, "doc_id", "text", k = 3, w = 2, d)
+      intercept[IllegalArgumentException] {
+        Dedup.appendWinnowIndex(spark, d, changed, "doc_id", "text")
+      }
+      Dedup.appendWinnowIndex(spark, d, same, "doc_id", "text")
+    }
+  }
+
+  test("D113 delete keeps shared grams: a gram also in a survivor keeps flagging after the owner is deleted") {
+    // doc 0 and doc 2 share "x y z"; doc 0 alone has "u v w".
+    val corpus = Seq(
+      (0L, "x y z u v w"),
+      (2L, "x y z p q r")).toDF("doc_id", "text")
+    val d = tmp("gram_shared")
+    Dedup.writeGramIndex(corpus, "doc_id", "text", n = 3, d)
+    Dedup.removeDocsFromGramIndex(spark, d,
+      Seq(0L).toDF("doc_id"), "doc_id")
+    val probe = Seq((11L, "x y z"), (13L, "u v w")).toDF("doc_id", "text")
+    def report(dir: String) =
+      Dedup.incrementalDuplicatedSpans(spark, dir, probe, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_ngrams")).toMap
+    val got = report(d)
+    assert(got(11L) === 1L, "gram shared with surviving doc 2 must keep flagging")
+    assert(got(13L) === 0L, "gram unique to deleted doc 0 must stop flagging")
+    // compact preserves the same answer with tombstones folded
+    Dedup.compactGramIndex(spark, d)
+    assert(report(d) === got)
+    assert(!new java.io.File(s"$d/tombstones").exists())
+  }
+
+  test("D55 delete: text-index search equals from-scratch over survivors; compact recomputes stats; append refuses pending ids") {
+    import graft.operators.TextIndex
+    val all = docs.limit(60).localCheckpoint()
+    val removed = all.filter(col("doc_id") % 3 === 0)
+    val survivors = all.filter(col("doc_id") % 3 =!= 0)
+    val terms = Seq("join", "scan", "window")
+    def res(dir: String) =
+      TextIndex.searchSaturationExact(spark, dir, terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val d = tmp("text_rm")
+    TextIndex.writeIndex(all, "doc_id", "text", d)
+    TextIndex.removeDocs(spark, d, removed.select("doc_id"), "doc_id")
+    val fresh = tmp("text_fresh")
+    TextIndex.writeIndex(survivors, "doc_id", "text", fresh)
+    assert(res(d) === res(fresh),
+      "tombstone-adjusted search must equal from-scratch over survivors")
+    intercept[IllegalArgumentException] {
+      TextIndex.appendIndex(removed.limit(1), "doc_id", "text", d)
+    }
+    TextIndex.compactIndex(spark, d)
+    assert(!new java.io.File(s"$d/tombstones").exists())
+    assert(res(d) === res(fresh))
+    // stats recomputed exactly
+    val sd = spark.read.parquet(s"$d/stats").head()
+    val sf2 = spark.read.parquet(s"$fresh/stats").head()
+    assert((sd.getLong(0), sd.getLong(1)) === ((sf2.getLong(0), sf2.getLong(1))))
+    // after compact the removed docs re-append cleanly
+    TextIndex.appendIndex(removed, "doc_id", "text", d)
+    val fullIdx = tmp("text_full")
+    TextIndex.writeIndex(all, "doc_id", "text", fullIdx)
+    assert(res(d) === res(fullIdx))
+  }
+
+  test("D7++ delete: IVF partition rewrite drops emptied cells, leaves untouched cells' files alone") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf, "embeddings")
+    val d = tmp("ivf_rm")
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", nLists = 8, dir = d)
+    val before = spark.read.parquet(s"$d/corpus")
+      .select("cid", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // delete every vector of ONE cell (forces the emptied-cell branch)
+    // plus one vector of another (touched-rewrite branch)
+    val cells = before.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val (emptyCell, emptyIds) = cells.minBy(_._2.size)
+    val otherCell = cells.keys.filter(_ != emptyCell).head
+    val partialId = cells(otherCell).min
+    val untouched = cells.keys.filterNot(c => c == emptyCell || c == otherCell)
+    val untouchedFiles = untouched.map { c =>
+      c -> new java.io.File(s"$d/corpus/cell=$c").listFiles().map(_.getName).toSet
+    }.toMap
+    Similarity.removeDocsFromIvfIndex(spark, d,
+      (emptyIds :+ partialId).toDF("vec_id"), "vec_id")
+    assert(!new java.io.File(s"$d/corpus/cell=$emptyCell").exists(),
+      "fully-emptied cell directory must be dropped")
+    val after = spark.read.parquet(s"$d/corpus")
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(after === before.keySet -- emptyIds - partialId)
+    untouchedFiles.foreach { case (c, files) =>
+      assert(new java.io.File(s"$d/corpus/cell=$c").listFiles().map(_.getName).toSet === files,
+        s"cell $c had no deleted ids and must not be rewritten")
+    }
+    // idempotent: removing the same (now absent) ids is a no-op
+    Similarity.removeDocsFromIvfIndex(spark, d,
+      (emptyIds :+ partialId).toDF("vec_id"), "vec_id")
+    assert(spark.read.parquet(s"$d/corpus").count().toInt === after.size)
+  }
 }
