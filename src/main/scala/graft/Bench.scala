@@ -31,12 +31,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // WindowExec warns "No Partition Defined ... single partition" on
-    // EVERY unpartitioned window, including the five bucket-prefix
+    // EVERY unpartitioned window, including the bucket-prefix
     // combines whose input is a bucket-count-bounded aggregate by
-    // design (PlanSpec "bounded prefix windows" pins that
-    // structurally). There is no per-plan suppression, so silence the
-    // class logger here — the anti-pattern itself stays policed by
-    // the spec, not the log.
+    // design. There is no per-plan suppression, so silence the class
+    // logger here — safe by construction since round 13: PlanSpec's
+    // "WindowExec guardrail" sweep asserts EVERY gate's unpartitioned
+    // windows consume an aggregate/limit/literal-bounded subtree, so
+    // a future corpus-sized single-partition window fails the build
+    // instead of hiding in a silenced log.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec", org.apache.logging.log4j.Level.ERROR)
     val wall0 = System.nanoTime()
