@@ -296,14 +296,66 @@ object Dedup {
     * floor(100·n_inter / min) — no float division to disagree over.
     * Same candidate economics as jaccardPairs (shared machinery).
     */
+  /** Round 13: containment is now LOSSLESS — the blocking is the D68
+    * prefix+positional machinery in its asymmetric form, so every
+    * pair with containment ≥ threshold is found (the old df-capped
+    * blocking lost pairs sharing only hot shingles). The prefix
+    * argument transfers because the NON-prefix side joins its FULL
+    * index: order shingles globally by (df, shingle); a pair with
+    * C = o/m ≥ t (m = smaller size) has o ≥ ceil(t·m) shared keys,
+    * so the smaller doc's first m − ceil(t·m) + 1 keys must contain
+    * one. Positional bound at the first joined key (ranks i in the
+    * smaller doc S, j in the other doc B): a shared key globally
+    * earlier would rank earlier in S — inside S's prefix, since
+    * prefixes are down-sets of the global order — and B's side is
+    * unrestricted, so it would have joined; hence no shared key
+    * precedes it and o ≤ 1 + min(m−i, |B|−j). Pairs whose bound
+    * misses ceil(t·m) are dropped before verification, losslessly.
+    */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, thresholdPct: Int, maxShingleDf: Int = 1000): DataFrame =
-    verifiedCandidatePairs(docs, idCol, textCol, n, maxShingleDf)
-      .withColumn("n_small", least(size(col("sh1")), size(col("sh2"))).cast("long"))
+      n: Int, thresholdPct: Int): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100, s"invalid pct $thresholdPct")
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleIndexPlan(docs, idCol, textCol, n).localCheckpoint()
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val ranked = ex.join(dfreq, "shingle").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .localCheckpoint() // prefix side AND full side of the self-join
+    // prefix of the SMALLER side: first m − ceil(pct·m/100) + 1 keys
+    val pref = ranked.filter(col("rn") <=
+      col("n_sh") - expr(s"(n_sh * $thresholdPct + 99) div 100") + 1)
+    val cand = pref.as("a").join(ranked.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          (col("a.n_sh") < col("b.n_sh") ||
+            (col("a.n_sh") === col("b.n_sh") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.rn").as("i"), col("b.rn").as("j"),
+        col("a.n_sh").as("m"), col("b.n_sh").as("nb"))
+      .groupBy("da", "db")
+      // first joined key = (min i, min j): both ranks increase with
+      // the shared keys' global order (the prefixFilteredPairs move)
+      .agg(min("i").as("i"), min("j").as("j"),
+        min("m").as("m"), min("nb").as("nb"))
+      .filter((lit(1) + least(col("m") - col("i"), col("nb") - col("j"))) *
+        lit(100) >= col("m") * thresholdPct)
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+    val inter = cand
+      .join(ex.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(ex.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).cast("int").as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("s1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("s2")), "d2")
+      .withColumn("n_small", least(col("s1"), col("s2")).cast("long"))
       .filter(col("n_small") > 0 &&
         col("n_inter") * 100L >= col("n_small") * thresholdPct.toLong)
       .withColumn("cont_pct", expr("n_inter * 100 div n_small"))
       .select("d1", "d2", "n_inter", "n_small", "cont_pct")
+  }
 
   /** D62 — edit-distance near-dup: Levenshtein distance ≤ pct% of the
     * longer document, over shingle-blocked candidates. Character-level
@@ -318,9 +370,24 @@ object Dedup {
     * pairs; only candidate docs' TEXTS are joined back (two id-keyed
     * joins), so full text moves for the candidate set alone.
     */
+  /** Round 13: blocking switched from the df-capped inverted index to
+    * the D68 PREFIX+POSITIONAL candidates at Jaccard 3/5 (the r12
+    * verdict's prescription — the lossy cap generated 1.13M
+    * candidates at sf0.1 of which 405k survived the length filter and
+    * paid the O(len·k) banded distance, while only 256 pairs passed;
+    * measured true-pair shingle Jaccard on the gate corpus bottoms
+    * out at 0.78, so the 3/5 prefix block retains every passing pair
+    * with wide margin at a fraction of the candidate volume).
+    * `blockTNum/blockTDen` expose the blocking threshold: it is part
+    * of D62's candidate contract (replayed by the oracle), chosen
+    * below the corpus's measured true-pair floor. An exact
+    * character-histogram prefilter (Ukkonen count filtering) was
+    * measured too: it pruned 0.6% on this corpus (template docs share
+    * char distributions) and cost more than it saved — dropped.
+    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDistPct: Int, maxShingleDf: Int = 1000): DataFrame = {
-    val cand = blockedCandidatePairs(docs, idCol, textCol, n, maxShingleDf)
+      n: Int, maxDistPct: Int, blockTNum: Int = 3, blockTDen: Int = 5): DataFrame = {
+    val (_, _, cand) = prefixMachinery(docs, idCol, textCol, n, blockTNum, blockTDen)
     val t = docs.select(col(idCol), col(textCol))
     cand
       .join(t.select(col(idCol).as("d1"), col(textCol).as("t1")), "d1")
@@ -332,8 +399,7 @@ object Dedup {
       // drive the computation instead of being applied after it
       .withColumn("__k", (col("max_len") * maxDistPct.toLong / lit(100L)).cast("int"))
       // exact O(1) prefilter: dist ≥ |len1 − len2|, so over-budget
-      // length gaps never reach the distance computation (drops ~2/3
-      // of blocked candidates on the test corpus)
+      // length gaps never reach the distance computation
       .filter(abs(length(col("t1")) - length(col("t2"))) <= col("__k"))
       // thresholded levenshtein: banded O(len·k) instead of O(len²),
       // early-exits over-budget pairs with -1; within-budget distances
@@ -349,7 +415,7 @@ object Dedup {
     * proposes (d1, d2) candidate pairs. Shuffles (shingle, doc_id)
     * pairs only; the cap bounds the self-join fan-out per shingle.
     */
-  private def blockedCandidatePairs(docs: DataFrame, idCol: String,
+  private[graft] def blockedCandidatePairs(docs: DataFrame, idCol: String,
       textCol: String, n: Int, maxShingleDf: Int): DataFrame = {
     val inv = explodeShingles(shingleTable(docs, idCol, textCol, n))
     // one added aggregate: shingle document frequency (shingle rows are
@@ -437,6 +503,17 @@ object Dedup {
     */
   def prefixFilteredPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tNum: Int, tDen: Int): DataFrame = {
+    val (ex, sizes, cand) = prefixMachinery(docs, idCol, textCol, n, tNum, tDen)
+    verifyOnIndex(ex, sizes, cand, tNum, tDen)
+  }
+
+  /** The D68 candidate machinery, shared by the Jaccard self-join and
+    * (round 13) the edit-distance blocking: returns the materialized
+    * exploded index, per-doc sizes, and the prefix+size+positional
+    * filtered (d1, d2) candidates at threshold tNum/tDen.
+    */
+  private def prefixMachinery(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tNum: Int, tDen: Int): (DataFrame, DataFrame, DataFrame) = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     // materialize the exploded index ONCE: df count, size count, the
@@ -472,7 +549,7 @@ object Dedup {
       .filter((lit(1) + least(col("n1") - col("i"), col("n2") - col("j"))) *
         (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
       .select("d1", "d2")
-    verifyOnIndex(ex, sizes, cand, tNum, tDen)
+    (ex, sizes, cand)
   }
 
   /** Exact verification of (d1, d2) candidates on the EXPLODED

@@ -125,15 +125,28 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
-  /** D61 — asymmetric containment near-dup (doc-inside-doc): same
-    * candidate machinery as D4, metric |A∩B|/min(|A|,|B|) with an
-    * integer threshold test and floor-percent score — quote/
-    * boilerplate inclusion that Jaccard's union denominator dilutes.
+  /** D61 — asymmetric containment near-dup (doc-inside-doc), LOSSLESS
+    * since round 13: the blocking is the D68 prefix+positional
+    * machinery in asymmetric form (prefix on the smaller side, FULL
+    * index on the other — see containmentPairs' proof sketch), so
+    * every pair with containment ≥ 60% is found; the old df-capped
+    * blocking lost pairs sharing only hot shingles. Because the
+    * filter chain is lossless for the containment predicate, the
+    * oracle's candidate CTE needs NO filter replay — any superset
+    * blocking defines the same result, and "pairs sharing ≥ 1
+    * shingle" (containment > 0 requires one) is the simplest.
     */
   val qDedupContainment: GateQuery = GateQuery(
     "q_dedup_containment",
     s"""WITH ${shingleCte(3)},
-       |${jaccardInterCte()}
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+       |  GROUP BY c.d1, c.d2)
        |SELECT d1, d2, CAST(n_inter AS BIGINT) AS n_inter,
        |  CAST(least(s1.n_sh, s2.n_sh) AS BIGINT) AS n_small,
        |  CAST((n_inter * 100) // least(s1.n_sh, s2.n_sh) AS BIGINT) AS cont_pct
@@ -150,18 +163,38 @@ object Pipeline {
   }
 
   /** D62 — edit-distance near-dup: Levenshtein ≤ 20% of the longer
-    * doc over the SAME df-capped shingle-blocked candidates as D4 —
-    * the character-level last-mile verifier (shingle metrics blur
-    * small in-place edits; the candidate block keeps the O(len²)
-    * distance off the corpus×corpus pair space). Integer threshold.
+    * doc, the character-level last-mile verifier (shingle metrics
+    * blur small in-place edits). Round 13: candidates come from the
+    * D68 prefix+positional block at Jaccard 3/5 instead of the
+    * df-capped index — the cap proposed 1.13M pairs at sf0.1 of
+    * which 256 passed, all with measured shingle Jaccard ≥ 0.78, so
+    * the 3/5 block keeps every passing pair at a fraction of the
+    * O(len·k) verify volume (31 s → ~8 s). The blocking threshold is
+    * part of D62's candidate contract, so the oracle replays the
+    * prefix selection, the size filter, AND the positional bound
+    * exactly (they are lossless for Jaccard ≥ 3/5, not for the
+    * levenshtein predicate, so unlike q_dedup_prefix they must be
+    * replayed).
     */
   val qDedupEditdist: GateQuery = GateQuery(
     "q_dedup_editdist",
     s"""WITH ${shingleCte(3)},
-       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
-       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |         WHERE a.shingle IN (SELECT shingle FROM rare))
+       |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+       |ranked AS (
+       |  SELECT s.doc_id, s.shingle, z.n_sh,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rn
+       |  FROM sh s
+       |  JOIN dfreq d ON d.shingle = s.shingle
+       |  JOIN sizes z ON z.doc_id = s.doc_id),
+       |pref AS (SELECT doc_id, shingle, n_sh, rn FROM ranked
+       |  WHERE rn <= n_sh - CAST((n_sh * 3 + 4) // 5 AS BIGINT) + 1),
+       |cand0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    MIN(a.rn) AS i, MIN(b.rn) AS j, MIN(a.n_sh) AS n1, MIN(b.n_sh) AS n2
+       |  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE least(a.n_sh, b.n_sh) * 5 >= greatest(a.n_sh, b.n_sh) * 3
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT d1, d2 FROM cand0
+       |  WHERE (1 + least(n1 - i, n2 - j)) * 8 >= (n1 + n2) * 3)
        |SELECT c.d1, c.d2,
        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
        |  CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS max_len

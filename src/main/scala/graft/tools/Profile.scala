@@ -33,6 +33,67 @@ object Profile {
       graft.heap.HeapProfile.run(spark)
       spark.stop(); return
     }
+    if (sys.env.contains("PROFILE_EDITDIST")) {
+      import graft.operators.Dedup
+      val docs = Tables(spark, sfDir, "documents")
+      val t0 = System.nanoTime()
+      val cand = Dedup.blockedCandidatePairs(docs, "doc_id", "text", 3, 1000)
+      println(f"[profile] blocking: ${cand.count()} pairs in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t = docs.select(col("doc_id"), col("text"))
+      val joined = cand
+        .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+        .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+        .withColumn("max_len", greatest(length(col("t1")), length(col("t2"))).cast("long"))
+        .withColumn("__k", (col("max_len") * 20L / lit(100L)).cast("int"))
+        .filter(abs(length(col("t1")) - length(col("t2"))) <= col("__k"))
+      println(s"[profile] after length filter: ${joined.count()} pairs")
+      val slots = ((('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " ")
+      val cc = array(slots.map(c =>
+        (length(col("text")) - length(replace(col("text"), lit(c), lit("")))).cast("long")): _*)
+      val tc = docs.select(col("doc_id"), col("text")).withColumn("__cc", cc)
+      val j2 = cand
+        .join(tc.select(col("doc_id").as("d1"), col("text").as("t1"), col("__cc").as("c1")), "d1")
+        .join(tc.select(col("doc_id").as("d2"), col("text").as("t2"), col("__cc").as("c2")), "d2")
+        .withColumn("max_len", greatest(length(col("t1")), length(col("t2"))).cast("long"))
+        .withColumn("__k", (col("max_len") * 20L / lit(100L)).cast("int"))
+        .filter(abs(length(col("t1")) - length(col("t2"))) <= col("__k"))
+        .filter(aggregate(zip_with(col("c1"), col("c2"), (x, y) => abs(x - y)),
+          lit(0L), (a, x) => a + x) <= lit(2L) * col("__k"))
+      println(s"[profile] after char filter: ${j2.count()} pairs")
+      time("editdist full (prefix blocking)")(
+        Dedup.editDistancePairs(docs, "doc_id", "text", 3, 20))
+      time("containment (lossless prefix)")(
+        Dedup.containmentPairs(docs, "doc_id", "text", 3, 60))
+      // jaccard distribution of the TRUE editdist pairs: how low does
+      // a passing pair's shingle jaccard go? (calibrates a prefix
+      // blocking threshold)
+      val truePairs = Dedup.editDistancePairs(docs, "doc_id", "text", 3, 20)
+        .select("d1", "d2").localCheckpoint()
+      println(s"[profile] true pairs: ${truePairs.count()}")
+      val sh = docs.select(col("doc_id"), col("text"))
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, greatest(size(ws)-3, 0) - 1), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = truePairs
+        .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+      val jstats = truePairs
+        .join(inter, Seq("d1", "d2"), "left")
+        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("s1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("s2")), "d2")
+        .withColumn("j", coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("s1") + col("s2") - coalesce(col("n_inter"), lit(0L))).cast("double"))
+        .agg(min("j").as("min_j"),
+          expr("percentile(j, 0.01)").as("p01"),
+          expr("percentile(j, 0.05)").as("p05"),
+          expr("percentile(j, 0.5)").as("p50"))
+        .head()
+      println(s"[profile] true-pair jaccard: min=${jstats.get(0)} p01=${jstats.get(1)} p05=${jstats.get(2)} p50=${jstats.get(3)}")
+      spark.stop(); return
+    }
     if (sys.env.contains("PROFILE_FANOUT")) {
       import org.apache.spark.sql.types.DecimalType
       val D = DecimalType(12, 2)

@@ -315,6 +315,103 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(runPrefix(adv, 3, 5).isEmpty)
   }
 
+  test("editDistancePairs prefix blocking: df-cap passing pairs are a subset, corpus result identical") {
+    import graft.operators.Dedup
+    // round 13 moved D62's blocking from the df-capped inverted index
+    // to the D68 prefix+positional block at Jaccard 3/5. The old
+    // blocking's PASSING pairs on the test corpus all carry shingle
+    // Jaccard >= 0.78 (measured), so the new result must contain every
+    // one of them — and on this corpus be exactly equal.
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val oldStyle = finalPairsOn(docs,
+      Dedup.blockedCandidatePairs(docs, "doc_id", "text", 3, 1000))
+    val newStyle = Dedup.editDistancePairs(docs, "doc_id", "text", n = 3, maxDistPct = 20)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oldStyle.subsetOf(newStyle),
+      s"prefix blocking lost df-cap pairs: ${oldStyle -- newStyle}")
+    assert(newStyle === oldStyle,
+      s"corpus result diverged: extra=${newStyle -- oldStyle}")
+    // blind-spot comparison, pinned explicitly (blocking for an edit-
+    // distance predicate is inherently heuristic in shingle space —
+    // each blocking has a different corner):
+    // (i) the case the df-CAP loses and prefix KEEPS: identical docs
+    //     whose every shingle is corpus-hot (J = 1.0)
+    val hot = "alpha beta gamma delta epsilon zeta eta theta"
+    val clones = Seq((1000L, hot), (1001L, hot))
+    val others = (0 until 30).map(i =>
+      (1100L + i, s"$hot filler${i}a filler${i}b filler${i}c filler${i}d filler${i}e"))
+    val df = (clones ++ others).toDF("doc_id", "text")
+    val capped = finalPairsOn(df, Dedup.blockedCandidatePairs(df, "doc_id", "text", 3, 10))
+    val prefix = Dedup.editDistancePairs(df, "doc_id", "text", n = 3, maxDistPct = 20)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((1000L, 1001L)), "df-cap=10 loses the hot-shingle clone pair")
+    assert(prefix.contains((1000L, 1001L)), s"prefix blocking must keep it, got $prefix")
+    // (ii) the converse corner, OUT of the new contract by design: a
+    //     SHORT doc pair one token apart has lev well under 20% but
+    //     shingle Jaccard (g-n)/(g+n) = 0.33 < 3/5 — the blocking
+    //     threshold is the documented contract, replayed by the
+    //     oracle, and this pins it
+    val short = Seq((2000L, hot), (2001L, hot.replace("zeta", "zetX")))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(short, "doc_id", "text", n = 3, maxDistPct = 20)
+      .count() === 0L)
+  }
+
+  private def finalPairsOn(docs: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val t = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .withColumn("max_len", greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      .withColumn("__k", (col("max_len") * 20L / lit(100L)).cast("int"))
+      .filter(expr("levenshtein(t1, t2, __k)") >= 0)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("containmentPairs lossless blocking equals brute force over ALL pairs") {
+    import graft.operators.Dedup
+    // the asymmetric prefix+positional block must find every pair with
+    // containment >= t — compare against an unblocked all-pairs
+    // reference on a corpus with hot shingles, planted containments,
+    // and a pair whose ONLY shared shingles are hot (the df-cap-loss
+    // case)
+    val rng = new scala.util.Random(31L)
+    val vocab = (0 until 25).map(i => s"v$i")
+    val base = (0 until 25).map { i =>
+      (i.toLong, (0 until 12).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val contained = (0 until 6).map { i =>
+      (200L + i, base(i)._2 + " " + (0 until 12).map(_ => s"tail${i}x${rng.nextInt(9)}").mkString(" "))
+    }
+    val hotPair = Seq((300L, "v0 v1 v2 v3 v4 v5"), (301L, "v0 v1 v2 v3 v4 v5"))
+    for (parts <- Seq(1, 5)) {
+      val df = (base ++ contained ++ hotPair).toDF("doc_id", "text").repartition(parts)
+      val sh = df.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, greatest(size(ws)-3, 0) - 1), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("shingle"))
+        .distinct().localCheckpoint()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val ids = sizes.select("doc_id", "n_sh").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val shSets = sh.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getString(1)).toSet).toMap
+      val expected = (for {
+        a <- ids.keys; b <- ids.keys if a < b
+        inter = shSets(a).intersect(shSets(b)).size
+        small = math.min(ids(a), ids(b)) if small > 0
+        if inter * 100 >= small * 60
+      } yield (a, b)).toSet
+      val got = Dedup.containmentPairs(df, "doc_id", "text", n = 3, thresholdPct = 60)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"parts=$parts")
+      assert(expected.contains((300L, 301L)), "hot-only pair must be in the reference")
+    }
+  }
+
   test("duplicatedSpans: hand-verified counts, cross-document only, partition-invariant") {
     val docs = Seq(
       (0L, "a b c d e f"),        // all 4 trigram starts shared with d1/d4
