@@ -1712,8 +1712,124 @@ object Heap {
       .orderBy("section", "name", "a")
   }
 
+  /** A17b — the MCP STDIO transport driven over its REAL JSON-RPC
+    * loop (r12 verdict #5: the reference's native serving surface —
+    * mcp_server/server.py — was the one transport proven by ScalaTest
+    * only). The gate speaks the actual wire protocol to
+    * [[graft.heap.HeapMcp.serve]] through a piped byte stream — the
+    * same loop `runMain graft.heap.HeapMcp` serves on stdin/stdout —
+    * walking initialize → initialized → tools/list → open_session →
+    * a LIMIT/OFFSET page walk of query_heap → analyze_heap, and
+    * re-derives every response against DuckDB: the tool list is
+    * pinned as literal protocol surface, the page walk must
+    * reassemble the exact object index WITH page addresses, and the
+    * waste findings must equal the q_heap_waste re-derivation — the
+    * same contract q_heap_http pins for the HTTP twin.
+    */
+  val qHeapMcp: GateQuery = GateQuery(
+    "q_heap_mcp",
+    s"""WITH oi AS (
+       |  SELECT obj_id, type_name,
+       |    CAST((ROW_NUMBER() OVER (ORDER BY obj_id, type_name) - 1) // 64 AS BIGINT) AS page
+       |  FROM read_parquet('$exportDir/_object_index/*.parquet'))
+       |SELECT * FROM (
+       |  SELECT 'query' AS section, type_name AS name,
+       |    CAST(obj_id AS BIGINT) AS a, page AS b, CAST(0 AS BIGINT) AS c
+       |  FROM oi
+       |  UNION ALL
+       |  SELECT 'tools', t.name, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM (VALUES ('convert_heap_dump'), ('open_session'), ('list_sessions'),
+       |        ('close_session'), ('cleanup_session'), ('list_parquet_files'),
+       |        ('query_heap'), ('analyze_heap')) t(name)
+       |  UNION ALL
+       |  SELECT 'analyze', check_name || '|' || severity, CAST(tier AS BIGINT),
+       |    CAST(affected_count AS BIGINT), CAST(estimated_waste_bytes AS BIGINT)
+       |  FROM (${qHeapWaste.oracle.get}) w)
+       |ORDER BY section, name, a""".stripMargin) { (s, _) =>
+    import s.implicits._
+    demoDir(s)
+    import graft.heap.HeapMcp
+    val reqOut = new java.io.PipedOutputStream()
+    val reqIn = new java.io.PipedInputStream(reqOut, 1 << 16)
+    val respOut = new java.io.PipedOutputStream()
+    val respIn = new java.io.PipedInputStream(respOut, 1 << 20)
+    val server = new Thread(() => {
+      val ps = new java.io.PrintStream(respOut, true, "UTF-8")
+      try HeapMcp.serve(new HeapMcp(s),
+        new java.io.BufferedReader(new java.io.InputStreamReader(reqIn, "UTF-8")), ps)
+      finally ps.close()
+    }, "mcp-gate-server")
+    server.setDaemon(true)
+    server.start()
+    val w = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(reqOut, "UTF-8"), true)
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(respIn, "UTF-8"))
+    def rpc(json: String): Map[String, Any] = {
+      w.println(json)
+      val line = r.readLine()
+      require(line != null, "MCP server closed the stream mid-conversation")
+      val m = graft.Json.parse(line).asInstanceOf[Map[String, Any]]
+      require(!m.contains("error"), s"JSON-RPC error: ${m("error")}")
+      m("result").asInstanceOf[Map[String, Any]]
+    }
+    // tools/call responses carry ONE text content block whose text is
+    // a JSON document (the reference server's shape)
+    def toolJson(result: Map[String, Any]): Map[String, Any] = {
+      require(result("isError") == false, s"tool error: $result")
+      val text = result("content").asInstanceOf[Vector[Any]].head
+        .asInstanceOf[Map[String, Any]]("text").asInstanceOf[String]
+      graft.Json.parse(text).asInstanceOf[Map[String, Any]]
+    }
+    def num(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalStateException(s"non-numeric cell: $other")
+    }
+    val rows = Seq.newBuilder[(String, String, Long, Long, Long)]
+    try {
+      val init = rpc("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2025-03-26","capabilities":{},"clientInfo":{"name":"gate","version":"0"}}}""")
+      require(init("protocolVersion") == "2025-03-26", s"handshake: $init")
+      w.println("""{"jsonrpc":"2.0","method":"notifications/initialized"}""")
+      val tools = rpc("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
+      tools("tools").asInstanceOf[Vector[Any]].foreach { t =>
+        rows += (("tools",
+          t.asInstanceOf[Map[String, Any]]("name").asInstanceOf[String], 0L, 0L, 0L))
+      }
+      toolJson(rpc(s"""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"open_session","arguments":{"parquet_dir":${graft.Json.str(exportDir)},"session_id":"mcpgate"}}}"""))
+      var offset = 0L
+      var more = true
+      var page = 0L
+      var rid = 4
+      while (more) {
+        val q = toolJson(rpc(s"""{"jsonrpc":"2.0","id":$rid,"method":"tools/call","params":{"name":"query_heap","arguments":{"session_id":"mcpgate","sql":"SELECT obj_id, type_name FROM _object_index ORDER BY obj_id, type_name","limit":64,"offset":$offset}}}"""))
+        q("rows").asInstanceOf[Vector[Any]].foreach { row0 =>
+          val row = row0.asInstanceOf[Map[String, Any]]
+          rows += (("query", row("type_name").asInstanceOf[String],
+            num(row("obj_id")), page, 0L))
+        }
+        more = q("has_more") == true
+        offset = num(q("next_offset"))
+        page += 1
+        rid += 1
+      }
+      val am = toolJson(rpc(s"""{"jsonrpc":"2.0","id":$rid,"method":"tools/call","params":{"name":"analyze_heap","arguments":{"session_id":"mcpgate","top_n":30,"waste":true,"waste_tier":3}}}"""))
+      am("waste_findings").asInstanceOf[Vector[Any]].foreach { f =>
+        val fm = f.asInstanceOf[Map[String, Any]]
+        rows += (("analyze",
+          fm("check_name").asInstanceOf[String] + "|" + fm("severity").asInstanceOf[String],
+          num(fm("tier")), num(fm("affected_count")), num(fm("estimated_waste_bytes"))))
+      }
+      toolJson(rpc(s"""{"jsonrpc":"2.0","id":${rid + 1},"method":"tools/call","params":{"name":"close_session","arguments":{"session_id":"mcpgate"}}}"""))
+    } finally {
+      w.close() // EOF ends the serve loop; the daemon thread drains
+    }
+    rows.result().toDF("section", "name", "a", "b", "c")
+      .orderBy("section", "name", "a")
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qHeapHttp, qHeapLayoutSlack,
+    qHeapMcp, qHeapHttp, qHeapLayoutSlack,
     qHeapRender, qHeapFields,
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
