@@ -1828,8 +1828,112 @@ object Heap {
       .orderBy("section", "name", "a")
   }
 
+  /** A1-A6 direct gate (r12 verdict #8 — these rows were spec-only):
+    * a SINGLE-THREADED re-parse of the demo dump via HprofParser's
+    * record index + segment visitor — a different code path from the
+    * two-pass distributed export — emits per-record-tag and
+    * per-sub-record-kind counts plus per-kind id checksums, and
+    * DuckDB re-derives the same census from the EXPORTED parquet.
+    * A parser bug (miscounted instances, dropped array, wrong root
+    * kind, broken sub-record boundary walk) now breaks a driver hash
+    * instead of only a ScalaTest assertion.
+    */
+  val qHeapParseCensus: GateQuery = {
+    val primBlocks = Seq("boolean", "byte", "char", "short", "int", "long",
+      "float", "double").map { t =>
+      s"""UNION ALL SELECT 'sub', 'prim_array_$t', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(obj_id), 0) AS BIGINT)
+         |FROM read_parquet('$exportDir/_primitive_arrays_$t/*.parquet')""".stripMargin
+    }.mkString("\n")
+    GateQuery(
+      "q_heap_parse_census",
+      s"""SELECT * FROM (
+         |SELECT 'record' AS section, 'load_class' AS name,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(SUM(class_obj_id), 0) AS BIGINT) AS id_sum
+         |FROM read_parquet('$exportDir/_class_hierarchy/*.parquet')
+         |UNION ALL SELECT 'record', 'stack_frame', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(frame_id), 0) AS BIGINT)
+         |FROM read_parquet('$exportDir/_stack_frames/*.parquet')
+         |UNION ALL SELECT 'record', 'stack_trace', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(stack_trace_serial), 0) AS BIGINT)
+         |FROM read_parquet('$exportDir/_stack_traces/*.parquet')
+         |UNION ALL SELECT 'sub', 'instance', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(obj_id), 0) AS BIGINT)
+         |FROM read_parquet('$exportDir/_object_index/*.parquet')
+         |WHERE type_name NOT LIKE 'class %' AND type_name NOT LIKE '%[]'
+         |UNION ALL SELECT 'sub', 'class_dump', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(obj_id), 0) AS BIGINT)
+         |FROM read_parquet('$exportDir/_object_index/*.parquet')
+         |WHERE type_name LIKE 'class %'
+         |UNION ALL SELECT 'sub', 'obj_array', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(obj_id), 0) AS BIGINT)
+         |FROM read_parquet('$exportDir/_object_arrays/*.parquet')
+         |$primBlocks
+         |UNION ALL SELECT 'sub', 'gc_root_' || root_type, CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(obj_id), 0) AS BIGINT)
+         |FROM read_parquet('$exportDir/_gc_roots/*.parquet')
+         |GROUP BY root_type
+         |) ORDER BY section, name""".stripMargin) { (s, _) =>
+      import s.implicits._
+      demoDir(s)
+      import graft.heap.{HprofModel, HprofParser}
+      import HprofModel.{BasicType, Tag}
+      val hprof = new java.io.File(
+        new java.io.File(exportDir).getParentFile, "demo.hprof")
+      val bytes = java.nio.file.Files.readAllBytes(hprof.toPath)
+      val header = HprofParser.parseHeader(
+        java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, 64)))
+      val idSize = header.idSize
+      def readAt(off: Long, len: Int): Array[Byte] =
+        java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+      val counts = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), (Long, Long)]
+      // pre-seed the fixed prim-array kinds so an empty kind still
+      // emits its zero row (the oracle's per-table blocks always do)
+      Seq("boolean", "byte", "char", "short", "int", "long", "float", "double")
+        .foreach(t => counts(("sub", s"prim_array_$t")) = (0L, 0L))
+      def add(sec: String, nm: String, id: Long): Unit = {
+        val (c, sum) = counts.getOrElse((sec, nm), (0L, 0L))
+        counts((sec, nm)) = (c + 1, sum + id)
+      }
+      HprofParser.indexRecords(readAt, bytes.length.toLong, header.bodyStart)
+        .foreach { r =>
+          lazy val body = readAt(r.bodyOffset, r.bodyLength.toInt)
+          r.tag match {
+            case Tag.LoadClass =>
+              add("record", "load_class",
+                HprofParser.parseLoadClass(body, idSize).classObjId)
+            case Tag.StackFrame =>
+              add("record", "stack_frame",
+                HprofParser.parseStackFrame(body, idSize).frameId)
+            case Tag.StackTrace =>
+              add("record", "stack_trace",
+                HprofParser.parseStackTrace(body, idSize).serial.toLong)
+            case t if Tag.isHeapSegment(t) =>
+              HprofParser.scanSegment(body, idSize, new HprofParser.SubVisitor {
+                override def onInstance(ev: HprofModel.InstanceEv): Unit =
+                  add("sub", "instance", ev.objId)
+                override def onObjArray(ev: HprofModel.ObjArrayEv): Unit =
+                  add("sub", "obj_array", ev.objId)
+                override def onPrimArray(ev: HprofModel.PrimArrayEv): Unit =
+                  add("sub", s"prim_array_${BasicType.javaName(ev.elemType)}", ev.objId)
+                override def onGcRoot(ev: HprofModel.GcRootEv): Unit =
+                  add("sub", s"gc_root_${ev.rootType}", ev.objId)
+                override def onClassDump(ev: HprofModel.ClassDumpInfo): Unit =
+                  add("sub", "class_dump", ev.classObjId)
+              })
+            case _ => ()
+          }
+        }
+      counts.toSeq.map { case ((sec, nm), (c, sum)) => (sec, nm, c, sum) }
+        .toDF("section", "name", "n", "id_sum")
+        .orderBy("section", "name")
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qHeapMcp, qHeapHttp, qHeapLayoutSlack,
+    qHeapParseCensus, qHeapMcp, qHeapHttp, qHeapLayoutSlack,
     qHeapRender, qHeapFields,
     qHeapObjectIndex, qHeapTopTypes, qHeapHistogram, qHeapLargeArrays,
     qHeapDupStrings, qHeapBadCollections, qHeapBadObjectArrays,
