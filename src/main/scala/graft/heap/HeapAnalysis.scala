@@ -996,6 +996,136 @@ final class HeapAnalysis(t: HeapTables) {
     .orderBy(col("retained_bytes").desc, col("obj_id"))
     .limit(limit)
 
+  /** B33 — EXACT dominator-tree retained size (the MAT-exact answer
+    * B22/B27 bound from below): per reachable object, the number of
+    * objects it strictly dominates and the exact retained bytes
+    * (its dominator-subtree shallow sum) — v dominates u iff every
+    * GC-root path to u passes through v, equivalently u becomes
+    * unreachable when v is removed, which is what the gate's DuckDB
+    * oracle replays literally. Computed with the iterative dominator
+    * dataflow of Cooper, Harvey & Kennedy ("A Simple, Fast Dominance
+    * Algorithm", 2001) over a virtual super-root that edges to every
+    * GC root, then subtree sums in reverse postorder.
+    *
+    * Tier contract (stated): this is the AUDIT tier — the graph is
+    * collected to the driver (adjacency as int arrays; `maxNodes`
+    * require-guarded), which is the right architecture for heap
+    * dumps: a dump is a single-machine artifact (MAT computes exact
+    * dominators the same way), and the distributed B22/B27
+    * approximation carries the 100 TB many-dumps story. On graphs
+    * past the bound, use B22 and treat its numbers as the documented
+    * lower bound.
+    */
+  def exactDominatorTop(limit: Int = 25,
+      maxNodes: Int = 2000000): Option[DataFrame] = for {
+    edges <- refEdges
+    oi <- t.system("_object_index")
+    gcr <- t.system("_gc_roots")
+    sizes <- perObjectShallowSizes
+  } yield {
+    val spark = oi.sparkSession
+    import spark.implicits._
+    val ids = oi.select("obj_id").collect().map(_.getLong(0))
+    require(ids.length <= maxNodes,
+      s"exactDominatorTop is the bounded audit tier: ${ids.length} objects " +
+        s"exceed maxNodes=$maxNodes — use the distributed B22 approximation")
+    val idx = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
+    ids.zipWithIndex.foreach { case (id, i) => idx.put(id, i + 1) } // 0 = super-root
+    val n = ids.length + 1
+    // adjacency (both endpoints must resolve in the object index)
+    val succ = Array.fill(n)(List.empty[Int])
+    edges.select("src", "dst").distinct().collect().foreach { r =>
+      val s0 = idx.get(r.getLong(0)); val d0 = idx.get(r.getLong(1))
+      if (s0 != null && d0 != null && s0 != d0)
+        succ(s0.intValue) = d0.intValue :: succ(s0.intValue)
+    }
+    gcr.select("obj_id").distinct().collect().foreach { r =>
+      val d0 = idx.get(r.getLong(0))
+      if (d0 != null) succ(0) = d0.intValue :: succ(0)
+    }
+    // reverse postorder from the super-root (iterative DFS); rpo(v) =
+    // -1 marks unreachable
+    val rpoNum = Array.fill(n)(-1)
+    val order = new Array[Int](n) // rpo position -> node
+    locally {
+      val seen = new Array[Boolean](n)
+      val post = Seq.newBuilder[Int]
+      val stack = scala.collection.mutable.Stack[(Int, List[Int])]((0, succ(0)))
+      seen(0) = true
+      while (stack.nonEmpty) {
+        val (v, rest) = stack.pop()
+        rest match {
+          case h :: tl =>
+            stack.push((v, tl))
+            if (!seen(h)) { seen(h) = true; stack.push((h, succ(h))) }
+          case Nil => post += v
+        }
+      }
+      val p = post.result().reverse // reverse postorder
+      p.zipWithIndex.foreach { case (v, i) => rpoNum(v) = i; order(i) = v }
+    }
+    val reachCount = rpoNum.count(_ >= 0)
+    // predecessors within the reachable subgraph
+    val pred = Array.fill(n)(List.empty[Int])
+    for (v <- 0 until n if rpoNum(v) >= 0; d <- succ(v) if rpoNum(d) >= 0)
+      pred(d) = v :: pred(d)
+    // Cooper-Harvey-Kennedy iteration to the fixpoint
+    val idom = Array.fill(n)(-1)
+    idom(0) = 0
+    def intersect(a0: Int, b0: Int): Int = {
+      var a = a0; var b = b0
+      while (a != b) {
+        while (rpoNum(a) > rpoNum(b)) a = idom(a)
+        while (rpoNum(b) > rpoNum(a)) b = idom(b)
+      }
+      a
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 1
+      while (i < reachCount) {
+        val v = order(i)
+        var newIdom = -1
+        pred(v).foreach { p =>
+          if (idom(p) >= 0)
+            newIdom = if (newIdom < 0) p else intersect(p, newIdom)
+        }
+        if (newIdom >= 0 && idom(v) != newIdom) { idom(v) = newIdom; changed = true }
+        i += 1
+      }
+    }
+    // subtree shallow sums + counts in reverse RPO (children before
+    // parents: idom(v) always precedes v in RPO)
+    val sizeMap = new java.util.HashMap[java.lang.Long, java.lang.Long](ids.length * 2)
+    sizes.select("obj_id", "bytes").collect().foreach(r =>
+      sizeMap.put(r.getLong(0), r.getLong(1)))
+    val total = new Array[Long](n)
+    val nsub = new Array[Long](n)
+    for (i <- 0 until reachCount) {
+      val v = order(i)
+      if (v != 0) {
+        val b: java.lang.Long = sizeMap.get(ids(v - 1))
+        total(v) = if (b == null) 16L else b.longValue
+        nsub(v) = 1L
+      }
+    }
+    var i = reachCount - 1
+    while (i >= 1) {
+      val v = order(i)
+      total(idom(v)) += total(v)
+      nsub(idom(v)) += nsub(v)
+      i -= 1
+    }
+    val rows = (1 until n).filter(rpoNum(_) >= 0).map { v =>
+      (ids(v - 1), nsub(v) - 1L, total(v))
+    }
+    val typed = rows.toDF("obj_id", "n_dominated", "retained_bytes")
+      .join(oi.select("obj_id", "type_name"), Seq("obj_id"))
+      .select("obj_id", "type_name", "n_dominated", "retained_bytes")
+    typed.orderBy(col("retained_bytes").desc, col("obj_id")).limit(limit)
+  }
+
   /** B23 — GC-root reachability distance: per-object minimum hop
     * count from any GC root along the B20 reference edges, rolled up
     * per type — the "why is X alive / is X reachable at all" answer

@@ -1182,6 +1182,56 @@ object Heap {
     analysis(s).retainedTopObjects(retainedRounds, limit = 20).get
   }
 
+  /** B33 — EXACT dominator-tree retained size (the MAT-exact answer;
+    * r12 verdict "missing #3"): per reachable object, how many
+    * objects it strictly dominates and its exact retained bytes. The
+    * engine computes the dominator tree with the Cooper-Harvey-
+    * Kennedy iteration over a virtual super-root (the bounded audit
+    * tier — a dump is a single-machine artifact, which is how MAT
+    * computes it too; B22/B27 stay the distributed lower bound). The
+    * oracle NEVER computes a dominator tree: it replays the
+    * DEFINITION — v dominates u iff u is unreachable from the GC
+    * roots with v removed — as one recursive (candidate, reached)
+    * closure, then folds exact retained sums. Agreement means the
+    * CHK fixpoint equals the removal-reachability semantics object
+    * for object, byte for byte.
+    */
+  val qHeapDominators: GateQuery = GateQuery(
+    "q_heap_dominators",
+    s"""WITH RECURSIVE $refEdgeSql,
+       |oi AS (SELECT obj_id, type_name
+       |       FROM read_parquet('$exportDir/_object_index/*.parquet')),
+       |ed AS (SELECT DISTINCT e.src, e.dst FROM e
+       |       JOIN oi s ON s.obj_id = e.src JOIN oi d ON d.obj_id = e.dst
+       |       WHERE e.src <> e.dst),
+       |roots AS (SELECT DISTINCT g.obj_id
+       |          FROM read_parquet('$exportDir/_gc_roots/*.parquet') g
+       |          JOIN oi ON oi.obj_id = g.obj_id),
+       |rr(u) AS (SELECT obj_id FROM roots
+       |          UNION SELECT ed.dst FROM rr JOIN ed ON ed.src = rr.u),
+       |reach AS (SELECT DISTINCT u FROM rr),
+       |rm(v, u) AS (
+       |  SELECT c.u, r.obj_id FROM reach c JOIN roots r ON r.obj_id <> c.u
+       |  UNION
+       |  SELECT rm.v, ed.dst FROM rm JOIN ed ON ed.src = rm.u
+       |  WHERE ed.dst <> rm.v),
+       |dom AS (SELECT c.u AS v, t.u AS u FROM reach c JOIN reach t ON t.u <> c.u
+       |        WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.v = c.u AND rm.u = t.u)),
+       |${sizeCtesFor(exportDir)},
+       |ret AS (SELECT r0.u AS obj_id,
+       |          CAST(COUNT(d.u) AS BIGINT) AS n_dominated,
+       |          CAST(COALESCE(SUM(szd.bytes), 0) AS BIGINT) AS dom_bytes
+       |        FROM reach r0 LEFT JOIN dom d ON d.v = r0.u
+       |        LEFT JOIN sz szd ON szd.obj_id = d.u
+       |        GROUP BY r0.u)
+       |SELECT oi.obj_id, oi.type_name, ret.n_dominated,
+       |  CAST(sz.bytes + ret.dom_bytes AS BIGINT) AS retained_bytes
+       |FROM ret JOIN oi ON oi.obj_id = ret.obj_id JOIN sz ON sz.obj_id = ret.obj_id
+       |ORDER BY retained_bytes DESC, oi.obj_id
+       |LIMIT 25""".stripMargin) { (s, _) =>
+    analysis(s).exactDominatorTop(limit = 25).get
+  }
+
   /** A18 — the `_fields` layout-metadata table under a driver oracle:
     * the engine side re-derives the table from the pass-1 index
     * (class metadata, super-chain layout order), the oracle reads the
@@ -1941,7 +1991,7 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapClassloaders, qHeapRefs, qHeapWaste,
-    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapRetainedMatrix, qHeapRootPath, qHeapRootKinds,
+    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapDominators, qHeapRetainedMatrix, qHeapRootPath, qHeapRootKinds,
     qHeapPathExemplars, qHeapDiff, qHeapRetainedDiff,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))

@@ -582,6 +582,76 @@ class HeapAnalysisSpec extends AnyFunSuite {
     assert(an2.ownershipCollapse().isEmpty)
   }
 
+  test("B33 exact dominators equal brute-force removal-reachability on diamonds, double entries, shared roots") {
+    // adversarial graph for the CHK iteration: a diamond (root -> a,b
+    // -> d -> tail), a chain entered at TWO points (head and middle —
+    // the middle entry strips dominance from the upper chain), a node
+    // shared by TWO roots (dominated by neither), and unreachable
+    // islands that must not appear at all
+    val w = new HprofWriter()
+    val objectCls = w.defineClass("java.lang.Object")
+    val nodeCls = w.defineClass("com.x.N", objectCls,
+      instanceFields = Seq("l" -> BasicType.Object, "r" -> BasicType.Object))
+    def n(l: Long = 0L, r: Long = 0L): Long =
+      w.instance(nodeCls, Seq(BasicType.Object -> l, BasicType.Object -> r))
+    val tail = n()
+    val d = n(tail)
+    val a = n(d); val b = n(d)
+    val root1 = n(a, b) // diamond: root1 dominates a, b, d, tail
+    val c1h = n(); val c2 = n(c1h); val c3 = n(c2) // unreachable chain island
+    val e1 = n(); val e2 = n(e1); val e3 = n(e2)
+    val root2 = n(e3, e1) // enters the chain at e3 AND e1
+    val shared = n()
+    val root3 = n(shared); val root4 = n(shared) // shared: no dominator but the super-root
+    n(n()) // unreachable island
+    w.gcRoot(Sub.RootJniGlobal, root1)
+    w.gcRoot(Sub.RootJniGlobal, root2)
+    w.gcRoot(Sub.RootJniGlobal, root3)
+    w.gcRoot(Sub.RootJniGlobal, root4)
+    val dir = java.nio.file.Files.createTempDirectory("heapan_dom")
+    val hprof = dir.resolve("dom.hprof").toString
+    w.writeTo(hprof, segments = 2)
+    val out = dir.resolve("parquet").toString
+    new HeapDump(spark, hprof).writeParquet(out)
+    val an = new HeapAnalysis(new HeapTables(spark, out))
+    val got = an.exactDominatorTop(limit = 1000).get.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    // brute force: reachability with each candidate removed
+    val edges = an.refEdges.get.select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val roots = Set(root1, root2, root3, root4)
+    def reach(removed: Long): Set[Long] = {
+      val adj = edges.filterNot(e => e._1 == removed || e._2 == removed)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var seen = roots - removed
+      var frontier = seen
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val all = reach(-1L)
+    val sizes = an.perObjectShallowSizes.get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = all.map { v =>
+      val dominated = (all - v).filterNot(reach(v))
+      v -> ((dominated.size.toLong, sizes(v) + dominated.toSeq.map(sizes).sum))
+    }.toMap
+    assert(got === expected)
+    // spot semantics: the diamond root retains its whole subtree; the
+    // doubly-shared node is dominated by nobody (absent from every
+    // other node's dominated count); the island never appears
+    assert(got(root1)._1 === 4L)
+    assert(got(shared)._1 === 0L)
+    assert(got(d)._1 === 1L) // d dominates tail despite two referrers
+    assert(got(e3)._1 === 1L) // e3 dominates only e2: the e1 entry
+    assert(got(e2)._1 === 0L) // strips the rest of the chain's dominance
+    assert(got(e1)._1 === 0L)
+    Seq(c1h, c2, c3).foreach(v => assert(!got.contains(v))) // islands absent
+  }
+
   test("resolved-mode export: ref columns are STRUCT{id,type} and the full waste suite matches robo") {
     // the export really is the reference's non-robo layout
     val strTable = new HeapTables(spark, resolvedDir).byClass("java.lang.String").get
