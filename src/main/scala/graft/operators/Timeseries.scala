@@ -209,6 +209,84 @@ object Timeseries {
         col("e.x").as("x_micro"), col("e.y").as("ewma_micro"))
   }
 
+  /** E58 — Holt double exponential smoothing (Holt 1957: level +
+    * trend), integer-exact in micros — the drift-following upgrade of
+    * the E28 EWMA (which lags any trending series by a constant):
+    *
+    *   l_t = (α·x_t + (100−α)·(l_{t−1} + b_{t−1})) div 100
+    *   b_t = (β·(l_t − l_{t−1}) + (100−β)·b_{t−1}) div 100
+    *
+    * seeded l_1 = x_1, b_1 = 0; emits per event the level, trend, and
+    * the one-step-ahead forecast l + b (what a monitor compares the
+    * NEXT observation against). All terms Long micros, `div` on both
+    * engines truncates toward zero, so the recursion replays
+    * bit-for-bit. Same scale shape as [[ewma]]: one shuffle to the
+    * key, per-key sort + linear fold, state two Longs per step.
+    */
+  def holt(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, alphaPct: Int, betaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99, s"invalid alphaPct $alphaPct")
+    require(betaPct >= 1 && betaPct <= 99, s"invalid betaPct $betaPct")
+    val rows = events.select(col(keyCol),
+      struct(unix_micros(col(tsCol)).as("t_us"), col(tieCol).as("tie"),
+        floor(col(valueCol) * 1000000).cast("long").as("x")).as("r"))
+    val packed = rows.groupBy(keyCol).agg(sort_array(collect_list("r")).as("xs"))
+    val folded = packed.withColumn("ys", expr(
+      s"""aggregate(xs,
+         |  CAST(array() AS ARRAY<STRUCT<t_us: BIGINT, tie: BIGINT, x: BIGINT, l: BIGINT, b: BIGINT>>),
+         |  (acc, e) -> array_append(acc,
+         |    CASE WHEN size(acc) = 0
+         |    THEN named_struct('t_us', e.t_us, 'tie', e.tie, 'x', e.x,
+         |      'l', e.x, 'b', CAST(0 AS BIGINT))
+         |    ELSE named_struct('t_us', e.t_us, 'tie', e.tie, 'x', e.x,
+         |      'l', ($alphaPct * e.x + ${100 - alphaPct} *
+         |            (element_at(acc, -1).l + element_at(acc, -1).b)) div 100,
+         |      'b', ($betaPct * (($alphaPct * e.x + ${100 - alphaPct} *
+         |              (element_at(acc, -1).l + element_at(acc, -1).b)) div 100
+         |              - element_at(acc, -1).l)
+         |            + ${100 - betaPct} * element_at(acc, -1).b) div 100)
+         |    END))""".stripMargin))
+    folded.select(col(keyCol), explode(col("ys")).as("e"))
+      .select(col(keyCol), col("e.t_us").as("t_us"), col("e.tie").as("tie"),
+        col("e.x").as("x_micro"), col("e.l").as("level_micro"),
+        col("e.b").as("trend_micro"),
+        (col("e.l") + col("e.b")).as("forecast_micro"))
+  }
+
+  /** E60 — per-key SEQUENCE-INTEGRITY audit (the Kafka/CDC offset
+    * question: did anything go missing, duplicate, or arrive out of
+    * order per key?): events ordered by (event time, tie) carry a
+    * per-key sequence number; each row reports the RUNNING census —
+    * events seen, total missing sequence slots (gaps ahead of the
+    * running max), and regressions (a sequence at or below the
+    * running max: a duplicate or an out-of-order delivery). Pure
+    * window arithmetic — no recursion — so the oracle replays it
+    * verbatim, and the streaming twin (E61) folds the same three
+    * counters as two Longs + two counts of state.
+    */
+  def sequenceAudit(events: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("t_us"), col("tie"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    events.select(col(keyCol),
+        unix_micros(col(tsCol)).as("t_us"),
+        col(tieCol).as("tie"), col(seqCol).cast("long").as("seq"))
+      .withColumn("__pm", max("seq").over(prior))
+      .withColumn("__regress",
+        (col("__pm").isNotNull && col("seq") <= col("__pm")).cast("long"))
+      .withColumn("__gap",
+        when(col("__pm").isNull || col("seq") <= col("__pm"), 0L)
+          .otherwise(col("seq") - col("__pm") - 1L))
+      .withColumn("n_seen", row_number().over(w).cast("long"))
+      .withColumn("missing_total", sum("__gap").over(run))
+      .withColumn("n_regress", sum("__regress").over(run))
+      .select(col(keyCol), col("t_us"), col("tie"), col("seq"),
+        col("n_seen"), col("missing_total"), col("n_regress"))
+  }
+
   /** E34 — per-group linear trend, integer-exact least squares: slope
     * of value-vs-time from the classical sum formulation
     *

@@ -250,6 +250,78 @@ object Events2 {
       .orderBy("user_id", "t_us", "tie")
   }
 
+  /** E58 — Holt double exponential smoothing (level + trend), the
+    * drift-following upgrade of q_ewma: the oracle replays BOTH
+    * recursions (level feeding trend within one step — the new level
+    * expression appears verbatim inside the trend term, since a
+    * recursive CTE has no lateral alias) plus the l_1 = x_1 / b_1 = 0
+    * seed and the per-row one-step forecast. Integer micros; `div`
+    * truncates toward zero on both engines, so negative trends replay
+    * exactly.
+    */
+  val qHolt: GateQuery = GateQuery(
+    "q_holt",
+    """WITH RECURSIVE x AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_id AS tie,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, t_us, tie, x, rn, x AS l, CAST(0 AS BIGINT) AS b
+      |  FROM x WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.user_id, x.t_us, x.tie, x.x, x.rn,
+      |    CAST((30 * x.x + 70 * (r.l + r.b)) // 100 AS BIGINT) AS l,
+      |    CAST((20 * (CAST((30 * x.x + 70 * (r.l + r.b)) // 100 AS BIGINT) - r.l)
+      |          + 80 * r.b) // 100 AS BIGINT) AS b
+      |  FROM x JOIN r ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+      |SELECT user_id, t_us, tie, x AS x_micro, CAST(l AS BIGINT) AS level_micro,
+      |  CAST(b AS BIGINT) AS trend_micro, CAST(l + b AS BIGINT) AS forecast_micro
+      |FROM r
+      |ORDER BY user_id, t_us, tie""".stripMargin) { (s, dir) =>
+    Timeseries.holt(Tables(s, dir, "events"),
+        "user_id", "ts", "value", "event_id", alphaPct = 30, betaPct = 20)
+      .orderBy("user_id", "t_us", "tie")
+  }
+
+  /** E60 — per-user sequence-integrity audit over event_id as the
+    * per-key sequence: running seen/missing/regression counters per
+    * event. The oracle replays the running-max window, the gap and
+    * regression derivations, and both running sums — an off-by-one in
+    * the gap arithmetic or a frame that includes the current row in
+    * the prior-max shifts every later row and breaks the hash.
+    */
+  val qSeqAudit: GateQuery = GateQuery(
+    "q_seq_audit",
+    """WITH o AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_id AS tie,
+      |    CAST(event_id AS BIGINT) AS seq
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, t_us, tie, seq,
+      |    MAX(seq) OVER (PARTITION BY user_id ORDER BY t_us, tie
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_us, tie)
+      |      AS BIGINT) AS n_seen
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, t_us, tie, seq, n_seen,
+      |    CASE WHEN pm IS NULL OR seq <= pm THEN 0 ELSE seq - pm - 1 END AS gap,
+      |    CASE WHEN pm IS NOT NULL AND seq <= pm THEN 1 ELSE 0 END AS reg
+      |  FROM w)
+      |SELECT user_id, t_us, tie, seq, n_seen,
+      |  CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY t_us, tie
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS missing_total,
+      |  CAST(SUM(reg) OVER (PARTITION BY user_id ORDER BY t_us, tie
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_regress
+      |FROM g
+      |ORDER BY user_id, t_us, tie""".stripMargin) { (s, dir) =>
+    Timeseries.sequenceAudit(Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_id")
+      .orderBy("user_id", "t_us", "tie")
+  }
+
   /** E34 — per-type linear value trend; the oracle replays origin,
     * hour index, all five sums, the zero-denominator guard, and the
     * integral slope. DuckDB SUMs widen to HUGEINT — every sum and the
@@ -442,6 +514,6 @@ object Events2 {
 
   val all: Seq[GateQuery] =
     Seq(qGapfill, qScd2, qTransitions, qIntervalCoalesce, qSlidingWindow,
-      qAnomaly, qOhlcBars, qEwma, qLinearTrend, qMadOutliers, qPareto,
+      qAnomaly, qOhlcBars, qEwma, qHolt, qSeqAudit, qLinearTrend, qMadOutliers, qPareto,
       qSeasonal, qSeasonalAnomaly, qCusum)
 }

@@ -1251,6 +1251,49 @@ object StreamingGates {
       .orderBy("user_id", "t_us", "tie")
   }
 
+  /** E59 — streaming Holt double exponential smoothing: the q_holt
+    * recursive-CTE oracle VERBATIM against a real
+    * flatMapGroupsWithState run — two Longs of state per user
+    * (level + trend), per-row smoothed output with the one-step
+    * forecast, online == at-rest bit-for-bit on the in-order file
+    * source.
+    */
+  val qStreamHolt: GateQuery = GateQuery(
+    "q_stream_holt", Events2.qHolt.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id").cast("long").as("tie"),
+        floor(col("value") * 1000000).cast("long").as("x_micro"))
+      .as[StreamingOps.EwmaEvent]
+    runToMemory(StreamingOps.holtStream(evs, alphaPct = 30, betaPct = 20).toDF(),
+        OutputMode.Append())
+      .select("user_id", "t_us", "tie", "x_micro", "level_micro",
+        "trend_micro", "forecast_micro")
+      .orderBy("user_id", "t_us", "tie")
+  }
+
+  /** E61 — streaming sequence-integrity audit: the q_seq_audit window
+    * oracle VERBATIM against a real flatMapGroupsWithState run — the
+    * running max + three counters per user, per-event census rows,
+    * online == at-rest bit-for-bit on the in-order file source.
+    */
+  val qStreamSeqAudit: GateQuery = GateQuery(
+    "q_stream_seq_audit", Events2.qSeqAudit.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val evs = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id").cast("long").as("tie"),
+        col("event_id").cast("long").as("seq"))
+      .as[StreamingOps.SeqEvent]
+    runToMemory(StreamingOps.seqAuditStream(evs).toDF(), OutputMode.Append())
+      .select("user_id", "t_us", "tie", "seq", "n_seen",
+        "missing_total", "n_regress")
+      .orderBy("user_id", "t_us", "tie")
+  }
+
   /** E53 — stream-stream AS-OF enrichment: each click paired with the
     * same user's latest error at/before it, ONLINE — the batch E5
     * oracle (DuckDB native ASOF LEFT JOIN) verbatim against a tagged
@@ -1716,6 +1759,6 @@ object StreamingGates {
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
       qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
-      qStreamEwma, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce)
+      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce)
     .map(_.copy(bench = false))
 }

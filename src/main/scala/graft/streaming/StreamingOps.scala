@@ -378,6 +378,103 @@ object StreamingOps {
       }
   }
 
+  final case class HoltState(l: Long, b: Long, any: Boolean,
+    maxTs: Long = Long.MinValue)
+  final case class HoltRow(user_id: Long, t_us: Long, tie: Long, x_micro: Long,
+    level_micro: Long, trend_micro: Long, forecast_micro: Long,
+    is_late_marker: Boolean = false)
+
+  /** E59 — STREAMING Holt double exponential smoothing, the online
+    * twin of the batch fold (E58): level + trend per key — TWO Longs
+    * + a seen-flag of state (the recursion's whole memory), a smoothed
+    * row with the one-step forecast per event in Append mode. Same
+    * in-order contract as ewmaStream, with the STRUCTURAL marker
+    * discipline from the start: a cross-batch time regression emits
+    * one row per (key, batch) with `is_late_marker` = true (`tie` =
+    * −count, `x_micro` = count, smoothed fields = LATE_MARKER — a
+    * legitimate level/trend of −1 is attainable, so only the flag is
+    * the marker's identity). In-order sources never see one and the
+    * drained stream equals the batch fold bit-for-bit.
+    */
+  def holtStream(events: Dataset[EwmaEvent], alphaPct: Int,
+      betaPct: Int): Dataset[HoltRow] = {
+    require(alphaPct >= 1 && alphaPct <= 99, s"invalid alphaPct $alphaPct")
+    require(betaPct >= 1 && betaPct <= 99, s"invalid betaPct $betaPct")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, any = false))
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.tie))
+          val out = Seq.newBuilder[HoltRow]
+          val late = sorted.filter(_.t_us < st.maxTs)
+          if (late.nonEmpty)
+            out += HoltRow(uid, late.head.t_us, -late.size.toLong,
+              late.size.toLong, LATE_MARKER, LATE_MARKER, LATE_MARKER,
+              is_late_marker = true)
+          sorted.foreach { e =>
+            val (l, b) =
+              if (!st.any) (e.x_micro, 0L)
+              else {
+                val l1 = (alphaPct * e.x_micro + (100 - alphaPct) * (st.l + st.b)) / 100
+                (l1, (betaPct * (l1 - st.l) + (100 - betaPct) * st.b) / 100)
+              }
+            st = HoltState(l, b, any = true, math.max(st.maxTs, e.t_us))
+            out += HoltRow(uid, e.t_us, e.tie, e.x_micro, l, b, l + b)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  final case class SeqEvent(user_id: Long, t_us: Long, tie: Long, seq: Long)
+  final case class SeqAuditState(maxSeq: Long, any: Boolean, seen: Long,
+    missing: Long, regress: Long, maxTs: Long = Long.MinValue)
+  final case class SeqAuditRow(user_id: Long, t_us: Long, tie: Long, seq: Long,
+    n_seen: Long, missing_total: Long, n_regress: Long,
+    is_late_marker: Boolean = false)
+
+  /** E61 — STREAMING sequence-integrity audit, the online twin of the
+    * batch windows (E60): per key, the running max sequence + three
+    * counters of state; each event emits the running census row in
+    * Append mode — the at-source health signal a CDC/offset consumer
+    * watches live (gaps = lost deliveries ahead of the high-water
+    * mark, regressions = duplicates or out-of-order arrivals). Same
+    * in-order/event-time contract as the family, structural
+    * `is_late_marker` flag from the start.
+    */
+  def seqAuditStream(events: Dataset[SeqEvent]): Dataset[SeqAuditRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqAuditState, SeqAuditRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[SeqAuditState]) =>
+          var st = state.getOption.getOrElse(
+            SeqAuditState(0L, any = false, 0L, 0L, 0L))
+          val sorted = evs.toSeq.sortBy(e => (e.t_us, e.tie))
+          val out = Seq.newBuilder[SeqAuditRow]
+          val late = sorted.filter(_.t_us < st.maxTs)
+          if (late.nonEmpty)
+            out += SeqAuditRow(uid, late.head.t_us, -late.size.toLong,
+              late.size.toLong, LATE_MARKER, LATE_MARKER, LATE_MARKER,
+              is_late_marker = true)
+          sorted.foreach { e =>
+            val regress = st.any && e.seq <= st.maxSeq
+            val gap = if (!st.any || regress) 0L else e.seq - st.maxSeq - 1L
+            st = SeqAuditState(
+              maxSeq = if (!st.any) e.seq else math.max(st.maxSeq, e.seq),
+              any = true, seen = st.seen + 1, missing = st.missing + gap,
+              regress = st.regress + (if (regress) 1L else 0L),
+              maxTs = math.max(st.maxTs, e.t_us))
+            out += SeqAuditRow(uid, e.t_us, e.tie, e.seq,
+              st.seen, st.missing, st.regress)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class AsofEvent(user_id: Long, is_right: Boolean, t_us: Long,
     event_id: Long, value: Double)
   final case class AsofState(rTs: Long, rVal: Double, any: Boolean,

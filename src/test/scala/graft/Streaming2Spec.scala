@@ -263,6 +263,50 @@ class Streaming2Spec extends AnyFunSuite {
       assert(flagged(-1L) === true)
       assert(Seq(1L, 2L, 3L).forall(flagged(_) === false))
     } finally eq.stop()
+    // Holt: level+trend recursion carries across batches; alpha=30 beta=20
+    val hin = MemoryStream[StreamingOps.EwmaEvent]
+    val hq = StreamingOps.holtStream(hin.toDS(), alphaPct = 30, betaPct = 20)
+      .writeStream.format("memory").queryName("holt_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      hin.addData(StreamingOps.EwmaEvent(1L, 1L, 1L, 1000000L),
+        StreamingOps.EwmaEvent(1L, 2L, 2L, 2000000L))
+      hq.processAllAvailable()
+      hin.addData(StreamingOps.EwmaEvent(1L, 3L, 3L, 3000000L))
+      hq.processAllAvailable()
+      // late arrival -> structural marker
+      hin.addData(StreamingOps.EwmaEvent(1L, 1L, 9L, 500000L))
+      hq.processAllAvailable()
+      val hr = spark.table("holt_sink").collect()
+        .map(r => (r.getLong(2), (r.getLong(4), r.getLong(5), r.getBoolean(7)))).toMap
+      // step 1: l=x, b=0; step 2: l=(30*2e6+70*1e6)/100=1.3e6,
+      // b=(20*(1.3e6-1e6)+80*0)/100=60000; step 3:
+      // l=(30*3e6+70*(1.36e6))/100=1852000, b=(20*552000+80*60000)/100=158400
+      assert(hr(1L) === ((1000000L, 0L, false)))
+      assert(hr(2L) === ((1300000L, 60000L, false)))
+      assert(hr(3L) === ((1852000L, 158400L, false)))
+      assert(hr(-1L)._3 === true) // marker row, structurally flagged
+    } finally hq.stop()
+    // sequence audit: gap / duplicate / regression counters carry
+    val sin = MemoryStream[StreamingOps.SeqEvent]
+    val sq = StreamingOps.seqAuditStream(sin.toDS())
+      .writeStream.format("memory").queryName("seqaudit_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      sin.addData(StreamingOps.SeqEvent(1L, 1L, 1L, 10L),
+        StreamingOps.SeqEvent(1L, 2L, 2L, 11L))
+      sq.processAllAvailable()
+      // batch 2: gap of 3 (12,13,14 missing), then a duplicate of 11
+      sin.addData(StreamingOps.SeqEvent(1L, 3L, 3L, 15L),
+        StreamingOps.SeqEvent(1L, 4L, 4L, 11L))
+      sq.processAllAvailable()
+      val sr = spark.table("seqaudit_sink").collect()
+        .map(r => (r.getLong(2), (r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(sr(1L) === ((1L, 0L, 0L)))
+      assert(sr(2L) === ((2L, 0L, 0L)))
+      assert(sr(3L) === ((3L, 3L, 0L))) // 12-14 missing ahead of 15
+      assert(sr(4L) === ((4L, 3L, 1L))) // 11 again: regression, no new gap
+    } finally sq.stop()
     // as-of: latest right carries across batches; equal-ts right wins
     val ain = MemoryStream[StreamingOps.AsofEvent]
     val aq = StreamingOps.asofStream(ain.toDS())
