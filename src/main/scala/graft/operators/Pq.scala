@@ -217,6 +217,71 @@ object Pq {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** DELETE from the flat PQ index (the index family's round-13 "out"
+    * story): a staged survivor rewrite of the codes table swapped in
+    * by atomic rename. The codes table is the 32×-compressed
+    * representation — a full rewrite costs a scan of the compressed
+    * rows, not the corpus — and a physical rewrite keeps the ADC scan
+    * untouched (no probe-side filter). The codebook never changes:
+    * removal does not retrain, exactly like the IVF centroid
+    * contract. Idempotent; a crash between a completed staging write
+    * and the swap republishes on the next call.
+    */
+  def removeDocsFromIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+        if (fs.exists(live)) fs.delete(live, true)
+        require(fs.rename(staging, live), s"publish $staging -> $live failed")
+      } else fs.delete(staging, true)
+    }
+    spark.read.parquet(live.toString)
+      .join(broadcast(ids.select(col(idCol).as("cid")).distinct()),
+        Seq("cid"), "left_anti")
+      .write.mode("errorifexists").parquet(staging.toString)
+    if (fs.exists(live)) fs.delete(live, true)
+    require(fs.rename(staging, live), s"publish $staging -> $live failed")
+  }
+
+  /** DELETE from the IVF-PQ index: the D52 touched-cell discipline —
+    * one column-pruned scan finds the cells holding the ids,
+    * survivors of those cells rewrite via dynamic partition
+    * overwrite, emptied cell directories drop explicitly. Coarse
+    * centroids and codebooks never change (routing is geometric, not
+    * membership-based), so probes of the shrunk index stay exact.
+    */
+  def removeDocsFromIvfPqIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    import spark.implicits._
+    val del = ids.select(col(idCol).as("cid")).distinct()
+    val codes = spark.read.parquet(s"$dir/codes")
+    val touched = codes.select("cid", "cell")
+      .join(broadcast(del), Seq("cid"), "left_semi")
+      .select("cell").distinct().as[Int].collect().toSeq.sorted
+    if (touched.isEmpty) return
+    val survivors = codes.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+      .join(broadcast(del), Seq("cid"), "left_anti")
+      .localCheckpoint() // materialize before overwriting what it reads
+    val surviving = survivors.select("cell").distinct().as[Int].collect().toSet
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    finally prev match {
+      case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(surviving).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$c")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Probe a written IVF-PQ index: per query pick the `nProbe` nearest
     * coarse cells (ties → lowest cell), build the per-(cell, sub,
     * code) residual distance table driver-side (|Q|·nProbe·m·ksub

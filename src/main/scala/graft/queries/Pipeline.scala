@@ -1322,7 +1322,8 @@ object Pipeline {
     s"(('0x' || substr(md5('$seed-' || ${toks.mkString(" || '-' || ")}), 1, 12))::BIGINT)"
   }
 
-  private def pqAdcCtes(idxGlob: String, qPred: String = "vec_id < 5"): String =
+  private def pqAdcCtes(idxGlob: String, qPred: String = "vec_id < 5",
+      corpusPred: String = "TRUE"): String =
     s"""cb AS (SELECT sub, code, centroid FROM read_parquet('$idxGlob/codebook/*.parquet')),
        |v8 AS (SELECT vec_id, list_transform(embedding,
        |         x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS qv
@@ -1335,7 +1336,7 @@ object Pipeline {
        |codes AS (SELECT vec_id, sub, code FROM (
        |    SELECT vec_id, sub, code,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
-       |    FROM dists) WHERE rk = 1),
+       |    FROM dists) WHERE rk = 1 AND ($corpusPred)),
        |dtab AS (SELECT vec_id AS qid, sub, code, d2 FROM dists WHERE $qPred),
        |scored AS (SELECT dt.qid, c.vec_id AS cid, CAST(SUM(dt.d2) AS BIGINT) AS adist
        |  FROM codes c JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code
@@ -1438,7 +1439,7 @@ object Pipeline {
     * one (the oracle never cares HOW rows entered the code table; a
     * row lost, duplicated, or mis-encoded by either path breaks it).
     */
-  private def ivfPqOracleSql(idxGlob: String): String = {
+  private def ivfPqOracleSql(idxGlob: String, corpusPred: String = "TRUE"): String = {
     val sqd64 = (v: String, c: String) =>
       s"""CAST(list_aggregate(list_transform(generate_series(1, 64),
          |      i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), 'sum') AS BIGINT)""".stripMargin
@@ -1464,7 +1465,7 @@ object Pipeline {
          |codes AS (SELECT vec_id, cell, sub, code FROM (
          |    SELECT vec_id, cell, sub, code,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
-         |    FROM encd) WHERE rk = 1),
+         |    FROM encd) WHERE rk = 1 AND ($corpusPred)),
          |qprobe AS (SELECT vec_id AS qid, cell FROM (
          |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
          |    FROM cd WHERE vec_id < 5) WHERE rk <= 3),
@@ -1517,6 +1518,66 @@ object Pipeline {
       Pq.appendIvfPqIndex(s, out, emb.filter(col("vec_id") % 2 === 1),
         "vec_id", "embedding")
       Pq.searchIvfPq(s, out, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nProbe = 3)
+        .orderBy("qid", "rk")
+    }
+  }
+
+  private val pqRemoveIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D88b — DELETE from the flat PQ index: the full corpus encoded,
+    * quarter-0 removed (staged codes rewrite, codebook untouched —
+    * removal never retrains), ADC search == the replay over survivor
+    * codes only. A stale code row (deleted vec still ranked) or a
+    * survivor lost by the rewrite both break the hash.
+    */
+  val qPqRemove: GateQuery = {
+    val tag = s"graft_pq_rm_idx_${ProcessHandle.current().pid()}"
+    GateQuery(
+      "q_pq_remove",
+      s"""WITH ${pqAdcCtes(
+        s"${System.getProperty("java.io.tmpdir")}/$tag/{SF_BASE}",
+        corpusPred = "vec_id % 4 <> 0")}
+         |SELECT qid, cid, adist, rk FROM r WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val idx = pqRemoveIndexCache.computeIfAbsent(dir, _ => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/$tag/${new java.io.File(dir).getName}"
+        Pq.writeIndex(emb, "vec_id", "embedding", m = 8, ksub = 16, dir = out)
+        Pq.removeDocsFromIndex(s, out,
+          emb.filter(col("vec_id") % 4 === 0).select("vec_id"), "vec_id")
+        out
+      })
+      Pq.search(s, idx, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .orderBy("qid", "rk")
+    }
+  }
+
+  private val ivfPqRemoveIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D92b — DELETE from the IVF-PQ index: full corpus indexed,
+    * quarter-0 removed by the touched-cell-only partition rewrite
+    * (emptied cell dirs dropped; coarse/codebook untouched), probe ==
+    * the replay over survivor codes. bench=false: build+remove+probe
+    * in one wall-clock (the q_ivfpq_append precedent).
+    */
+  val qIvfPqRemove: GateQuery = {
+    val tag = s"graft_ivfpq_rm_idx_${ProcessHandle.current().pid()}"
+    GateQuery(
+      "q_ivfpq_remove",
+      ivfPqOracleSql(s"${System.getProperty("java.io.tmpdir")}/$tag/{SF_BASE}",
+        corpusPred = "vec_id % 4 <> 0"),
+      bench = false, slow = true) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val idx = ivfPqRemoveIndexCache.computeIfAbsent(dir, _ => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/$tag/${new java.io.File(dir).getName}"
+        Pq.writeIvfPqIndex(emb, "vec_id", "embedding",
+          nLists = 8, m = 8, ksub = 16, dir = out)
+        Pq.removeDocsFromIvfPqIndex(s, out,
+          emb.filter(col("vec_id") % 4 === 0).select("vec_id"), "vec_id")
+        out
+      })
+      Pq.searchIvfPq(s, idx, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 3, nProbe = 3)
         .orderBy("qid", "rk")
     }
@@ -5190,7 +5251,7 @@ object Pipeline {
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnMultiProbe, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
-    qPqSearch, qPqWrite, qPqRerank, qAnnRecall, qIvfPqSearch, qIvfPqAppend, qEmbeddingNorm,
+    qPqSearch, qPqWrite, qPqRemove, qPqRerank, qAnnRecall, qIvfPqSearch, qIvfPqAppend, qIvfPqRemove, qEmbeddingNorm,
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
