@@ -3106,6 +3106,49 @@ object Pipeline {
     }.reduce(_ unionByName _).orderBy("version", "doc_id")
   }
 
+  /** D54b — snapshot RETENTION under the driver oracle (vacuum was
+    * spec-only): three commits, then `vacuum(keepVersions = 2)` —
+    * versions 2 and 3 must still read back byte-identical (a kept
+    * version's files must survive even when an expired manifest also
+    * referenced them — the orphan-safety rule), version 1's manifest
+    * must be GONE (time travel shrinks to the window), and the
+    * remaining manifest count is pinned. The meta row encodes the
+    * expired-read refusal and survivor census as literals the oracle
+    * states outright.
+    */
+  val qSnapshotVacuum: GateQuery = GateQuery(
+    "q_snapshot_vacuum",
+    """WITH v2 AS (SELECT doc_id, text FROM documents),
+      |v3 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT * FROM (
+      |  SELECT 2 AS version, doc_id, md5(text) AS content_hash FROM v2
+      |  UNION ALL SELECT 3, doc_id, md5(text) FROM v3
+      |  UNION ALL SELECT 0, 2, 'v1_unreadable_2_manifests_remain')
+      |ORDER BY version, doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Snapshots
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val table = java.nio.file.Files.createTempDirectory("graft_ttv").toString
+    Snapshots.commitAppend(s, table, docs.filter(col("doc_id") % 2 === 0))
+    Snapshots.commitAppend(s, table, docs.filter(col("doc_id") % 2 === 1))
+    Snapshots.commitReplace(s, table,
+      Snapshots.read(s, table).filter(col("doc_id") % 7 =!= 0))
+    Snapshots.vacuum(table, keepVersions = 2)
+    val v1Refused =
+      try { Snapshots.read(s, table, Some(1)); false }
+      catch { case _: IllegalArgumentException => true }
+    val remaining = java.nio.file.Files.list(
+        java.nio.file.Paths.get(table, "_manifests")).count()
+    val meta = s.range(1).select(lit(0).as("version"), lit(remaining).as("doc_id"),
+      lit(if (v1Refused) s"v1_unreadable_${remaining}_manifests_remain"
+          else "v1_still_readable").as("content_hash"))
+    Seq(2, 3).map { v =>
+      Snapshots.read(s, table, Some(v))
+        .select(lit(v).as("version"), col("doc_id"),
+          md5(col("text").cast("binary")).as("content_hash"))
+    }.reduce(_ unionByName _).unionByName(meta)
+      .orderBy("version", "doc_id")
+  }
+
   /** D21 — deterministic proportional stratified sample: 20% of every
     * source, floor semantics, pure-integer keep test (no float
     * fraction to diverge between engines).
@@ -5256,7 +5299,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
-    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
+    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
