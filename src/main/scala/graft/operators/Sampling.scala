@@ -200,6 +200,40 @@ object Sampling {
         "epochs_x100", "alloc_tokens", "shortfall_tokens")
   }
 
+  /** D133 — temperature-scaled mixture weights (the multilingual
+    * balancing rule of Conneau & Lample, NeurIPS'19 §3.1, and the
+    * mBERT/mT5 exponentiated smoothing): sampling weight ∝ n^(1/T),
+    * flattening the head languages and lifting the tail, here at the
+    * canonical T = 2 so the exponent is a SQUARE ROOT — the one
+    * fractional power both engines compute identically (IEEE-754
+    * sqrt is correctly rounded; a general pow is not), making the
+    * plan integer-replayable: w = floor(sqrt(n_tokens)) (exact below
+    * 2^52 tokens per domain), alloc = budget·w div Σw, and the
+    * resulting per-domain epoch factor in integer x100. Unlike D110
+    * (caller-supplied weight targets) the mixture here is DERIVED
+    * from the corpus itself. One domain-keyed aggregate + a
+    * broadcast one-row total — nothing corpus-sized shuffles twice.
+    */
+  def temperatureMixture(docs: DataFrame, domainCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"invalid budget $budgetTokens")
+    val per = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFunctions.tokens(col(textCol))))
+          .cast("long").as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val total = per.agg(sum("weight").as("__tw"))
+    per.crossJoin(broadcast(total))
+      .withColumn("alloc_tokens",
+        when(col("__tw") === 0L, lit(0L))
+          .otherwise(expr(s"${budgetTokens}L * weight div __tw")))
+      .withColumn("epochs_x100",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("alloc_tokens * 100 div n_tokens")))
+      .select("domain", "n_docs", "n_tokens", "weight", "alloc_tokens",
+        "epochs_x100")
+  }
+
   /** Apply step for domainMix: one output row per copy. `sequence(1,
     * 0)` would DESCEND in Spark, so zero-copy rows are guarded to an
     * empty array (plain explode then drops them — the downsampled-out

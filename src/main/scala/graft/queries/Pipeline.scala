@@ -3149,6 +3149,37 @@ object Pipeline {
       .orderBy("version", "doc_id")
   }
 
+  /** D133 — temperature-scaled mixture weights at T = 2 (weights
+    * derived FROM the corpus, unlike D110's caller targets): the
+    * oracle re-tallies per-language token counts, replays the
+    * floor(sqrt()) weight (IEEE sqrt is correctly rounded on both
+    * engines — the one fractional power that replays), the
+    * budget·w div Σw allocation, and the integer epoch factor.
+    */
+  val qTemperatureMix: GateQuery = GateQuery(
+    "q_temperature_mix",
+    """WITH per AS (
+      |  SELECT lang AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT domain, n_docs, n_tokens,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+      |      FROM per),
+      |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w)
+      |SELECT domain, n_docs, n_tokens, weight,
+      |  CASE WHEN t.tw = 0 THEN 0
+      |       ELSE CAST((1000000 * weight) // t.tw AS BIGINT) END AS alloc_tokens,
+      |  CASE WHEN n_tokens = 0 THEN 0
+      |       ELSE CAST((CASE WHEN t.tw = 0 THEN 0
+      |                  ELSE (1000000 * weight) // t.tw END) * 100 // n_tokens AS BIGINT)
+      |       END AS epochs_x100
+      |FROM w, t
+      |ORDER BY domain""".stripMargin) { (s, dir) =>
+    Sampling.temperatureMixture(Tables(s, dir, "documents"),
+        "lang", "text", budgetTokens = 1000000L)
+      .orderBy("domain")
+  }
+
   /** D21 — deterministic proportional stratified sample: 20% of every
     * source, floor semantics, pure-integer keep test (no float
     * fraction to diverge between engines).
@@ -5298,7 +5329,7 @@ object Pipeline {
     qTokenCount, qQualityScore, qLangId, qFingerprint, qRepetition,
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
-    qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
+    qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qTemperatureMix, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
