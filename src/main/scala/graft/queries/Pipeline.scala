@@ -29,17 +29,29 @@ object Pipeline {
     * oracle and operator agree on any corpus, boilerplate-heavy ones
     * included.
     */
-  private def jaccardInterCte(cap: Int = 1000): String =
-    s"""rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $cap),
-       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |         WHERE a.shingle IN (SELECT shingle FROM rare)),
+  private def jaccardInterCte(cap: Int = 1000): String = {
+    // cap <= 0: the UNCAPPED candidate set (pairs sharing any
+    // shingle) — the right oracle blocking for the LOSSLESS r13
+    // operators, where any superset defines the same thresholded
+    // result; cap > 0 replays the legacy df-capped contract the
+    // calibration audit still pins.
+    val candSql =
+      if (cap <= 0)
+        """cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),""".stripMargin
+      else
+        s"""rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $cap),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |         WHERE a.shingle IN (SELECT shingle FROM rare)),""".stripMargin
+    s"""$candSql
        |inter AS (
        |  SELECT c.d1, c.d2, COUNT(*) AS n_inter
        |  FROM cand c
        |  JOIN sh a ON a.doc_id = c.d1
        |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
        |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** D1 — exact dedup by content hash. */
   val qDedupExact: GateQuery = GateQuery(
@@ -65,13 +77,17 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** D4 — exact 3-gram Jaccard near-dup pairs (threshold 0.6; planted
-    * near-dups sit at ≥0.97, background below 0.3 — wide margin).
+  /** D4 — exact 3-gram Jaccard near-dup pairs (threshold 0.6),
+    * LOSSLESS since r13: jaccardPairs routes through the D68
+    * prefix+positional machinery, so the oracle's candidate CTE is
+    * the simple UNCAPPED share-a-shingle superset (any superset
+    * blocking defines the same thresholded result) — and pairs whose
+    * only shared shingles are corpus-hot are now found.
     */
   val qDedupJaccard: GateQuery = GateQuery(
     "q_dedup_jaccard",
     s"""WITH ${shingleCte(3)},
-       |${jaccardInterCte()}
+       |${jaccardInterCte(0)}
        |SELECT d1, d2, n_inter,
        |  CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS jaccard
        |FROM inter
@@ -1778,7 +1794,7 @@ object Pipeline {
   val qDedupClusters: GateQuery = GateQuery(
     "q_dedup_clusters",
     s"""WITH RECURSIVE ${shingleCte(3)},
-       |${jaccardInterCte()},
+       |${jaccardInterCte(0)},
        |pairs AS (
        |  SELECT d1, d2 FROM inter
        |  JOIN sizes s1 ON s1.doc_id = d1
@@ -1814,7 +1830,7 @@ object Pipeline {
   val qSplitLeakageSafe: GateQuery = GateQuery(
     "q_split_leakage_safe",
     s"""WITH RECURSIVE ${shingleCte(3)},
-       |${jaccardInterCte()},
+       |${jaccardInterCte(0)},
        |pairs AS (
        |  SELECT d1, d2 FROM inter
        |  JOIN sizes s1 ON s1.doc_id = d1
@@ -1853,7 +1869,7 @@ object Pipeline {
   val qSurvivorQuality: GateQuery = GateQuery(
     "q_survivor_quality",
     s"""WITH RECURSIVE ${shingleCte(3)},
-       |${jaccardInterCte()},
+       |${jaccardInterCte(0)},
        |pairs AS (
        |  SELECT d1, d2 FROM inter
        |  JOIN sizes s1 ON s1.doc_id = d1
@@ -1901,7 +1917,7 @@ object Pipeline {
        |exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |d AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM exact)),
        |${shingleCte(3, "d")},
-       |${jaccardInterCte()},
+       |${jaccardInterCte(0)},
        |pairs AS (
        |  SELECT d1, d2 FROM inter
        |  JOIN sizes s1 ON s1.doc_id = d1

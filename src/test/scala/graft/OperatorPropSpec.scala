@@ -211,7 +211,7 @@ class OperatorPropSpec extends AnyFunSuite {
       (i.toLong, s"common boiler phrase $body" + (if (i % 2 == 1) " tailvariant" else ""))
     }
     val df = paired.toDF("doc_id", "text")
-    val uncapped = runJaccard(df, 0.5, cap = 0)
+    val uncapped = runJaccard(df, 0.5, cap = -1)
     val capped = runJaccard(df, 0.5, cap = 10)
     assert(uncapped.size === 20)
     assert(capped === uncapped)
@@ -229,7 +229,11 @@ class OperatorPropSpec extends AnyFunSuite {
     // expected: replay the draw over the CENSUS pair set (verify-then-
     // filter) — the operator samples BEFORE verification, so equality
     // proves sampling changes cost, not results, for surviving pairs
-    val census = Dedup.jaccardPairs(df, "doc_id", "text", 3, threshold = 0.0)
+    // census at threshold 0 over the df-capped blocking — exactly the
+    // calibration audit's stated candidate contract (the lossless
+    // default path is meaningless at threshold 0)
+    val census = Dedup.jaccardPairs(df, "doc_id", "text", 3, threshold = 0.0,
+      maxShingleDf = 1000)
     val expected = census
       .filter(Sampling.hashMod(42L, col("d1"), col("d2")) % 2 === 0)
       .withColumn("decile", least(floor(col("jaccard") * 10).cast("int"), lit(9)))
@@ -265,7 +269,7 @@ class OperatorPropSpec extends AnyFunSuite {
     // materializes the quadratic set.
     val adv = (0 until 50).map(i =>
       (i.toLong, s"universal shingle here u${i}a u${i}b u${i}c u${i}d")).toDF("doc_id", "text")
-    assert(runJaccard(adv, 0.1, cap = 0).size === 50 * 49 / 2)
+    assert(runJaccard(adv, 0.1, cap = -1).size === 50 * 49 / 2)
     assert(runJaccard(adv, 0.1, cap = 10).isEmpty)
   }
 
@@ -283,7 +287,7 @@ class OperatorPropSpec extends AnyFunSuite {
     val dups = (0 until 10).map(i => (100L + i, base(i)._2 + " extraword"))
     for (parts <- Seq(1, 7)) {
       val df = (base ++ dups).toDF("doc_id", "text").repartition(parts)
-      val expected = runJaccard(df, 0.6, cap = 0)
+      val expected = runJaccard(df, 0.6, cap = -1)
       assert(runPrefix(df, 3, 5) === expected)
       assert(expected.size >= 10)
     }
