@@ -280,17 +280,25 @@ final class HeapMcp(spark: SparkSession) {
       }),
     Tool("analyze_heap",
       "Run the automated heap analysis: summary, top types, and the tiered " +
-        "waste-detection suite.",
+        "waste-detection suite. Set graph=true to add the referrer-graph " +
+        "sections (retained size, reachability — beyond the reference " +
+        "analyzer's surface).",
       Seq(
         ("session_id", "string", "Session to analyze (optional if only one open)"),
         ("waste", "boolean", "Run the waste checks (default true)"),
         ("waste_tier", "integer", "1=fast, 2=default, 3=thorough (default 2)"),
-        ("top_n", "integer", "Top types to include (default 30)")),
+        ("top_n", "integer", "Top types to include (default 30)"),
+        ("graph", "boolean", "Include graph analytics sections (default false — " +
+          "the reference analyze_heap shape)")),
       Nil,
       p => sessions.analyze(resolveSid(p),
         topN = optInt(p, "top_n", 30),
         waste = optBool(p, "waste", default = true),
-        maxTier = optInt(p, "waste_tier", 2))))
+        maxTier = optInt(p, "waste_tier", 2),
+        // default matches mcp_server/server.py's analyze_heap result
+        // shape (summary + waste) — the graph sections are a graft
+        // extension, opt-in here exactly as on the HTTP twin
+        graph = optBool(p, "graph", default = false))))
 
   // -- resources -------------------------------------------------------
 

@@ -165,4 +165,41 @@ class BloomDedupSpec extends AnyFunSuite {
         docs.limit(10), "doc_id", "text")
     }
   }
+
+  test("gram bloom sketch REBUILD (the tier's delete story): survivors keep flagging, removed-only grams stop") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("bloom_rebuild")
+    val d = work.resolve("s").toString
+    // doc 0 (to be deleted) has unique grams; doc 2 (survivor) shares
+    // one gram span with it and owns another
+    val corpus = Seq(
+      (0L, "x y z u v w"),   // grams: "x y z","y z u","z u v","u v w"
+      (2L, "x y z p q r"))   // shares "x y z"; owns "y z p","z p q","p q r"
+      .toDF("doc_id", "text")
+    Dedup.writeGramBloomIndex(corpus, "doc_id", "text", n = 3, d,
+      numBuckets = 4, fppPpm = 1000L)
+    val probe = Seq((11L, "x y z"), (13L, "u v w"), (17L, "p q r"))
+      .toDF("doc_id", "text")
+    def hits(): Map[Long, Long] =
+      Dedup.incrementalDuplicatedSpansSketch(spark, d, probe, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_ngrams")).toMap
+    val before = hits()
+    assert(before(11L) === 1L && before(13L) === 1L && before(17L) === 1L)
+    // rebuild from the survivor only — the sketch cannot subtract
+    // bits, so delete = staged survivor fold (same publish protocol)
+    Dedup.rebuildGramBloomIndex(spark, d,
+      corpus.filter($"doc_id" === 2L), "doc_id", "text")
+    val after = hits()
+    assert(after(11L) === 1L, "shared gram must keep flagging (survivor owns it)")
+    assert(after(17L) === 1L, "survivor-only gram must keep flagging")
+    assert(after(13L) === 0L,
+      "removed-only gram must stop flagging after the rebuild (and the " +
+        "probe cache must have been invalidated by the publish)")
+    // params survive the rebuild; a mismatched follow-up still refuses
+    intercept[IllegalArgumentException] {
+      Dedup.writeGramBloomIndex(corpus, "doc_id", "text", n = 4, d,
+        numBuckets = 4, fppPpm = 1000L)
+    }
+    Dedup.unloadBloomIndex(d)
+  }
 }

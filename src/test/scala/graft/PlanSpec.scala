@@ -649,6 +649,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("r13 blockings: containment and lossless jaccard plans stay hash-join shaped") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"w$i " * 5 + "shared tail words here"))
+      .toDF("doc_id", "text")
+    // the asymmetric prefix join (containment) and the prefix-routed
+    // default jaccard path: equi-joins on the shingle key, no
+    // cartesian anywhere, no UDF
+    val pc = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", n = 3, thresholdPct = 60)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("CartesianProduct") && !pc.contains("ScalaUDF"), pc)
+    val pj = graft.operators.Dedup
+      .jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!pj.contains("CartesianProduct") && !pj.contains("ScalaUDF"), pj)
+  }
+
   test("q_constraints: one-scan row rules, anti-join FK, no UDF") {
     val plan = planOf("q_constraints")
     assert(plan.contains("LeftAnti"), plan)
