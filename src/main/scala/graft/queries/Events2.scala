@@ -273,8 +273,7 @@ object Events2 {
       |  UNION ALL
       |  SELECT x.user_id, x.t_us, x.tie, x.x, x.rn,
       |    CAST((30 * x.x + 70 * (r.l + r.b)) // 100 AS BIGINT) AS l,
-      |    CAST((20 * (CAST((30 * x.x + 70 * (r.l + r.b)) // 100 AS BIGINT) - r.l)
-      |          + 80 * r.b) // 100 AS BIGINT) AS b
+      |    CAST((20 * (CAST((30 * x.x + 70 * (r.l + r.b)) // 100 AS BIGINT) - r.l) + 80 * r.b) // 100 AS BIGINT) AS b
       |  FROM x JOIN r ON x.user_id = r.user_id AND x.rn = r.rn + 1)
       |SELECT user_id, t_us, tie, x AS x_micro, CAST(l AS BIGINT) AS level_micro,
       |  CAST(b AS BIGINT) AS trend_micro, CAST(l + b AS BIGINT) AS forecast_micro

@@ -3186,8 +3186,7 @@ object Pipeline {
       |  CASE WHEN t.tw = 0 THEN 0
       |       ELSE CAST((1000000 * weight) // t.tw AS BIGINT) END AS alloc_tokens,
       |  CASE WHEN n_tokens = 0 THEN 0
-      |       ELSE CAST((CASE WHEN t.tw = 0 THEN 0
-      |                  ELSE (1000000 * weight) // t.tw END) * 100 // n_tokens AS BIGINT)
+      |       ELSE CAST((CASE WHEN t.tw = 0 THEN 0 ELSE CAST((1000000 * weight) // t.tw AS BIGINT) END) * 100 // n_tokens AS BIGINT)
       |       END AS epochs_x100
       |FROM w, t
       |ORDER BY domain""".stripMargin) { (s, dir) =>
