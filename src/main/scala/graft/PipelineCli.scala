@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   *   graft.PipelineCli neardup  <docs.parquet> <outDir> [threshold]
   *   graft.PipelineCli knn      <emb.parquet> <queries.parquet> <outDir> [k]
   *   graft.PipelineCli ivf-build <emb.parquet> <indexDir> [nLists]
+  *   graft.PipelineCli ivf-append <indexDir> <emb.parquet>
+  *   graft.PipelineCli ivf-remove <indexDir> <ids.parquet>
   *   graft.PipelineCli ivf-query <indexDir> <queries.parquet> <outDir> [k] [nProbe]
   *   graft.PipelineCli redact   <docs.parquet> <outDir>
   *
@@ -70,6 +72,17 @@ object PipelineCli {
           "vec_id", "embedding", k = k, nProbe = nProbe)
         .write.mode("overwrite").parquet(out)
       spark.stop()
+    case "ivf-append" :: indexDir :: emb :: Nil =>
+      val spark = session()
+      Similarity.appendIvfIndex(spark, indexDir, spark.read.parquet(emb),
+        "vec_id", "embedding")
+      spark.stop()
+    case "ivf-remove" :: indexDir :: ids :: Nil =>
+      // ids.parquet needs a vec_id column; rewrites only touched cells
+      val spark = session()
+      Similarity.removeDocsFromIvfIndex(spark, indexDir,
+        spark.read.parquet(ids), "vec_id")
+      spark.stop()
     case "redact" :: in :: out :: Nil =>
       val spark = session()
       spark.read.parquet(in)
@@ -79,7 +92,8 @@ object PipelineCli {
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "commands: curate | dedup | neardup | knn | ivf-build | ivf-query | redact")
+        "commands: curate | dedup | neardup | knn | ivf-build | ivf-append | " +
+          "ivf-remove | ivf-query | redact")
       sys.exit(2)
   }
 }

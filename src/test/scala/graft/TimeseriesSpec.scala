@@ -304,6 +304,54 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("holt: hand-computed level/trend recursion, forecast = l + b, partition-invariant") {
+    import graft.operators.Timeseries
+    val df = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, 1.0),
+      (1L, "2024-01-01 00:00:02", 2L, 2.0),
+      (1L, "2024-01-01 00:00:03", 3L, 3.0))
+      .toDF("user_id", "ts_s", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Timeseries.holt(d, "user_id", "ts", "value", "event_id",
+          alphaPct = 30, betaPct = 20)
+        .collect().map(r => r.getLong(2) ->
+          ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val got = run(df)
+    // step1: l=1e6, b=0; step2: l=(30*2e6+70*1e6)/100=1.3e6,
+    // b=(20*3e5+80*0)/100=6e4; step3: l=(30*3e6+70*1.36e6)/100=1852000,
+    // b=(20*552000+80*60000)/100=158400
+    assert(got(1L) === ((1000000L, 0L, 1000000L)))
+    assert(got(2L) === ((1300000L, 60000L, 1360000L)))
+    assert(got(3L) === ((1852000L, 158400L, 2010400L)))
+    assert(run(df.repartition(5)) === got)
+  }
+
+  test("sequenceAudit: gaps, duplicates, regressions counted exactly, partition-invariant") {
+    import graft.operators.Timeseries
+    // seqs in time order: 10, 11, 15 (gap 3), 11 (regression), 16 (no
+    // gap: 15 is the running max, 16 = max+1)
+    val df = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, 10L),
+      (1L, "2024-01-01 00:00:02", 2L, 11L),
+      (1L, "2024-01-01 00:00:03", 3L, 15L),
+      (1L, "2024-01-01 00:00:04", 4L, 11L),
+      (1L, "2024-01-01 00:00:05", 5L, 16L))
+      .toDF("user_id", "ts_s", "tie_src", "seqv")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Timeseries.sequenceAudit(d, "user_id", "ts", "seqv", "tie_src")
+        .collect().map(r => r.getLong(2) ->
+          ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val got = run(df)
+    assert(got(1L) === ((1L, 0L, 0L)))
+    assert(got(2L) === ((2L, 0L, 0L)))
+    assert(got(3L) === ((3L, 3L, 0L)))
+    assert(got(4L) === ((4L, 3L, 1L)))
+    assert(got(5L) === ((5L, 3L, 1L)))
+    assert(run(df.repartition(4)) === got)
+  }
+
   test("containmentPairs catches doc-inside-doc that Jaccard misses") {
     import graft.operators.Dedup
     // B = A verbatim plus a long unrelated tail: containment(A,B)=100%
