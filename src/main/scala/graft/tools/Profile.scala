@@ -47,19 +47,10 @@ object Profile {
         .withColumn("__k", (col("max_len") * 20L / lit(100L)).cast("int"))
         .filter(abs(length(col("t1")) - length(col("t2"))) <= col("__k"))
       println(s"[profile] after length filter: ${joined.count()} pairs")
-      val slots = ((('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " ")
-      val cc = array(slots.map(c =>
-        (length(col("text")) - length(replace(col("text"), lit(c), lit("")))).cast("long")): _*)
-      val tc = docs.select(col("doc_id"), col("text")).withColumn("__cc", cc)
-      val j2 = cand
-        .join(tc.select(col("doc_id").as("d1"), col("text").as("t1"), col("__cc").as("c1")), "d1")
-        .join(tc.select(col("doc_id").as("d2"), col("text").as("t2"), col("__cc").as("c2")), "d2")
-        .withColumn("max_len", greatest(length(col("t1")), length(col("t2"))).cast("long"))
-        .withColumn("__k", (col("max_len") * 20L / lit(100L)).cast("int"))
-        .filter(abs(length(col("t1")) - length(col("t2"))) <= col("__k"))
-        .filter(aggregate(zip_with(col("c1"), col("c2"), (x, y) => abs(x - y)),
-          lit(0L), (a, x) => a + x) <= lit(2L) * col("__k"))
-      println(s"[profile] after char filter: ${j2.count()} pairs")
+      // (a char-histogram Ukkonen count filter was profiled here in
+      // r13: 0.6% prune on this corpus — template docs share char
+      // distributions — and was dropped; the prefix blocking below is
+      // what shipped)
       time("editdist full (prefix blocking)")(
         Dedup.editDistancePairs(docs, "doc_id", "text", 3, 20))
       time("containment (lossless prefix)")(
