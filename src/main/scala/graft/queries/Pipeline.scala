@@ -634,6 +634,32 @@ object Pipeline {
       .orderBy("d_new", "d_corpus")
   }
 
+  private val sigCompactIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D58d — the signature index's COMPACT path under the driver
+    * oracle (q_neardup_remove pins the tombstone-masked steady state;
+    * this pins the FOLD): build evens, remove quarter-0, compact —
+    * physical survivor rewrite, tombstones dropped — then probe. The
+    * same oracle as the remove gate: if compaction dropped a survivor
+    * row, kept a tombstoned one, or lost the params, the hash breaks.
+    */
+  val qNearDupCompact: GateQuery = GateQuery(
+    "q_neardup_compact", qNearDupRemove.oracle.get) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idx = sigCompactIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sig_cp_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      Dedup.writeSignatureIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", out, shingleN = 3, numHashes = 12, numBands = 4)
+      Dedup.removeDocsFromSignatureIndex(s, out,
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+      Dedup.compactSignatureIndex(s, out)
+      out
+    })
+    Dedup.incrementalNearDup(s, idx, docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy("d_new", "d_corpus")
+  }
+
   /** One verified jaccard pair table (threshold 0.6) per (JVM, sf-dir),
     * persisted to temp parquet — the q_dedup_jaccard gate times the
     * pair computation itself; the gates that BUILD ON the pairs
@@ -5335,7 +5361,7 @@ object Pipeline {
 
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qContEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab, qRankCalibrate, qDistinctiveTerms, qStratifiedTopK,
-    qNearDupIncremental, qNearDupIncrVerified, qNearDupRemove, qSimhashRemove,
+    qNearDupIncremental, qNearDupIncrVerified, qNearDupRemove, qNearDupCompact, qSimhashRemove,
     qGramIndexRemove, qWinnowRemove, qTextSearchRemove, qKnnIvfRemove,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnMultiProbe, qKnnIvf, qKnnIvfFull,
