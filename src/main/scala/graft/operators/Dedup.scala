@@ -240,13 +240,54 @@ object Dedup {
           (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
         .filter(col("jaccard") >= threshold)
         .select("d1", "d2", "n_inter", "jaccard")
-    else {
-      val pct = math.round(threshold * 100).toInt
-      require(pct > 0 && pct <= 100 && pct / 100.0 == threshold,
-        s"lossless path needs a percent-rational threshold, got $threshold " +
-          "(pass maxShingleDf to use a legacy blocking instead)")
-      prefixFilteredPairs(docs, idCol, textCol, n, pct, 100)
+    else asExactRational(threshold, 1000) match {
+      // the prefix path needs the threshold as an EXACT small
+      // rational (its integer test n_inter·tDen ≥ (s1+s2−n_inter)·tNum
+      // must agree with the double predicate); continued-fraction
+      // convergents find one for any denominator ≤ 1000 — 0.6, 1.0/3,
+      // 0.125, 19/37 all qualify — so callers with non-percent
+      // thresholds keep the lossless path instead of throwing
+      case Some((tNum, tDen)) if tNum > 0 && tNum <= tDen =>
+        prefixFilteredPairs(docs, idCol, textCol, n, tNum, tDen)
+      // genuinely irrational-ish threshold: fall back to the UNCAPPED
+      // inverted-index blocking (any share-a-shingle superset is
+      // lossless; this one is quadratic on hot shingles, which is the
+      // price of a threshold the integer machinery can't express)
+      case _ =>
+        verifiedCandidatePairs(docs, idCol, textCol, n, 0)
+          .withColumn("jaccard", col("n_inter").cast("double") /
+            (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("d1", "d2", "n_inter", "jaccard")
     }
+
+  /** Smallest-denominator rational p/q (q ≤ maxDen) whose double
+    * quotient reproduces `x` EXACTLY, via continued-fraction
+    * convergents; None when no such rational exists. Exactness is the
+    * contract: the caller switches from a double comparison to
+    * integer cross-multiplication, so p.toDouble / q == x (bitwise)
+    * is required, not approximation.
+    */
+  private[graft] def asExactRational(x: Double, maxDen: Long): Option[(Int, Int)] = {
+    if (x.isNaN || x.isInfinite || x <= 0) return None
+    var p0 = 0L; var q0 = 1L; var p1 = 1L; var q1 = 0L
+    var r = x
+    var i = 0
+    while (i < 64) {
+      val a = math.floor(r).toLong
+      val p2 = a * p1 + p0
+      val q2 = a * q1 + q0
+      if (q2 > maxDen || p2 > Int.MaxValue) return None
+      if (q2 > 0 && p2.toDouble / q2.toDouble == x)
+        return Some((p2.toInt, q2.toInt))
+      val frac = r - a
+      if (frac == 0.0) return None
+      p0 = p1; q0 = q1; p1 = p2; q1 = q2
+      r = 1.0 / frac
+      i += 1
+    }
+    None
+  }
 
   /** D102 — LSH banding calibration audit ("measure, don't guess"
     * applied to the MinHash parameters, the LSH sibling of the ANN
@@ -1025,6 +1066,10 @@ object Dedup {
     */
   private def liveIndexRows(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, table: String): DataFrame = {
+    // repair-before-read (the bloom tier's contract): a compact that
+    // died between delete(live) and rename(staging, live) leaves the
+    // only copy in staging — republish it instead of failing the read
+    recoverDocTablePublish(spark, indexDir, table)
     val rows = spark.read.parquet(s"$indexDir/$table")
     val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexDir))
     if (hadoopFs(spark, tp).exists(tp))
@@ -1047,6 +1092,20 @@ object Dedup {
     require(hit.isEmpty,
       s"$op: doc ids ${hit.mkString(", ")} have a pending delete in $indexDir; " +
         "compact the index before re-adding them")
+  }
+
+  /** Finish a compact of `table` a previous maintainer crashed inside
+    * — called by every append* entry point BEFORE it writes into the
+    * live dir. Without this, the sequence (compact crashes after its
+    * COMPLETE staging write but before the swap) → (append succeeds
+    * into live) → (next compact's recovery republishes the pre-append
+    * staging over live) silently dropped the appended batch.
+    */
+  private def recoverDocTablePublish(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, table: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+    recoverBloomPublish(hadoopFs(spark, live), live,
+      new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging"))
   }
 
   /** Fold pending tombstones into `table`: staged survivor rewrite +
@@ -1214,6 +1273,9 @@ object Dedup {
       p.getInt(0), p.getInt(1), p.getInt(2)).localCheckpoint()
     val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
     val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish a crashed compact before touching live (and before the
+    // exists check: a republish may recreate the live dir)
+    recoverDocTablePublish(spark, indexDir, "bands")
     if (!fs.exists(bandsPath)) {
       // params-only index (crash between a fresh build's two writes):
       // this batch IS the fresh signature set
@@ -1384,6 +1446,7 @@ object Dedup {
     val sigs = simhash48Fingerprints(batch, idCol, textCol).localCheckpoint()
     val sigsPath = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
     val fs = sigsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDocTablePublish(spark, indexDir, "sigs")
     if (!fs.exists(sigsPath)) {
       sigs.write.mode("errorifexists").parquet(s"$indexDir/sigs")
       return
@@ -1602,6 +1665,7 @@ object Dedup {
     val rows = grams.select("doc_id", "gh").distinct().localCheckpoint()
     val gramsPath = new org.apache.hadoop.fs.Path(s"$indexDir/grams")
     val fs = gramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDocTablePublish(spark, indexDir, "grams")
     if (!fs.exists(gramsPath)) {
       // params-only index (crash between a fresh build's two writes):
       // this batch IS the fresh gram set
@@ -2148,6 +2212,7 @@ object Dedup {
     val rows = sel.select("doc_id", "gh").distinct().localCheckpoint()
     val fpsPath = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
     val fs = fpsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDocTablePublish(spark, indexDir, "fps")
     if (!fs.exists(fpsPath)) {
       // params-only index (crash between a fresh build's two writes):
       // this batch IS the fresh fingerprint set

@@ -24,6 +24,86 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
+  private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Finish (or discard) a postings publish a previous compact died
+    * inside: a COMPLETE staging dir (Spark's _SUCCESS marker) is
+    * republished over live — rename is the commit point — and an
+    * incomplete one is dropped. Without this, a crash between
+    * compactIndex's delete(live) and rename(staging, live) left the
+    * only copy of the postings in `postings__staging`, and the next
+    * compact deleted it (the round-13 advice's "index permanently
+    * destroyed" window). Idempotent; called before every read,
+    * append, delete, and compact — the same recovery discipline as
+    * Dedup.recoverBloomPublish.
+    */
+  private def recoverPostingsPublish(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(staging)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+        if (fs.exists(live)) fs.delete(live, true)
+        require(fs.rename(staging, live),
+          s"postings publish rename $staging -> $live failed")
+      } else {
+        fs.delete(staging, true)
+      }
+    }
+  }
+
+  /** Finish (or discard) a stats swap a previous append/compact died
+    * inside. The swap is stats -> stats_old, stats_next -> stats,
+    * drop stats_old; a crash at any point leaves a state this
+    * repairs: a COMPLETE stats_next is always the post-commit row
+    * (both writers produce it AFTER their postings commit), so it is
+    * republished; an incomplete one is dropped; a leftover stats_old
+    * is restored only when stats itself is missing.
+    */
+  private def recoverStatsSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/stats_next")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/stats_old")
+    if (fs.exists(next)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+        if (fs.exists(stats)) fs.delete(stats, true)
+        require(fs.rename(next, stats), s"stats publish rename $next -> $stats failed")
+      } else fs.delete(next, true)
+    }
+    if (fs.exists(old)) {
+      if (fs.exists(stats)) fs.delete(old, true)
+      else require(fs.rename(old, stats), s"stats restore rename $old -> $stats failed")
+    }
+  }
+
+  /** Run both recoveries — the index is guaranteed readable and
+    * writable after this returns, whatever state a crash left.
+    */
+  private def recover(spark: SparkSession, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fs = hadoopFs(spark, live)
+    recoverPostingsPublish(fs, live,
+      new org.apache.hadoop.fs.Path(s"$dir/postings__staging"))
+    recoverStatsSwap(fs, dir)
+  }
+
+  /** Publish a new one-row stats table: write to stats_next, swap in
+    * by rename. Every intermediate state is repaired by
+    * [[recoverStatsSwap]].
+    */
+  private def publishStats(spark: SparkSession, dir: String, row: DataFrame): Unit = {
+    row.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(dir))
+    val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/stats_next")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/stats_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(stats, old), s"stats swap rename $stats -> $old failed")
+    require(fs.rename(next, stats), s"stats publish rename $next -> $stats failed")
+    fs.delete(old, true)
+  }
+
   /** Tokenize once, aggregate (doc, term) frequencies, write postings
     * partitioned by `bucket = pmod(xxhash64(w), nBuckets)` plus the
     * one-row stats table the scorer needs.
@@ -41,7 +121,44 @@ object TextIndex {
     docs.select(size(TextFunctions.tokens(col(textCol))).cast("long").as("l"))
       .agg(sum("l").as("t_total"), count(lit(1)).as("n_docs"))
       .withColumn("n_buckets", lit(nBuckets))
+      .withColumn("gen", lit(0L))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Compaction generation of the stats row (0 for an index written
+    * before the column existed). Tombstone rows are stamped with the
+    * generation they were removed AGAINST; a tombstone whose gen is
+    * BELOW the stats gen has already been folded by a compact that
+    * crashed before its tombstone drop — it must not be subtracted
+    * again (and a fresh compact has nothing to fold from it). The
+    * gen comparison makes the probe-side correction order-independent
+    * across every crash window in compactIndex, at zero scan cost —
+    * no postings-presence probe needed.
+    */
+  private def statsGen(statsRow: org.apache.spark.sql.Row,
+      schema: org.apache.spark.sql.types.StructType): Long =
+    if (schema.fieldNames.contains("gen"))
+      statsRow.getLong(schema.fieldIndex("gen"))
+    else 0L
+
+  private def readStatsGen(spark: SparkSession, dir: String): Long = {
+    val df = spark.read.parquet(s"$dir/stats")
+    statsGen(df.head(), df.schema)
+  }
+
+  /** Pending tombstones AT the current stats generation — stale rows
+    * (gen below the stats gen: already folded by a crashed compact)
+    * are excluded. Returns None when nothing is pending.
+    */
+  private def pendingTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!hadoopFs(spark, tombP).exists(tombP)) return None
+    val gen = readStatsGen(spark, dir)
+    val t = spark.read.parquet(tombP.toString)
+    val live =
+      if (t.schema.fieldNames.contains("gen")) t.filter(col("gen") === gen)
+      else if (gen == 0L) t else t.limit(0)
+    if (live.isEmpty) None else Some(live.select("doc_id", "len"))
   }
 
   /** Incremental maintenance: index a NEW batch against the stored
@@ -55,22 +172,27 @@ object TextIndex {
   def appendIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val spark = docs.sparkSession
+    // a compact that crashed mid-publish must be finished BEFORE this
+    // append writes into live: otherwise the next compact's recovery
+    // would republish the pre-append staging over live and silently
+    // drop this batch
+    recover(spark, dir)
     // ids with a pending delete are refused (the index-family delete
     // contract): their old postings are still physically present, so
     // un-tombstoning on re-add would resurrect stale rows — compact
-    // first, then re-append
-    val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    if (tombP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombP)) {
+    // first, then re-append. STALE tombstones (already folded by a
+    // crashed compact) don't block: their postings are gone.
+    pendingTombstones(spark, dir).foreach { t =>
       val hit = docs.select(col(idCol).as("doc_id")).distinct()
-        .join(spark.read.parquet(tombP.toString).select("doc_id").distinct(),
-          Seq("doc_id"), "left_semi")
+        .join(t.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.get(0)).toSeq
       require(hit.isEmpty,
         s"appendIndex: doc ids ${hit.mkString(", ")} have a pending delete in " +
           s"$dir; compact the index before re-adding them")
     }
-    val stats = spark.read.parquet(s"$dir/stats")
-      .select("t_total", "n_docs", "n_buckets").head()
+    val statsDf = spark.read.parquet(s"$dir/stats")
+    val stats = statsDf.select("t_total", "n_docs", "n_buckets").head()
+    val gen = statsGen(statsDf.head(), statsDf.schema)
     val nBuckets = stats.getInt(2)
     val tf = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("ws"))
@@ -83,19 +205,11 @@ object TextIndex {
     val batchStats = docs
       .select(size(TextFunctions.tokens(col(textCol))).cast("long").as("l"))
       .agg(sum("l").as("bt"), count(lit(1)).as("bn")).head()
-    val tmp = s"$dir/stats_next"
-    spark.range(1).select(
-        lit(stats.getLong(0) + batchStats.getLong(0)).as("t_total"),
-        lit(stats.getLong(1) + batchStats.getLong(1)).as("n_docs"),
-        lit(nBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val target = java.nio.file.Paths.get(dir, "stats")
-    val old = java.nio.file.Paths.get(dir, "stats_old")
-    java.nio.file.Files.move(target, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
+    publishStats(spark, dir, spark.range(1).select(
+      lit(stats.getLong(0) + batchStats.getLong(0)).as("t_total"),
+      lit(stats.getLong(1) + batchStats.getLong(1)).as("n_docs"),
+      lit(nBuckets).as("n_buckets"),
+      lit(gen).as("gen"))) // append does not fold tombstones — gen unchanged
   }
 
   /** DELETE maintenance (the index family's round-13 "out" story, the
@@ -113,20 +227,28 @@ object TextIndex {
     */
   def removeDocs(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String): Unit = {
+    recover(spark, dir)
     val tomb = s"$dir/tombstones"
     val tombP = new org.apache.hadoop.fs.Path(tomb)
     val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = readStatsGen(spark, dir)
+    val pending = pendingTombstones(spark, dir)
+    // a tombstone table with NO pending rows is stale residue of a
+    // compact that crashed after its fold — drop it, or its rows
+    // would wrongly suppress a re-delete of a re-appended doc
+    if (pending.isEmpty && fs.exists(tombP)) fs.delete(tombP, true)
     // (doc_id, len) of ids actually in the index — column-pruned scan
     val present = spark.read.parquet(s"$dir/postings")
       .select("doc_id", "len").distinct()
       .join(broadcast(ids.select(col(idCol).as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
-    val novel =
-      if (fs.exists(tombP))
-        present.join(spark.read.parquet(tomb).select("doc_id"),
-          Seq("doc_id"), "left_anti").localCheckpoint()
-      else present
-    novel.coalesce(1).write.mode("append").parquet(tomb)
+    val novel = pending match {
+      case Some(t) =>
+        present.join(t.select("doc_id"), Seq("doc_id"), "left_anti").localCheckpoint()
+      case None => present
+    }
+    novel.withColumn("gen", lit(gen))
+      .coalesce(1).write.mode("append").parquet(tomb)
   }
 
   /** Fold pending tombstones into the physical layout: postings are
@@ -138,34 +260,35 @@ object TextIndex {
     * clears).
     */
   def compactIndex(spark: SparkSession, dir: String): Unit = {
+    // finish a crashed predecessor FIRST: a complete staging is
+    // republished (never discarded — it may hold the only copy of
+    // the postings if the crash hit between delete(live) and rename)
+    recover(spark, dir)
     val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombP)) return
+    val pending = pendingTombstones(spark, dir)
+    if (pending.isEmpty) { fs.delete(tombP, true); return } // stale residue: already folded
+    val gen = readStatsGen(spark, dir)
     val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/postings__staging")
-    if (fs.exists(staging)) fs.delete(staging, true) // prior crashed attempt
     val survivors = spark.read.parquet(live.toString)
-      .join(broadcast(spark.read.parquet(tombP.toString).select("doc_id").distinct()),
+      .join(broadcast(pending.get.select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
     survivors.repartition(col("bucket"))
       .write.mode("errorifexists").partitionBy("bucket").parquet(staging.toString)
     fs.delete(live, true)
     require(fs.rename(staging, live), s"compact rename $staging -> $live failed")
     val nBuckets = spark.read.parquet(s"$dir/stats").select("n_buckets").head().getInt(0)
-    val next = spark.read.parquet(live.toString)
+    // gen+1 marks the fold: from this publish on, the still-present
+    // tombstones read as STALE (gen below stats gen), so a crash
+    // before the drop below can never double-subtract them
+    publishStats(spark, dir, spark.read.parquet(live.toString)
       .select("doc_id", "len").distinct()
       .agg(sum("len").as("t_total"), count(lit(1)).as("n_docs"))
       .withColumn("n_buckets", lit(nBuckets))
       .select(coalesce(col("t_total"), lit(0L)).as("t_total"),
-        col("n_docs"), col("n_buckets"))
-    next.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
-    val target = java.nio.file.Paths.get(dir, "stats")
-    val old = java.nio.file.Paths.get(dir, "stats_old")
-    java.nio.file.Files.move(target, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(dir, "stats_next"), target)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
+        col("n_docs"), col("n_buckets"), lit(gen + 1L).as("gen")))
     fs.delete(tombP, true)
   }
 
@@ -180,6 +303,7 @@ object TextIndex {
   def searchSaturationExact(spark: SparkSession, dir: String,
       terms: Seq[String], scale: Long = 1000000L): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
+    recover(spark, dir)
     val stats = spark.read.parquet(s"$dir/stats")
     val nBuckets = stats.select("n_buckets").head().getInt(0)
     val bucketRow = spark.range(1).select(
@@ -189,24 +313,32 @@ object TextIndex {
     val buckets = terms.indices.map(bucketRow.getInt).distinct
     // pending deletes: postings anti-join the tombstone ids, and the
     // corpus scalars subtract the tombstones' recorded (len, count) —
-    // the score is then EXACTLY the from-scratch BM25 over survivors
-    val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val hasTomb = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(tombP)
-    val statsEff =
-      if (!hasTomb) stats.select("t_total", "n_docs")
-      else stats.select("t_total", "n_docs")
-        .crossJoin(spark.read.parquet(tombP.toString)
-          .agg(coalesce(sum("len"), lit(0L)).as("__dt"), count(lit(1)).as("__dn")))
-        .select((col("t_total") - col("__dt")).as("t_total"),
-          (col("n_docs") - col("__dn")).as("n_docs"))
+    // the score is then EXACTLY the from-scratch BM25 over survivors.
+    // Only tombstones at the CURRENT stats generation count: a
+    // compact that crashed after its stats swap but before its
+    // tombstone drop leaves survivor-exact stats with already-folded
+    // tombstones (their gen is below the new stats gen), and
+    // subtracting those again would silently skew idf/avgdl until the
+    // next compact. The gen comparison makes the correction
+    // order-independent across every compact crash window, at zero
+    // extra scan cost.
+    val pending = pendingTombstones(spark, dir)
+    val statsEff = pending match {
+      case None => stats.select("t_total", "n_docs")
+      case Some(t) =>
+        stats.select("t_total", "n_docs")
+          .crossJoin(t.agg(coalesce(sum("len"), lit(0L)).as("__dt"),
+            count(lit(1)).as("__dn")))
+          .select((col("t_total") - col("__dt")).as("t_total"),
+            (col("n_docs") - col("__dn")).as("n_docs"))
+    }
     val matched = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(buckets: _*) && col("w").isin(terms: _*))
-    val livePostings =
-      if (!hasTomb) matched
-      else matched.join(
-        broadcast(spark.read.parquet(tombP.toString).select("doc_id").distinct()),
-        Seq("doc_id"), "left_anti")
+    val livePostings = pending match {
+      case None => matched
+      case Some(t) =>
+        matched.join(broadcast(t.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+    }
     livePostings
       .crossJoin(broadcast(statsEff))
       .withColumn("sat", expr(

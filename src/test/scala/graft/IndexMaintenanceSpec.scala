@@ -344,6 +344,165 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(res(d) === res(fullIdx))
   }
 
+  // --- crash-window recovery (round 14) ------------------------------
+
+  private def rmrfDir(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+  }
+
+  private def cpDir(src: String, dst: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Paths.get(src)
+    java.nio.file.Files.walk(s).iterator().asScala.foreach { p =>
+      val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
+  test("D55 compact crash between delete(live) and rename: next read republishes staging instead of destroying the index") {
+    import graft.operators.TextIndex
+    val all = docs.limit(60).localCheckpoint()
+    val removed = all.filter(col("doc_id") % 3 === 0)
+    val survivors = all.filter(col("doc_id") % 3 =!= 0)
+    val terms = Seq("join", "scan", "window")
+    def res(dir: String) =
+      TextIndex.searchSaturationExact(spark, dir, terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val d = tmp("text_crash_mid")
+    TextIndex.writeIndex(all, "doc_id", "text", d)
+    TextIndex.removeDocs(spark, d, removed.select("doc_id"), "doc_id")
+    // simulate compactIndex dying between delete(live) and
+    // rename(staging, live): a COMPLETE survivor staging (Spark wrote
+    // its _SUCCESS), live gone, tombstones + old stats still present
+    spark.read.parquet(s"$d/postings")
+      .join(broadcast(removed.select("doc_id")), Seq("doc_id"), "left_anti")
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$d/postings__staging")
+    rmrfDir(s"$d/postings")
+    val fresh = tmp("text_crash_fresh")
+    TextIndex.writeIndex(survivors, "doc_id", "text", fresh)
+    // the next read repairs (republish) and scores survivor-exact
+    assert(res(d) === res(fresh),
+      "search after a mid-publish crash must recover the staged postings")
+    assert(new java.io.File(s"$d/postings").exists())
+    assert(!new java.io.File(s"$d/postings__staging").exists())
+    // and the next compact folds cleanly on top
+    TextIndex.compactIndex(spark, d)
+    assert(res(d) === res(fresh))
+    // an INCOMPLETE staging (no _SUCCESS: writer died mid-write) next
+    // to an intact live is discarded, not published
+    val d2 = tmp("text_crash_incomplete")
+    TextIndex.writeIndex(all, "doc_id", "text", d2)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$d2/postings__staging"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d2/postings__staging/part-garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    val fullIdx = tmp("text_crash_full")
+    TextIndex.writeIndex(all, "doc_id", "text", fullIdx)
+    assert(res(d2) === res(fullIdx))
+    assert(!new java.io.File(s"$d2/postings__staging").exists())
+  }
+
+  test("D55 compact crash after stats swap, before tombstone drop: stale tombstones are never double-subtracted") {
+    import graft.operators.TextIndex
+    val all = docs.limit(60).localCheckpoint()
+    val removed = all.filter(col("doc_id") % 3 === 0)
+    val survivors = all.filter(col("doc_id") % 3 =!= 0)
+    val terms = Seq("join", "scan", "window")
+    def res(dir: String) =
+      TextIndex.searchSaturationExact(spark, dir, terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val d = tmp("text_crash_stale")
+    TextIndex.writeIndex(all, "doc_id", "text", d)
+    TextIndex.removeDocs(spark, d, removed.select("doc_id"), "doc_id")
+    // stash the tombstones, compact fully, then restore them — the
+    // exact state a crash between publishStats and delete(tombstones)
+    // leaves behind (postings rewritten, stats survivor-exact at
+    // gen+1, folded gen-0 tombstones still on disk)
+    val stash = tmp("text_crash_stash")
+    cpDir(s"$d/tombstones", stash)
+    TextIndex.compactIndex(spark, d)
+    cpDir(stash, s"$d/tombstones")
+    val fresh = tmp("text_stale_fresh")
+    TextIndex.writeIndex(survivors, "doc_id", "text", fresh)
+    assert(res(d) === res(fresh),
+      "stale (already-folded) tombstones must not skew idf/avgdl")
+    // re-appending a doc whose delete was already folded is legal —
+    // its postings are physically gone
+    TextIndex.appendIndex(removed, "doc_id", "text", d)
+    val fullIdx = tmp("text_stale_full")
+    TextIndex.writeIndex(all, "doc_id", "text", fullIdx)
+    assert(res(d) === res(fullIdx))
+    // ...and RE-DELETING a re-appended doc works: the stale rows were
+    // cleared, not treated as "already tombstoned"
+    TextIndex.removeDocs(spark, d, removed.select("doc_id"), "doc_id")
+    assert(res(d) === res(fresh))
+  }
+
+  test("D55 crash between the two stats renames: next read restores the swapped-out row") {
+    import graft.operators.TextIndex
+    val all = docs.limit(40).localCheckpoint()
+    val terms = Seq("join", "scan")
+    def res(dir: String) =
+      TextIndex.searchSaturationExact(spark, dir, terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val d = tmp("text_stats_mid")
+    TextIndex.writeIndex(all, "doc_id", "text", d)
+    val want = res(d)
+    // crash state: stats moved to stats_next's slot — i.e. a COMPLETE
+    // stats_next exists and stats itself is missing
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$d/stats"), java.nio.file.Paths.get(s"$d/stats_next"))
+    assert(res(d) === want, "recovery must republish the complete stats_next")
+    assert(new java.io.File(s"$d/stats").exists())
+    // crash state: stats renamed aside to stats_old, stats_next already
+    // consumed — only the restore path can bring stats back
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$d/stats"), java.nio.file.Paths.get(s"$d/stats_old"))
+    assert(res(d) === want, "recovery must restore stats from stats_old")
+    assert(!new java.io.File(s"$d/stats_old").exists())
+  }
+
+  test("D58 append after a crashed compact publish: the staged fold is finished first, the batch survives the next compact") {
+    val a = docs.filter(col("doc_id") % 4 === 0).limit(40).localCheckpoint()
+    val b = docs.filter(col("doc_id") % 4 === 2).limit(40).localCheckpoint()
+    val removed = a.filter(col("doc_id") % 8 === 0)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    def pairs(dir: String) =
+      Dedup.incrementalNearDup(spark, dir, probe, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = tmp("sig_crash_append")
+    Dedup.writeSignatureIndex(a, "doc_id", "text", d, 3, 12, 4)
+    Dedup.removeDocsFromSignatureIndex(spark, d, removed.select("doc_id"), "doc_id")
+    // simulate compactSignatureIndex dying AFTER its complete staging
+    // write but BEFORE the swap: live still has all rows, staging has
+    // the survivors, tombstones pending
+    spark.read.parquet(s"$d/bands")
+      .join(broadcast(removed.select("doc_id")), Seq("doc_id"), "left_anti")
+      .write.parquet(s"$d/bands__staging")
+    // the fixed append finishes the publish BEFORE writing, so the
+    // batch lands in the folded table and can never be rolled back
+    Dedup.appendSignatureIndex(spark, d, b, "doc_id", "text")
+    assert(!new java.io.File(s"$d/bands__staging").exists(),
+      "append must finish (not ignore) the crashed publish before writing")
+    Dedup.compactSignatureIndex(spark, d)
+    // reference: survivors of a plus b, built from scratch
+    val fresh = tmp("sig_crash_fresh")
+    Dedup.writeSignatureIndex(
+      a.join(removed.select("doc_id"), Seq("doc_id"), "left_anti").unionByName(b),
+      "doc_id", "text", fresh, 3, 12, 4)
+    assert(pairs(d) === pairs(fresh),
+      "the appended batch must survive the compact that follows a crashed publish")
+    assert(spark.read.parquet(s"$d/bands").count() ===
+      spark.read.parquet(s"$fresh/bands").count())
+  }
+
   test("D7++ delete: IVF partition rewrite drops emptied cells, leaves untouched cells' files alone") {
     import graft.operators.Similarity
     val emb = Tables(spark, sf, "embeddings")

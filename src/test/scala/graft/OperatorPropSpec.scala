@@ -308,6 +308,36 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(got.contains((0L, 1L, 3)), s"prefix filter must recover the clone pair, got $got")
   }
 
+  test("jaccardPairs accepts any small-rational threshold on the lossless path; irrational falls back instead of throwing") {
+    import graft.operators.Dedup
+    // continued-fraction fit: exact small rationals in, None out
+    assert(Dedup.asExactRational(0.6, 1000) === Some((3, 5)))
+    assert(Dedup.asExactRational(1.0 / 3, 1000) === Some((1, 3)))
+    assert(Dedup.asExactRational(0.125, 1000) === Some((1, 8)))
+    assert(Dedup.asExactRational(19.0 / 37, 1000) === Some((19, 37)))
+    assert(Dedup.asExactRational(1.0, 1000) === Some((1, 1)))
+    assert(Dedup.asExactRational(math.sqrt(0.5), 1000) === None)
+    assert(Dedup.asExactRational(0.0, 1000) === None)
+    val rng = new scala.util.Random(31L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val base = (0 until 25).map { i =>
+      (i.toLong, (0 until 15).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val dups = (0 until 8).map(i => (100L + i, base(i)._2 + " tailword"))
+    val df = (base ++ dups).toDF("doc_id", "text")
+    // r13 threw IllegalArgumentException for both of these (callers
+    // like Curate passing 1.0/3 or 0.125 regressed); now they route
+    // through the prefix machinery and equal the uncapped blocking
+    for (t <- Seq(1.0 / 3, 0.125, 19.0 / 37)) {
+      assert(runJaccard(df, t, cap = 0) === runJaccard(df, t, cap = -1),
+        s"default (lossless) path at threshold $t must equal the uncapped blocking")
+    }
+    // a threshold no small rational reproduces must not throw — it
+    // falls back to the uncapped inverted index
+    val irr = math.sqrt(0.35)
+    assert(runJaccard(df, irr, cap = 0) === runJaccard(df, irr, cap = -1))
+  }
+
   test("prefixFilteredPairs candidate economics: one universal shingle joins only via prefixes") {
     // 50 docs sharing one hot phrase + unique bodies at threshold 0.6:
     // no true pairs, and the hot shingles sit past every prefix (rank
