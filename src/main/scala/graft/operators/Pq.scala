@@ -195,6 +195,9 @@ object Pq {
     */
   def appendIvfPqIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
       idCol: String, vecCol: String): Unit = {
+    // finish (or roll back) a crashed staged delete before appending
+    // into the cell dirs it may be about to swap
+    CellCommit.recover(spark, s"$dir/codes")
     val coarse = spark.read.parquet(s"$dir/coarse")
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -227,8 +230,13 @@ object Pq {
     * contract. Idempotent; a crash between a completed staging write
     * and the swap republishes on the next call.
     */
-  def removeDocsFromIndex(spark: SparkSession, dir: String,
-      ids: DataFrame, idCol: String): Unit = {
+  /** Finish (or discard) a flat-codes publish a previous delete died
+    * inside — a COMPLETE staging republishes (it may hold the only
+    * copy if the crash hit between delete(live) and rename), an
+    * incomplete one drops. Idempotent; run before every flat read
+    * and delete.
+    */
+  private def recoverFlatCodes(spark: SparkSession, dir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -238,6 +246,14 @@ object Pq {
         require(fs.rename(staging, live), s"publish $staging -> $live failed")
       } else fs.delete(staging, true)
     }
+  }
+
+  def removeDocsFromIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverFlatCodes(spark, dir)
     spark.read.parquet(live.toString)
       .join(broadcast(ids.select(col(idCol).as("cid")).distinct()),
         Seq("cid"), "left_anti")
@@ -246,41 +262,19 @@ object Pq {
     require(fs.rename(staging, live), s"publish $staging -> $live failed")
   }
 
-  /** DELETE from the IVF-PQ index: the D52 touched-cell discipline —
-    * one column-pruned scan finds the cells holding the ids,
-    * survivors of those cells rewrite via dynamic partition
-    * overwrite, emptied cell directories drop explicitly. Coarse
-    * centroids and codebooks never change (routing is geometric, not
+  /** DELETE from the IVF-PQ index: the D52 touched-cell discipline,
+    * crash-atomic since round 14 — survivors of the touched cells
+    * stage into `codes__delta`, a journal is the commit point, and
+    * per-cell renames apply it ([[CellCommit]] has the protocol +
+    * recovery; probes/appends repair before reading, so they see the
+    * old or the new index, never a mix). Coarse centroids and
+    * codebooks never change (routing is geometric, not
     * membership-based), so probes of the shrunk index stay exact.
     */
   def removeDocsFromIvfPqIndex(spark: SparkSession, dir: String,
-      ids: DataFrame, idCol: String): Unit = {
-    import spark.implicits._
-    val del = ids.select(col(idCol).as("cid")).distinct()
-    val codes = spark.read.parquet(s"$dir/codes")
-    val touched = codes.select("cid", "cell")
-      .join(broadcast(del), Seq("cid"), "left_semi")
-      .select("cell").distinct().as[Int].collect().toSeq.sorted
-    if (touched.isEmpty) return
-    val survivors = codes.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
-      .join(broadcast(del), Seq("cid"), "left_anti")
-      .localCheckpoint() // materialize before overwriting what it reads
-    val surviving = survivors.select("cell").distinct().as[Int].collect().toSet
-    val conf = spark.conf
-    val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-    finally prev match {
-      case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val fs = new org.apache.hadoop.fs.Path(s"$dir/codes")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(surviving).foreach { c =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$c")
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-  }
+      ids: DataFrame, idCol: String): Unit =
+    CellCommit.deleteIds(spark, s"$dir/codes",
+      ids.select(col(idCol).as("cid")).distinct())
 
   /** Probe a written IVF-PQ index: per query pick the `nProbe` nearest
     * coarse cells (ties → lowest cell), build the per-(cell, sub,
@@ -293,6 +287,8 @@ object Pq {
     */
   def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    // repair-before-read: see or finish a staged cell delete, never a mix
+    CellCommit.recover(spark, s"$dir/codes")
     val coarse = spark.read.parquet(s"$dir/coarse")
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -446,6 +442,7 @@ object Pq {
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    recoverFlatCodes(spark, dir) // repair-before-read
     val cbRows = spark.read.parquet(s"$dir/codebook")
       .select("sub", "code", "centroid").collect()
     val m = cbRows.map(_.getInt(0)).max + 1

@@ -235,6 +235,9 @@ object Similarity {
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    // finish (or roll back) a crashed staged delete before appending
+    // into the cell dirs it may be about to swap
+    CellCommit.recover(spark, s"$dir/corpus")
     val centroids = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -247,46 +250,22 @@ object Similarity {
 
   /** D7++ (delete phase) — remove vectors from an on-disk IVF index
     * by id, rewriting ONLY the touched cell directories (the D52
-    * MERGE discipline applied to the index layout): one column-pruned
-    * scan finds which cells hold the ids, survivors of those cells
-    * are rewritten via dynamic partition overwrite, and cells left
-    * EMPTY have their directories dropped explicitly (dynamic
-    * overwrite only replaces partitions present in the written data —
-    * an emptied cell would otherwise keep its stale files). Cells the
-    * delete doesn't touch are never read or written. Centroids are
-    * untouched: the quantizer routes by geometry, not membership, so
-    * probes of the shrunk index stay exact. Idempotent — re-removing
-    * absent ids is a no-op.
+    * MERGE discipline applied to the index layout), CRASH-ATOMICALLY
+    * (round 14): survivors of the touched cells stage into
+    * `corpus__delta`, a one-file journal records touched + emptied
+    * cells and is the commit point, and per-cell renames apply it —
+    * [[CellCommit]] documents the protocol and its recovery, which
+    * every probe/append/delete runs first, so readers see either the
+    * old or the new index, never a mix. Cells the delete doesn't
+    * touch are never read or written. Centroids are untouched: the
+    * quantizer routes by geometry, not membership, so probes of the
+    * shrunk index stay exact. Idempotent — re-removing absent ids is
+    * a no-op.
     */
   def removeDocsFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, ids: DataFrame, idCol: String): Unit = {
-    import spark.implicits._
-    val del = ids.select(col(idCol).as("cid")).distinct()
-    val corpus = spark.read.parquet(s"$dir/corpus")
-    val touched = corpus.select("cid", "cell")
-      .join(broadcast(del), Seq("cid"), "left_semi")
-      .select("cell").distinct().as[Int].collect().toSeq.sorted
-    if (touched.isEmpty) return
-    val survivors = corpus.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
-      .join(broadcast(del), Seq("cid"), "left_anti")
-      .localCheckpoint() // materialize before overwriting what it reads
-    val surviving = survivors.select("cell").distinct().as[Int].collect().toSet
-    val conf = spark.conf
-    val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      survivors.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
-    finally prev match {
-      case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val corpusP = new org.apache.hadoop.fs.Path(s"$dir/corpus")
-    val fs = corpusP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(surviving).foreach { c =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/corpus/cell=$c")
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-  }
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    CellCommit.deleteIds(spark, s"$dir/corpus",
+      ids.select(col(idCol).as("cid")).distinct())
 
   /** Probe a written IVF index: the query batch's probe cells become
     * ONE `cell IN (...)` partition filter — directories outside the
@@ -295,6 +274,9 @@ object Similarity {
   def knnIvfIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int): DataFrame = {
+    // repair-before-read: a probe must see either the pre-delete or
+    // the post-delete index, never a half-applied cell swap
+    CellCommit.recover(spark, s"$dir/corpus")
     val centroids = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)

@@ -503,6 +503,110 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       spark.read.parquet(s"$fresh/bands").count())
   }
 
+  test("D7++ staged cell delete: a crash between two cell commits repairs to OLD or NEW, never a mix") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf, "embeddings").localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 6)
+    def probe(dir: String) =
+      Similarity.knnIvfIndexed(spark, dir, queries, "vec_id", "embedding",
+          k = 3, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def build(dir: String): Unit =
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", nLists = 8, dir = dir)
+    // the delete set: empty out one whole cell AND thin another, so
+    // the journal carries both an emptied and a rewritten entry
+    val ref = tmp("ivf_crash_ref")
+    build(ref)
+    val byCell = spark.read.parquet(s"$ref/corpus").select("cid", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val (emptyCell, emptyIds) = byCell.minBy(_._2.size)
+    val otherCell = byCell.keys.filter(_ != emptyCell).max
+    val delIds = (emptyIds :+ byCell(otherCell).min).toDF("cid")
+    val oldRes = probe(ref)
+    Similarity.removeDocsFromIvfIndex(spark, ref, delIds, "cid")
+    val newRes = probe(ref)
+    assert(oldRes !== newRes, "fixture must actually change the probe result")
+
+    // replay deleteIds up to its crash point on a fresh twin: delta +
+    // journal committed, then ONE cell applied (the emptied one) and
+    // the other still un-applied — "between two cell commits"
+    def stageCrash(dir: String): Unit = {
+      build(dir)
+      val live = spark.read.parquet(s"$dir/corpus")
+      val touched = Seq(emptyCell, otherCell).sorted
+      val survivors = live
+        .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+        .join(broadcast(delIds), Seq("cid"), "left_anti").localCheckpoint()
+      survivors.write.partitionBy("cell").parquet(s"$dir/corpus__delta")
+      val surviving = survivors.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      import spark.implicits._
+      touched.map(c => (c, !surviving.contains(c))).toDF("cell", "emptied")
+        .coalesce(1).write.parquet(s"$dir/corpus__commit")
+      // first cell commit: drop the emptied cell's live dir
+      rmrfDir(s"$dir/corpus/cell=$emptyCell")
+      // CRASH here — otherCell's swap never happens
+    }
+    val crashed = tmp("ivf_crash_mid")
+    stageCrash(crashed)
+    // the next probe repairs forward to exactly the post-delete index
+    assert(probe(crashed) === newRes,
+      "a committed journal must be re-applied to the END before any probe")
+    assert(!new java.io.File(s"$crashed/corpus__commit").exists())
+    assert(!new java.io.File(s"$crashed/corpus__delta").exists())
+    assert(!new java.io.File(s"$crashed/corpus/cell=$emptyCell").exists())
+
+    // crash BEFORE the journal's commit point (delta complete, no
+    // journal): rolled back — probes see the OLD index bit-for-bit
+    val early = tmp("ivf_crash_early")
+    build(early)
+    spark.read.parquet(s"$early/corpus")
+      .filter(col("cell").isin(Seq(emptyCell, otherCell).map(Integer.valueOf): _*))
+      .join(broadcast(delIds), Seq("cid"), "left_anti").localCheckpoint()
+      .write.partitionBy("cell").parquet(s"$early/corpus__delta")
+    assert(probe(early) === oldRes,
+      "an uncommitted staging must be rolled back — the probe sees the OLD index")
+    assert(!new java.io.File(s"$early/corpus__delta").exists())
+    // and an append after the rollback is never clobbered by a repair
+    Similarity.removeDocsFromIvfIndex(spark, early, delIds, "cid")
+    assert(probe(early) === newRes)
+  }
+
+  test("D7+++ staged cell delete (IVF-PQ): crash-repair to old or new, ADC probes stay exact") {
+    import graft.operators.Pq
+    val emb = Tables(spark, sf, "embeddings").localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 4)
+    def probe(dir: String) =
+      Pq.searchIvfPq(spark, dir, queries, "vec_id", "embedding", k = 3, nProbe = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val d = tmp("ivfpq_crash")
+    Pq.writeIvfPqIndex(emb, "vec_id", "embedding", nLists = 6, m = 4, ksub = 8, dir = d)
+    val oldRes = probe(d)
+    // delete returned neighbors — guarantees the probe result changes
+    val victim = oldRes.map(_._2).toSeq.distinct.sorted.take(3).toDF("cid")
+    // stage a COMPLETE delta+journal by hand, apply nothing (crash at
+    // the commit point itself), and let the probe finish the publish
+    val live = spark.read.parquet(s"$d/codes")
+    val touched = live.select("cid", "cell").join(broadcast(victim), Seq("cid"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val survivors = live.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+      .join(broadcast(victim), Seq("cid"), "left_anti").localCheckpoint()
+    survivors.write.partitionBy("cell").parquet(s"$d/codes__delta")
+    val surviving = survivors.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    import spark.implicits._
+    touched.map(c => (c, !surviving.contains(c))).toDF("cell", "emptied")
+      .coalesce(1).write.parquet(s"$d/codes__commit")
+    val got = probe(d)
+    assert(!new java.io.File(s"$d/codes__commit").exists())
+    // reference: the same delete applied the normal way on a twin dir
+    val ref = tmp("ivfpq_crash_ref")
+    Pq.writeIvfPqIndex(emb, "vec_id", "embedding", nLists = 6, m = 4, ksub = 8, dir = ref)
+    Pq.removeDocsFromIvfPqIndex(spark, ref, victim, "cid")
+    assert(got === probe(ref), "repair-forward must equal the clean delete")
+    assert(got !== oldRes, "fixture must actually change the probe result")
+  }
+
   test("D7++ delete: IVF partition rewrite drops emptied cells, leaves untouched cells' files alone") {
     import graft.operators.Similarity
     val emb = Tables(spark, sf, "embeddings")
