@@ -1008,16 +1008,20 @@ final class HeapAnalysis(t: HeapTables) {
     * GC root, then subtree sums in reverse postorder.
     *
     * Tier contract (stated): this is the AUDIT tier — the graph is
-    * collected to the driver (adjacency as int arrays; `maxNodes`
-    * require-guarded), which is the right architecture for heap
-    * dumps: a dump is a single-machine artifact (MAT computes exact
-    * dominators the same way), and the distributed B22/B27
-    * approximation carries the 100 TB many-dumps story. On graphs
-    * past the bound, use B22 and treat its numbers as the documented
-    * lower bound.
+    * collected to the driver, which is the right architecture for
+    * heap dumps: a dump is a single-machine artifact (MAT computes
+    * exact dominators the same way), and the distributed B22/B27
+    * approximation carries the 100 TB many-dumps story. Since round
+    * 14 the driver-side representation is dense-int CSR over
+    * primitive arrays (ids remapped by binary search — no boxed maps,
+    * no per-node cons cells): steady memory is ~52 bytes/node +
+    * ~16 bytes/edge, so the default bound covers a 16M-object dump in
+    * ~1.3 GB — 5× the 3M-object bench dump, 8× the previous bound.
+    * On graphs past the bound, use B22 and treat its numbers as the
+    * documented lower bound.
     */
   def exactDominatorTop(limit: Int = 25,
-      maxNodes: Int = 2000000): Option[DataFrame] = for {
+      maxNodes: Int = 16000000): Option[DataFrame] = for {
     edges <- refEdges
     oi <- t.system("_object_index")
     gcr <- t.system("_gc_roots")
@@ -1025,50 +1029,111 @@ final class HeapAnalysis(t: HeapTables) {
   } yield {
     val spark = oi.sparkSession
     import spark.implicits._
-    val ids = oi.select("obj_id").collect().map(_.getLong(0))
+    val ids: Array[Long] = {
+      val a = oi.select("obj_id").collect().map(_.getLong(0))
+      java.util.Arrays.sort(a); a
+    }
     require(ids.length <= maxNodes,
       s"exactDominatorTop is the bounded audit tier: ${ids.length} objects " +
         s"exceed maxNodes=$maxNodes — use the distributed B22 approximation")
-    val idx = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
-    ids.zipWithIndex.foreach { case (id, i) => idx.put(id, i + 1) } // 0 = super-root
     val n = ids.length + 1
-    // adjacency (both endpoints must resolve in the object index)
-    val succ = Array.fill(n)(List.empty[Int])
-    edges.select("src", "dst").distinct().collect().foreach { r =>
-      val s0 = idx.get(r.getLong(0)); val d0 = idx.get(r.getLong(1))
-      if (s0 != null && d0 != null && s0 != d0)
-        succ(s0.intValue) = d0.intValue :: succ(s0.intValue)
+    // node index = 1 + position in the sorted id array; 0 = super-root
+    def lookup(id: Long): Int = {
+      val i = java.util.Arrays.binarySearch(ids, id)
+      if (i >= 0) i + 1 else 0 // 0 doubles as "unresolved" and is filtered below
     }
-    gcr.select("obj_id").distinct().collect().foreach { r =>
-      val d0 = idx.get(r.getLong(0))
-      if (d0 != null) succ(0) = d0.intValue :: succ(0)
+    // edge collection into growable PRIMITIVE arrays, streamed a
+    // partition at a time (toLocalIterator): the 4M-edge bench dump
+    // never materializes an Array[Row] on the driver
+    val (eSrc, eDst) = {
+      val bs = new scala.collection.mutable.ArrayBuilder.ofInt
+      val bd = new scala.collection.mutable.ArrayBuilder.ofInt
+      val it = edges.select("src", "dst").distinct().toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val s0 = lookup(r.getLong(0)); val d0 = lookup(r.getLong(1))
+        if (s0 != 0 && d0 != 0 && s0 != d0) { bs += s0; bd += d0 }
+      }
+      gcr.select("obj_id").distinct().collect().foreach { r =>
+        val d0 = lookup(r.getLong(0))
+        if (d0 != 0) { bs += 0; bd += d0 }
+      }
+      (bs.result(), bd.result())
     }
-    // reverse postorder from the super-root (iterative DFS); rpo(v) =
-    // -1 marks unreachable
+    val m = eSrc.length
+    // successor CSR: counting sort by src
+    val succOff = new Array[Int](n + 1)
+    locally {
+      var i = 0
+      while (i < m) { succOff(eSrc(i) + 1) += 1; i += 1 }
+      i = 0
+      while (i < n) { succOff(i + 1) += succOff(i); i += 1 }
+    }
+    val succ = new Array[Int](m)
+    locally {
+      val fill = java.util.Arrays.copyOf(succOff, n)
+      var i = 0
+      while (i < m) { succ(fill(eSrc(i))) = eDst(i); fill(eSrc(i)) += 1; i += 1 }
+    }
+    // reverse postorder from the super-root — iterative DFS on two
+    // explicit int stacks (node + CSR child cursor); rpo(v) = -1
+    // marks unreachable
     val rpoNum = Array.fill(n)(-1)
     val order = new Array[Int](n) // rpo position -> node
-    locally {
+    val reachCount = {
       val seen = new Array[Boolean](n)
-      val post = Seq.newBuilder[Int]
-      val stack = scala.collection.mutable.Stack[(Int, List[Int])]((0, succ(0)))
-      seen(0) = true
-      while (stack.nonEmpty) {
-        val (v, rest) = stack.pop()
-        rest match {
-          case h :: tl =>
-            stack.push((v, tl))
-            if (!seen(h)) { seen(h) = true; stack.push((h, succ(h))) }
-          case Nil => post += v
+      val post = new Array[Int](n)
+      var nPost = 0
+      val stkNode = new Array[Int](n)
+      val stkPtr = new Array[Int](n)
+      var top = 0
+      stkNode(0) = 0; stkPtr(0) = succOff(0); seen(0) = true
+      while (top >= 0) {
+        val v = stkNode(top)
+        val p = stkPtr(top)
+        if (p < succOff(v + 1)) {
+          stkPtr(top) = p + 1
+          val h = succ(p)
+          if (!seen(h)) {
+            seen(h) = true
+            top += 1
+            stkNode(top) = h; stkPtr(top) = succOff(h)
+          }
+        } else {
+          post(nPost) = v; nPost += 1
+          top -= 1
         }
       }
-      val p = post.result().reverse // reverse postorder
-      p.zipWithIndex.foreach { case (v, i) => rpoNum(v) = i; order(i) = v }
+      var i = 0
+      while (i < nPost) { // reverse postorder
+        val v = post(nPost - 1 - i)
+        rpoNum(v) = i; order(i) = v
+        i += 1
+      }
+      nPost
     }
-    val reachCount = rpoNum.count(_ >= 0)
-    // predecessors within the reachable subgraph
-    val pred = Array.fill(n)(List.empty[Int])
-    for (v <- 0 until n if rpoNum(v) >= 0; d <- succ(v) if rpoNum(d) >= 0)
-      pred(d) = v :: pred(d)
+    // predecessor CSR within the reachable subgraph
+    val predOff = new Array[Int](n + 1)
+    locally {
+      var i = 0
+      while (i < m) {
+        if (rpoNum(eSrc(i)) >= 0 && rpoNum(eDst(i)) >= 0) predOff(eDst(i) + 1) += 1
+        i += 1
+      }
+      i = 0
+      while (i < n) { predOff(i + 1) += predOff(i); i += 1 }
+    }
+    val pred = new Array[Int](predOff(n))
+    locally {
+      val fill = java.util.Arrays.copyOf(predOff, n)
+      var i = 0
+      while (i < m) {
+        if (rpoNum(eSrc(i)) >= 0 && rpoNum(eDst(i)) >= 0) {
+          pred(fill(eDst(i))) = eSrc(i); fill(eDst(i)) += 1
+        }
+        i += 1
+      }
+    }
     // Cooper-Harvey-Kennedy iteration to the fixpoint
     val idom = Array.fill(n)(-1)
     idom(0) = 0
@@ -1087,28 +1152,37 @@ final class HeapAnalysis(t: HeapTables) {
       while (i < reachCount) {
         val v = order(i)
         var newIdom = -1
-        pred(v).foreach { p =>
+        var j = predOff(v)
+        while (j < predOff(v + 1)) {
+          val p = pred(j)
           if (idom(p) >= 0)
             newIdom = if (newIdom < 0) p else intersect(p, newIdom)
+          j += 1
         }
         if (newIdom >= 0 && idom(v) != newIdom) { idom(v) = newIdom; changed = true }
         i += 1
       }
     }
+    // per-node shallow bytes, streamed into a primitive array aligned
+    // with the sorted id array (binary search, no boxed map)
+    val bytesOf = new Array[Long](n)
+    java.util.Arrays.fill(bytesOf, 16L) // default for ids missing a size row
+    locally {
+      val it = sizes.select("obj_id", "bytes").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val v = lookup(r.getLong(0))
+        if (v != 0) bytesOf(v) = r.getLong(1)
+      }
+      bytesOf(0) = 0L
+    }
     // subtree shallow sums + counts in reverse RPO (children before
     // parents: idom(v) always precedes v in RPO)
-    val sizeMap = new java.util.HashMap[java.lang.Long, java.lang.Long](ids.length * 2)
-    sizes.select("obj_id", "bytes").collect().foreach(r =>
-      sizeMap.put(r.getLong(0), r.getLong(1)))
     val total = new Array[Long](n)
     val nsub = new Array[Long](n)
     for (i <- 0 until reachCount) {
       val v = order(i)
-      if (v != 0) {
-        val b: java.lang.Long = sizeMap.get(ids(v - 1))
-        total(v) = if (b == null) 16L else b.longValue
-        nsub(v) = 1L
-      }
+      if (v != 0) { total(v) = bytesOf(v); nsub(v) = 1L }
     }
     var i = reachCount - 1
     while (i >= 1) {
@@ -1117,13 +1191,30 @@ final class HeapAnalysis(t: HeapTables) {
       nsub(idom(v)) += nsub(v)
       i -= 1
     }
-    val rows = (1 until n).filter(rpoNum(_) >= 0).map { v =>
-      (ids(v - 1), nsub(v) - 1L, total(v))
+    // top-`limit` selection happens driver-side on the primitive
+    // arrays (bounded ordered buffer — never a 3M-tuple Seq, never a
+    // cluster sort of per-node rows); only the winners become a
+    // DataFrame, joined against the object index for type names
+    val topOrd = Ordering.by[(Long, Long, Long), (Long, Long)] {
+      case (id, _, ret) => (-ret, id)
     }
-    val typed = rows.toDF("obj_id", "n_dominated", "retained_bytes")
+    var top = Vector.empty[(Long, Long, Long)] // kept sorted, ≤ limit entries
+    var v = 1
+    while (v < n) {
+      if (rpoNum(v) >= 0) {
+        val cand = (ids(v - 1), nsub(v) - 1L, total(v))
+        if (top.size < limit || topOrd.lt(cand, top.last)) {
+          val at = top.indexWhere(topOrd.gt(_, cand))
+          top = (if (at < 0) top :+ cand else (top.take(at) :+ cand) ++ top.drop(at))
+            .take(limit)
+        }
+      }
+      v += 1
+    }
+    top.toDF("obj_id", "n_dominated", "retained_bytes")
       .join(oi.select("obj_id", "type_name"), Seq("obj_id"))
       .select("obj_id", "type_name", "n_dominated", "retained_bytes")
-    typed.orderBy(col("retained_bytes").desc, col("obj_id")).limit(limit)
+      .orderBy(col("retained_bytes").desc, col("obj_id"))
   }
 
   /** B23 — GC-root reachability distance: per-object minimum hop

@@ -247,6 +247,7 @@ object Heap {
   def warmDemoFixtures(spark: SparkSession): Unit = {
     demoDir(spark)
     demoDirB(spark)
+    bigDir(spark)
     analysis(spark).refEdges.foreach(_ => ())
     resolvedAnalysis(spark).refEdges.foreach(_ => ())
   }
@@ -291,6 +292,85 @@ object Heap {
       w.writeTo(hprof, segments = 2)
       new HeapDump(spark, hprof).writeParquet(exportDirB)
       exportDirB
+    })
+
+  /** BENCH-SCALE dominator fixture (round 14): a ~3.03M-object dump
+    * with PLANTED dominator structure, so the exact-dominator tier is
+    * gate-checked at the bench dump's scale (the r13 verdict's #3:
+    * the previous 2M bound refused at 1.5× demo scale). 25 GC-rooted
+    * clusters: head → object array → F_c 4-node chains (F_c = 24000 +
+    * 500·c, so every cluster's retained differs); per cluster 1000
+    * `bench.Shared` leaves each referenced by TWO sibling chain
+    * starts (immediate dominator = the ARRAY, not either referrer —
+    * the diamond case B21/B22 under-collapse); 500 `bench.XShared`
+    * leaves each referenced from chains of clusters 3 AND 7
+    * (dominated by the super-root alone — retained by nobody). The
+    * topology is tree + leaf-diamonds, so the DuckDB oracle can
+    * compute EXACT dominators analytically (single-referrer node →
+    * dominated by its referrer; multi-referrer leaf → by its
+    * referrers' LCA) in linear-ish SQL — no quadratic
+    * removal-reachability replay at 3M nodes.
+    */
+  val bigExportDir: String = {
+    val pid = ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft_heap_gate_big_$pid/parquet"
+  }
+
+  private[graft] def bigDir(spark: SparkSession): String =
+    cache.computeIfAbsent("big", _ => {
+      val w = new HprofWriter()
+      val obj = w.defineClass("java.lang.Object")
+      val headCls = w.defineClass("bench.Head", obj,
+        instanceFields = Seq("kids" -> BasicType.Object, "tag" -> BasicType.Int))
+      val nodeCls = w.defineClass("bench.Node", obj,
+        instanceFields = Seq("next" -> BasicType.Object,
+          "extra" -> BasicType.Object, "payload" -> BasicType.Long))
+      val sharedCls = w.defineClass("bench.Shared", obj,
+        instanceFields = Seq("payload" -> BasicType.Int))
+      val oaCls = w.defineClass("[Ljava.lang.Object;", obj)
+      // one tiny array per primitive type so the oracle's shallow-size
+      // CTE globs resolve (unreachable — excluded from the analysis)
+      w.primArray(BasicType.Boolean, Seq(true))
+      w.primArray(BasicType.Byte, Seq(1.toByte))
+      w.primArray(BasicType.Char, Seq('a'.toInt))
+      w.primArray(BasicType.Short, Seq(1.toShort))
+      w.primArray(BasicType.Int, Seq(1))
+      w.primArray(BasicType.Long, Seq(1L))
+      w.primArray(BasicType.Float, Seq(1.5f))
+      w.primArray(BasicType.Double, Seq(2.5))
+      // cross-cluster diamonds, created up front
+      val xshared = Array.tabulate(500)(k =>
+        w.instance(sharedCls, Seq(BasicType.Int -> (100000 + k))))
+      for (c <- 0 until 25) {
+        val f = 24000 + 500 * c
+        val shared = Array.tabulate(1000)(k =>
+          w.instance(sharedCls, Seq(BasicType.Int -> (c * 1000 + k))))
+        val starts = new Array[Long](f)
+        var j = 0
+        while (j < f) {
+          val tailExtra =
+            if ((c == 3 || c == 7) && j < 500) xshared(j) else 0L
+          val n3 = w.instance(nodeCls, Seq(BasicType.Object -> 0L,
+            BasicType.Object -> tailExtra, BasicType.Long -> (j * 3L)))
+          val n2 = w.instance(nodeCls, Seq(BasicType.Object -> n3,
+            BasicType.Object -> 0L, BasicType.Long -> (j * 3L + 1)))
+          val n1 = w.instance(nodeCls, Seq(BasicType.Object -> n2,
+            BasicType.Object -> 0L, BasicType.Long -> (j * 3L + 2)))
+          val startExtra = if (j < 2000) shared(j / 2) else 0L
+          starts(j) = w.instance(nodeCls, Seq(BasicType.Object -> n1,
+            BasicType.Object -> startExtra, BasicType.Long -> j.toLong))
+          j += 1
+        }
+        val arr = w.objArray(oaCls, starts.toSeq)
+        val head = w.instance(headCls, Seq(BasicType.Object -> arr, BasicType.Int -> c))
+        w.gcRoot(Sub.RootJniGlobal, head)
+      }
+      val dir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(bigExportDir).getParent)
+      val hprof = dir.resolve("big.hprof").toString
+      w.writeTo(hprof, segments = 64)
+      new HeapDump(spark, hprof).writeParquet(bigExportDir)
+      bigExportDir
     })
 
   /** Shared oracle restatement of `HeapAnalysis.refEdges` over the
@@ -1232,6 +1312,90 @@ object Heap {
     analysis(s).exactDominatorTop(limit = 25).get
   }
 
+  /** B33 at BENCH SCALE — exact dominators on the ~3.03M-object
+    * planted dump (see [[bigDir]]): the CSR tier's answer at the
+    * scale the 150 MB ingest bench exercises, where the r13
+    * implementation refused (maxNodes was 2M). The oracle computes
+    * the dominator tree ANALYTICALLY from the planted topology's
+    * invariants — a single-referrer node is dominated by its
+    * referrer; a multi-referrer LEAF by the LCA of its referrers
+    * (exact here because referrers' dominator-tree ancestors equal
+    * their reference-tree ancestors, and shared nodes are leaves) —
+    * then subtree-sums bytes over that tree. Every piece is
+    * independent of the engine: edges come from the typed class
+    * tables + `_object_arrays`, sizes from the shared shallow-size
+    * CTEs, reachability from the GC roots. A wrong idom anywhere in
+    * the engine's 3M-node CHK fixpoint moves bytes between subtrees
+    * and breaks the hash.
+    */
+  val qHeapDominatorsBig: GateQuery = GateQuery(
+    "q_heap_dominators_big",
+    s"""WITH RECURSIVE
+       |e AS (
+       |  SELECT h.obj_id AS src, h.kids AS dst
+       |  FROM read_parquet('$bigExportDir/bench.Head_*/*.parquet') h WHERE h.kids <> 0
+       |  UNION ALL
+       |  SELECT n.obj_id, n.next FROM read_parquet('$bigExportDir/bench.Node_*/*.parquet') n
+       |  WHERE n.next <> 0
+       |  UNION ALL
+       |  SELECT n2.obj_id, n2.extra FROM read_parquet('$bigExportDir/bench.Node_*/*.parquet') n2
+       |  WHERE n2.extra <> 0
+       |  UNION ALL
+       |  SELECT src, dst FROM (
+       |    SELECT o.obj_id AS src, unnest(o.elements) AS dst
+       |    FROM read_parquet('$bigExportDir/_object_arrays/*.parquet') o)
+       |  WHERE dst <> 0),
+       |oi AS (SELECT obj_id, type_name
+       |       FROM read_parquet('$bigExportDir/_object_index/*.parquet')),
+       |edd AS (SELECT DISTINCT src, dst FROM e),
+       |roots AS (SELECT DISTINCT g.obj_id
+       |          FROM read_parquet('$bigExportDir/_gc_roots/*.parquet') g
+       |          JOIN oi ON oi.obj_id = g.obj_id),
+       |rr(u) AS (SELECT obj_id FROM roots
+       |          UNION SELECT edd.dst FROM rr JOIN edd ON edd.src = rr.u),
+       |reach AS (SELECT DISTINCT u FROM rr),
+       |dg AS (SELECT edd.dst AS u, COUNT(*) AS nref, MIN(edd.src) AS only_src
+       |       FROM edd
+       |       JOIN reach r1 ON r1.u = edd.dst JOIN reach r2 ON r2.u = edd.src
+       |       GROUP BY edd.dst),
+       |treepar AS (SELECT u, only_src AS p FROM dg WHERE nref = 1),
+       |mref AS (SELECT edd.dst AS s, edd.src AS r
+       |         FROM edd JOIN dg ON dg.u = edd.dst AND dg.nref >= 2),
+       |ranc(s, r, a, d) AS (
+       |  SELECT s, r, r, 0 FROM mref
+       |  UNION ALL
+       |  SELECT ranc.s, ranc.r, t.p, ranc.d + 1 FROM ranc JOIN treepar t ON t.u = ranc.a),
+       |nrefk AS (SELECT s, COUNT(DISTINCT r) AS k FROM mref GROUP BY s),
+       |canc AS (SELECT ranc.s, ranc.a, MAX(ranc.d) AS dmax
+       |         FROM ranc JOIN nrefk ON nrefk.s = ranc.s
+       |         GROUP BY ranc.s, ranc.a
+       |         HAVING COUNT(DISTINCT ranc.r) = MAX(nrefk.k)),
+       |lca AS (SELECT s, a FROM (
+       |          SELECT s, a, row_number() OVER (PARTITION BY s ORDER BY dmax, a) AS rn
+       |          FROM canc) WHERE rn = 1),
+       |dompar AS (SELECT u, p FROM treepar WHERE u NOT IN (SELECT s FROM mref)
+       |           UNION ALL SELECT s AS u, a AS p FROM lca),
+       |danc(u, a) AS (
+       |  SELECT u, p FROM dompar
+       |  UNION ALL
+       |  SELECT danc.u, d2.p FROM danc JOIN dompar d2 ON d2.u = danc.a),
+       |${sizeCtesFor(bigExportDir)},
+       |ret AS (SELECT danc.a AS obj_id, COUNT(*) AS n_dom, SUM(szu.bytes) AS dom_bytes
+       |        FROM danc JOIN sz szu ON szu.obj_id = danc.u
+       |        GROUP BY danc.a),
+       |fin AS (SELECT r0.u AS obj_id,
+       |          CAST(COALESCE(ret.n_dom, 0) AS BIGINT) AS n_dominated,
+       |          CAST(sz.bytes + COALESCE(ret.dom_bytes, 0) AS BIGINT) AS retained_bytes
+       |        FROM reach r0
+       |        JOIN sz ON sz.obj_id = r0.u
+       |        LEFT JOIN ret ON ret.obj_id = r0.u)
+       |SELECT oi.obj_id, oi.type_name, fin.n_dominated, fin.retained_bytes
+       |FROM fin JOIN oi ON oi.obj_id = fin.obj_id
+       |ORDER BY retained_bytes DESC, oi.obj_id
+       |LIMIT 25""".stripMargin, bench = false) { (s, _) =>
+    analysisFor(s, bigDir(s)).exactDominatorTop(limit = 25).get
+  }
+
   /** A18 — the `_fields` layout-metadata table under a driver oracle:
     * the engine side re-derives the table from the pass-1 index
     * (class metadata, super-chain layout order), the oracle reads the
@@ -1991,7 +2155,7 @@ object Heap {
     qHeapDupByteArrays, qHeapDupObjArrays, qHeapClassCount, qHeapGcRoots,
     qHeapDbb, qHeapThreadStatus, qHeapStackDepth, qHeapShallowSize,
     qHeapStaticFields, qHeapStackFrames, qHeapClassHierarchy, qHeapClassloaders, qHeapRefs, qHeapWaste,
-    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapDominators, qHeapRetainedMatrix, qHeapRootPath, qHeapRootKinds,
+    qHeapReferrers, qHeapOwnership, qHeapRetained, qHeapTopRetained, qHeapDominators, qHeapDominatorsBig, qHeapRetainedMatrix, qHeapRootPath, qHeapRootKinds,
     qHeapPathExemplars, qHeapDiff, qHeapRetainedDiff,
     qHeapResolvedStrings, qHeapResolvedSizing, qHeapCountRecords, qHeapDsv2)
     .map(_.copy(bench = false))
