@@ -41,6 +41,15 @@ object Bench {
     // instead of hiding in a silenced log.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec", org.apache.logging.log4j.Level.ERROR)
+    // DataSource warns "All paths were ignored" for every overwrite
+    // whose target dir does not exist yet (the heap exports write ~20
+    // `_`-prefixed table dirs per dump — 10+ lines of noise in every
+    // bench/leakcheck tail). Write-path-only noise: an accidentally
+    // empty READ cannot hide behind this — every gate's result is
+    // hash-checked against its DuckDB oracle.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.DataSource",
+      org.apache.logging.log4j.Level.ERROR)
     val wall0 = System.nanoTime()
     // untimed warmup: JIT/codegen/scan setup so the first timed query
     // isn't charged for JVM startup. Exercises each hot codegen family
@@ -153,26 +162,63 @@ object Bench {
     // single loaded-machine rep would fake a low exponent.
     val xscaleEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_XSCALE", "1") != "0" &&
       slowEnabled && only.isEmpty
-    val xscaleDir = sys.env.get("SPARK_GRAFT_BENCH_XSCALE_DIR").orElse {
-      val small = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
-      if (small.isDirectory && small.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
-        Some(small.getAbsolutePath) else None
+    def siblingSf(name: String): Option[String] = {
+      val d = new java.io.File(new java.io.File(sfDir).getParentFile, name)
+      if (d.isDirectory && d.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
+        Some(d.getAbsolutePath) else None
     }
+    val xscaleDir = sys.env.get("SPARK_GRAFT_BENCH_XSCALE_DIR").orElse(siblingSf("sf0.01"))
+    // THIRD cross-scale point (round 14): sf0.001 turns the scaling
+    // exponent from a 2-point ratio into a 3-point least-squares fit
+    // and makes CURVATURE visible — fixed per-job overhead dominates
+    // the tiny SF, so exp_lo << exp_hi means "overhead-masked" while
+    // exp_lo ≈ exp_hi > 1 means genuine superlinearity. The FLAG rule
+    // is unchanged: it still fires on the top segment (sf0.01→sf0.1,
+    // reported as exp_hi), where overhead deflates rather than
+    // inflates the reading.
+    val xscaleDir2 = sys.env.get("SPARK_GRAFT_BENCH_XSCALE_DIR2").orElse(siblingSf("sf0.001"))
+    def sfOf(dir: String): Double =
+      "sf([0-9.]+)$".r.findFirstMatchIn(new java.io.File(dir).getName)
+        .map(_.group(1).toDouble).getOrElse(Double.NaN)
+    def minTimeAt(q: GateQuery, dir: String): Double = {
+      val times = (1 to reps.max(2)).map { _ =>
+        try timed(() => q.fn(spark, dir).write.format("noop").mode("overwrite").save())
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] xscale ${q.name} @$dir failed: ${e.getMessage}")
+          Double.NaN
+        }
+      }
+      times.min
+    }
+    // (name, tTiny [NaN when absent], tSmall)
     val xscale: Seq[(String, Double, Double)] =
       if (!xscaleEnabled || xscaleDir.isEmpty) Seq.empty
       else SparkEntry.gateQueries.filter(_.slow).flatMap { q =>
         val big = slowResults.toMap.getOrElse(q.name, Double.NaN)
-        val times = (1 to reps.max(2)).map { _ =>
-          try timed(() => q.fn(spark, xscaleDir.get).write.format("noop").mode("overwrite").save())
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] xscale ${q.name} failed: ${e.getMessage}")
-            Double.NaN
-          }
-        }
-        val small = times.min
+        val small = minTimeAt(q, xscaleDir.get)
         if (big.isNaN || small.isNaN || small <= 0) None
-        else Some((q.name, small, math.log(big / small) / math.log(10.0)))
+        else {
+          val tiny = xscaleDir2.map(minTimeAt(q, _)).getOrElse(Double.NaN)
+          Some((q.name, tiny, small))
+        }
       }
+    // least-squares slope of log10(t) on log10(sf) over the available
+    // points; exp_hi = the top 2-point segment (the flag + rerun basis)
+    def fitExponents(big: Double, small: Double, tiny: Double): (Double, Double) = {
+      val expHi = math.log(big / small) /
+        (math.log(sfOf(sfDir) / sfOf(xscaleDir.get)))
+      val pts = Seq(
+        (math.log10(sfOf(sfDir)), math.log10(big)),
+        (math.log10(sfOf(xscaleDir.get)), math.log10(small))) ++
+        (if (!tiny.isNaN && tiny > 0 && xscaleDir2.isDefined)
+          Seq((math.log10(sfOf(xscaleDir2.get)), math.log10(tiny)))
+        else Seq.empty)
+      val mx = pts.map(_._1).sum / pts.size
+      val my = pts.map(_._2).sum / pts.size
+      val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+        pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      (slope, expHi)
+    }
     // (scaling flags are printed AFTER the isolation re-measure below —
     // r11 carried a spurious exp-1.51 flag computed from one inflated
     // co-tenant-noise reading of unchanged code)
@@ -291,7 +337,10 @@ object Bench {
       }
       case _ => Map.empty[String, Double]
     }
-    val xscaleExp = xscale.map(t => t._1 -> t._3).toMap
+    val slowResMap = slowResults.toMap
+    val xscaleExp: Map[String, Double] = xscale.map { case (n, tiny, small) =>
+      n -> fitExponents(slowResMap.getOrElse(n, Double.NaN), small, tiny)._2
+    }.toMap
     val suspects: Seq[String] =
       if (only.isDefined) Seq.empty
       else slowResults.collect {
@@ -315,15 +364,17 @@ object Bench {
         if (v.isNaN) r else if (r.isNaN) v else v.min(r)).getOrElse(v)
     }
     val slowFinalMap = slowFinal.toMap
-    // exponents recomputed from the re-measured big-SF minima
-    val xscaleFinal = xscale.map { case (n, s0, e) =>
+    // exponents recomputed from the re-measured big-SF minima:
+    // (name, tTiny, tSmall, exp3pt, expHi)
+    val xscaleFinal = xscale.map { case (n, tiny, small) =>
       val big = slowFinalMap.getOrElse(n, Double.NaN)
-      if (big.isNaN || s0 <= 0) (n, s0, e)
-      else (n, s0, math.log(big / s0) / math.log(10.0))
+      val (e3, eHi) = fitExponents(big, small, tiny)
+      (n, tiny, small, e3, eHi)
     }
-    val xscaleFlagged = xscaleFinal.count(_._3 > 1.3)
-    xscaleFinal.filter(_._3 > 1.3).foreach { case (n, s0, e) =>
-      System.err.println(f"[bench] SCALING FLAG $n: exp=$e%.2f (small=$s0%.2fs)")
+    val xscaleFlagged = xscaleFinal.count(_._5 > 1.3)
+    xscaleFinal.filter(_._5 > 1.3).foreach { case (n, tiny, small, e3, eHi) =>
+      System.err.println(
+        f"[bench] SCALING FLAG $n: exp_hi=$eHi%.2f (3-pt exp=$e3%.2f, small=$small%.2fs, tiny=$tiny%.2fs)")
     }
     // INGEST THROUGHPUT DEFENSE: heap_ingest_mb_s swings 29.9→68.4 MB/s
     // across runs of identical code (r11 run1 vs run2) — min-of-3
@@ -388,17 +439,30 @@ object Bench {
     // ingest throughput, and the 25 slowest gates; BENCH_DETAIL.json in
     // the repo root carries every gate at full precision.
     val auxTotal = auxResults.collect { case (_, v) if !v.isNaN => v }.sum
-    // per-gate cross-scale record: small-SF minimum and the empirical
-    // exponent, so round-over-round diffs of BENCH_DETAIL.json catch a
-    // scaling regression even when the absolute times look plausible
+    // per-gate cross-scale record: the two smaller-SF minima, the
+    // 3-point least-squares exponent, the top-segment exponent the
+    // flag rule fires on, and the bottom-segment exponent (exp_hi vs
+    // exp_lo spread = overhead curvature), so round-over-round diffs
+    // of BENCH_DETAIL.json catch a scaling regression even when the
+    // absolute times look plausible
     val scalingJson = xscaleFinal
-      .map { case (n, s0, e) => f""""$n":{"t_small":$s0%.3f,"exp":$e%.2f}""" }
+      .map { case (n, tiny, small, e3, eHi) =>
+        val tinyPart =
+          if (tiny.isNaN) """"t_tiny":null"""
+          else {
+            val eLo = math.log(small / tiny) /
+              math.log(sfOf(xscaleDir.get) / sfOf(xscaleDir2.get))
+            f""""t_tiny":$tiny%.3f,"exp_lo":$eLo%.2f"""
+          }
+        f""""$n":{$tinyPart,"t_small":$small%.3f,"exp":$e3%.2f,"exp_hi":$eHi%.2f}"""
+      }
       .mkString("{", ",", "}")
     val detailJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,""" +
       f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},""" +
       f""""aux_total":$auxTotal%.3f,"n_aux":${auxResults.size},"queries":${qJson(allGates, 3)},""" +
       (if (xscale.nonEmpty)
-        s""""scaling":$scalingJson,"xscale_flagged":$xscaleFlagged,"xscale_sf":"${xscaleDir.get}","""
+        s""""scaling":$scalingJson,"xscale_flagged":$xscaleFlagged,"xscale_sf":"${xscaleDir.get}",""" +
+          xscaleDir2.map(d => s""""xscale_sf_tiny":"$d",""").getOrElse("")
       else "") +
       (if (rerunTimes.nonEmpty)
         s""""rerun":${qJson(rerunTimes.toSeq, 3)},"""
