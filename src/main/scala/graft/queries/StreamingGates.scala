@@ -824,6 +824,52 @@ object StreamingGates {
       .orderBy("event_id")
   }
 
+  /** E62 — NON-FILE source offset semantics (round-14 verdict #7):
+    * the `rate` source is the one broker-free source whose offsets
+    * are not file names, so it exercises the offset-resume contract
+    * file-source gates cannot — a committed offset is a ROW COUNT
+    * into a generator, and a restart must continue the value
+    * sequence with no replay and no gap. The query sinks values
+    * 0..1199 (deterministic transform d = 7v mod 97) through a
+    * checkpointed parquet sink, is STOPPED mid-range after its first
+    * commit, and a NEW query over the same checkpoint drains the
+    * rest. The oracle is the closed-form sequence: a replayed offset
+    * range duplicates rows, a skipped one drops them — either breaks
+    * the hash. Timestamps are generator-wall-clock and deliberately
+    * unused.
+    */
+  val qStreamRate: GateQuery = GateQuery(
+    "q_stream_rate",
+    """SELECT CAST(range AS BIGINT) AS v, CAST((range * 7) % 97 AS BIGINT) AS d
+      |FROM range(0, 1200) ORDER BY v""".stripMargin) { (s, _) =>
+    val n = 1200L
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_rate")
+    val out = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    def src = s.readStream.format("rate")
+      .option("rowsPerSecond", 400).option("numPartitions", 2).load()
+      .select(col("value").as("v"))
+      .filter(col("v") < n)
+      .withColumn("d", (col("v") * 7) % 97)
+    def sunk(): Long =
+      try s.read.parquet(out).count() catch { case _: Throwable => 0L }
+    // run until the committed sink holds >= target rows, then stop;
+    // the rate source is unbounded, so the stop IS the batch boundary
+    def runUntil(target: Long): Unit = {
+      val q = StreamingOps.sinkExactlyOnce(src, out, ckpt)
+      try {
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (sunk() < target && q.isActive && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          if (sunk() < target) Thread.sleep(100)
+        }
+      } finally q.stop()
+    }
+    runUntil(1) // first commit lands, query stops mid-range
+    runUntil(n) // restart: offsets resume the sequence exactly
+    s.read.parquet(out).select("v", "d").orderBy("v")
+  }
+
   /** E48 — Trigger.AvailableNow incremental batch: TWO separate
     * scheduled invocations of the same query definition (the second
     * after new data lands), each terminating ITSELF when caught up.
@@ -1759,6 +1805,6 @@ object StreamingGates {
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
       qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
-      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce)
+      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce, qStreamRate)
     .map(_.copy(bench = false))
 }
