@@ -2586,6 +2586,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** D55 COMPACT phase (r14 — the fold the crash-safe rewrite
+    * publishes): build the index over the WHOLE corpus, delete the
+    * `doc_id % 4 = 0` quarter, then compactIndex — staged survivor
+    * rewrite + atomic rename, stats RECOMPUTED from survivors at
+    * generation+1, tombstones dropped. The oracle is the identical
+    * survivor BM25 as q_text_search_remove: if the fold dropped a
+    * survivor posting, kept a tombstoned one, republished a stale
+    * staging, or got the recomputed idf/avgdl scalars wrong, the
+    * hash breaks. Paired with the remove gate it pins that the
+    * tombstone-masked view and the physically-folded layout score
+    * IDENTICALLY — the delete is invisible to callers at every
+    * lifecycle stage.
+    */
+  private val textCompactIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val qTextSearchCompact: GateQuery = GateQuery(
+    "q_text_search_compact", qTextSearchRemove.oracle.get) { (s, dir) =>
+    import graft.operators.TextIndex
+    val docs = Tables(s, dir, "documents")
+    val idx = textCompactIndexCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_text_cp_idx_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      TextIndex.writeIndex(docs, "doc_id", "text", out)
+      TextIndex.removeDocs(s, out,
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+      TextIndex.compactIndex(s, out)
+      out
+    })
+    TextIndex.searchSaturationExact(s, idx, Seq("join", "scan", "window"))
+      .orderBy("doc_id")
+  }
+
   /** D56 — token-distribution drift between the even- and odd-id
     * halves of the corpus: per-token ppm rates on each side and the
     * L1 gap, tokens with ≥5 total occurrences. The oracle retallies
@@ -5362,7 +5393,7 @@ object Pipeline {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qDedupSurvivors, qDedupJaccard, qDedupMinhash, qSigEstimate, qContEstimate, qBandingPlan, qDedupSimhash, qLshCalibration, qVocabRetention, qPruneVocab, qRankCalibrate, qDistinctiveTerms, qStratifiedTopK,
     qNearDupIncremental, qNearDupIncrVerified, qNearDupRemove, qNearDupCompact, qSimhashRemove,
-    qGramIndexRemove, qWinnowRemove, qTextSearchRemove, qKnnIvfRemove,
+    qGramIndexRemove, qWinnowRemove, qTextSearchRemove, qTextSearchCompact, qKnnIvfRemove,
     qDedupClusters, qSplitLeakageSafe, qSurvivorQuality, qCurate, qCurateFull,
     qNearDupEmbedding, qKnnBruteForce, qRetrievalEval, qTruncRecall, qHardNegatives, qKnnLsh, qKnnMultiProbe, qKnnIvf, qKnnIvfFull,
     qKnnIvfIndexed, qKnnIvfWrite, qKnnIvfProbe, qKnnIvfPartial, qKnnIvfAppend,
