@@ -45,11 +45,20 @@ private[graft] object CellCommit {
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  // repair-on-read means PROBES mutate: two concurrent probes of the
+  // same table must not race each other's exists→rename pairs, so
+  // recovery/apply serialize per table dir within the JVM (the
+  // bloomDirLock precedent; cross-process maintenance is single-
+  // writer by the family contract)
+  private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    dirLocks.computeIfAbsent(table, _ => new Object)
+
   /** Repair a crashed staged delete: re-apply a committed journal,
     * roll back an uncommitted staging. Idempotent; called before
     * every read, append, and delete of the table.
     */
-  def recover(spark: SparkSession, table: String): Unit = {
+  def recover(spark: SparkSession, table: String): Unit = lockFor(table).synchronized {
     val fs = hadoopFs(spark, path(table))
     val journal = path(s"${table}__commit")
     if (fs.exists(path(s"${table}__commit/_SUCCESS")) &&
@@ -69,6 +78,9 @@ private[graft] object CellCommit {
     */
   private def applyJournal(spark: SparkSession, table: String): Unit = {
     val fs = hadoopFs(spark, path(table))
+    // a concurrent recover() may have finished the apply (and dropped
+    // the journal) while this caller waited on the lock
+    if (!fs.exists(path(s"${table}__commit"))) return
     val entries = spark.read.parquet(s"${table}__commit")
       .select("cell", "emptied").collect()
       .map(r => (r.getInt(0), r.getBoolean(1)))
@@ -107,6 +119,8 @@ private[graft] object CellCommit {
     val surviving = survivors.select("cell").distinct().as[Int].collect().toSet
     touched.map(c => (c, !surviving.contains(c))).toDF("cell", "emptied")
       .coalesce(1).write.mode("errorifexists").parquet(s"${table}__commit")
-    applyJournal(spark, table)
+    // same lock as recover(): a concurrent probe that sees the fresh
+    // journal must not apply it in parallel with this writer
+    lockFor(table).synchronized { applyJournal(spark, table) }
   }
 }

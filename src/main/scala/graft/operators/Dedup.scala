@@ -1102,11 +1102,15 @@ object Dedup {
     * staging over live) silently dropped the appended batch.
     */
   private def recoverDocTablePublish(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, table: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
-    recoverBloomPublish(hadoopFs(spark, live), live,
-      new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging"))
-  }
+      indexDir: String, table: String): Unit =
+    // repair-on-read mutates: serialize per dir within the JVM so two
+    // concurrent probes can't race each other's exists→rename pair
+    // (the bloomDirLock discipline)
+    bloomDirLock(s"$indexDir/$table").synchronized {
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+      recoverBloomPublish(hadoopFs(spark, live), live,
+        new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging"))
+    }
 
   /** Fold pending tombstones into `table`: staged survivor rewrite +
     * atomic-rename swap (recoverBloomPublish is the shared republish/

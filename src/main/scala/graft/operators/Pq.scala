@@ -236,17 +236,22 @@ object Pq {
     * incomplete one drops. Idempotent; run before every flat read
     * and delete.
     */
-  private def recoverFlatCodes(spark: SparkSession, dir: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(staging)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-        if (fs.exists(live)) fs.delete(live, true)
-        require(fs.rename(staging, live), s"publish $staging -> $live failed")
-      } else fs.delete(staging, true)
+  // repair-on-read serializes per dir within the JVM (two concurrent
+  // ADC searches must not race each other's exists→rename pair)
+  private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def recoverFlatCodes(spark: SparkSession, dir: String): Unit =
+    dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(staging)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+          if (fs.exists(live)) fs.delete(live, true)
+          require(fs.rename(staging, live), s"publish $staging -> $live failed")
+        } else fs.delete(staging, true)
+      }
     }
-  }
 
   def removeDocsFromIndex(spark: SparkSession, dir: String,
       ids: DataFrame, idCol: String): Unit = {

@@ -77,16 +77,23 @@ object TextIndex {
     }
   }
 
+  // repair-on-read mutates, so recovery serializes per index dir
+  // within the JVM (two concurrent searches must not race each
+  // other's exists→rename pairs); cross-process maintenance is
+  // single-writer by the family contract
+  private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Run both recoveries — the index is guaranteed readable and
     * writable after this returns, whatever state a crash left.
     */
-  private def recover(spark: SparkSession, dir: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val fs = hadoopFs(spark, live)
-    recoverPostingsPublish(fs, live,
-      new org.apache.hadoop.fs.Path(s"$dir/postings__staging"))
-    recoverStatsSwap(fs, dir)
-  }
+  private def recover(spark: SparkSession, dir: String): Unit =
+    dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      val fs = hadoopFs(spark, live)
+      recoverPostingsPublish(fs, live,
+        new org.apache.hadoop.fs.Path(s"$dir/postings__staging"))
+      recoverStatsSwap(fs, dir)
+    }
 
   /** Publish a new one-row stats table: write to stats_next, swap in
     * by rename. Every intermediate state is repaired by
