@@ -54,6 +54,22 @@ private[graft] object CellCommit {
   private def lockFor(table: String): Object =
     dirLocks.computeIfAbsent(table, _ => new Object)
 
+  /** Discard ALL staged-delete residue (delta + journal), applied or
+    * not — for FULL REBUILDS of the table: a rebuild overwrites the
+    * live cells, so a leftover committed journal from the previous
+    * index's crashed delete must never be re-applied on top of the
+    * fresh build (recover() would do exactly that). Call BEFORE
+    * writing the new table.
+    */
+  def clearStaged(spark: SparkSession, table: String): Unit =
+    lockFor(table).synchronized {
+      val fs = hadoopFs(spark, path(table))
+      val journal = path(s"${table}__commit")
+      val delta = path(s"${table}__delta")
+      if (fs.exists(journal)) fs.delete(journal, true)
+      if (fs.exists(delta)) fs.delete(delta, true)
+    }
+
   /** Repair a crashed staged delete: re-apply a committed journal,
     * roll back an uncommitted staging. Idempotent; called before
     * every read, append, and delete of the table.

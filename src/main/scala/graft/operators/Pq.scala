@@ -78,6 +78,14 @@ object Pq {
       m: Int, ksub: Int, dir: String, seed: Long = 42L,
       trainSample: Int = 2048): Unit = {
     val spark = corpus.sparkSession
+    // a rebuild discards a stale flat-codes staging: a leftover
+    // COMPLETE codes__staging from the previous index's crashed
+    // delete must never be republished over the fresh codes table
+    dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
+      val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
     val cb = trainCodebook(corpus, idCol, vecCol, m, ksub, seed, trainSample)
     val dsub = cb(0)(0).length
     import spark.implicits._
@@ -114,6 +122,8 @@ object Pq {
       nLists: Int, m: Int, ksub: Int, dir: String, seed: Long = 42L,
       trainSample: Int = 2048): Unit = {
     val spark = corpus.sparkSession
+    // a rebuild discards staged-delete residue (see writeIvfIndex)
+    CellCommit.clearStaged(spark, s"$dir/codes")
     val sample = corpus
       .select(quantized(vecCol).as("qv"), xxhash64(col(idCol), lit(seed)).as("__h"))
       .orderBy("__h")

@@ -212,6 +212,10 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, dir: String, seed: Long = 42L, trainSample: Int = 4096): Unit = {
     val spark = corpus.sparkSession
+    // a REBUILD discards staged-delete residue from any previous
+    // index in this dir — a leftover committed journal must never be
+    // re-applied over the fresh cells by the next probe's recovery
+    CellCommit.clearStaged(spark, s"$dir/corpus")
     val (c, centroids) = trainQuantizer(corpus, idCol, vecCol, nLists, seed, trainSample)
     c.withColumn("cell",
         graft.functions.NearestCell.nearestCell(col("cv"), col("cn"), centroids))

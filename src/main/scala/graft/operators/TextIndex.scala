@@ -117,6 +117,21 @@ object TextIndex {
     */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, nBuckets: Int = 64): Unit = {
+    // a REBUILD discards every maintenance leftover of a previous
+    // index in this dir: a stale COMPLETE postings__staging would be
+    // republished over the fresh postings by the next recover(), and
+    // stale tombstones would mask the new corpus' doc ids
+    locally {
+      val spark = docs.sparkSession
+      dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+        val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(dir))
+        Seq("postings__staging", "stats_next", "stats_old", "tombstones")
+          .foreach { leftover =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/$leftover")
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+      }
+    }
     val tf = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("ws"))
       .withColumn("len", size(col("ws")).cast("long"))

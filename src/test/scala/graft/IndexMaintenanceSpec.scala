@@ -503,6 +503,57 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       spark.read.parquet(s"$fresh/bands").count())
   }
 
+  test("rebuild over crashed-maintenance residue: stale staging/journal/tombstones never clobber the fresh index") {
+    import graft.operators.{Similarity, TextIndex}
+    // --- text index: a COMPLETE stale staging + stale tombstones in
+    // the dir; writeIndex must discard both, or the next read's
+    // recovery republishes the old postings over the new build and
+    // the stale tombstones mask live docs
+    val docs0 = docs.limit(50).localCheckpoint()
+    val oldHalf = docs0.filter(col("doc_id") % 2 === 0)
+    val d = tmp("text_rebuild")
+    TextIndex.writeIndex(oldHalf, "doc_id", "text", d)
+    TextIndex.removeDocs(spark, d,
+      oldHalf.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+    // fake a crashed compact: complete survivor staging beside live
+    spark.read.parquet(s"$d/postings").limit(10)
+      .write.partitionBy("bucket").parquet(s"$d/postings__staging")
+    TextIndex.writeIndex(docs0, "doc_id", "text", d) // REBUILD over residue
+    val fresh = tmp("text_rebuild_fresh")
+    TextIndex.writeIndex(docs0, "doc_id", "text", fresh)
+    def res(dir: String) =
+      TextIndex.searchSaturationExact(spark, dir, Seq("join", "scan"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(res(d) === res(fresh),
+      "rebuild must discard stale staging + tombstones")
+    assert(!new java.io.File(s"$d/tombstones").exists())
+
+    // --- IVF: a COMMITTED stale journal + delta in the dir; a
+    // rebuild must discard them, or the next probe's recovery
+    // re-applies the old delete's cell swaps over the fresh cells
+    val emb = Tables(spark, sf, "embeddings").localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 5)
+    def probe(dir: String) =
+      Similarity.knnIvfIndexed(spark, dir, queries, "vec_id", "embedding",
+          k = 3, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val iv = tmp("ivf_rebuild")
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", nLists = 8, dir = iv)
+    // fake crashed-delete residue: a committed journal claiming cell 0
+    // was emptied, plus a complete (empty-of-cells) delta dir
+    spark.read.parquet(s"$iv/corpus").limit(0)
+      .write.partitionBy("cell").parquet(s"$iv/corpus__delta")
+    import spark.implicits._
+    Seq((0, true)).toDF("cell", "emptied")
+      .coalesce(1).write.parquet(s"$iv/corpus__commit")
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", nLists = 8, dir = iv) // REBUILD
+    val ivFresh = tmp("ivf_rebuild_fresh")
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", nLists = 8, dir = ivFresh)
+    assert(probe(iv) === probe(ivFresh),
+      "rebuild must discard the stale journal — cell 0 must survive")
+    assert(new java.io.File(s"$iv/corpus/cell=0").exists())
+  }
+
   test("D7++ staged cell delete: a crash between two cell commits repairs to OLD or NEW, never a mix") {
     import graft.operators.Similarity
     val emb = Tables(spark, sf, "embeddings").localCheckpoint()
