@@ -70,9 +70,26 @@ private[graft] object CellCommit {
       if (fs.exists(delta)) fs.delete(delta, true)
     }
 
-  /** Repair a crashed staged delete: re-apply a committed journal,
-    * roll back an uncommitted staging. Idempotent; called before
-    * every read, append, and delete of the table.
+  /** PROBE-side repair: re-apply a committed journal so a reader
+    * sees the post-delete index instead of a half-applied mix —
+    * and NOTHING else. A probe must never roll anything back: an
+    * uncommitted delta may be a LIVE delete's staging write in
+    * another process, and deleting it from a read path would destroy
+    * in-flight maintenance. Rollback is [[recover]], writer-only.
+    */
+  def repairForRead(spark: SparkSession, table: String): Unit =
+    lockFor(table).synchronized {
+      val fs = hadoopFs(spark, path(table))
+      if (fs.exists(path(s"${table}__commit/_SUCCESS")) &&
+          fs.exists(path(s"${table}__delta/_SUCCESS")))
+        applyJournal(spark, table)
+    }
+
+  /** WRITER-side repair: re-apply a committed journal, roll back an
+    * uncommitted staging (safe here — maintenance is single-writer
+    * by the family contract, so an uncommitted delta can only be
+    * crash residue). Idempotent; called before every append and
+    * delete of the table.
     */
   def recover(spark: SparkSession, table: String): Unit = lockFor(table).synchronized {
     val fs = hadoopFs(spark, path(table))

@@ -1066,10 +1066,12 @@ object Dedup {
     */
   private def liveIndexRows(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, table: String): DataFrame = {
-    // repair-before-read (the bloom tier's contract): a compact that
-    // died between delete(live) and rename(staging, live) leaves the
-    // only copy in staging — republish it instead of failing the read
-    recoverDocTablePublish(spark, indexDir, table)
+    // repair-before-read: a compact that died between delete(live)
+    // and rename(staging, live) leaves the only copy in staging —
+    // republish it instead of failing the read. Read-side repair
+    // never deletes (an incomplete staging may be an in-flight
+    // compact's write).
+    repairDocTableForRead(spark, indexDir, table)
     val rows = spark.read.parquet(s"$indexDir/$table")
     val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexDir))
     if (hadoopFs(spark, tp).exists(tp))
@@ -1103,13 +1105,33 @@ object Dedup {
     */
   private def recoverDocTablePublish(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, table: String): Unit =
-    // repair-on-read mutates: serialize per dir within the JVM so two
-    // concurrent probes can't race each other's exists→rename pair
-    // (the bloomDirLock discipline)
+    // WRITER-side: full recovery incl. discarding incomplete residue
+    // (maintenance is single-writer, so it can only be crash residue);
+    // serialized per dir within the JVM (the bloomDirLock discipline)
     bloomDirLock(s"$indexDir/$table").synchronized {
       val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
       recoverBloomPublish(hadoopFs(spark, live), live,
         new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging"))
+    }
+
+  /** PROBE-side repair: republish a complete staging ONLY when the
+    * live table is missing (the crash-between-delete-and-rename
+    * window — the one state a reader cannot serve). Never deletes
+    * anything — an incomplete staging may be an in-flight compact's
+    * write in another process, and a complete staging beside an
+    * intact live reads consistently as the pre-compact table (its
+    * tombstones are still pending, so the anti-join masks).
+    */
+  private def repairDocTableForRead(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, table: String): Unit =
+    bloomDirLock(s"$indexDir/$table").synchronized {
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+      val staging = new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging")
+      val fs = hadoopFs(spark, live)
+      if (!fs.exists(live) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+        require(fs.rename(staging, live),
+          s"doc-table publish rename $staging -> $live failed")
     }
 
   /** Fold pending tombstones into `table`: staged survivor rewrite +
@@ -1128,9 +1150,15 @@ object Dedup {
       .join(broadcast(spark.read.parquet(tp.toString).select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
       .write.mode("errorifexists").parquet(staging.toString)
-    if (fs.exists(live)) fs.delete(live, true)
-    require(fs.rename(staging, live),
-      s"compact publish rename $staging -> $live failed")
+    // swap under the dir lock so an in-JVM probe's missing-live
+    // repair can't interleave with the delete+rename pair; staging is
+    // verified present BEFORE live is deleted
+    bloomDirLock(s"$indexDir/$table").synchronized {
+      require(fs.exists(staging), s"compact staging $staging vanished before publish")
+      if (fs.exists(live)) fs.delete(live, true)
+      require(fs.rename(staging, live),
+        s"compact publish rename $staging -> $live failed")
+    }
     fs.delete(tp, true)
   }
 

@@ -249,9 +249,33 @@ object Pq {
   // repair-on-read serializes per dir within the JVM (two concurrent
   // ADC searches must not race each other's exists→rename pair)
   private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def dirLock(dir: String): Object =
+    dirLocks.computeIfAbsent(dir, _ => new Object)
 
+  /** PROBE-side: republish a complete staging ONLY when the live
+    * codes are missing (the crash-between-delete-and-rename window —
+    * the one state a reader cannot serve). Never deletes anything: an
+    * incomplete staging may be an in-flight delete's write, and a
+    * complete staging beside intact live codes reads consistently as
+    * the pre-delete index.
+    */
+  private def repairFlatCodesForRead(spark: SparkSession, dir: String): Unit =
+    dirLock(dir).synchronized {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(live) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+        require(fs.rename(staging, live), s"publish $staging -> $live failed")
+    }
+
+  /** WRITER-side: finish (or discard) a flat-codes publish a previous
+    * delete died inside — a COMPLETE staging republishes (it may hold
+    * the only copy), an incomplete one is crash residue (maintenance
+    * is single-writer) and drops. Idempotent.
+    */
   private def recoverFlatCodes(spark: SparkSession, dir: String): Unit =
-    dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+    dirLock(dir).synchronized {
       val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
       val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -273,8 +297,12 @@ object Pq {
       .join(broadcast(ids.select(col(idCol).as("cid")).distinct()),
         Seq("cid"), "left_anti")
       .write.mode("errorifexists").parquet(staging.toString)
-    if (fs.exists(live)) fs.delete(live, true)
-    require(fs.rename(staging, live), s"publish $staging -> $live failed")
+    // swap under the dir lock so an in-JVM probe's missing-live
+    // repair can't interleave with the delete+rename pair
+    dirLock(dir).synchronized {
+      if (fs.exists(live)) fs.delete(live, true)
+      require(fs.rename(staging, live), s"publish $staging -> $live failed")
+    }
   }
 
   /** DELETE from the IVF-PQ index: the D52 touched-cell discipline,
@@ -302,8 +330,9 @@ object Pq {
     */
   def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    // repair-before-read: see or finish a staged cell delete, never a mix
-    CellCommit.recover(spark, s"$dir/codes")
+    // repair-before-read: finish a COMMITTED staged cell delete (see
+    // old or new, never a mix) without rolling back an in-flight one
+    CellCommit.repairForRead(spark, s"$dir/codes")
     val coarse = spark.read.parquet(s"$dir/coarse")
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -457,7 +486,7 @@ object Pq {
     */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    recoverFlatCodes(spark, dir) // repair-before-read
+    repairFlatCodesForRead(spark, dir)
     val cbRows = spark.read.parquet(s"$dir/codebook")
       .select("sub", "code", "centroid").collect()
     val m = cbRows.map(_.getInt(0)).max + 1

@@ -279,8 +279,9 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int): DataFrame = {
     // repair-before-read: a probe must see either the pre-delete or
-    // the post-delete index, never a half-applied cell swap
-    CellCommit.recover(spark, s"$dir/corpus")
+    // the post-delete index, never a half-applied cell swap — and
+    // must never roll back an in-flight delete's staging
+    CellCommit.repairForRead(spark, s"$dir/corpus")
     val centroids = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)

@@ -83,11 +83,46 @@ object TextIndex {
   // single-writer by the family contract
   private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Run both recoveries — the index is guaranteed readable and
-    * writable after this returns, whatever state a crash left.
+  private def dirLock(dir: String): Object =
+    dirLocks.computeIfAbsent(dir, _ => new Object)
+
+  /** PROBE-side repair: fix only the states a reader cannot serve —
+    * live postings missing with a complete staging (republish), stats
+    * missing or superseded by a complete stats_next (republish /
+    * restore). Never DELETES anything: an incomplete staging or
+    * stats_next may be an in-flight maintainer's write in another
+    * process, and rolling it back from a read path would destroy
+    * live maintenance. Rollback is [[recover]], writer-only.
+    */
+  private def repairForRead(spark: SparkSession, dir: String): Unit =
+    dirLock(dir).synchronized {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/postings__staging")
+      val fs = hadoopFs(spark, live)
+      if (!fs.exists(live) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+        require(fs.rename(staging, live),
+          s"postings publish rename $staging -> $live failed")
+      val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      val next = new org.apache.hadoop.fs.Path(s"$dir/stats_next")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/stats_old")
+      if (fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+        // a complete stats_next is always the post-commit row
+        if (fs.exists(stats)) fs.delete(stats, true)
+        require(fs.rename(next, stats), s"stats publish rename $next -> $stats failed")
+      } else if (!fs.exists(stats) && fs.exists(old)) {
+        require(fs.rename(old, stats), s"stats restore rename $old -> $stats failed")
+      }
+    }
+
+  /** WRITER-side: run both recoveries, including discarding
+    * incomplete residue (safe — maintenance is single-writer by the
+    * family contract, so incomplete staging/stats_next can only be
+    * crash residue). The index is guaranteed readable and writable
+    * after this returns, whatever state a crash left.
     */
   private def recover(spark: SparkSession, dir: String): Unit =
-    dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+    dirLock(dir).synchronized {
       val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
       val fs = hadoopFs(spark, live)
       recoverPostingsPublish(fs, live,
@@ -101,14 +136,21 @@ object TextIndex {
     */
   private def publishStats(spark: SparkSession, dir: String, row: DataFrame): Unit = {
     row.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_next")
-    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(dir))
-    val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/stats_next")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/stats_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(stats, old), s"stats swap rename $stats -> $old failed")
-    require(fs.rename(next, stats), s"stats publish rename $next -> $stats failed")
-    fs.delete(old, true)
+    // renames under the dir lock: an in-JVM probe's stats repair must
+    // not interleave with the swap (it would consume stats_next first)
+    dirLock(dir).synchronized {
+      val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(dir))
+      val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      val next = new org.apache.hadoop.fs.Path(s"$dir/stats_next")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/stats_old")
+      if (fs.exists(old)) fs.delete(old, true)
+      // a concurrent probe's repair may have already published the
+      // completed stats_next (its content is this row) — done then
+      if (!fs.exists(next)) return
+      require(fs.rename(stats, old), s"stats swap rename $stats -> $old failed")
+      require(fs.rename(next, stats), s"stats publish rename $next -> $stats failed")
+      fs.delete(old, true)
+    }
   }
 
   /** Tokenize once, aggregate (doc, term) frequencies, write postings
@@ -299,8 +341,15 @@ object TextIndex {
         Seq("doc_id"), "left_anti")
     survivors.repartition(col("bucket"))
       .write.mode("errorifexists").partitionBy("bucket").parquet(staging.toString)
-    fs.delete(live, true)
-    require(fs.rename(staging, live), s"compact rename $staging -> $live failed")
+    // swap under the dir lock: an in-JVM probe's missing-live repair
+    // must not interleave with the delete+rename pair. Staging is
+    // verified present BEFORE live is deleted — never delete the only
+    // copy on a surprise state.
+    dirLock(dir).synchronized {
+      require(fs.exists(staging), s"compact staging $staging vanished before publish")
+      if (fs.exists(live)) fs.delete(live, true)
+      require(fs.rename(staging, live), s"compact rename $staging -> $live failed")
+    }
     val nBuckets = spark.read.parquet(s"$dir/stats").select("n_buckets").head().getInt(0)
     // gen+1 marks the fold: from this publish on, the still-present
     // tombstones read as STALE (gen below stats gen), so a crash
@@ -325,7 +374,7 @@ object TextIndex {
   def searchSaturationExact(spark: SparkSession, dir: String,
       terms: Seq[String], scale: Long = 1000000L): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
-    recover(spark, dir)
+    repairForRead(spark, dir)
     val stats = spark.read.parquet(s"$dir/stats")
     val nBuckets = stats.select("n_buckets").head().getInt(0)
     val bucketRow = spark.range(1).select(

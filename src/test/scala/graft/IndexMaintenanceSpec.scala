@@ -395,7 +395,9 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     TextIndex.compactIndex(spark, d)
     assert(res(d) === res(fresh))
     // an INCOMPLETE staging (no _SUCCESS: writer died mid-write) next
-    // to an intact live is discarded, not published
+    // to an intact live: READS ignore it (never delete — it could be
+    // an in-flight compact's write in another process); the next
+    // WRITER op discards it
     val d2 = tmp("text_crash_incomplete")
     TextIndex.writeIndex(all, "doc_id", "text", d2)
     java.nio.file.Files.createDirectories(
@@ -406,7 +408,11 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val fullIdx = tmp("text_crash_full")
     TextIndex.writeIndex(all, "doc_id", "text", fullIdx)
     assert(res(d2) === res(fullIdx))
-    assert(!new java.io.File(s"$d2/postings__staging").exists())
+    assert(new java.io.File(s"$d2/postings__staging").exists(),
+      "a read must not delete a maybe-in-flight staging")
+    TextIndex.removeDocs(spark, d2, all.limit(0).select("doc_id"), "doc_id")
+    assert(!new java.io.File(s"$d2/postings__staging").exists(),
+      "the next writer op discards the crash residue")
   }
 
   test("D55 compact crash after stats swap, before tombstone drop: stale tombstones are never double-subtracted") {
@@ -609,7 +615,9 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$crashed/corpus/cell=$emptyCell").exists())
 
     // crash BEFORE the journal's commit point (delta complete, no
-    // journal): rolled back — probes see the OLD index bit-for-bit
+    // journal): probes see the OLD index bit-for-bit and leave the
+    // delta alone (it could be an in-flight delete's write in
+    // another process); the next WRITER op rolls it back
     val early = tmp("ivf_crash_early")
     build(early)
     spark.read.parquet(s"$early/corpus")
@@ -617,10 +625,12 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .join(broadcast(delIds), Seq("cid"), "left_anti").localCheckpoint()
       .write.partitionBy("cell").parquet(s"$early/corpus__delta")
     assert(probe(early) === oldRes,
-      "an uncommitted staging must be rolled back — the probe sees the OLD index")
-    assert(!new java.io.File(s"$early/corpus__delta").exists())
-    // and an append after the rollback is never clobbered by a repair
+      "an uncommitted staging must not be visible — the probe sees the OLD index")
+    assert(new java.io.File(s"$early/corpus__delta").exists(),
+      "a read must not roll back a maybe-in-flight delta")
+    // the next delete (a writer) rolls the residue back, then lands
     Similarity.removeDocsFromIvfIndex(spark, early, delIds, "cid")
+    assert(!new java.io.File(s"$early/corpus__delta").exists())
     assert(probe(early) === newRes)
   }
 
