@@ -123,4 +123,97 @@ object Sketches {
       .withColumn("estimate_ok",
         abs(lit(est) - col("n_exact")) * 100 <= col("n_exact") * tolerancePct)
   }
+
+  // --- D134: KMV (k-minimum-values) distinct sketch -----------------
+
+  /** The 48-bit portable value hash both engines compute identically:
+    * Spark `conv(substr(md5(...), 1, 12), 16, 10)` == DuckDB
+    * `('0x' || substr(md5(...), 1, 12))::BIGINT` (the established
+    * §6 idiom). Uniform over [0, 2^48).
+    */
+  private def kmvHash(valueCol: String) =
+    conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 12),
+      16, 10).cast("long")
+
+  private val KmvRange = 1L << 48
+
+  /** D134 — KMV (k-minimum-values / bottom-k) distinct sketch: per
+    * group, the k SMALLEST distinct 48-bit value hashes. Unlike HLL
+    * (D57) the sketch is a deterministic pure FUNCTION of the value
+    * set — no insertion-order sensitivity, bit-identical across
+    * engines, so the gate pins the estimate exactly, not a tolerance
+    * boolean — and it supports SET OPERATIONS: union = k smallest of
+    * the merged sketches, intersection via the Beyer et al. (SIGMOD
+    * 2007) ratio estimator. Estimate: exact count below k, else
+    * (k-1)·2^48 / h_(k) — pure Long arithmetic.
+    *
+    * Scale shape: one (group, hash) distinct exchange, then a
+    * per-(group, input-slice) pre-prune keeps ≤ k rows per slice
+    * BEFORE the per-group rank — the global k-min is necessarily
+    * inside some slice's k-min, so no reducer ever sorts a whole
+    * group (the deterministicPerGroup two-phase discipline). Output
+    * is ≤ k rows per group — the mergeable representation later set
+    * operations and appends consume.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 1 && k <= 32768, s"k must be in (1, 32768], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dh = df.select(col(groupCol).as("g"), kmvHash(valueCol).as("h")).distinct()
+    val pre = dh.withColumn("__slice", spark_partition_id())
+      .withColumn("__rs",
+        row_number().over(Window.partitionBy("g", "__slice").orderBy("h")))
+      .filter(col("__rs") <= k)
+      .drop("__rs", "__slice")
+    pre.withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("h")))
+      .filter(col("rn") <= k)
+  }
+
+  /** Per-group distinct estimate from a [[kmvSketch]] row set:
+    * (g, n_sk, kth, kmv_est) — exact when the group has fewer than k
+    * distinct values, else the kth-minimum estimator.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy("g")
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+      .withColumn("kmv_est",
+        when(col("n_sk") < k, col("n_sk"))
+          // integer div — Column./ is DOUBLE division and would break
+          // bit-parity with the oracle's // on large estimates
+          .otherwise(expr(s"${(k - 1L) * KmvRange}L div greatest(kth, 1L)"))
+          .cast("long"))
+
+  /** Pairwise set-operation estimates from ONE sketch table: for
+    * every group pair (a < b), the union estimate (k smallest of the
+    * merged sketches) and the intersection estimate
+    * est_inter = n_both · est_union / k, where n_both counts merged
+    * k-min hashes present in BOTH input sketches. Below k the merged
+    * sketch is the exact union hash set, so both estimates are exact.
+    * Cost is |groups|² · k rows — sketch-sized, never corpus-sized.
+    */
+  def kmvSetEstimates(sketch: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = sketch.select("g").distinct()
+    val pairs = gs.select(col("g").as("ga"))
+      .crossJoin(gs.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val merged = sketch.select(col("g"), col("h"))
+      .join(broadcast(pairs), col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "h")
+      .agg(countDistinct(col("g")).as("n_src"))
+    val ranked = merged.withColumn("rn",
+        row_number().over(Window.partitionBy("ga", "gb").orderBy("h")))
+      .filter(col("rn") <= k)
+    ranked.groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("kth"),
+        sum(when(col("n_src") === 2, 1L).otherwise(0L)).as("n_both"))
+      .withColumn("est_union",
+        when(col("n_u") < k, col("n_u"))
+          .otherwise(expr(s"${(k - 1L) * KmvRange}L div greatest(kth, 1L)"))
+          .cast("long"))
+      .withColumn("est_inter",
+        when(col("n_u") < k, col("n_both"))
+          .otherwise(expr(s"(n_both * est_union) div ${k}L")).cast("long"))
+      .select("ga", "gb", "n_u", "n_both", "est_union", "est_inter")
+  }
 }

@@ -2966,6 +2966,111 @@ object Pipeline {
     graft.operators.Sketches.cardinalityCheck(docs, "h", "shard", s"$out/sk")
   }
 
+  /** D134 — KMV (bottom-k) distinct sketch per event_type over
+    * user_id: unlike HLL (D57, tolerance-boolean gate by necessity —
+    * DataSketches bytes are insertion-order-sensitive), the KMV
+    * sketch is a pure function of the value set, so the ESTIMATE
+    * itself is pinned bit-for-bit: the oracle recomputes the k
+    * smallest 48-bit md5 hashes per group and replays the
+    * (k−1)·2^48 div h_(k) estimator in integer arithmetic. Groups
+    * under k distinct users report exactly.
+    */
+  // k = 64: small enough that the verification SFs actually ENGAGE
+  // the kth-minimum estimator (sf0.01 has ~150 distinct users per
+  // type — k=256 would reduce every group to the exact-count branch
+  // and the gate would never exercise the division), large enough
+  // that sf0.001 still covers the exact branch
+  private val kmvK = 64
+  private val kmvSketchSql =
+    s"""dh AS (SELECT DISTINCT event_type AS g,
+       |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |      FROM events),
+       |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |       FROM dh)""".stripMargin
+
+  val qKmvDistinct: GateQuery = GateQuery(
+    "q_kmv_distinct",
+    s"""WITH $kmvSketchSql,
+       |sk AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS kth
+       |       FROM rk WHERE rn <= $kmvK GROUP BY g),
+       |ex AS (SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |       FROM events GROUP BY 1)
+       |SELECT sk.g AS event_type, ex.n_exact, sk.n_sk,
+       |  CAST(CASE WHEN sk.n_sk < $kmvK THEN sk.n_sk
+       |       ELSE (${(kmvK - 1).toLong * (1L << 48)} // GREATEST(sk.kth, 1)) END AS BIGINT) AS kmv_est
+       |FROM sk JOIN ex ON ex.g = sk.g
+       |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val sk = graft.operators.Sketches.kmvSketch(ev, "event_type", "user_id", kmvK)
+    val exact = ev.groupBy(col("event_type").as("g"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    graft.operators.Sketches.kmvEstimate(sk, kmvK)
+      .join(exact, "g")
+      .select(col("g").as("event_type"), col("n_exact"), col("n_sk"), col("kmv_est"))
+      .orderBy("event_type")
+  }
+
+  /** D134 set-operation phase — the capability HLL lacks: per
+    * event_type PAIR, union and intersection distinct-user estimates
+    * from the sketches alone (k smallest of the merged sketches;
+    * Beyer et al.'s n_both·est_union div k ratio estimator), next to
+    * the exact values so the error is measured in-engine, never
+    * asserted. Cost is |pairs|·k sketch rows — the corpus is touched
+    * once, at sketch-build time.
+    */
+  val qKmvSetops: GateQuery = GateQuery(
+    "q_kmv_setops",
+    s"""WITH $kmvSketchSql,
+       |sk AS (SELECT g, h FROM rk WHERE rn <= $kmvK),
+       |gs AS (SELECT DISTINCT g FROM sk),
+       |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+       |m AS (SELECT p.ga, p.gb, s.h, COUNT(DISTINCT s.g) AS n_src
+       |      FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+       |      GROUP BY p.ga, p.gb, s.h),
+       |mr AS (SELECT ga, gb, h, n_src,
+       |         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM m),
+       |u AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS kth,
+       |        CAST(SUM(CASE WHEN n_src = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |      FROM mr WHERE rn <= $kmvK GROUP BY ga, gb),
+       |est AS (SELECT ga, gb, n_u, n_both,
+       |          CAST(CASE WHEN n_u < $kmvK THEN n_u
+       |               ELSE (${(kmvK - 1).toLong * (1L << 48)} // GREATEST(kth, 1)) END AS BIGINT) AS est_union
+       |        FROM u),
+       |tu AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+       |xi AS (SELECT p.ga, p.gb, CAST(COUNT(*) AS BIGINT) AS exact_inter
+       |       FROM pairs p JOIN tu a ON a.g = p.ga JOIN tu b ON b.g = p.gb AND b.user_id = a.user_id
+       |       GROUP BY p.ga, p.gb),
+       |xn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY g)
+       |SELECT est.ga AS type_a, est.gb AS type_b, est.n_u, est.n_both, est.est_union,
+       |  CAST(CASE WHEN est.n_u < $kmvK THEN est.n_both
+       |       ELSE (est.n_both * est.est_union) // $kmvK END AS BIGINT) AS est_inter,
+       |  CAST(na.n + nb.n - COALESCE(xi.exact_inter, 0) AS BIGINT) AS exact_union,
+       |  CAST(COALESCE(xi.exact_inter, 0) AS BIGINT) AS exact_inter
+       |FROM est
+       |JOIN xn na ON na.g = est.ga JOIN xn nb ON nb.g = est.gb
+       |LEFT JOIN xi ON xi.ga = est.ga AND xi.gb = est.gb
+       |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val sk = graft.operators.Sketches.kmvSketch(ev, "event_type", "user_id", kmvK)
+    val est = graft.operators.Sketches.kmvSetEstimates(sk, kmvK)
+    val tu = ev.select(col("event_type").as("g"), col("user_id")).distinct()
+      .localCheckpoint()
+    val xn = tu.groupBy("g").agg(count(lit(1)).as("n"))
+    val xi = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(xn.select(col("g").as("ga"), col("n").as("na")), "ga")
+      .join(xn.select(col("g").as("gb"), col("n").as("nb")), "gb")
+      .join(xi, Seq("ga", "gb"), "left")
+      .select(col("ga").as("type_a"), col("gb").as("type_b"),
+        col("n_u"), col("n_both"), col("est_union"), col("est_inter"),
+        (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** D65 — persisted mergeable histogram sketch for quantiles: per-
     * shard (shard, bin, cnt) rows written to disk (two separate
     * appends prove merge-associativity on the COMMITTED table), then
@@ -5402,7 +5507,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qTemperatureMix, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
-    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct,
+    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct, qKmvDistinct, qKmvSetops,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,

@@ -135,4 +135,60 @@ class SketchSpec extends AnyFunSuite {
       assert(rows.exists(_.getLong(1) > 0), s"markers should occur at sf$sf")
     }
   }
+  test("D134 kmv: sketch is the k smallest distinct hashes, partition-invariant; estimate exact below k") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 500).map(i => (if (i % 2 == 0) "a" else "b", s"v${i % 300}"))
+    // group a sees v0,v2,...,v298 (150 distinct); b sees 150 odd ones
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val sk = Sketches.kmvSketch(df, "g", "v", k = 32)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      // per group: exactly 32 rows, ranks 1..32, hashes strictly ascending
+      for (g <- Seq("a", "b")) {
+        val rowsG = sk.filter(_._1 == g).sortBy(_._3)
+        assert(rowsG.length === 32)
+        assert(rowsG.map(_._3).toSeq === (1 to 32))
+        assert(rowsG.map(_._2).toSeq === rowsG.map(_._2).sorted.toSeq)
+      }
+      // brute-force reference: k smallest of the exact distinct hash set
+      val all = df.filter(col("g") === "a")
+        .select(conv(substring(md5(col("v").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("h")).distinct()
+        .collect().map(_.getLong(0)).sorted.take(32).toSeq
+      assert(sk.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq === all,
+        "sketch must be exactly the k smallest distinct hashes")
+    }
+    // below k: estimate is the exact distinct count
+    val tiny = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "z"))
+      .toDF("g", "v")
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(tiny, "g", "v", 32), 32)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(est === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("D134 kmv set ops: disjoint and identical value sets give the hand-computable extremes") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val k = 16
+    // identical sets: union == each set, n_both == k, est_inter == est_union
+    val same = (0 until 200).flatMap(i => Seq(("p", s"u$i"), ("q", s"u$i")))
+      .toDF("g", "v")
+    val skSame = Sketches.kmvSketch(same, "g", "v", k)
+    val eSame = Sketches.kmvSetEstimates(skSame, k).collect().head
+    assert(eSame.getLong(2) === k.toLong)   // n_u: merged sketch is the same k hashes
+    assert(eSame.getLong(3) === k.toLong)   // n_both: every one present in both
+    assert(eSame.getLong(4) === eSame.getLong(5), "identical sets: est_inter == est_union")
+    // disjoint sets: n_both == 0 -> est_inter == 0
+    val disj = ((0 until 200).map(i => ("p", s"l$i")) ++
+      (0 until 200).map(i => ("q", s"r$i"))).toDF("g", "v")
+    val eDisj = Sketches.kmvSetEstimates(Sketches.kmvSketch(disj, "g", "v", k), k)
+      .collect().head
+    assert(eDisj.getLong(3) === 0L)
+    assert(eDisj.getLong(5) === 0L, "disjoint sets: est_inter == 0")
+    // union estimator sanity on the disjoint case: ~400 true distinct
+    val estU = eDisj.getLong(4)
+    assert(estU > 200 && estU < 800, s"union estimate $estU wildly off 400")
+  }
+
 }
