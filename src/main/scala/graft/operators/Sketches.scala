@@ -156,10 +156,19 @@ object Sketches {
     * operations and appends consume.
     */
   def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    kmvMerge(df.select(col(groupCol).as("g"), kmvHash(valueCol).as("h")), k)
+
+  /** Bottom-k of already-hashed (g, h) rows — the MERGE operation:
+    * because bottom-k of a union is inside the union of bottom-ks,
+    * merging per-shard/per-epoch sketch rows through this yields
+    * EXACTLY the one-shot corpus sketch (gate-pinned). Same two-phase
+    * slice pre-prune as the build.
+    */
+  def kmvMerge(rows: DataFrame, k: Int): DataFrame = {
     require(k > 1 && k <= 32768, s"k must be in (1, 32768], got $k")
     import org.apache.spark.sql.expressions.Window
-    val dh = df.select(col(groupCol).as("g"), kmvHash(valueCol).as("h")).distinct()
+    val dh = rows.select(col("g"), col("h")).distinct()
     val pre = dh.withColumn("__slice", spark_partition_id())
       .withColumn("__rs",
         row_number().over(Window.partitionBy("g", "__slice").orderBy("h")))
@@ -167,6 +176,48 @@ object Sketches {
       .drop("__rs", "__slice")
     pre.withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("h")))
       .filter(col("rn") <= k)
+  }
+
+  /** Persist one shard's bottom-k rows beside the corpus (the D57
+    * shard-table discipline with EXACT estimates): k is params-as-law
+    * — the first write records it, appends refuse a different k (a
+    * mixed-k table would silently under-fill merges). Estimates for
+    * any shard subset come from [[kmvEstimateFromShards]] at
+    * sketch-table cost, never a corpus rescan.
+    */
+  def writeKmvShard(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int, dir: String, shard: String): Unit = {
+    val spark = df.sparkSession
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(paramsPath)) {
+      val stored = spark.read.parquet(paramsPath.toString).head().getInt(0)
+      require(stored == k,
+        s"kmv shard table at $dir was built with k=$stored but this write " +
+          s"uses k=$k; delete the table to change k")
+    } else {
+      spark.range(1).select(lit(k).as("k"))
+        .coalesce(1).write.mode("errorifexists").parquet(paramsPath.toString)
+    }
+    kmvSketch(df, groupCol, valueCol, k)
+      .withColumn("shard", lit(shard))
+      .write.mode("append").parquet(s"$dir/rows")
+  }
+
+  /** Per-group estimate over a shard subset (None = all shards) from
+    * the persisted table alone: merge the kept shards' rows, rank,
+    * estimate — exact vs the one-shot sketch by the bottom-k-of-union
+    * identity.
+    */
+  def kmvEstimateFromShards(spark: SparkSession, dir: String,
+      shards: Option[Seq[String]] = None): DataFrame = {
+    val k = spark.read.parquet(s"$dir/params").head().getInt(0)
+    val rows = spark.read.parquet(s"$dir/rows")
+    val kept = shards match {
+      case Some(ss) => rows.filter(col("shard").isin(ss: _*))
+      case None => rows
+    }
+    kmvEstimate(kmvMerge(kept.select("g", "h"), k), k)
   }
 
   /** Per-group distinct estimate from a [[kmvSketch]] row set:

@@ -3071,6 +3071,54 @@ object Pipeline {
       .orderBy("type_a", "type_b")
   }
 
+  /** D134 persisted-shard phase — the D57 shard-table discipline with
+    * EXACT estimates: three per-shard bottom-k writes (the third an
+    * APPEND after the first estimate could already have been served),
+    * then the all-shards AND a two-shard-subset estimate from the
+    * sketch table alone. The oracle recomputes both straight from the
+    * raw corpus, so the gate pins the bottom-k-of-union merge
+    * identity: a shard row lost, duplicated, or merged at the wrong k
+    * shifts an estimate.
+    */
+  private val kmvShardDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val qKmvShards: GateQuery = GateQuery(
+    "q_kmv_shards",
+    s"""WITH dh AS (SELECT DISTINCT event_type AS g, user_id % 3 AS shard,
+       |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |      FROM events),
+       |rka AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |        FROM (SELECT DISTINCT g, h FROM dh)),
+       |ska AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_all, MAX(h) AS kth
+       |        FROM rka WHERE rn <= $kmvK GROUP BY g),
+       |rks AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |        FROM (SELECT DISTINCT g, h FROM dh WHERE shard < 2)),
+       |sks AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_01, MAX(h) AS kth
+       |        FROM rks WHERE rn <= $kmvK GROUP BY g)
+       |SELECT ska.g AS event_type,
+       |  CAST(CASE WHEN ska.n_all < $kmvK THEN ska.n_all
+       |       ELSE (${(kmvK - 1).toLong * (1L << 48)} // GREATEST(ska.kth, 1)) END AS BIGINT) AS est_all,
+       |  CAST(CASE WHEN sks.n_01 < $kmvK THEN sks.n_01
+       |       ELSE (${(kmvK - 1).toLong * (1L << 48)} // GREATEST(sks.kth, 1)) END AS BIGINT) AS est_01
+       |FROM ska JOIN sks ON sks.g = ska.g
+       |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import graft.operators.Sketches
+    val table = kmvShardDirCache.computeIfAbsent(dir, _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_kmv_shards_${ProcessHandle.current().pid()}/${new java.io.File(dir).getName}"
+      val ev = Tables(s, dir, "events")
+      for (sh <- 0 to 2)
+        Sketches.writeKmvShard(ev.filter(col("user_id") % 3 === sh),
+          "event_type", "user_id", kmvK, out, sh.toString)
+      out
+    })
+    Sketches.kmvEstimateFromShards(s, table)
+      .select(col("g"), col("kmv_est").as("est_all"))
+      .join(Sketches.kmvEstimateFromShards(s, table, Some(Seq("0", "1")))
+        .select(col("g"), col("kmv_est").as("est_01")), "g")
+      .select(col("g").as("event_type"), col("est_all"), col("est_01"))
+      .orderBy("event_type")
+  }
+
   /** D65 — persisted mergeable histogram sketch for quantiles: per-
     * shard (shard, bin, cnt) rows written to disk (two separate
     * appends prove merge-associativity on the COMMITTED table), then
@@ -5507,7 +5555,7 @@ object Pipeline {
     qPiiRedact, qMultimodalMeta, qMediaMeta, qFrameSample, qImageDecode,
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qTemperatureMix, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
-    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct, qKmvDistinct, qKmvSetops,
+    qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct, qKmvDistinct, qKmvSetops, qKmvShards,
     qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,

@@ -870,6 +870,56 @@ object StreamingGates {
     s.read.parquet(out).select("v", "d").orderBy("v")
   }
 
+  /** E63 — the D134 KMV distinct sketch ONLINE: events arrive as two
+    * micro-batches; each lands its own per-type bottom-k rows in an
+    * epoch directory, and the final estimate merges every epoch —
+    * which must EQUAL the one-shot batch sketch by the
+    * bottom-k-of-union identity. The oracle recomputes the k-min
+    * hashes and integer estimator from the raw table: a lost epoch,
+    * a duplicated one (replay), or a merge at the wrong k shifts the
+    * estimate and breaks the hash.
+    */
+  val qStreamKmv: GateQuery = GateQuery(
+    "q_stream_kmv",
+    s"""WITH dh AS (SELECT DISTINCT event_type AS g,
+       |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |      FROM events),
+       |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |       FROM dh)
+       |SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_sk,
+       |  CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+       |       ELSE (${63L * (1L << 48)} // GREATEST(MAX(h), 1)) END AS BIGINT) AS kmv_est
+       |FROM rk WHERE rn <= 64 GROUP BY g
+       |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events").select("event_id", "event_type", "user_id")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_kmv")
+    val srcDir = work.resolve("src").toString
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val sketchDir = work.resolve("sk").toString
+    val q = StreamingOps.kmvSketchStream(stream, "event_type", "user_id",
+      k = 64, sketchDir, work.resolve("ckpt").toString)
+    drainAndUnload(q)
+    graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvMerge(
+          s.read.parquet(s"$sketchDir/epoch_*").select("g", "h"), 64), 64)
+      .select(col("g").as("event_type"), col("n_sk"), col("kmv_est"))
+      .orderBy("event_type")
+  }
+
   /** E48 — Trigger.AvailableNow incremental batch: TWO separate
     * scheduled invocations of the same query definition (the second
     * after new data lands), each terminating ITSELF when caught up.
@@ -1805,6 +1855,6 @@ object StreamingGates {
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
       qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
-      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce, qStreamRate)
+      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce, qStreamRate, qStreamKmv)
     .map(_.copy(bench = false))
 }

@@ -914,6 +914,33 @@ object StreamingOps {
       .start()
   }
 
+  /** E63 — the D134 KMV distinct sketch running ONLINE: each
+    * micro-batch lands its own per-group bottom-k rows in an
+    * epoch-stamped directory (idempotent on replay — a redelivered
+    * batch overwrites its own epoch), and the final estimate merges
+    * every epoch's rows through the same bottom-k-of-union identity
+    * that makes the shard table exact — so the streamed estimate
+    * EQUALS the one-shot batch sketch, gate-pinned. The live
+    * distinct-users dashboard at 100 TB: per-batch cost is the
+    * batch's (group, hash) distinct, never a corpus rescan.
+    */
+  def kmvSketchStream(docs: DataFrame, groupCol: String, valueCol: String,
+      k: Int, sketchDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.kmvSketch(batch, groupCol, valueCol, k)
+          .write.mode("overwrite")
+          .parquet(s"$sketchDir/epoch_${streamId}_$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** E45 — the D113 duplicated-span guard running ONLINE: every
     * micro-batch (1) probes the persisted gram index and lands its
     * span report, then (2) appends its own NOVEL grams — so batch 2
