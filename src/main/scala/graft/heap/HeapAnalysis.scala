@@ -1030,7 +1030,14 @@ final class HeapAnalysis(t: HeapTables) {
     val spark = oi.sparkSession
     import spark.implicits._
     val ids: Array[Long] = {
-      val a = oi.select("obj_id").collect().map(_.getLong(0))
+      val parts: Array[Array[Long]] = oi.select("obj_id").rdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach(r => b += r.getLong(0))
+        Iterator(b.result())
+      }.collect()
+      val a = new Array[Long](parts.iterator.map(_.length).sum)
+      var off = 0
+      parts.foreach { p => System.arraycopy(p, 0, a, off, p.length); off += p.length }
       java.util.Arrays.sort(a); a
     }
     require(ids.length <= maxNodes,
@@ -1042,17 +1049,29 @@ final class HeapAnalysis(t: HeapTables) {
       val i = java.util.Arrays.binarySearch(ids, id)
       if (i >= 0) i + 1 else 0 // 0 doubles as "unresolved" and is filtered below
     }
-    // edge collection into growable PRIMITIVE arrays, streamed a
-    // partition at a time (toLocalIterator): the 4M-edge bench dump
-    // never materializes an Array[Row] on the driver
+    // edge collection as per-partition PRIMITIVE long arrays in ONE
+    // job (toLocalIterator would run a sequential job per partition —
+    // 32 scheduler round-trips; an Array[Row] collect would box 4M
+    // rows on the driver)
     val (eSrc, eDst) = {
+      val parts: Array[(Array[Long], Array[Long])] =
+        edges.select("src", "dst").distinct().rdd.mapPartitions { it =>
+          val bs = new scala.collection.mutable.ArrayBuilder.ofLong
+          val bd = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { r => bs += r.getLong(0); bd += r.getLong(1) }
+          Iterator((bs.result(), bd.result()))
+        }.collect()
       val bs = new scala.collection.mutable.ArrayBuilder.ofInt
       val bd = new scala.collection.mutable.ArrayBuilder.ofInt
-      val it = edges.select("src", "dst").distinct().toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        val s0 = lookup(r.getLong(0)); val d0 = lookup(r.getLong(1))
-        if (s0 != 0 && d0 != 0 && s0 != d0) { bs += s0; bd += d0 }
+      bs.sizeHint(parts.iterator.map(_._1.length).sum + 64)
+      bd.sizeHint(parts.iterator.map(_._1.length).sum + 64)
+      parts.foreach { case (ss, ds) =>
+        var i = 0
+        while (i < ss.length) {
+          val s0 = lookup(ss(i)); val d0 = lookup(ds(i))
+          if (s0 != 0 && d0 != 0 && s0 != d0) { bs += s0; bd += d0 }
+          i += 1
+        }
       }
       gcr.select("obj_id").distinct().collect().foreach { r =>
         val d0 = lookup(r.getLong(0))
@@ -1163,16 +1182,26 @@ final class HeapAnalysis(t: HeapTables) {
         i += 1
       }
     }
-    // per-node shallow bytes, streamed into a primitive array aligned
-    // with the sorted id array (binary search, no boxed map)
+    // per-node shallow bytes into a primitive array aligned with the
+    // sorted id array (binary search, no boxed map) — same one-job
+    // per-partition primitive collect as the edges
     val bytesOf = new Array[Long](n)
     java.util.Arrays.fill(bytesOf, 16L) // default for ids missing a size row
     locally {
-      val it = sizes.select("obj_id", "bytes").toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        val v = lookup(r.getLong(0))
-        if (v != 0) bytesOf(v) = r.getLong(1)
+      val parts: Array[(Array[Long], Array[Long])] =
+        sizes.select("obj_id", "bytes").rdd.mapPartitions { it =>
+          val bi = new scala.collection.mutable.ArrayBuilder.ofLong
+          val bb = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { r => bi += r.getLong(0); bb += r.getLong(1) }
+          Iterator((bi.result(), bb.result()))
+        }.collect()
+      parts.foreach { case (is, bs) =>
+        var i = 0
+        while (i < is.length) {
+          val v = lookup(is(i))
+          if (v != 0) bytesOf(v) = bs(i)
+          i += 1
+        }
       }
       bytesOf(0) = 0L
     }
