@@ -185,9 +185,65 @@ object Sketches {
     * any shard subset come from [[kmvEstimateFromShards]] at
     * sketch-table cost, never a corpus rescan.
     */
+  // staged-publish serialization + recovery for the flat rows table
+  // (the Pq flat-codes discipline): probes repair only a missing live
+  // dir; writers also discard incomplete residue
+  private val kmvDirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def kmvLock(dir: String): Object =
+    kmvDirLocks.computeIfAbsent(dir, _ => new Object)
+
+  private def kmvRecoverForWrite(spark: SparkSession, dir: String): Unit =
+    kmvLock(dir).synchronized {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/rows")
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/rows__staging")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(staging)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+          if (fs.exists(live)) fs.delete(live, true)
+          require(fs.rename(staging, live), s"kmv publish $staging -> $live failed")
+        } else fs.delete(staging, true)
+      }
+    }
+
+  private def kmvRepairForRead(spark: SparkSession, dir: String): Unit =
+    kmvLock(dir).synchronized {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/rows")
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/rows__staging")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(live) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+        require(fs.rename(staging, live), s"kmv publish $staging -> $live failed")
+    }
+
+  /** Shard-level DELETE from the persisted KMV table: per-shard
+    * sketch rows are pure functions of their shard's values, so
+    * dropping a shard's rows makes every later merged estimate
+    * EXACTLY the sketch of the remaining corpus — no tombstones, no
+    * corpus rescan (the property HLL shard tables share and value-
+    * level deletes can never have: bottom-k can't subtract a value,
+    * but it never needs to subtract a SHARD). Staged survivor rewrite
+    * + atomic rename, the family discipline.
+    */
+  def removeKmvShard(spark: SparkSession, dir: String, shard: String): Unit = {
+    kmvRecoverForWrite(spark, dir)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/rows")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/rows__staging")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(live.toString)
+      .filter(col("shard") =!= shard)
+      .write.mode("errorifexists").parquet(staging.toString)
+    kmvLock(dir).synchronized {
+      require(fs.exists(staging), s"kmv staging $staging vanished before publish")
+      if (fs.exists(live)) fs.delete(live, true)
+      require(fs.rename(staging, live), s"kmv publish $staging -> $live failed")
+    }
+  }
+
   def writeKmvShard(df: DataFrame, groupCol: String, valueCol: String,
       k: Int, dir: String, shard: String): Unit = {
     val spark = df.sparkSession
+    // finish a crashed shard delete before appending into live
+    kmvRecoverForWrite(spark, dir)
     val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
     val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(paramsPath)) {
@@ -211,6 +267,7 @@ object Sketches {
     */
   def kmvEstimateFromShards(spark: SparkSession, dir: String,
       shards: Option[Seq[String]] = None): DataFrame = {
+    kmvRepairForRead(spark, dir)
     val k = spark.read.parquet(s"$dir/params").head().getInt(0)
     val rows = spark.read.parquet(s"$dir/rows")
     val kept = shards match {

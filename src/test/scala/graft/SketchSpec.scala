@@ -191,4 +191,38 @@ class SketchSpec extends AnyFunSuite {
     assert(estU > 200 && estU < 800, s"union estimate $estU wildly off 400")
   }
 
+  test("D134 kmv shard table: append composes, shard delete is exact, crashed swap recovers") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val k = 16
+    val rows = (0 until 900).map(i => (s"g${i % 2}", s"v${i % 600}", (i % 3).toString))
+    val df = rows.toDF("g", "v", "shard")
+    val dir = java.nio.file.Files.createTempDirectory("kmv_shards").resolve("t").toString
+    for (sh <- Seq("0", "1", "2"))
+      Sketches.writeKmvShard(df.filter(col("shard") === sh), "g", "v", k, dir, sh)
+    def est(shards: Option[Seq[String]]) =
+      Sketches.kmvEstimateFromShards(spark, dir, shards)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // merged == one-shot sketch over the same data
+    def oneShot(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvEstimate(Sketches.kmvSketch(d, "g", "v", k), k)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(est(None) === oneShot(df))
+    assert(est(Some(Seq("0", "2"))) === oneShot(df.filter(col("shard") =!= "1")))
+    // mixed-k append refuses
+    intercept[IllegalArgumentException] {
+      Sketches.writeKmvShard(df.limit(5), "g", "v", k + 1, dir, "3")
+    }
+    // shard delete: estimates equal the from-scratch table without it
+    Sketches.removeKmvShard(spark, dir, "1")
+    assert(est(None) === oneShot(df.filter(col("shard") =!= "1")),
+      "post-delete estimates must equal the remaining corpus' sketch")
+    // crashed swap: rows moved aside as a COMPLETE staging, live gone
+    val livePath = java.nio.file.Paths.get(s"$dir/rows")
+    java.nio.file.Files.move(livePath, java.nio.file.Paths.get(s"$dir/rows__staging"))
+    assert(est(None) === oneShot(df.filter(col("shard") =!= "1")),
+      "a read must republish the staged rows")
+    assert(new java.io.File(s"$dir/rows").exists())
+  }
+
 }
