@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *   graft.PipelineCli ivf-remove <indexDir> <ids.parquet>
   *   graft.PipelineCli ivf-query <indexDir> <queries.parquet> <outDir> [k] [nProbe]
   *   graft.PipelineCli redact   <docs.parquet> <outDir>
+  *   graft.PipelineCli kmv-build <in.parquet> <tableDir> <groupCol> <valueCol> [k] [shard]
+  *   graft.PipelineCli kmv-estimate <tableDir> <outDir> [shard,shard,...]
+  *   graft.PipelineCli kmv-remove-shard <tableDir> <shard>
   *
   * Input schemas: docs(doc_id, text), emb(vec_id, embedding).
   */
@@ -89,11 +92,33 @@ object PipelineCli {
         .withColumn("text", graft.functions.TextFunctions.redactPii(col("text")))
         .write.mode("overwrite").parquet(out)
       spark.stop()
+    case "kmv-build" :: in :: table :: groupCol :: valueCol :: rest =>
+      // one bottom-k shard write per invocation (append cadence);
+      // k is params-as-law after the first write
+      val spark = session()
+      val k = rest.headOption.map(_.toInt).getOrElse(64)
+      val shard = rest.drop(1).headOption.getOrElse("0")
+      graft.operators.Sketches.writeKmvShard(
+        spark.read.parquet(in), groupCol, valueCol, k, table, shard)
+      spark.stop()
+    case "kmv-estimate" :: table :: out :: rest =>
+      // distinct estimates per group from the sketch table alone;
+      // optional comma-separated shard subset
+      val spark = session()
+      val shards = rest.headOption.map(_.split(",").toSeq)
+      graft.operators.Sketches.kmvEstimateFromShards(spark, table, shards)
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
+    case "kmv-remove-shard" :: table :: shard :: Nil =>
+      val spark = session()
+      graft.operators.Sketches.removeKmvShard(spark, table, shard)
+      spark.stop()
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
         "commands: curate | dedup | neardup | knn | ivf-build | ivf-append | " +
-          "ivf-remove | ivf-query | redact")
+          "ivf-remove | ivf-query | redact | kmv-build | kmv-estimate | " +
+          "kmv-remove-shard")
       sys.exit(2)
   }
 }

@@ -2997,7 +2997,7 @@ object Pipeline {
        |       FROM events GROUP BY 1)
        |SELECT sk.g AS event_type, ex.n_exact, sk.n_sk,
        |  CAST(CASE WHEN sk.n_sk < $kmvK THEN sk.n_sk
-       |       ELSE (${(kmvK - 1).toLong * (1L << 48)} // GREATEST(sk.kth, 1)) END AS BIGINT) AS kmv_est
+       |       ELSE CAST((${(kmvK - 1).toLong * (1L << 48)} // GREATEST(sk.kth, 1)) AS BIGINT) END AS BIGINT) AS kmv_est
        |FROM sk JOIN ex ON ex.g = sk.g
        |ORDER BY event_type""".stripMargin) { (s, dir) =>
     val ev = Tables(s, dir, "events")
@@ -3034,7 +3034,7 @@ object Pipeline {
        |      FROM mr WHERE rn <= $kmvK GROUP BY ga, gb),
        |est AS (SELECT ga, gb, n_u, n_both,
        |          CAST(CASE WHEN n_u < $kmvK THEN n_u
-       |               ELSE (${(kmvK - 1).toLong * (1L << 48)} // GREATEST(kth, 1)) END AS BIGINT) AS est_union
+       |               ELSE CAST((${(kmvK - 1).toLong * (1L << 48)} // GREATEST(kth, 1)) AS BIGINT) END AS BIGINT) AS est_union
        |        FROM u),
        |tu AS (SELECT DISTINCT event_type AS g, user_id FROM events),
        |xi AS (SELECT p.ga, p.gb, CAST(COUNT(*) AS BIGINT) AS exact_inter
@@ -3043,7 +3043,7 @@ object Pipeline {
        |xn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY g)
        |SELECT est.ga AS type_a, est.gb AS type_b, est.n_u, est.n_both, est.est_union,
        |  CAST(CASE WHEN est.n_u < $kmvK THEN est.n_both
-       |       ELSE (est.n_both * est.est_union) // $kmvK END AS BIGINT) AS est_inter,
+       |       ELSE CAST((est.n_both * est.est_union) // $kmvK AS BIGINT) END AS BIGINT) AS est_inter,
        |  CAST(na.n + nb.n - COALESCE(xi.exact_inter, 0) AS BIGINT) AS exact_union,
        |  CAST(COALESCE(xi.exact_inter, 0) AS BIGINT) AS exact_inter
        |FROM est
@@ -3097,9 +3097,9 @@ object Pipeline {
        |        FROM rks WHERE rn <= $kmvK GROUP BY g)
        |SELECT ska.g AS event_type,
        |  CAST(CASE WHEN ska.n_all < $kmvK THEN ska.n_all
-       |       ELSE (${(kmvK - 1).toLong * (1L << 48)} // GREATEST(ska.kth, 1)) END AS BIGINT) AS est_all,
+       |       ELSE CAST((${(kmvK - 1).toLong * (1L << 48)} // GREATEST(ska.kth, 1)) AS BIGINT) END AS BIGINT) AS est_all,
        |  CAST(CASE WHEN sks.n_01 < $kmvK THEN sks.n_01
-       |       ELSE (${(kmvK - 1).toLong * (1L << 48)} // GREATEST(sks.kth, 1)) END AS BIGINT) AS est_01
+       |       ELSE CAST((${(kmvK - 1).toLong * (1L << 48)} // GREATEST(sks.kth, 1)) AS BIGINT) END AS BIGINT) AS est_01
        |FROM ska JOIN sks ON sks.g = ska.g
        |ORDER BY event_type""".stripMargin) { (s, dir) =>
     import graft.operators.Sketches

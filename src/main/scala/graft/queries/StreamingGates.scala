@@ -888,7 +888,7 @@ object StreamingGates {
        |       FROM dh)
        |SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_sk,
        |  CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
-       |       ELSE (${63L * (1L << 48)} // GREATEST(MAX(h), 1)) END AS BIGINT) AS kmv_est
+       |       ELSE CAST((${63L * (1L << 48)} // GREATEST(MAX(h), 1)) AS BIGINT) END AS BIGINT) AS kmv_est
        |FROM rk WHERE rn <= 64 GROUP BY g
        |ORDER BY event_type""".stripMargin) { (s, dir) =>
     val ev = Tables(s, dir, "events").select("event_id", "event_type", "user_id")
