@@ -338,6 +338,28 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(runJaccard(df, irr, cap = 0) === runJaccard(df, irr, cap = -1))
   }
 
+  test("asExactRational property: any p/q with q<=1000 round-trips to an exact (and minimal-denominator) rational") {
+    import graft.operators.Dedup
+    val rng = new scala.util.Random(97L)
+    for (_ <- 0 until 500) {
+      val q = 1 + rng.nextInt(1000)
+      val p = 1 + rng.nextInt(q) // threshold in (0, 1]
+      val x = p.toDouble / q
+      val got = Dedup.asExactRational(x, 1000)
+      assert(got.isDefined, s"$p/$q must be representable")
+      val (pp, qq) = got.get
+      assert(pp.toDouble / qq == x, s"$pp/$qq must reproduce $x bitwise")
+      assert(qq <= q, s"convergents must not inflate the denominator: got $qq for $p/$q")
+    }
+    // randoms that are (almost surely) not small rationals return None
+    for (_ <- 0 until 200) {
+      val x = rng.nextDouble()
+      Dedup.asExactRational(x, 1000).foreach { case (pp, qq) =>
+        assert(pp.toDouble / qq == x) // if claimed, it must be exact
+      }
+    }
+  }
+
   test("prefixFilteredPairs candidate economics: one universal shingle joins only via prefixes") {
     // 50 docs sharing one hot phrase + unique bodies at threshold 0.6:
     // no true pairs, and the hot shingles sit past every prefix (rank
