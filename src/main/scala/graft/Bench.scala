@@ -180,6 +180,16 @@ object Bench {
     def sfOf(dir: String): Double =
       "sf([0-9.]+)$".r.findFirstMatchIn(new java.io.File(dir).getName)
         .map(_.group(1).toDouble).getOrElse(Double.NaN)
+    // log(sf_a / sf_b), falling back to the decade assumption (the
+    // pre-r14 behavior) when either dir is not named sf<number> or
+    // the ratio degenerates — env overrides may point anywhere, and a
+    // NaN here would both disarm the scaling flag and corrupt the
+    // detail JSON (bare NaN is not valid JSON)
+    def logSfRatio(a: String, b: String): Double = {
+      val r = sfOf(a) / sfOf(b)
+      if (java.lang.Double.isFinite(r) && r > 0 && r != 1.0) math.log(r)
+      else math.log(10.0)
+    }
     def minTimeAt(q: GateQuery, dir: String): Double = {
       val times = (1 to reps.max(2)).map { _ =>
         try timed(() => q.fn(spark, dir).write.format("noop").mode("overwrite").save())
@@ -205,14 +215,16 @@ object Bench {
     // least-squares slope of log10(t) on log10(sf) over the available
     // points; exp_hi = the top 2-point segment (the flag + rerun basis)
     def fitExponents(big: Double, small: Double, tiny: Double): (Double, Double) = {
-      val expHi = math.log(big / small) /
-        (math.log(sfOf(sfDir) / sfOf(xscaleDir.get)))
-      val pts = Seq(
-        (math.log10(sfOf(sfDir)), math.log10(big)),
-        (math.log10(sfOf(xscaleDir.get)), math.log10(small))) ++
-        (if (!tiny.isNaN && tiny > 0 && xscaleDir2.isDefined)
-          Seq((math.log10(sfOf(xscaleDir2.get)), math.log10(tiny)))
-        else Seq.empty)
+      val expHi = math.log(big / small) / logSfRatio(sfDir, xscaleDir.get)
+      // x-coordinates as cumulative log-ratios from the big SF, so
+      // un-parseable dir names degrade to decade spacing instead of NaN
+      val xSmall = -logSfRatio(sfDir, xscaleDir.get) / math.log(10.0)
+      val tinyPt =
+        if (!tiny.isNaN && tiny > 0 && xscaleDir2.isDefined)
+          Seq((xSmall - logSfRatio(xscaleDir.get, xscaleDir2.get) / math.log(10.0),
+            math.log10(tiny)))
+        else Seq.empty
+      val pts = Seq((0.0, math.log10(big)), (xSmall, math.log10(small))) ++ tinyPt
       val mx = pts.map(_._1).sum / pts.size
       val my = pts.map(_._2).sum / pts.size
       val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
@@ -451,7 +463,7 @@ object Bench {
           if (tiny.isNaN) """"t_tiny":null"""
           else {
             val eLo = math.log(small / tiny) /
-              math.log(sfOf(xscaleDir.get) / sfOf(xscaleDir2.get))
+              logSfRatio(xscaleDir.get, xscaleDir2.get)
             f""""t_tiny":$tiny%.3f,"exp_lo":$eLo%.2f"""
           }
         f""""$n":{$tinyPart,"t_small":$small%.3f,"exp":$e3%.2f,"exp_hi":$eHi%.2f}"""

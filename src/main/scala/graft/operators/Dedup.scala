@@ -240,7 +240,13 @@ object Dedup {
           (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
         .filter(col("jaccard") >= threshold)
         .select("d1", "d2", "n_inter", "jaccard")
-    else asExactRational(threshold, 1000) match {
+    else {
+      // fail fast on impossible thresholds — silently routing NaN or
+      // t > 1 to the uncapped fallback would burn a quadratic
+      // candidate join to return an empty result
+      require(!threshold.isNaN && threshold > 0 && threshold <= 1,
+        s"jaccard threshold must be in (0, 1], got $threshold")
+      asExactRational(threshold, 1000) match {
       // the prefix path needs the threshold as an EXACT small
       // rational (its integer test n_inter·tDen ≥ (s1+s2−n_inter)·tNum
       // must agree with the double predicate); continued-fraction
@@ -259,6 +265,7 @@ object Dedup {
             (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
           .filter(col("jaccard") >= threshold)
           .select("d1", "d2", "n_inter", "jaccard")
+      }
     }
 
   /** Smallest-denominator rational p/q (q ≤ maxDen) whose double
@@ -1143,7 +1150,10 @@ object Dedup {
     val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
     val staging = new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging")
     val fs = hadoopFs(spark, live)
-    recoverBloomPublish(fs, live, staging)
+    // the LOCKED wrapper — an unlocked recovery here could interleave
+    // with an in-JVM probe's missing-live repair and delete the only
+    // copy it had just republished
+    recoverDocTablePublish(spark, indexDir, table)
     val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexDir))
     if (!fs.exists(tp)) return
     spark.read.parquet(live.toString)

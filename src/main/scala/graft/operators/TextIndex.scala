@@ -86,13 +86,17 @@ object TextIndex {
   private def dirLock(dir: String): Object =
     dirLocks.computeIfAbsent(dir, _ => new Object)
 
-  /** PROBE-side repair: fix only the states a reader cannot serve —
+  /** PROBE-side repair: fix only the states a reader CANNOT SERVE —
     * live postings missing with a complete staging (republish), stats
-    * missing or superseded by a complete stats_next (republish /
-    * restore). Never DELETES anything: an incomplete staging or
-    * stats_next may be an in-flight maintainer's write in another
-    * process, and rolling it back from a read path would destroy
-    * live maintenance. Rollback is [[recover]], writer-only.
+    * missing (republish a complete stats_next, else restore
+    * stats_old). Never deletes or displaces anything that exists: an
+    * incomplete staging or stats_next may be an in-flight
+    * maintainer's write in ANOTHER PROCESS (no shared lock), and a
+    * PRESENT stats row beside a complete stats_next is readable —
+    * slightly stale until the next writer repairs, which beats a
+    * reader racing a live publishStats into a rename failure.
+    * Rollback and the stale-stats repair are [[recover]],
+    * writer-only.
     */
   private def repairForRead(spark: SparkSession, dir: String): Unit =
     dirLock(dir).synchronized {
@@ -106,12 +110,11 @@ object TextIndex {
       val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
       val next = new org.apache.hadoop.fs.Path(s"$dir/stats_next")
       val old = new org.apache.hadoop.fs.Path(s"$dir/stats_old")
-      if (fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
-        // a complete stats_next is always the post-commit row
-        if (fs.exists(stats)) fs.delete(stats, true)
-        require(fs.rename(next, stats), s"stats publish rename $next -> $stats failed")
-      } else if (!fs.exists(stats) && fs.exists(old)) {
-        require(fs.rename(old, stats), s"stats restore rename $old -> $stats failed")
+      if (!fs.exists(stats)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS")))
+          require(fs.rename(next, stats), s"stats publish rename $next -> $stats failed")
+        else if (fs.exists(old))
+          require(fs.rename(old, stats), s"stats restore rename $old -> $stats failed")
       }
     }
 
@@ -210,20 +213,28 @@ object TextIndex {
     statsGen(df.head(), df.schema)
   }
 
-  /** Pending tombstones AT the current stats generation — stale rows
+  /** Pending tombstones AT the given stats generation — stale rows
     * (gen below the stats gen: already folded by a crashed compact)
-    * are excluded. Returns None when nothing is pending.
+    * are excluded. Returns None when nothing is pending. Reads with
+    * mergeSchema and coalesces a null gen to 0, because a table
+    * written before the gen column existed can legally receive
+    * gen-stamped appends — a single-footer read of such a MIXED table
+    * could otherwise drop whichever vintage's rows the footer lacks.
     */
-  private def pendingTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+  private def pendingTombstones(spark: SparkSession, dir: String,
+      gen: Long): Option[DataFrame] = {
     val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     if (!hadoopFs(spark, tombP).exists(tombP)) return None
-    val gen = readStatsGen(spark, dir)
-    val t = spark.read.parquet(tombP.toString)
+    val t = spark.read.option("mergeSchema", "true").parquet(tombP.toString)
     val live =
-      if (t.schema.fieldNames.contains("gen")) t.filter(col("gen") === gen)
+      if (t.schema.fieldNames.contains("gen"))
+        t.filter(coalesce(col("gen"), lit(0L)) === gen)
       else if (gen == 0L) t else t.limit(0)
     if (live.isEmpty) None else Some(live.select("doc_id", "len"))
   }
+
+  private def pendingTombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    pendingTombstones(spark, dir, readStatsGen(spark, dir))
 
   /** Incremental maintenance: index a NEW batch against the stored
     * bucket modulus and append its postings into the same partition
@@ -246,7 +257,12 @@ object TextIndex {
     // un-tombstoning on re-add would resurrect stale rows — compact
     // first, then re-append. STALE tombstones (already folded by a
     // crashed compact) don't block: their postings are gone.
-    pendingTombstones(spark, dir).foreach { t =>
+    // ONE stats read serves the gen, the refusal probe, and the
+    // scalar carry-forward (three separate one-row jobs before)
+    val statsDf = spark.read.parquet(s"$dir/stats")
+    val statsRow = statsDf.head()
+    val gen = statsGen(statsRow, statsDf.schema)
+    pendingTombstones(spark, dir, gen).foreach { t =>
       val hit = docs.select(col(idCol).as("doc_id")).distinct()
         .join(t.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.get(0)).toSeq
@@ -254,10 +270,8 @@ object TextIndex {
         s"appendIndex: doc ids ${hit.mkString(", ")} have a pending delete in " +
           s"$dir; compact the index before re-adding them")
     }
-    val statsDf = spark.read.parquet(s"$dir/stats")
-    val stats = statsDf.select("t_total", "n_docs", "n_buckets").head()
-    val gen = statsGen(statsDf.head(), statsDf.schema)
-    val nBuckets = stats.getInt(2)
+    def statLong(name: String): Long = statsRow.getLong(statsDf.schema.fieldIndex(name))
+    val nBuckets = statsRow.getInt(statsDf.schema.fieldIndex("n_buckets"))
     val tf = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("ws"))
       .withColumn("len", size(col("ws")).cast("long"))
@@ -270,8 +284,8 @@ object TextIndex {
       .select(size(TextFunctions.tokens(col(textCol))).cast("long").as("l"))
       .agg(sum("l").as("bt"), count(lit(1)).as("bn")).head()
     publishStats(spark, dir, spark.range(1).select(
-      lit(stats.getLong(0) + batchStats.getLong(0)).as("t_total"),
-      lit(stats.getLong(1) + batchStats.getLong(1)).as("n_docs"),
+      lit(statLong("t_total") + batchStats.getLong(0)).as("t_total"),
+      lit(statLong("n_docs") + batchStats.getLong(1)).as("n_docs"),
       lit(nBuckets).as("n_buckets"),
       lit(gen).as("gen"))) // append does not fold tombstones — gen unchanged
   }
@@ -296,7 +310,7 @@ object TextIndex {
     val tombP = new org.apache.hadoop.fs.Path(tomb)
     val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = readStatsGen(spark, dir)
-    val pending = pendingTombstones(spark, dir)
+    val pending = pendingTombstones(spark, dir, gen)
     // a tombstone table with NO pending rows is stale residue of a
     // compact that crashed after its fold — drop it, or its rows
     // would wrongly suppress a re-delete of a re-appended doc
@@ -331,9 +345,9 @@ object TextIndex {
     val tombP = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombP)) return
-    val pending = pendingTombstones(spark, dir)
-    if (pending.isEmpty) { fs.delete(tombP, true); return } // stale residue: already folded
     val gen = readStatsGen(spark, dir)
+    val pending = pendingTombstones(spark, dir, gen)
+    if (pending.isEmpty) { fs.delete(tombP, true); return } // stale residue: already folded
     val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/postings__staging")
     val survivors = spark.read.parquet(live.toString)
@@ -375,8 +389,11 @@ object TextIndex {
       terms: Seq[String], scale: Long = 1000000L): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     repairForRead(spark, dir)
+    // ONE stats read serves the modulus and the gen (was two one-row
+    // jobs plus pendingTombstones' own third)
     val stats = spark.read.parquet(s"$dir/stats")
-    val nBuckets = stats.select("n_buckets").head().getInt(0)
+    val statsRow = stats.head()
+    val nBuckets = statsRow.getInt(stats.schema.fieldIndex("n_buckets"))
     val bucketRow = spark.range(1).select(
       terms.zipWithIndex.map { case (t, i) =>
         pmod(xxhash64(lit(t)), lit(nBuckets)).cast("int").as(s"b$i") }: _*)
@@ -393,7 +410,7 @@ object TextIndex {
     // next compact. The gen comparison makes the correction
     // order-independent across every compact crash window, at zero
     // extra scan cost.
-    val pending = pendingTombstones(spark, dir)
+    val pending = pendingTombstones(spark, dir, statsGen(statsRow, stats.schema))
     val statsEff = pending match {
       case None => stats.select("t_total", "n_docs")
       case Some(t) =>

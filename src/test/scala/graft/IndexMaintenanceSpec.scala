@@ -451,6 +451,40 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(res(d) === res(fresh))
   }
 
+  test("D55 legacy (pre-gen) tombstones mixed with gen-stamped appends: both vintages stay pending") {
+    import graft.operators.TextIndex
+    val all = docs.limit(60).localCheckpoint()
+    val legacyDel = all.filter(col("doc_id") % 6 === 0)
+    val newDel = all.filter(col("doc_id") % 6 === 3)
+    val survivors = all.filter(col("doc_id") % 3 =!= 0)
+    val terms = Seq("join", "scan", "window")
+    def res(dir: String) =
+      TextIndex.searchSaturationExact(spark, dir, terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val d = tmp("text_legacy_tomb")
+    TextIndex.writeIndex(all, "doc_id", "text", d)
+    TextIndex.removeDocs(spark, d, legacyDel.select("doc_id"), "doc_id")
+    // rewrite the tombstone table as the PREVIOUS release wrote it —
+    // (doc_id, len) only, no gen column
+    val legacyRows = spark.read.parquet(s"$d/tombstones")
+      .select("doc_id", "len").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    rmrfDir(s"$d/tombstones")
+    import spark.implicits._
+    legacyRows.toDF("doc_id", "len")
+      .coalesce(1).write.parquet(s"$d/tombstones")
+    // a new-release delete APPENDS gen-stamped rows into the same dir
+    TextIndex.removeDocs(spark, d, newDel.select("doc_id"), "doc_id")
+    val fresh = tmp("text_legacy_fresh")
+    TextIndex.writeIndex(survivors, "doc_id", "text", fresh)
+    assert(res(d) === res(fresh),
+      "legacy AND gen-stamped tombstones must both mask (mixed-schema read)")
+    // and the fold clears BOTH vintages
+    TextIndex.compactIndex(spark, d)
+    assert(!new java.io.File(s"$d/tombstones").exists())
+    assert(res(d) === res(fresh))
+  }
+
   test("D55 crash between the two stats renames: next read restores the swapped-out row") {
     import graft.operators.TextIndex
     val all = docs.limit(40).localCheckpoint()

@@ -336,6 +336,13 @@ class OperatorPropSpec extends AnyFunSuite {
     // falls back to the uncapped inverted index
     val irr = math.sqrt(0.35)
     assert(runJaccard(df, irr, cap = 0) === runJaccard(df, irr, cap = -1))
+    // impossible thresholds fail fast instead of silently burning the
+    // quadratic fallback to return an empty result
+    for (bad <- Seq(1.5, 0.0, -0.3, Double.NaN)) {
+      intercept[IllegalArgumentException] {
+        graft.operators.Dedup.jaccardPairs(df, "doc_id", "text", 3, bad)
+      }
+    }
   }
 
   test("asExactRational property: any p/q with q<=1000 round-trips to an exact (and minimal-denominator) rational") {
