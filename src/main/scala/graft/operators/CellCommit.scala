@@ -54,6 +54,77 @@ private[graft] object CellCommit {
   private def lockFor(table: String): Object =
     dirLocks.computeIfAbsent(table, _ => new Object)
 
+  // ---- shared staged-publish protocol (flat `<live>__staging`) ----
+  // One implementation for every flat staged rewrite in the index
+  // family (Dedup doc tables, text postings, flat PQ codes, KMV
+  // rows) — the round-14 review found the fourth hand-rolled copy
+  // shipping with a lock gap, which is exactly the bug class a
+  // single shared helper kills.
+
+  /** PROBE-side: republish a COMPLETE staging only when the live dir
+    * is missing (the crash-between-delete-and-rename window — the one
+    * flat state a reader cannot serve). Never deletes anything: an
+    * incomplete staging may be an in-flight maintainer's write in
+    * another process, and a complete staging beside intact live reads
+    * consistently as the pre-publish table.
+    */
+  def repairMissingLive(spark: SparkSession, live: String): Unit =
+    lockFor(live).synchronized {
+      val fs = hadoopFs(spark, path(live))
+      val staging = path(s"${live}__staging")
+      if (!fs.exists(path(live)) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+        require(fs.rename(staging, path(live)),
+          s"staged publish rename $staging -> $live failed")
+    }
+
+  /** WRITER-side: finish (or discard) a staged publish a previous
+    * writer died inside — a COMPLETE staging republishes (it may hold
+    * the only copy), an incomplete one is crash residue (maintenance
+    * is single-writer by the family contract) and drops. Idempotent;
+    * run before every write into the live dir.
+    */
+  def recoverStagedPublish(spark: SparkSession, live: String): Unit =
+    lockFor(live).synchronized {
+      val fs = hadoopFs(spark, path(live))
+      val staging = path(s"${live}__staging")
+      if (fs.exists(staging)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+          if (fs.exists(path(live))) fs.delete(path(live), true)
+          require(fs.rename(staging, path(live)),
+            s"staged publish rename $staging -> $live failed")
+        } else fs.delete(staging, true)
+      }
+    }
+
+  /** WRITER-side commit of a freshly written COMPLETE staging:
+    * delete(live) + rename under the dir lock (an in-JVM probe's
+    * missing-live repair cannot interleave), with staging verified
+    * present BEFORE live is deleted — a surprise state can never
+    * destroy the only copy.
+    */
+  def publishStaged(spark: SparkSession, live: String): Unit =
+    lockFor(live).synchronized {
+      val fs = hadoopFs(spark, path(live))
+      val staging = path(s"${live}__staging")
+      require(fs.exists(staging), s"staging $staging vanished before publish")
+      if (fs.exists(path(live))) fs.delete(path(live), true)
+      require(fs.rename(staging, path(live)),
+        s"staged publish rename $staging -> $live failed")
+    }
+
+  /** REBUILD-side: discard a stale flat staging — a leftover COMPLETE
+    * `<live>__staging` from the previous index's crashed delete must
+    * never be republished over the fresh table the caller is about to
+    * write.
+    */
+  def clearStagedFlat(spark: SparkSession, live: String): Unit =
+    lockFor(live).synchronized {
+      val fs = hadoopFs(spark, path(live))
+      val staging = path(s"${live}__staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+
   /** Discard ALL staged-delete residue (delta + journal), applied or
     * not — for FULL REBUILDS of the table: a rebuild overwrites the
     * live cells, so a leftover committed journal from the previous

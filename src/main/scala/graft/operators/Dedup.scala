@@ -1110,36 +1110,15 @@ object Dedup {
     * into live) → (next compact's recovery republishes the pre-append
     * staging over live) silently dropped the appended batch.
     */
+  // writer/probe recovery of the flat doc tables delegates to the
+  // family-shared protocol — see CellCommit's staged-publish helpers
   private def recoverDocTablePublish(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, table: String): Unit =
-    // WRITER-side: full recovery incl. discarding incomplete residue
-    // (maintenance is single-writer, so it can only be crash residue);
-    // serialized per dir within the JVM (the bloomDirLock discipline)
-    bloomDirLock(s"$indexDir/$table").synchronized {
-      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
-      recoverBloomPublish(hadoopFs(spark, live), live,
-        new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging"))
-    }
+    CellCommit.recoverStagedPublish(spark, s"$indexDir/$table")
 
-  /** PROBE-side repair: republish a complete staging ONLY when the
-    * live table is missing (the crash-between-delete-and-rename
-    * window — the one state a reader cannot serve). Never deletes
-    * anything — an incomplete staging may be an in-flight compact's
-    * write in another process, and a complete staging beside an
-    * intact live reads consistently as the pre-compact table (its
-    * tombstones are still pending, so the anti-join masks).
-    */
   private def repairDocTableForRead(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, table: String): Unit =
-    bloomDirLock(s"$indexDir/$table").synchronized {
-      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
-      val staging = new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging")
-      val fs = hadoopFs(spark, live)
-      if (!fs.exists(live) &&
-          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
-        require(fs.rename(staging, live),
-          s"doc-table publish rename $staging -> $live failed")
-    }
+    CellCommit.repairMissingLive(spark, s"$indexDir/$table")
 
   /** Fold pending tombstones into `table`: staged survivor rewrite +
     * atomic-rename swap (recoverBloomPublish is the shared republish/
@@ -1160,15 +1139,7 @@ object Dedup {
       .join(broadcast(spark.read.parquet(tp.toString).select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
       .write.mode("errorifexists").parquet(staging.toString)
-    // swap under the dir lock so an in-JVM probe's missing-live
-    // repair can't interleave with the delete+rename pair; staging is
-    // verified present BEFORE live is deleted
-    bloomDirLock(s"$indexDir/$table").synchronized {
-      require(fs.exists(staging), s"compact staging $staging vanished before publish")
-      if (fs.exists(live)) fs.delete(live, true)
-      require(fs.rename(staging, live),
-        s"compact publish rename $staging -> $live failed")
-    }
+    CellCommit.publishStaged(spark, s"$indexDir/$table")
     fs.delete(tp, true)
   }
 

@@ -81,11 +81,7 @@ object Pq {
     // a rebuild discards a stale flat-codes staging: a leftover
     // COMPLETE codes__staging from the previous index's crashed
     // delete must never be republished over the fresh codes table
-    dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
-      val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
-      val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(staging)) fs.delete(staging, true)
-    }
+    CellCommit.clearStagedFlat(spark, s"$dir/codes")
     val cb = trainCodebook(corpus, idCol, vecCol, m, ksub, seed, trainSample)
     val dsub = cb(0)(0).length
     import spark.implicits._
@@ -246,46 +242,14 @@ object Pq {
     * incomplete one drops. Idempotent; run before every flat read
     * and delete.
     */
-  // repair-on-read serializes per dir within the JVM (two concurrent
-  // ADC searches must not race each other's exists→rename pair)
-  private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def dirLock(dir: String): Object =
-    dirLocks.computeIfAbsent(dir, _ => new Object)
-
-  /** PROBE-side: republish a complete staging ONLY when the live
-    * codes are missing (the crash-between-delete-and-rename window —
-    * the one state a reader cannot serve). Never deletes anything: an
-    * incomplete staging may be an in-flight delete's write, and a
-    * complete staging beside intact live codes reads consistently as
-    * the pre-delete index.
-    */
+  // flat-codes recovery delegates to the family-shared staged-publish
+  // protocol (CellCommit) — probe side never deletes, writer side
+  // also discards crash residue
   private def repairFlatCodesForRead(spark: SparkSession, dir: String): Unit =
-    dirLock(dir).synchronized {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
-      val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(live) &&
-          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
-        require(fs.rename(staging, live), s"publish $staging -> $live failed")
-    }
+    CellCommit.repairMissingLive(spark, s"$dir/codes")
 
-  /** WRITER-side: finish (or discard) a flat-codes publish a previous
-    * delete died inside — a COMPLETE staging republishes (it may hold
-    * the only copy), an incomplete one is crash residue (maintenance
-    * is single-writer) and drops. Idempotent.
-    */
   private def recoverFlatCodes(spark: SparkSession, dir: String): Unit =
-    dirLock(dir).synchronized {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
-      val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(staging)) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-          if (fs.exists(live)) fs.delete(live, true)
-          require(fs.rename(staging, live), s"publish $staging -> $live failed")
-        } else fs.delete(staging, true)
-      }
-    }
+    CellCommit.recoverStagedPublish(spark, s"$dir/codes")
 
   def removeDocsFromIndex(spark: SparkSession, dir: String,
       ids: DataFrame, idCol: String): Unit = {
@@ -297,12 +261,9 @@ object Pq {
       .join(broadcast(ids.select(col(idCol).as("cid")).distinct()),
         Seq("cid"), "left_anti")
       .write.mode("errorifexists").parquet(staging.toString)
-    // swap under the dir lock so an in-JVM probe's missing-live
-    // repair can't interleave with the delete+rename pair
-    dirLock(dir).synchronized {
-      if (fs.exists(live)) fs.delete(live, true)
-      require(fs.rename(staging, live), s"publish $staging -> $live failed")
-    }
+    // family-shared commit: swap under the SAME per-live-path lock
+    // the probe repair uses (a dir-keyed lock would not exclude it)
+    CellCommit.publishStaged(spark, s"$dir/codes")
   }
 
   /** DELETE from the IVF-PQ index: the D52 touched-cell discipline,

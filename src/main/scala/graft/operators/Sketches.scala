@@ -185,35 +185,14 @@ object Sketches {
     * any shard subset come from [[kmvEstimateFromShards]] at
     * sketch-table cost, never a corpus rescan.
     */
-  // staged-publish serialization + recovery for the flat rows table
-  // (the Pq flat-codes discipline): probes repair only a missing live
-  // dir; writers also discard incomplete residue
-  private val kmvDirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def kmvLock(dir: String): Object =
-    kmvDirLocks.computeIfAbsent(dir, _ => new Object)
-
+  // recovery of the flat rows table delegates to the family-shared
+  // staged-publish protocol (CellCommit): probes repair only a
+  // missing live dir; writers also discard incomplete residue
   private def kmvRecoverForWrite(spark: SparkSession, dir: String): Unit =
-    kmvLock(dir).synchronized {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/rows")
-      val staging = new org.apache.hadoop.fs.Path(s"$dir/rows__staging")
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(staging)) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-          if (fs.exists(live)) fs.delete(live, true)
-          require(fs.rename(staging, live), s"kmv publish $staging -> $live failed")
-        } else fs.delete(staging, true)
-      }
-    }
+    CellCommit.recoverStagedPublish(spark, s"$dir/rows")
 
   private def kmvRepairForRead(spark: SparkSession, dir: String): Unit =
-    kmvLock(dir).synchronized {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/rows")
-      val staging = new org.apache.hadoop.fs.Path(s"$dir/rows__staging")
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(live) &&
-          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
-        require(fs.rename(staging, live), s"kmv publish $staging -> $live failed")
-    }
+    CellCommit.repairMissingLive(spark, s"$dir/rows")
 
   /** Shard-level DELETE from the persisted KMV table: per-shard
     * sketch rows are pure functions of their shard's values, so
@@ -226,17 +205,10 @@ object Sketches {
     */
   def removeKmvShard(spark: SparkSession, dir: String, shard: String): Unit = {
     kmvRecoverForWrite(spark, dir)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/rows")
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/rows__staging")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(live.toString)
+    spark.read.parquet(s"$dir/rows")
       .filter(col("shard") =!= shard)
-      .write.mode("errorifexists").parquet(staging.toString)
-    kmvLock(dir).synchronized {
-      require(fs.exists(staging), s"kmv staging $staging vanished before publish")
-      if (fs.exists(live)) fs.delete(live, true)
-      require(fs.rename(staging, live), s"kmv publish $staging -> $live failed")
-    }
+      .write.mode("errorifexists").parquet(s"$dir/rows__staging")
+    CellCommit.publishStaged(spark, s"$dir/rows")
   }
 
   def writeKmvShard(df: DataFrame, groupCol: String, valueCol: String,

@@ -27,31 +27,6 @@ object TextIndex {
   private def hadoopFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Finish (or discard) a postings publish a previous compact died
-    * inside: a COMPLETE staging dir (Spark's _SUCCESS marker) is
-    * republished over live — rename is the commit point — and an
-    * incomplete one is dropped. Without this, a crash between
-    * compactIndex's delete(live) and rename(staging, live) left the
-    * only copy of the postings in `postings__staging`, and the next
-    * compact deleted it (the round-13 advice's "index permanently
-    * destroyed" window). Idempotent; called before every read,
-    * append, delete, and compact — the same recovery discipline as
-    * Dedup.recoverBloomPublish.
-    */
-  private def recoverPostingsPublish(fs: org.apache.hadoop.fs.FileSystem,
-      live: org.apache.hadoop.fs.Path,
-      staging: org.apache.hadoop.fs.Path): Unit = {
-    if (fs.exists(staging)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-        if (fs.exists(live)) fs.delete(live, true)
-        require(fs.rename(staging, live),
-          s"postings publish rename $staging -> $live failed")
-      } else {
-        fs.delete(staging, true)
-      }
-    }
-  }
-
   /** Finish (or discard) a stats swap a previous append/compact died
     * inside. The swap is stats -> stats_old, stats_next -> stats,
     * drop stats_old; a crash at any point leaves a state this
@@ -98,15 +73,11 @@ object TextIndex {
     * Rollback and the stale-stats repair are [[recover]],
     * writer-only.
     */
-  private def repairForRead(spark: SparkSession, dir: String): Unit =
+  private def repairForRead(spark: SparkSession, dir: String): Unit = {
+    // postings: the family-shared missing-live republish
+    graft.operators.CellCommit.repairMissingLive(spark, s"$dir/postings")
     dirLock(dir).synchronized {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
-      val staging = new org.apache.hadoop.fs.Path(s"$dir/postings__staging")
-      val fs = hadoopFs(spark, live)
-      if (!fs.exists(live) &&
-          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
-        require(fs.rename(staging, live),
-          s"postings publish rename $staging -> $live failed")
+      val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(dir))
       val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
       val next = new org.apache.hadoop.fs.Path(s"$dir/stats_next")
       val old = new org.apache.hadoop.fs.Path(s"$dir/stats_old")
@@ -117,6 +88,7 @@ object TextIndex {
           require(fs.rename(old, stats), s"stats restore rename $old -> $stats failed")
       }
     }
+  }
 
   /** WRITER-side: run both recoveries, including discarding
     * incomplete residue (safe — maintenance is single-writer by the
@@ -124,14 +96,12 @@ object TextIndex {
     * crash residue). The index is guaranteed readable and writable
     * after this returns, whatever state a crash left.
     */
-  private def recover(spark: SparkSession, dir: String): Unit =
+  private def recover(spark: SparkSession, dir: String): Unit = {
+    graft.operators.CellCommit.recoverStagedPublish(spark, s"$dir/postings")
     dirLock(dir).synchronized {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
-      val fs = hadoopFs(spark, live)
-      recoverPostingsPublish(fs, live,
-        new org.apache.hadoop.fs.Path(s"$dir/postings__staging"))
-      recoverStatsSwap(fs, dir)
+      recoverStatsSwap(hadoopFs(spark, new org.apache.hadoop.fs.Path(dir)), dir)
     }
+  }
 
   /** Publish a new one-row stats table: write to stats_next, swap in
     * by rename. Every intermediate state is repaired by
@@ -168,13 +138,13 @@ object TextIndex {
     // stale tombstones would mask the new corpus' doc ids
     locally {
       val spark = docs.sparkSession
+      graft.operators.CellCommit.clearStagedFlat(spark, s"$dir/postings")
       dirLocks.computeIfAbsent(dir, _ => new Object).synchronized {
         val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(dir))
-        Seq("postings__staging", "stats_next", "stats_old", "tombstones")
-          .foreach { leftover =>
-            val p = new org.apache.hadoop.fs.Path(s"$dir/$leftover")
-            if (fs.exists(p)) fs.delete(p, true)
-          }
+        Seq("stats_next", "stats_old", "tombstones").foreach { leftover =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$leftover")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
       }
     }
     val tf = docs.select(col(idCol).as("doc_id"),
@@ -355,15 +325,9 @@ object TextIndex {
         Seq("doc_id"), "left_anti")
     survivors.repartition(col("bucket"))
       .write.mode("errorifexists").partitionBy("bucket").parquet(staging.toString)
-    // swap under the dir lock: an in-JVM probe's missing-live repair
-    // must not interleave with the delete+rename pair. Staging is
-    // verified present BEFORE live is deleted — never delete the only
-    // copy on a surprise state.
-    dirLock(dir).synchronized {
-      require(fs.exists(staging), s"compact staging $staging vanished before publish")
-      if (fs.exists(live)) fs.delete(live, true)
-      require(fs.rename(staging, live), s"compact rename $staging -> $live failed")
-    }
+    // family-shared commit (same per-live-path lock as the probe
+    // repair; staging verified present BEFORE live is deleted)
+    graft.operators.CellCommit.publishStaged(spark, s"$dir/postings")
     val nBuckets = spark.read.parquet(s"$dir/stats").select("n_buckets").head().getInt(0)
     // gen+1 marks the fold: from this publish on, the still-present
     // tombstones read as STALE (gen below stats gen), so a crash
