@@ -1017,6 +1017,10 @@ final class HeapAnalysis(t: HeapTables) {
     * no per-node cons cells): steady memory is ~52 bytes/node +
     * ~16 bytes/edge, so the default bound covers a 16M-object dump in
     * ~1.3 GB — 5× the 3M-object bench dump, 8× the previous bound.
+    * The id/edge collection folds each partition's arrays into the
+    * CSR builders and frees them immediately (round-15 advice), so
+    * the TRANSIENT peak stays near the steady figure instead of the
+    * ~2.5× a full collect-then-build would hold at once.
     * On graphs past the bound, use B22 and treat its numbers as the
     * documented lower bound.
     */
@@ -1037,7 +1041,16 @@ final class HeapAnalysis(t: HeapTables) {
       }.collect()
       val a = new Array[Long](parts.iterator.map(_.length).sum)
       var off = 0
-      parts.foreach { p => System.arraycopy(p, 0, a, off, p.length); off += p.length }
+      // copy-and-free, as in the edge fold below: keep peak memory at
+      // one id array + the partition being copied, not two full copies
+      locally {
+        var pi = 0
+        while (pi < parts.length) {
+          val p = parts(pi)
+          System.arraycopy(p, 0, a, off, p.length); off += p.length
+          parts(pi) = null; pi += 1
+        }
+      }
       java.util.Arrays.sort(a); a
     }
     require(ids.length <= maxNodes,
@@ -1065,12 +1078,24 @@ final class HeapAnalysis(t: HeapTables) {
       val bd = new scala.collection.mutable.ArrayBuilder.ofInt
       bs.sizeHint(parts.iterator.map(_._1.length).sum + 64)
       bd.sizeHint(parts.iterator.map(_._1.length).sum + 64)
-      parts.foreach { case (ss, ds) =>
-        var i = 0
-        while (i < ss.length) {
-          val s0 = lookup(ss(i)); val d0 = lookup(ds(i))
-          if (s0 != 0 && d0 != 0 && s0 != d0) { bs += s0; bd += d0 }
-          i += 1
+      // fold-and-free: each partition's collected Long pairs (16 B/edge)
+      // are released as soon as they land in the int builders, so peak
+      // driver memory stays near the documented steady CSR figure
+      // (~52 B/node + 16 B/edge) instead of the collect and the builders
+      // coexisting in full (a ~2.5× transient that could OOM a driver
+      // sized to the steady bound near maxNodes)
+      locally {
+        var pi = 0
+        while (pi < parts.length) {
+          val (ss, ds) = parts(pi)
+          var i = 0
+          while (i < ss.length) {
+            val s0 = lookup(ss(i)); val d0 = lookup(ds(i))
+            if (s0 != 0 && d0 != 0 && s0 != d0) { bs += s0; bd += d0 }
+            i += 1
+          }
+          parts(pi) = null
+          pi += 1
         }
       }
       gcr.select("obj_id").distinct().collect().foreach { r =>

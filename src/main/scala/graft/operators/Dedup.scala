@@ -282,6 +282,15 @@ object Dedup {
     var i = 0
     while (i < 64) {
       val a = math.floor(r).toLong
+      // a tiny fractional part makes r (and so a) unboundedly large:
+      // bail BEFORE forming a·p1+p0 — past the first iteration (q1 ≥ 1)
+      // a partial quotient a > maxDen forces q2 = a·q1+q0 > maxDen, so
+      // every further convergent is out of range anyway, and the early
+      // return removes the Long-overflow path where a wrapped-negative
+      // q2 would slip past the q2 > maxDen guard and feed garbage
+      // convergents into later iterations (first iteration is safe:
+      // p1=1, q1=0 make p2=a, q2=1 — no products)
+      if (i > 0 && a > maxDen) return None
       val p2 = a * p1 + p0
       val q2 = a * q1 + q0
       if (q2 > maxDen || p2 > Int.MaxValue) return None

@@ -277,8 +277,18 @@ object Sketches {
     val pairs = gs.select(col("g").as("ga"))
       .crossJoin(gs.select(col("g").as("gb")))
       .filter(col("ga") < col("gb"))
+    // pair membership exploded to (g, ga, gb) rows so the SKETCH join
+    // is an EQUI-join (codegen'd BroadcastHashJoin) — joining sketch
+    // rows on g === ga || g === gb planned as BroadcastNestedLoopJoin,
+    // bounded here by |groups|²·k but off codegen and quadratic-
+    // scanning the sketch if a caller ever passes high-cardinality
+    // groups. The one cross product left is the pair GENERATION over
+    // the distinct-group dimension, whose output is inherently
+    // |groups|² rows; sketch rows never enter a nested loop.
+    val members = pairs.select(col("ga"), col("gb"),
+      explode(array(col("ga"), col("gb"))).as("g"))
     val merged = sketch.select(col("g"), col("h"))
-      .join(broadcast(pairs), col("g") === col("ga") || col("g") === col("gb"))
+      .join(broadcast(members), Seq("g"))
       .groupBy("ga", "gb", "h")
       .agg(countDistinct(col("g")).as("n_src"))
     val ranked = merged.withColumn("rn",
@@ -293,7 +303,15 @@ object Sketches {
           .cast("long"))
       .withColumn("est_inter",
         when(col("n_u") < k, col("n_both"))
-          .otherwise(expr(s"(n_both * est_union) div ${k}L")).cast("long"))
+          // algebraically identical to (n_both·est_union) div k but
+          // never forms the product: est_union can approach (k−1)·2^48
+          // where n_both·est_union wraps silently in Spark's Long while
+          // the DuckDB oracle's BIGINT multiply RAISES — a parity
+          // divergence on high-cardinality groups. The split keeps
+          // every intermediate ≤ est_union + k² in magnitude.
+          .otherwise(expr(
+            s"(est_union div ${k}L) * n_both + ((est_union % ${k}L) * n_both) div ${k}L"))
+          .cast("long"))
       .select("ga", "gb", "n_u", "n_both", "est_union", "est_inter")
   }
 }

@@ -121,7 +121,16 @@ object TextIndex {
       // completed stats_next (its content is this row) — done then
       if (!fs.exists(next)) return
       require(fs.rename(stats, old), s"stats swap rename $stats -> $old failed")
-      require(fs.rename(next, stats), s"stats publish rename $next -> $stats failed")
+      if (!fs.rename(next, stats)) {
+        // a reader in ANOTHER process (no shared lock) can race the
+        // swap: between rename(stats, old) and here it sees stats
+        // missing, and its repairForRead republishes stats_next — OUR
+        // row — into the stats slot. The publish already happened, so
+        // a lost rename with next gone and stats present is success,
+        // not failure; anything else is a real error.
+        require(!fs.exists(next) && fs.exists(stats),
+          s"stats publish rename $next -> $stats failed")
+      }
       fs.delete(old, true)
     }
   }

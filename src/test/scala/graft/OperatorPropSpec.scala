@@ -318,6 +318,13 @@ class OperatorPropSpec extends AnyFunSuite {
     assert(Dedup.asExactRational(1.0, 1000) === Some((1, 1)))
     assert(Dedup.asExactRational(math.sqrt(0.5), 1000) === None)
     assert(Dedup.asExactRational(0.0, 1000) === None)
+    // hostile inputs whose continued fraction hits a huge partial
+    // quotient (tiny fractional residue → r explodes): must return
+    // None via the a > maxDen bail, never overflow into a garbage
+    // Some (round-15 advice)
+    assert(Dedup.asExactRational(0.1 + 1e-13, 1000) === None)
+    assert(Dedup.asExactRational(1.0 - 1e-15, 1000) === None)
+    assert(Dedup.asExactRational(java.lang.Double.MIN_VALUE, 1000) === None)
     val rng = new scala.util.Random(31L)
     val vocab = (0 until 40).map(i => s"w$i")
     val base = (0 until 25).map { i =>

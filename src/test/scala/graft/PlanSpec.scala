@@ -624,6 +624,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!pm.contains("ScalaUDF"), pm)
   }
 
+  test("kmvSetEstimates: sketch joins pair membership on an equi key (no nested-loop)") {
+    import spark.implicits._
+    val rows = (for { g <- Seq("a", "b", "c"); v <- 1 to 50 } yield (g, s"u$v$g"))
+      .toDF("g", "v")
+    val sk = graft.operators.Sketches.kmvSketch(rows, "g", "v", 16)
+    val plan = graft.operators.Sketches.kmvSetEstimates(sk, 16)
+      .queryExecution.executedPlan.toString
+    // the OR-condition membership join (g === ga || g === gb) planned
+    // as BroadcastNestedLoopJoin over the SKETCH rows; exploding pairs
+    // to (g, pair) rows keeps the sketch join hash-based and codegen'd
+    // even if a caller passes high-cardinality groups (round-15
+    // verdict task 6). The one cross product allowed to remain is the
+    // pair GENERATION over the distinct-group dimension — inherently
+    // |groups|² output — which must sit under the membership
+    // broadcast, never consume sketch (h-carrying) rows.
+    assert(plan.contains("BroadcastHashJoin [g#"), plan)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(bnlj.size <= 1, plan)
+    bnlj.foreach { pos =>
+      val bcast = plan.indexOf("BroadcastExchange HashedRelationBroadcastMode")
+      assert(bcast >= 0 && pos > bcast,
+        s"nested-loop join outside the pair-dimension broadcast subtree\n$plan")
+    }
+  }
+
   test("triangles: equi-keys extracted (no nested-loop), semi-join closure, no UDF") {
     import spark.implicits._
     val edges = (for { a <- 1L to 30L; b <- 1L to 30L if a < b && (a + b) % 3 != 0 }
