@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   * column-pruned (cid, cell) scan to find touched cells, one
   * survivor write of ONLY those cells, per-cell renames. Untouched
   * cell directories are never read, written, or renamed.
+  *
+  * Since round 15 the single-writer maintenance contract is ENFORCED,
+  * not assumed: every mutating window (deleteIds, the staged-publish
+  * swaps, journal apply — including a probe's repair-on-read apply)
+  * holds a cross-process lease file (`<dir>__lease`, heartbeat mtime,
+  * stale-owner reclaim), so two maintainers in different JVMs can no
+  * longer interleave delete/rename pairs. Probes stay lock-free on
+  * the hot path: the lease is only taken when repair WORK is
+  * detected.
   */
 private[graft] object CellCommit {
 
@@ -48,11 +57,170 @@ private[graft] object CellCommit {
   // repair-on-read means PROBES mutate: two concurrent probes of the
   // same table must not race each other's exists→rename pairs, so
   // recovery/apply serialize per table dir within the JVM (the
-  // bloomDirLock precedent; cross-process maintenance is single-
-  // writer by the family contract)
+  // bloomDirLock precedent)
   private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(table: String): Object =
     dirLocks.computeIfAbsent(table, _ => new Object)
+
+  // ---- cross-process maintenance lease (round 15) ------------------
+  // Before this, "single-writer" was a documented family contract
+  // with no enforcement: two maintainers in DIFFERENT JVMs could
+  // interleave delete/rename pairs — the worst case being a probe's
+  // repair applyJournal racing a live writer's, where the probe's
+  // delete(liveCell) lands just after the writer's rename publishes
+  // the fresh cell and the cell is lost with no recovery copy. The
+  // lease makes the contract enforced: an atomically-created
+  // `<dir>__lease` file (owner + epoch payload, mtime refreshed by a
+  // heartbeat thread) is held across every mutating window. A second
+  // maintainer waits up to `waitMs`, then refuses with the holder
+  // named; a lease whose mtime stopped advancing for `staleMs` is a
+  // dead owner and is reclaimed (atomic rename-aside, single winner).
+  // Probes stay lock-free on the hot path — they acquire only when
+  // repair WORK is detected (crash residue), which is rare and brief.
+
+  /** Default staleness horizon: a holder that has not heartbeat for
+    * this long is dead. Heartbeats run every staleMs/4, so a live
+    * holder misses the horizon only if its JVM pauses > 7.5 min.
+    */
+  val LeaseStaleMs: Long = 600000L
+
+  /** Default acquisition patience before refusing. */
+  val LeaseWaitMs: Long = 60000L
+
+  private val leaseHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+    })
+
+  private val ownerBase =
+    s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}"
+
+  // leases this THREAD already holds, for reentrancy: a family entry
+  // point leases its index dir, and the CellCommit protocol steps it
+  // calls on `<dir>/<table>` are covered by that coarser lease (a
+  // held key covers any key equal to it or nested under it)
+  private val heldByThread = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+  private def covered(dir: String): Boolean =
+    heldByThread.get().exists(h => dir == h || dir.startsWith(h + "/"))
+
+  final class Lease private[CellCommit] (
+      fs: org.apache.hadoop.fs.FileSystem,
+      val path: org.apache.hadoop.fs.Path,
+      dirKey: String,
+      owner: String,
+      hb: java.util.concurrent.ScheduledFuture[_]) {
+    private[CellCommit] def key: String = dirKey
+    def release(): Unit = {
+      hb.cancel(false)
+      // delete only if still ours: after a JVM pause past the stale
+      // horizon another maintainer may have reclaimed and re-acquired,
+      // and deleting THEIR lease would let a third writer in
+      try {
+        val in = fs.open(path)
+        val bytes = try in.readAllBytes() finally in.close()
+        if (new String(bytes, "UTF-8").startsWith(s"owner=$owner\n"))
+          fs.delete(path, false)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** True create-if-absent. The Hadoop local FS create(path, false)
+    * is exists-then-create (TOCTOU window between two processes), so
+    * the file scheme routes through java.io.File.createNewFile, which
+    * the JDK documents as atomic; other schemes (HDFS, object-store
+    * committers) make create(overwrite=false) atomic themselves.
+    */
+  private def tryAtomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, payload: Array[Byte]): Boolean = {
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(p.toUri.getPath)
+      val parent = f.getParentFile
+      if (parent != null) parent.mkdirs()
+      try {
+        if (!f.createNewFile()) false
+        else { java.nio.file.Files.write(f.toPath, payload); true }
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(payload) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Acquire the maintenance lease for `dir`, waiting up to `waitMs`
+    * and reclaiming a stale holder (mtime older than `staleMs`).
+    * Throws IllegalStateException, naming the holder, when the lease
+    * stays held past the patience window — the "second maintainer
+    * refuses" contract.
+    */
+  def acquireLease(spark: SparkSession, dir: String,
+      staleMs: Long = LeaseStaleMs, waitMs: Long = LeaseWaitMs): Lease = {
+    val leaseP = path(s"${dir}__lease")
+    val fs = hadoopFs(spark, leaseP)
+    val owner = s"$ownerBase/${java.util.UUID.randomUUID()}"
+    val payload =
+      s"owner=$owner\nepoch=${System.currentTimeMillis()}\n".getBytes("UTF-8")
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var first = true
+    while (first || System.nanoTime() < deadline) {
+      first = false
+      if (tryAtomicCreate(fs, leaseP, payload)) {
+        val hbEvery = math.max(staleMs / 4, 1000L)
+        val hb = leaseHeartbeats.scheduleAtFixedRate(
+          () => try fs.setTimes(leaseP, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () },
+          hbEvery, hbEvery, java.util.concurrent.TimeUnit.MILLISECONDS)
+        return new Lease(fs, leaseP, dir, owner, hb)
+      }
+      // held by someone: reclaim if their heartbeat stopped. The
+      // rename-aside is the atomic arbiter — two reclaimers both see
+      // the lease stale, but only one wins the rename; the loser just
+      // loops back to the create race.
+      try {
+        val st = fs.getFileStatus(leaseP)
+        if (System.currentTimeMillis() - st.getModificationTime > staleMs) {
+          val aside = path(s"${dir}__lease.reclaim.${java.util.UUID.randomUUID()}")
+          if (fs.rename(leaseP, aside)) fs.delete(aside, false)
+        }
+      } catch { case _: java.io.IOException => () } // vanished: loop re-creates
+      Thread.sleep(100)
+    }
+    val holder =
+      try {
+        val in = fs.open(leaseP)
+        try new String(in.readAllBytes(), "UTF-8").linesIterator
+          .find(_.startsWith("owner=")).getOrElse("owner=?")
+        finally in.close()
+      } catch { case _: java.io.IOException => "owner=? (lease vanished mid-read)" }
+    throw new IllegalStateException(
+      s"maintenance lease ${leaseP} is held (${holder}); a second maintainer " +
+        s"refuses after ${waitMs} ms — maintenance is single-writer per index")
+  }
+
+  /** Run `body` holding the maintenance lease for `dir`. Reentrant
+    * per thread, including across nesting levels: a body already
+    * holding `dir` (or an ancestor directory's lease) runs without a
+    * second acquisition, so family entry points can lease the index
+    * dir while the protocol steps lease the table dirs under it.
+    */
+  def withMaintenanceLease[T](spark: SparkSession, dir: String,
+      staleMs: Long = LeaseStaleMs, waitMs: Long = LeaseWaitMs)(body: => T): T =
+    if (covered(dir)) body
+    else {
+      val lease = acquireLease(spark, dir, staleMs, waitMs)
+      // reentrancy registration lives HERE, not in acquireLease: a
+      // raw Lease may legitimately be released by another thread, and
+      // registering in acquire would strand this thread's entry
+      heldByThread.get().add(dir)
+      try body finally {
+        heldByThread.get().remove(dir)
+        lease.release()
+      }
+    }
 
   // ---- shared staged-publish protocol (flat `<live>__staging`) ----
   // One implementation for every flat staged rewrite in the index
@@ -68,15 +236,25 @@ private[graft] object CellCommit {
     * another process, and a complete staging beside intact live reads
     * consistently as the pre-publish table.
     */
-  def repairMissingLive(spark: SparkSession, live: String): Unit =
-    lockFor(live).synchronized {
-      val fs = hadoopFs(spark, path(live))
-      val staging = path(s"${live}__staging")
-      if (!fs.exists(path(live)) &&
-          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
-        require(fs.rename(staging, path(live)),
-          s"staged publish rename $staging -> $live failed")
+  def repairMissingLive(spark: SparkSession, live: String): Unit = {
+    // hot-path probe: two exists() checks, no lock, no lease
+    val fs = hadoopFs(spark, path(live))
+    val staging = path(s"${live}__staging")
+    if (fs.exists(path(live)) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) return
+    // repair work detected: take the cross-process lease so this
+    // probe cannot interleave with a live writer's publish (the
+    // writer holds the lease across its delete+rename), then re-check
+    // — the writer may have finished the publish while we waited
+    withMaintenanceLease(spark, live) {
+      lockFor(live).synchronized {
+        if (!fs.exists(path(live)) &&
+            fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+          require(fs.rename(staging, path(live)),
+            s"staged publish rename $staging -> $live failed")
+      }
     }
+  }
 
   /** WRITER-side: finish (or discard) a staged publish a previous
     * writer died inside — a COMPLETE staging republishes (it may hold
@@ -84,18 +262,22 @@ private[graft] object CellCommit {
     * is single-writer by the family contract) and drops. Idempotent;
     * run before every write into the live dir.
     */
-  def recoverStagedPublish(spark: SparkSession, live: String): Unit =
-    lockFor(live).synchronized {
-      val fs = hadoopFs(spark, path(live))
-      val staging = path(s"${live}__staging")
-      if (fs.exists(staging)) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-          if (fs.exists(path(live))) fs.delete(path(live), true)
-          require(fs.rename(staging, path(live)),
-            s"staged publish rename $staging -> $live failed")
-        } else fs.delete(staging, true)
+  def recoverStagedPublish(spark: SparkSession, live: String): Unit = {
+    val fs = hadoopFs(spark, path(live))
+    val staging = path(s"${live}__staging")
+    if (!fs.exists(staging)) return
+    withMaintenanceLease(spark, live) {
+      lockFor(live).synchronized {
+        if (fs.exists(staging)) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+            if (fs.exists(path(live))) fs.delete(path(live), true)
+            require(fs.rename(staging, path(live)),
+              s"staged publish rename $staging -> $live failed")
+          } else fs.delete(staging, true)
+        }
       }
     }
+  }
 
   /** WRITER-side commit of a freshly written COMPLETE staging:
     * delete(live) + rename under the dir lock (an in-JVM probe's
@@ -104,13 +286,15 @@ private[graft] object CellCommit {
     * destroy the only copy.
     */
   def publishStaged(spark: SparkSession, live: String): Unit =
-    lockFor(live).synchronized {
-      val fs = hadoopFs(spark, path(live))
-      val staging = path(s"${live}__staging")
-      require(fs.exists(staging), s"staging $staging vanished before publish")
-      if (fs.exists(path(live))) fs.delete(path(live), true)
-      require(fs.rename(staging, path(live)),
-        s"staged publish rename $staging -> $live failed")
+    withMaintenanceLease(spark, live) {
+      lockFor(live).synchronized {
+        val fs = hadoopFs(spark, path(live))
+        val staging = path(s"${live}__staging")
+        require(fs.exists(staging), s"staging $staging vanished before publish")
+        if (fs.exists(path(live))) fs.delete(path(live), true)
+        require(fs.rename(staging, path(live)),
+          s"staged publish rename $staging -> $live failed")
+      }
     }
 
   /** REBUILD-side: discard a stale flat staging — a leftover COMPLETE
@@ -118,12 +302,16 @@ private[graft] object CellCommit {
     * never be republished over the fresh table the caller is about to
     * write.
     */
-  def clearStagedFlat(spark: SparkSession, live: String): Unit =
-    lockFor(live).synchronized {
-      val fs = hadoopFs(spark, path(live))
-      val staging = path(s"${live}__staging")
-      if (fs.exists(staging)) fs.delete(staging, true)
+  def clearStagedFlat(spark: SparkSession, live: String): Unit = {
+    val fs = hadoopFs(spark, path(live))
+    val staging = path(s"${live}__staging")
+    if (!fs.exists(staging)) return
+    withMaintenanceLease(spark, live) {
+      lockFor(live).synchronized {
+        if (fs.exists(staging)) fs.delete(staging, true)
+      }
     }
+  }
 
   /** Discard ALL staged-delete residue (delta + journal), applied or
     * not — for FULL REBUILDS of the table: a rebuild overwrites the
@@ -132,14 +320,18 @@ private[graft] object CellCommit {
     * fresh build (recover() would do exactly that). Call BEFORE
     * writing the new table.
     */
-  def clearStaged(spark: SparkSession, table: String): Unit =
-    lockFor(table).synchronized {
-      val fs = hadoopFs(spark, path(table))
-      val journal = path(s"${table}__commit")
-      val delta = path(s"${table}__delta")
-      if (fs.exists(journal)) fs.delete(journal, true)
-      if (fs.exists(delta)) fs.delete(delta, true)
+  def clearStaged(spark: SparkSession, table: String): Unit = {
+    val fs = hadoopFs(spark, path(table))
+    val journal = path(s"${table}__commit")
+    val delta = path(s"${table}__delta")
+    if (!fs.exists(journal) && !fs.exists(delta)) return
+    withMaintenanceLease(spark, table) {
+      lockFor(table).synchronized {
+        if (fs.exists(journal)) fs.delete(journal, true)
+        if (fs.exists(delta)) fs.delete(delta, true)
+      }
     }
+  }
 
   /** PROBE-side repair: re-apply a committed journal so a reader
     * sees the post-delete index instead of a half-applied mix —
@@ -148,13 +340,26 @@ private[graft] object CellCommit {
     * another process, and deleting it from a read path would destroy
     * in-flight maintenance. Rollback is [[recover]], writer-only.
     */
-  def repairForRead(spark: SparkSession, table: String): Unit =
-    lockFor(table).synchronized {
-      val fs = hadoopFs(spark, path(table))
-      if (fs.exists(path(s"${table}__commit/_SUCCESS")) &&
-          fs.exists(path(s"${table}__delta/_SUCCESS")))
-        applyJournal(spark, table)
+  def repairForRead(spark: SparkSession, table: String): Unit = {
+    // hot-path probe: two exists() checks, no lock, no lease
+    val fs = hadoopFs(spark, path(table))
+    if (!fs.exists(path(s"${table}__commit/_SUCCESS")) ||
+        !fs.exists(path(s"${table}__delta/_SUCCESS"))) return
+    // a committed journal is visible: either crash residue (lease
+    // free — acquire and apply) or a LIVE delete between its journal
+    // write and its apply (lease held — wait; the writer's own apply
+    // drops the journal, and the re-check under the lease no-ops).
+    // Without the lease this probe's delete(liveCell) could land just
+    // after the writer's rename published the fresh cell — the cell
+    // would be lost with no recovery copy (round-15 advice, medium).
+    withMaintenanceLease(spark, table) {
+      lockFor(table).synchronized {
+        if (fs.exists(path(s"${table}__commit/_SUCCESS")) &&
+            fs.exists(path(s"${table}__delta/_SUCCESS")))
+          applyJournal(spark, table)
+      }
     }
+  }
 
   /** WRITER-side repair: re-apply a committed journal, roll back an
     * uncommitted staging (safe here — maintenance is single-writer
@@ -162,69 +367,111 @@ private[graft] object CellCommit {
     * crash residue). Idempotent; called before every append and
     * delete of the table.
     */
-  def recover(spark: SparkSession, table: String): Unit = lockFor(table).synchronized {
+  def recover(spark: SparkSession, table: String): Unit = {
     val fs = hadoopFs(spark, path(table))
     val journal = path(s"${table}__commit")
-    if (fs.exists(path(s"${table}__commit/_SUCCESS")) &&
-        fs.exists(path(s"${table}__delta/_SUCCESS"))) {
-      applyJournal(spark, table)
-    } else {
-      if (fs.exists(journal)) fs.delete(journal, true)
-      val delta = path(s"${table}__delta")
-      if (fs.exists(delta)) fs.delete(delta, true)
+    val delta = path(s"${table}__delta")
+    if (!fs.exists(journal) && !fs.exists(delta)) return // nothing to do
+    withMaintenanceLease(spark, table) {
+      lockFor(table).synchronized {
+        if (fs.exists(path(s"${table}__commit/_SUCCESS")) &&
+            fs.exists(path(s"${table}__delta/_SUCCESS"))) {
+          applyJournal(spark, table)
+        } else {
+          if (fs.exists(journal)) fs.delete(journal, true)
+          if (fs.exists(delta)) fs.delete(delta, true)
+        }
+      }
     }
   }
 
-  /** Apply (or re-apply) a committed journal: per touched cell,
-    * swap in the delta directory or drop the emptied one. A cell with
-    * no delta directory and emptied=false was already applied by the
-    * run that crashed — skipped, never re-deleted.
+  /** One named filesystem mutation of the journal-apply protocol —
+    * the granularity at which a crash can interrupt it. Each step's
+    * closure carries its own state guards, so re-executing a step
+    * list from ANY prefix (what [[recover]] does after a crash) is
+    * safe; the spec-side crash fuzz executes every proper prefix and
+    * asserts old-or-new.
     */
-  private def applyJournal(spark: SparkSession, table: String): Unit = {
+  private[graft] final case class Step(desc: String, run: () => Unit)
+
+  /** The journal-apply protocol as an explicit step list: per touched
+    * cell (ascending cell order), clear the stale live cell then swap
+    * in the delta directory (or just drop an emptied cell); finally
+    * drop journal then delta. A cell with no delta directory and
+    * emptied=false was already applied by the run that crashed —
+    * skipped, never re-deleted. Empty when no journal is present.
+    */
+  private[graft] def applyJournalSteps(spark: SparkSession, table: String): Seq[Step] = {
     val fs = hadoopFs(spark, path(table))
     // a concurrent recover() may have finished the apply (and dropped
     // the journal) while this caller waited on the lock
-    if (!fs.exists(path(s"${table}__commit"))) return
+    if (!fs.exists(path(s"${table}__commit"))) return Seq.empty
     val entries = spark.read.parquet(s"${table}__commit")
       .select("cell", "emptied").collect()
-      .map(r => (r.getInt(0), r.getBoolean(1)))
-    entries.foreach { case (c, emptied) =>
+      .map(r => (r.getInt(0), r.getBoolean(1))).sortBy(_._1)
+    entries.toSeq.flatMap { case (c, emptied) =>
       val liveCell = path(s"$table/cell=$c")
       val deltaCell = path(s"${table}__delta/cell=$c")
-      if (fs.exists(deltaCell)) {
-        if (fs.exists(liveCell)) fs.delete(liveCell, true)
-        require(fs.rename(deltaCell, liveCell),
-          s"cell publish rename $deltaCell -> $liveCell failed")
-      } else if (emptied) {
-        if (fs.exists(liveCell)) fs.delete(liveCell, true)
-      }
-    }
-    fs.delete(path(s"${table}__commit"), true)
-    fs.delete(path(s"${table}__delta"), true)
+      if (emptied)
+        Seq(Step(s"drop emptied live cell=$c", () => {
+          // guard: only drop while the journal still names the cell
+          // emptied AND no delta exists (it never does for emptied
+          // cells); re-runs after the journal drop never reach here
+          if (!fs.exists(deltaCell) && fs.exists(liveCell))
+            fs.delete(liveCell, true)
+        }))
+      else Seq(
+        Step(s"clear stale live cell=$c", () => {
+          if (fs.exists(deltaCell) && fs.exists(liveCell))
+            fs.delete(liveCell, true)
+        }),
+        Step(s"publish delta cell=$c", () => {
+          if (fs.exists(deltaCell)) {
+            if (fs.exists(liveCell)) fs.delete(liveCell, true)
+            require(fs.rename(deltaCell, liveCell),
+              s"cell publish rename $deltaCell -> $liveCell failed")
+          }
+        }))
+    } ++ Seq(
+      Step("drop journal", () => fs.delete(path(s"${table}__commit"), true)),
+      Step("drop delta", () => fs.delete(path(s"${table}__delta"), true)))
   }
+
+  /** Apply (or re-apply) a committed journal by running its step list
+    * to the end. Caller must hold the table lock and the maintenance
+    * lease.
+    */
+  private def applyJournal(spark: SparkSession, table: String): Unit =
+    applyJournalSteps(spark, table).foreach(_.run())
 
   /** Delete `del` ("cid" column, distinct) from the cell-partitioned
     * `table` via the staged protocol above. Idempotent — re-removing
     * absent ids finds no touched cells and returns without writing.
     */
-  def deleteIds(spark: SparkSession, table: String, del: DataFrame): Unit = {
-    import spark.implicits._
-    recover(spark, table)
-    val live = spark.read.parquet(table)
-    val touched = live.select("cid", "cell")
-      .join(broadcast(del), Seq("cid"), "left_semi")
-      .select("cell").distinct().as[Int].collect().toSeq.sorted
-    if (touched.isEmpty) return
-    val survivors = live.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
-      .join(broadcast(del), Seq("cid"), "left_anti")
-      .localCheckpoint() // materialize before the apply mutates what it read
-    survivors.write.mode("errorifexists").partitionBy("cell")
-      .parquet(s"${table}__delta")
-    val surviving = survivors.select("cell").distinct().as[Int].collect().toSet
-    touched.map(c => (c, !surviving.contains(c))).toDF("cell", "emptied")
-      .coalesce(1).write.mode("errorifexists").parquet(s"${table}__commit")
-    // same lock as recover(): a concurrent probe that sees the fresh
-    // journal must not apply it in parallel with this writer
-    lockFor(table).synchronized { applyJournal(spark, table) }
-  }
+  def deleteIds(spark: SparkSession, table: String, del: DataFrame): Unit =
+    // the lease spans survivor write → journal commit → apply: a probe
+    // that sees the fresh journal waits on the lease instead of racing
+    // this writer's delete/rename pairs, and a second maintainer in
+    // another process refuses at entry
+    withMaintenanceLease(spark, table) {
+      import spark.implicits._
+      recover(spark, table)
+      val live = spark.read.parquet(table)
+      val touched = live.select("cid", "cell")
+        .join(broadcast(del), Seq("cid"), "left_semi")
+        .select("cell").distinct().as[Int].collect().toSeq.sorted
+      if (touched.nonEmpty) {
+        val survivors = live.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+          .join(broadcast(del), Seq("cid"), "left_anti")
+          .localCheckpoint() // materialize before the apply mutates what it read
+        survivors.write.mode("errorifexists").partitionBy("cell")
+          .parquet(s"${table}__delta")
+        val surviving = survivors.select("cell").distinct().as[Int].collect().toSet
+        touched.map(c => (c, !surviving.contains(c))).toDF("cell", "emptied")
+          .coalesce(1).write.mode("errorifexists").parquet(s"${table}__commit")
+        // same lock as recover(): a concurrent IN-JVM probe that sees
+        // the fresh journal must not apply it in parallel either
+        lockFor(table).synchronized { applyJournal(spark, table) }
+      }
+    }
 }

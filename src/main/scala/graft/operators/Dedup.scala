@@ -1065,7 +1065,8 @@ object Dedup {
     * them). One coalesced file per call — the commit point.
     */
   private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, ids: DataFrame, idCol: String): Unit = {
+      indexDir: String, ids: DataFrame, idCol: String): Unit =
+      CellCommit.withMaintenanceLease(spark, indexDir) {
     val tp = new org.apache.hadoop.fs.Path(tombstonePath(indexDir))
     val fresh = ids.select(col(idCol).as("doc_id")).distinct()
     val novel =
@@ -1134,7 +1135,8 @@ object Dedup {
     * discard recovery), then drop the tombstone table. Idempotent.
     */
   private def compactDocTable(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, table: String): Unit = {
+      indexDir: String, table: String): Unit =
+      CellCommit.withMaintenanceLease(spark, indexDir) {
     val live = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
     val staging = new org.apache.hadoop.fs.Path(s"$indexDir/${table}__staging")
     val fs = hadoopFs(spark, live)
@@ -1207,6 +1209,7 @@ object Dedup {
     */
   def rebuildGramBloomIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, survivors: DataFrame, idCol: String, textCol: String): Unit =
+    CellCommit.withMaintenanceLease(spark, indexDir) {
     bloomDirLock(indexDir).synchronized {
       val p = spark.read.parquet(s"$indexDir/params")
         .select("gram_n", "num_buckets", "fpp_ppm").head()
@@ -1223,6 +1226,7 @@ object Dedup {
         s"bloom publish rename $staging -> $bloomP failed")
       bloomBroadcastCache.remove(indexDir)
     }
+    }
 
   /** D58 — persisted MinHash signature index: the corpus keeps
     * (doc_id, band, band_sig) rows beside its data — fixed-width, a
@@ -1234,7 +1238,8 @@ object Dedup {
     * batch-sized cost.
     */
   def writeSignatureIndex(corpus: DataFrame, idCol: String, textCol: String,
-      dir: String, shingleN: Int, numHashes: Int, numBands: Int): Unit = {
+      dir: String, shingleN: Int, numHashes: Int, numBands: Int): Unit =
+      CellCommit.withMaintenanceLease(corpus.sparkSession, dir) {
     val spark = corpus.sparkSession
     val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
     val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1288,7 +1293,8 @@ object Dedup {
     * ([[removeDocsFromSignatureIndex]]) and re-append.
     */
   def appendSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
+      CellCommit.withMaintenanceLease(spark, indexDir) {
     val p = spark.read.parquet(s"$indexDir/params")
       .select("shingle_n", "num_hashes", "num_bands").head()
     val sigs = bandSignatures(batch, idCol, textCol,
@@ -1430,7 +1436,8 @@ object Dedup {
     * identically, which is what lets the gate pin the whole path.
     */
   def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String): Unit =
+      CellCommit.withMaintenanceLease(corpus.sparkSession, dir) {
     val spark = corpus.sparkSession
     val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
     val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1459,7 +1466,8 @@ object Dedup {
     * fast instead of silently keeping the stale signature.
     */
   def appendSimhashIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
+      CellCommit.withMaintenanceLease(spark, indexDir) {
     val p = spark.read.parquet(s"$indexDir/params").select("bits", "bands").head()
     require(p.getInt(0) == 48 && p.getInt(1) == 4,
       s"simhash index at $indexDir was built with (bits=${p.getInt(0)}, " +
@@ -1642,7 +1650,8 @@ object Dedup {
     * ratio (≈1-2× on web text) — the price of an exact "out" path.
     */
   def writeGramIndex(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int, dir: String): Unit = {
+      n: Int, dir: String): Unit =
+      CellCommit.withMaintenanceLease(corpus.sparkSession, dir) {
     val spark = corpus.sparkSession
     val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
     val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1681,7 +1690,8 @@ object Dedup {
   }
 
   def appendGramIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
+      CellCommit.withMaintenanceLease(spark, indexDir) {
     val n = spark.read.parquet(s"$indexDir/params").head().getInt(0)
     val (_, grams) = tokenGrams(batch, idCol, textCol, n)
     val rows = grams.select("doc_id", "gh").distinct().localCheckpoint()
@@ -1743,7 +1753,8 @@ object Dedup {
     * guard degrades to a noisier prefilter, never to a missed dup).
     */
   def writeGramBloomIndex(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int, dir: String, numBuckets: Int = 64, fppPpm: Long = 10000L): Unit = {
+      n: Int, dir: String, numBuckets: Int = 64, fppPpm: Long = 10000L): Unit =
+      CellCommit.withMaintenanceLease(corpus.sparkSession, dir) {
     require(numBuckets > 0, s"invalid numBuckets $numBuckets")
     require(fppPpm > 0 && fppPpm < 1000000L, s"invalid fppPpm $fppPpm")
     val spark = corpus.sparkSession
@@ -1880,7 +1891,10 @@ object Dedup {
     // cache AFTER this append's invalidation — a stale sketch that
     // silently misses every appended gram (a false-negative window,
     // the one failure the tier promises away). Holding the dir lock
-    // across the whole append and the whole load closes both.
+    // across the whole append and the whole load closes both. The
+    // cross-process lease (round 15) extends the same exclusion to
+    // maintainers in other JVMs.
+    CellCommit.withMaintenanceLease(spark, indexDir) {
     bloomDirLock(indexDir).synchronized {
     val p = spark.read.parquet(s"$indexDir/params")
       .select("gram_n", "num_buckets", "fpp_ppm").head()
@@ -1919,6 +1933,7 @@ object Dedup {
     // the merged sketch; the orphaned broadcast is ContextCleaner-GC'd
     // (not destroyed here: an in-flight probe plan may still hold it)
     bloomBroadcastCache.remove(indexDir)
+  }
   }
 
   /** Probe side of [[writeGramBloomIndex]]: the D34 span report for a
@@ -2187,7 +2202,8 @@ object Dedup {
     * (k, w) are law, exactly like the exact tier's gram size.
     */
   def writeWinnowIndex(corpus: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, dir: String): Unit = {
+      k: Int, w: Int, dir: String): Unit =
+      CellCommit.withMaintenanceLease(corpus.sparkSession, dir) {
     val spark = corpus.sparkSession
     val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
     val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2227,7 +2243,8 @@ object Dedup {
     * fixed-width anti-join, never a corpus rebuild.
     */
   def appendWinnowIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String): Unit =
+      CellCommit.withMaintenanceLease(spark, indexDir) {
     val p = spark.read.parquet(s"$indexDir/params")
       .select("gram_k", "window_w").head()
     val (_, sel) = winnowParts(batch, idCol, textCol, p.getInt(0), p.getInt(1))

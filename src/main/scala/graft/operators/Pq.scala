@@ -76,7 +76,8 @@ object Pq {
     */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, dir: String, seed: Long = 42L,
-      trainSample: Int = 2048): Unit = {
+      trainSample: Int = 2048): Unit =
+      CellCommit.withMaintenanceLease(corpus.sparkSession, dir) {
     val spark = corpus.sparkSession
     // a rebuild discards a stale flat-codes staging: a leftover
     // COMPLETE codes__staging from the previous index's crashed
@@ -116,7 +117,8 @@ object Pq {
     */
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, m: Int, ksub: Int, dir: String, seed: Long = 42L,
-      trainSample: Int = 2048): Unit = {
+      trainSample: Int = 2048): Unit =
+      CellCommit.withMaintenanceLease(corpus.sparkSession, dir) {
     val spark = corpus.sparkSession
     // a rebuild discards staged-delete residue (see writeIvfIndex)
     CellCommit.clearStaged(spark, s"$dir/codes")
@@ -200,7 +202,8 @@ object Pq {
     * (unchanged) stored tables.
     */
   def appendIvfPqIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String): Unit =
+      CellCommit.withMaintenanceLease(spark, dir) {
     // finish (or roll back) a crashed staged delete before appending
     // into the cell dirs it may be about to swap
     CellCommit.recover(spark, s"$dir/codes")
@@ -252,7 +255,8 @@ object Pq {
     CellCommit.recoverStagedPublish(spark, s"$dir/codes")
 
   def removeDocsFromIndex(spark: SparkSession, dir: String,
-      ids: DataFrame, idCol: String): Unit = {
+      ids: DataFrame, idCol: String): Unit =
+      CellCommit.withMaintenanceLease(spark, dir) {
     val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__staging")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -277,8 +281,10 @@ object Pq {
     */
   def removeDocsFromIvfPqIndex(spark: SparkSession, dir: String,
       ids: DataFrame, idCol: String): Unit =
-    CellCommit.deleteIds(spark, s"$dir/codes",
-      ids.select(col(idCol).as("cid")).distinct())
+    CellCommit.withMaintenanceLease(spark, dir) {
+      CellCommit.deleteIds(spark, s"$dir/codes",
+        ids.select(col(idCol).as("cid")).distinct())
+    }
 
   /** Probe a written IVF-PQ index: per query pick the `nProbe` nearest
     * coarse cells (ties → lowest cell), build the per-(cell, sub,

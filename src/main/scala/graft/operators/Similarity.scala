@@ -210,7 +210,8 @@ object Similarity {
     * no corpus shuffle ever happens because the layout IS the index.
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, dir: String, seed: Long = 42L, trainSample: Int = 4096): Unit = {
+      nLists: Int, dir: String, seed: Long = 42L, trainSample: Int = 4096): Unit =
+      CellCommit.withMaintenanceLease(corpus.sparkSession, dir) {
     val spark = corpus.sparkSession
     // a REBUILD discards staged-delete residue from any previous
     // index in this dir — a leftover committed journal must never be
@@ -238,7 +239,8 @@ object Similarity {
     * only on the (unchanged) centroids.
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit =
+      CellCommit.withMaintenanceLease(spark, dir) {
     // finish (or roll back) a crashed staged delete before appending
     // into the cell dirs it may be about to swap
     CellCommit.recover(spark, s"$dir/corpus")
@@ -268,8 +270,10 @@ object Similarity {
     */
   def removeDocsFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame, idCol: String): Unit =
-    CellCommit.deleteIds(spark, s"$dir/corpus",
-      ids.select(col(idCol).as("cid")).distinct())
+    CellCommit.withMaintenanceLease(spark, dir) {
+      CellCommit.deleteIds(spark, s"$dir/corpus",
+        ids.select(col(idCol).as("cid")).distinct())
+    }
 
   /** Probe a written IVF index: the query batch's probe cells become
     * ONE `cell IN (...)` partition filter — directories outside the

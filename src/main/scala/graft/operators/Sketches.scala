@@ -83,10 +83,27 @@ object Sketches {
     * — rank = ⌈pct·total/100⌉, smallest bin with running cum ≥ rank.
     */
   def quantilesFromSketch(spark: SparkSession, dir: String, binWidth: Long,
-      percentiles: Seq[Int], shards: Seq[Long] = Nil): DataFrame = {
+      percentiles: Seq[Int], shards: Seq[Long] = Nil): DataFrame =
+    quantilesFromRows(spark, spark.read.parquet(dir), binWidth, percentiles, shards)
+
+  /** Same, over an explicit list of sketch directories (the streaming
+    * epoch layout). Callers must pass CONCRETE paths, not a glob
+    * string: `read.parquet("…/epoch_*")` makes Spark's
+    * FileStreamSink.hasMetadata getFileStatus the literal glob, which
+    * logs a benign-but-alarming FileNotFoundException stack trace
+    * ("Assume no metadata directory") into every run's tail — the
+    * unexplained trace the round-14 bench record shipped.
+    */
+  def quantilesFromSketchDirs(spark: SparkSession, dirs: Seq[String],
+      binWidth: Long, percentiles: Seq[Int]): DataFrame = {
+    require(dirs.nonEmpty, "no sketch directories to merge")
+    quantilesFromRows(spark, spark.read.parquet(dirs: _*), binWidth, percentiles, Nil)
+  }
+
+  private def quantilesFromRows(spark: SparkSession, t: DataFrame, binWidth: Long,
+      percentiles: Seq[Int], shards: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val t = spark.read.parquet(dir)
     val sel = if (shards.isEmpty) t else t.filter(col("shard").isin(shards: _*))
     val merged = sel.groupBy("bin").agg(sum("cnt").as("cnt"))
     // running cum AND the grand total from the SAME window sort — the
@@ -203,7 +220,8 @@ object Sketches {
     * but it never needs to subtract a SHARD). Staged survivor rewrite
     * + atomic rename, the family discipline.
     */
-  def removeKmvShard(spark: SparkSession, dir: String, shard: String): Unit = {
+  def removeKmvShard(spark: SparkSession, dir: String, shard: String): Unit =
+      CellCommit.withMaintenanceLease(spark, dir) {
     kmvRecoverForWrite(spark, dir)
     spark.read.parquet(s"$dir/rows")
       .filter(col("shard") =!= shard)
@@ -212,7 +230,8 @@ object Sketches {
   }
 
   def writeKmvShard(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int, dir: String, shard: String): Unit = {
+      k: Int, dir: String, shard: String): Unit =
+      CellCommit.withMaintenanceLease(df.sparkSession, dir) {
     val spark = df.sparkSession
     // finish a crashed shard delete before appending into live
     kmvRecoverForWrite(spark, dir)

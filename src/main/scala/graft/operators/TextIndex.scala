@@ -140,7 +140,10 @@ object TextIndex {
     * one-row stats table the scorer needs.
     */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, nBuckets: Int = 64): Unit = {
+      dir: String, nBuckets: Int = 64): Unit =
+    // maintenance is single-writer per index — enforced by the
+    // cross-process lease since round 15, not just documented
+    CellCommit.withMaintenanceLease(docs.sparkSession, dir) {
     // a REBUILD discards every maintenance leftover of a previous
     // index in this dir: a stale COMPLETE postings__staging would be
     // republished over the fresh postings by the next recover(), and
@@ -224,7 +227,8 @@ object TextIndex {
     * BM25's idf/avgdl must describe the WHOLE corpus after append.
     */
   def appendIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String): Unit =
+      CellCommit.withMaintenanceLease(docs.sparkSession, dir) {
     val spark = docs.sparkSession
     // a compact that crashed mid-publish must be finished BEFORE this
     // append writes into live: otherwise the next compact's recovery
@@ -283,7 +287,8 @@ object TextIndex {
     * index, contributes nothing.
     */
   def removeDocs(spark: SparkSession, dir: String, ids: DataFrame,
-      idCol: String): Unit = {
+      idCol: String): Unit =
+      CellCommit.withMaintenanceLease(spark, dir) {
     recover(spark, dir)
     val tomb = s"$dir/tombstones"
     val tombP = new org.apache.hadoop.fs.Path(tomb)
@@ -316,7 +321,8 @@ object TextIndex {
     * crash before the drop leaves no-op tombstones the next compact
     * clears).
     */
-  def compactIndex(spark: SparkSession, dir: String): Unit = {
+  def compactIndex(spark: SparkSession, dir: String): Unit =
+      CellCommit.withMaintenanceLease(spark, dir) {
     // finish a crashed predecessor FIRST: a complete staging is
     // republished (never discarded — it may hold the only copy of
     // the postings if the crash hit between delete(live) and rename)

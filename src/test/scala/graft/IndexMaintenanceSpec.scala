@@ -735,4 +735,136 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       (emptyIds :+ partialId).toDF("vec_id"), "vec_id")
     assert(spark.read.parquet(s"$d/corpus").count().toInt === after.size)
   }
+
+  // --- round 15: exhaustive crash-prefix fuzz + maintenance lease ----
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("journal apply crash fuzz: EVERY prefix of the step list recovers to the NEW index") {
+    import graft.operators.{CellCommit, Similarity}
+    val emb = Tables(spark, sf, "embeddings").localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 6)
+    def probe(dir: String) =
+      Similarity.knnIvfIndexed(spark, dir, queries, "vec_id", "embedding",
+          k = 3, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: build once, delete (empty one cell + thin another),
+    // record the post-delete truth
+    val ref = tmp("fuzz_ref")
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", nLists = 8, dir = ref)
+    val byCell = spark.read.parquet(s"$ref/corpus").select("cid", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val (emptyCell, emptyIds) = byCell.minBy(_._2.size)
+    val otherCell = byCell.keys.filter(_ != emptyCell).max
+    val delIds = (emptyIds :+ byCell(otherCell).min).toDF("cid")
+    val oldRes = probe(ref)
+    // the crashed-state template: delta written, journal COMMITTED,
+    // nothing applied yet (deleteIds halted at its commit point)
+    val template = tmp("fuzz_template")
+    copyDir(ref, template)
+    locally {
+      val live = spark.read.parquet(s"$template/corpus")
+      val touched = Seq(emptyCell, otherCell).sorted
+      val survivors = live
+        .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+        .join(broadcast(delIds), Seq("cid"), "left_anti").localCheckpoint()
+      survivors.write.partitionBy("cell").parquet(s"$template/corpus__delta")
+      val surviving = survivors.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.map(c => (c, !surviving.contains(c))).toDF("cell", "emptied")
+        .coalesce(1).write.parquet(s"$template/corpus__commit")
+    }
+    // finish the reference so we know the NEW truth
+    Similarity.removeDocsFromIvfIndex(spark, ref, delIds, "cid")
+    val newRes = probe(ref)
+    assert(oldRes !== newRes, "fixture must actually change the probe result")
+    // the step list from the committed state (emptied cell has 1
+    // step, rewritten cell 2, plus journal+delta drops = 5 steps)
+    val nSteps = CellCommit.applyJournalSteps(spark, s"$template/corpus").size
+    assert(nSteps >= 5, s"expected a multi-step protocol, got $nSteps")
+    // kill at EVERY prefix: each twin executes the first k steps then
+    // "crashes"; the probe-side recovery must land on exactly NEW (the
+    // journal is committed — old is no longer reachable) with all
+    // residue gone
+    (0 to nSteps).foreach { k =>
+      val twin = tmp(s"fuzz_k$k")
+      copyDir(template, twin)
+      val steps = CellCommit.applyJournalSteps(spark, s"$twin/corpus")
+      assert(steps.size === nSteps, s"prefix $k: step list drifted")
+      steps.take(k).foreach(_.run())
+      assert(probe(twin) === newRes,
+        s"crash after ${if (k == 0) "no steps" else s"step $k (${steps(k - 1).desc})"}: " +
+          "recovery must reach the NEW index")
+      // a probe never rolls anything back, so post-journal-drop
+      // prefixes can leave a dead delta dir behind; the next WRITER
+      // op clears every residue
+      CellCommit.recover(spark, s"$twin/corpus")
+      assert(probe(twin) === newRes, s"prefix $k: writer recovery changed the result")
+      assert(!new java.io.File(s"$twin/corpus__commit").exists(),
+        s"prefix $k: journal residue survived recovery")
+      assert(!new java.io.File(s"$twin/corpus__delta").exists(),
+        s"prefix $k: delta residue survived recovery")
+      rmrfDir(twin)
+    }
+  }
+
+  test("maintenance lease: second maintainer refuses while held, entry points wait, stale owners reclaimed") {
+    import graft.operators.{CellCommit, Sketches}
+    val spark2 = spark
+    val dir = tmp("lease_basic")
+    // held lease: a direct second acquire refuses, naming the holder
+    val lease = CellCommit.acquireLease(spark2, dir, staleMs = 60000L, waitMs = 400L)
+    val ex = intercept[IllegalStateException] {
+      CellCommit.acquireLease(spark2, dir, staleMs = 60000L, waitMs = 400L)
+    }
+    assert(ex.getMessage.contains("owner="), ex.getMessage)
+    assert(ex.getMessage.contains("single-writer"), ex.getMessage)
+    // a REAL maintainer entry point (writeKmvShard) WAITS for the
+    // holder instead of failing — release from another thread after
+    // ~700 ms, the maintainer proceeds
+    val releaser = new Thread(() => { Thread.sleep(700); lease.release() })
+    val df = Seq(("a", "u1"), ("a", "u2"), ("b", "u3")).toDF("g", "v")
+    val t0 = System.nanoTime()
+    releaser.start()
+    Sketches.writeKmvShard(df, "g", "v", 16, dir, "s1")
+    val waitedMs = (System.nanoTime() - t0) / 1e6
+    releaser.join()
+    assert(waitedMs >= 500,
+      f"maintainer must wait for the held lease (waited $waitedMs%.0f ms)")
+    assert(spark2.read.parquet(s"$dir/rows").count() === 3)
+    assert(!new java.io.File(s"${dir}__lease").exists(),
+      "lease must be released after the maintainer finishes")
+    // stale lease (dead owner, no heartbeat): reclaimed instead of
+    // blocking forever
+    val dir2 = tmp("lease_stale")
+    val staleF = new java.io.File(s"${dir2}__lease")
+    staleF.getParentFile.mkdirs()
+    java.nio.file.Files.write(staleF.toPath,
+      "owner=dead@nowhere/0\nepoch=0\n".getBytes("UTF-8"))
+    staleF.setLastModified(System.currentTimeMillis() - 3600000L)
+    val l2 = CellCommit.acquireLease(spark2, dir2, staleMs = 1000L, waitMs = 2000L)
+    l2.release()
+    assert(!staleF.exists(), "stale lease must be reclaimed and replaced")
+    // reentrancy: nested same-dir and child-path scopes share one
+    // acquisition (a family entry point leasing the index dir covers
+    // the CellCommit table-dir steps under it)
+    val dir3 = tmp("lease_reentrant")
+    val got = CellCommit.withMaintenanceLease(spark2, dir3) {
+      CellCommit.withMaintenanceLease(spark2, dir3, waitMs = 300L) {
+        CellCommit.withMaintenanceLease(spark2, s"$dir3/corpus", waitMs = 300L) { 42 }
+      }
+    }
+    assert(got === 42)
+    assert(!new java.io.File(s"${dir3}__lease").exists())
+  }
 }
