@@ -89,22 +89,63 @@ object Bench {
       f()
       (System.nanoTime() - t0) / 1e9
     }
+    // PER-GATE EXCEPTION CAPTURE (round 15): a rep that throws used to
+    // leave only a stderr line and NaN-poisoned minimum — and when a
+    // LATER rep succeeded, nothing at all: the r14 tail shipped a full
+    // stack trace beside `failed: 0` with no way to attribute it. Every
+    // caught per-rep exception now lands in the detail record as
+    // (phase, gate, rep, class, message) so the record explains its own
+    // tail. (Errors raised on Spark's OWN threads — e.g. a streaming
+    // query's micro-batch thread logging after the harness moved on —
+    // don't pass through these catches; they are logged by Spark and,
+    // when the gate's recorded time and hash are green, are absorbed
+    // retries by construction.)
+    val benchErrors = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Throwable)]
+    def recordError(phase: String, gate: String, rep: Int, e: Throwable): Unit = {
+      benchErrors += ((phase, gate, rep, e))
+      System.err.println(s"[bench] $phase $gate rep$rep failed: ${e.getMessage}")
+    }
+    // HOST-LOAD SENTINEL (round 15): a fixed CPU-bound calibration job
+    // (no IO, no shuffle — sum of xxhash64 over a fixed range) timed at
+    // every tier boundary. Identical work each time, so the readings'
+    // spread IS the run's load envelope: a co-tenant spike that
+    // inflates gate times shows up as an inflated sentinel reading at
+    // that boundary, making "the host was loaded" visible IN the
+    // record instead of inferred from wall-clock forensics after the
+    // fact (the r13 jaccard and r14 suite-wide inflations both needed
+    // replay sessions to diagnose).
+    val sentinelReadings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def sentinel(label: String): Unit = {
+      // min of 2 back-to-back reps: a single ~1 s reading still
+      // carries scheduler jitter; the minimum is the statistic every
+      // other tier already trusts
+      val t = (1 to 2).map(_ => timed(() =>
+        spark.range(0L, 3200000000L, 1L, cpus.toInt)
+          // bit_xor, not sum: summing billions of hash values
+          // overflows Long and ANSI mode turns that into an
+          // ArithmeticException
+          .selectExpr("bit_xor(xxhash64(id)) AS s")
+          .write.format("noop").mode("overwrite").save())).min
+      sentinelReadings += ((label, t))
+    }
+    // untimed warm passes (JIT/codegen), then the baseline reading
+    sentinel("jit_warm"); sentinel("jit_warm2")
+    sentinelReadings.clear()
+    sentinel("start")
     // optional comma-separated gate filter for local iteration (the
     // driver never sets it); heap ingest is skipped when filtering
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    def run(qs: Seq[GateQuery]): Seq[(String, Double)] =
+    def run(phase: String, qs: Seq[GateQuery]): Seq[(String, Double)] =
       qs.filter(q => only.forall(_.contains(q.name))).map { q =>
-        val times = (1 to reps).map { _ =>
+        val times = (1 to reps).map { rep =>
           try timed(() => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-            Double.NaN
-          }
+          catch { case e: Throwable => recordError(phase, q.name, rep, e); Double.NaN }
         }
         q.name -> times.min // NaN poisons min -> a failing gate stays visible
       }
-    val results = run(SparkEntry.gateQueries.filter(_.bench))
+    val results = run("fast", SparkEntry.gateQueries.filter(_.bench))
+    sentinel("post_fast")
     // SLOW TIER (default ON; SPARK_GRAFT_BENCH_SLOW=0 skips it for
     // quick local loops): the 13 iterative/multi-commit batch gates
     // (k-core, BFS, SSSP, graph profile, the candidate-verified dedup
@@ -116,7 +157,8 @@ object Bench {
     // rounds 1-8.
     val slowEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW", "1") != "0"
     val slowResults =
-      if (slowEnabled) run(SparkEntry.gateQueries.filter(_.slow)) else Seq.empty
+      if (slowEnabled) run("slow", SparkEntry.gateQueries.filter(_.slow)) else Seq.empty
+    if (slowEnabled) sentinel("post_slow")
     // AUX TIER (single rep): streaming gates (fixed micro-batch
     // latency — a throughput number would measure the harness) and
     // demo-heap gates (KB-sized fixture dump). Their sums are
@@ -132,13 +174,11 @@ object Bench {
         qs.map { q =>
           val t = try timed(() =>
             q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-            Double.NaN
-          }
+          catch { case e: Throwable => recordError("aux", q.name, 1, e); Double.NaN }
           q.name -> t
         }
       } else Seq.empty
+    if (auxEnabled) sentinel("post_aux")
     // Heap ingest+export throughput (A1-A11): the q_heap_* gates run
     // on a tiny demo dump and are bench=false, which left ingestion
     // invisible to round-over-round comparison. This generates a
@@ -191,12 +231,9 @@ object Bench {
       else math.log(10.0)
     }
     def minTimeAt(q: GateQuery, dir: String): Double = {
-      val times = (1 to reps.max(2)).map { _ =>
+      val times = (1 to reps.max(2)).map { rep =>
         try timed(() => q.fn(spark, dir).write.format("noop").mode("overwrite").save())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] xscale ${q.name} @$dir failed: ${e.getMessage}")
-          Double.NaN
-        }
+        catch { case e: Throwable => recordError(s"xscale@$dir", q.name, rep, e); Double.NaN }
       }
       times.min
     }
@@ -212,6 +249,7 @@ object Bench {
           Some((q.name, tiny, small))
         }
       }
+    if (xscale.nonEmpty) sentinel("post_xscale")
     // least-squares slope of log10(t) on log10(sf) over the available
     // points; exp_hi = the top 2-point segment (the flag + rerun basis)
     def fitExponents(big: Double, small: Double, tiny: Double): (Double, Double) = {
@@ -241,8 +279,8 @@ object Bench {
     // (sec_min, mb, hprof_path, tmp_dir, per-rep times) — the fixture
     // path is kept so the suite-end re-measure below can re-run the
     // SAME dump without regenerating it
-    val heapIngest: (Double, Double, String, String, Seq[Double]) =
-      if (!ingestSelected) (0.0, 0.0, "", "", Seq.empty) else {
+    val heapIngest: (Double, Double, String, String, Seq[Double], Int) =
+      if (!ingestSelected) (0.0, 0.0, "", "", Seq.empty, 0) else {
       import graft.heap.{HeapDump, HprofWriter}
       import graft.heap.HprofModel.BasicType
       val w = new HprofWriter()
@@ -273,14 +311,36 @@ object Bench {
       // which makes the regression threshold unusable. One extra ~4 s
       // rep buys a stable minimum.
       val ingestReps = reps.max(3)
-      val times = (1 to ingestReps).map { r =>
-        val out = dir.resolve(s"pq$r").toString
-        timed(() => new HeapDump(spark, hprof).writeParquet(out))
+      // job-count telemetry: the export's scale contract is O(1) Spark
+      // jobs in the CLASS count (HeapScaleSpec pins 8-class == 64-class
+      // counts); recording the per-export job count here gives the
+      // round-over-round record the same signal at bench scale — a
+      // job-count regression shows as a step in this number even when
+      // wall-clock noise hides it
+      val ingestJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jobListener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          ingestJobs.incrementAndGet(); ()
+        }
       }
+      spark.sparkContext.addSparkListener(jobListener)
+      val times =
+        try (1 to ingestReps).map { r =>
+          val out = dir.resolve(s"pq$r").toString
+          timed(() => new HeapDump(spark, hprof).writeParquet(out))
+        } finally {
+          // async listener bus: drain before detaching so the count is
+          // stable (the HeapScaleSpec discipline)
+          Thread.sleep(500)
+          spark.sparkContext.removeSparkListener(jobListener)
+        }
+      val jobsPerExport = ingestJobs.get() / ingestReps
+      System.err.println(s"[bench] heap ingest jobs/export: $jobsPerExport (total ${ingestJobs.get()} over $ingestReps reps)")
       val sec = times.min
       System.err.println(f"[bench] heap ingest+export: $mb%.1f MB, 3M objects in $sec%.2f s (${mb / sec}%.1f MB/s, min of $ingestReps)")
-      (sec, mb, hprof, dir.toString, times)
+      (sec, mb, hprof, dir.toString, times, jobsPerExport)
     }
+    if (ingestSelected) sentinel("post_ingest")
     // FAST-TIER LATE RE-PASS (full-tier runs only): the r9 driver run
     // showed fast gates reading 2-4× their isolated minima while the
     // slow/aux tiers shared the JVM — transient machine load early in
@@ -295,7 +355,7 @@ object Bench {
         val late = SparkEntry.gateQueries.filter(_.bench).map { q =>
           q.name -> (try timed(() =>
             q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-          catch { case _: Throwable => Double.NaN })
+          catch { case e: Throwable => recordError("fast_late", q.name, 1, e); Double.NaN })
         }.toMap
         results.map { case (n, v) =>
           val l = late.getOrElse(n, Double.NaN)
@@ -362,9 +422,9 @@ object Bench {
       }
     val rerunTimes: Map[String, Double] = suspects.flatMap { n =>
       SparkEntry.gateQueries.find(_.name == n).map { q =>
-        val times = (1 to reps.max(2)).map { _ =>
+        val times = (1 to reps.max(2)).map { rep =>
           try timed(() => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-          catch { case _: Throwable => Double.NaN }
+          catch { case e: Throwable => recordError("rerun", q.name, rep, e); Double.NaN }
         }
         val suiteTime = slowResults.collectFirst { case (`n`, v) => v }.getOrElse(Double.NaN)
         System.err.println(f"[bench] isolation re-measure $n: suite=$suiteTime%.2fs isolated=${times.min}%.2fs")
@@ -439,7 +499,8 @@ object Bench {
         val band =
           if (ingestFinal._2.isEmpty) ""
           else f""""heap_ingest_mb_s_band":[${heapIngest._2 / ingestFinal._2.max}%.1f,${heapIngest._2 / ingestFinal._2.min}%.1f],"""
-        f""""heap_ingest_mb":${heapIngest._2}%.1f,"heap_ingest_mb_s":${heapIngest._2 / ingestFinal._1}%.1f,""" + band
+        f""""heap_ingest_mb":${heapIngest._2}%.1f,"heap_ingest_mb_s":${heapIngest._2 / ingestFinal._1}%.1f,""" +
+          s""""heap_ingest_jobs":${heapIngest._6},""" + band
       }
     def qJson(kvs: Seq[(String, Double)], dp: Int): String = kvs
       .map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN) "null" else s"%.${dp}f".format(v)) }
@@ -469,7 +530,37 @@ object Bench {
         f""""$n":{$tinyPart,"t_small":$small%.3f,"exp":$e3%.2f,"exp_hi":$eHi%.2f}"""
       }
       .mkString("{", ",", "}")
+    sentinel("end")
+    // the sentinel block: per-boundary readings plus the spread
+    // (max/min) — a spread near 1.0 certifies a quiet run; a boundary
+    // reading far above the minimum localizes WHEN the host was loaded
+    val sentinelJson = sentinelReadings
+      .map { case (l, t) => f""""$l":$t%.3f""" }.mkString("{", ",", "}")
+    val sentinelSpread = {
+      val ts = sentinelReadings.map(_._2)
+      if (ts.isEmpty || ts.min <= 0) 1.0 else ts.max / ts.min
+    }
+    val errorsJson = benchErrors
+      .map { case (phase, gate, rep, e) =>
+        Json.obj(Seq(
+          "phase" -> Json.str(phase), "gate" -> Json.str(gate),
+          "rep" -> rep.toString, "class" -> Json.str(e.getClass.getName),
+          "msg" -> Json.str(Option(e.getMessage).getOrElse("").take(500))))
+      }.mkString("[", ",", "]")
+    // phase attribution for the most expensive slow-tier gate: the
+    // 3M-node exact-dominator audit records its driver-side phase
+    // split (collect / CSR / CHK / sums) so its cost is explainable
+    // from the record alone
+    val domPhases = graft.heap.HeapAnalysis.lastDominatorPhases
+    val domJson =
+      if (domPhases.isEmpty) ""
+      else s""""dominators_phases":${domPhases.map { case (k, v) =>
+        f""""$k":$v%.3f""" }.mkString("{", ",", "}")},"""
+    val selfDescribing =
+      f""""sentinel":$sentinelJson,"sentinel_spread":$sentinelSpread%.2f,""" +
+        s""""errors":$errorsJson,"n_errors":${benchErrors.size},""" + domJson
     val detailJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,""" +
+      selfDescribing +
       f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},""" +
       f""""aux_total":$auxTotal%.3f,"n_aux":${auxResults.size},"queries":${qJson(allGates, 3)},""" +
       (if (xscale.nonEmpty)
@@ -494,6 +585,7 @@ object Bench {
     } catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val top = allGates.sortBy { case (_, v) => if (v.isNaN) Double.MaxValue else -v }.take(25)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_gates":${allGates.size},"failed":$failed,""" +
+      f""""n_errors":${benchErrors.size},"sentinel_spread":$sentinelSpread%.2f,""" +
       f""""slow_total":$slowTotal%.3f,"n_slow":${slowResults.size},""" +
       f""""aux_total":$auxTotal%.3f,"n_aux":${auxResults.size},""" +
       (if (xscale.nonEmpty) s""""xscale_flagged":$xscaleFlagged,"n_rerun":${rerunTimes.size},""" else "") +

@@ -1033,6 +1033,14 @@ final class HeapAnalysis(t: HeapTables) {
   } yield {
     val spark = oi.sparkSession
     import spark.implicits._
+    // phase clock for the bench-readable breakdown (companion doc)
+    val phaseSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var phaseMark = System.nanoTime()
+    def endPhase(name: String): Unit = {
+      val now = System.nanoTime()
+      phaseSecs(name) = phaseSecs.getOrElse(name, 0.0) + (now - phaseMark) / 1e9
+      phaseMark = now
+    }
     val ids: Array[Long] = {
       val parts: Array[Array[Long]] = oi.select("obj_id").rdd.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
@@ -1053,6 +1061,7 @@ final class HeapAnalysis(t: HeapTables) {
       }
       java.util.Arrays.sort(a); a
     }
+    endPhase("ids_collect")
     require(ids.length <= maxNodes,
       s"exactDominatorTop is the bounded audit tier: ${ids.length} objects " +
         s"exceed maxNodes=$maxNodes — use the distributed B22 approximation")
@@ -1104,6 +1113,7 @@ final class HeapAnalysis(t: HeapTables) {
       }
       (bs.result(), bd.result())
     }
+    endPhase("edge_collect")
     val m = eSrc.length
     // successor CSR: counting sort by src
     val succOff = new Array[Int](n + 1)
@@ -1178,6 +1188,7 @@ final class HeapAnalysis(t: HeapTables) {
         i += 1
       }
     }
+    endPhase("csr_rpo")
     // Cooper-Harvey-Kennedy iteration to the fixpoint
     val idom = Array.fill(n)(-1)
     idom(0) = 0
@@ -1207,6 +1218,7 @@ final class HeapAnalysis(t: HeapTables) {
         i += 1
       }
     }
+    endPhase("chk_fixpoint")
     // per-node shallow bytes into a primitive array aligned with the
     // sorted id array (binary search, no boxed map) — same one-job
     // per-partition primitive collect as the edges
@@ -1230,6 +1242,7 @@ final class HeapAnalysis(t: HeapTables) {
       }
       bytesOf(0) = 0L
     }
+    endPhase("sizes_collect")
     // subtree shallow sums + counts in reverse RPO (children before
     // parents: idom(v) always precedes v in RPO)
     val total = new Array[Long](n)
@@ -1265,6 +1278,8 @@ final class HeapAnalysis(t: HeapTables) {
       }
       v += 1
     }
+    endPhase("sums_topk")
+    HeapAnalysis.lastDominatorPhases = phaseSecs.toMap
     top.toDF("obj_id", "n_dominated", "retained_bytes")
       .join(oi.select("obj_id", "type_name"), Seq("obj_id"))
       .select("obj_id", "type_name", "n_dominated", "retained_bytes")
@@ -1627,6 +1642,15 @@ final class HeapAnalysis(t: HeapTables) {
 }
 
 object HeapAnalysis {
+  /** Wall-clock phase breakdown of this JVM's most recent
+    * [[HeapAnalysis.exactDominatorTop]] run (ids_collect,
+    * edge_collect, csr_rpo, chk_fixpoint, sizes_collect, sums_topk),
+    * seconds. Written once per run, read by the bench so the
+    * slow-tier q_heap_dominators_big cost is ATTRIBUTABLE in the
+    * record before anyone tunes it (round-15 stretch task).
+    */
+  @volatile var lastDominatorPhases: Map[String, Double] = Map.empty
+
   // 64-bit JVM, compressed oops (analyze_heap_parquet.py:36-47)
   val ObjectHeader = 16L
   val ArrayHeader = 16L

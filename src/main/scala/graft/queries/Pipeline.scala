@@ -3043,8 +3043,8 @@ object Pipeline {
        |xn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY g)
        |SELECT est.ga AS type_a, est.gb AS type_b, est.n_u, est.n_both, est.est_union,
        |  CAST(CASE WHEN est.n_u < $kmvK THEN est.n_both
-       |       ELSE CAST((est.est_union // $kmvK) * est.n_both
-       |            + ((est.est_union % $kmvK) * est.n_both) // $kmvK AS BIGINT) END AS BIGINT) AS est_inter,
+       |       ELSE CAST((est.est_union // $kmvK) * est.n_both AS BIGINT)
+       |            + CAST(((est.est_union % $kmvK) * est.n_both) // $kmvK AS BIGINT) END AS BIGINT) AS est_inter,
        |  CAST(na.n + nb.n - COALESCE(xi.exact_inter, 0) AS BIGINT) AS exact_union,
        |  CAST(COALESCE(xi.exact_inter, 0) AS BIGINT) AS exact_inter
        |FROM est

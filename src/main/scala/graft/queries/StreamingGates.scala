@@ -708,7 +708,8 @@ object StreamingGates {
       sketchDir, binWidth = 64L, work.resolve("ckpt").toString)
     drainAndUnload(q)
     graft.operators.Sketches
-      .quantilesFromSketch(s, s"$sketchDir/epoch_*", 64L, Seq(50, 90, 99))
+      .quantilesFromSketchDirs(s,
+        StreamingOps.epochDirs(s, sketchDir), 64L, Seq(50, 90, 99))
       .orderBy("pct")
   }
 
@@ -915,7 +916,11 @@ object StreamingGates {
     drainAndUnload(q)
     graft.operators.Sketches.kmvEstimate(
         graft.operators.Sketches.kmvMerge(
-          s.read.parquet(s"$sketchDir/epoch_*").select("g", "h"), 64), 64)
+          // concrete epoch paths, not a "epoch_*" glob: the glob read
+          // makes FileStreamSink.hasMetadata log a benign full stack
+          // trace into the tail (the r14 bench-record mystery)
+          s.read.parquet(StreamingOps.epochDirs(s, sketchDir): _*)
+            .select("g", "h"), 64), 64)
       .select(col("g").as("event_type"), col("n_sk"), col("kmv_est"))
       .orderBy("event_type")
   }

@@ -894,8 +894,25 @@ object StreamingOps {
     * directory is overwritten idempotently, so a re-delivered batch
     * re-lands the same rows instead of double-counting (the
     * curateStream stream-id discipline). Query side:
-    * `Sketches.quantilesFromSketch(spark, s"$dir/epoch_*", ...)`.
+    * `Sketches.quantilesFromSketchDirs(spark, epochDirs(spark, dir), ...)`.
     */
+  /** The epoch directories a sketch stream has landed so far, as
+    * CONCRETE paths for a batch read. Reading `"$dir/epoch_*"` as one
+    * glob string instead makes FileStreamSink.hasMetadata
+    * getFileStatus the literal glob path, log a full (benign)
+    * FileNotFoundException trace, and "assume no metadata" — the
+    * unexplained stack trace in the round-14 bench tail.
+    */
+  def epochDirs(spark: org.apache.spark.sql.SparkSession,
+      sketchDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch_"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
   def histogramSketchStream(docs: DataFrame, valueCol: String,
       shardCol: String, sketchDir: String, binWidth: Long,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {

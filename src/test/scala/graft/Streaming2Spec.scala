@@ -35,7 +35,8 @@ class Streaming2Spec extends AnyFunSuite {
     val epochs = new java.io.File(sk).listFiles().map(_.getName).filter(_.startsWith("epoch_"))
     assert(epochs.length === 2, epochs.toSeq)
     val streamed = graft.operators.Sketches
-      .quantilesFromSketch(spark, s"$sk/epoch_*", 10L, Seq(50, 90, 99))
+      .quantilesFromSketchDirs(spark,
+        graft.streaming.StreamingOps.epochDirs(spark, sk), 10L, Seq(50, 90, 99))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
     // one-shot batch sketch over the same 100 values
     val batchDir = work.resolve("batch_sk").toString
