@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** D57 — persisted mergeable cardinality sketches: per-shard HLL
@@ -290,6 +290,75 @@ object Sketches {
     * sketch is the exact union hash set, so both estimates are exact.
     * Cost is |groups|² · k rows — sketch-sized, never corpus-sized.
     */
+  // CountSketch hashing: two independent md5-derived streams per
+  // (value, row) — one for the bucket, one for the ±1 sign. md5 is the
+  // repo's portable hash (SURVEY §6), so grid AND estimates replay
+  // bit-for-bit in the DuckDB oracle.
+  private def csHash(w: Column, r: Column, salt: String): Column =
+    conv(substring(md5(concat(w, lit("#"), r.cast("string"), lit(salt))
+      .cast("binary")), 1, 12), 16, 10).cast("long")
+
+  private def csBucket(w: Column, r: Column, width: Int): Column =
+    pmod(csHash(w, r, "b"), lit(width.toLong))
+
+  private def csSign(w: Column, r: Column): Column =
+    when(pmod(csHash(w, r, "s"), lit(2L)) === 0L, lit(-1L)).otherwise(lit(1L))
+
+  /** D135 — CountSketch (Charikar, Chen & Farach-Colton, ICALP 2002
+    * "Finding frequent items in data streams"): a depth×width grid of
+    * SIGNED counters — row r adds sign_r(w) to cell (r, bucket_r(w))
+    * per occurrence — queried by the exact MEDIAN over rows of
+    * sign_r(m)·counter(r, bucket_r(m)). The properties Count-Min
+    * (D31) cannot give: the estimate is UNBIASED (collisions cancel
+    * in expectation instead of only inflating) and its error scales
+    * with the L2 norm of the frequency vector (√(Σf²)/√width), which
+    * on a skewed token distribution sits far below CM's L1 bound
+    * (N/width) — and the signed grid is the AMS inner-product sketch,
+    * so two grids estimate Σ f·g across corpus slices.
+    *
+    * Everything is integer-exact md5 arithmetic: deterministic
+    * buckets and signs, Long counter sums, and an odd-depth exact
+    * median — so the gate pins grid and estimates VALUE-exactly
+    * against the oracle, not through a tolerance boolean.
+    *
+    * Scale shape: the (value, r) explode is a projection (no state),
+    * the grid aggregate map-side combines each partition to ≤
+    * depth·width cells before the only exchange, and estimates join a
+    * broadcast marker frame against the kilobyte-sized grid.
+    */
+  def countSketchGrid(df: DataFrame, valueCol: String,
+      width: Int, depth: Int): DataFrame = {
+    require(width > 0, s"invalid width $width")
+    require(depth > 0 && depth % 2 == 1,
+      s"depth must be odd for an exact median, got $depth")
+    df.select(col(valueCol).cast("string").as("w"))
+      .select(col("w"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), csBucket(col("w"), col("r"), width).as("bucket"),
+        csSign(col("w"), col("r")).as("sign"))
+      .groupBy("r", "bucket").agg(sum(col("sign")).as("c"))
+  }
+
+  /** Median-of-rows CountSketch estimates for a (small) marker set
+    * against a [[countSketchGrid]]. Absent cells count 0 — a marker
+    * whose bucket no value ever touched estimates from zeros.
+    */
+  def countSketchEstimates(grid: DataFrame, markers: Seq[String],
+      width: Int, depth: Int): DataFrame = {
+    require(markers.nonEmpty, "no markers to estimate")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val probes = markers.toDF("token")
+      .select(col("token"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("token"), col("r"),
+        csBucket(col("token"), col("r"), width).as("bucket"),
+        csSign(col("token"), col("r")).as("sign"))
+    broadcast(probes).join(grid, Seq("r", "bucket"), "left")
+      .select(col("token"), (coalesce(col("c"), lit(0L)) * col("sign")).as("sv"))
+      .groupBy("token")
+      .agg(element_at(array_sort(collect_list(col("sv"))), (depth + 1) / 2)
+        .as("cs_est"))
+  }
+
   def kmvSetEstimates(sketch: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gs = sketch.select("g").distinct()

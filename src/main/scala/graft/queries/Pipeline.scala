@@ -2925,6 +2925,61 @@ object Pipeline {
       .orderBy("token")
   }
 
+  /** D135 — CountSketch (Charikar et al. 2002), the SIGNED companion
+    * to D31's Count-Min: unbiased estimates whose error scales with
+    * the token distribution's L2 norm, and the AMS inner-product
+    * structure CM lacks. The whole pipeline is integer md5 arithmetic
+    * (deterministic buckets/signs, Long counter sums, odd-depth exact
+    * median), so the oracle replays grid construction AND every
+    * marker's median estimate VALUE-exactly — no tolerance boolean.
+    * An absent marker estimates from whatever collision noise its
+    * cells carry, which the oracle reproduces too.
+    */
+  val qCountSketch: GateQuery = GateQuery(
+    "q_count_sketch",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |rs AS (SELECT unnest(generate_series(0, 4)) AS r),
+      |cells AS (SELECT r,
+      |    ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 'b'), 1, 12))::BIGINT % 256 AS bucket,
+      |    CASE WHEN ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 's'), 1, 12))::BIGINT % 2 = 0
+      |         THEN -1 ELSE 1 END AS sign
+      |  FROM toks CROSS JOIN rs),
+      |grid AS (SELECT r, bucket, CAST(SUM(sign) AS BIGINT) AS c
+      |         FROM cells GROUP BY r, bucket),
+      |m(token) AS (SELECT unnest(['join', 'scan', 'the', 'zz_absent_marker'])),
+      |probes AS (SELECT token, r,
+      |    ('0x' || substr(md5(token || '#' || CAST(r AS VARCHAR) || 'b'), 1, 12))::BIGINT % 256 AS bucket,
+      |    CASE WHEN ('0x' || substr(md5(token || '#' || CAST(r AS VARCHAR) || 's'), 1, 12))::BIGINT % 2 = 0
+      |         THEN -1 ELSE 1 END AS sign
+      |  FROM m CROSS JOIN rs),
+      |sv AS (SELECT p.token, COALESCE(g.c, 0) * p.sign AS sv
+      |       FROM probes p LEFT JOIN grid g ON g.r = p.r AND g.bucket = p.bucket),
+      |med AS (SELECT token, sv, row_number() OVER (PARTITION BY token ORDER BY sv) AS rn
+      |        FROM sv),
+      |ex AS (SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS true_count FROM toks
+      |       WHERE w IN ('join', 'scan', 'the', 'zz_absent_marker') GROUP BY w)
+      |SELECT m.token, CAST(COALESCE(ex.true_count, 0) AS BIGINT) AS true_count,
+      |  CAST(med.sv AS BIGINT) AS cs_est
+      |FROM m JOIN med ON med.token = m.token AND med.rn = 3
+      |LEFT JOIN ex ON ex.token = m.token
+      |ORDER BY m.token""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.broadcast
+    val markers = Seq("join", "scan", "the", "zz_absent_marker")
+    val toks = Tables(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    val grid = graft.operators.Sketches.countSketchGrid(toks, "w", 256, 5)
+    val est = graft.operators.Sketches.countSketchEstimates(grid, markers, 256, 5)
+    val exact = toks.filter(col("w").isin(markers: _*))
+      .groupBy(col("w").as("token")).agg(count(lit(1)).as("true_count"))
+    import s.implicits._
+    broadcast(markers.toDF("token"))
+      .join(exact, Seq("token"), "left")
+      .join(est, Seq("token"))
+      .select(col("token"), coalesce(col("true_count"), lit(0L)).as("true_count"),
+        col("cs_est"))
+      .orderBy("token")
+  }
+
   /** D111 — two-pass EXACT heavy hitters: sketch-filtered candidate
     * occurrences, exactly counted — the result must equal a plain
     * GROUP BY HAVING (the oracle IS that plain form; a sketch that
@@ -5557,7 +5612,7 @@ object Pipeline {
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qTemperatureMix, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct, qKmvDistinct, qKmvSetops, qKmvShards,
-    qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact,
+    qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact, qCountSketch,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,

@@ -225,4 +225,46 @@ class SketchSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/rows").exists())
   }
 
+  test("D135 CountSketch: exact on isolated values, signed collisions cancel in the median, deterministic") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val width = 64; val depth = 5
+    // one value repeated n times: every cell it touches holds ONLY its
+    // own contribution, so the median estimate is exactly n
+    val solo = Seq.fill(37)("alpha").toDF("w")
+    val gSolo = Sketches.countSketchGrid(solo, "w", width, depth)
+    assert(gSolo.count() === depth.toLong,
+      "a single distinct value occupies exactly one cell per row")
+    val eSolo = Sketches.countSketchEstimates(gSolo, Seq("alpha"), width, depth)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eSolo("alpha") === 37L)
+    // absent marker on an empty-ish grid: all its cells are 0 or
+    // collision noise; on the EMPTY grid it is exactly 0
+    val eAbsent = Sketches.countSketchEstimates(
+        Sketches.countSketchGrid(Seq.empty[String].toDF("w"), "w", width, depth),
+        Seq("ghost"), width, depth)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eAbsent("ghost") === 0L)
+    // mixed corpus: heavy marker among noise — the median estimate is
+    // within the CountSketch error envelope (generous bound; the GATE
+    // pins the exact value against the oracle, this spec pins sanity)
+    val rng = new scala.util.Random(11L)
+    val noise = (0 until 2000).map(_ => s"n${rng.nextInt(500)}")
+    val mixed = (Seq.fill(300)("heavy") ++ noise).toDF("w")
+    val gMixed = Sketches.countSketchGrid(mixed, "w", width, depth)
+      .localCheckpoint()
+    val eMixed = Sketches.countSketchEstimates(gMixed, Seq("heavy"), width, depth)
+      .collect().head.getLong(1)
+    assert(math.abs(eMixed - 300L) <= 150L,
+      s"median estimate $eMixed too far from true 300")
+    // deterministic + partition-invariant: same grid under repartition
+    val gRepart = Sketches.countSketchGrid(mixed.repartition(7), "w", width, depth)
+    assert(gRepart.orderBy("r", "bucket").collect().toSeq ===
+      gMixed.orderBy("r", "bucket").collect().toSeq)
+    // an even depth has no exact median — refused
+    intercept[IllegalArgumentException] {
+      Sketches.countSketchGrid(solo, "w", width, 4)
+    }
+  }
+
 }
