@@ -340,6 +340,76 @@ object Bench {
       System.err.println(f"[bench] heap ingest+export: $mb%.1f MB, 3M objects in $sec%.2f s (${mb / sec}%.1f MB/s, min of $ingestReps)")
       (sec, mb, hprof, dir.toString, times, jobsPerExport)
     }
+    // 10× SCALE POINT (round-15): one ~1.5 GB / 30M-object dump —
+    // the same record mix as the 156 MB point at exactly 10× —
+    // generated STREAMING (untimed; StreamingHprofWriter keeps the
+    // footprint at one segment buffer) and exported ONCE, timed. This
+    // is the scale decade the 156 MB point cannot see: a per-class
+    // job-count regression or a superlinear parse/export term shows
+    // here first. Single rep by design — the point is the scale
+    // ratio (MB/s within ~2× of the 1× point, same job count), not a
+    // regression tripwire; the 1× point with its min-of-3 + committed
+    // band carries that role.
+    val ingest10x: Option[(Double, Double, Int)] =
+      if (!ingestSelected || only.isDefined ||
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_INGEST10X", "1") == "0") None
+      else {
+        import graft.heap.{HeapDump, StreamingHprofWriter}
+        import graft.heap.HprofModel.BasicType
+        val dir = java.nio.file.Files.createTempDirectory("graft_bench_heap10x")
+        val hprof = dir.resolve("bench10x.hprof").toString
+        val w = new StreamingHprofWriter(hprof)
+        val obj = w.defineClass("java.lang.Object")
+        val str = w.defineClass("java.lang.String", obj,
+          instanceFields = Seq("value" -> BasicType.Object, "hash" -> BasicType.Int))
+        val box = w.defineClass("java.lang.Integer", obj,
+          instanceFields = Seq("value" -> BasicType.Int))
+        val classes = (0 until 200).map(i => w.defineClass(s"com.bench.Gen$i", obj,
+          instanceFields = Seq("a" -> BasicType.Long, "b" -> BasicType.Int, "ref" -> BasicType.Object)))
+        val rnd = new scala.util.Random(7L)
+        val nStr = 12000000
+        val byteIds = new Array[Long](nStr)
+        locally {
+          var i = 0
+          while (i < nStr) {
+            byteIds(i) = w.byteArray(s"payload-${i % 500000}-${rnd.nextInt(100)}"); i += 1
+          }
+          i = 0
+          while (i < nStr) {
+            w.instance(str, Seq(BasicType.Object -> byteIds(i), BasicType.Int -> i)); i += 1
+          }
+          i = 0
+          while (i < 6000000) { w.instance(box, Seq(BasicType.Int -> (i % 1024))); i += 1 }
+          i = 0
+          while (i < 12000000) {
+            w.instance(classes(i % classes.length), Seq(BasicType.Long -> i.toLong,
+              BasicType.Int -> i, BasicType.Object -> byteIds(i % nStr)))
+            i += 1
+          }
+        }
+        w.close()
+        val mb = new java.io.File(hprof).length() / 1e6
+        val jobs10x = new java.util.concurrent.atomic.AtomicInteger(0)
+        val l10 = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs10x.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(l10)
+        val sec =
+          try timed(() =>
+            new HeapDump(spark, hprof).writeParquet(dir.resolve("pq10x").toString))
+          finally { Thread.sleep(500); spark.sparkContext.removeSparkListener(l10) }
+        System.err.println(f"[bench] heap ingest 10x: $mb%.1f MB, 30M objects in $sec%.2f s (${mb / sec}%.1f MB/s, ${jobs10x.get()} jobs)")
+        // ~3 GB of scratch per run: drop it (the 1x fixture stays for
+        // the suite-end ingest re-measure; this point has no re-measure)
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () }
+        Some((sec, mb, jobs10x.get()))
+      }
     if (ingestSelected) sentinel("post_ingest")
     // FAST-TIER LATE RE-PASS (full-tier runs only): the r9 driver run
     // showed fast gates reading 2-4× their isolated minima while the
@@ -500,7 +570,10 @@ object Bench {
           if (ingestFinal._2.isEmpty) ""
           else f""""heap_ingest_mb_s_band":[${heapIngest._2 / ingestFinal._2.max}%.1f,${heapIngest._2 / ingestFinal._2.min}%.1f],"""
         f""""heap_ingest_mb":${heapIngest._2}%.1f,"heap_ingest_mb_s":${heapIngest._2 / ingestFinal._1}%.1f,""" +
-          s""""heap_ingest_jobs":${heapIngest._6},""" + band
+          s""""heap_ingest_jobs":${heapIngest._6},""" + band +
+          ingest10x.map { case (sec, mb, jobs) =>
+            f""""heap_ingest10x_mb":$mb%.1f,"heap_ingest10x_mb_s":${mb / sec}%.1f,"heap_ingest10x_jobs":$jobs,"""
+          }.getOrElse("")
       }
     def qJson(kvs: Seq[(String, Double)], dp: Int): String = kvs
       .map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN) "null" else s"%.${dp}f".format(v)) }

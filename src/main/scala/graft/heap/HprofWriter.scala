@@ -173,3 +173,144 @@ final class HprofWriter(val idSize: Int = 8) {
     path
   }
 }
+
+/** Streaming variant of [[HprofWriter]] for BENCH-SCALE dumps: every
+  * record flushes to disk as it is generated, with heap sub-records
+  * buffered only up to `segmentBytes` before landing as a
+  * HEAP_DUMP_SEGMENT — so a multi-GB synthetic dump never
+  * materializes in memory the way HprofWriter's deferred-closure
+  * build does (whole body + one closure per sub-record). This is what
+  * makes the 10× ingest bench point possible: 30M objects / ~1.5 GB
+  * under a bounded footprint (one segment buffer + the string-intern
+  * map + the id counter).
+  *
+  * Contract: define all classes BEFORE the first instance — class
+  * dumps are emitted into the segment stream at definition time, and
+  * the parser requires a class's dump to precede none of its
+  * instances in file order only per HPROF semantics (any segment),
+  * so this ordering is simply the writer's natural one.
+  */
+final class StreamingHprofWriter(path: String, val idSize: Int = 8,
+    segmentBytes: Int = 24 << 20) {
+  private val out = new DataOutputStream(new java.io.BufferedOutputStream(
+    new java.io.FileOutputStream(path), 1 << 20))
+  out.write("JAVA PROFILE 1.0.2".getBytes("UTF-8")); out.writeByte(0)
+  out.writeInt(idSize)
+  out.writeLong(System.currentTimeMillis())
+
+  private val strings = mutable.HashMap.empty[String, Long]
+  private var nextId: Long = 0x1000L
+  private var nextClassSerial: Int = 1
+  private val seg = new ByteArrayOutputStream(segmentBytes + (1 << 16))
+  private val segD = new DataOutputStream(seg)
+
+  def freshId(): Long = { val v = nextId; nextId += 8; v }
+
+  private def wid(d: DataOutputStream, id: Long): Unit =
+    if (idSize == 8) d.writeLong(id) else d.writeInt(id.toInt)
+
+  // top-level record straight to the file; safe between segments
+  // because the partial segment buffer only reaches the file at flush
+  private def rec(tag: Int)(write: DataOutputStream => Unit): Unit = {
+    val buf = new ByteArrayOutputStream()
+    write(new DataOutputStream(buf))
+    out.writeByte(tag); out.writeInt(0); out.writeInt(buf.size())
+    buf.writeTo(out)
+  }
+
+  private def flushSegment(): Unit = if (seg.size() > 0) {
+    out.writeByte(Tag.HeapDumpSegment); out.writeInt(0); out.writeInt(seg.size())
+    seg.writeTo(out); seg.reset()
+  }
+
+  private def maybeFlush(): Unit = if (seg.size() >= segmentBytes) flushSegment()
+
+  def stringId(s: String): Long = strings.getOrElseUpdate(s, {
+    val id = freshId()
+    rec(Tag.Utf8) { d => wid(d, id); d.write(s.getBytes("UTF-8")) }
+    id
+  })
+
+  private def writeValue(d: DataOutputStream, t: Int, v: Any): Unit = t match {
+    case BasicType.Object => wid(d, v.asInstanceOf[Long])
+    case BasicType.Boolean => d.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case BasicType.Char => d.writeChar(v.asInstanceOf[Int])
+    case BasicType.Float => d.writeFloat(v.asInstanceOf[Float])
+    case BasicType.Double => d.writeDouble(v.asInstanceOf[Double])
+    case BasicType.Byte => d.writeByte(v.asInstanceOf[Byte].toInt)
+    case BasicType.Short => d.writeShort(v.asInstanceOf[Short].toInt)
+    case BasicType.Int => d.writeInt(v.asInstanceOf[Int])
+    case BasicType.Long => d.writeLong(v.asInstanceOf[Long])
+  }
+
+  def defineClass(name: String, superId: Long = 0L,
+      instanceFields: Seq[(String, Int)] = Nil,
+      staticFields: Seq[(String, Int, Any)] = Nil,
+      instanceSize: Int = 16, loaderId: Long = 0L): Long = {
+    val classId = freshId()
+    val serial = nextClassSerial; nextClassSerial += 1
+    val nameId = stringId(name)
+    rec(Tag.LoadClass) { d =>
+      d.writeInt(serial); wid(d, classId); d.writeInt(0); wid(d, nameId)
+    }
+    segD.writeByte(Sub.ClassDump)
+    wid(segD, classId); segD.writeInt(0); wid(segD, superId)
+    wid(segD, loaderId); wid(segD, 0L); wid(segD, 0L); wid(segD, 0L); wid(segD, 0L)
+    segD.writeInt(instanceSize)
+    segD.writeShort(0) // constant pool
+    segD.writeShort(staticFields.size)
+    staticFields.foreach { case (fn, t, v) =>
+      wid(segD, stringId(fn)); segD.writeByte(t); writeValue(segD, t, v)
+    }
+    segD.writeShort(instanceFields.size)
+    instanceFields.foreach { case (fn, t) => wid(segD, stringId(fn)); segD.writeByte(t) }
+    maybeFlush()
+    classId
+  }
+
+  def instance(classId: Long, values: Seq[(Int, Any)]): Long = {
+    val objId = freshId()
+    val fieldBuf = new ByteArrayOutputStream()
+    val fd = new DataOutputStream(fieldBuf)
+    values.foreach { case (t, v) => writeValue(fd, t, v) }
+    segD.writeByte(Sub.InstanceDump)
+    wid(segD, objId); segD.writeInt(0); wid(segD, classId)
+    segD.writeInt(fieldBuf.size()); fieldBuf.writeTo(segD)
+    maybeFlush()
+    objId
+  }
+
+  /** Bulk byte[] — the hot generation path: one array copy, no
+    * per-element boxing.
+    */
+  def byteArray(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    val objId = freshId()
+    segD.writeByte(Sub.PrimitiveArrayDump)
+    wid(segD, objId); segD.writeInt(0); segD.writeInt(bytes.length)
+    segD.writeByte(BasicType.Byte)
+    segD.write(bytes)
+    maybeFlush()
+    objId
+  }
+
+  def gcRoot(rootType: Int, objId: Long, threadSerial: Int = 0): Unit = {
+    segD.writeByte(rootType)
+    rootType match {
+      case Sub.RootUnknown | Sub.RootStickyClass | Sub.RootMonitorUsed => wid(segD, objId)
+      case Sub.RootJniGlobal => wid(segD, objId); wid(segD, 0L)
+      case Sub.RootJniLocal | Sub.RootJavaFrame =>
+        wid(segD, objId); segD.writeInt(threadSerial); segD.writeInt(-1)
+      case Sub.RootNativeStack | Sub.RootThreadBlock => wid(segD, objId); segD.writeInt(threadSerial)
+      case Sub.RootThreadObject => wid(segD, objId); segD.writeInt(threadSerial); segD.writeInt(0)
+    }
+    maybeFlush()
+  }
+
+  /** Flush the tail segment, end the dump, close the file. */
+  def close(): Unit = {
+    flushSegment()
+    out.writeByte(Tag.HeapDumpEnd); out.writeInt(0); out.writeInt(0)
+    out.flush(); out.close()
+  }
+}
