@@ -359,6 +359,41 @@ object Sketches {
         .as("cs_est"))
   }
 
+  /** Merge CountSketch grids built with the same (width, depth): the
+    * grid is a LINEAR function of the frequency vector, so cellwise
+    * sum of counters IS the grid of the concatenated inputs — the
+    * property that makes per-shard/per-epoch grids exactly mergeable
+    * (the KMV bottom-k-of-union identity's additive twin).
+    */
+  def countSketchMerge(grids: DataFrame): DataFrame =
+    grids.groupBy("r", "bucket").agg(sum(col("c")).as("c"))
+
+  /** AMS inner-product estimate Σ_w f(w)·g(w) from two CountSketch
+    * grids of the SAME (width, depth) (Alon, Matias & Szegedy STOC'96
+    * §2, the tug-of-war sketch; CountSketch rows are exactly AMS
+    * atoms): per row r the bucketwise product Σ_b c_f(r,b)·c_g(r,b)
+    * is an unbiased inner-product estimate, and the odd-depth median
+    * across rows is the returned value — the cross-corpus overlap
+    * statistic (shared-vocabulary mass) neither CM nor KMV can give.
+    * Rows with no populated common bucket contribute 0 exactly.
+    */
+  def countSketchInner(gridA: DataFrame, gridB: DataFrame, depth: Int): DataFrame = {
+    require(depth > 0 && depth % 2 == 1,
+      s"depth must be odd for an exact median, got $depth")
+    val spark = gridA.sparkSession
+    val prod = gridA.select(col("r"), col("bucket"), col("c").as("ca"))
+      .join(gridB.select(col("r"), col("bucket"), col("c").as("cb")),
+        Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+    // every row must vote even when the two grids share no populated
+    // bucket in it (product 0) — a dropped row would shift the median
+    spark.range(depth).select(col("id").cast("int").as("r"))
+      .join(prod, Seq("r"), "left")
+      .select(coalesce(col("ip"), lit(0L)).as("ip"))
+      .agg(element_at(array_sort(collect_list(col("ip"))), (depth + 1) / 2)
+        .as("inner_est"))
+  }
+
   def kmvSetEstimates(sketch: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gs = sketch.select("g").distinct()

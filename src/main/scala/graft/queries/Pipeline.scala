@@ -2980,6 +2980,58 @@ object Pipeline {
       .orderBy("token")
   }
 
+  /** D135b — AMS inner product from two CountSketch grids (Alon,
+    * Matias & Szegedy STOC'96; CountSketch rows ARE tug-of-war
+    * atoms): the shared-vocabulary mass Σ f(w)·g(w) between two
+    * corpus slices, estimated from two kilobyte grids instead of a
+    * vocabulary join — the cross-slice overlap statistic CM and KMV
+    * cannot give. Fully integer md5 arithmetic again, so the oracle
+    * replays BOTH grids, the per-row bucket products, the median, and
+    * the exact inner product.
+    */
+  val qCsInner: GateQuery = GateQuery(
+    "q_cs_inner",
+    """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 0),
+      |tb AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 1),
+      |rs AS (SELECT unnest(generate_series(0, 4)) AS r),
+      |ca AS (SELECT r,
+      |    ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 'b'), 1, 12))::BIGINT % 256 AS bucket,
+      |    CASE WHEN ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 's'), 1, 12))::BIGINT % 2 = 0
+      |         THEN -1 ELSE 1 END AS sign
+      |  FROM ta CROSS JOIN rs),
+      |ga AS (SELECT r, bucket, CAST(SUM(sign) AS BIGINT) AS c FROM ca GROUP BY r, bucket),
+      |cb AS (SELECT r,
+      |    ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 'b'), 1, 12))::BIGINT % 256 AS bucket,
+      |    CASE WHEN ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 's'), 1, 12))::BIGINT % 2 = 0
+      |         THEN -1 ELSE 1 END AS sign
+      |  FROM tb CROSS JOIN rs),
+      |gb AS (SELECT r, bucket, CAST(SUM(sign) AS BIGINT) AS c FROM cb GROUP BY r, bucket),
+      |prod AS (SELECT ga.r, CAST(SUM(ga.c * gb.c) AS BIGINT) AS ip
+      |         FROM ga JOIN gb ON gb.r = ga.r AND gb.bucket = ga.bucket GROUP BY ga.r),
+      |allr AS (SELECT rs.r, CAST(COALESCE(prod.ip, 0) AS BIGINT) AS ip
+      |         FROM rs LEFT JOIN prod ON prod.r = rs.r),
+      |med AS (SELECT ip, row_number() OVER (ORDER BY ip) AS rn FROM allr),
+      |xa AS (SELECT w, COUNT(*) AS n FROM ta GROUP BY w),
+      |xb AS (SELECT w, COUNT(*) AS n FROM tb GROUP BY w),
+      |ex AS (SELECT CAST(COALESCE(SUM(xa.n * xb.n), 0) AS BIGINT) AS exact_inner
+      |       FROM xa JOIN xb ON xb.w = xa.w)
+      |SELECT ex.exact_inner, CAST(med.ip AS BIGINT) AS inner_est
+      |FROM ex, med WHERE med.rn = 3""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.broadcast
+    val docs = Tables(s, dir, "documents")
+    def toks(side: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === side)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    val ga = graft.operators.Sketches.countSketchGrid(toks(0), "w", 256, 5)
+    val gb = graft.operators.Sketches.countSketchGrid(toks(1), "w", 256, 5)
+    val est = graft.operators.Sketches.countSketchInner(ga, gb, 5)
+    val xa = toks(0).groupBy("w").agg(count(lit(1)).as("na"))
+    val xb = toks(1).groupBy("w").agg(count(lit(1)).as("nb"))
+    val ex = xa.join(xb, "w")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_inner"))
+    ex.crossJoin(broadcast(est))
+      .select(col("exact_inner"), col("inner_est"))
+  }
+
   /** D111 — two-pass EXACT heavy hitters: sketch-filtered candidate
     * occurrences, exactly counted — the result must equal a plain
     * GROUP BY HAVING (the oracle IS that plain form; a sketch that
@@ -5612,7 +5664,7 @@ object Pipeline {
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qTemperatureMix, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct, qKmvDistinct, qKmvSetops, qKmvShards,
-    qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact, qCountSketch,
+    qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact, qCountSketch, qCsInner,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,

@@ -3,6 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.{GateQuery, Tables}
+import graft.functions.TextFunctions
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -923,6 +924,57 @@ object StreamingGates {
             .select("g", "h"), 64), 64)
       .select(col("g").as("event_type"), col("n_sk"), col("kmv_est"))
       .orderBy("event_type")
+  }
+
+  /** E64 — the D135 CountSketch ONLINE: documents arrive as two
+    * micro-batches; each lands its own signed counter grid in an
+    * epoch directory, and the final estimates merge every epoch by
+    * cellwise sum — which must EQUAL the one-shot batch sketch (the
+    * grid is linear in the frequency vector), so this gate shares
+    * q_count_sketch's oracle verbatim. A lost epoch, a duplicated one
+    * (replay), or a merge that sums the wrong cells shifts a median
+    * and breaks the hash.
+    */
+  val qStreamCountSketch: GateQuery = GateQuery(
+    "q_stream_count_sketch", Pipeline.qCountSketch.oracle.get) { (s, dir) =>
+    import org.apache.spark.sql.functions.broadcast
+    val markers = Seq("join", "scan", "the", "zz_absent_marker")
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_cs")
+    val srcDir = work.resolve("src").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    val sketchDir = work.resolve("sk").toString
+    val q = StreamingOps.countSketchStream(stream, "w", 256, 5,
+      sketchDir, work.resolve("ckpt").toString)
+    drainAndUnload(q)
+    val merged = graft.operators.Sketches.countSketchMerge(
+      s.read.parquet(StreamingOps.epochDirs(s, sketchDir): _*))
+    val est = graft.operators.Sketches.countSketchEstimates(merged, markers, 256, 5)
+    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    val exact = toks.filter(col("w").isin(markers: _*))
+      .groupBy(col("w").as("token")).agg(count(lit(1)).as("true_count"))
+    import s.implicits._
+    broadcast(markers.toDF("token"))
+      .join(exact, Seq("token"), "left")
+      .join(est, Seq("token"))
+      .select(col("token"), coalesce(col("true_count"), lit(0L)).as("true_count"),
+        col("cs_est"))
+      .orderBy("token")
   }
 
   /** E48 — Trigger.AvailableNow incremental batch: TWO separate
@@ -1860,6 +1912,6 @@ object StreamingGates {
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
       qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
-      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce, qStreamRate, qStreamKmv)
+      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce, qStreamRate, qStreamKmv, qStreamCountSketch)
     .map(_.copy(bench = false))
 }

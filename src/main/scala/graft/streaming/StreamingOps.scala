@@ -958,6 +958,33 @@ object StreamingOps {
       .start()
   }
 
+  /** E64 — the D135 CountSketch running ONLINE: each micro-batch
+    * lands its own signed counter grid in an epoch-stamped directory
+    * (idempotent on replay — a redelivered batch overwrites its own
+    * epoch), and the final estimate merges every epoch by CELLWISE
+    * SUM — exact because the grid is a linear function of the
+    * frequency vector, so the merged grid EQUALS the one-shot batch
+    * grid (the additive twin of E63's bottom-k-of-union identity).
+    * Per-batch cost is the batch's token explode + a grid-sized
+    * aggregate, never a corpus rescan.
+    */
+  def countSketchStream(docs: DataFrame, valueCol: String, width: Int,
+      depth: Int, sketchDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.countSketchGrid(batch, valueCol, width, depth)
+          .write.mode("overwrite")
+          .parquet(s"$sketchDir/epoch_${streamId}_$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** E45 — the D113 duplicated-span guard running ONLINE: every
     * micro-batch (1) probes the persisted gram index and lands its
     * span report, then (2) appends its own NOVEL grams — so batch 2

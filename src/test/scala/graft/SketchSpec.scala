@@ -267,4 +267,30 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("D135b grids merge by cellwise sum; AMS inner product is exact on a non-colliding overlap") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val width = 64; val depth = 5
+    val sliceA = (Seq.fill(10)("x") ++ Seq.fill(5)("y")).toDF("w")
+    val sliceB = (Seq.fill(3)("x") ++ Seq.fill(7)("z")).toDF("w")
+    val ga = Sketches.countSketchGrid(sliceA, "w", width, depth).localCheckpoint()
+    val gb = Sketches.countSketchGrid(sliceB, "w", width, depth).localCheckpoint()
+    // linearity: the union's grid equals the cellwise sum of the
+    // slices' grids — the property epoch/shard merging relies on
+    val gUnion = Sketches.countSketchGrid(sliceA.union(sliceB), "w", width, depth)
+    val gMerged = Sketches.countSketchMerge(ga.union(gb))
+    assert(gMerged.orderBy("r", "bucket").collect().toSeq ===
+      gUnion.orderBy("r", "bucket").collect().toSeq)
+    // inner product: only "x" is shared → Σ f·g = 10·3 = 30; same
+    // token gets the same sign in both grids, so the product is +30
+    // in every non-colliding row and the median is exact
+    val est = Sketches.countSketchInner(ga, gb, depth).collect().head.getLong(0)
+    assert(est === 30L)
+    // disjoint slices: exact inner product 0, and with these tokens
+    // not colliding the estimate is exactly 0 too
+    val gc = Sketches.countSketchGrid(Seq.fill(9)("q").toDF("w"), "w", width, depth)
+    assert(Sketches.countSketchInner(gb, gc, depth)
+      .collect().head.getLong(0) === 0L)
+  }
+
 }
