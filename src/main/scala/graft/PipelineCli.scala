@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *   graft.PipelineCli kmv-build <in.parquet> <tableDir> <groupCol> <valueCol> [k] [shard]
   *   graft.PipelineCli kmv-estimate <tableDir> <outDir> [shard,shard,...]
   *   graft.PipelineCli kmv-remove-shard <tableDir> <shard>
+  *   graft.PipelineCli cs-build <in.parquet> <gridDir> <valueCol> [width] [depth]
+  *   graft.PipelineCli cs-estimate <gridDir> <outDir> <marker,marker,...>
+  *   graft.PipelineCli cs-inner <gridDirA> <gridDirB> <outDir>
   *
   * Input schemas: docs(doc_id, text), emb(vec_id, embedding).
   */
@@ -33,6 +36,31 @@ object PipelineCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  /** Read-or-write the (width, depth) params row of a CountSketch
+    * grid dir: `requested` Some on build (first build records, later
+    * builds refuse a mismatch), None on read paths (params must
+    * already exist).
+    */
+  private def csParams(spark: SparkSession, gridDir: String,
+      requested: Option[(Int, Int)]): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$gridDir/params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val row = spark.read.parquet(p.toString).select("width", "depth").head()
+      val stored = (row.getInt(0), row.getInt(1))
+      requested.foreach(r => require(r == stored,
+        s"grid at $gridDir was built with (width,depth)=$stored but this " +
+          s"invocation uses $r; delete the grid dir to change params"))
+      stored
+    } else requested match {
+      case Some((w, d)) =>
+        spark.range(1).select(lit(w).as("width"), lit(d).as("depth"))
+          .coalesce(1).write.mode("errorifexists").parquet(p.toString)
+        (w, d)
+      case None => sys.error(s"no CountSketch grid at $gridDir (missing params)")
+    }
   }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -113,12 +141,42 @@ object PipelineCli {
       val spark = session()
       graft.operators.Sketches.removeKmvShard(spark, table, shard)
       spark.stop()
+    case "cs-build" :: in :: gridDir :: valueCol :: rest =>
+      // one CountSketch grid per invocation; (width, depth) are
+      // params-as-law after the first build — a grid merged or
+      // compared under different hashing params is silently garbage,
+      // so mismatch refuses exactly like the kmv table's k
+      val spark = session()
+      val width = rest.headOption.map(_.toInt).getOrElse(256)
+      val depth = rest.drop(1).headOption.map(_.toInt).getOrElse(5)
+      val (w, d) = csParams(spark, gridDir, Some((width, depth)))
+      graft.operators.Sketches.countSketchGrid(
+          spark.read.parquet(in), valueCol, w, d)
+        .write.mode("overwrite").parquet(s"$gridDir/grid")
+      spark.stop()
+    case "cs-estimate" :: gridDir :: out :: markers :: Nil =>
+      val spark = session()
+      val (w, d) = csParams(spark, gridDir, None)
+      graft.operators.Sketches.countSketchEstimates(
+          spark.read.parquet(s"$gridDir/grid"), markers.split(",").toSeq, w, d)
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
+    case "cs-inner" :: dirA :: dirB :: out :: Nil =>
+      val spark = session()
+      val (wa, da) = csParams(spark, dirA, None)
+      val (wb, db) = csParams(spark, dirB, None)
+      require(wa == wb && da == db,
+        s"inner product needs matching grids: ($wa,$da) vs ($wb,$db)")
+      graft.operators.Sketches.countSketchInner(
+          spark.read.parquet(s"$dirA/grid"), spark.read.parquet(s"$dirB/grid"), da)
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
         "commands: curate | dedup | neardup | knn | ivf-build | ivf-append | " +
           "ivf-remove | ivf-query | redact | kmv-build | kmv-estimate | " +
-          "kmv-remove-shard")
+          "kmv-remove-shard | cs-build | cs-estimate | cs-inner")
       sys.exit(2)
   }
 }
