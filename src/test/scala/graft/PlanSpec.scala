@@ -649,6 +649,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("count-sketch gates: partial grid aggregation before the exchange, broadcast probe joins, no UDF") {
+    val plan = planOf("q_count_sketch")
+    // the grid aggregate must map-side combine each partition to
+    // ≤ depth·width cells before its one exchange — the property that
+    // keeps the corpus-sized explode off the wire
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    val inner = planOf("q_cs_inner")
+    // two kilobyte grids join on (r, bucket) — hash join, and the only
+    // cross product is the one-row estimate × one-row exact frame
+    assert(!inner.contains("CartesianProduct"), inner)
+    assert(inner.contains("partial_sum"), inner)
+    assert(!inner.contains("ScalaUDF"), inner)
+  }
+
   test("triangles: equi-keys extracted (no nested-loop), semi-join closure, no UDF") {
     import spark.implicits._
     val edges = (for { a <- 1L to 30L; b <- 1L to 30L if a < b && (a + b) % 3 != 0 }
