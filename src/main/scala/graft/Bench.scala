@@ -89,6 +89,27 @@ object Bench {
       f()
       (System.nanoTime() - t0) / 1e9
     }
+    // one attach/drain/detach discipline for every job-count
+    // measurement (the 1x and 10x ingest points share it, so a drain
+    // fix can't diverge between them)
+    def countSparkJobs[T](body: => T): (T, Int) = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      val r =
+        try body
+        finally {
+          // async listener bus: drain before detaching so the count is
+          // stable (the HeapScaleSpec discipline)
+          Thread.sleep(500)
+          spark.sparkContext.removeSparkListener(l)
+        }
+      (r, n.get())
+    }
     // PER-GATE EXCEPTION CAPTURE (round 15): a rep that throws used to
     // leave only a stderr line and NaN-poisoned minimum — and when a
     // LATER rep succeeded, nothing at all: the r14 tail shipped a full
@@ -317,25 +338,14 @@ object Bench {
       // round-over-round record the same signal at bench scale — a
       // job-count regression shows as a step in this number even when
       // wall-clock noise hides it
-      val ingestJobs = new java.util.concurrent.atomic.AtomicInteger(0)
-      val jobListener = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          ingestJobs.incrementAndGet(); ()
-        }
-      }
-      spark.sparkContext.addSparkListener(jobListener)
-      val times =
-        try (1 to ingestReps).map { r =>
+      val (times, ingestJobsTotal) = countSparkJobs {
+        (1 to ingestReps).map { r =>
           val out = dir.resolve(s"pq$r").toString
           timed(() => new HeapDump(spark, hprof).writeParquet(out))
-        } finally {
-          // async listener bus: drain before detaching so the count is
-          // stable (the HeapScaleSpec discipline)
-          Thread.sleep(500)
-          spark.sparkContext.removeSparkListener(jobListener)
         }
-      val jobsPerExport = ingestJobs.get() / ingestReps
-      System.err.println(s"[bench] heap ingest jobs/export: $jobsPerExport (total ${ingestJobs.get()} over $ingestReps reps)")
+      }
+      val jobsPerExport = ingestJobsTotal / ingestReps
+      System.err.println(s"[bench] heap ingest jobs/export: $jobsPerExport (total $ingestJobsTotal over $ingestReps reps)")
       val sec = times.min
       System.err.println(f"[bench] heap ingest+export: $mb%.1f MB, 3M objects in $sec%.2f s (${mb / sec}%.1f MB/s, min of $ingestReps)")
       (sec, mb, hprof, dir.toString, times, jobsPerExport)
@@ -389,18 +399,11 @@ object Bench {
         }
         w.close()
         val mb = new java.io.File(hprof).length() / 1e6
-        val jobs10x = new java.util.concurrent.atomic.AtomicInteger(0)
-        val l10 = new org.apache.spark.scheduler.SparkListener {
-          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-            jobs10x.incrementAndGet(); ()
-          }
-        }
-        spark.sparkContext.addSparkListener(l10)
-        val sec =
-          try timed(() =>
+        val (sec, jobs10x) = countSparkJobs {
+          timed(() =>
             new HeapDump(spark, hprof).writeParquet(dir.resolve("pq10x").toString))
-          finally { Thread.sleep(500); spark.sparkContext.removeSparkListener(l10) }
-        System.err.println(f"[bench] heap ingest 10x: $mb%.1f MB, 30M objects in $sec%.2f s (${mb / sec}%.1f MB/s, ${jobs10x.get()} jobs)")
+        }
+        System.err.println(f"[bench] heap ingest 10x: $mb%.1f MB, 30M objects in $sec%.2f s (${mb / sec}%.1f MB/s, $jobs10x jobs)")
         // ~3 GB of scratch per run: drop it (the 1x fixture stays for
         // the suite-end ingest re-measure; this point has no re-measure)
         try {
@@ -408,7 +411,7 @@ object Bench {
           java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
         } catch { case _: java.io.IOException => () }
-        Some((sec, mb, jobs10x.get()))
+        Some((sec, mb, jobs10x))
       }
     if (ingestSelected) sentinel("post_ingest")
     // FAST-TIER LATE RE-PASS (full-tier runs only): the r9 driver run

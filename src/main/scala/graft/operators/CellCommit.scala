@@ -79,13 +79,28 @@ private[graft] object CellCommit {
   // repair WORK is detected (crash residue), which is rare and brief.
 
   /** Default staleness horizon: a holder that has not heartbeat for
-    * this long is dead. Heartbeats run every staleMs/4, so a live
-    * holder misses the horizon only if its JVM pauses > 7.5 min.
+    * this long is dead. Heartbeats run every staleMs/4 (30 s at the
+    * default), so a live holder misses the horizon only if its JVM
+    * pauses > 90 s — and a holder that IS stale-reclaimed during a
+    * pause detects the loss at its next heartbeat and aborts its
+    * protocol at the next step boundary (see [[requireLeaseLive]]).
+    * The horizon is deliberately short: it bounds how long a
+    * maintainer CRASH can stall probes that need a repair (probes
+    * wait past the horizon and reclaim, see [[repairForRead]]).
     */
-  val LeaseStaleMs: Long = 600000L
+  val LeaseStaleMs: Long = 120000L
 
-  /** Default acquisition patience before refusing. */
+  /** Default acquisition patience before a MAINTAINER refuses. */
   val LeaseWaitMs: Long = 60000L
+
+  /** Probe-side patience: a probe's repair is idempotent and safe
+    * after a reclaim, so probes wait PAST the stale horizon (then
+    * reclaim the dead owner's lease) instead of refusing — a
+    * maintainer crash stalls reads for at most ~stale+wait, it never
+    * fails them. A LIVE holder finishes its apply in seconds, far
+    * inside this window.
+    */
+  val ProbeWaitMs: Long = LeaseStaleMs + LeaseWaitMs
 
   private val leaseHeartbeats =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
@@ -95,34 +110,68 @@ private[graft] object CellCommit {
   private val ownerBase =
     s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}"
 
-  // leases this THREAD already holds, for reentrancy: a family entry
-  // point leases its index dir, and the CellCommit protocol steps it
-  // calls on `<dir>/<table>` are covered by that coarser lease (a
-  // held key covers any key equal to it or nested under it)
-  private val heldByThread = new ThreadLocal[scala.collection.mutable.Set[String]] {
-    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  // leases this THREAD already holds, for reentrancy. Coverage is
+  // EXACT-KEY only: a family entry point leasing its index dir does
+  // NOT stand in for the table-dir lease its nested CellCommit steps
+  // take — probes in other JVMs contend on the TABLE path, so the
+  // table lease file must actually exist while the table is being
+  // mutated (prefix coverage here would leave `<table>__lease`
+  // uncreated and the cross-process delete/rename race open — the
+  // round-15 self-review's top finding). Acquisition order is always
+  // parent dir before child table, so the nesting cannot deadlock.
+  private val heldByThread = new ThreadLocal[scala.collection.mutable.Map[String, Lease]] {
+    override def initialValue() = scala.collection.mutable.Map.empty[String, Lease]
   }
-  private def covered(dir: String): Boolean =
-    heldByThread.get().exists(h => dir == h || dir.startsWith(h + "/"))
+  private def covered(dir: String): Boolean = heldByThread.get().contains(dir)
+
+  /** Abort (throw) when no lease this thread holds over `dir` — the
+    * exact key or an ancestor directory's — is still live on disk. A
+    * holder paused past the stale horizon gets reclaimed; its
+    * heartbeat detects the loss, and this check (run between protocol
+    * steps) stops the zombie from mutating interleaved with the
+    * reclaimer. Aborting mid-protocol is safe: every intermediate
+    * state is recover()-able by construction.
+    */
+  private def requireLeaseLive(dir: String): Unit = {
+    val held = heldByThread.get()
+    val covering = held.filter { case (k, _) => dir == k || dir.startsWith(k + "/") }
+    if (covering.nonEmpty && covering.values.forall(_.lost))
+      throw new IllegalStateException(
+        s"maintenance lease over $dir was lost (stale-reclaimed during a pause); " +
+          "aborting mid-protocol — the next maintainer entry recovers the state")
+  }
 
   final class Lease private[CellCommit] (
       fs: org.apache.hadoop.fs.FileSystem,
       val path: org.apache.hadoop.fs.Path,
       dirKey: String,
-      owner: String,
-      hb: java.util.concurrent.ScheduledFuture[_]) {
+      owner: String) {
     private[CellCommit] def key: String = dirKey
-    def release(): Unit = {
-      hb.cancel(false)
-      // delete only if still ours: after a JVM pause past the stale
-      // horizon another maintainer may have reclaimed and re-acquired,
-      // and deleting THEIR lease would let a third writer in
+    @volatile private[CellCommit] var hb: java.util.concurrent.ScheduledFuture[_] = null
+    // set by the heartbeat when the on-disk lease is no longer ours
+    // (stale-reclaimed during a pause); checked between protocol
+    // steps via requireLeaseLive so a zombie holder aborts instead of
+    // mutating interleaved with its reclaimer
+    @volatile private[CellCommit] var lost: Boolean = false
+    private[CellCommit] def stillOurs(): Boolean =
       try {
         val in = fs.open(path)
         val bytes = try in.readAllBytes() finally in.close()
-        if (new String(bytes, "UTF-8").startsWith(s"owner=$owner\n"))
-          fs.delete(path, false)
-      } catch { case _: java.io.IOException => () }
+        new String(bytes, "UTF-8").startsWith(s"owner=$owner\n")
+      } catch { case _: java.io.IOException => false }
+    private[CellCommit] def heartbeat(): Unit = {
+      if (!lost && !stillOurs()) { lost = true; if (hb != null) hb.cancel(false) }
+      if (!lost)
+        try fs.setTimes(path, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+    }
+    def release(): Unit = {
+      if (hb != null) hb.cancel(false)
+      // delete only if still ours: after a JVM pause past the stale
+      // horizon another maintainer may have reclaimed and re-acquired,
+      // and deleting THEIR lease would let a third writer in
+      try { if (stillOurs()) fs.delete(path, false) }
+      catch { case _: java.io.IOException => () }
     }
   }
 
@@ -169,12 +218,15 @@ private[graft] object CellCommit {
     while (first || System.nanoTime() < deadline) {
       first = false
       if (tryAtomicCreate(fs, leaseP, payload)) {
-        val hbEvery = math.max(staleMs / 4, 1000L)
-        val hb = leaseHeartbeats.scheduleAtFixedRate(
-          () => try fs.setTimes(leaseP, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () },
+        val lease = new Lease(fs, leaseP, dir, owner)
+        // heartbeat STRICTLY inside the stale horizon (min 4 beats per
+        // horizon even for test-sized staleMs — a floor at the horizon
+        // itself would let a live holder look stale between beats)
+        val hbEvery = math.max(staleMs / 4, 50L)
+        lease.hb = leaseHeartbeats.scheduleAtFixedRate(
+          () => lease.heartbeat(),
           hbEvery, hbEvery, java.util.concurrent.TimeUnit.MILLISECONDS)
-        return new Lease(fs, leaseP, dir, owner, hb)
+        return lease
       }
       // held by someone: reclaim if their heartbeat stopped. The
       // rename-aside is the atomic arbiter — two reclaimers both see
@@ -202,10 +254,12 @@ private[graft] object CellCommit {
   }
 
   /** Run `body` holding the maintenance lease for `dir`. Reentrant
-    * per thread, including across nesting levels: a body already
-    * holding `dir` (or an ancestor directory's lease) runs without a
-    * second acquisition, so family entry points can lease the index
-    * dir while the protocol steps lease the table dirs under it.
+    * per thread on the SAME key only: a family entry point leasing
+    * its index dir does NOT substitute for the table-dir lease nested
+    * protocol steps take — the table lease file must exist while the
+    * table is mutated, because probes in other JVMs contend on the
+    * table path (exact-key coverage; acquisition order parent→child,
+    * so the nesting cannot deadlock).
     */
   def withMaintenanceLease[T](spark: SparkSession, dir: String,
       staleMs: Long = LeaseStaleMs, waitMs: Long = LeaseWaitMs)(body: => T): T =
@@ -215,7 +269,7 @@ private[graft] object CellCommit {
       // reentrancy registration lives HERE, not in acquireLease: a
       // raw Lease may legitimately be released by another thread, and
       // registering in acquire would strand this thread's entry
-      heldByThread.get().add(dir)
+      heldByThread.get().put(dir, lease)
       try body finally {
         heldByThread.get().remove(dir)
         lease.release()
@@ -245,8 +299,11 @@ private[graft] object CellCommit {
     // repair work detected: take the cross-process lease so this
     // probe cannot interleave with a live writer's publish (the
     // writer holds the lease across its delete+rename), then re-check
-    // — the writer may have finished the publish while we waited
-    withMaintenanceLease(spark, live) {
+    // — the writer may have finished the publish while we waited.
+    // Probe patience extends past the stale horizon: a crashed
+    // maintainer's lease residue is reclaimed, never turned into a
+    // thrown read
+    withMaintenanceLease(spark, live, waitMs = ProbeWaitMs) {
       lockFor(live).synchronized {
         if (!fs.exists(path(live)) &&
             fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
@@ -291,6 +348,7 @@ private[graft] object CellCommit {
         val fs = hadoopFs(spark, path(live))
         val staging = path(s"${live}__staging")
         require(fs.exists(staging), s"staging $staging vanished before publish")
+        requireLeaseLive(live) // zombie fence before the destructive pair
         if (fs.exists(path(live))) fs.delete(path(live), true)
         require(fs.rename(staging, path(live)),
           s"staged publish rename $staging -> $live failed")
@@ -346,13 +404,16 @@ private[graft] object CellCommit {
     if (!fs.exists(path(s"${table}__commit/_SUCCESS")) ||
         !fs.exists(path(s"${table}__delta/_SUCCESS"))) return
     // a committed journal is visible: either crash residue (lease
-    // free — acquire and apply) or a LIVE delete between its journal
-    // write and its apply (lease held — wait; the writer's own apply
-    // drops the journal, and the re-check under the lease no-ops).
-    // Without the lease this probe's delete(liveCell) could land just
-    // after the writer's rename published the fresh cell — the cell
-    // would be lost with no recovery copy (round-15 advice, medium).
-    withMaintenanceLease(spark, table) {
+    // free or stale — acquire/reclaim and apply; probe patience
+    // extends past the stale horizon so a crashed maintainer never
+    // turns into a thrown read) or a LIVE delete between its journal
+    // write and its apply (lease held with heartbeats — wait; the
+    // writer's own apply drops the journal in seconds, and the
+    // re-check under the lease no-ops). Without the lease this
+    // probe's delete(liveCell) could land just after the writer's
+    // rename published the fresh cell — the cell would be lost with
+    // no recovery copy (round-15 advice, medium).
+    withMaintenanceLease(spark, table, waitMs = ProbeWaitMs) {
       lockFor(table).synchronized {
         if (fs.exists(path(s"${table}__commit/_SUCCESS")) &&
             fs.exists(path(s"${table}__delta/_SUCCESS")))
@@ -442,7 +503,12 @@ private[graft] object CellCommit {
     * lease.
     */
   private def applyJournal(spark: SparkSession, table: String): Unit =
-    applyJournalSteps(spark, table).foreach(_.run())
+    applyJournalSteps(spark, table).foreach { s =>
+      // zombie fence: a holder whose lease was stale-reclaimed during
+      // a pause must stop mutating before its next destructive step
+      requireLeaseLive(table)
+      s.run()
+    }
 
   /** Delete `del` ("cid" column, distinct) from the cell-partitioned
     * `table` via the staged protocol above. Idempotent — re-removing

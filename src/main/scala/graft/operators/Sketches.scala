@@ -352,7 +352,11 @@ object Sketches {
       .select(col("token"), col("r"),
         csBucket(col("token"), col("r"), width).as("bucket"),
         csSign(col("token"), col("r")).as("sign"))
-    broadcast(probes).join(grid, Seq("r", "bucket"), "left")
+    // the GRID carries the broadcast hint: Spark cannot broadcast the
+    // PRESERVED (left) side of a left outer join, so hinting the
+    // probes would be silently ignored and the kilobyte grid could be
+    // planned from its pre-AQE corpus-sized input stats
+    probes.join(broadcast(grid), Seq("r", "bucket"), "left")
       .select(col("token"), (coalesce(col("c"), lit(0L)) * col("sign")).as("sv"))
       .groupBy("token")
       .agg(element_at(array_sort(collect_list(col("sv"))), (depth + 1) / 2)

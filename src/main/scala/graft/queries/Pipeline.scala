@@ -2972,9 +2972,12 @@ object Pipeline {
     val exact = toks.filter(col("w").isin(markers: _*))
       .groupBy(col("w").as("token")).agg(count(lit(1)).as("true_count"))
     import s.implicits._
-    broadcast(markers.toDF("token"))
-      .join(exact, Seq("token"), "left")
-      .join(est, Seq("token"))
+    // hints on the BUILD sides: the left (preserved) side of a left
+    // outer join cannot broadcast, so the hint belongs on the
+    // marker-bounded aggregates
+    markers.toDF("token")
+      .join(broadcast(exact), Seq("token"), "left")
+      .join(broadcast(est), Seq("token"))
       .select(col("token"), coalesce(col("true_count"), lit(0L)).as("true_count"),
         col("cs_est"))
       .orderBy("token")

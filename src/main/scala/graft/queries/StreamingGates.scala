@@ -969,9 +969,11 @@ object StreamingGates {
     val exact = toks.filter(col("w").isin(markers: _*))
       .groupBy(col("w").as("token")).agg(count(lit(1)).as("true_count"))
     import s.implicits._
-    broadcast(markers.toDF("token"))
-      .join(exact, Seq("token"), "left")
-      .join(est, Seq("token"))
+    // hints on the BUILD sides (a left join's preserved side cannot
+    // broadcast — the q_count_sketch fix, mirrored)
+    markers.toDF("token")
+      .join(broadcast(exact), Seq("token"), "left")
+      .join(broadcast(est), Seq("token"))
       .select(col("token"), coalesce(col("true_count"), lit(0L)).as("true_count"),
         col("cs_est"))
       .orderBy("token")

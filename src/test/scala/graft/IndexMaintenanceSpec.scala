@@ -855,16 +855,39 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val l2 = CellCommit.acquireLease(spark2, dir2, staleMs = 1000L, waitMs = 2000L)
     l2.release()
     assert(!staleF.exists(), "stale lease must be reclaimed and replaced")
-    // reentrancy: nested same-dir and child-path scopes share one
-    // acquisition (a family entry point leasing the index dir covers
-    // the CellCommit table-dir steps under it)
+    // reentrancy is EXACT-KEY: nested same-dir scopes share one
+    // acquisition, but a CHILD table path acquires its own lease —
+    // the table lease file must exist while the table is mutated,
+    // because probes in other JVMs contend on the table path, not the
+    // family dir (the round-15 self-review's top finding)
     val dir3 = tmp("lease_reentrant")
     val got = CellCommit.withMaintenanceLease(spark2, dir3) {
       CellCommit.withMaintenanceLease(spark2, dir3, waitMs = 300L) {
-        CellCommit.withMaintenanceLease(spark2, s"$dir3/corpus", waitMs = 300L) { 42 }
+        CellCommit.withMaintenanceLease(spark2, s"$dir3/corpus", waitMs = 300L) {
+          assert(new java.io.File(s"$dir3/corpus__lease").exists(),
+            "nested table scope must create the table-path lease probes contend on")
+          42
+        }
       }
     }
     assert(got === 42)
     assert(!new java.io.File(s"${dir3}__lease").exists())
+    assert(!new java.io.File(s"$dir3/corpus__lease").exists())
+    // regression for the review finding: holding the TABLE lease (a
+    // probe mid-repair in another process) must block a maintainer's
+    // nested table mutation even though the maintainer holds the
+    // family-dir lease
+    val dir4 = tmp("lease_table_contention")
+    val probeLease = CellCommit.acquireLease(spark2, s"$dir4/corpus",
+      staleMs = 60000L, waitMs = 400L)
+    try {
+      intercept[IllegalStateException] {
+        CellCommit.withMaintenanceLease(spark2, dir4) {
+          CellCommit.withMaintenanceLease(spark2, s"$dir4/corpus", waitMs = 400L) {
+            fail("table mutation must not proceed under another process' table lease")
+          }
+        }
+      }
+    } finally probeLease.release()
   }
 }
