@@ -818,6 +818,37 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("flat staged publish crash fuzz: every prefix of [delete live, rename staging] lands on OLD or NEW") {
+    import graft.operators.CellCommit
+    import spark.implicits._
+    // the flat protocol's full step list from a COMPLETE staging:
+    //   0: nothing ran  -> probes serve OLD; the next writer publishes
+    //   1: live deleted -> probes republish the staging (NEW)
+    //   2: renamed      -> NEW, staging gone
+    (0 to 2).foreach { k =>
+      val base = tmp(s"flat_fuzz_$k")
+      val live = s"$base/rows"
+      Seq(("v1", 1L)).toDF("tag", "n").write.parquet(live)
+      Seq(("v2", 2L)).toDF("tag", "n").write.parquet(s"${live}__staging")
+      if (k >= 1) rmrfDir(live)
+      if (k >= 2) {
+        assert(new java.io.File(s"${live}__staging").renameTo(new java.io.File(live)))
+      }
+      // probe-side repair first: it must never see a missing table,
+      // and must never roll a complete staging back
+      CellCommit.repairMissingLive(spark, live)
+      val seen = spark.read.parquet(live).select("tag").head().getString(0)
+      val expected = if (k == 0) "v1" else "v2"
+      assert(seen === expected, s"prefix $k: probe read $seen")
+      // writer-side recovery finishes the publish whatever the prefix
+      CellCommit.recoverStagedPublish(spark, live)
+      assert(spark.read.parquet(live).select("tag").head().getString(0) === "v2",
+        s"prefix $k: writer recovery must land on NEW")
+      assert(!new java.io.File(s"${live}__staging").exists(),
+        s"prefix $k: staging residue survived recovery")
+    }
+  }
+
   test("maintenance lease: second maintainer refuses while held, entry points wait, stale owners reclaimed") {
     import graft.operators.{CellCommit, Sketches}
     val spark2 = spark
