@@ -102,6 +102,39 @@ private[graft] object CellCommit {
     */
   val ProbeWaitMs: Long = LeaseStaleMs + LeaseWaitMs
 
+  /** Grace before an OWNERLESS lease file (torn create: createNewFile
+    * succeeded, the payload write crashed) is reclaimed regardless of
+    * the stale horizon. A live creator writes its payload
+    * microseconds after the create, so past this grace an ownerless
+    * file can only be residue — and without this path it would block
+    * every acquirer (stillOurs false for all, no heartbeat ever
+    * advancing its mtime, yet mtime fresh enough to dodge the stale
+    * rule) until the full horizon elapsed.
+    */
+  val OwnerlessGraceMs: Long = 1000L
+
+  // ---- contention telemetry (round 16) ------------------------------
+  // The lease is new load-bearing machinery; counting waits, waited
+  // milliseconds, reclaims and refusals per run is the cheapest way to
+  // see it misbehave in the field. Bench.scala snapshots these into
+  // BENCH_DETAIL.json.
+  private val statWaits = new java.util.concurrent.atomic.AtomicLong(0)
+  private val statWaitMs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val statReclaims = new java.util.concurrent.atomic.AtomicLong(0)
+  private val statRefusals = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Snapshot of lease-contention counters since JVM start (or the
+    * last [[resetLeaseStats]]): acquisitions that had to wait at all,
+    * total milliseconds waited, stale/ownerless reclaims, refusals.
+    */
+  def leaseStats: Map[String, Long] = Map(
+    "waits" -> statWaits.get(), "wait_ms" -> statWaitMs.get(),
+    "reclaims" -> statReclaims.get(), "refusals" -> statRefusals.get())
+
+  def resetLeaseStats(): Unit = {
+    statWaits.set(0); statWaitMs.set(0); statReclaims.set(0); statRefusals.set(0)
+  }
+
   private val leaseHeartbeats =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
@@ -124,18 +157,26 @@ private[graft] object CellCommit {
   }
   private def covered(dir: String): Boolean = heldByThread.get().contains(dir)
 
-  /** Abort (throw) when no lease this thread holds over `dir` — the
-    * exact key or an ancestor directory's — is still live on disk. A
-    * holder paused past the stale horizon gets reclaimed; its
-    * heartbeat detects the loss, and this check (run between protocol
-    * steps) stops the zombie from mutating interleaved with the
-    * reclaimer. Aborting mid-protocol is safe: every intermediate
-    * state is recover()-able by construction.
+  /** Abort (throw) when the MOST-SPECIFIC lease this thread holds
+    * over `dir` — the exact key if held, else the nearest ancestor
+    * directory's — is no longer live on disk. Most-specific, not
+    * all-of-them: probes contend on the TABLE path, so a reclaimed
+    * table lease means a reclaimer may already be applying this
+    * table's journal, and a still-live ancestor (family-dir) lease —
+    * which probes never contend on, so it is never reclaimed — must
+    * not mask that loss (round-15 advice, medium). The check is
+    * SYNCHRONOUS ([[Lease.liveNow]] re-reads the lease file) rather
+    * than trusting the heartbeat thread's cached flag: after a JVM
+    * pause past the stale horizon there is no happens-before between
+    * the protocol thread's wakeup and the heartbeat's, so the cached
+    * flag can lag a destructive step by a whole heartbeat period.
+    * Aborting mid-protocol is safe: every intermediate state is
+    * recover()-able by construction.
     */
   private def requireLeaseLive(dir: String): Unit = {
     val held = heldByThread.get()
     val covering = held.filter { case (k, _) => dir == k || dir.startsWith(k + "/") }
-    if (covering.nonEmpty && covering.values.forall(_.lost))
+    if (covering.nonEmpty && !covering.maxBy(_._1.length)._2.liveNow())
       throw new IllegalStateException(
         s"maintenance lease over $dir was lost (stale-reclaimed during a pause); " +
           "aborting mid-protocol — the next maintainer entry recovers the state")
@@ -159,19 +200,68 @@ private[graft] object CellCommit {
         val bytes = try in.readAllBytes() finally in.close()
         new String(bytes, "UTF-8").startsWith(s"owner=$owner\n")
       } catch { case _: java.io.IOException => false }
+    /** Synchronous fence read for [[requireLeaseLive]]: re-verify the
+      * on-disk lease is still ours IMMEDIATELY before a destructive
+      * step. The cached `lost` flag alone is asynchronous — it is set
+      * by the heartbeat thread, and after a JVM pause past the stale
+      * horizon the resumed protocol thread can run up to a heartbeat
+      * period before that thread wakes (no happens-before between the
+      * two wakeups). A missing lease file is a definitive loss (the
+      * reclaim arbiter renames it aside); any OTHER read error falls
+      * back to the heartbeat's cached verdict instead of aborting a
+      * healthy holder on a transient IO hiccup.
+      */
+    private[CellCommit] def liveNow(): Boolean = {
+      if (lost) return false
+      val verdict =
+        try {
+          val in = fs.open(path)
+          val bytes = try in.readAllBytes() finally in.close()
+          new String(bytes, "UTF-8").startsWith(s"owner=$owner\n")
+        } catch {
+          case _: java.io.FileNotFoundException => false
+          case _: java.io.IOException => !lost
+        }
+      if (!verdict) { lost = true; if (hb != null) hb.cancel(false) }
+      verdict
+    }
     private[CellCommit] def heartbeat(): Unit = {
       if (!lost && !stillOurs()) { lost = true; if (hb != null) hb.cancel(false) }
       if (!lost)
         try fs.setTimes(path, System.currentTimeMillis(), -1)
         catch { case _: java.io.IOException => () }
     }
+    /** Release by atomic rename-aside + owner re-verify, mirroring the
+      * reclaim arbiter. A plain stillOurs()-then-delete is
+      * check-then-act: between the read and the delete a reclaimer can
+      * rename this lease aside and a NEW maintainer can create a fresh
+      * lease at the same path — the delete would then remove the new
+      * holder's lease and admit a third writer (round-15 advice). The
+      * rename is the atomic claim; ownership is verified on the
+      * renamed file, and a stranger's lease is put back.
+      */
     def release(): Unit = {
       if (hb != null) hb.cancel(false)
-      // delete only if still ours: after a JVM pause past the stale
-      // horizon another maintainer may have reclaimed and re-acquired,
-      // and deleting THEIR lease would let a third writer in
-      try { if (stillOurs()) fs.delete(path, false) }
-      catch { case _: java.io.IOException => () }
+      val aside = new org.apache.hadoop.fs.Path(
+        s"${path}.release.${java.util.UUID.randomUUID()}")
+      try {
+        if (fs.rename(path, aside)) {
+          val ours =
+            try {
+              val in = fs.open(aside)
+              try new String(in.readAllBytes(), "UTF-8")
+                .startsWith(s"owner=$owner\n")
+              finally in.close()
+            } catch { case _: java.io.IOException => false }
+          if (ours) fs.delete(aside, false)
+          else if (!fs.rename(aside, path))
+            // a third acquirer created a fresh lease in the window;
+            // the displaced holder's own fence sees the loss and
+            // aborts (recover()-safe), so dropping the aside is the
+            // consistent end state
+            fs.delete(aside, false)
+        }
+      } catch { case _: java.io.IOException => () }
     }
   }
 
@@ -213,11 +303,17 @@ private[graft] object CellCommit {
     val owner = s"$ownerBase/${java.util.UUID.randomUUID()}"
     val payload =
       s"owner=$owner\nepoch=${System.currentTimeMillis()}\n".getBytes("UTF-8")
-    val deadline = System.nanoTime() + waitMs * 1000000L
+    val t0 = System.nanoTime()
+    val deadline = t0 + waitMs * 1000000L
     var first = true
     while (first || System.nanoTime() < deadline) {
+      val waited = !first
       first = false
       if (tryAtomicCreate(fs, leaseP, payload)) {
+        if (waited) {
+          statWaits.incrementAndGet()
+          statWaitMs.addAndGet((System.nanoTime() - t0) / 1000000L)
+        }
         val lease = new Lease(fs, leaseP, dir, owner)
         // heartbeat STRICTLY inside the stale horizon (min 4 beats per
         // horizon even for test-sized staleMs — a floor at the horizon
@@ -228,15 +324,26 @@ private[graft] object CellCommit {
           hbEvery, hbEvery, java.util.concurrent.TimeUnit.MILLISECONDS)
         return lease
       }
-      // held by someone: reclaim if their heartbeat stopped. The
-      // rename-aside is the atomic arbiter — two reclaimers both see
-      // the lease stale, but only one wins the rename; the loser just
-      // loops back to the create race.
+      // held by someone: reclaim if their heartbeat stopped, or if the
+      // file is OWNERLESS past a short grace (torn create — see
+      // [[OwnerlessGraceMs]]; a torn file has no heartbeat, so waiting
+      // out the full horizon would stall every acquirer including the
+      // torn creator itself). The rename-aside is the atomic arbiter —
+      // two reclaimers both see the lease dead, but only one wins the
+      // rename; the loser just loops back to the create race.
       try {
         val st = fs.getFileStatus(leaseP)
-        if (System.currentTimeMillis() - st.getModificationTime > staleMs) {
+        val age = System.currentTimeMillis() - st.getModificationTime
+        val ownerless = age > OwnerlessGraceMs && age <= staleMs && {
+          try {
+            val in = fs.open(leaseP)
+            val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            !txt.linesIterator.exists(_.startsWith("owner="))
+          } catch { case _: java.io.IOException => false } // vanished/torn read: loop
+        }
+        if (age > staleMs || ownerless) {
           val aside = path(s"${dir}__lease.reclaim.${java.util.UUID.randomUUID()}")
-          if (fs.rename(leaseP, aside)) fs.delete(aside, false)
+          if (fs.rename(leaseP, aside)) { fs.delete(aside, false); statReclaims.incrementAndGet() }
         }
       } catch { case _: java.io.IOException => () } // vanished: loop re-creates
       Thread.sleep(100)
@@ -248,6 +355,8 @@ private[graft] object CellCommit {
           .find(_.startsWith("owner=")).getOrElse("owner=?")
         finally in.close()
       } catch { case _: java.io.IOException => "owner=? (lease vanished mid-read)" }
+    statRefusals.incrementAndGet()
+    statWaitMs.addAndGet((System.nanoTime() - t0) / 1000000L)
     throw new IllegalStateException(
       s"maintenance lease ${leaseP} is held (${holder}); a second maintainer " +
         s"refuses after ${waitMs} ms — maintenance is single-writer per index")
@@ -261,6 +370,19 @@ private[graft] object CellCommit {
     * table path (exact-key coverage; acquisition order parent→child,
     * so the nesting cannot deadlock).
     */
+  /** TEST hook: cancel a lease's heartbeat thread, simulating a JVM
+    * pause past the stale horizon (the zombie-holder scenario) — the
+    * on-disk mtime then stops advancing exactly as it would during a
+    * real stop-the-world pause, while the protocol thread stays
+    * runnable for the spec to drive.
+    */
+  private[graft] def suspendHeartbeatForTest(l: Lease): Unit =
+    if (l.hb != null) l.hb.cancel(false)
+
+  /** TEST hook: the lease this thread holds for `dir`, if any. */
+  private[graft] def heldLeaseForTest(dir: String): Option[Lease] =
+    heldByThread.get().get(dir)
+
   def withMaintenanceLease[T](spark: SparkSession, dir: String,
       staleMs: Long = LeaseStaleMs, waitMs: Long = LeaseWaitMs)(body: => T): T =
     if (covered(dir)) body

@@ -921,4 +921,129 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       }
     } finally probeLease.release()
   }
+
+  // --- round 16: the lease's zombie/release/torn-create edges --------
+
+  test("zombie fence: a stale-reclaimed holder aborts at its next destructive step instead of mutating") {
+    import graft.operators.CellCommit
+    val base = tmp("zombie")
+    val live = s"$base/rows"
+    Seq(("old", 1L)).toDF("tag", "n").write.parquet(live)
+    Seq(("new", 2L)).toDF("tag", "n").write.parquet(s"${live}__staging")
+    CellCommit.withMaintenanceLease(spark, live, staleMs = 1000L, waitMs = 500L) {
+      val zombie = CellCommit.heldLeaseForTest(live).get
+      // simulate a stop-the-world pause past the stale horizon: the
+      // heartbeat stops advancing the lease mtime while the protocol
+      // thread stays runnable
+      CellCommit.suspendHeartbeatForTest(zombie)
+      assert(new java.io.File(s"${live}__lease")
+        .setLastModified(System.currentTimeMillis() - 10000L))
+      // a second maintainer reclaims the stale lease and re-acquires
+      val reclaimer = CellCommit.acquireLease(spark, live, staleMs = 1000L, waitMs = 2000L)
+      try {
+        // the resumed zombie's next destructive step must abort via
+        // the SYNCHRONOUS fence (its heartbeat thread is suspended, so
+        // only the on-disk re-read can catch the loss) without
+        // touching live or staging
+        val ex = intercept[IllegalStateException] {
+          CellCommit.publishStaged(spark, live)
+        }
+        assert(ex.getMessage.contains("lost"), ex.getMessage)
+        assert(spark.read.parquet(live).select("tag").head().getString(0) === "old",
+          "zombie must not have deleted the live table")
+        assert(new java.io.File(s"${live}__staging").exists(),
+          "zombie must not have consumed the staging")
+      } finally reclaimer.release()
+    }
+    // the state recovers: the next maintainer entry finishes the publish
+    CellCommit.recoverStagedPublish(spark, live)
+    assert(spark.read.parquet(live).select("tag").head().getString(0) === "new")
+  }
+
+  test("zombie fence is most-specific: a live family-dir lease must not mask a reclaimed table lease") {
+    import graft.operators.CellCommit
+    val family = tmp("zombie_nested")
+    val table = s"$family/corpus"
+    Seq(("old", 1L)).toDF("tag", "n").write.parquet(table)
+    Seq(("new", 2L)).toDF("tag", "n").write.parquet(s"${table}__staging")
+    CellCommit.withMaintenanceLease(spark, family) {
+      CellCommit.withMaintenanceLease(spark, table, staleMs = 1000L, waitMs = 500L) {
+        val tl = CellCommit.heldLeaseForTest(table).get
+        CellCommit.suspendHeartbeatForTest(tl)
+        assert(new java.io.File(s"${table}__lease")
+          .setLastModified(System.currentTimeMillis() - 10000L))
+        val reclaimer = CellCommit.acquireLease(spark, table, staleMs = 1000L, waitMs = 2000L)
+        try {
+          // the family-dir lease is still perfectly live (probes never
+          // contend on it, so it is never reclaimed) — before the
+          // round-16 fix its liveness masked the reclaimed TABLE lease
+          // (forall(_.lost) read false) and the zombie kept mutating
+          // interleaved with the reclaimer
+          intercept[IllegalStateException] {
+            CellCommit.publishStaged(spark, table)
+          }
+          assert(spark.read.parquet(table).select("tag").head().getString(0) === "old",
+            "zombie must not have deleted the table under a live ancestor lease")
+        } finally reclaimer.release()
+      }
+    }
+  }
+
+  test("torn lease create self-heals: an ownerless lease file is reclaimed without waiting out the stale horizon") {
+    import graft.operators.CellCommit
+    val dir = tmp("lease_torn")
+    val f = new java.io.File(s"${dir}__lease")
+    f.getParentFile.mkdirs()
+    // zero-byte file: createNewFile ran, the payload write crashed —
+    // owned by NOBODY, heartbeat never advances its mtime
+    java.nio.file.Files.write(f.toPath, Array.emptyByteArray)
+    assert(f.setLastModified(System.currentTimeMillis() - 2000L)) // past the grace, far inside the horizon
+    val t0 = System.nanoTime()
+    val l = CellCommit.acquireLease(spark, dir, staleMs = 3600000L, waitMs = 5000L)
+    val tookMs = (System.nanoTime() - t0) / 1e6
+    l.release()
+    assert(tookMs < 4000, f"ownerless lease must be reclaimed promptly, took $tookMs%.0f ms")
+    assert(!f.exists())
+  }
+
+  test("release never deletes a successor's lease: a reclaimed-then-reacquired path survives the old holder's release") {
+    import graft.operators.CellCommit
+    val dir = tmp("lease_release")
+    val l1 = CellCommit.acquireLease(spark, dir, staleMs = 60000L, waitMs = 400L)
+    // simulate reclaim + re-acquire while l1's JVM was paused: the
+    // on-disk lease now belongs to a successor
+    val f = new java.io.File(s"${dir}__lease")
+    val successor = "owner=successor@elsewhere/1\nepoch=1\n"
+    java.nio.file.Files.write(f.toPath, successor.getBytes("UTF-8"))
+    l1.release()
+    assert(f.exists(), "release must not delete the successor's lease")
+    assert(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") === successor)
+    // the verify-and-put-back must leave no aside residue either
+    val residue = f.getParentFile.listFiles()
+      .filter(_.getName.contains("__lease.release"))
+    assert(residue.isEmpty, s"release left aside residue: ${residue.mkString(",")}")
+    java.nio.file.Files.delete(f.toPath)
+  }
+
+  test("lease contention telemetry counts waits, reclaims, refusals") {
+    import graft.operators.CellCommit
+    CellCommit.resetLeaseStats()
+    val dir = tmp("lease_stats")
+    val l = CellCommit.acquireLease(spark, dir, staleMs = 60000L, waitMs = 300L)
+    intercept[IllegalStateException] {
+      CellCommit.acquireLease(spark, dir, staleMs = 60000L, waitMs = 300L)
+    }
+    l.release()
+    val dir2 = tmp("lease_stats2")
+    val f = new java.io.File(s"${dir2}__lease")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, "owner=dead@x/0\nepoch=0\n".getBytes("UTF-8"))
+    f.setLastModified(System.currentTimeMillis() - 3600000L)
+    CellCommit.acquireLease(spark, dir2, staleMs = 1000L, waitMs = 2000L).release()
+    val s = CellCommit.leaseStats
+    assert(s("refusals") >= 1, s.toString)
+    assert(s("reclaims") >= 1, s.toString)
+    assert(s("waits") >= 1, s.toString)
+    assert(s("wait_ms") >= 1, s.toString)
+  }
 }
