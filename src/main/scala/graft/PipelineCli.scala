@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *   graft.PipelineCli cs-build <in.parquet> <gridDir> <valueCol> [width] [depth]
   *   graft.PipelineCli cs-estimate <gridDir> <outDir> <marker,marker,...>
   *   graft.PipelineCli cs-inner <gridDirA> <gridDirB> <outDir>
+  *   graft.PipelineCli cs-topk <in.parquet> <valueCol> <outDir> [width] [depth] [k]
   *
   * Input schemas: docs(doc_id, text), emb(vec_id, embedding).
   */
@@ -171,12 +172,25 @@ object PipelineCli {
           spark.read.parquet(s"$dirA/grid"), spark.read.parquet(s"$dirB/grid"), da)
         .write.mode("overwrite").parquet(out)
       spark.stop()
+    case "cs-topk" :: in :: valueCol :: out :: rest =>
+      // heavy-hitter extraction reads the CORPUS (it scores the
+      // vocabulary and exact-verifies the survivors), so unlike
+      // cs-estimate it takes the input table, not a grid dir
+      val spark = session()
+      val width = rest.headOption.map(_.toInt).getOrElse(256)
+      val depth = rest.drop(1).headOption.map(_.toInt).getOrElse(5)
+      val k = rest.drop(2).headOption.map(_.toInt).getOrElse(20)
+      graft.operators.Sketches.countSketchTopK(
+          spark.read.parquet(in), valueCol, width, depth, k)
+        .orderBy("rank")
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
         "commands: curate | dedup | neardup | knn | ivf-build | ivf-append | " +
           "ivf-remove | ivf-query | redact | kmv-build | kmv-estimate | " +
-          "kmv-remove-shard | cs-build | cs-estimate | cs-inner")
+          "kmv-remove-shard | cs-build | cs-estimate | cs-inner | cs-topk")
       sys.exit(2)
   }
 }

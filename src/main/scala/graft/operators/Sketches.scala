@@ -338,16 +338,16 @@ object Sketches {
       .groupBy("r", "bucket").agg(sum(col("sign")).as("c"))
   }
 
-  /** Median-of-rows CountSketch estimates for a (small) marker set
-    * against a [[countSketchGrid]]. Absent cells count 0 — a marker
-    * whose bucket no value ever touched estimates from zeros.
+  /** Median-of-rows CountSketch estimates for every row of a
+    * candidate frame (column `token`) against a [[countSketchGrid]].
+    * Absent cells count 0 — a candidate whose bucket no value ever
+    * touched estimates from zeros. Shared core of the marker-probe
+    * ([[countSketchEstimates]]) and vocabulary-scoring
+    * ([[countSketchTopK]]) paths.
     */
-  def countSketchEstimates(grid: DataFrame, markers: Seq[String],
+  private def csMedianEstimates(cands: DataFrame, grid: DataFrame,
       width: Int, depth: Int): DataFrame = {
-    require(markers.nonEmpty, "no markers to estimate")
-    val spark = grid.sparkSession
-    import spark.implicits._
-    val probes = markers.toDF("token")
+    val probes = cands
       .select(col("token"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("token"), col("r"),
         csBucket(col("token"), col("r"), width).as("bucket"),
@@ -361,6 +361,54 @@ object Sketches {
       .groupBy("token")
       .agg(element_at(array_sort(collect_list(col("sv"))), (depth + 1) / 2)
         .as("cs_est"))
+  }
+
+  /** Median-of-rows CountSketch estimates for a (small) marker set
+    * against a [[countSketchGrid]]. Absent cells count 0 — a marker
+    * whose bucket no value ever touched estimates from zeros.
+    */
+  def countSketchEstimates(grid: DataFrame, markers: Seq[String],
+      width: Int, depth: Int): DataFrame = {
+    require(markers.nonEmpty, "no markers to estimate")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    csMedianEstimates(markers.toDF("token"), grid, width, depth)
+  }
+
+  /** Heavy-hitter TOP-K extraction — Charikar et al. 2002's headline
+    * use of the sketch (CS + a candidate heap, batched): the distinct-
+    * value pass plays the heap's role (each partition's map-side
+    * combine reduces its token stream to distinct values before one
+    * vocabulary-sized exchange — never more state per partition than
+    * its own vocabulary), every candidate is scored by the CS median
+    * against the broadcast kilobyte grid, the top k by
+    * (estimate DESC, value ASC) survive a TakeOrdered, and the
+    * bounded survivor set is EXACTLY verified by one semi-join-
+    * filtered corpus recount (the D111 two-pass discipline: only
+    * candidate occurrences ever shuffle). Integer md5 arithmetic end
+    * to end, so ordering, tie-breaks, estimates AND the exact counts
+    * replay value-exactly in a SQL oracle.
+    *
+    * Returns (token, cs_est, true_count, rank), rank 1..k.
+    */
+  def countSketchTopK(df: DataFrame, valueCol: String,
+      width: Int, depth: Int, k: Int): DataFrame = {
+    require(k > 0, s"invalid k $k")
+    val toks = df.select(col(valueCol).cast("string").as("token"))
+    val grid = countSketchGrid(df, valueCol, width, depth)
+    val scored = csMedianEstimates(toks.distinct(), grid, width, depth)
+    val order = Seq(col("cs_est").desc, col("token").asc)
+    // rank over the k-row TakeOrdered output: the unpartitioned window
+    // consumes a limit-bounded subtree (the PlanSpec guardrail shape)
+    val cands = scored.orderBy(order: _*).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+    val exact = toks
+      .join(broadcast(cands.select(col("token"))), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("true_count"))
+    cands.join(broadcast(exact), Seq("token"), "left")
+      .select(col("token"), col("cs_est"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"), col("rank"))
   }
 
   /** Merge CountSketch grids built with the same (width, depth): the

@@ -3035,6 +3035,56 @@ object Pipeline {
       .select(col("exact_inner"), col("inner_est"))
   }
 
+  /** D135c — CountSketch heavy-hitter TOP-K (the algorithm of
+    * Charikar et al. 2002 §1, CS + candidate heap, batched — closing
+    * the D31/D111/D135 frequency family's estimate→extract loop): the
+    * vocabulary is scored by CS median against the broadcast kilobyte
+    * grid, the top k by (estimate DESC, token ASC) survive, and the
+    * bounded survivor set is exactly recounted. All integer md5
+    * arithmetic, so the oracle replays grid, scores, ranking,
+    * tie-breaks AND exact counts value-exactly — and rides D111's
+    * exact-heavy-hitter shape as the semantic cross-check: every
+    * true_count here is what the plain GROUP BY would say.
+    */
+  val qCsTopK: GateQuery = GateQuery(
+    "q_cs_topk",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |rs AS (SELECT unnest(generate_series(0, 4)) AS r),
+      |cells AS (SELECT r,
+      |    ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 'b'), 1, 12))::BIGINT % 256 AS bucket,
+      |    CASE WHEN ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 's'), 1, 12))::BIGINT % 2 = 0
+      |         THEN -1 ELSE 1 END AS sign
+      |  FROM toks CROSS JOIN rs),
+      |grid AS (SELECT r, bucket, CAST(SUM(sign) AS BIGINT) AS c
+      |         FROM cells GROUP BY r, bucket),
+      |vocab AS (SELECT DISTINCT w FROM toks),
+      |probes AS (SELECT w, r,
+      |    ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 'b'), 1, 12))::BIGINT % 256 AS bucket,
+      |    CASE WHEN ('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR) || 's'), 1, 12))::BIGINT % 2 = 0
+      |         THEN -1 ELSE 1 END AS sign
+      |  FROM vocab CROSS JOIN rs),
+      |sv AS (SELECT p.w, COALESCE(g.c, 0) * p.sign AS sv
+      |       FROM probes p LEFT JOIN grid g ON g.r = p.r AND g.bucket = p.bucket),
+      |med AS (SELECT w, sv, row_number() OVER (PARTITION BY w ORDER BY sv) AS rn
+      |        FROM sv),
+      |est AS (SELECT w, CAST(sv AS BIGINT) AS cs_est FROM med WHERE rn = 3),
+      |cand AS (SELECT * FROM (
+      |    SELECT w, cs_est,
+      |      CAST(row_number() OVER (ORDER BY cs_est DESC, w) AS INTEGER) AS rank
+      |    FROM est) WHERE rank <= 8),
+      |ex AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_count FROM toks
+      |       WHERE w IN (SELECT w FROM cand) GROUP BY w)
+      |SELECT cand.w AS token, cand.cs_est,
+      |  CAST(COALESCE(ex.true_count, 0) AS BIGINT) AS true_count, cand.rank
+      |FROM cand LEFT JOIN ex ON ex.w = cand.w
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    graft.operators.Sketches.countSketchTopK(
+        Tables(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("w")),
+        "w", 256, 5, 8)
+      .orderBy("rank")
+  }
+
   /** D111 — two-pass EXACT heavy hitters: sketch-filtered candidate
     * occurrences, exactly counted — the result must equal a plain
     * GROUP BY HAVING (the oracle IS that plain form; a sketch that
@@ -5667,7 +5717,7 @@ object Pipeline {
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qTemperatureMix, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct, qKmvDistinct, qKmvSetops, qKmvShards,
-    qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact, qCountSketch, qCsInner,
+    qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact, qCountSketch, qCsInner, qCsTopK,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,

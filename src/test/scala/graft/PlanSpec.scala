@@ -663,6 +663,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!inner.contains("CartesianProduct"), inner)
     assert(inner.contains("partial_sum"), inner)
     assert(!inner.contains("ScalaUDF"), inner)
+    val topk = planOf("q_cs_topk")
+    // vocabulary scoring joins the broadcast kilobyte grid; the top-k
+    // cut is a TakeOrdered (never a global sort of the vocabulary);
+    // the exact recount shuffles only semi-join-filtered candidate
+    // occurrences; no cross product anywhere
+    assert(topk.contains("partial_sum"), topk)
+    assert(topk.contains("TakeOrderedAndProject"), topk)
+    assert(topk.contains("LeftSemi"), topk)
+    assert(!topk.contains("CartesianProduct") &&
+      !topk.contains("BroadcastNestedLoopJoin"), topk)
+    assert(!topk.contains("ScalaUDF"), topk)
   }
 
   test("triangles: equi-keys extracted (no nested-loop), semi-join closure, no UDF") {

@@ -293,4 +293,39 @@ class SketchSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 0L)
   }
 
+  test("D135c CountSketch top-k: finds the true heavy set, exact-verifies it, ranks deterministically") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val width = 256; val depth = 5
+    // skewed corpus: three unambiguous heavies over a light-noise tail
+    val rng = new scala.util.Random(23L)
+    val corpus = (Seq.fill(400)("aa_top") ++ Seq.fill(250)("bb_mid") ++
+      Seq.fill(120)("cc_low") ++ (0 until 800).map(_ => s"n${rng.nextInt(400)}"))
+    val df = corpus.toDF("w")
+    val top = Sketches.countSketchTopK(df, "w", width, depth, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // the heavy set is found, in rank order, with EXACT true counts —
+    // the estimate column may carry collision noise, the recount not
+    assert(top.map(t => (t._1, t._3, t._4)).toSeq ===
+      Seq(("aa_top", 400L, 1), ("bb_mid", 250L, 2), ("cc_low", 120L, 3)))
+    // estimates are within the CS envelope of the truth (sanity; the
+    // GATE pins them value-exactly against the oracle)
+    top.foreach { case (w, est, n, _) =>
+      assert(math.abs(est - n) <= 80L, s"$w: est $est vs true $n")
+    }
+    // k past the vocabulary returns the whole vocabulary, still ranked
+    val tiny = Seq("p", "p", "q").toDF("w")
+    val all = Sketches.countSketchTopK(tiny, "w", width, depth, 10)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
+    assert(all.toSeq === Seq(("p", 2L, 1), ("q", 1L, 2)))
+    // deterministic tie-break: equal estimates rank by token ASC
+    val tied = Seq("b_tok", "a_tok").toDF("w")
+    val ranks = Sketches.countSketchTopK(tied, "w", width, depth, 2)
+      .collect().map(r => (r.getString(0), r.getInt(3))).toMap
+    assert(ranks("a_tok") < ranks("b_tok"))
+    intercept[IllegalArgumentException] {
+      Sketches.countSketchTopK(tiny, "w", width, depth, 0)
+    }
+  }
+
 }
