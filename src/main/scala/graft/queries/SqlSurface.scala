@@ -877,11 +877,16 @@ object SqlSurface {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin) { (s, dir) =>
     Tables(s, dir, "documents").createOrReplaceTempView("graft_docs_udf")
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_len_bucket(n BIGINT)
-            |RETURNS STRING
-            |RETURN CASE WHEN n < 200 THEN 'short'
-            |            WHEN n < 400 THEN 'medium'
-            |            ELSE 'long' END""".stripMargin)
+    // create-if-absent, not OR REPLACE: the definition is a fixed
+    // literal, and a REPLACE on every bench rep logs a
+    // SimpleFunctionRegistry "replaced a previously registered
+    // function" WARN into the tail for no behavior change
+    if (!s.catalog.functionExists("graft_len_bucket"))
+      s.sql("""CREATE TEMPORARY FUNCTION graft_len_bucket(n BIGINT)
+              |RETURNS STRING
+              |RETURN CASE WHEN n < 200 THEN 'short'
+              |            WHEN n < 400 THEN 'medium'
+              |            ELSE 'long' END""".stripMargin)
     s.sql("""SELECT graft_len_bucket(n_chars) AS bucket, COUNT(*) AS n,
             |  SUM(n_chars) AS chars
             |FROM graft_docs_udf

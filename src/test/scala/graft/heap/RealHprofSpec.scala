@@ -121,4 +121,89 @@ class RealHprofSpec extends AnyFunSuite {
         assert(rootKinds >= 3)
     }
   }
+
+  /** Tool-path + content variation: `jcmd GC.heap_dump -all` dumps
+    * WITHOUT the live filter — no forced GC, unreachable objects
+    * included — a dump state neither jmap `-dump:live` fixture ever
+    * shows (dead objects whose referents may already be gone). The
+    * parser must treat reachability as an analysis question, never a
+    * format assumption.
+    */
+  test("real jcmd GC.heap_dump -all (unreachable objects included) ingests too") {
+    val dir = java.nio.file.Files.createTempDirectory("realheap_all")
+    val src = dir.resolve("Churn.java")
+    java.nio.file.Files.writeString(src,
+      """public class Churn {
+        |  public static void main(String[] a) throws Exception {
+        |    java.util.Map<String, String> m = new java.util.HashMap<>();
+        |    for (int i = 0; i < 500; i++) m.put("live" + i, "val" + i);
+        |    for (int i = 0; i < 20000; i++) { String s = "dead" + i; if (s.length() == 0) System.out.print(s); }
+        |    System.out.println("READY " + m.size());
+        |    Thread.sleep(120000);
+        |  }
+        |}""".stripMargin)
+    if (new ProcessBuilder("javac", src.toString).inheritIO().start().waitFor() != 0)
+      cancel("javac unavailable")
+    val proc = new ProcessBuilder("java", "-Xmx128m", "-cp", dir.toString, "Churn").start()
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+      val line = reader.readLine()
+      if (line == null || !line.startsWith("READY")) cancel("fixture JVM failed to start")
+      val hprof = dir.resolve("all.hprof").toString
+      val jcmd = new ProcessBuilder("jcmd", proc.pid().toString,
+        "GC.heap_dump", "-all", hprof).start()
+      if (jcmd.waitFor() != 0) cancel("jcmd heap dump unavailable in this environment")
+      info(f"dump size: ${new java.io.File(hprof).length() / 1e6}%.1f MB")
+      val hd = new HeapDump(spark, hprof)
+      assert(hd.header.formatName === "JAVA PROFILE 1.0.2")
+      assert(hd.index.classes.size > 500)
+      // the -all dump carries the garbage the live fixtures never
+      // show; the live keys are still present among it
+      val strs = hd.instancesByName("java.lang.String").get
+      val bytes = hd.primitiveArrays(BasicType.Byte)
+      val decode = udf((v: scala.collection.Seq[Byte]) =>
+        new String(v.toArray, java.nio.charset.StandardCharsets.ISO_8859_1))
+      val contents = strs.select(col("value").as("bid"))
+        .join(bytes.withColumnRenamed("obj_id", "bid"), "bid")
+        .select(decode(col("values")).as("text"))
+      assert(contents.filter(col("text") === "live499").count() >= 1)
+      val rootKinds = hd.gcRoots.select("root_type").distinct().count()
+      assert(rootKinds >= 3)
+    } finally proc.destroyForcibly()
+  }
+
+  /** Scale + content variation the Tiny fixtures cannot produce: dump
+    * THIS JVM — the one running Spark and the whole test suite — via
+    * HotSpotDiagnosticMXBean (the in-process face of jcmd
+    * GC.heap_dump). Thousands of loaded classes, JDK-17 hidden
+    * classes (lambdas — names the synthetic writer never emits), live
+    * platform threads with deep stacks, every reference flavor. The
+    * closest in-sandbox stand-in for "a dump from a different real
+    * application".
+    */
+  test("self-dump of the running Spark test JVM ingests end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("realheap_self")
+    val hprof = dir.resolve("self.hprof").toString
+    try {
+      val mx = java.lang.management.ManagementFactory.getPlatformMXBean(
+        classOf[com.sun.management.HotSpotDiagnosticMXBean])
+      mx.dumpHeap(hprof, true) // live=true bounds the file to the live set
+    } catch { case e: Exception => cancel(s"self-dump unavailable: ${e.getMessage}") }
+    info(f"dump size: ${new java.io.File(hprof).length() / 1e6}%.1f MB")
+    val hd = new HeapDump(spark, hprof)
+    assert(hd.header.formatName === "JAVA PROFILE 1.0.2")
+    // real-application scale: thousands of classes, including hidden
+    // ones (lambda/method-handle forms carry a /0x… suffix)
+    assert(hd.index.classes.size > 2000, s"classes: ${hd.index.classes.size}")
+    assert(hd.index.classes.values.exists(_.name.contains("$$Lambda$")),
+      "a real JVM dump must contain lambda classes — names the synthetic writer never emits")
+    // Spark itself is in the dump
+    assert(hd.index.classes.values.exists(_.name.startsWith("org.apache.spark.")))
+    // live threads with real stacks
+    assert(hd.stackTraces.count() > 5)
+    val rootKinds = hd.gcRoots.select("root_type").distinct().count()
+    assert(rootKinds >= 4, s"root kinds: $rootKinds")
+    // the census machinery holds at real heterogeneity
+    assert(hd.objectIndex.count() > 50000L)
+  }
 }
