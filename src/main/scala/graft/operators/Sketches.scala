@@ -411,6 +411,32 @@ object Sketches {
         coalesce(col("true_count"), lit(0L)).as("true_count"), col("rank"))
   }
 
+  /** [[countSketchTopK]] from pre-aggregated substrate: an
+    * already-merged grid plus a `(token, true_count)` exact-count
+    * table — the streaming path's shape, where per-epoch grids merge
+    * by cellwise sum (linearity) and per-epoch count partials by
+    * plain sum, so the extraction here EQUALS the one-shot batch
+    * extraction over the concatenated stream. Same ordering,
+    * tie-breaks and output columns as [[countSketchTopK]].
+    */
+  def countSketchTopKFrom(grid: DataFrame, counts: DataFrame,
+      width: Int, depth: Int, k: Int): DataFrame = {
+    require(k > 0, s"invalid k $k")
+    val scored = csMedianEstimates(counts.select(col("token")), grid, width, depth)
+    val order = Seq(col("cs_est").desc, col("token").asc)
+    val cands = scored.orderBy(order: _*).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+    // the count table is vocabulary-sized: pre-filter it to the k
+    // survivors under a broadcast semi-join, then enrich — never
+    // broadcast the vocabulary itself
+    val candCounts = counts
+      .join(broadcast(cands.select(col("token"))), Seq("token"), "left_semi")
+    cands.join(broadcast(candCounts), Seq("token"), "left")
+      .select(col("token"), col("cs_est"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"), col("rank"))
+  }
+
   /** Merge CountSketch grids built with the same (width, depth): the
     * grid is a LINEAR function of the frequency vector, so cellwise
     * sum of counters IS the grid of the concatenated inputs — the

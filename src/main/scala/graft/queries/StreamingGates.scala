@@ -979,6 +979,50 @@ object StreamingGates {
       .orderBy("token")
   }
 
+  /** E65 — D135c's heavy-hitter TOP-K ONLINE (the q_cs_topk twin,
+    * same discipline as E64): each micro-batch lands its own signed
+    * grid AND its own exact token-count partial, both epoch-stamped
+    * replay-idempotent; the final extraction merges grids by cellwise
+    * sum and count partials by plain sum, then scores/ranks/recounts
+    * EXACTLY as the batch path — so this gate shares q_cs_topk's
+    * oracle VERBATIM. A lost epoch, a duplicated replay, a wrong-cell
+    * merge, or a count partial that double-summed shifts a score, a
+    * rank, or a recount and breaks the hash.
+    */
+  val qStreamCsTopK: GateQuery = GateQuery(
+    "q_stream_cs_topk", Pipeline.qCsTopK.oracle.get) { (s, dir) =>
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_cs_topk")
+    val srcDir = work.resolve("src").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    val sketchDir = work.resolve("sk").toString
+    val q = StreamingOps.countSketchTopKStream(stream, "w", 256, 5,
+      sketchDir, work.resolve("ckpt").toString)
+    drainAndUnload(q)
+    val merged = graft.operators.Sketches.countSketchMerge(
+      s.read.parquet(StreamingOps.epochDirs(s, s"$sketchDir/grid"): _*))
+    val counts = s.read
+      .parquet(StreamingOps.epochDirs(s, s"$sketchDir/counts"): _*)
+      .groupBy("token").agg(sum("true_count").as("true_count"))
+    graft.operators.Sketches.countSketchTopKFrom(merged, counts, 256, 5, 8)
+      .orderBy("rank")
+  }
+
   /** E48 — Trigger.AvailableNow incremental batch: TWO separate
     * scheduled invocations of the same query definition (the second
     * after new data lands), each terminating ITSELF when caught up.
@@ -1914,6 +1958,6 @@ object StreamingGates {
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
       qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
-      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce, qStreamRate, qStreamKmv, qStreamCountSketch)
+      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce, qStreamRate, qStreamKmv, qStreamCountSketch, qStreamCsTopK)
     .map(_.copy(bench = false))
 }

@@ -985,6 +985,41 @@ object StreamingOps {
       .start()
   }
 
+  /** E65 — D135c's heavy-hitter TOP-K extraction ONLINE: each
+    * micro-batch lands its own signed grid (under `grid/`) AND its
+    * own exact token-count partial (under `counts/`), both
+    * epoch-stamped and replay-idempotent (a redelivered batch
+    * overwrites its own epoch). Final extraction
+    * ([[graft.operators.Sketches.countSketchTopKFrom]]) merges the
+    * grids cellwise (linearity) and the count partials by plain sum,
+    * so the streamed top-k EQUALS the one-shot batch extraction over
+    * the concatenated stream — gate-pinned against the SAME oracle as
+    * the batch gate. Per-batch cost: the batch's token explode plus
+    * one grid-sized and one batch-vocabulary-sized aggregate; the
+    * corpus is never rescanned.
+    */
+  def countSketchTopKStream(docs: DataFrame, valueCol: String, width: Int,
+      depth: Int, sketchDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.countSketchGrid(batch, valueCol, width, depth)
+          .write.mode("overwrite")
+          .parquet(s"$sketchDir/grid/epoch_${streamId}_$batchId")
+        batch.groupBy(col(valueCol).cast("string").as("token"))
+          .agg(count(lit(1)).as("true_count"))
+          .write.mode("overwrite")
+          .parquet(s"$sketchDir/counts/epoch_${streamId}_$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** E45 — the D113 duplicated-span guard running ONLINE: every
     * micro-batch (1) probes the persisted gram index and lands its
     * span report, then (2) appends its own NOVEL grams — so batch 2

@@ -328,4 +328,28 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("countSketchTopKFrom over merged partials equals the one-shot batch extraction") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val width = 256; val depth = 5
+    val rng = new scala.util.Random(31L)
+    val corpus = (Seq.fill(90)("hh_one") ++ Seq.fill(40)("hh_two") ++
+      (0 until 300).map(_ => s"n${rng.nextInt(80)}"))
+    val df = corpus.toDF("w")
+    // split into two "epochs", build each partial independently, merge
+    val (e1, e2) = corpus.splitAt(corpus.size / 2)
+    def gridOf(s: Seq[String]) = Sketches.countSketchGrid(s.toDF("w"), "w", width, depth)
+    def countsOf(s: Seq[String]) = s.toDF("w")
+      .groupBy(col("w").as("token")).agg(count(lit(1)).as("true_count"))
+    val merged = Sketches.countSketchMerge(gridOf(e1).union(gridOf(e2)))
+    val counts = countsOf(e1).union(countsOf(e2))
+      .groupBy("token").agg(sum("true_count").as("true_count"))
+    val streamed = Sketches.countSketchTopKFrom(merged, counts, width, depth, 5)
+      .orderBy("rank").collect().toSeq
+    val oneShot = Sketches.countSketchTopK(df, "w", width, depth, 5)
+      .orderBy("rank").collect().toSeq
+    assert(streamed === oneShot)
+  }
+
 }
