@@ -111,6 +111,16 @@ object Bench {
       f()
       (System.nanoTime() - t0) / 1e9
     }
+    // best-effort scratch cleanup (GB-scale hprof fixtures + parquet
+    // exports); never lets an IO hiccup fail the bench
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      try {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+      } catch { case _: java.io.IOException => () }
     // one attach/drain/detach discipline for every job-count
     // measurement (the 1x and 10x ingest points share it, so a drain
     // fix can't diverge between them)
@@ -385,8 +395,12 @@ object Bench {
       // wall-clock noise hides it
       val (times, ingestJobsTotal) = countSparkJobs {
         (1 to ingestReps).map { r =>
-          val out = dir.resolve(s"pq$r").toString
-          timed(() => new HeapDump(spark, hprof).writeParquet(out))
+          // drop each export before the next rep — only the hprof
+          // fixture persists (for the possible end-of-suite re-measure)
+          val out = dir.resolve(s"pq$r")
+          val t = timed(() => new HeapDump(spark, hprof).writeParquet(out.toString))
+          deleteRecursively(out)
+          t
         }
       }
       val jobsPerExport = ingestJobsTotal / ingestReps
@@ -454,8 +468,15 @@ object Bench {
         val reps10x = 2
         val (times10x, jobs10xTotal) = countSparkJobs {
           (1 to reps10x).map { r =>
-            timed(() =>
-              new HeapDump(spark, hprof).writeParquet(dir.resolve(s"pq10x_$r").toString))
+            // each export is ~GB-scale scratch: time it, then drop it
+            // before the next rep so at most ONE export dir exists at
+            // a time (only the hprof fixture persists, for the
+            // possible end-of-suite re-measure)
+            val out = dir.resolve(s"pq10x_$r")
+            val t = timed(() =>
+              new HeapDump(spark, hprof).writeParquet(out.toString))
+            deleteRecursively(out)
+            t
           }
         }
         val jobs10x = jobs10xTotal / reps10x
@@ -578,60 +599,60 @@ object Bench {
     // the same dump at the very end of the suite (tiers drained) and
     // take the overall best; all rep times feed a min/max MB/s band in
     // the record so a residual swing reads as noise, not regression.
-    val priorIngestMbS: Option[Double] = priorRecord.get("heap_ingest_mb_s") match {
+    // ONE defense for BOTH ingest scale points — the 1× and 10× blocks
+    // were near-verbatim copies, and two copies of load-bearing
+    // regression criteria drift (a threshold fix landing in one block
+    // only would let the two points apply different disciplines).
+    def priorMbS(key: String): Option[Double] = priorRecord.get(key) match {
       case Some(v: java.lang.Long) => Some(v.toDouble)
       case Some(v: java.lang.Double) => Some(v.doubleValue)
       case _ => None
+    }
+    // returns ALL rep times (suite + any isolated re-measure reps);
+    // caller takes .min and feeds the whole seq into the record's band
+    def defendIngest(label: String, priorKey: String, mb: Double,
+        times: Seq[Double], hprof: String, scratch: String,
+        rePrefix: String, reReps: Int): Seq[Double] = {
+      import graft.heap.HeapDump
+      val prior = priorMbS(priorKey)
+      val mbS = mb / times.min
+      val suspect = prior.exists(p => p > 0 && mbS < p / 1.5)
+      if (!suspect) times
+      else {
+        val extra = (1 to reReps).map { r =>
+          val out = java.nio.file.Paths.get(scratch).resolve(s"$rePrefix$r")
+          val t = timed(() => new HeapDump(spark, hprof).writeParquet(out.toString))
+          deleteRecursively(out)
+          t
+        }
+        System.err.println(f"[bench] $label isolation re-measure: suite=$mbS%.1f MB/s -> isolated=${mb / (times ++ extra).min}%.1f MB/s (committed ${prior.get}%.1f)")
+        times ++ extra
+      }
     }
     val ingestFinal: (Double, Seq[Double]) =
-      if (!ingestSelected || heapIngest._1 <= 0) (heapIngest._1, heapIngest._5)
+      if (!ingestSelected || heapIngest._1 <= 0 || only.isDefined)
+        (heapIngest._1, heapIngest._5)
       else {
-        val mbS = heapIngest._2 / heapIngest._1
-        val suspect = only.isEmpty && priorIngestMbS.exists(p => p > 0 && mbS < p / 1.5)
-        if (!suspect) (heapIngest._1, heapIngest._5)
-        else {
-          import graft.heap.HeapDump
-          val extra = (1 to 3).map { r =>
-            val out = java.nio.file.Paths.get(heapIngest._4).resolve(s"pq_re$r").toString
-            timed(() => new HeapDump(spark, heapIngest._3).writeParquet(out))
-          }
-          val best = (heapIngest._5 ++ extra).min
-          System.err.println(f"[bench] ingest isolation re-measure: suite=${mbS}%.1f MB/s -> isolated=${heapIngest._2 / best}%.1f MB/s (committed ${priorIngestMbS.get}%.1f)")
-          (best, heapIngest._5 ++ extra)
-        }
+        val all = defendIngest("ingest", "heap_ingest_mb_s", heapIngest._2,
+          heapIngest._5, heapIngest._3, heapIngest._4, "pq_re", 3)
+        (all.min, all)
       }
-    // 10× POINT DEFENSE (round 16): the same discipline as the 1×
-    // point — when the reading is >1.5× below the committed record's
-    // MB/s, re-run the SAME dump here at the very end of the suite
-    // (tiers drained) and take the overall best; every rep feeds the
-    // min/max band. The ~3 GB scratch drops here either way.
-    val priorIngest10xMbS: Option[Double] = priorRecord.get("heap_ingest10x_mb_s") match {
-      case Some(v: java.lang.Long) => Some(v.toDouble)
-      case Some(v: java.lang.Double) => Some(v.doubleValue)
-      case _ => None
-    }
+    // the 1× scratch (hprof fixture, held until after the re-measure
+    // decision above) was previously never deleted — ~0.5 GB left in
+    // /tmp per full run
+    if (ingestSelected && heapIngest._4.nonEmpty)
+      deleteRecursively(java.nio.file.Paths.get(heapIngest._4))
     val ingest10xFinal: Option[(Double, Double, Int, Seq[Double])] =
       ingest10x.map { case (sec, mb, jobs, hprof, dirStr, times) =>
-        import graft.heap.HeapDump
-        val mbS = mb / sec
-        val suspect = priorIngest10xMbS.exists(p => p > 0 && mbS < p / 1.5)
-        val all =
-          if (!suspect) times
-          else {
-            val extra = (1 to 2).map { r =>
-              val out = java.nio.file.Paths.get(dirStr).resolve(s"pq10x_re$r").toString
-              timed(() => new HeapDump(spark, hprof).writeParquet(out))
-            }
-            System.err.println(f"[bench] ingest10x isolation re-measure: suite=$mbS%.1f MB/s -> isolated=${mb / (times ++ extra).min}%.1f MB/s (committed ${priorIngest10xMbS.get}%.1f)")
-            times ++ extra
-          }
+        // finally: the ~1.5 GB hprof fixture (held across the suite
+        // for exactly this decision) must drop even when a re-measure
+        // rep throws — an exception here previously leaked the whole
+        // scratch dir for the host to clean up
         try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(java.nio.file.Paths.get(dirStr))
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: java.io.IOException => () }
-        (all.min, mb, jobs, all)
+          val all = defendIngest("ingest10x", "heap_ingest10x_mb_s", mb,
+            times, hprof, dirStr, "pq10x_re", 2)
+          (all.min, mb, jobs, all)
+        } finally deleteRecursively(java.nio.file.Paths.get(dirStr))
       }
     val withIngest =
       if (!ingestSelected) fastFinal

@@ -265,11 +265,18 @@ private[graft] object CellCommit {
     }
   }
 
-  /** True create-if-absent. The Hadoop local FS create(path, false)
-    * is exists-then-create (TOCTOU window between two processes), so
-    * the file scheme routes through java.io.File.createNewFile, which
-    * the JDK documents as atomic; other schemes (HDFS, object-store
-    * committers) make create(overwrite=false) atomic themselves.
+  /** True create-if-absent WITH the payload in place atomically. The
+    * Hadoop local FS create(path, false) is exists-then-create (TOCTOU
+    * window between two processes), and even createNewFile + separate
+    * write leaves a zero-byte ownerless window in which the ownerless
+    * reclaim could hand the path to a successor whose lease the
+    * resumed creator's write would then truncate-overwrite. So the
+    * file scheme writes the payload to a sibling temp file and claims
+    * the path by hard LINK — POSIX link(2) fails if the target exists
+    * and publishes the payload atomically, so the lease file is never
+    * observable empty. Other schemes (HDFS, object-store committers)
+    * make create(overwrite=false) atomic themselves; their
+    * create-to-close torn window is what [[OwnerlessGraceMs]] heals.
     */
   private def tryAtomicCreate(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, payload: Array[Byte]): Boolean = {
@@ -277,16 +284,59 @@ private[graft] object CellCommit {
       val f = new java.io.File(p.toUri.getPath)
       val parent = f.getParentFile
       if (parent != null) parent.mkdirs()
+      val tmp = new java.io.File(parent,
+        s".${f.getName}.tmp.${java.util.UUID.randomUUID()}")
       try {
-        if (!f.createNewFile()) false
-        else { java.nio.file.Files.write(f.toPath, payload); true }
-      } catch { case _: java.io.IOException => false }
+        java.nio.file.Files.write(tmp.toPath, payload)
+        java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+        true
+      } catch {
+        case _: java.io.IOException => false
+        case _: UnsupportedOperationException =>
+          // no hard links on this mount (rare for file://): fall back
+          // to the two-step create; the ownerless reclaim heals a tear
+          try {
+            f.createNewFile() && { java.nio.file.Files.write(f.toPath, payload); true }
+          } catch { case _: java.io.IOException => false }
+      } finally tmp.delete()
     } else {
       try {
         val out = fs.create(p, false)
         try out.write(payload) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Reclaim arbiter: claim the lease file by atomic rename-aside,
+    * then drop it ONLY when the renamed file is the SAME stale corpse
+    * the caller judged — verified by mtime equality with the observed
+    * file status. Without the re-verify the arbiter is check-then-act:
+    * between the caller's staleness read and its rename another
+    * reclaimer can win, delete the corpse, and a NEW holder create a
+    * fresh healthy lease at the path — the rename would then displace
+    * the successor, not the corpse, and the delete would admit a
+    * second concurrent writer. On mismatch the fresh lease is renamed
+    * back; if a third lease already took the path in the window, the
+    * aside is dropped — the displaced holder's own synchronous fence
+    * sees the loss and aborts recover()-safely (the same arbitration
+    * [[Lease.release]] uses). Returns true only for a real reclaim.
+    */
+  private[graft] def reclaimObservedStale(fs: org.apache.hadoop.fs.FileSystem,
+      leaseP: org.apache.hadoop.fs.Path, dir: String,
+      observedMtime: Long): Boolean = {
+    val aside = path(s"${dir}__lease.reclaim.${java.util.UUID.randomUUID()}")
+    if (!fs.rename(leaseP, aside)) false
+    else {
+      val sameStale =
+        try fs.getFileStatus(aside).getModificationTime == observedMtime
+        catch { case _: java.io.IOException => false }
+      if (sameStale) {
+        fs.delete(aside, false); statReclaims.incrementAndGet(); true
+      } else {
+        if (!fs.rename(aside, leaseP)) fs.delete(aside, false)
+        false
+      }
     }
   }
 
@@ -341,10 +391,8 @@ private[graft] object CellCommit {
             !txt.linesIterator.exists(_.startsWith("owner="))
           } catch { case _: java.io.IOException => false } // vanished/torn read: loop
         }
-        if (age > staleMs || ownerless) {
-          val aside = path(s"${dir}__lease.reclaim.${java.util.UUID.randomUUID()}")
-          if (fs.rename(leaseP, aside)) { fs.delete(aside, false); statReclaims.incrementAndGet() }
-        }
+        if (age > staleMs || ownerless)
+          reclaimObservedStale(fs, leaseP, dir, st.getModificationTime)
       } catch { case _: java.io.IOException => () } // vanished: loop re-creates
       Thread.sleep(100)
     }
@@ -428,9 +476,11 @@ private[graft] object CellCommit {
     withMaintenanceLease(spark, live, waitMs = ProbeWaitMs) {
       lockFor(live).synchronized {
         if (!fs.exists(path(live)) &&
-            fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+            fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+          requireLeaseLive(live) // zombie fence before the publish rename
           require(fs.rename(staging, path(live)),
             s"staged publish rename $staging -> $live failed")
+        }
       }
     }
   }
@@ -448,6 +498,7 @@ private[graft] object CellCommit {
     withMaintenanceLease(spark, live) {
       lockFor(live).synchronized {
         if (fs.exists(staging)) {
+          requireLeaseLive(live) // zombie fence before the destructive pair
           if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
             if (fs.exists(path(live))) fs.delete(path(live), true)
             require(fs.rename(staging, path(live)),
@@ -488,7 +539,10 @@ private[graft] object CellCommit {
     if (!fs.exists(staging)) return
     withMaintenanceLease(spark, live) {
       lockFor(live).synchronized {
-        if (fs.exists(staging)) fs.delete(staging, true)
+        if (fs.exists(staging)) {
+          requireLeaseLive(live) // zombie fence before the staging drop
+          fs.delete(staging, true)
+        }
       }
     }
   }
@@ -507,6 +561,7 @@ private[graft] object CellCommit {
     if (!fs.exists(journal) && !fs.exists(delta)) return
     withMaintenanceLease(spark, table) {
       lockFor(table).synchronized {
+        requireLeaseLive(table) // zombie fence before the residue drops
         if (fs.exists(journal)) fs.delete(journal, true)
         if (fs.exists(delta)) fs.delete(delta, true)
       }
@@ -561,6 +616,7 @@ private[graft] object CellCommit {
             fs.exists(path(s"${table}__delta/_SUCCESS"))) {
           applyJournal(spark, table)
         } else {
+          requireLeaseLive(table) // zombie fence before the rollback drops
           if (fs.exists(journal)) fs.delete(journal, true)
           if (fs.exists(delta)) fs.delete(delta, true)
         }

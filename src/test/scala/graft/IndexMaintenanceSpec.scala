@@ -1025,6 +1025,94 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f.toPath)
   }
 
+  test("reclaim arbiter never destroys a successor's fresh lease (mtime re-verify after rename-aside)") {
+    import graft.operators.CellCommit
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    // case 1: the renamed file IS the observed corpse — reclaimed
+    val dir1 = tmp("arbiter_corpse")
+    val f1 = new java.io.File(s"${dir1}__lease")
+    f1.getParentFile.mkdirs()
+    java.nio.file.Files.write(f1.toPath, "owner=dead@x/0\nepoch=0\n".getBytes("UTF-8"))
+    val staleMtime = System.currentTimeMillis() - 3600000L
+    assert(f1.setLastModified(staleMtime))
+    assert(CellCommit.reclaimObservedStale(fs,
+      new org.apache.hadoop.fs.Path(f1.toURI), dir1, f1.lastModified()))
+    assert(!f1.exists(), "the observed corpse must be reclaimed")
+    // case 2: between the staleness read and the rename, another
+    // reclaimer won and a NEW holder created a fresh lease at the
+    // path — the arbiter must put the successor's lease back intact
+    // instead of deleting it (the round-16 review's top finding)
+    val dir2 = tmp("arbiter_successor")
+    val f2 = new java.io.File(s"${dir2}__lease")
+    f2.getParentFile.mkdirs()
+    val successor = "owner=successor@elsewhere/1\nepoch=1\n"
+    java.nio.file.Files.write(f2.toPath, successor.getBytes("UTF-8"))
+    // observedMtime is the OLD corpse's — differs from the fresh file
+    assert(!CellCommit.reclaimObservedStale(fs,
+      new org.apache.hadoop.fs.Path(f2.toURI), dir2, staleMtime))
+    assert(f2.exists(), "the successor's fresh lease must survive the arbiter")
+    assert(new String(java.nio.file.Files.readAllBytes(f2.toPath), "UTF-8") === successor)
+    val residue = f2.getParentFile.listFiles().filter(_.getName.contains("__lease.reclaim"))
+    assert(residue.isEmpty, s"arbiter left aside residue: ${residue.mkString(",")}")
+    java.nio.file.Files.delete(f2.toPath)
+  }
+
+  test("lease create is atomic with its payload: never observable empty, no tmp residue") {
+    import graft.operators.CellCommit
+    val dir = tmp("lease_atomic_create")
+    val l = CellCommit.acquireLease(spark, dir, staleMs = 60000L, waitMs = 400L)
+    try {
+      val f = new java.io.File(s"${dir}__lease")
+      assert(f.length() > 0, "lease file must carry its owner payload from birth " +
+        "(hard-link publish — a zero-byte window would re-open the ownerless-reclaim race)")
+      val tmpResidue = f.getParentFile.listFiles().filter(_.getName.contains(".tmp."))
+      assert(tmpResidue.isEmpty, s"create left tmp residue: ${tmpResidue.mkString(",")}")
+    } finally l.release()
+  }
+
+  test("zombie fence covers clearStaged, clearStagedFlat and recoverStagedPublish too") {
+    import graft.operators.CellCommit
+    def zombify(key: String)(destructive: => Unit): Unit = {
+      CellCommit.withMaintenanceLease(spark, key, staleMs = 1000L, waitMs = 500L) {
+        val zombie = CellCommit.heldLeaseForTest(key).get
+        CellCommit.suspendHeartbeatForTest(zombie)
+        assert(new java.io.File(s"${key}__lease")
+          .setLastModified(System.currentTimeMillis() - 10000L))
+        val reclaimer = CellCommit.acquireLease(spark, key, staleMs = 1000L, waitMs = 2000L)
+        try {
+          val ex = intercept[IllegalStateException] { destructive }
+          assert(ex.getMessage.contains("lost"), ex.getMessage)
+        } finally reclaimer.release()
+      }
+    }
+    // clearStaged: journal + delta residue must survive the zombie —
+    // before round 16 these three paths ran their deletes unfenced, so
+    // a stale-reclaimed holder resuming inside them could still race
+    // the reclaimer's journal apply (cell-loss class)
+    val t1 = s"${tmp("zombie_clear")}/idx"
+    Seq(("x", 1L)).toDF("tag", "n").write.parquet(t1)
+    Seq((1, false)).toDF("cell", "emptied").write.parquet(s"${t1}__commit")
+    Seq(("d", 1L)).toDF("tag", "n").write.parquet(s"${t1}__delta")
+    zombify(t1) { CellCommit.clearStaged(spark, t1) }
+    assert(new java.io.File(s"${t1}__commit").exists(), "zombie must not drop the journal")
+    assert(new java.io.File(s"${t1}__delta").exists(), "zombie must not drop the delta")
+    // clearStagedFlat: a staging dir must survive the zombie
+    val t2 = s"${tmp("zombie_flatclear")}/idx"
+    Seq(("s", 1L)).toDF("tag", "n").write.parquet(s"${t2}__staging")
+    zombify(t2) { CellCommit.clearStagedFlat(spark, t2) }
+    assert(new java.io.File(s"${t2}__staging").exists(), "zombie must not drop the staging")
+    // recoverStagedPublish: live must not be deleted, staging not consumed
+    val t3 = s"${tmp("zombie_recover")}/idx"
+    Seq(("old", 1L)).toDF("tag", "n").write.parquet(t3)
+    Seq(("new", 2L)).toDF("tag", "n").write.parquet(s"${t3}__staging")
+    zombify(t3) { CellCommit.recoverStagedPublish(spark, t3) }
+    assert(spark.read.parquet(t3).select("tag").head().getString(0) === "old",
+      "zombie must not have deleted the live table")
+    assert(new java.io.File(s"${t3}__staging").exists(),
+      "zombie must not have consumed the staging")
+  }
+
   test("lease contention telemetry counts waits, reclaims, refusals") {
     import graft.operators.CellCommit
     CellCommit.resetLeaseStats()

@@ -195,7 +195,10 @@ class RealHprofSpec extends AnyFunSuite {
     // real-application scale: thousands of classes, including hidden
     // ones (lambda/method-handle forms carry a /0x… suffix)
     assert(hd.index.classes.size > 2000, s"classes: ${hd.index.classes.size}")
-    assert(hd.index.classes.values.exists(_.name.contains("$$Lambda$")),
+    // "$$Lambda" without the trailing "$": JDK 21 dropped the numeric
+    // counter from lambda proxy names (Foo$$Lambda/0x… vs 17's
+    // Foo$$Lambda$123/0x…), and this spec must survive a JDK bump
+    assert(hd.index.classes.values.exists(_.name.contains("$$Lambda")),
       "a real JVM dump must contain lambda classes — names the synthetic writer never emits")
     // Spark itself is in the dump
     assert(hd.index.classes.values.exists(_.name.startsWith("org.apache.spark.")))
