@@ -142,6 +142,58 @@ object Clustering {
     picks.toSeq.toDF("round", "vec_id", "dist")
   }
 
+  /** E66 substrate — per-cluster sufficient statistics of ONE slice of
+    * the corpus against FIXED centroids: (cluster, n, s[dim]) with n
+    * the member count and s the per-dimension component sums. This is
+    * the linear half of a Lloyd iteration (assignment frozen at the
+    * given centroids), so partials computed over disjoint slices —
+    * micro-batches of a stream, shards of a corpus — merge EXACTLY by
+    * plain sums ([[centroidRefineRows]]): the additive identity the
+    * CountSketch grid (E64) and KMV bottom-k (E63) merges rely on,
+    * here for the centroid-refresh loop of the E35 streaming semantic
+    * router (mini-batch k-means in the Sculley WWW'10 shape, made
+    * exact by quantized integer arithmetic). One row per non-empty
+    * cluster — kilobytes per epoch, never a vector retained.
+    */
+  def centroidStatsPartial(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Long]], dim: Int,
+      quantScale: Int = 256): DataFrame =
+    assign(quantize(emb, idCol, vecCol, quantScale), centroids)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(i => sum(col("q").getItem(i))): _*).as("s"))
+
+  /** Fold persisted stat partials into refreshed centroids: per
+    * cluster Σn and elementwise Σs across every epoch, then ONE exact
+    * Lloyd update c = Σs / Σn (truncating Long division — the
+    * oracle's BIGINT `//`); a cluster no partial touched keeps its
+    * seed centroid with n = 0. Output is long-form (cluster, i, c, n)
+    * with i 1-based — k·dim rows, the driver-bounded inspection shape
+    * (k·dim longs, the same contract as the Lloyd loop's collect).
+    */
+  def centroidRefineRows(spark: org.apache.spark.sql.SparkSession,
+      statsDirs: Seq[String], seed: Array[Array[Long]],
+      dim: Int): DataFrame = {
+    import spark.implicits._
+    val byCluster: Map[Int, (Long, Seq[Long])] =
+      if (statsDirs.isEmpty) Map.empty
+      else spark.read.parquet(statsDirs: _*)
+        .groupBy("cluster")
+        .agg(sum(col("n")).as("n"),
+          array((0 until dim).map(i => sum(col("s").getItem(i))): _*).as("s"))
+        .collect() // k rows of k·dim longs — driver-bounded by contract
+        .map(r => r.getAs[Int]("cluster") ->
+          ((r.getAs[Long]("n"), r.getAs[scala.collection.Seq[Long]]("s").toSeq)))
+        .toMap
+    val rows = seed.zipWithIndex.flatMap { case (sc, j) =>
+      byCluster.get(j) match {
+        case Some((n, s)) => (0 until dim).map(i => (j, i + 1, s(i) / n, n))
+        case None => (0 until dim).map(i => (j, i + 1, sc(i), 0L))
+      }
+    }
+    rows.toSeq.toDF("cluster", "i", "c", "n")
+  }
+
   private def quantize(emb: DataFrame, idCol: String, vecCol: String,
       quantScale: Int): DataFrame =
     emb.select(col(idCol).as("vec_id"),

@@ -1023,6 +1023,77 @@ object StreamingGates {
       .orderBy("rank")
   }
 
+  /** E66 — the E35 semantic router's centroid REFRESH online
+    * (mini-batch k-means in the Sculley WWW'10 shape, made exact by
+    * the D28 quantized-integer arithmetic): vectors arrive as two
+    * micro-batches; each lands one kilobyte-sized per-cluster
+    * sufficient-statistic partial (cluster, n, Σ components against
+    * the FIXED current centroids) in an epoch directory, and the
+    * final refresh folds every epoch by plain sums into ONE exact
+    * Lloyd update c = Σs / Σn — linear in the data because assignment
+    * is frozen at the seed, so the streamed refresh must EQUAL the
+    * one-shot batch refinement. The oracle replays quantization, seed
+    * (k lowest vec_ids), assignment (ties → lowest cluster), sums and
+    * the truncating division from the raw table: a lost epoch, a
+    * duplicated replay, or a wrong-cluster merge shifts a component
+    * and breaks the hash.
+    */
+  val qStreamCentroidUpdate: GateQuery = GateQuery(
+    "q_stream_centroid_update",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cl, q AS c
+      |       FROM q ORDER BY vec_id LIMIT 4),
+      |d1 AS (SELECT v.vec_id, c.cl,
+      |         list_aggregate(list_transform(generate_series(1, 64),
+      |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
+      |       FROM q v CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d1) WHERE rk = 1),
+      |s1 AS (SELECT a1.cl, g.i, CAST(SUM(v.q[g.i]) AS BIGINT) AS s, COUNT(*) AS n
+      |       FROM a1 JOIN q v USING (vec_id), generate_series(1, 64) g(i)
+      |       GROUP BY a1.cl, g.i)
+      |SELECT CAST(c0.cl AS INT) AS cluster, CAST(g.i AS INT) AS i,
+      |  CAST(COALESCE(s1.s // s1.n, c0.c[g.i]) AS BIGINT) AS c,
+      |  CAST(COALESCE(s1.n, 0) AS BIGINT) AS n
+      |FROM c0 CROSS JOIN generate_series(1, 64) g(i)
+      |LEFT JOIN s1 ON s1.cl = c0.cl AND s1.i = g.i
+      |ORDER BY cluster, i""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    // the router's CURRENT centroids — the k lowest vec_ids'
+    // vectors, known before the stream starts (iters = 0 is the seed)
+    val seed = graft.operators.Clustering.centroidsOf(emb, "vec_id", "embedding",
+      k = 4, iters = 0, dim = 64)
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_centroid")
+    val srcDir = work.resolve("src").toString
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    val staged = work.resolve("staged")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = staged.resolve(s"$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    val statsDir = work.resolve("stats").toString
+    val q = StreamingOps.centroidStatsStream(stream, "vec_id", "embedding",
+      seed, dim = 64, statsDir, work.resolve("ckpt").toString)
+    drainAndUnload(q)
+    graft.operators.Clustering.centroidRefineRows(s,
+        StreamingOps.epochDirs(s, statsDir), seed, dim = 64)
+      .orderBy("cluster", "i")
+  }
+
   /** E48 — Trigger.AvailableNow incremental batch: TWO separate
     * scheduled invocations of the same query definition (the second
     * after new data lands), each terminating ITSELF when caught up.
@@ -1958,6 +2029,6 @@ object StreamingGates {
       qStreamWarmStart, qStreamListState, qStreamOhlc, qStreamRoute, qStreamDrift,
       qStreamFunnel, qStreamDecontaminate, qStreamQuantiles, qStreamSpanGuard,
       qStreamSessionWindow, qStreamChained, qStreamAvailableNow, qStreamDistinct, qStreamSinkPartitioned, qStreamTemporalEnrich,
-      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce, qStreamRate, qStreamKmv, qStreamCountSketch, qStreamCsTopK)
+      qStreamEwma, qStreamHolt, qStreamSeqAudit, qStreamAsof, qStreamTopk, qStreamRecordHigh, qStreamChangelog, qStreamDebounce, qStreamRate, qStreamKmv, qStreamCountSketch, qStreamCsTopK, qStreamCentroidUpdate)
     .map(_.copy(bench = false))
 }

@@ -1020,6 +1020,38 @@ object StreamingOps {
       .start()
   }
 
+  /** E66 — the centroid-REFRESH loop of the E35 semantic router
+    * running ONLINE (mini-batch k-means in the Sculley WWW'10 shape,
+    * exact): each micro-batch assigns its vectors to the FIXED
+    * current centroids and lands one kilobyte-sized per-cluster
+    * sufficient-statistic partial (cluster, n, Σ components) in an
+    * epoch-stamped directory (idempotent on replay — a redelivered
+    * batch overwrites its own epoch). Assignment frozen at the seed
+    * makes the Lloyd update LINEAR in the data, so partials merge by
+    * plain sums and the refreshed centroids EQUAL the one-shot batch
+    * refinement over the concatenated stream — the additive identity
+    * of E63/E64, applied to the router's update side. Per-batch cost:
+    * the batch's assignment projection + one k-row aggregate; the
+    * corpus is never rescanned and no vector is retained.
+    */
+  def centroidStatsStream(docs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Long]], dim: Int, statsDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Clustering
+          .centroidStatsPartial(batch, idCol, vecCol, centroids, dim)
+          .write.mode("overwrite")
+          .parquet(s"$statsDir/epoch_${streamId}_$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** E45 — the D113 duplicated-span guard running ONLINE: every
     * micro-batch (1) probes the persisted gram index and lands its
     * span report, then (2) appends its own NOVEL grams — so batch 2

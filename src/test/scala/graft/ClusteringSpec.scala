@@ -51,6 +51,44 @@ class ClusteringSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("E66 substrate: disjoint-slice stat partials merge to the one-shot Lloyd update; untouched clusters keep seed") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(0.04f, 0.02f)), (3L, Array(0.96f, 1.02f)),
+      (4L, Array(0.02f, 0.06f)), (5L, Array(1.04f, 0.98f)))
+      .toDF("vec_id", "embedding")
+    val seed = Clustering.centroidsOf(vecs, "vec_id", "embedding",
+      k = 2, iters = 0, dim = 2)
+    assert(seed(0).toSeq === Seq(0L, 0L) && seed(1).toSeq === Seq(256L, 256L))
+    val work = java.nio.file.Files.createTempDirectory("graft_centroid_stats")
+    // two disjoint slices (the stream's micro-batches), one epoch each
+    val ea = work.resolve("epoch_a").toString
+    val eb = work.resolve("epoch_b").toString
+    Clustering.centroidStatsPartial(vecs.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", seed, 2).write.parquet(ea)
+    Clustering.centroidStatsPartial(vecs.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", seed, 2).write.parquet(eb)
+    val oneShotDir = work.resolve("oneshot").toString
+    Clustering.centroidStatsPartial(vecs, "vec_id", "embedding", seed, 2)
+      .write.parquet(oneShotDir)
+    def rows(dirs: Seq[String]) =
+      Clustering.centroidRefineRows(spark, dirs, seed, 2)
+        .orderBy("cluster", "i").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val merged = rows(Seq(ea, eb))
+    // the additive identity: merged micro-batch partials == one shot
+    assert(merged === rows(Seq(oneShotDir)))
+    // hand-worked: cluster 0 = {0,2,4} with q = (0,0),(10,5),(5,15) →
+    // Σ=(15,20), n=3, c=(5,6); cluster 1 = {1,3,5} with q =
+    // (256,256),(245,261),(266,250) → Σ=(767,767), n=3, c=(255,255)
+    assert(merged === Seq(
+      (0, 1, 5L, 3L), (0, 2, 6L, 3L), (1, 1, 255L, 3L), (1, 2, 255L, 3L)))
+    // no partials at all: every cluster keeps its seed at n = 0
+    val none = rows(Seq.empty)
+    assert(none === Seq(
+      (0, 1, 0L, 0L), (0, 2, 0L, 0L), (1, 1, 256L, 0L), (1, 2, 256L, 0L)))
+  }
+
   test("an emptied cluster keeps its centroid instead of crashing") {
     // ids 0 and 1 are IDENTICAL: init c0 == c1 and ties break to the
     // lowest cluster, so cluster 1 gets no members in the first
