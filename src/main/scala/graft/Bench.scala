@@ -112,15 +112,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // best-effort scratch cleanup (GB-scale hprof fixtures + parquet
-    // exports); never lets an IO hiccup fail the bench
+    // exports); never lets an IO hiccup fail the bench. Files.walk
+    // surfaces traversal errors as UncheckedIOException (not
+    // IOException), and the stream must be closed or it leaks a
+    // directory handle per call.
     def deleteRecursively(p: java.nio.file.Path): Unit =
       try {
         import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
-      } catch { case _: java.io.IOException => () }
+          finally walk.close()
+        }
+      } catch {
+        case _: java.io.IOException => ()
+        case _: java.io.UncheckedIOException => ()
+      }
     // one attach/drain/detach discipline for every job-count
     // measurement (the 1x and 10x ingest points share it, so a drain
     // fix can't diverge between them)

@@ -254,11 +254,12 @@ private[graft] object CellCommit {
               finally in.close()
             } catch { case _: java.io.IOException => false }
           if (ours) fs.delete(aside, false)
-          else if (!fs.rename(aside, path))
-            // a third acquirer created a fresh lease in the window;
-            // the displaced holder's own fence sees the loss and
-            // aborts (recover()-safe), so dropping the aside is the
-            // consistent end state
+          else if (!renameNoReplace(fs, aside, path))
+            // a third acquirer created a fresh lease in the window
+            // (the no-replace put-back must NOT overwrite it — POSIX
+            // rename would); the displaced holder's own fence sees
+            // the loss and aborts (recover()-safe), so dropping the
+            // aside is the consistent end state
             fs.delete(aside, false)
         }
       } catch { case _: java.io.IOException => () }
@@ -282,23 +283,32 @@ private[graft] object CellCommit {
       p: org.apache.hadoop.fs.Path, payload: Array[Byte]): Boolean = {
     if (fs.getScheme == "file") {
       val f = new java.io.File(p.toUri.getPath)
+      // fast path: a HELD lease is the common outcome of the 100 ms
+      // poll loop — don't pay a tmp write+link+unlink per poll; the
+      // LINK below stays the actual arbiter when the path looks free
+      if (f.exists()) return false
       val parent = f.getParentFile
       if (parent != null) parent.mkdirs()
       val tmp = new java.io.File(parent,
         s".${f.getName}.tmp.${java.util.UUID.randomUUID()}")
       try {
         java.nio.file.Files.write(tmp.toPath, payload)
-        java.nio.file.Files.createLink(f.toPath, tmp.toPath)
-        true
-      } catch {
-        case _: java.io.IOException => false
-        case _: UnsupportedOperationException =>
-          // no hard links on this mount (rare for file://): fall back
-          // to the two-step create; the ownerless reclaim heals a tear
-          try {
-            f.createNewFile() && { java.nio.file.Files.write(f.toPath, payload); true }
-          } catch { case _: java.io.IOException => false }
-      } finally tmp.delete()
+        try { java.nio.file.Files.createLink(f.toPath, tmp.toPath); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false // lost the race
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            // link(2) unsupported on this mount — FAT/SMB/overlay
+            // reject it with a FileSystemException (an IOException),
+            // providers without createLink throw UnsupportedOperation;
+            // either way fall back to the two-step create rather than
+            // bricking acquisition, and let the ownerless reclaim heal
+            // a torn write
+            try f.createNewFile() &&
+              { java.nio.file.Files.write(f.toPath, payload); true }
+            catch { case _: java.io.IOException => false }
+        }
+      } catch { case _: java.io.IOException => false } // tmp write failed
+      finally tmp.delete()
     } else {
       try {
         val out = fs.create(p, false)
@@ -308,6 +318,38 @@ private[graft] object CellCommit {
     }
   }
 
+  /** Atomic no-replace rename for the put-back side of the two
+    * arbiters: POSIX rename(2) REPLACES an existing destination, so a
+    * plain rename-back on the file scheme could silently overwrite a
+    * THIRD acquirer's fresh lease created in the arbitration window.
+    * The file scheme claims the destination by hard LINK (the same
+    * no-replace primitive the create uses) then drops the source;
+    * HDFS-class schemes' rename already fails on an existing
+    * destination. Returns false when the destination exists.
+    */
+  private[graft] def renameNoReplace(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file") {
+      val s = new java.io.File(src.toUri.getPath)
+      val d = new java.io.File(dst.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d.toPath, s.toPath)
+        s.delete(); true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          // no link support on this mount: best-effort exists-then-
+          // rename; the holders' synchronous fences bound the residual
+          // TOCTOU window exactly as they do for any displaced lease
+          if (d.exists()) false
+          else try fs.rename(src, dst)
+          catch { case _: java.io.IOException => false }
+      }
+    } else
+      try fs.rename(src, dst)
+      catch { case _: java.io.IOException => false }
+
   /** Reclaim arbiter: claim the lease file by atomic rename-aside,
     * then drop it ONLY when the renamed file is the SAME stale corpse
     * the caller judged — verified by mtime equality with the observed
@@ -316,11 +358,19 @@ private[graft] object CellCommit {
     * reclaimer can win, delete the corpse, and a NEW holder create a
     * fresh healthy lease at the path — the rename would then displace
     * the successor, not the corpse, and the delete would admit a
-    * second concurrent writer. On mismatch the fresh lease is renamed
-    * back; if a third lease already took the path in the window, the
-    * aside is dropped — the displaced holder's own synchronous fence
-    * sees the loss and aborts recover()-safely (the same arbitration
-    * [[Lease.release]] uses). Returns true only for a real reclaim.
+    * second concurrent writer. On mismatch the fresh lease is put back
+    * by no-replace rename; if a third lease already took the path in
+    * the window, the aside is dropped — the displaced holder's own
+    * synchronous fence sees the loss and aborts recover()-safely (the
+    * same arbitration [[Lease.release]] uses). Returns true only for a
+    * real reclaim.
+    *
+    * Filesystem seam: the mtime-equality identity check relies on
+    * RENAME PRESERVING MTIME — true of POSIX rename(2) and HDFS, the
+    * lease's documented contract. A copy-based rename (S3-class
+    * stores) stamps a fresh mtime, which would make every re-verify
+    * fail AND refresh the corpse's stale clock — one more reason such
+    * stores must front this protocol with a committer (SURVEY §5).
     */
   private[graft] def reclaimObservedStale(fs: org.apache.hadoop.fs.FileSystem,
       leaseP: org.apache.hadoop.fs.Path, dir: String,
@@ -334,7 +384,7 @@ private[graft] object CellCommit {
       if (sameStale) {
         fs.delete(aside, false); statReclaims.incrementAndGet(); true
       } else {
-        if (!fs.rename(aside, leaseP)) fs.delete(aside, false)
+        if (!renameNoReplace(fs, aside, leaseP)) fs.delete(aside, false)
         false
       }
     }
@@ -363,6 +413,18 @@ private[graft] object CellCommit {
         if (waited) {
           statWaits.incrementAndGet()
           statWaitMs.addAndGet((System.nanoTime() - t0) / 1000000L)
+        }
+        // sweep create tmps a crashed creator leaked (killed between
+        // its tmp write and link — nothing else ever deletes them);
+        // age-gated by the stale horizon so a LIVE creator's in-flight
+        // tmp is never touched. Paid once per successful acquisition.
+        if (fs.getScheme == "file") {
+          val leaseF = new java.io.File(leaseP.toUri.getPath)
+          val pfx = s".${leaseF.getName}.tmp."
+          val old = System.currentTimeMillis() - staleMs
+          Option(leaseF.getParentFile.listFiles()).getOrElse(Array.empty)
+            .filter(t => t.getName.startsWith(pfx) && t.lastModified() < old)
+            .foreach(_.delete())
         }
         val lease = new Lease(fs, leaseP, dir, owner)
         // heartbeat STRICTLY inside the stale horizon (min 4 beats per
@@ -422,10 +484,15 @@ private[graft] object CellCommit {
     * pause past the stale horizon (the zombie-holder scenario) — the
     * on-disk mtime then stops advancing exactly as it would during a
     * real stop-the-world pause, while the protocol thread stays
-    * runnable for the spec to drive.
+    * runnable for the spec to drive. The no-op barrier drains a beat
+    * already EXECUTING on the (single-threaded) scheduler: without it
+    * an in-flight setTimes could land after the spec backdates the
+    * lease file, un-staling it and flaking the reclaim.
     */
-  private[graft] def suspendHeartbeatForTest(l: Lease): Unit =
+  private[graft] def suspendHeartbeatForTest(l: Lease): Unit = {
     if (l.hb != null) l.hb.cancel(false)
+    leaseHeartbeats.submit(new Runnable { def run(): Unit = () }).get()
+  }
 
   /** TEST hook: the lease this thread holds for `dir`, if any. */
   private[graft] def heldLeaseForTest(dir: String): Option[Lease] =

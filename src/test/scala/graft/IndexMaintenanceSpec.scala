@@ -1058,6 +1058,34 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f2.toPath)
   }
 
+  test("no-replace put-back: an occupied lease path is never overwritten (POSIX rename would)") {
+    import graft.operators.CellCommit
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val base = tmp("rename_noreplace")
+    new java.io.File(base).mkdirs()
+    val src = new java.io.File(s"$base/aside")
+    val dst = new java.io.File(s"$base/lease")
+    java.nio.file.Files.write(src.toPath, "owner=displaced@x/1\n".getBytes("UTF-8"))
+    // dst absent: the put-back lands with content intact
+    assert(CellCommit.renameNoReplace(fs,
+      new org.apache.hadoop.fs.Path(src.toURI), new org.apache.hadoop.fs.Path(dst.toURI)))
+    assert(!src.exists() && dst.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(dst.toPath), "UTF-8")
+      .startsWith("owner=displaced"))
+    // dst occupied by a third acquirer's fresh lease: the put-back
+    // must REFUSE — a plain rename(2) would silently replace it
+    val src2 = new java.io.File(s"$base/aside2")
+    val third = "owner=third@y/2\n"
+    java.nio.file.Files.write(src2.toPath, "owner=older@x/1\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dst.toPath, third.getBytes("UTF-8"))
+    assert(!CellCommit.renameNoReplace(fs,
+      new org.apache.hadoop.fs.Path(src2.toURI), new org.apache.hadoop.fs.Path(dst.toURI)))
+    assert(src2.exists(), "refused put-back must leave the aside for the caller to drop")
+    assert(new String(java.nio.file.Files.readAllBytes(dst.toPath), "UTF-8") === third,
+      "the third acquirer's lease must survive byte-for-byte")
+  }
+
   test("lease create is atomic with its payload: never observable empty, no tmp residue") {
     import graft.operators.CellCommit
     val dir = tmp("lease_atomic_create")
