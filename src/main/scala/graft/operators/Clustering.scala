@@ -194,6 +194,28 @@ object Clustering {
     rows.toSeq.toDF("cluster", "i", "c", "n")
   }
 
+  /** D136 — centroid-refresh CHURN audit, the go/no-go measurement
+    * between an E66 refresh and an IVF index rebuild: per (old
+    * cluster, new cluster) pair, how many vectors would MOVE if the
+    * refreshed centroids were rolled out. Off-diagonal mass is the
+    * rebuild bill — at 100 TB every moved vector is a cell-partition
+    * rewrite in the D7+ index — so the audit prices the rollout
+    * before any data moves ("measure, don't guess", the D95/D97
+    * discipline applied to the router's update loop). One projection
+    * with two codegen'd argmins + a ≤k²-row aggregate; no shuffle of
+    * vector data.
+    */
+  def centroidChurn(emb: DataFrame, idCol: String, vecCol: String,
+      before: Array[Array[Long]], after: Array[Array[Long]],
+      quantScale: Int = 256): DataFrame =
+    quantize(emb, idCol, vecCol, quantScale)
+      .withColumn("from_cluster",
+        graft.functions.NearestCentroid.nearestCentroid(col("q"), before))
+      .withColumn("to_cluster",
+        graft.functions.NearestCentroid.nearestCentroid(col("q"), after))
+      .groupBy("from_cluster", "to_cluster")
+      .agg(count(lit(1)).as("n"))
+
   private def quantize(emb: DataFrame, idCol: String, vecCol: String,
       quantScale: Int): DataFrame =
     emb.select(col(idCol).as("vec_id"),

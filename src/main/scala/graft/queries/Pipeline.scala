@@ -2712,6 +2712,62 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** D136 — centroid-refresh churn audit (the decision gate between
+    * an E66 refresh and a D7+ IVF rebuild): the (old cluster, new
+    * cluster) transition matrix over the corpus, where old = the
+    * current centroids (seed, k lowest vec_ids) and new = one exact
+    * Lloyd refresh of them. Off-diagonal mass is the rebuild bill —
+    * each moved vector is a cell-partition rewrite at index scale.
+    * The oracle replays BOTH assignments (same CTEs as q_kmeans's
+    * first iteration, then a second argmin against the refreshed
+    * centroids) and the transition counts; a drifted component, a
+    * broken tie, or a wrong COALESCE for an emptied cluster shifts a
+    * cell of the matrix and breaks the hash.
+    */
+  val qCentroidChurn: GateQuery = GateQuery(
+    "q_centroid_churn",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cl, q AS c
+      |       FROM q ORDER BY vec_id LIMIT 4),
+      |d1 AS (SELECT v.vec_id, c.cl,
+      |         list_aggregate(list_transform(generate_series(1, 64),
+      |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
+      |       FROM q v CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d1) WHERE rk = 1),
+      |s1 AS (SELECT a1.cl, g.i, CAST(SUM(v.q[g.i]) AS BIGINT) AS s, COUNT(*) AS n
+      |       FROM a1 JOIN q v USING (vec_id), generate_series(1, 64) g(i)
+      |       GROUP BY a1.cl, g.i),
+      |n1 AS (SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY i) AS c FROM s1 GROUP BY cl),
+      |c1 AS (SELECT c0.cl AS cl, COALESCE(n1.c, c0.c) AS c
+      |       FROM c0 LEFT JOIN n1 ON n1.cl = c0.cl),
+      |d2 AS (SELECT v.vec_id, c.cl,
+      |         list_aggregate(list_transform(generate_series(1, 64),
+      |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum') AS dist
+      |       FROM q v CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cl FROM (
+      |         SELECT vec_id, cl,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+      |         FROM d2) WHERE rk = 1)
+      |SELECT CAST(a1.cl AS INT) AS from_cluster, CAST(a2.cl AS INT) AS to_cluster,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM a1 JOIN a2 USING (vec_id)
+      |GROUP BY 1, 2
+      |ORDER BY from_cluster, to_cluster""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val before = Clustering.centroidsOf(emb, "vec_id", "embedding",
+      k = 4, iters = 0, dim = 64)
+    val after = Clustering.centroidsOf(emb, "vec_id", "embedding",
+      k = 4, iters = 1, dim = 64)
+    Clustering.centroidChurn(emb, "vec_id", "embedding", before, after)
+      .orderBy("from_cluster", "to_cluster")
+  }
+
   /** D38 — SemDeDup: the oracle replays the ENTIRE composition — the 2
     * unrolled integer-exact Lloyd iterations (same CTEs as q_kmeans),
     * the within-cluster pairwise cosine at threshold 0.3, and the
@@ -5717,7 +5773,7 @@ object Pipeline {
     qAudioDecode, qAudioFprint, qVideoFrames,
     qDecontaminate, qSplitContamination, qStratifiedSample, qKFold, qDomainMix, qTokenBudget, qTemperatureMix, qQualityTopFrac, qQuantileBuckets, qPackBins, qSftMasks, qSpanCorruption, qDedupIncremental,
     qDedupBloom, qMergeUpsert, qCompact, qTimeTravel, qSnapshotVacuum, qTextSearch, qTextSearchAppend, qTokenDrift, qHllDistinct, qKmvDistinct, qKmvSetops, qKmvShards,
-    qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact, qCountSketch, qCsInner, qCsTopK,
+    qRarity, qBm25, qHybridRrf, qPrfSearch, qRouge, qKmeans, qCentroidChurn, qShuffleDet, qSplitAssign, qChunkDocs, qHeavyHitters, qHeavyExact, qCountSketch, qCsInner, qCsTopK,
     qEmbedQuant, qSrpProject, qDupSpans, qDupSpansIncr, qDupSpansSketch, qBloomAppend, qCdcChunks, qDedupSpansRemove, qWinnow, qWinnowIncr, qWinnowAppend, qSimhashIncr, qSeedClassify,
     qSourceOverlap, qZorder, qPruneAudit, qImagePhash, qImportanceWeight, qBackoffLm, qDedupCanonical,
     qPadAudit, qCurriculum, qWeightedSample, qGramMatrix, qVideoPhash,

@@ -89,6 +89,34 @@ class ClusteringSpec extends AnyFunSuite {
       (0, 1, 0L, 0L), (0, 2, 0L, 0L), (1, 1, 256L, 0L), (1, 2, 256L, 0L)))
   }
 
+  test("D136 churn audit: hand-worked flip — one point crosses clusters after a refresh") {
+    // 1-D geometry engineered so exactly one point flips: seeds are
+    // q=0 (id 0) and q=256 (id 1); q=110 joins cluster 0, q=130 and
+    // q=250 join cluster 1. The refresh moves c0 to 55 (toward 130)
+    // and c1 to 212 (away from it): 130 re-assigns to cluster 0 —
+    // |130-55|² = 5625 < |130-212|² = 6724 — everyone else stays.
+    val vecs = Seq(
+      (0L, Array(0.0f)), (1L, Array(1.0f)),
+      (2L, Array(0.43f)),   // floor(110.08) = 110
+      (3L, Array(0.51f)),   // floor(130.56) = 130
+      (4L, Array(0.977f)))  // floor(250.112) = 250
+      .toDF("vec_id", "embedding")
+    val before = Clustering.centroidsOf(vecs, "vec_id", "embedding",
+      k = 2, iters = 0, dim = 1)
+    val after = Clustering.centroidsOf(vecs, "vec_id", "embedding",
+      k = 2, iters = 1, dim = 1)
+    assert(before.map(_.toSeq).toSeq === Seq(Seq(0L), Seq(256L)))
+    assert(after.map(_.toSeq).toSeq === Seq(Seq(55L), Seq(212L)))
+    val churn = Clustering.centroidChurn(vecs, "vec_id", "embedding", before, after)
+      .orderBy("from_cluster", "to_cluster").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(churn === Seq((0, 0, 2L), (1, 0, 1L), (1, 1, 2L)))
+    // identical before/after centroids: the matrix is purely diagonal
+    val still = Clustering.centroidChurn(vecs, "vec_id", "embedding", before, before)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(still.forall(t => t._1 == t._2) && still.map(_._3).sum === 5L)
+  }
+
   test("an emptied cluster keeps its centroid instead of crashing") {
     // ids 0 and 1 are IDENTICAL: init c0 == c1 and ties break to the
     // lowest cluster, so cluster 1 gets no members in the first

@@ -152,6 +152,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!rs.contains("label"), s"must not read unused columns: $rs")
   }
 
+  test("centroid churn: two argmins in ONE projection, k²-bounded agg, no join, no UDF") {
+    val plan = planOf("q_centroid_churn")
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both centroid tables ride in the nearest_centroid expressions —
+    // no join, no vector shuffle; the only exchange is the ≤k²-row
+    // transition aggregate
+    assert(!plan.contains("Join"), plan)
+    assert("nearest_centroid".r.findAllIn(plan).size >= 2,
+      s"expected BOTH argmins (old and new centroids) in the projection:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("prep gates: projection-only shapes with pruned reads") {
     // split assignment: pure projection on doc_id — no join, no UDF,
     // nothing but the id column read
