@@ -1141,6 +1141,75 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "zombie must not have consumed the staging")
   }
 
+  test("lease stress: 8 threads contending on one key are mutually exclusive, all eventually enter") {
+    import graft.operators.CellCommit
+    val dir = tmp("lease_stress")
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val violations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        try {
+          (1 to 3).foreach { _ =>
+            // generous patience: 24 holds x ~15 ms serialize well inside it
+            CellCommit.withMaintenanceLease(spark, dir, staleMs = 60000L, waitMs = 30000L) {
+              if (active.incrementAndGet() != 1) violations.incrementAndGet()
+              Thread.sleep(15)
+              active.decrementAndGet()
+              entered.incrementAndGet()
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"stress errors: ${errors.toArray.mkString(";")}")
+    assert(violations.get() === 0,
+      "two holders were inside the leased section at once — the single-writer contract broke")
+    assert(entered.get() === 24, s"all 24 entries must eventually run, got ${entered.get()}")
+    assert(!new java.io.File(s"${dir}__lease").exists(), "last release must clear the lease")
+  }
+
+  test("lease stress: a stale corpse under 6 contending reclaimers is collected exactly once") {
+    import graft.operators.CellCommit
+    val dir = tmp("lease_stress_reclaim")
+    val f = new java.io.File(s"${dir}__lease")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, "owner=dead@x/0\nepoch=0\n".getBytes("UTF-8"))
+    assert(f.setLastModified(System.currentTimeMillis() - 3600000L))
+    CellCommit.resetLeaseStats()
+    val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val violations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        try {
+          CellCommit.withMaintenanceLease(spark, dir, staleMs = 1000L, waitMs = 30000L) {
+            if (active.incrementAndGet() != 1) violations.incrementAndGet()
+            Thread.sleep(15)
+            active.decrementAndGet()
+            entered.incrementAndGet()
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"stress errors: ${errors.toArray.mkString(";")}")
+    assert(violations.get() === 0)
+    assert(entered.get() === 6, s"every contender must eventually enter, got ${entered.get()}")
+    // the rename-aside arbitration lets exactly ONE reclaimer collect
+    // the corpse; the rest lose the rename (or never see a stale file
+    // again) and serialize through the ordinary create race. The
+    // counter is JVM-global and suites run in parallel, so assert >=1
+    // here; exactly-once arbitration itself is pinned by the
+    // reclaim-arbiter unit spec above.
+    assert(CellCommit.leaseStats("reclaims") >= 1L,
+      s"corpse must be reclaimed: ${CellCommit.leaseStats}")
+    assert(!f.exists())
+  }
+
   test("lease contention telemetry counts waits, reclaims, refusals") {
     import graft.operators.CellCommit
     CellCommit.resetLeaseStats()
