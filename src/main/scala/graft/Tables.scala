@@ -64,8 +64,15 @@ object Tables {
     * so only pruned+filtered rows shuffle, and decimal/exact-agg
     * oracle rules (SURVEY §6) make results order-independent. On a
     * real multi-row-group/multi-file layout this is a no-op.
+    *
+    * Public since r16: gates whose per-row work is CPU-heavy on a
+    * NON-compute-heavy table (BigDecimal moment aggregates, per-row
+    * md5 ranks over lineitem) apply it at the call site — blanket
+    * fanning lineitem would tax the many gates where the scan is the
+    * cheap part (guide §2.3: the shuffle must buy back more than it
+    * costs).
     */
-  private def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
   }

@@ -774,6 +774,10 @@ private[graft] object CellCommit {
       if (touched.nonEmpty) {
         val survivors = live.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
           .join(broadcast(del), Seq("cid"), "left_anti")
+          // hash-distribute by cell before the partitioned staging
+          // write (guide §6): one survivor file per touched cell, not
+          // one per (read task × cell)
+          .repartition(col("cell"))
           .localCheckpoint() // materialize before the apply mutates what it read
         survivors.write.mode("errorifexists").partitionBy("cell")
           .parquet(s"${table}__delta")

@@ -336,15 +336,33 @@ object Dedup {
     // applied BEFORE the shingle-set join, so verification cost is
     // O(sample)) estimates it with the same replayability: the oracle
     // re-applies the identical draw. mod = 1 keeps full-census mode.
-    val cand0 = blockedCandidatePairs(docs, idCol, textCol, n, maxShingleDf)
+    // ONE materialized exploded index feeds blocking, verification
+    // AND signatures (r16): before, the tokenize→shingle→explode pass
+    // over the corpus ran once for blocking, once for the candidate
+    // re-shingle, and twice more under the band self-join — four
+    // CPU-bound corpus passes for one audit.
+    val inv = explodeShingles(shingleTable(docs, idCol, textCol, n))
+      .localCheckpoint()
+    val cand0 = blockedCandidatePairsFromIndex(inv, maxShingleDf)
     val cand = if (samplePairMod <= 1) cand0 else
       cand0.filter(
         Sampling.hashMod(sampleSeed, col("d1"), col("d2")) % samplePairMod === 0)
+    // verification stays on ARRAYS here (measured, r16): at this
+    // audit's candidate volume (df-cap 1000, sample mod 2 → ~0.5M
+    // pairs at sf0.1) the exploded-index intersection join fans out
+    // to |pairs|·|shingles-per-doc| rows and read 1.5× SLOWER than
+    // the per-pair array_intersect — the opposite balance from the
+    // prefix gate's 193k candidates, where verifyOnIndex won 2×.
     val exact = verifyCandidates(docs, idCol, textCol, n, cand)
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("n_inter")).cast("double"))
       .select("d1", "d2", "jaccard")
-    val bands = bandSignatures(docs, idCol, textCol, n, numHashes, numBands)
+    // checkpoint the banded signatures: the collide self-join consumes
+    // them twice, and uncheckpointed each side re-ran the whole
+    // signature aggregate (r16)
+    val bands = bandsFromRawSignatures(
+      rawSignaturesFromIndex(inv, numHashes), numHashes, numBands)
+      .localCheckpoint()
     val collide = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -496,8 +514,15 @@ object Dedup {
     * pairs only; the cap bounds the self-join fan-out per shingle.
     */
   private[graft] def blockedCandidatePairs(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, maxShingleDf: Int): DataFrame = {
-    val inv = explodeShingles(shingleTable(docs, idCol, textCol, n))
+      textCol: String, n: Int, maxShingleDf: Int): DataFrame =
+    blockedCandidatePairsFromIndex(
+      explodeShingles(shingleTable(docs, idCol, textCol, n)), maxShingleDf)
+
+  /** [[blockedCandidatePairs]] over a PRE-EXPLODED index — see
+    * [[rawSignaturesFromIndex]] for why the audit family shares it.
+    */
+  private[graft] def blockedCandidatePairsFromIndex(inv: DataFrame,
+      maxShingleDf: Int): DataFrame = {
     // one added aggregate: shingle document frequency (shingle rows are
     // distinct per doc, so count == df); shuffles (shingle) keys only
     val capped = if (maxShingleDf <= 0) inv else {
@@ -699,7 +724,9 @@ object Dedup {
         .filter(col("doc_id").isNotNull) // all-covered: empty gains
         .localCheckpoint()
       rounds += best
-      covered = covered
+      // the final round's covered update has no consumer — skip its
+      // materialization job (r16)
+      if (r < k) covered = covered
         .union(ex.join(broadcast(best.select("doc_id")), "doc_id").select("shingle"))
         .distinct()
         .localCheckpoint()
@@ -797,10 +824,16 @@ object Dedup {
     * signature table `bandSignatures` bands and the estimate audit
     * (D108) compares component-wise.
     */
-  private[operators] def rawSignatures(docs: DataFrame, idCol: String,
-      textCol: String, shingleN: Int, numHashes: Int): DataFrame = {
+  /** Signature aggregate over a PRE-EXPLODED (doc_id, shingle) index —
+    * the audit family (D102/D108/D109/D131) shares one materialized
+    * index across blocking, verification and signatures instead of
+    * re-running the tokenize→shingle→explode chain per consumer
+    * (r16, guide §1.2: the repeated pass was the dominant per-gate
+    * cost, not the aggregates).
+    */
+  private[operators] def rawSignaturesFromIndex(inv: DataFrame,
+      numHashes: Int): DataFrame = {
     require(numHashes <= 1024, "h1 + i*h2 must stay below 2^63: numHashes <= 1024")
-    val inv = explodeShingles(shingleTable(docs, idCol, textCol, shingleN))
     val modulus = 1L << 48
     val withHalves = inv.select(col("doc_id"),
       conv(substring(md5(col("shingle").cast("binary")), 1, 12), 16, 10)
@@ -813,17 +846,31 @@ object Dedup {
     withHalves.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
   }
 
-  private[operators] def bandSignatures(docs: DataFrame, idCol: String,
-      textCol: String, shingleN: Int, numHashes: Int, numBands: Int): DataFrame = {
+  private[operators] def rawSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int): DataFrame =
+    rawSignaturesFromIndex(
+      explodeShingles(shingleTable(docs, idCol, textCol, shingleN)), numHashes)
+
+  /** Banding projection over an already-computed wide signature table
+    * (h0..h{numHashes-1}, n_sh) — same band_sig strings as
+    * [[bandSignatures]], without recomputing the signature pass.
+    */
+  private[operators] def bandsFromRawSignatures(sig: DataFrame,
+      numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0, "bands must evenly divide hashes")
     val rowsPerBand = numHashes / numBands
-    val sig = rawSignatures(docs, idCol, textCol, shingleN, numHashes)
     sig.select(col("doc_id"), col("n_sh"),
       posexplode(array((0 until numBands).map { b =>
         md5(concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => col(s"h$i").cast("string")): _*).cast("binary"))
       }: _*)).as(Seq("band", "band_sig")))
   }
+
+  private[operators] def bandSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int, numBands: Int): DataFrame =
+    bandsFromRawSignatures(
+      rawSignatures(docs, idCol, textCol, shingleN, numHashes),
+      numHashes, numBands)
 
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, numBands: Int,
@@ -873,11 +920,18 @@ object Dedup {
     */
   private def estimateAuditCore(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, numBands: Int): DataFrame = {
-    val sig = rawSignatures(docs, idCol, textCol, shingleN, numHashes)
-      .select(col("doc_id"), col("n_sh"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("hs"))
+    // ONE exploded index + ONE signature pass shared by banding,
+    // signature attach AND exact verification (r16): before, the
+    // corpus ran tokenize→shingle→explode once for the wide
+    // signatures, TWICE more under the band self-join (bandSignatures
+    // recomputed the signature aggregate per join side), and a fourth
+    // time re-shingling candidate docs for array_intersect.
+    val inv = explodeShingles(shingleTable(docs, idCol, textCol, shingleN))
       .localCheckpoint()
-    val bands = bandSignatures(docs, idCol, textCol, shingleN, numHashes, numBands)
+    val sigWide = rawSignaturesFromIndex(inv, numHashes).localCheckpoint()
+    val sig = sigWide.select(col("doc_id"), col("n_sh"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("hs"))
+    val bands = bandsFromRawSignatures(sigWide, numHashes, numBands)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -890,15 +944,18 @@ object Dedup {
       .withColumn("n_match",
         aggregate(zip_with(col("hs1"), col("hs2"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
-    val candIds = cand.select(col("d1").as("cid"))
-      .union(cand.select(col("d2").as("cid"))).distinct()
-    val candSh = shingleTable(
-      docs.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"),
-      idCol, textCol, shingleN)
+    // exact intersection on the exploded index (two id-keyed joins of
+    // fixed-width rows) instead of re-shingling candidates into array
+    // columns; LEFT join + coalesce because a band collision does not
+    // guarantee a shared shingle (zero-intersection pairs must keep
+    // n_inter = 0, exactly like array_intersect's empty result)
+    val inter = cand
+      .join(inv.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(inv.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("__ni"))
     withSig
-      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .join(inter, Seq("d1", "d2"), "left")
+      .withColumn("n_inter", coalesce(col("__ni"), lit(0L)))
       .withColumn("est_ppm", expr(s"n_match * 1000000 div ${numHashes}L"))
       .withColumn("jaccard_ppm", expr("n_inter * 1000000 div (n1 + n2 - n_inter)"))
       .withColumn("err_ppm", col("est_ppm") - col("jaccard_ppm"))
@@ -971,9 +1028,15 @@ object Dedup {
     val denom = BigInt(h).pow(h)
     require(denom * 1000000 < BigInt(Long.MaxValue),
       s"numHashes^numHashes * 1e6 must stay Long-exact (got H=$h)")
-    val sig = rawSignatures(docs, idCol, textCol, shingleN, h)
+    // shared exploded index + checkpointed signatures: blocking and
+    // the two signature attaches no longer re-run the shingle pass
+    // (r16 — see rawSignaturesFromIndex)
+    val inv = explodeShingles(shingleTable(docs, idCol, textCol, shingleN))
+      .localCheckpoint()
+    val sig = rawSignaturesFromIndex(inv, h)
       .select(col("doc_id"), array((0 until h).map(i => col(s"h$i")): _*).as("hs"))
-    val m = blockedCandidatePairs(docs, idCol, textCol, shingleN, maxShingleDf)
+      .localCheckpoint()
+    val m = blockedCandidatePairsFromIndex(inv, maxShingleDf)
       .join(sig.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
       .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
       .withColumn("n_match",
@@ -1374,22 +1437,36 @@ object Dedup {
   def incrementalNearDupVerified(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String,
       corpusText: DataFrame, threshold: Double): DataFrame = {
-    val shingleN = spark.read.parquet(s"$dir/params").head().getInt(0)
-    // two consumers (id prune + pair join): compute the banding probe once
-    val cand = incrementalNearDup(spark, dir, batch, idCol, textCol)
+    val p = spark.read.parquet(s"$dir/params").head()
+    val (shingleN, numHashes, numBands) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    // shingle the BATCH once (r16, guide §1.2): the banding probe and
+    // the d_new verification side both consume it — before, the probe
+    // re-tokenized the batch for signatures and the verify stage
+    // re-tokenized it a second time through the corpus∪batch union.
+    // Corpus candidates still re-shingle from text (the index stores
+    // band sigs only — that is the point of a signatures-only mirror).
+    val shBatch = shingleTable(batch, idCol, textCol, shingleN)
       .localCheckpoint()
-    val texts = corpusText.select(col(idCol), col(textCol))
-      .unionByName(batch.select(col(idCol), col(textCol)))
-    val candIds = cand.select(col("d_new").as("cid"))
-      .union(cand.select(col("d_corpus").as("cid"))).distinct()
-    val candSh = shingleTable(
-        texts.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"),
+    val idx = liveIndexRows(spark, dir, "bands")
+      .select(col("doc_id").as("d_corpus"), col("band"), col("band_sig"))
+    val cand = bandsFromRawSignatures(
+        rawSignaturesFromIndex(explodeShingles(shBatch), numHashes), numHashes, numBands)
+      .select(col("doc_id").as("d_new"), col("band"), col("band_sig"))
+      .join(idx, Seq("band", "band_sig"))
+      .select("d_new", "d_corpus").distinct()
+      // two consumers (corpus-id prune + pair join)
+      .localCheckpoint()
+    val corpusIds = cand.select(col("d_corpus").as("cid")).distinct()
+    val corpusSh = shingleTable(
+        corpusText.join(broadcast(corpusIds), col(idCol) === col("cid"), "left_semi"),
         idCol, textCol, shingleN)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    val batchSh = shBatch
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
     cand
-      .join(candSh.select(col("doc_id").as("d_new"), col("sh").as("sh1"),
+      .join(batchSh.select(col("doc_id").as("d_new"), col("sh").as("sh1"),
         col("n_sh").as("n1")), "d_new")
-      .join(candSh.select(col("doc_id").as("d_corpus"), col("sh").as("sh2"),
+      .join(corpusSh.select(col("doc_id").as("d_corpus"), col("sh").as("sh2"),
         col("n_sh").as("n2")), "d_corpus")
       .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("n_inter").cast("double") /

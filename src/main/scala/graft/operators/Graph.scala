@@ -29,23 +29,46 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** @param edges columns `src`, `dst` (directed, pre-deduped or not —
-    *              deduped here); every node must appear in at least
-    *              one edge (node set = src ∪ dst).
+    *              deduped here unless `edgesDistinct`); every node must
+    *              appear in at least one edge (node set = src ∪ dst).
+    * @param edgesDistinct caller guarantees `edges` carries no
+    *              duplicate (src, dst) rows — skips a full
+    *              distinct-exchange over the edge list (r16, guide
+    *              §2.4: remove shuffles outright; the trade-graph
+    *              gates build edges from a persisted DISTINCT pair
+    *              table whose two directions live in disjoint key
+    *              spaces, so the re-distinct was a no-op exchange).
+    * @param symmetric caller guarantees every node occurs as a src
+    *              (e.g. both edge directions present): the node set
+    *              is then the degree aggregate's key set, skipping
+    *              the union+distinct exchange over 2·|E| rows — at
+    *              100 TB that exchange is edge-sized, the degree agg
+    *              is node-sized after map-side partials (guide §2.3).
     * @return (node, rank_ppt) — rank in parts-per-trillion of total
     */
   def pageRank(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L, d100: Long = 85L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+      scale: Long = 1000000000000L, d100: Long = 85L,
+      edgesDistinct: Boolean = false, symmetric: Boolean = false): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct()).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(deg, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
+    val nodes = (
+      if (symmetric) deg.select(col("src").as("v"))
+      else e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct()
+    ).localCheckpoint()
     val n = nodes.count()
     val init = scale / n
     val base = init * (100L - d100) / 100L
+    // rounds stay UNcheckpointed: each round's rank table feeds exactly
+    // one consumer (the next round), so the loop is one linear DAG the
+    // single terminal action computes once — a per-round
+    // localCheckpoint added one materialization job per round for no
+    // reuse (r16; the shared e/withDeg/nodes inputs stay checkpointed
+    // because they ARE multi-consumer).
     var r = nodes.select(col("v"), lit(init).as("r"))
     for (_ <- 1 to iters) {
-      r = iterate(nodes, withDeg, r, base, d100).localCheckpoint()
+      r = iterate(nodes, withDeg, r, base, d100)
     }
     r.select(col("v").as("node"), col("r").as("rank_ppt"))
   }
@@ -489,8 +512,15 @@ object Graph {
     * @param edges directed edges `src`, `dst` (deduped here)
     * @return (node, hub, auth) at `scale`
     */
-  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+      edgesDistinct: Boolean = false): DataFrame = {
+    // edgesDistinct: skip the re-distinct exchange when the caller's
+    // edge list is distinct by construction (r16, guide §2.4). Per-
+    // half-round checkpoints STAY: unlike pageRank each score table
+    // here feeds two consumers (the next half-round and the final
+    // join), so uncheckpointed lineage would recompute subtrees.
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct()).localCheckpoint()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
     def renorm(df: DataFrame, c: String): DataFrame =
@@ -576,13 +606,19 @@ object Graph {
     * seed test is a broadcast-literal predicate.
     */
   def personalizedPageRank(edges: DataFrame, seeds: Seq[Long], iters: Int,
-      scale: Long = 1000000000000L, d100: Long = 85L): DataFrame = {
+      scale: Long = 1000000000000L, d100: Long = 85L,
+      edgesDistinct: Boolean = false, symmetric: Boolean = false): DataFrame = {
     require(seeds.nonEmpty, "personalized pagerank needs a seed set")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // edgesDistinct / symmetric / uncheckpointed rounds: the pageRank
+    // r16 moves, same arguments (see there)
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct()).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(deg, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
+    val nodes = (
+      if (symmetric) deg.select(col("src").as("v"))
+      else e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct()
+    ).localCheckpoint()
     val init = scale / seeds.length
     val seedBase = (scale * (100L - d100) / 100L) / seeds.length
     val isSeed = col("v").isin(seeds: _*)
@@ -596,7 +632,6 @@ object Graph {
         .select(col("v"),
           (when(isSeed, seedBase).otherwise(0L).cast("long") +
             expr(s"($d100 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint()
     }
     r.select(col("v").as("node"), col("r").as("rank_ppt"))
   }

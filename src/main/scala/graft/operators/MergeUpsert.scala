@@ -39,7 +39,14 @@ object MergeUpsert {
     val base = spark.read.parquet(path)
       .filter(col(partCol).isin(affected: _*))
     val kept = base.join(batch.select(keyCol), Seq(keyCol), "left_anti")
+    // hash-distribute by the partition column before the write (the
+    // Iceberg write.distribution-mode=hash discipline, guide §6):
+    // without it every task holds rows of EVERY affected partition and
+    // the commit lands tasks×partitions small files; with it each
+    // affected partition's rows land in one task → one ~partition-sized
+    // file (r16: the gate's commit went from ~256 4 KB files to 8).
     val merged = kept.unionByName(batch.select(base.columns.map(col): _*))
+      .repartition(col(partCol))
       .localCheckpoint()
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -163,6 +163,9 @@ object Pq {
         slice(col("res"), s * dsub + 1, dsub), cb(s))
     }
     withRes.select(col("cid"), col("cell"), array(codeCols: _*).as("codes"))
+      // hash-distribute by cell before the partitioned write (guide
+      // §6) — one ~cell-sized file per cell instead of tasks×cells
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
@@ -226,6 +229,8 @@ object Pq {
         slice(col("res"), s * dsub + 1, dsub), cb(s))
     }
     withRes.select(col("cid"), col("cell"), array(codeCols: _*).as("codes"))
+      // one file per touched cell per append — see writeIvfPqIndex (r16)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 

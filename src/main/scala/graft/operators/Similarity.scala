@@ -220,6 +220,11 @@ object Similarity {
     val (c, centroids) = trainQuantizer(corpus, idCol, vecCol, nLists, seed, trainSample)
     c.withColumn("cell",
         graft.functions.NearestCell.nearestCell(col("cv"), col("cn"), centroids))
+      // hash-distribute by cell before the partitioned write (guide
+      // §6, the TextIndex/ShardExport discipline, applied here r16):
+      // without it every input partition lands a file in every cell
+      // dir — tasks×cells tiny files vs one ~cell-sized file each
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
     import spark.implicits._
     centroids.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }
@@ -251,6 +256,9 @@ object Similarity {
       .withColumn("cn", l2Norm(col("cv")))
       .withColumn("cell",
         graft.functions.NearestCell.nearestCell(col("cv"), col("cn"), centroids))
+      // one file per touched cell per append, not one per (input
+      // partition × cell) — see writeIvfIndex (r16)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
   }
 

@@ -96,13 +96,20 @@ object Graphs {
       |ORDER BY node""".stripMargin) { (s, dir) =>
     val edges = tradeEdges(s, dir)
     // seed selection replayed by the oracle: the two lowest customer
-    // nodes (even ids) present in the graph — bounded collect
-    val seeds = edges.select(col("src").as("v"))
-      .union(edges.select(col("dst").as("v")))
-      .distinct().filter(col("v") % 2 === 0)
-      .orderBy("v").limit(2)
+    // nodes (even ids) present in the graph — bounded collect. Even
+    // ids in the symmetrized graph are exactly the customer side of
+    // the pair table, so the seeds come from ONE distinct over the
+    // c column instead of a union+distinct over both edge directions
+    // (r16, guide §2.3 — same rows, half the exchange input).
+    val seeds = tradePairs(s, dir).select(col("c").as("v"))
+      .distinct().orderBy("v").limit(2)
       .collect().map(_.getLong(0)).toSeq
-    Graph.personalizedPageRank(edges, seeds, iters).orderBy("node")
+    // tradeEdges is distinct by construction (DISTINCT pair table,
+    // disjoint even/odd key spaces) and symmetric (both directions
+    // emitted), so the operator can skip its distinct and node-set
+    // exchanges (r16)
+    Graph.personalizedPageRank(edges, seeds, iters,
+      edgesDistinct = true, symmetric = true).orderBy("node")
   }
 
   val qPagerank: GateQuery = GateQuery(
@@ -140,7 +147,9 @@ object Graphs {
       |  FROM nodes LEFT JOIN c3 ON c3.v = nodes.v)
       |SELECT v AS node, CAST(r AS BIGINT) AS rank_ppt FROM r3
       |ORDER BY node""".stripMargin) { (s, dir) =>
-    Graph.pageRank(tradeEdges(s, dir), iters).orderBy("node")
+    // distinct/symmetric by construction — see qPersonalizedPr (r16)
+    Graph.pageRank(tradeEdges(s, dir), iters,
+      edgesDistinct = true, symmetric = true).orderBy("node")
   }
 
   /** Triangle counting over the part co-purchase graph (parts in the
@@ -592,9 +601,12 @@ object Graphs {
 
   val qHits: GateQuery = GateQuery(
     "q_hits", hitsOracle(iters = 2)) { (s, dir) =>
+    // the persisted pair table is DISTINCT by construction, so the
+    // operator skips its re-distinct exchange (r16); the graph is
+    // directed/bipartite here, so the node set still needs both sides
     Graph.hits(tradePairs(s, dir)
         .select(col("c").as("src"), col("s").as("dst")),
-      iters = 2).orderBy("node")
+      iters = 2, edgesDistinct = true).orderBy("node")
   }
 
   /** One-row profile of the part co-purchase graph: the oracle

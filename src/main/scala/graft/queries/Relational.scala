@@ -38,8 +38,14 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-    Tables(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit(Timestamp.valueOf("2000-06-01 00:00:00")))
+    // fanOut (r16): the partial aggregate is BigDecimal-per-row CPU
+    // work pinned to the single-row-group scan's one task; the
+    // round-robin exchange (filter + 7-column pruning still push to
+    // the scan, only survivors shuffle) spreads it across the
+    // cluster. No-op on a real multi-split layout. Decimal sums are
+    // fold-order-exact, so the result is partitioning-invariant.
+    Tables.fanOut(Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(Timestamp.valueOf("2000-06-01 00:00:00"))))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(dec("l_quantity")).cast("double").as("sum_qty"),
@@ -425,8 +431,17 @@ object Relational {
       |FROM r WHERE sample_rk <= 5
       |ORDER BY l_returnflag, sample_rk""".stripMargin) { (s, dir) =>
     import graft.operators.Sampling
+    // fanOut (r16): deterministicPerGroup's phase-1 per-slice prune is
+    // partitioned by (group, spark_partition_id()) — on the
+    // single-task scan every row landed in ONE slice, so phase 1
+    // degenerated to a full per-group sort of the table (3 tasks,
+    // 600k md5 ranks). Fanned to the cluster width, each slice sorts
+    // ~1/32nd and only 5·slices·groups survivors reach phase 2. The
+    // survivor set is slicing-invariant (spec-pinned), so results are
+    // identical. No-op on a real multi-split layout.
     Sampling.deterministicPerGroup(
-        Tables(s, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber"),
+        Tables.fanOut(
+          Tables(s, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber")),
         groupCols = Seq("l_returnflag"), keyCols = Seq("l_orderkey", "l_linenumber"),
         n = 5, seed = 42L)
       .orderBy("l_returnflag", "sample_rk")
@@ -589,7 +604,10 @@ object Relational {
     val pd = col("l_extendedprice").cast(DecimalType(12, 2))
     val dd = col("l_discount").cast(DecimalType(4, 2))
     val td = col("l_tax").cast(DecimalType(4, 2))
-    val m = Tables(s, dir, "lineitem")
+    // fanOut (r16): 12 BigDecimal moment products per row in the
+    // partial aggregate, previously serialized on the single scan
+    // task — same move and invariance argument as q1_pricing_summary
+    val m = Tables.fanOut(Tables(s, dir, "lineitem"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).cast("double").as("n"),
