@@ -22,7 +22,14 @@ object Curate {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, jaccardThreshold: Double = 0.6,
       minTokens: Int = 10): DataFrame = {
+    // three consumers (the pair machinery, the cluster node set, the
+    // survivor/quality pass) — materialize the exact-dedup survivor
+    // corpus once instead of re-running its corpus-wide hash
+    // aggregate + semi-join per consumer (r16, guide §1.2; projected
+    // to the two columns every consumer needs first)
     val exact = Dedup.dropExactDuplicates(docs, idCol, textCol)
+      .select(col(idCol), col(textCol))
+      .localCheckpoint()
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, shingleN, jaccardThreshold)
     val clusters = Components.clusterDocuments(exact, idCol, pairs)
     val survivors = exact.join(
