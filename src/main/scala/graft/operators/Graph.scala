@@ -523,9 +523,17 @@ object Graph {
     val e = (if (edgesDistinct) e0 else e0.distinct()).localCheckpoint()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
-    def renorm(df: DataFrame, c: String): DataFrame =
-      df.crossJoin(broadcast(df.agg(max(col(c)).as("__mx"))))
+    // checkpoint the UN-normalized score table, then renorm over the
+    // checkpointed rows (r16): renorm's max-aggregate and its data
+    // pass previously both recomputed the half-round's join+aggregate
+    // subtree (checkpoint sat after the renorm) — one edge-sized pass
+    // per half-round wasted. The renorm projection itself is a 1-row
+    // broadcast + node-sized select, cheap for its two consumers.
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val scored = df.localCheckpoint()
+      scored.crossJoin(broadcast(scored.agg(max(col(c)).as("__mx"))))
         .select(col("v"), expr(s"$c * $scale div __mx").as(c))
+    }
     var h = nodes.select(col("v"), lit(scale).as("h"))
     var a = nodes.select(col("v"), lit(scale).as("a"))
     for (_ <- 1 to iters) {
@@ -533,12 +541,10 @@ object Graph {
         .groupBy(col("dst").as("v")).agg(sum("h").as("s"))
       a = renorm(nodes.join(rawA, Seq("v"), "left")
         .select(col("v"), coalesce(col("s"), lit(0L)).as("a")), "a")
-        .localCheckpoint()
       val rawH = e.join(a.withColumnRenamed("v", "dst"), "dst")
         .groupBy(col("src").as("v")).agg(sum("a").as("s"))
       h = renorm(nodes.join(rawH, Seq("v"), "left")
         .select(col("v"), coalesce(col("s"), lit(0L)).as("h")), "h")
-        .localCheckpoint()
     }
     h.join(a, "v").select(col("v").as("node"), col("h").as("hub"), col("a").as("auth"))
   }

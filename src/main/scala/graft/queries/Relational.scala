@@ -38,14 +38,13 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-    // fanOut (r16): the partial aggregate is BigDecimal-per-row CPU
-    // work pinned to the single-row-group scan's one task; the
-    // round-robin exchange (filter + 7-column pruning still push to
-    // the scan, only survivors shuffle) spreads it across the
-    // cluster. No-op on a real multi-split layout. Decimal sums are
-    // fold-order-exact, so the result is partitioning-invariant.
-    Tables.fanOut(Tables(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit(Timestamp.valueOf("2000-06-01 00:00:00"))))
+    // fanOut was TRIED here in r16 and reverted: unlike q_stats (12
+    // BigDecimal products/row, 0.62× with fanOut) q1's cost is the
+    // scan+decode itself, and the added exchange read back at parity
+    // to slightly worse across A/Bs — the shuffle buys nothing the
+    // partial aggregate needed (guide §2.3's cost test, failed).
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(Timestamp.valueOf("2000-06-01 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(dec("l_quantity")).cast("double").as("sum_qty"),
