@@ -1541,8 +1541,22 @@ final class HeapAnalysis(t: HeapTables) {
       2 -> (() => checkThreadStacks()),
       3 -> (() => checkDuplicateObjectArrays()),
       3 -> (() => checkEstimatedShallowSize()))
-    checks.filter(_._1 <= maxTier).flatMap(_._2())
-      .sortBy(f => (f.severityRank, -f.estimatedWasteBytes))
+    // run the independent checks concurrently (guide §2.6 — each is a
+    // handful of tiny driver-blocking jobs, so sequential execution
+    // paid 13 job-latency round-trips end to end; a small pool
+    // overlaps them). Results are gathered in declaration order, so
+    // the stable sort's tie-break order is unchanged (r16).
+    val selected = checks.filter(_._1 <= maxTier)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, selected.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      import scala.concurrent.duration.Duration
+      val fs = selected.map { case (_, f) => scala.concurrent.Future(f()) }
+      fs.flatMap(scala.concurrent.Await.result(_, Duration.Inf))
+        .sortBy(f => (f.severityRank, -f.estimatedWasteBytes))
+    } finally pool.shutdown()
   }
 
   /** Structured analysis result with the reference MCP tool's shape
@@ -1582,35 +1596,52 @@ final class HeapAnalysis(t: HeapTables) {
     // not a row array, next to session/dir metadata
     def dfRow(dfOpt: Option[DataFrame]): String =
       dfOpt.flatMap(df => df.collect().headOption.map(rowObj(df, _))).getOrElse("null")
+    // independent sections run concurrently (guide §2.6 — same move
+    // as runWasteAnalysis, r16): each section is a few tiny
+    // driver-blocking jobs, so sequential assembly paid one
+    // job-latency round-trip per section. Names are assembled in
+    // declaration order, so the JSON document is byte-identical.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def await(kvs: Seq[(String, Future[String])]): Seq[(String, String)] =
+      kvs.map { case (k, f) => k -> Await.result(f, Duration.Inf) }
+    val withWaste = try {
     val base = Seq(
-      "session_id" -> (if (sessionId.nonEmpty) jStr(sessionId) else "null"),
-      "parquet_dir" -> jStr(t.dir),
-      "summary" -> dfRow(summary),
-      "top_types" -> dfRows(topTypes(topN)),
-      "categories" -> dfRows(categoryBreakdown),
-      "byte_array_distribution" -> dfRows(byteArrayDistribution),
-      "large_byte_arrays" -> dfRows(largeByteArrays()))
-    val withWaste = if (!waste) base else {
-      val findings = runWasteAnalysis(maxTier)
-      val total = findings.map(_.estimatedWasteBytes).sum
+      "session_id" -> Future.successful(
+        if (sessionId.nonEmpty) jStr(sessionId) else "null"),
+      "parquet_dir" -> Future.successful(jStr(t.dir)),
+      "summary" -> Future(dfRow(summary)),
+      "top_types" -> Future(dfRows(topTypes(topN))),
+      "categories" -> Future(dfRows(categoryBreakdown)),
+      "byte_array_distribution" -> Future(dfRows(byteArrayDistribution)),
+      "large_byte_arrays" -> Future(dfRows(largeByteArrays())))
+    if (!waste) await(base) else {
+      // the waste suite runs on ITS OWN pool inside runWasteAnalysis,
+      // concurrent with the sections futures above/below
+      val findingsF = Future(runWasteAnalysis(maxTier))
       // B20-B22 graph sections ride with the full (waste) analysis:
       // the quick look stays scan-cheap, the report answers "who
       // shares it / who owns it / what would deleting it free"
       val graphSections = if (!graph) Seq.empty else Seq(
-        "referrer_stats" -> dfRows(referrerStats.map(
-          _.orderBy(col("n_refs").desc, col("type_name")).limit(topN))),
-        "ownership" -> dfRows(ownershipCollapse().map(
-          _.orderBy(col("total_owned").desc, col("type_name")).limit(topN))),
-        "retained" -> dfRows(retainedSize().map(
-          _.orderBy(col("retained_bytes").desc, col("type_name")).limit(topN))),
-        "root_reachability" -> dfRows(rootReachability().map(
-          _.orderBy(col("n_objects").desc, col("type_name")).limit(topN))),
-        "path_exemplars" -> dfRows(rootPathExemplars().map(
-          _.orderBy(col("type_name"), col("kind"), col("step")).limit(topN * 8))),
-        "classloaders" -> dfRows(classloaderCensus.map(_.limit(topN))),
-        "top_retained" -> dfRows(retainedTopObjects(limit = topN)),
-        "references" -> dfRows(referenceCensus.map(_.limit(topN))))
-      base ++ graphSections ++ Seq(
+        "referrer_stats" -> Future(dfRows(referrerStats.map(
+          _.orderBy(col("n_refs").desc, col("type_name")).limit(topN)))),
+        "ownership" -> Future(dfRows(ownershipCollapse().map(
+          _.orderBy(col("total_owned").desc, col("type_name")).limit(topN)))),
+        "retained" -> Future(dfRows(retainedSize().map(
+          _.orderBy(col("retained_bytes").desc, col("type_name")).limit(topN)))),
+        "root_reachability" -> Future(dfRows(rootReachability().map(
+          _.orderBy(col("n_objects").desc, col("type_name")).limit(topN)))),
+        "path_exemplars" -> Future(dfRows(rootPathExemplars().map(
+          _.orderBy(col("type_name"), col("kind"), col("step")).limit(topN * 8)))),
+        "classloaders" -> Future(dfRows(classloaderCensus.map(_.limit(topN)))),
+        "top_retained" -> Future(dfRows(retainedTopObjects(limit = topN))),
+        "references" -> Future(dfRows(referenceCensus.map(_.limit(topN)))))
+      val findings = Await.result(findingsF, Duration.Inf)
+      val total = findings.map(_.estimatedWasteBytes).sum
+      await(base ++ graphSections) ++ Seq(
         "waste_findings" -> jArr(findings.map(f => jObj(Seq(
           "check_name" -> jStr(f.checkName),
           "tier" -> f.tier.toString,
@@ -1624,6 +1655,7 @@ final class HeapAnalysis(t: HeapTables) {
         "total_estimated_waste" -> jStr(formatBytes(total)),
         "total_estimated_waste_bytes" -> total.toString)
     }
+    } finally pool.shutdown()
     jObj(withWaste)
   }
 
