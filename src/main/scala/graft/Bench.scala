@@ -535,16 +535,27 @@ object Bench {
         case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
         case _ => Map.empty
       } catch { case _: Exception => Map.empty }
+    def committedRecord(name: String): Map[String, Any] =
+      try {
+        val pb = new ProcessBuilder("git", "show", s"HEAD:$name")
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        if (proc.waitFor() == 0 && out.nonEmpty) parsePriorRecord(out) else Map.empty[String, Any]
+      } catch { case _: Exception => Map.empty[String, Any] }
     val priorRecord: Map[String, Any] =
       if (only.isDefined) Map.empty
       else {
-        val committed = try {
-          val pb = new ProcessBuilder("git", "show", "HEAD:BENCH_DETAIL.json")
-          pb.redirectErrorStream(false)
-          val proc = pb.start()
-          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-          if (proc.waitFor() == 0 && out.nonEmpty) parsePriorRecord(out) else Map.empty[String, Any]
-        } catch { case _: Exception => Map.empty[String, Any] }
+        // a low-core run compares against ITS core count's committed
+        // record when one exists — 8c times read ~1.3× the 32c record
+        // on identical code, which would fake isolation-re-measure
+        // triggers; the 32c record stays the fallback baseline
+        val committed = {
+          val own =
+            if (cpus != "32") committedRecord(s"BENCH_DETAIL_c$cpus.json")
+            else Map.empty[String, Any]
+          if (own.nonEmpty) own else committedRecord("BENCH_DETAIL.json")
+        }
         if (committed.nonEmpty) committed
         else try {
           // fallback (fresh clone without the record in HEAD): the
@@ -782,14 +793,21 @@ object Bench {
       (if (rerunTimes.nonEmpty)
         s""""rerun":${qJson(rerunTimes.toSeq, 3)},"""
       else "") +
-      ingestKeys + f""""reps":$reps,"wall_sec":$wall%.1f,"sf":"$sfDir"}"""
+      ingestKeys + f""""reps":$reps,"wall_sec":$wall%.1f,"cpus":"$cpus","sf":"$sfDir"}"""
     // a FILTERED run must not clobber the committed full-suite
     // record: BENCH_DETAIL.json is both the round artifact and the
     // isolation re-measure's prior-times source, so partial runs
     // write to BENCH_DETAIL_PARTIAL.json instead — and the summary
     // line's "detail" key must name the file THIS run wrote, not the
-    // previous round's full record
-    val detailName = if (only.isDefined) "BENCH_DETAIL_PARTIAL.json" else "BENCH_DETAIL.json"
+    // previous round's full record. A NON-32-CPU run (the driver's
+    // low-core scaling pass) likewise writes its own per-core-count
+    // file: the r16 driver's c8 rerun overwrote the official 32c
+    // per-gate record, which then survived only as a top-25 tail
+    // (r16 verdict, What's wrong #2) — now both records coexist.
+    val detailName =
+      if (only.isDefined) "BENCH_DETAIL_PARTIAL.json"
+      else if (cpus != "32") s"BENCH_DETAIL_c$cpus.json"
+      else "BENCH_DETAIL.json"
     try {
       val p = java.nio.file.Paths.get(detailName)
       java.nio.file.Files.write(p, detailJson.getBytes("UTF-8"))

@@ -65,10 +65,16 @@ object Graph {
     // single terminal action computes once — a per-round
     // localCheckpoint added one materialization job per round for no
     // reuse (r16; the shared e/withDeg/nodes inputs stay checkpointed
-    // because they ARE multi-consumer).
+    // because they ARE multi-consumer). Guard (r17): every
+    // `checkpointEvery` rounds the lineage IS cut — plan depth (and
+    // Catalyst analysis/codegen time) otherwise grows linearly with
+    // the public `iters`, which is free at the gates' iters=3 but
+    // superlinear for a large-iters caller (r16 verdict #4). A no-op
+    // below the threshold: the gates' plans are byte-identical.
     var r = nodes.select(col("v"), lit(init).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       r = iterate(nodes, withDeg, r, base, d100)
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint()
     }
     r.select(col("v").as("node"), col("r").as("rank_ppt"))
   }
@@ -630,7 +636,7 @@ object Graph {
     val isSeed = col("v").isin(seeds: _*)
     var r = nodes.select(col("v"),
       when(isSeed, init).otherwise(0L).cast("long").as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg.join(r, withDeg("src") === r("v"))
         .select(col("dst").as("v"), expr("r div outdeg").as("c"))
         .groupBy("v").agg(sum("c").as("s"))
@@ -638,7 +644,16 @@ object Graph {
         .select(col("v"),
           (when(isSeed, seedBase).otherwise(0L).cast("long") +
             expr(s"($d100 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+      // lineage-depth guard, same as pageRank (no-op at the gates' iters)
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint()
     }
     r.select(col("v").as("node"), col("r").as("rank_ppt"))
   }
+
+  /** Lineage-depth guard for the uncheckpointed rank loops: cut the
+    * plan every this-many rounds. 8 keeps the gates (iters=3) on the
+    * r16 zero-materialization fast path while bounding a large-iters
+    * caller's plan depth at a constant.
+    */
+  private[graft] val checkpointEvery = 8
 }
